@@ -1,0 +1,106 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function library for the engine.
+  *
+  * Re-expresses the reference's scalar helpers (reference: `src/logsdb/core.py:51-65`,
+  * `src/logsdb/apache_access.py:146-147`, `src/logsdb/maillog.py:22-25,128`) as
+  * `Column`-returning functions built from `org.apache.spark.sql.functions._` wherever the
+  * builtin surface allows (codegen-friendly, no UDF), with plain Scala mirrors for
+  * driver-side rendering and tests.
+  */
+object F {
+
+  // --------------------------------------------------------------------------
+  // P3 — mojibake repair ("reencode", reference apache_access.py:146-147).
+  // Apache logs bytes as latin-1; recover the original UTF-8. UDF because the
+  // charset round-trip has no builtin equivalent; null-safe; deterministic.
+  // --------------------------------------------------------------------------
+  def reencodeScala(s: String): String =
+    if (s == null) null else new String(s.getBytes(ISO_8859_1), UTF_8)
+
+  val reencodeUdf = udf(reencodeScala _)
+
+  def reencode(c: Column): Column = reencodeUdf(c)
+
+  // --------------------------------------------------------------------------
+  // P11 — digit grouping ("longint", reference core.py:51-57): 1234567 -> "1 234 567".
+  // Builtin-only: format_number gives comma groups; swap for spaces.
+  // --------------------------------------------------------------------------
+  def longint(c: Column): Column =
+    regexp_replace(format_number(c.cast("long"), 0), ",", " ")
+
+  /** Driver-side mirror of reference core.py:51-57 (exact). */
+  def longintScala(n: Long): String = {
+    val ns = n.toString
+    val head = ns.length % 3
+    val groups = (if (head > 0) Seq(ns.substring(0, head)) else Seq.empty) ++
+      (head until ns.length by 3).map(i => ns.substring(i, i + 3))
+    groups.mkString(" ")
+  }
+
+  // --------------------------------------------------------------------------
+  // P9 — domain extraction (reference maillog.py:128: partition("@")[2], lowered
+  // against the local-domain set).
+  // --------------------------------------------------------------------------
+  def domainOf(c: Column): Column =
+    when(c.contains("@"), lower(substring_index(c, "@", -1))).otherwise(lit(""))
+
+  // --------------------------------------------------------------------------
+  // P12 — UTC ISO-8601 "Z" render (reference core.py:64-65, maillog.py:134).
+  // Session TZ is UTC so date_format renders the UTC instant.
+  // --------------------------------------------------------------------------
+  def iso8601Z(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  // --------------------------------------------------------------------------
+  // P8 — code-point truncation (reference maillog.py:98: subject[:2048]).
+  // Spark substring counts code points, matching Python slicing for BMP text.
+  // --------------------------------------------------------------------------
+  def truncate(c: Column, n: Int): Column = substring(c, 1, n)
+
+  // --------------------------------------------------------------------------
+  // P10 — address display form (reference maillog.py:22-25 via
+  // email.headerregistry.Address.__str__: no RFC-2047 encoding of non-ASCII;
+  // display name is quoted only when it contains specials).
+  // --------------------------------------------------------------------------
+  private val AtomOk = "^[A-Za-z0-9!#$%&'*+/=?^_`{|}~. -]*$".r
+
+  def formatAddressScala(realname: String, email: String): String = {
+    val name = Option(realname).getOrElse("")
+    val addr = Option(email).getOrElse("")
+    if (name.isEmpty) addr
+    else {
+      val disp =
+        if (AtomOk.findFirstIn(name).isDefined) name
+        else "\"" + name.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"$disp <$addr>"
+    }
+  }
+
+  val formatAddressUdf = udf(formatAddressScala _)
+
+  /** Builtin-only variant used in oracle-checked queries (assumes atom-safe names). */
+  def formatAddress(realname: Column, email: Column): Column =
+    when(length(realname) === 0 || realname.isNull, email)
+      .otherwise(concat(realname, lit(" <"), email, lit(">")))
+
+  // --------------------------------------------------------------------------
+  // Q2 ordering — PostgreSQL INET sorts numerically by octet (reference
+  // authfail.py:38 `order_by(asc(src_addr))` on an INET column). For dotted-quad
+  // text we sort on the parsed octets.
+  // --------------------------------------------------------------------------
+  def ipSortKey(ip: Column): Column = {
+    val parts = split(ip, "\\.")
+    array((0 until 4).map(i => parts.getItem(i).cast("int")): _*)
+  }
+
+  // --------------------------------------------------------------------------
+  // P13 — relative time literal (reference core.py:60-61). `now` injectable for
+  // deterministic tests and oracle parity.
+  // --------------------------------------------------------------------------
+  def oneDayAgo(now: Column): Column = now - expr("INTERVAL 1 DAY")
+}

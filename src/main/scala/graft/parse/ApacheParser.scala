@@ -1,0 +1,82 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.functions.F
+
+/** Result of a parse transform: well-formed rows plus a dead-letter channel
+  * (reference routes any parse failure to a JSON error record and aborts,
+  * `apache_access.py:128-143`; at scale we keep the pipeline running and quarantine
+  * bad rows instead).
+  */
+final case class ParseResult(events: DataFrame, deadLetters: DataFrame)
+
+/** Apache access-log line parser (reference: `src/logsdb/apache_access.py:88-127`).
+  *
+  * Input line format (apache_access.py:88-90):
+  * {{{
+  * %{%Y-%m-%d %H:%M:%S %z}t|%v|%p|%a|%I|%O|%D|%>s|["%u", "%r", "%m", "%U%q", "%H", "%{Referer}i", "%{User-Agent}i"]
+  * }}}
+  *
+  * Spark-first design: the 9-way `split` with a limit mirrors `line.split("|", 8)`
+  * (apache_access.py:95-105); the trailing string-array literal is JSON-compatible
+  * except for Apache's `\xhh` escapes, which we rewrite to `\u00hh` so the whole
+  * parse stays inside codegen'd builtins (`from_json`) instead of a UDF
+  * (`ast.literal_eval` at apache_access.py:106-108). Each of the 7 strings is
+  * latin-1→utf-8 re-decoded (apache_access.py:146-147).
+  */
+object ApacheParser {
+  private val strsType = ArrayType(StringType)
+
+  /** `lines` must have a string column `value`; extra columns are preserved on the
+    * dead-letter side for provenance.
+    */
+  def parse(lines: DataFrame): ParseResult = {
+    val parts = split(col("value"), "\\|", 9)
+    // Apache escapes non-printables as \xhh (not valid JSON); rewrite to \u00hh.
+    val jsonBlob = regexp_replace(parts.getItem(8), "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1")
+    val strs = from_json(jsonBlob, strsType)
+
+    def s(i: Int): Column = F.reencode(element_at(strs, i + 1))
+
+    val withCols = lines
+      .withColumn("timestamp", to_timestamp(parts.getItem(0), "yyyy-MM-dd HH:mm:ss Z"))
+      .withColumn("host", parts.getItem(1))
+      .withColumn("port", parts.getItem(2).cast("int"))
+      .withColumn("src_addr", parts.getItem(3))
+      .withColumn("bytesin", parts.getItem(4).cast("long"))
+      .withColumn("bytesout", parts.getItem(5).cast("long"))
+      .withColumn("microsecs", parts.getItem(6).cast("long"))
+      .withColumn("status", parts.getItem(7).cast("int"))
+      .withColumn("strs", strs)
+      .withColumn("authuser", s(0))
+      .withColumn("reqline", s(1))
+      .withColumn("method", s(2))
+      .withColumn("path", s(3))
+      .withColumn("protocol", s(4))
+      .withColumn("referer", s(5))
+      .withColumn("user_agent", s(6))
+
+    val ok = withCols.col("timestamp").isNotNull &&
+      withCols.col("port").isNotNull && withCols.col("bytesin").isNotNull &&
+      withCols.col("bytesout").isNotNull && withCols.col("microsecs").isNotNull &&
+      withCols.col("status").isNotNull &&
+      withCols.col("strs").isNotNull && size(withCols.col("strs")) === 7
+
+    val events = withCols.filter(ok).select(
+      col("timestamp"), col("host"), col("port"), col("src_addr"), col("authuser"),
+      col("bytesin"), col("bytesout"), col("microsecs"), col("status"),
+      col("reqline"), col("method"), col("path"), col("protocol"),
+      col("referer"), col("user_agent"))
+
+    val dead = withCols.filter(!ok).select(
+      F.iso8601Z(current_timestamp()).as("time"),
+      col("value").as("line"),
+      lit("ValueError").as("error_type"),
+      lit("Could not parse logfile entry").as("error"))
+
+    ParseResult(events, dead)
+  }
+}

@@ -1,0 +1,175 @@
+package graft.parse
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.time.ZonedDateTime
+import java.time.format.DateTimeFormatter
+import java.util.Base64
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal RFC-5322 message parser (reference: `src/logsdb/maillog.py:141-156` —
+  * `email.message_from_bytes(policy=default)`; Subject defaulting to "NO SUBJECT"
+  * at maillog.py:153; From/To/CC address lists; Date header; size = raw byte count
+  * at maillog.py:143-144).
+  *
+  * Implemented as a pure-Scala header parser (header unfolding, RFC-2047
+  * encoded-word decoding, address-list splitting) wrapped in a UDF over a binary
+  * column, so a directory of raw messages ingests as
+  * `spark.read.format("binaryFile")` → one struct per message. The reference
+  * handles one message per process (maillog.py:141); the Spark path is the same
+  * parse applied per row of a distributed binary scan.
+  */
+object MailParser {
+
+  final case class Address(realname: String, email: String)
+  final case class ParsedMail(
+      subject: String,
+      sender_name: String,
+      sender_email: String,
+      date: java.sql.Timestamp,
+      recipients: Seq[Address],
+      size: Long
+  )
+
+  // -- header extraction ------------------------------------------------------
+
+  /** Unfold continuation lines and return ordered (name, value) pairs. */
+  def headers(raw: String): Seq[(String, String)] = {
+    val headerPart = raw.split("\r?\n\r?\n", 2)(0)
+    val lines = headerPart.split("\r?\n")
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    lines.foreach { line =>
+      if ((line.startsWith(" ") || line.startsWith("\t")) && out.nonEmpty) {
+        val (n, v) = out.last
+        out(out.length - 1) = (n, v + " " + line.trim)
+      } else line.split(":", 2) match {
+        case Array(n, v) => out += ((n.trim, v.trim))
+        case _           => ()
+      }
+    }
+    out.toSeq
+  }
+
+  def header(raw: String, name: String): Option[String] =
+    headers(raw).collectFirst { case (n, v) if n.equalsIgnoreCase(name) => v }
+
+  // -- RFC 2047 encoded words -------------------------------------------------
+
+  private val EncodedWord = """=\?([^?]+)\?([bBqQ])\?([^?]*)\?=""".r
+
+  def decodeRfc2047(s: String): String = {
+    // adjacent encoded words are concatenated without the intervening whitespace
+    val collapsed = s.replaceAll("(\\?=)\\s+(=\\?)", "$1$2")
+    EncodedWord.replaceAllIn(collapsed, m => {
+      val cs = try Charset.forName(m.group(1)) catch {
+        case _: Exception => StandardCharsets.UTF_8
+      }
+      val payload = m.group(3)
+      val bytes = m.group(2).toLowerCase match {
+        case "b" => Base64.getMimeDecoder.decode(payload)
+        case _ =>
+          val sb = scala.collection.mutable.ArrayBuffer[Byte]()
+          var i = 0
+          while (i < payload.length) {
+            payload.charAt(i) match {
+              case '_' => sb += ' '.toByte; i += 1
+              case '=' if i + 3 <= payload.length =>
+                try {
+                  sb += Integer.parseInt(payload.substring(i + 1, i + 3), 16).toByte
+                  i += 3
+                } catch { case _: Exception => sb += '='.toByte; i += 1 }
+              case c => sb += c.toByte; i += 1
+            }
+          }
+          sb.toArray
+      }
+      java.util.regex.Matcher.quoteReplacement(new String(bytes, cs))
+    })
+  }
+
+  // -- address lists ----------------------------------------------------------
+
+  /** Split an address list on top-level commas (respecting quotes and <>). */
+  def splitAddresses(v: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQuote = false
+    var depth = 0
+    v.foreach {
+      case '"' => inQuote = !inQuote; cur += '"'
+      case '<' if !inQuote => depth += 1; cur += '<'
+      case '>' if !inQuote => depth -= 1; cur += '>'
+      case ',' if !inQuote && depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  private val AngleAddr = """(.*?)<([^<>]*)>\s*""".r
+
+  def parseAddress(s: String): Address = {
+    decodeRfc2047(s.trim) match {
+      case AngleAddr(disp, addr) =>
+        val name = disp.trim match {
+          case q if q.startsWith("\"") && q.endsWith("\"") && q.length >= 2 =>
+            q.substring(1, q.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+          case other => other
+        }
+        Address(name, addr.trim)
+      case bare => Address("", bare.trim)
+    }
+  }
+
+  // -- Date header ------------------------------------------------------------
+
+  private val Rfc1123Lenient = DateTimeFormatter.ofPattern("[EEE, ]d MMM yyyy HH:mm[:ss] Z")
+
+  def parseDate(s: String): Option[java.sql.Timestamp] = {
+    val cleaned = s.trim.replaceAll("\\s+", " ").replaceAll("\\([^)]*\\)\\s*$", "").trim
+    val attempts = Seq(DateTimeFormatter.RFC_1123_DATE_TIME, Rfc1123Lenient)
+    attempts.view.flatMap { fmt =>
+      try Some(java.sql.Timestamp.from(ZonedDateTime.parse(cleaned, fmt).toInstant))
+      catch { case _: Exception => None }
+    }.headOption
+  }
+
+  // -- whole message ----------------------------------------------------------
+
+  def parseMessage(bytes: Array[Byte]): ParsedMail = {
+    val raw = new String(bytes, StandardCharsets.UTF_8)
+    val subject = header(raw, "Subject").map(decodeRfc2047).getOrElse("NO SUBJECT")
+    val from = header(raw, "From").map(parseAddress).getOrElse(Address("", ""))
+    val date = header(raw, "Date").flatMap(parseDate)
+      .getOrElse(new java.sql.Timestamp(0L))
+    // To + CC concatenated in order (maillog.py:148-151)
+    val recips = Seq("To", "CC").flatMap(h => header(raw, h).toSeq)
+      .flatMap(splitAddresses).map(parseAddress)
+    ParsedMail(subject, from.realname, from.email, date, recips, bytes.length.toLong)
+  }
+
+  private val parseUdf = udf((bytes: Array[Byte]) => {
+    val p = parseMessage(bytes)
+    (p.subject, p.sender_name, p.sender_email, p.date,
+      p.recipients.map(a => (a.realname, a.email)), p.size)
+  })
+
+  /** `messages` must have a binary column `content` (e.g. from
+    * `spark.read.format("binaryFile")`). Output columns: subject, sender_name,
+    * sender_email, date, recipients array<struct<_1,_2>>, size.
+    */
+  def parse(messages: DataFrame): DataFrame = {
+    messages
+      .withColumn("parsed", parseUdf(col("content")))
+      .select(
+        col("parsed._1").as("subject"),
+        col("parsed._2").as("sender_name"),
+        col("parsed._3").as("sender_email"),
+        col("parsed._4").as("date"),
+        col("parsed._5").as("recipients"),
+        col("parsed._6").as("size"))
+  }
+}

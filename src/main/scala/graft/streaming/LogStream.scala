@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.{Ingest, Warehouse}
+import graft.parse.{ApacheParser, AuthfailParser, MailParser, ParseResult}
+
+/** Structured Streaming ingest (reference §2.7: continuous per-line stdin pipes,
+  * `apache_access.py:94`, `authfail.py:69`, one-message-per-process `maillog.py:141`).
+  *
+  * Spark-first shape: `readStream.text(dir)` / `binaryFile` file sources stand in
+  * for the stdin pipes (at cluster scale the same transforms run off Kafka);
+  * `foreachBatch` reuses the exact batch parse + write logic, turning the
+  * reference's per-row transactions into one append per micro-batch.
+  * `Trigger.AvailableNow` gives catch-up-then-stop batch-equivalent runs.
+  */
+object LogStream {
+
+  private def run(
+      parsed: DataFrame => ParseResult,
+      lines: DataFrame,
+      warehouse: Warehouse,
+      table: String,
+      checkpoint: String
+  ): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = parsed(batch)
+        Ingest.appendEvents(res.events, warehouse, table)
+        Ingest.appendDeadLetters(res.deadLetters, warehouse)
+      }
+      .start()
+
+  /** Apache access-log directory stream → `apache_access` table. */
+  def apache(spark: SparkSession, dir: String, warehouse: Warehouse,
+      checkpoint: String): StreamingQuery =
+    run(ApacheParser.parse, spark.readStream.text(dir), warehouse,
+      "apache_access", checkpoint)
+
+  /** sshd journal directory stream → `authfail` table. */
+  def authfail(spark: SparkSession, dir: String, warehouse: Warehouse,
+      checkpoint: String): StreamingQuery =
+    run(AuthfailParser.parse, spark.readStream.text(dir), warehouse,
+      "authfail", checkpoint)
+
+  /** Raw RFC-5322 message directory stream → contacts upsert + inbox + tocc
+    * (reference maillog.py:66-104: per-address N+1 lookups and per-row inserts
+    * become one MERGE + two appends per micro-batch).
+    */
+  def maillog(spark: SparkSession, dir: String, warehouse: Warehouse,
+      checkpoint: String): StreamingQuery =
+    spark.readStream.format("binaryFile").load(dir)
+      .select(col("content"), col("modificationTime"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestMailBatch(batch, warehouse)
+      }
+      .start()
+
+  /** Batch-shared maillog ingest body. `batch` needs columns
+    * (content binary, modificationTime timestamp).
+    */
+  def ingestMailBatch(batch: DataFrame, warehouse: Warehouse): Unit = {
+    val spark = batch.sparkSession
+    val parsed = MailParser.parse(batch).cache()
+    try {
+      val addrs = parsed
+        .select(explode(concat(
+          array(struct(col("sender_name").as("_1"), col("sender_email").as("_2"))),
+          col("recipients"))).as("a"))
+        .select(col("a._1").as("realname"), col("a._2").as("email_address"))
+      val contacts = Ingest.upsertContacts(addrs, warehouse)
+
+      // arrival timestamp = now() at insert (maillog.py:97)
+      val maxMsgId = if (tableExists(spark, warehouse.path("inbox")))
+        warehouse.inbox(spark).agg(coalesce(max(col("id")), lit(0L)))
+          .collect()(0).getLong(0)
+      else 0L
+
+      val keyed = parsed
+        .withColumn("id", lit(maxMsgId) +
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("modificationTime"), col("sender_email"))).cast("long"))
+        .cache()
+      keyed.count()
+
+      val inboxRows = keyed
+        .withColumn("timestamp_now", current_timestamp())
+        .join(broadcast(contacts),
+          keyed("sender_name") === contacts("realname") &&
+            keyed("sender_email") === contacts("email_address"))
+        .select(keyed("id"), col("timestamp_now").as("timestamp"),
+          substring(keyed("subject"), 1, 2048).as("subject"),
+          contacts("id").as("sender_id"), keyed("size"), keyed("date"))
+      inboxRows
+        .withColumn("event_date", to_date(col("timestamp")))
+        .write.mode("append").partitionBy("event_date")
+        .parquet(warehouse.path("inbox"))
+
+      // per-message first-occurrence recipient dedup (maillog.py:88-94) — the
+      // contact-id identity dedup maps to distinct contact ids per message.
+      val tocc = keyed
+        .select(col("id").as("msg_id"), explode(col("recipients")).as("r"))
+        .join(broadcast(contacts),
+          col("r._1") === contacts("realname") &&
+            col("r._2") === contacts("email_address"))
+        .select(col("msg_id"), contacts("id").as("contact_id"))
+        .distinct()
+      tocc.write.mode("append").parquet(warehouse.path("inbox_tocc"))
+      keyed.unpersist()
+    } finally parsed.unpersist()
+  }
+
+  private def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}
