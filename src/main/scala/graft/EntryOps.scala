@@ -1,0 +1,327 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators wired to the test tables, with DuckDB
+  * oracles that implement the *same algorithm* — so LSH/IVF approximations are
+  * reproduced exactly rather than compared against a different ground truth.
+  */
+object EntryOps {
+
+  // -------------------------------------------------------------------------
+  // Spark-side query entries
+  // -------------------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(spark, dir), n = 3, minJaccard = 0.1)
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir))
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir))
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), minCosine = 0.3)
+
+  def topkBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkBruteForce(Tables.embeddings(spark, dir),
+      col("vec_id") % 40 === 0, k = 5)
+
+  def topkIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkIvf(Tables.embeddings(spark, dir),
+      col("vec_id") % 40 === 0, k = 3)
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, dir))
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(spark, dir))
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(spark, dir))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(spark, dir))
+
+  /** Rows-only check (no oracle): multimodal binary plumbing with stubbed decode. */
+  def multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.asAssets(Tables.documents(spark, dir)))
+
+  /** Window function: top-3 events by value per type (rank over partition). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_cents").desc, col("event_id").asc)
+    ev.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("event_id"), col("value_cents"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum windows —
+    * the standard scalable sessionizer (one shuffle by user, one sort per
+    * partition; no iterative driver logic).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = 30L * 60 * 1000000
+    ev.withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_num",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_sec",
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long"))
+      .select(col("user_id"), col("session_num"), col("n_events"),
+        col("start_us"), col("duration_sec"))
+      .orderBy(col("user_id"), col("session_num"))
+  }
+
+  /** Tumbling-day rollup — the batch form of the streaming daily report
+    * (SURVEY §2.7): date_trunc window + group/aggregate.
+    */
+  def dailyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("qty"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("day"), col("event_type"))
+
+  // -------------------------------------------------------------------------
+  // DuckDB oracle fragments (same algorithms, DuckDB dialect)
+  // -------------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles per doc (mirror of Dedup.shingles). */
+  private def duckShingles(n: Int): String = {
+    val gram = (0 until n).map(j => s"l[i + $j]").mkString(" || ' ' || ")
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+        tri AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+          range(1, len(l) + 1), i -> CASE WHEN i + ${n - 1} <= len(l) THEN $gram END),
+          x -> x IS NOT NULL))) AS gram FROM w)"""
+  }
+
+  /** Sequential-fold dot product (mirror of Similarity.dot). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+        k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
+
+  private def duckCosine(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+         min(doc_id) AS canonical_id,
+         array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "d02_ngram_jaccard" ->
+      s"""WITH ${duckShingles(3)},
+          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+          iv AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                 FROM tri a JOIN tri b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT doc1, doc2, inter, n1, n2, jaccard FROM (
+            SELECT iv.doc1, iv.doc2, iv.inter, s1.n AS n1, s2.n AS n2,
+                   CAST(iv.inter AS DOUBLE) / CAST(s1.n + s2.n - iv.inter AS DOUBLE) AS jaccard
+            FROM iv JOIN sz s1 ON iv.doc1 = s1.doc_id JOIN sz s2 ON iv.doc2 = s2.doc_id)
+          WHERE jaccard >= 0.1 ORDER BY doc1, doc2""",
+    "d03_minhash_lsh" ->
+      s"""WITH ${duckShingles(3)},
+          hs AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || gram)) AS m
+                 FROM tri CROSS JOIN (SELECT unnest(range(1, 9)) AS h) GROUP BY 1, 2),
+          bs AS (SELECT doc_id, CAST((h - 1) // 4 AS INTEGER) AS band,
+                 md5(min(CASE WHEN (h - 1) % 4 = 0 THEN m END) || '|' ||
+                     min(CASE WHEN (h - 1) % 4 = 1 THEN m END) || '|' ||
+                     min(CASE WHEN (h - 1) % 4 = 2 THEN m END) || '|' ||
+                     min(CASE WHEN (h - 1) % 4 = 3 THEN m END)) AS sig
+                 FROM hs GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                   FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id),
+          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+          iv AS (SELECT c.doc1, c.doc2, count(*) AS inter
+                 FROM cand c JOIN tri t1 ON t1.doc_id = c.doc1
+                 JOIN tri t2 ON t2.doc_id = c.doc2 AND t2.gram = t1.gram
+                 GROUP BY 1, 2)
+          SELECT doc1, doc2, jaccard FROM (
+            SELECT iv.doc1, iv.doc2,
+                   CAST(iv.inter AS DOUBLE) / CAST(s1.n + s2.n - iv.inter AS DOUBLE) AS jaccard
+            FROM iv JOIN sz s1 ON iv.doc1 = s1.doc_id JOIN sz s2 ON iv.doc2 = s2.doc_id)
+          WHERE jaccard >= 0.1 ORDER BY doc1, doc2""",
+    "d04_simhash" -> {
+      val sigChars = (0 until 16).map(i =>
+        s"(CASE WHEN min(CASE WHEN b = $i THEN s END) >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+          wr AS (SELECT doc_id, substring(md5(wd), 1, 4) AS hex4
+                 FROM (SELECT doc_id, unnest(l) AS wd FROM w)),
+          bits AS (SELECT doc_id, b,
+                   strpos('0123456789abcdef', substring(hex4, b // 4 + 1, 1)) - 1 AS v
+                   FROM wr CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+          sums AS (SELECT doc_id, b, sum(
+                   ((v // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+                   FROM bits GROUP BY 1, 2),
+          sig AS (SELECT doc_id, $sigChars AS simhash FROM sums GROUP BY doc_id)
+          SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size
+          FROM sig ORDER BY doc_id"""
+    },
+    "d05_embed_neardup" ->
+      s"""SELECT id1, id2, cosine FROM (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 ${duckCosine("a.embedding", "b.embedding")} AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          WHERE cosine >= 0.3 ORDER BY id1, id2""",
+    "s01_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                     WHERE vec_id % 40 = 0),
+          s AS (SELECT q.query_id, c.vec_id AS cand_id, c.label AS cand_label,
+                ${duckCosine("q.qe", "c.embedding")} AS cosine
+                FROM q JOIN embeddings c ON c.vec_id != q.query_id),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, rank, cand_id, cand_label, cosine FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "s02_topk_ivf" -> {
+      val bucket = (1 to 4).map(j =>
+        s"(CASE WHEN embedding[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
+                WHERE vec_id % 40 = 0),
+          s AS (SELECT q.query_id, CAST(q.bucket AS BIGINT) AS bucket,
+                c.vec_id AS cand_id,
+                ${duckCosine("q.qe", "c.embedding")} AS cosine
+                FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.query_id),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, bucket, rank, cand_id, cosine FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+    "t01_langid" ->
+      """SELECT doc_id, zh_hits, en_hits, fr_hits, es_hits, de_hits, actual_lang,
+           CASE WHEN zh_hits > 0 THEN 'zh'
+                WHEN fr_hits > en_hits AND fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+                WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
+                WHEN de_hits > en_hits THEN 'de'
+                ELSE 'en' END AS pred_lang,
+           CAST(CASE WHEN (CASE WHEN zh_hits > 0 THEN 'zh'
+                WHEN fr_hits > en_hits AND fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+                WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
+                WHEN de_hits > en_hits THEN 'de'
+                ELSE 'en' END) = actual_lang THEN 1 ELSE 0 END AS INTEGER) AS correct
+         FROM (SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS zh_hits,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) AS BIGINT) AS en_hits,
+           CAST(len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS BIGINT) AS fr_hits,
+           CAST(len(regexp_extract_all(text, '\b(el|los|las|es|y)\b')) AS BIGINT) AS es_hits,
+           CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS de_hits,
+           lang AS actual_lang FROM documents)
+         ORDER BY doc_id""",
+    "t02_quality" ->
+      """SELECT doc_id, n_chars, n_words, n_punct, n_digits, n_stopwords,
+           stopword_ratio, digit_ratio, score,
+           CASE WHEN score >= 0.75 THEN 'high'
+                WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS bucket
+         FROM (SELECT *,
+           0.5 * least(CAST(n_words AS DOUBLE) / CAST(80 AS DOUBLE), CAST(1 AS DOUBLE))
+           + 0.3 * stopword_ratio * CAST(4 AS DOUBLE)
+           + 0.2 * (CAST(1 AS DOUBLE) - digit_ratio) AS score
+         FROM (SELECT *,
+           CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+           CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_ratio
+         FROM (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS BIGINT) AS n_stopwords
+           FROM documents)))
+         ORDER BY doc_id""",
+    "t03_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(bpe_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bpe_per_doc
+         FROM (SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+           FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    "t04_fingerprint" ->
+      s"""WITH ${duckShingles(5)},
+          gh AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM tri),
+          rk AS (SELECT doc_id, h,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn FROM gh),
+          fp AS (SELECT doc_id, array_to_string(list_sort(list(h)), ',') AS fingerprint
+                 FROM rk WHERE rn <= 4 GROUP BY doc_id)
+          SELECT doc_id, fingerprint,
+                 count(*) OVER (PARTITION BY fingerprint) AS bucket_size
+          FROM fp ORDER BY doc_id""",
+    "q19_topk_per_group" ->
+      """SELECT event_type, rank, event_id, value_cents FROM (
+           SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, event_id ASC) AS BIGINT) AS rank
+           FROM events)
+         WHERE rank <= 3 ORDER BY event_type, rank""",
+    "q20_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+          f AS (SELECT user_id, event_id, ts_us,
+                CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                     WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+          g AS (SELECT user_id, event_id, ts_us,
+                CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+                FROM f)
+          SELECT user_id, session_num, count(*) AS n_events,
+                 CAST(min(ts_us) AS BIGINT) AS start_us,
+                 CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
+          FROM g GROUP BY user_id, session_num
+          ORDER BY user_id, session_num""",
+    "q21_daily_rollup" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS qty,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+  )
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (dedupExact _),
+    "d02_ngram_jaccard" -> (ngramJaccard _),
+    "d03_minhash_lsh" -> (minhashLsh _),
+    "d04_simhash" -> (simhash _),
+    "d05_embed_neardup" -> (embedNearDup _),
+    "s01_topk_brute" -> (topkBrute _),
+    "s02_topk_ivf" -> (topkIvf _),
+    "t01_langid" -> (langId _),
+    "t02_quality" -> (quality _),
+    "t03_tokens" -> (tokenStats _),
+    "t04_fingerprint" -> (fingerprint _),
+    "m01_multimodal" -> (multimodal _),
+    "q19_topk_per_group" -> (topkPerGroup _),
+    "q20_sessionize" -> (sessionize _),
+    "q21_daily_rollup" -> (dailyRollup _)
+  )
+}

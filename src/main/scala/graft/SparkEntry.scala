@@ -328,7 +328,11 @@ object SparkEntry {
   // registry
   // ---------------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ EntryOps.entries
+
+  def oracleSql: Map[String, String] = coreOracles ++ EntryOps.oracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hits_by_type" -> (hitsByType _),
     "q02_grand_totals" -> (grandTotals _),
     "q03_attempts_by_ip" -> (attemptsByIp _),
@@ -349,7 +353,7 @@ object SparkEntry {
     "q18_regional_revenue" -> (regionalRevenue _)
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "q01_hits_by_type" ->
       """SELECT event_type, count(*) AS qty,
          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

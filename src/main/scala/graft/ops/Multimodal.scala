@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §7.1-9 / builder spec): image/audio/video
+  * payloads travel as opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extraction runs as a batch-shaped function over the binary
+  * payload.
+  *
+  * The decode step itself is STUBBED (this container has no image/audio codecs):
+  * `fakeDecode` produces deterministic features from the raw bytes — length,
+  * leading-bytes digest, and a 4-bin byte histogram standing in for
+  * decoded-pixel statistics. The Spark-side plumbing is real: schema, batch
+  * shape, and partitioning are exactly what a Pandas-UDF/`mapInPandas`
+  * (Python) or Arrow-batch (Scala) decoder would see; swapping `fakeDecode`
+  * for a real codec changes no plan shape.
+  *
+  * Scale notes: binary payloads dominate row size, so the asset table is stored
+  * with payloads in their own column chunk (Parquet) and the feature extraction
+  * is a narrow projection — column pruning means metadata-only queries never
+  * read the bytes. Feature extraction partitions by asset id; no shuffle at all.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a media decoder: (n_bytes, digest16, histogram[4]). */
+  def fakeDecode(bytes: Array[Byte]): (Long, String, Array[Long]) = {
+    if (bytes == null) (0L, "", Array.fill(4)(0L))
+    else {
+      val hist = Array.fill(4)(0L)
+      bytes.foreach(b => hist((b & 0xff) / 64) += 1)
+      val digest = bytes.take(8).map(b => f"${b & 0xff}%02x").mkString
+      (bytes.length.toLong, digest, hist)
+    }
+  }
+
+  private val decodeUdf = udf(fakeDecode _)
+
+  /** Wrap a corpus as a multimodal asset table: id, media_type, metadata struct,
+    * binary payload. (Test data has no real media; documents' text bytes stand in
+    * as the payload, which exercises the identical plumbing.)
+    */
+  def asAssets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("text/plain").as("media_type"),
+      struct(col("source"), col("lang"), col("n_chars")).as("meta"),
+      col("text").cast("binary").as("payload"))
+
+  /** Feature extraction over the binary payload — the decode-and-featurize stage
+    * of a multimodal ingest. One narrow map, no shuffle.
+    */
+  def extractFeatures(assets: DataFrame): DataFrame =
+    assets
+      .withColumn("f", decodeUdf(col("payload")))
+      .select(
+        col("asset_id"), col("media_type"),
+        col("meta.source").as("source"),
+        col("f._1").as("n_bytes"),
+        col("f._2").as("digest16"),
+        col("f._3").as("byte_histogram"))
+      .orderBy(col("asset_id"))
+}

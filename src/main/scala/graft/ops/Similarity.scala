@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), the
+  * training-data-pipeline ANN surface (SURVEY §7.1-9).
+  *
+  * Numeric determinism: dot products are a sequential left fold over
+  * element-wise double products (`aggregate(zip_with(...))`) — float→double
+  * widening is exact (24+24 mantissa bits < 53) and the fold order is fixed, so
+  * Spark and the DuckDB oracle produce bitwise-identical doubles.
+  *
+  * Scale: brute force is the O(Q·N) baseline (fine for re-ranking or small Q);
+  * the IVF variant buckets vectors by a deterministic coarse quantizer so each
+  * query probes ~N/2^dims candidates via an equi-join on the bucket key — the
+  * same partition-pruning shape an ANN index gives a 1000-executor cluster.
+  * Everything stays in codegen'd higher-order functions — no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (as double). */
+  def dot(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+
+  def norm2(a: String): Column = sqrt(dot(a, a))
+
+  def cosine(a: String, b: String): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Brute-force cosine top-k: for each query vector (`queryPred` selects the
+    * query set), rank all candidates by (cosine desc, vec_id asc) and keep k.
+    */
+  def topkBruteForce(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("label").as("cand_label"))
+    val scored = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", cosine("qe", "ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cand_label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic coarse quantizer: sign bits of the first `dims` components →
+    * bucket id in [0, 2^dims). The scale path: vectors are hash-partitioned by
+    * bucket, so a query only joins its own bucket's partition.
+    */
+  def bucketOf(e: String, dims: Int): Column = {
+    val terms = (1 to dims).map(j =>
+      s"(CASE WHEN element_at($e, $j) > CAST(0 AS FLOAT) THEN ${1 << (j - 1)} ELSE 0 END)")
+    expr(terms.mkString(" + "))
+  }
+
+  /** IVF-style ANN: probe only the query's own coarse bucket, rank within it.
+    * Approximate by construction (recall < 1 vs brute force); the approximation
+    * is deterministic, so the oracle reproduces it exactly.
+    */
+  def topkIvf(emb: DataFrame, queryPred: Column, k: Int, dims: Int = 4): DataFrame = {
+    val bucketed = emb.withColumn("bucket", bucketOf("embedding", dims))
+    val q = bucketed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", cosine("qe", "ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket").cast("long").as("bucket"),
+        col("rank").cast("long").as("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine ≥
+    * `minCosine`. The all-pairs form is the exactness baseline; at scale the same
+    * output is produced by LSH/IVF blocking + this verification on candidates.
+    */
+  def nearDupPairs(emb: DataFrame, minCosine: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosine("e1", "e2"))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+}
