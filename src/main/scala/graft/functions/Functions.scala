@@ -67,7 +67,9 @@ object F {
   // email.headerregistry.Address.__str__: no RFC-2047 encoding of non-ASCII;
   // display name is quoted only when it contains specials).
   // --------------------------------------------------------------------------
-  private val AtomOk = "^[A-Za-z0-9!#$%&'*+/=?^_`{|}~. -]*$".r
+  // RFC 5322 specials that force display-name quoting in a phrase context
+  // (matches email.headerregistry.Address.__str__: dot included, non-ASCII not).
+  private val Specials = "()<>[]:;@\\,.\""
 
   def formatAddressScala(realname: String, email: String): String = {
     val name = Option(realname).getOrElse("")
@@ -75,8 +77,9 @@ object F {
     if (name.isEmpty) addr
     else {
       val disp =
-        if (AtomOk.findFirstIn(name).isDefined) name
-        else "\"" + name.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        if (name.exists(Specials.contains(_)))
+          "\"" + name.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        else name
       s"$disp <$addr>"
     }
   }

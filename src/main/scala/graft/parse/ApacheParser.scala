@@ -36,20 +36,27 @@ object ApacheParser {
   def parse(lines: DataFrame): ParseResult = {
     val parts = split(col("value"), "\\|", 9)
     // Apache escapes non-printables as \xhh (not valid JSON); rewrite to \u00hh.
-    val jsonBlob = regexp_replace(parts.getItem(8), "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1")
+    val jsonBlob = regexp_replace(get(parts, lit(8)), "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1")
     val strs = from_json(jsonBlob, strsType)
 
-    def s(i: Int): Column = F.reencode(element_at(strs, i + 1))
+    def s(i: Int): Column = F.reencode(get(strs, lit(i)))
+
+    // ANSI-safe casts: Spark 4 runs with ANSI on, where a bad cast THROWS; the
+    // dead-letter contract requires malformed rows to yield null and be routed,
+    // not to kill the job.
+    def tryInt(c: Column): Column = when(c.rlike("^-?\\d+$"), c.cast("int"))
+    def tryLong(c: Column): Column = when(c.rlike("^-?\\d+$"), c.cast("long"))
 
     val withCols = lines
-      .withColumn("timestamp", to_timestamp(parts.getItem(0), "yyyy-MM-dd HH:mm:ss Z"))
-      .withColumn("host", parts.getItem(1))
-      .withColumn("port", parts.getItem(2).cast("int"))
-      .withColumn("src_addr", parts.getItem(3))
-      .withColumn("bytesin", parts.getItem(4).cast("long"))
-      .withColumn("bytesout", parts.getItem(5).cast("long"))
-      .withColumn("microsecs", parts.getItem(6).cast("long"))
-      .withColumn("status", parts.getItem(7).cast("int"))
+      .withColumn("timestamp",
+        try_to_timestamp(get(parts, lit(0)), lit("yyyy-MM-dd HH:mm:ss Z")))
+      .withColumn("host", get(parts, lit(1)))
+      .withColumn("port", tryInt(get(parts, lit(2))))
+      .withColumn("src_addr", get(parts, lit(3)))
+      .withColumn("bytesin", tryLong(get(parts, lit(4))))
+      .withColumn("bytesout", tryLong(get(parts, lit(5))))
+      .withColumn("microsecs", tryLong(get(parts, lit(6))))
+      .withColumn("status", tryInt(get(parts, lit(7))))
       .withColumn("strs", strs)
       .withColumn("authuser", s(0))
       .withColumn("reqline", s(1))

@@ -49,7 +49,7 @@ object AuthfailParser {
       .withColumn("src_addr",
         when(m1, regexp_extract(col("value"), FailedRgx, 3))
           .when(m2, regexp_extract(col("value"), InvalidRgx, 3)))
-      .withColumn("timestamp", col("ts_raw").cast("timestamp"))
+      .withColumn("timestamp", try_to_timestamp(col("ts_raw")))
 
     val ok = col("matched") && col("timestamp").isNotNull
 

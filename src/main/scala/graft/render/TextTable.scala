@@ -20,8 +20,11 @@ object TextTable {
       case L => s + " " * (w - s.length)
       case R => " " * (w - s.length) + s
       case C =>
+        // PrettyTable mimics str.center(): for odd excess the extra space goes
+        // left when the text length is even, right when it is odd.
         val total = w - s.length
-        val left = total / 2
+        val left =
+          if (total % 2 == 1 && s.length % 2 == 0) total / 2 + 1 else total / 2
         " " * left + s + " " * (total - left)
     }
     def line(cells: Seq[String], as: Seq[Align]): String =

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{Ingest, Warehouse}
+
+/** Ingest writers: partitioned append, dead letters, and the contacts MERGE
+  * (reference W1/W2/W5; maillog.py:66-78 lookup-or-insert semantics).
+  */
+class IngestSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmpWarehouse(): Warehouse =
+    Warehouse(Files.createTempDirectory("graft-wh").toString)
+
+  test("upsertContacts assigns stable surrogate ids and never duplicates") {
+    val wh = tmpWarehouse()
+    val batch1 = Seq(("Alice", "alice@a.example"), ("Bob", "bob@b.example"))
+      .toDF("realname", "email_address")
+    val c1 = Ingest.upsertContacts(batch1, wh).orderBy("id").collect()
+    assert(c1.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "Alice"), (2L, "Bob")))
+
+    // second batch: one known, one new -> known keeps id, new gets maxId+1
+    val batch2 = Seq(("Bob", "bob@b.example"), ("Carol", "carol@c.example"),
+      ("Bob", "bob@b.example")).toDF("realname", "email_address")
+    val c2 = Ingest.upsertContacts(batch2, wh).orderBy("id").collect()
+    assert(c2.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "Alice"), (2L, "Bob"), (3L, "Carol")))
+
+    // same (realname, email) twice in one batch deduplicates (UNIQUE constraint,
+    // maillog.py:16); same name with different address is a distinct contact
+    val batch3 = Seq(("Bob", "bob@other.example")).toDF("realname", "email_address")
+    val c3 = Ingest.upsertContacts(batch3, wh)
+    assert(c3.count() === 4)
+  }
+
+  test("appendEvents partitions by event date (pruning layout)") {
+    val wh = tmpWarehouse()
+    val df = Seq(
+      ("2026-08-10 23:00:00", "a"),
+      ("2026-08-11 01:00:00", "b"))
+      .toDF("ts", "username")
+      .select(col("ts").cast("timestamp").as("timestamp"), col("username"),
+        lit("1.2.3.4").as("src_addr"))
+    Ingest.appendEvents(df, wh, "authfail")
+    val dirs = new java.io.File(wh.path("authfail")).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === Array("event_date=2026-08-10", "event_date=2026-08-11"))
+    assert(wh.authfail(spark).count() === 2)
+  }
+
+  test("dead letters append with the reference error-record shape (W5)") {
+    val wh = tmpWarehouse()
+    val dead = Seq(("2026-08-11T00:00:00Z", "bad line", "ValueError",
+      "Could not parse logfile entry")).toDF("time", "line", "error_type", "error")
+    Ingest.appendDeadLetters(dead, wh)
+    val rows = wh.deadLetters(spark).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("error_type") === "ValueError")
+  }
+}

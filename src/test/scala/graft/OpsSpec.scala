@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Sanity specs for the training-data pipeline operators on tiny inline data
+  * (the oracle differential tests in SparkEntry/EntryOps are the exhaustive
+  * check; these pin the core semantics).
+  */
+class OpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e"),
+    (2L, "a b c d e"),          // exact dup of 1
+    (3L, "a b c d x"),          // near dup of 1 (shares 2 of its 3-grams? no: 1)
+    (4L, "q r s t u v")
+  ).toDF("doc_id", "text")
+
+  test("shingles builds distinct word n-grams") {
+    val tri = Dedup.shingles(docs.filter($"doc_id" === 1), 3)
+      .orderBy("gram").as[(Long, String)].collect().map(_._2)
+    assert(tri === Array("a b c", "b c d", "c d e"))
+  }
+
+  test("exact dedup groups identical texts under min-id canonical") {
+    val out = Dedup.exact(docs).filter($"n_docs" > 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("canonical_id") === 1L)
+    assert(out(0).getAs[String]("doc_ids") === "1,2")
+  }
+
+  test("ngramJaccard finds exact and near duplicates with correct scores") {
+    val pairs = Dedup.ngramJaccard(docs, n = 3, minJaccard = 0.1)
+      .select("doc1", "doc2", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    assert(pairs((1L, 2L)) === 1.0)
+    // doc1 grams {abc,bcd,cde}, doc3 grams {abc,bcd,cdx}: inter 2, union 4
+    assert(pairs((1L, 3L)) === 0.5)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhashLsh catches exact duplicates (same signatures) and verifies") {
+    val out = Dedup.minhashLsh(docs).select("doc1", "doc2", "jaccard")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(out((1L, 2L)) === 1.0)
+  }
+
+  test("simhash: identical docs share fingerprints; bucket size reflects it") {
+    val out = Dedup.simhash(docs).select("doc_id", "simhash", "bucket_size")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === out(2L)._1)
+    assert(out(1L)._2 >= 2L)
+    assert(out(1L)._1.length === 16)
+    assert(out(1L)._1.forall(c => c == '0' || c == '1'))
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f) ++ Array.fill(60)(0.0f), 0),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f) ++ Array.fill(60)(0.0f), 0),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f) ++ Array.fill(60)(0.0f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f) ++ Array.fill(60)(0.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force topk ranks by cosine with deterministic tiebreaks") {
+    val out = Similarity.topkBruteForce(vecs, $"vec_id" === 1, k = 3)
+      .select("rank", "cand_id").as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("IVF probes only the query's sign-bucket") {
+    val out = Similarity.topkIvf(vecs, $"vec_id" === 1, k = 3, dims = 4)
+      .select("cand_id").as[Long].collect()
+    // bucket of vec 1 = {x1>0} -> 1; vec 2 shares it (0.9,0.1 -> bits 1+2=3)? no:
+    // vec2 bucket = 1|2 = 3, vec3 = 2, vec4 = 0 -> only vectors in bucket 1: none
+    assert(!out.contains(4L)) // opposite-sign vector is never probed
+  }
+
+  test("embedding near-dup pairs pass the threshold filter") {
+    val out = Similarity.nearDupPairs(vecs, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L)))
+  }
+
+  test("langId flags CJK text as zh and defaults to en") {
+    val d = Seq((1L, "the cat and the dog", "en"), (2L, "你好 世界", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "zh")
+  }
+
+  test("quality score is monotone in stopword signal and bounded buckets") {
+    val d = Seq(
+      (1L, "the a of and to the a of and to"),
+      (2L, "zzz 123 456 789 000 111")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.quality(d).select("doc_id", "score", "bucket")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 > out(2L)._2)
+    assert(Set("low", "medium", "high").contains(out(1L)._3))
+  }
+
+  test("tokenStats counts whitespace and BPE-ish tokens") {
+    val d = Seq((1L, "hello world42!", "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.tokenStats(d).collect()(0)
+    assert(out.getAs[Long]("total_ws_tokens") === 2L)
+    // hello | world | 42 | !
+    assert(out.getAs[Long]("total_bpe_tokens") === 4L)
+  }
+
+  test("fingerprint: identical docs share fingerprints") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(d).select("doc_id", "fingerprint", "bucket_size")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === out(2L)._1)
+    assert(out(1L)._2 === 2L)
+    assert(out(3L)._2 === 1L)
+  }
+
+  test("multimodal stub extracts deterministic features from binary payloads") {
+    val d = Seq((1L, "hello", "en", "src", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.extractFeatures(Multimodal.asAssets(d)).collect()(0)
+    assert(out.getAs[Long]("n_bytes") === 5L)
+    assert(out.getAs[String]("digest16") === "68656c6c6f")
+    assert(out.getAs[Seq[Long]]("byte_histogram").sum === 5L)
+  }
+
+  implicit class PairMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
