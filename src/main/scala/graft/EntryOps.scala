@@ -12,48 +12,60 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object EntryOps {
 
+  /** The local test tables are single Parquet files = one scan partition, which
+    * would serialize every CPU-heavy per-row stage (shingling, hashing, vector
+    * folds) onto one core until the first shuffle. At production scale the input
+    * arrives as many files/splits, so this fan-out exists naturally; here we
+    * restore it explicitly before compute-bound pipelines.
+    */
+  private def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    par(Tables.documents(spark, dir))
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    par(Tables.embeddings(spark, dir))
+
   // -------------------------------------------------------------------------
   // Spark-side query entries
   // -------------------------------------------------------------------------
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exact(Tables.documents(spark, dir))
+    Dedup.exact(docs(spark, dir))
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(Tables.documents(spark, dir), n = 3, minJaccard = 0.1)
+    Dedup.ngramJaccard(docs(spark, dir), n = 3, minJaccard = 0.1)
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(Tables.documents(spark, dir))
+    Dedup.minhashLsh(docs(spark, dir))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables.documents(spark, dir))
+    Dedup.simhash(docs(spark, dir))
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(spark, dir), minCosine = 0.3)
+    Similarity.nearDupPairs(emb(spark, dir), minCosine = 0.3)
 
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkBruteForce(Tables.embeddings(spark, dir),
-      col("vec_id") % 40 === 0, k = 5)
+    Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
   def topkIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkIvf(Tables.embeddings(spark, dir),
-      col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkIvf(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
   def langId(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.langId(Tables.documents(spark, dir))
+    TextAnalysis.langId(docs(spark, dir))
 
   def quality(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.quality(Tables.documents(spark, dir))
+    TextAnalysis.quality(docs(spark, dir))
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenStats(Tables.documents(spark, dir))
+    TextAnalysis.tokenStats(docs(spark, dir))
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprint(Tables.documents(spark, dir))
+    TextAnalysis.fingerprint(docs(spark, dir))
 
   /** Rows-only check (no oracle): multimodal binary plumbing with stubbed decode. */
   def multimodal(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(Multimodal.asAssets(Tables.documents(spark, dir)))
+    Multimodal.extractFeatures(Multimodal.asAssets(docs(spark, dir)))
 
   /** Window function: top-3 events by value per type (rank over partition). */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
@@ -146,18 +158,18 @@ object EntryOps {
           WHERE jaccard >= 0.1 ORDER BY doc1, doc2""",
     "d03_minhash_lsh" ->
       s"""WITH ${duckShingles(3)},
-          hs AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || gram)) AS m
-                 FROM tri CROSS JOIN (SELECT unnest(range(1, 9)) AS h) GROUP BY 1, 2),
-          bs AS (SELECT doc_id, CAST((h - 1) // 4 AS INTEGER) AS band,
-                 md5(min(CASE WHEN (h - 1) % 4 = 0 THEN m END) || '|' ||
-                     min(CASE WHEN (h - 1) % 4 = 1 THEN m END) || '|' ||
-                     min(CASE WHEN (h - 1) % 4 = 2 THEN m END) || '|' ||
-                     min(CASE WHEN (h - 1) % 4 = 3 THEN m END)) AS sig
-                 FROM hs GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-                   FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
-                        AND a.doc_id < b.doc_id),
-          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+          mh AS (SELECT doc_id, count(*) AS n,
+                 ${(1 to 8).map(h => s"min(md5('$h:' || gram)) AS m$h").mkString(", ")}
+                 FROM tri GROUP BY doc_id),
+          sg AS (SELECT doc_id, n,
+                 md5(m1 || '|' || m2 || '|' || m3 || '|' || m4) AS sig0,
+                 md5(m5 || '|' || m6 || '|' || m7 || '|' || m8) AS sig1 FROM mh),
+          cand AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM sg a JOIN sg b ON a.sig0 = b.sig0 AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM sg a JOIN sg b ON a.sig1 = b.sig1 AND a.doc_id < b.doc_id),
           iv AS (SELECT c.doc1, c.doc2, count(*) AS inter
                  FROM cand c JOIN tri t1 ON t1.doc_id = c.doc1
                  JOIN tri t2 ON t2.doc_id = c.doc2 AND t2.gram = t1.gram
@@ -165,7 +177,7 @@ object EntryOps {
           SELECT doc1, doc2, jaccard FROM (
             SELECT iv.doc1, iv.doc2,
                    CAST(iv.inter AS DOUBLE) / CAST(s1.n + s2.n - iv.inter AS DOUBLE) AS jaccard
-            FROM iv JOIN sz s1 ON iv.doc1 = s1.doc_id JOIN sz s2 ON iv.doc2 = s2.doc_id)
+            FROM iv JOIN sg s1 ON iv.doc1 = s1.doc_id JOIN sg s2 ON iv.doc2 = s2.doc_id)
           WHERE jaccard >= 0.1 ORDER BY doc1, doc2""",
     "d04_simhash" -> {
       val sigChars = (0 until 16).map(i =>
@@ -270,10 +282,9 @@ object EntryOps {
     "t04_fingerprint" ->
       s"""WITH ${duckShingles(5)},
           gh AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM tri),
-          rk AS (SELECT doc_id, h,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn FROM gh),
-          fp AS (SELECT doc_id, array_to_string(list_sort(list(h)), ',') AS fingerprint
-                 FROM rk WHERE rn <= 4 GROUP BY doc_id)
+          fp AS (SELECT doc_id,
+                 array_to_string(list_sort(list(h))[1:4], ',') AS fingerprint
+                 FROM gh GROUP BY doc_id)
           SELECT doc_id, fingerprint,
                  count(*) OVER (PARTITION BY fingerprint) AS bucket_size
           FROM fp ORDER BY doc_id""",

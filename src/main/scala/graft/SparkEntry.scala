@@ -191,7 +191,10 @@ object SparkEntry {
       col("user_id") * 7 % 100000, lit("|"), lit(200), lit("|"),
       lit("[\"-\", \""), reqline, lit("\", \"GET\", \""), path,
       lit("\", \"HTTP/1.1\", \"-\", \"Mozilla/5.0\"]")).as("value"))
-    val parsed = ApacheParser.parse(lines).events
+    // single-file local scan = one partition; spread the parse across cores
+    // (production ingest arrives as many files/splits and fans out naturally)
+    val parsed = ApacheParser.parse(
+      lines.repartition(spark.sessionState.conf.numShufflePartitions)).events
     parsed.groupBy(col("reqline"))
       .agg(count(lit(1)).as("qty"), sum(col("bytesin")).as("sum_bytesin"),
         sum(col("bytesout")).as("sum_bytesout"),
@@ -218,7 +221,8 @@ object SparkEntry {
       .otherwise(
         concat(tsIso, lit(" myhost sshd[999]: Failed password for invalid user "),
           user, lit(" from "), ip, lit(" port 40000 ssh2")))
-    val parsed = AuthfailParser.parse(ev.select(line.as("value"))).events
+    val parsed = AuthfailParser.parse(ev.select(line.as("value"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)).events
     val parts = split(col("src_addr"), "\\.")
     parsed.groupBy(col("src_addr"))
       .agg(count(lit(1)).as("qty"), min(unix_timestamp(col("timestamp"))).as("min_ts"))

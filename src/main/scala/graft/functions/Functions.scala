@@ -25,7 +25,10 @@ object F {
 
   val reencodeUdf = udf(reencodeScala _)
 
-  def reencode(c: Column): Column = reencodeUdf(c)
+  /** Codegen'd Catalyst expression (see [[graft.functions.Reencode]]); the UDF
+    * variant above remains for comparison/testing.
+    */
+  def reencode(c: Column): Column = Reencode(c)
 
   // --------------------------------------------------------------------------
   // P11 — digit grouping ("longint", reference core.py:51-57): 1234567 -> "1 234 567".

@@ -55,7 +55,8 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val tri = shingles(docs, n)
+    // the shingle index feeds sizes + both join sides — materialize once
+    val tri = shingles(docs, n).cache()
     val filtered =
       if (maxDocFreq == Long.MaxValue) tri
       else {
@@ -80,37 +81,43 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** MinHash + LSH near-dup detection: k hash functions (min of md5 over salted
-    * shingles — string min ≡ numeric min for fixed-width hex), banded into
-    * k/bandSize bands; docs sharing any (band, signature) bucket become
-    * candidates; candidates are verified with exact Jaccard ≥ `verifyThreshold`.
+  /** MinHash + LSH near-dup detection: `numHashes` hash functions (min of md5
+    * over salted shingles — string min ≡ numeric min for fixed-width hex),
+    * banded into numHashes/bandSize band signatures; docs sharing any band
+    * signature become candidates; candidates are verified with exact
+    * Jaccard ≥ `verifyThreshold`.
     *
-    * Scale: signatures are 1 row per (doc, hash) — linear; the bucket join is an
-    * equi-join on (band, sig); verification touches candidate pairs only. This is
-    * the canonical shape of corpus-scale fuzzy dedup.
+    * Scale: the signature matrix is computed COLUMN-WISE — one aggregation pass
+    * producing `numHashes` min columns per doc (no (doc × gram × hash) row
+    * explosion, so the only large shuffle is |docs| rows wide, not
+    * |grams|·k). Candidate generation is one equi-join per band on its
+    * signature; verification touches candidate pairs only. This is the
+    * canonical shape of corpus-scale fuzzy dedup.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
       bandSize: Int = 4, verifyThreshold: Double = 0.1): DataFrame = {
     require(numHashes % bandSize == 0)
-    val tri = shingles(docs, n)
-    val hashed = tri
-      .select(col("doc_id"), col("gram"),
-        explode(expr(s"sequence(1, $numHashes)")).as("h"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("gram")))).as("m"))
-    val bandSig = hashed
-      .groupBy(col("doc_id"), ((col("h") - 1) / bandSize).cast("int").as("band"))
-      .agg(md5(concat_ws("|",
-        (0 until bandSize).map(p =>
-          min(when((col("h") - 1) % bandSize === p, col("m")))): _*)).as("sig"))
-    val a = bandSig.as("a")
-    val b = bandSig.as("b")
-    val cand = a.join(b, col("a.band") === col("b.band") &&
-        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-    // verify candidates with exact Jaccard
-    val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val numBands = numHashes / bandSize
+    // shingle index is reused by signatures and verification — materialize once
+    val tri = shingles(docs, n).cache()
+    val mh = tri.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (1 to numHashes).map(h =>
+        min(md5(concat(lit(s"$h:"), col("gram")))).as(s"m$h")): _*)
+    val sg = mh.select(
+      col("doc_id") +: col("n") +:
+        (0 until numBands).map(b =>
+          md5(concat_ws("|",
+            (1 to bandSize).map(p => col(s"m${b * bandSize + p}")): _*))
+            .as(s"sig$b")): _*)
+    val cand = (0 until numBands).map { b =>
+      val a = sg.select(col("doc_id").as("doc1"), col(s"sig$b").as("sig"))
+      val c = sg.select(col("doc_id").as("doc2"), col(s"sig$b").as("sig"))
+      a.join(c, Seq("sig")).filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"))
+    }.reduce(_ unionByName _).distinct()
+    // verify candidates with exact Jaccard over the shared shingle index
+    val sizes = sg.select(col("doc_id"), col("n"))
     val t1 = tri.withColumnRenamed("doc_id", "doc1")
     val t2 = tri.withColumnRenamed("doc_id", "doc2").withColumnRenamed("gram", "gram2")
     cand

@@ -31,14 +31,17 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector (`queryPred` selects the
     * query set), rank all candidates by (cosine desc, vec_id asc) and keep k.
+    * Norms are precomputed once per vector (1 fold per pair instead of 3) —
+    * same doubles, ~3× less HOF work.
     */
   def topkBruteForce(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm2("embedding").as("qnorm"))
     val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-      col("label").as("cand_label"))
+      col("label").as("cand_label"), norm2("embedding").as("cnorm"))
     val scored = q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", cosine("qe", "ce"))
+      .withColumn("cosine", dot("qe", "ce") / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored
@@ -66,12 +69,13 @@ object Similarity {
   def topkIvf(emb: DataFrame, queryPred: Column, k: Int, dims: Int = 4): DataFrame = {
     val bucketed = emb.withColumn("bucket", bucketOf("embedding", dims))
     val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"), norm2("embedding").as("qnorm"))
     val c = bucketed.select(col("vec_id").as("cand_id"),
-      col("embedding").as("ce"), col("bucket"))
+      col("embedding").as("ce"), col("bucket"), norm2("embedding").as("cnorm"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", cosine("qe", "ce"))
+      .withColumn("cosine", dot("qe", "ce") / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored
@@ -87,10 +91,12 @@ object Similarity {
     * output is produced by LSH/IVF blocking + this verification on candidates.
     */
   def nearDupPairs(emb: DataFrame, minCosine: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      norm2("embedding").as("n1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      norm2("embedding").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cosine", cosine("e1", "e2"))
+      .withColumn("cosine", dot("e1", "e2") / (col("n1") * col("n2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), col("cosine"))
       .orderBy(col("id1"), col("id2"))

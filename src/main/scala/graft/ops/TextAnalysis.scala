@@ -93,13 +93,11 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, n: Int = 5, k: Int = 4): DataFrame = {
     val grams = Dedup.shingles(docs, n)
       .select(col("doc_id"), md5(col("gram")).as("h"))
-      .distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("h").asc)
-    val bottomK = grams
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-    bottomK.groupBy(col("doc_id"))
-      .agg(array_join(array_sort(collect_list(col("h"))), ",").as("fingerprint"))
+    // bottom-k via array slice of the sorted distinct hash set — one aggregation,
+    // no per-doc sort shuffle (collect_set dedups; array_sort orders).
+    grams.groupBy(col("doc_id"))
+      .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, k), ",")
+        .as("fingerprint"))
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .orderBy(col("doc_id"))

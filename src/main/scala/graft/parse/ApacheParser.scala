@@ -34,12 +34,21 @@ object ApacheParser {
     * dead-letter side for provenance.
     */
   def parse(lines: DataFrame): ParseResult = {
-    val parts = split(col("value"), "\\|", 9)
+    // Staged projections so the two expensive expressions — the 9-way split and
+    // the from_json (a CodegenFallback, evaluated interpretively) — run ONCE per
+    // row: CollapseProject refuses to inline non-cheap expressions referenced
+    // multiple times, so each stays a single evaluation feeding cheap,
+    // codegen'd column extractions.
+    val withParts = lines.withColumn("parts", split(col("value"), "\\|", 9))
     // Apache escapes non-printables as \xhh (not valid JSON); rewrite to \u00hh.
-    val jsonBlob = regexp_replace(get(parts, lit(8)), "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1")
-    val strs = from_json(jsonBlob, strsType)
+    val withStrs = withParts.withColumn("strs",
+      from_json(
+        regexp_replace(get(col("parts"), lit(8)),
+          "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1"),
+        strsType))
 
-    def s(i: Int): Column = F.reencode(get(strs, lit(i)))
+    def p(i: Int): Column = get(col("parts"), lit(i))
+    def s(i: Int): Column = F.reencode(get(col("strs"), lit(i)))
 
     // ANSI-safe casts: Spark 4 runs with ANSI on, where a bad cast THROWS; the
     // dead-letter contract requires malformed rows to yield null and be routed,
@@ -47,17 +56,16 @@ object ApacheParser {
     def tryInt(c: Column): Column = when(c.rlike("^-?\\d+$"), c.cast("int"))
     def tryLong(c: Column): Column = when(c.rlike("^-?\\d+$"), c.cast("long"))
 
-    val withCols = lines
+    val withCols = withStrs
       .withColumn("timestamp",
-        try_to_timestamp(get(parts, lit(0)), lit("yyyy-MM-dd HH:mm:ss Z")))
-      .withColumn("host", get(parts, lit(1)))
-      .withColumn("port", tryInt(get(parts, lit(2))))
-      .withColumn("src_addr", get(parts, lit(3)))
-      .withColumn("bytesin", tryLong(get(parts, lit(4))))
-      .withColumn("bytesout", tryLong(get(parts, lit(5))))
-      .withColumn("microsecs", tryLong(get(parts, lit(6))))
-      .withColumn("status", tryInt(get(parts, lit(7))))
-      .withColumn("strs", strs)
+        try_to_timestamp(p(0), lit("yyyy-MM-dd HH:mm:ss Z")))
+      .withColumn("host", p(1))
+      .withColumn("port", tryInt(p(2)))
+      .withColumn("src_addr", p(3))
+      .withColumn("bytesin", tryLong(p(4)))
+      .withColumn("bytesout", tryLong(p(5)))
+      .withColumn("microsecs", tryLong(p(6)))
+      .withColumn("status", tryInt(p(7)))
       .withColumn("authuser", s(0))
       .withColumn("reqline", s(1))
       .withColumn("method", s(2))
