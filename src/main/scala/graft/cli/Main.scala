@@ -1,0 +1,88 @@
+package graft.cli
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.current_timestamp
+
+import graft.ingest.Warehouse
+import graft.model.Config
+import graft.render.{DailyReport, Email}
+import graft.sources.HostSources
+import graft.streaming.LogStream
+
+/** CLI entry points mirroring the reference's four subcommands
+  * (`__main__.py:36-74`):
+  *
+  * {{{
+  * graft.cli.Main -c config.toml apache-access <inputDir>
+  * graft.cli.Main -c config.toml authfail      <inputDir>
+  * graft.cli.Main -c config.toml maillog       <inputDir>
+  * graft.cli.Main -c config.toml dailyreport
+  * }}}
+  *
+  * The reference ingests from stdin pipes; the Spark-native equivalent ingests a
+  * directory through a Structured Streaming file source with
+  * `Trigger.AvailableNow` (catch-up-then-exit — the batch-equivalent run; leave
+  * the query running with a processing-time trigger for continuous tailing).
+  * The `[database]` config section names the warehouse directory.
+  */
+object Main {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      "usage: graft.cli.Main -c <config.toml> [-l <logfile>] " +
+        "{apache-access|authfail|maillog} <inputDir> | dailyreport")
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var cfgPath: Option[String] = None
+    var logfile: Option[String] = None
+    var rest = List.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-c" | "--config" => cfgPath = Some(args(i + 1)); i += 2
+        case "-l" | "--logfile" => logfile = Some(args(i + 1)); i += 2
+        case a => rest = rest :+ a; i += 1
+      }
+    }
+    val cfg = Config.fromTomlFile(Paths.get(cfgPath.getOrElse(usage())))
+    logfile.foreach { lf =>
+      System.setErr(new java.io.PrintStream(
+        new java.io.FileOutputStream(lf, true), true, "UTF-8"))
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wh = Warehouse(cfg.warehousePath)
+    def ck(table: String): String = s"${cfg.warehousePath}/_checkpoints/$table"
+
+    try rest match {
+      case List("apache-access", dir) =>
+        LogStream.apache(spark, dir, wh, ck("apache_access")).awaitTermination()
+      case List("authfail", dir) =>
+        LogStream.authfail(spark, dir, wh, ck("authfail")).awaitTermination()
+      case List("maillog", dir) =>
+        LogStream.maillog(spark, dir, wh, ck("inbox")).awaitTermination()
+      case List("dailyreport") =>
+        val probe = new HostSources.LiveProbe(
+          cfg.dailyreport.logs_dir, cfg.dailyreport.mailbox, spark)
+        val report = DailyReport.build(spark, cfg, probe,
+          wh, HostSources.localDomains, current_timestamp())
+        if (System.console() != null)
+          println(Email.pagerForm(report.subject, report.body))
+        else
+          print(Email.render(report.subject, cfg.dailyreport.recipient, report.body))
+      case _ => usage()
+    } finally spark.stop()
+  }
+}

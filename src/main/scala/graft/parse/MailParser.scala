@@ -159,17 +159,19 @@ object MailParser {
 
   /** `messages` must have a binary column `content` (e.g. from
     * `spark.read.format("binaryFile")`). Output columns: subject, sender_name,
-    * sender_email, date, recipients array<struct<_1,_2>>, size.
+    * sender_email, date, recipients array<struct<_1,_2>>, size — plus any
+    * non-content input columns (path, modificationTime, …) for provenance.
     */
   def parse(messages: DataFrame): DataFrame = {
+    val keep = messages.columns.filterNot(_ == "content").map(col)
     messages
       .withColumn("parsed", parseUdf(col("content")))
-      .select(
+      .select(keep ++ Seq(
         col("parsed._1").as("subject"),
         col("parsed._2").as("sender_name"),
         col("parsed._3").as("sender_email"),
         col("parsed._4").as("date"),
         col("parsed._5").as("recipients"),
-        col("parsed._6").as("size"))
+        col("parsed._6").as("size")): _*)
   }
 }

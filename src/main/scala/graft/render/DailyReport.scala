@@ -117,7 +117,7 @@ object DailyReport {
       val blocks = messages.map { r =>
         val sender = F.formatAddressScala(r.getAs[String]("sender_name"),
           r.getAs[String]("sender_email"))
-        val recips = r.getAs[Seq[Row]]("recipients")
+        val recips = r.getAs[scala.collection.Seq[Row]]("recipients")
           .map(c => F.formatAddressScala(c.getString(0), c.getString(1)))
         val dateUtc = java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)

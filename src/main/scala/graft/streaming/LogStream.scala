@@ -53,7 +53,17 @@ object LogStream {
     */
   def maillog(spark: SparkSession, dir: String, warehouse: Warehouse,
       checkpoint: String): StreamingQuery =
-    spark.readStream.format("binaryFile").load(dir)
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
       .select(col("content"), col("modificationTime"))
       .writeStream
       .option("checkpointLocation", checkpoint)
