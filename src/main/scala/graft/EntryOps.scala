@@ -107,6 +107,52 @@ object EntryOps {
       .orderBy(col("user_id"), col("session_num"))
   }
 
+  /** §2.6 gap ledger — DISTINCT aggregates (two-phase distinct hash agg). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("qty"))
+      .orderBy(col("event_type"))
+
+  /** §2.6 gap ledger — anti join (customers that never ordered). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.6 gap ledger — CUBE grouping sets with grouping ids. */
+  def cubeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("qty"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_prio"), col("qty"), col("total_cents"))
+      .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
+
+  /** t04's fingerprint through the typed BottomK `Aggregator` (custom UDAF,
+    * mergeable partial buffers — map-side combine instead of per-doc sort).
+    * Same algorithm as t04, so it shares the oracle's semantics.
+    */
+  def fingerprintAgg(spark: SparkSession, dir: String): DataFrame = {
+    val bottom4 = graft.functions.BottomK.udaf(4)
+    val grams = graft.ops.Dedup.shingles(docs(spark, dir), 5)
+      .select(col("doc_id"), md5(col("gram")).as("h"))
+    grams.groupBy(col("doc_id"))
+      .agg(array_join(bottom4(col("h")), ",").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tumbling-day rollup — the batch form of the streaming daily report
     * (SURVEY §2.7): date_trunc window + group/aggregate.
     */
@@ -315,7 +361,30 @@ object EntryOps {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
            count(*) AS qty,
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q22_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+           count(*) AS qty
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q23_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+    "q24_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           count(*) AS qty,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, status, priority""",
+    "t05_fingerprint_agg" ->
+      s"""WITH ${duckShingles(5)},
+          gh AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM tri)
+          SELECT doc_id,
+                 array_to_string(list_sort(list(h))[1:4], ',') AS fingerprint
+          FROM gh GROUP BY doc_id ORDER BY doc_id"""
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -333,6 +402,10 @@ object EntryOps {
     "m01_multimodal" -> (multimodal _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
-    "q21_daily_rollup" -> (dailyRollup _)
+    "q21_daily_rollup" -> (dailyRollup _),
+    "q22_distinct_agg" -> (distinctAgg _),
+    "q23_anti_join" -> (antiJoin _),
+    "q24_cube" -> (cubeRollup _),
+    "t05_fingerprint_agg" -> (fingerprintAgg _)
   )
 }

@@ -128,6 +128,25 @@ class OpsSpec extends GraftSpec {
     assert(out.getAs[Seq[Long]]("byte_histogram").sum === 5L)
   }
 
+  test("BottomK aggregator keeps the k smallest distinct strings, mergeable") {
+    val agg = graft.functions.BottomK(3)
+    val partial1 = List("m", "c", "x").foldLeft(agg.zero)(agg.reduce)
+    val partial2 = List("a", "m", "z").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(partial1, partial2)) === Seq("a", "c", "m"))
+    // duplicates don't displace smaller values
+    val dup = List("b", "b", "b", "a").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(dup) === Seq("a", "b"))
+  }
+
+  test("BottomK as UDAF matches sort+slice semantics on a DataFrame") {
+    val d = Seq((1L, "d"), (1L, "a"), (1L, "c"), (1L, "b"), (2L, "z"))
+      .toDF("doc_id", "h")
+    val out = d.groupBy($"doc_id")
+      .agg(array_join(graft.functions.BottomK.udaf(3)($"h"), ",").as("fp"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out === Array((1L, "a,b,c"), (2L, "z")))
+  }
+
   implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap

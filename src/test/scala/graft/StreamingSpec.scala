@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.ingest.Warehouse
-import graft.streaming.LogStream
+import graft.streaming.{LogStream, StreamingReports}
 
 /** End-to-end Structured Streaming ingest (reference §2.7: continuous per-line
   * pipes → here file-source streams with Trigger.AvailableNow), through the real
@@ -69,5 +69,38 @@ class StreamingSpec extends GraftSpec {
     assert(tocc.length === 3)
     val byMsg = tocc.groupBy(_.getAs[Long]("msg_id")).view.mapValues(_.length).toMap
     assert(byMsg.values.toSeq.sorted === Seq(1, 2))
+  }
+
+  test("windowed streaming report: watermarked tumbling aggregation (§2.7 ext)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("win-in")
+    Files.writeString(in.resolve("access.log"),
+      Seq(
+        "2026-08-10 04:00:00 +0000|h|80|1.1.1.1|10|100|5|200|" +
+          """["-", "GET /a HTTP/1.1", "GET", "/a", "HTTP/1.1", "-", "ua"]""",
+        "2026-08-11 05:00:00 +0000|h|80|1.1.1.1|20|200|5|200|" +
+          """["-", "GET /a HTTP/1.1", "GET", "/a", "HTTP/1.1", "-", "ua"]""",
+        "2026-08-11 06:00:00 +0000|h|80|1.1.1.1|30|300|5|200|" +
+          """["-", "GET /b HTTP/1.1", "GET", "/b", "HTTP/1.1", "-", "ua"]"""
+      ).mkString("", "\n", "\n"))
+    val lines = spark.readStream.text(in.toString)
+    val parsed = graft.parse.ApacheParser.parse(lines).events
+    val out = tmp("win-out")
+    val q = StreamingReports.windowedHits(parsed, "24 hours", "1 hour")
+      .writeStream
+      .option("checkpointLocation", tmp("win-ck").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out.toString)
+      .start()
+    q.awaitTermination()
+    // AvailableNow + append emits only windows closed by the final watermark:
+    // the 2026-08-10 window closes once the 08-11 events advance the watermark.
+    val rows = spark.read.parquet(out.toString)
+      .select(date_format($"window_start", "yyyy-MM-dd").as("d"), $"reqline", $"qty")
+      .as[(String, String, Long)].collect()
+    assert(rows.toSet === Set(("2026-08-10", "GET /a HTTP/1.1", 1L)))
   }
 }
