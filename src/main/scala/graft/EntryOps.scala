@@ -153,6 +153,44 @@ object EntryOps {
       .orderBy(col("doc_id"))
   }
 
+  /** S5 — point-lookup scan (reference maillog.py:67-71: conjunctive equality,
+    * first row): pushed equality predicates + deterministic LIMIT 1.
+    */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 5)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+      .limit(1)
+
+  /** Latest-per-key dedup (keep newest record per user) — the standard
+    * recency-dedup window, shuffle-once by key.
+    */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Salted two-phase aggregation (hot-key mitigation) — same result as the
+    * direct groupBy, demonstrably: the oracle aggregates directly.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedSumCount(
+        Tables.events(spark, dir),
+        key = col("event_type"),
+        value = floor(col("value") * 100).cast("long"),
+        saltSource = Some(col("event_id")))
+      .withColumnRenamed("key", "event_type")
+      .select(col("event_type"), col("sum_value"), col("qty"))
+      .orderBy(col("event_type"))
+
   /** Tumbling-day rollup — the batch form of the streaming daily report
     * (SURVEY §2.7): date_trunc window + group/aggregate.
     */
@@ -379,6 +417,23 @@ object EntryOps {
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY g_status, g_prio, status, priority""",
+    "q25_point_lookup" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
+         ORDER BY c_custkey LIMIT 1""",
+    "q26_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, ts_us FROM (
+           SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "q27_salted_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value,
+           count(*) AS qty
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "t05_fingerprint_agg" ->
       s"""WITH ${duckShingles(5)},
           gh AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM tri)
@@ -406,6 +461,9 @@ object EntryOps {
     "q22_distinct_agg" -> (distinctAgg _),
     "q23_anti_join" -> (antiJoin _),
     "q24_cube" -> (cubeRollup _),
+    "q25_point_lookup" -> (pointLookup _),
+    "q26_latest_per_key" -> (latestPerKey _),
+    "q27_salted_agg" -> (saltedAgg _),
     "t05_fingerprint_agg" -> (fingerprintAgg _)
   )
 }

@@ -128,6 +128,14 @@ class OpsSpec extends GraftSpec {
     assert(out.getAs[Seq[Long]]("byte_histogram").sum === 5L)
   }
 
+  test("salted aggregation equals direct groupBy (Skew.saltedSumCount)") {
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      .toDF("k", "v").withColumn("uid", monotonically_increasing_id())
+    val salted = graft.ops.Skew.saltedSumCount(d, $"k", $"v", Some($"uid"), 4)
+      .orderBy("key").as[(String, Long, Long)].collect()
+    assert(salted === Array(("a", 6L, 3L), ("b", 10L, 1L)))
+  }
+
   test("BottomK aggregator keeps the k smallest distinct strings, mergeable") {
     val agg = graft.functions.BottomK(3)
     val partial1 = List("m", "c", "x").foldLeft(agg.zero)(agg.reduce)

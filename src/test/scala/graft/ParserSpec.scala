@@ -84,6 +84,19 @@ class ParserSpec extends GraftSpec {
     assert(res.deadLetters.count() === 1)
   }
 
+  test("typed Dataset view over parsed events (SURVEY §1.4)") {
+    val lines = Seq(
+      "2026-08-11T04:00:01+00:00 h sshd[1]: Failed password for root from 1.2.3.4 port 22 ssh2",
+      "2026-08-11T04:00:02+00:00 h sshd[2]: Failed password for root from 1.2.3.4 port 23 ssh2",
+      "2026-08-11T04:00:03+00:00 h sshd[3]: Failed password for eve from 5.6.7.8 port 24 ssh2")
+    val ds = graft.model.Typed.authfail(
+      AuthfailParser.parse(lines.toDF("value")).events)
+    // typed groupByKey aggregation over case-class fields
+    val counts = ds.groupByKey(_.src_addr).count().collect().toMap
+    assert(counts === Map("1.2.3.4" -> 2L, "5.6.7.8" -> 1L))
+    assert(ds.head().username === "root")
+  }
+
   test("MailParser extracts headers per maillog.py:141-156") {
     val raw =
       """From: "Ærøskøbing Lister" <lister@example.org>
