@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two `array<float>` columns, accumulating in double
+  * with a FIXED left-to-right fold — numerically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` (and to the
+  * DuckDB oracle's `list_reduce`), but a codegen'd primitive loop instead of
+  * per-element interpreted lambda evaluation: the hot path of every cosine
+  * similarity/ANN operator (ops.Similarity).
+  *
+  * float→double widening is exact and each product fits in a double's 53-bit
+  * mantissa (24+24 bits), so only the additions round — in the same fixed
+  * order in all implementations.
+  */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductF32.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DotProductF32.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF32 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f32"
+}
+
+object DotProductF32 {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def apply(a: Column, b: Column): Column = GraftBridge.column(
+    DotProductF32(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

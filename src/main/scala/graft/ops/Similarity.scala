@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns (as double). */
-  def dot(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+  /** Sequential-fold dot product of two float-array columns (as double) —
+    * a native codegen'd expression (graft.functions.DotProductF32) with the
+    * same fixed fold order as the HOF/oracle formulation.
+    */
+  def dot(a: String, b: String): Column =
+    graft.functions.DotProductF32(col(a), col(b))
 
   def norm2(a: String): Column = sqrt(dot(a, a))
 
