@@ -20,20 +20,23 @@ object Dedup {
   /** Whitespace tokenization shared by all text ops. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles (1 row per distinct shingle per doc).
+  /** Distinct word n-gram shingle ARRAY per doc (requires a `words` column).
     * Built with transform/filter over an index sequence so the identical
     * expression is expressible in the DuckDB oracle.
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val gramExpr =
-      s"""array_distinct(filter(transform(sequence(1, size(words)), i ->
-            CASE WHEN i + ${n - 1} <= size(words)
-                 THEN ${(0 until n).map(j => s"element_at(words, i + $j)").mkString("concat_ws(' ', ", ", ", ")")}
-            END), x -> x IS NOT NULL))"""
+  private def shingleArray(n: Int): Column = expr(
+    s"""array_distinct(filter(transform(sequence(1, size(words)), i ->
+          CASE WHEN i + ${n - 1} <= size(words)
+               THEN ${(0 until n).map(j => s"element_at(words, i + $j)").mkString("concat_ws(' ', ", ", ", ")")}
+          END), x -> x IS NOT NULL))""")
+
+  /** Word n-gram shingles (1 row per distinct shingle per doc) — the exploded
+    * inverted-index form.
+    */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
       .withColumn("words", words(col("text")))
-      .select(col("doc_id"), explode(expr(gramExpr)).as("gram"))
-  }
+      .select(col("doc_id"), explode(shingleArray(n)).as("gram"))
 
   /** Exact dedup by content hash (hash-groupBy; the canonical survivor is the
     * minimum id — deterministic and order-independent).
@@ -97,36 +100,43 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
       bandSize: Int = 4, verifyThreshold: Double = 0.1): DataFrame = {
     require(numHashes % bandSize == 0)
-    val numBands = numHashes / bandSize
-    // shingle index is reused by signatures and verification — materialize once
+    // exploded shingle index — needed only for exact-Jaccard verification
     val tri = shingles(docs, n).cache()
-    val mh = tri.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n"),
-      (1 to numHashes).map(h =>
-        min(md5(concat(lit(s"$h:"), col("gram")))).as(s"m$h")): _*)
-    val sg = mh.select(
-      col("doc_id") +: col("n") +:
-        (0 until numBands).map(b =>
-          md5(concat_ws("|",
-            (1 to bandSize).map(p => col(s"m${b * bandSize + p}")): _*))
-            .as(s"sig$b")): _*)
-    val cand = (0 until numBands).map { b =>
-      val a = sg.select(col("doc_id").as("doc1"), col(s"sig$b").as("sig"))
-      val c = sg.select(col("doc_id").as("doc2"), col(s"sig$b").as("sig"))
-      a.join(c, Seq("sig")).filter(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2"))
-    }.reduce(_ unionByName _).distinct()
-    // verify candidates with exact Jaccard over the shared shingle index
+    // signature matrix: one native per-row expression over the shingle ARRAY —
+    // no explode, no |grams|-row aggregation (graft.functions.MinHashBandSigs)
+    // NB: no size()>0 filter here — a pushed-down filter would recompute the
+    // shingle pipeline below the scan's partitioning; gram-less docs instead
+    // yield an empty sigs array (and so no band rows).
+    val sg = docs
+      .withColumn("words", words(col("text")))
+      .select(col("doc_id"), shingleArray(n).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n"),
+        graft.functions.MinHashBandSigs(col("grams"), numHashes, bandSize)
+          .as("sigs"))
+      .cache() // tiny (1 row/doc); consumed by both join sides + sizes
+    val bandRows = sg.select(col("doc_id"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val a = bandRows.select(col("doc_id").as("doc1"), col("band"), col("sig"))
+    val b = bandRows.select(col("doc_id").as("doc2"), col("band"), col("sig"))
+    val cand = a.join(b, Seq("band", "sig"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+      .distinct()
+    // verify candidates with exact Jaccard over the shared shingle index.
+    // Candidates are small by construction — broadcast them (and their gram
+    // expansion) so the full index is streamed, never shuffled.
     val sizes = sg.select(col("doc_id"), col("n"))
     val t1 = tri.withColumnRenamed("doc_id", "doc1")
     val t2 = tri.withColumnRenamed("doc_id", "doc2").withColumnRenamed("gram", "gram2")
-    cand
-      .join(t1, "doc1")
-      .join(t2, col("gram") === col("gram2") && t2("doc2") === cand("doc2"))
-      .groupBy(cand("doc1"), cand("doc2"))
+    val expanded = broadcast(broadcast(cand).join(t1, "doc1"))
+    expanded
+      .join(t2, col("gram") === col("gram2") && t2("doc2") === expanded("doc2"))
+      .groupBy(expanded("doc1"), expanded("doc2"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
-      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n", "n2"), "doc2")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("n", "n1")), "doc1")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("n", "n2")), "doc2")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= verifyThreshold)
@@ -139,30 +149,14 @@ object Dedup {
     * fingerprint bit (ties → 1). Docs sharing a fingerprint are near-dup
     * candidates (`bucket_size`).
     *
-    * All arithmetic is integer/hex-digit decoding expressible identically in the
-    * oracle; at scale this is a map + one aggregation by (doc, bit) + one by doc.
+    * Computed by the native codegen'd [[graft.functions.SimHash16]] expression —
+    * one per-row map in the scan stage, zero shuffles until the bucket count
+    * (vs. the naive words×bits explode + two aggregations). The oracle
+    * implements the same arithmetic in SQL; results are byte-identical.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val wordRows = docs
-      .withColumn("w", explode(words(col("text"))))
-      .select(col("doc_id"), substring(md5(col("w")), 1, 4).as("hex4"))
-    val bits = wordRows
-      .select(col("doc_id"), col("hex4"),
-        explode(expr("sequence(0, 15)")).as("b"))
-      .withColumn("v",
-        expr("instr('0123456789abcdef', substring(hex4, b div 4 + 1, 1)) - 1"))
-      .withColumn("bit", expr(
-        "(v div (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("bit") * 2 - 1).as("s"))
-    val sig = bits
-      .groupBy(col("doc_id"))
-      .agg(concat(
-        (0 until 16).map(i =>
-          max(when(col("b") === i,
-            when(col("s") >= 0, lit("1")).otherwise(lit("0"))))): _*).as("simhash"))
-    sig
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.SimHash16(col("text")).as("simhash"))
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
-  }
 }

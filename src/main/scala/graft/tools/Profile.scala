@@ -43,6 +43,20 @@ object Profile {
         graft.parse.ApacheParser.parse(rep(debugLines(s, d))).events.select("bytesin", "status")),
       "x_full" -> ((s, d) =>
         graft.parse.ApacheParser.parse(rep(debugLines(s, d))).events),
+      "x_mh_sigs" -> ((s, d) => {
+        val docs = graft.Tables.documents(s, d).repartition(16)
+        docs.withColumn("words", split(trim(col("text")), "\\s+"))
+          .select(col("doc_id"), expr(
+            """array_distinct(filter(transform(sequence(1, size(words)), i ->
+               CASE WHEN i + 2 <= size(words)
+               THEN concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))
+               END), x -> x IS NOT NULL))""").as("grams"))
+          .select(col("doc_id"),
+            graft.functions.MinHashBandSigs(col("grams"), 8, 4).as("sigs"))
+      }),
+      "x_mh_tri" -> ((s, d) =>
+        graft.ops.Dedup.shingles(graft.Tables.documents(s, d).repartition(16), 3)
+          .groupBy("doc_id").count()),
       "x_strs" -> ((s, d) =>
         graft.parse.ApacheParser.parse(rep(debugLines(s, d))).events
           .select("authuser", "reqline", "method", "path", "protocol", "referer", "user_agent"))
@@ -53,6 +67,7 @@ object Profile {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
