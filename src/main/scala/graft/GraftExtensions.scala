@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductF32, MinHashBandSigs, Reencode, SimHash16}
+
+/** SparkSessionExtensions entry point exposing the engine's native Catalyst
+  * expressions to SQL users:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT reencode(ua), simhash16(text), dot_f32(a, b) FROM ...")
+  * }}}
+  *
+  * Also registrable via `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("reencode"),
+        info("reencode", "reencode(str) - repairs latin-1/UTF-8 mojibake"),
+        (args: Seq[Expression]) => Reencode(args.head)),
+      (FunctionIdentifier("simhash16"),
+        info("simhash16", "simhash16(text) - 16-bit SimHash of the word multiset"),
+        (args: Seq[Expression]) => SimHash16(args.head)),
+      (FunctionIdentifier("dot_f32"),
+        info("dot_f32", "dot_f32(a, b) - double dot product of float arrays"),
+        (args: Seq[Expression]) => DotProductF32(args.head, args(1))),
+      (FunctionIdentifier("minhash_band_sigs"),
+        info("minhash_band_sigs",
+          "minhash_band_sigs(grams, k, bandSize) - banded MinHash signatures"),
+        (args: Seq[Expression]) => {
+          val k = args(1).eval().asInstanceOf[Int]
+          val bs = args(2).eval().asInstanceOf[Int]
+          MinHashBandSigs(args.head, k, bs)
+        }))
+
+  /** Register the same functions into an already-created session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
