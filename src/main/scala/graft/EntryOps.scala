@@ -153,6 +153,18 @@ object EntryOps {
       .orderBy(col("doc_id"))
   }
 
+  /** HLL-sketch distinct estimation (the at-scale form of q22's exact distinct:
+    * mergeable fixed-size state, no distinct shuffle). No SQL oracle — HLL
+    * implementations differ across engines — so the driver applies its
+    * rows-only check; the spec asserts the estimates bracket the exact counts.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("qty"))
+      .orderBy(col("event_type"))
+
   /** S5 — point-lookup scan (reference maillog.py:67-71: conjunctive equality,
     * first row): pushed equality predicates + deterministic LIMIT 1.
     */
@@ -464,6 +476,7 @@ object EntryOps {
     "q25_point_lookup" -> (pointLookup _),
     "q26_latest_per_key" -> (latestPerKey _),
     "q27_salted_agg" -> (saltedAgg _),
+    "q28_approx_distinct" -> (approxDistinct _), // rows-only (no oracle): HLL sketches differ across engines
     "t05_fingerprint_agg" -> (fingerprintAgg _)
   )
 }

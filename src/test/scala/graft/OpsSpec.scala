@@ -128,6 +128,17 @@ class OpsSpec extends GraftSpec {
     assert(out.getAs[Seq[Long]]("byte_histogram").sum === 5L)
   }
 
+  test("approx_count_distinct estimates track exact distinct counts") {
+    val got = graft.EntryOps.approxDistinct(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.EntryOps.distinctAgg(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = got(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.15, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
   test("salted aggregation equals direct groupBy (Skew.saltedSumCount)") {
     val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
       .toDF("k", "v").withColumn("uid", monotonically_increasing_id())
