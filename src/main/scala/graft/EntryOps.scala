@@ -203,6 +203,54 @@ object EntryOps {
       .select(col("event_type"), col("sum_value"), col("qty"))
       .orderBy(col("event_type"))
 
+  /** As-of join (each event ↔ the same user's most recent signup at-or-before
+    * it) — composed from an ignore-nulls running `last` over the event-time
+    * window, the shuffle-once declarative form of a time-series as-of join
+    * (no custom SparkPlan needed: builtins express the semantics exactly).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val signupId = when(col("event_type") === "signup", col("event_id"))
+    val signupTs = when(col("event_type") === "signup", col("ts_us"))
+    ev
+      .withColumn("last_signup_id", last(signupId, ignoreNulls = true).over(w))
+      .withColumn("last_signup_ts", last(signupTs, ignoreNulls = true).over(w))
+      .withColumn("lag_sec",
+        ((col("ts_us") - col("last_signup_ts")) / lit(1000000L)).cast("long"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_signup_id"), col("lag_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  /** TF-IDF-style salient terms: per-doc top-3 terms by an exact integer
+    * weight tf·N·1000/df (integer arithmetic instead of a log idf so the
+    * oracle matches bit-for-bit; same ranking monotonicity in df).
+    */
+  def salientTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val words = d.select(col("doc_id"),
+      explode(graft.ops.Dedup.words(col("text"))).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = d.count()
+    val scored = tf.join(df, "w")
+      .withColumn("weight", expr(s"tf * ${n}L * 1000 div df"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("w").asc)
+    scored
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"), col("w"),
+        col("tf"), col("df"), col("weight"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Tumbling-day rollup — the batch form of the streaming daily report
     * (SURVEY §2.7): date_trunc window + group/aggregate.
     */
@@ -446,6 +494,29 @@ object EntryOps {
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value,
            count(*) AS qty
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q29_asof_join" ->
+      """SELECT event_id, user_id, ts_us, last_signup_id, lag_sec FROM (
+           SELECT event_id, user_id, ts_us,
+             last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER w AS last_signup_id,
+             (ts_us - last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS) OVER w) // 1000000 AS lag_sec
+           FROM (SELECT event_id, user_id, event_type,
+                 CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         ORDER BY event_id""",
+    "t06_salient_terms" ->
+      """WITH wds AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                      FROM documents),
+          tf AS (SELECT doc_id, w, count(*) AS tf FROM wds GROUP BY 1, 2),
+          dfq AS (SELECT w, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, w FROM wds) GROUP BY 1),
+          sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+                 tf.tf * (SELECT count(*) FROM documents) * 1000 // dfq.df AS weight
+                 FROM tf JOIN dfq USING (w)),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY weight DESC, w ASC) AS BIGINT) AS rn FROM sc)
+          SELECT doc_id, rn, w, tf, df, weight FROM rk
+          WHERE rn <= 3 ORDER BY doc_id, rn""",
     "t05_fingerprint_agg" ->
       s"""WITH ${duckShingles(5)},
           gh AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM tri)
@@ -477,6 +548,8 @@ object EntryOps {
     "q26_latest_per_key" -> (latestPerKey _),
     "q27_salted_agg" -> (saltedAgg _),
     "q28_approx_distinct" -> (approxDistinct _), // rows-only (no oracle): HLL sketches differ across engines
-    "t05_fingerprint_agg" -> (fingerprintAgg _)
+    "q29_asof_join" -> (asofJoin _),
+    "t05_fingerprint_agg" -> (fingerprintAgg _),
+    "t06_salient_terms" -> (salientTerms _)
   )
 }
