@@ -52,6 +52,25 @@ class IngestSpec extends GraftSpec {
     assert(wh.authfail(spark).count() === 2)
   }
 
+  test("date predicate prunes partitions on the warehouse layout") {
+    val wh = tmpWarehouse()
+    val df = Seq(
+      ("2026-08-10 23:00:00", "a"), ("2026-08-11 01:00:00", "b"))
+      .toDF("ts", "username")
+      .select(col("ts").cast("timestamp").as("timestamp"), col("username"),
+        lit("1.2.3.4").as("src_addr"))
+    Ingest.appendEvents(df, wh, "authfail")
+    val q = wh.authfail(spark)
+      .filter(col("event_date") === java.sql.Date.valueOf("2026-08-11"))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters"))
+    assert(q.count() === 1)
+    // the scan must not read the other day's files
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("event_date"), "partition column missing from scan")
+  }
+
   test("dead letters append with the reference error-record shape (W5)") {
     val wh = tmpWarehouse()
     val dead = Seq(("2026-08-11T00:00:00Z", "bad line", "ValueError",
