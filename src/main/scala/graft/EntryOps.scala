@@ -67,6 +67,10 @@ object EntryOps {
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.asAssets(docs(spark, dir)))
 
+  /** Oracle-checked multimodal metadata projection (no payload decode). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.assetMetadata(Multimodal.asAssets(Tables.documents(spark, dir)))
+
   /** Window function: top-3 events by value per type (rank over partition). */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -494,6 +498,11 @@ object EntryOps {
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value,
            count(*) AS qty
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "m02_asset_metadata" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(substring(hex(encode(text)), 1, 16)) AS digest16
+         FROM documents ORDER BY asset_id""",
     "q29_asof_join" ->
       """SELECT event_id, user_id, ts_us, last_signup_id, lag_sec FROM (
            SELECT event_id, user_id, ts_us,
@@ -538,6 +547,7 @@ object EntryOps {
     "t03_tokens" -> (tokenStats _),
     "t04_fingerprint" -> (fingerprint _),
     "m01_multimodal" -> (multimodal _),
+    "m02_asset_metadata" -> (multimodalMeta _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -47,6 +47,19 @@ object Multimodal {
       struct(col("source"), col("lang"), col("n_chars")).as("meta"),
       col("text").cast("binary").as("payload"))
 
+  /** Payload-free metadata projection: byte length and a leading-bytes digest
+    * computed with pure builtins over the binary column. At scale this is the
+    * query shape that must NOT decode payloads — column pruning keeps the
+    * scan narrow and no UDF touches the bytes.
+    */
+  def assetMetadata(assets: DataFrame): DataFrame =
+    assets.select(
+      col("asset_id"),
+      col("media_type"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      lower(substring(hex(col("payload")), 1, 16)).as("digest16"))
+      .orderBy(col("asset_id"))
+
   /** Feature extraction over the binary payload — the decode-and-featurize stage
     * of a multimodal ingest. One narrow map, no shuffle.
     */
