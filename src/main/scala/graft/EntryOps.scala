@@ -255,6 +255,19 @@ object EntryOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Exact interpolated percentiles over integer cents (Spark `percentile` and
+    * DuckDB `quantile_cont` share the (n-1)·p linear-interpolation definition;
+    * inputs are exact longs so the interpolation doubles match bitwise).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(CAST(floor(value * 100) AS BIGINT), 0.5)").as("p50"),
+        expr("percentile(CAST(floor(value * 100) AS BIGINT), 0.95)").as("p95"),
+        count(lit(1)).as("qty"))
+      .orderBy(col("event_type"))
+
   /** Tumbling-day rollup — the batch form of the streaming daily report
     * (SURVEY §2.7): date_trunc window + group/aggregate.
     */
@@ -513,6 +526,12 @@ object EntryOps {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          ORDER BY event_id""",
+    "q30_percentiles" ->
+      """SELECT event_type,
+           quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.5) AS p50,
+           quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.95) AS p95,
+           count(*) AS qty
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "t06_salient_terms" ->
       """WITH wds AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
                       FROM documents),
@@ -559,6 +578,7 @@ object EntryOps {
     "q27_salted_agg" -> (saltedAgg _),
     "q28_approx_distinct" -> (approxDistinct _), // rows-only (no oracle): HLL sketches differ across engines
     "q29_asof_join" -> (asofJoin _),
+    "q30_percentiles" -> (percentiles _),
     "t05_fingerprint_agg" -> (fingerprintAgg _),
     "t06_salient_terms" -> (salientTerms _)
   )
