@@ -36,7 +36,6 @@ object AuthfailParser {
   def parse(lines: DataFrame): ParseResult = {
     val m1 = col("value").rlike(FailedRgx)
     val m2 = col("value").rlike(InvalidRgx)
-    val rgx = when(m1, lit(FailedRgx)).otherwise(lit(InvalidRgx))
 
     val withCols = lines
       .withColumn("matched", m1 || m2)
