@@ -51,6 +51,9 @@ object EntryOps {
   def topkIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkIvf(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
+  def topkLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkLsh(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
@@ -300,6 +303,16 @@ object EntryOps {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** Mirror of Similarity.hyperplaneBucket (same coefficient generation). */
+  private def duckHyperplaneBucket(e: String, planes: Int, dims: Int = 64): String =
+    (0 until planes).map { i =>
+      val proj = (1 to dims).map { j =>
+        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0
+        s"CAST($e[$j] AS DOUBLE) * CAST($c AS DOUBLE)"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $proj > CAST(0 AS DOUBLE) THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
@@ -378,6 +391,21 @@ object EntryOps {
       val bucket = (1 to 4).map(j =>
         s"(CASE WHEN embedding[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
       s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
+                WHERE vec_id % 40 = 0),
+          s AS (SELECT q.query_id, CAST(q.bucket AS BIGINT) AS bucket,
+                c.vec_id AS cand_id,
+                ${duckCosine("q.qe", "c.embedding")} AS cosine
+                FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.query_id),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, bucket, rank, cand_id, cosine FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+    "s03_topk_lsh" -> {
+      s"""WITH e AS (SELECT vec_id, embedding,
+              ${duckHyperplaneBucket("embedding", 4)} AS bucket FROM embeddings),
           q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
                 WHERE vec_id % 40 = 0),
           s AS (SELECT q.query_id, CAST(q.bucket AS BIGINT) AS bucket,
@@ -561,6 +589,7 @@ object EntryOps {
     "d05_embed_neardup" -> (embedNearDup _),
     "s01_topk_brute" -> (topkBrute _),
     "s02_topk_ivf" -> (topkIvf _),
+    "s03_topk_lsh" -> (topkLsh _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),

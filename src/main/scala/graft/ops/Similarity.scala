@@ -88,6 +88,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Random-hyperplane LSH bucketing: bit i of the bucket is the sign of
+    * ⟨v, h_i⟩ for `planes` fixed pseudo-random hyperplanes. Hyperplane
+    * components are exact integer-derived doubles
+    * (((i·37 + j·101) mod 17 − 8) / 8), so the projection folds are bitwise
+    * reproducible in the oracle. Complements [[bucketOf]] (IVF coarse
+    * quantizer): angular buckets instead of axis-aligned sign buckets.
+    */
+  def hyperplaneBucket(e: String, planes: Int, dims: Int = 64): Column = {
+    val terms = (0 until planes).map { i =>
+      val proj = (1 to dims).map { j =>
+        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0
+        s"CAST(element_at($e, $j) AS DOUBLE) * CAST($c AS DOUBLE)"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $proj > CAST(0 AS DOUBLE) THEN ${1 << i} ELSE 0 END)"
+    }
+    expr(terms.mkString(" + "))
+  }
+
+  /** LSH-bucketed ANN: probe the query's hyperplane bucket, rank within it —
+    * the angular-hash scale path (bucket join instead of all-pairs).
+    */
+  def topkLsh(emb: DataFrame, queryPred: Column, k: Int,
+      planes: Int = 4): DataFrame = {
+    val bucketed = emb.withColumn("bucket",
+      hyperplaneBucket("embedding", planes))
+    val q = bucketed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"), norm2("embedding").as("qnorm"))
+    val c = bucketed.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("bucket"), norm2("embedding").as("cnorm"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", dot("qe", "ce") / (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket").cast("long").as("bucket"),
+        col("rank").cast("long").as("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine ≥
     * `minCosine`. The all-pairs form is the exactness baseline; at scale the same
     * output is produced by LSH/IVF blocking + this verification on candidates.
