@@ -33,8 +33,13 @@ object EntryOps {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir))
 
+  /** The registered (oracle-checked) path runs WITH the frequent-gram cap — at
+    * corpus scale an uncapped gram self-join is O(df²) on stop-shingles; the
+    * oracle mirrors the same df filter so the capped plan is what's verified.
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(docs(spark, dir), n = 3, minJaccard = 0.1)
+    Dedup.ngramJaccard(docs(spark, dir), n = 3, minJaccard = 0.1,
+      maxDocFreq = 256)
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(spark, dir))
@@ -66,7 +71,10 @@ object EntryOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir))
 
-  /** Rows-only check (no oracle): multimodal binary plumbing with stubbed decode. */
+  /** Multimodal binary plumbing with stubbed decode; the stub's byte math
+    * (length / leading-bytes digest / 4-bin histogram) is mirrored in the
+    * DuckDB oracle, so the whole decode-and-featurize pipeline is hash-checked.
+    */
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.asAssets(docs(spark, dir)))
 
@@ -237,17 +245,21 @@ object EntryOps {
   /** TF-IDF-style salient terms: per-doc top-3 terms by an exact integer
     * weight tf·N·1000/df (integer arithmetic instead of a log idf so the
     * oracle matches bit-for-bit; same ranking monotonicity in df).
+    *
+    * One lazy DAG, one explode: df is derived from tf (tf already has exactly
+    * one row per (doc, w)), and the corpus size arrives as a broadcast 1-row
+    * aggregate instead of an eager driver-side `count()`.
     */
   def salientTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val words = d.select(col("doc_id"),
       explode(graft.ops.Dedup.words(col("text"))).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = words.select(col("doc_id"), col("w")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val n = d.count()
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "w")
-      .withColumn("weight", expr(s"tf * ${n}L * 1000 div df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight", expr("tf * n_docs * 1000 div df"))
     val rank = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("w").asc)
     scored
@@ -321,9 +333,11 @@ object EntryOps {
          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "d02_ngram_jaccard" ->
       s"""WITH ${duckShingles(3)},
-          sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+          keep AS (SELECT gram FROM tri GROUP BY gram HAVING count(*) <= 256),
+          tc AS (SELECT t.doc_id, t.gram FROM tri t JOIN keep USING (gram)),
+          sz AS (SELECT doc_id, count(*) AS n FROM tc GROUP BY 1),
           iv AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-                 FROM tri a JOIN tri b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 FROM tc a JOIN tc b ON a.gram = b.gram AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
           SELECT doc1, doc2, inter, n1, n2, jaccard FROM (
             SELECT iv.doc1, iv.doc2, iv.inter, s1.n AS n1, s2.n AS n2,
@@ -539,6 +553,17 @@ object EntryOps {
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value,
            count(*) AS qty
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "m01_multimodal" ->
+      """WITH b AS (SELECT doc_id, source, hex(encode(text)) AS hx FROM documents),
+         p AS (SELECT doc_id, source, hx, regexp_extract_all(hx, '..') AS pr FROM b)
+         SELECT doc_id AS asset_id, 'text/plain' AS media_type, source,
+           CAST(len(hx) // 2 AS BIGINT) AS n_bytes,
+           lower(substring(hx, 1, 16)) AS digest16,
+           CAST(len(list_filter(pr, x -> substring(x, 1, 1) IN ('0','1','2','3'))) AS BIGINT) AS h0,
+           CAST(len(list_filter(pr, x -> substring(x, 1, 1) IN ('4','5','6','7'))) AS BIGINT) AS h1,
+           CAST(len(list_filter(pr, x -> substring(x, 1, 1) IN ('8','9','A','B'))) AS BIGINT) AS h2,
+           CAST(len(list_filter(pr, x -> substring(x, 1, 1) IN ('C','D','E','F'))) AS BIGINT) AS h3
+         FROM p ORDER BY asset_id""",
     "m02_asset_metadata" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -83,7 +83,12 @@ object SparkEntry {
   }
 
   /** S4/P13 — 24 h sliding-window scan (reference core.py:60-61) with the cutoff
-    * anchored to max(ts) for determinism; filter is pushed to the Parquet scan.
+    * anchored to max(ts) for oracle determinism. NB: because the cutoff is
+    * data-derived (broadcast 1-row subquery), the ts filter evaluates ABOVE the
+    * join — this shape costs one extra column scan and does not push down. The
+    * production path (Reports.window24h with a literal `now`) does push the
+    * predicate to the Parquet scan and prunes date partitions (asserted in
+    * IngestSpec).
     */
   def window24h(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -443,7 +448,10 @@ object SparkEntry {
     "q14_truncate_domain" ->
       """SELECT doc_id, substring(text, 1, 40) AS snippet,
          CAST(length(text) AS BIGINT) AS n_cp,
-         lower(lang) || '.example' AS domain
+         CASE WHEN strpos(source || '@' || lang || '.example', '@') > 0
+              THEN substring(source || '@' || lang || '.example',
+                             strpos(source || '@' || lang || '.example', '@') + 1)
+              ELSE '' END AS domain
          FROM documents ORDER BY doc_id""",
     "q15_top_orders" ->
       """SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,

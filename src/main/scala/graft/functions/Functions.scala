@@ -47,11 +47,13 @@ object F {
   }
 
   // --------------------------------------------------------------------------
-  // P9 — domain extraction (reference maillog.py:128: partition("@")[2], lowered
-  // against the local-domain set).
+  // P9 — domain extraction (reference maillog.py:128: partition("@")[2] — the
+  // substring after the FIRST '@', case preserved; only the local-domain set is
+  // lowercased, at the comparison site).
   // --------------------------------------------------------------------------
   def domainOf(c: Column): Column =
-    when(c.contains("@"), lower(substring_index(c, "@", -1))).otherwise(lit(""))
+    when(instr(c, "@") > 0, c.substr(instr(c, "@") + lit(1), length(c)))
+      .otherwise(lit(""))
 
   // --------------------------------------------------------------------------
   // P12 — UTC ISO-8601 "Z" render (reference core.py:64-65, maillog.py:134).

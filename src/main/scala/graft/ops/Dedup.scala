@@ -123,12 +123,14 @@ object Dedup {
       .select(col("doc1"), col("doc2"))
       .distinct()
     // verify candidates with exact Jaccard over the shared shingle index.
-    // Candidates are small by construction — broadcast them (and their gram
-    // expansion) so the full index is streamed, never shuffled.
+    // Candidates are small by construction — broadcast ONLY `cand` (the pair
+    // list); its gram expansion is candidates × ~grams/doc rows, unbounded at
+    // corpus scale, so that side stays distributed and the gram equi-join
+    // shuffles by gram like any inverted-index join.
     val sizes = sg.select(col("doc_id"), col("n"))
     val t1 = tri.withColumnRenamed("doc_id", "doc1")
     val t2 = tri.withColumnRenamed("doc_id", "doc2").withColumnRenamed("gram", "gram2")
-    val expanded = broadcast(broadcast(cand).join(t1, "doc1"))
+    val expanded = broadcast(cand).join(t1, "doc1")
     expanded
       .join(t2, col("gram") === col("gram2") && t2("doc2") === expanded("doc2"))
       .groupBy(expanded("doc1"), expanded("doc2"))

@@ -61,7 +61,9 @@ object Multimodal {
       .orderBy(col("asset_id"))
 
   /** Feature extraction over the binary payload — the decode-and-featurize stage
-    * of a multimodal ingest. One narrow map, no shuffle.
+    * of a multimodal ingest. One narrow map, no shuffle. The 4-bin byte
+    * histogram is emitted as four scalar columns (h0..h3) so the result is
+    * directly comparable by value-hash tooling (array columns are not).
     */
   def extractFeatures(assets: DataFrame): DataFrame =
     assets
@@ -71,6 +73,9 @@ object Multimodal {
         col("meta.source").as("source"),
         col("f._1").as("n_bytes"),
         col("f._2").as("digest16"),
-        col("f._3").as("byte_histogram"))
+        col("f._3").getItem(0).as("h0"),
+        col("f._3").getItem(1).as("h1"),
+        col("f._3").getItem(2).as("h2"),
+        col("f._3").getItem(3).as("h3"))
       .orderBy(col("asset_id"))
 }

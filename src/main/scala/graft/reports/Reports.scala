@@ -71,7 +71,8 @@ object Reports {
 
     // recipients per message: bridge join → dim join → domain semi-filter →
     // deterministic per-message order, collected as an array (the denormalized
-    // form SURVEY §1.2 recommends).
+    // form SURVEY §1.2 recommends). Reference semantics (maillog.py:128): the
+    // extracted domain keeps its case; only the local-domain set is lowercased.
     val recipients = tocc
       .join(broadcast(contacts), tocc("contact_id") === contacts("id"))
       .filter(F.domainOf(col("email_address")).isin(localDomains.map(_.toLowerCase): _*))

@@ -66,11 +66,11 @@ class FunctionsSpec extends GraftSpec {
       "Ærøskøbing Lister <l@e.org>")
   }
 
-  test("domainOf lowers and takes text after last @ (maillog.py:128)") {
+  test("domainOf takes text after FIRST @, case preserved (maillog.py:128 partition('@')[2])") {
     import spark.implicits._
     val out = Seq("User@MyDomain.Example", "noatsign", "a@b@C.d").toDF("e")
       .select(F.domainOf(col("e"))).as[String].collect()
-    assert(out === Array("mydomain.example", "", "c.d"))
+    assert(out === Array("MyDomain.Example", "", "b@C.d"))
   }
 
   test("ipSortKey orders dotted quads numerically, not lexically") {

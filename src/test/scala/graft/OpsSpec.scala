@@ -125,7 +125,11 @@ class OpsSpec extends GraftSpec {
     val out = Multimodal.extractFeatures(Multimodal.asAssets(d)).collect()(0)
     assert(out.getAs[Long]("n_bytes") === 5L)
     assert(out.getAs[String]("digest16") === "68656c6c6f")
-    assert(out.getAs[Seq[Long]]("byte_histogram").sum === 5L)
+    // "hello" bytes are all in [64,128) → bin 1
+    assert(out.getAs[Long]("h0") === 0L)
+    assert(out.getAs[Long]("h1") === 5L)
+    assert(out.getAs[Long]("h2") === 0L)
+    assert(out.getAs[Long]("h3") === 0L)
   }
 
   test("approx_count_distinct estimates track exact distinct counts") {

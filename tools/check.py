@@ -16,6 +16,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def normalize(df):
     df = df[sorted(df.columns)]
+    # array-valued columns (numpy arrays) are unhashable — sort on their
+    # string rendering instead
+    for c in df.columns:
+        if df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, str)).any():
+            df[c] = df[c].map(str)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
