@@ -140,7 +140,10 @@ object SparkEntry {
   }
 
   /** W2 — dimension upsert surrogate-id assignment (reference maillog.py:66-78):
-    * distinct pairs + deterministic row_number ids, the merge-batch id rule.
+    * distinct pairs + deterministic sequential ids. Ids come from the
+    * distributed ordered indexer (range partition + per-partition offsets),
+    * NOT a single-partition `row_number()` window — same ids, no 1-task
+    * bottleneck on a large merge batch.
     */
   def contactUpsert(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -149,9 +152,8 @@ object SparkEntry {
       concat(lit("c"), col("c_custkey").cast("string"),
         lit("@customers.example")).as("email_address"))
       .distinct()
-    pairs.withColumn("id",
-        row_number().over(Window.orderBy(col("realname"), col("email_address")))
-          .cast("long"))
+    graft.ops.OrderedIndex.withOrderedId(pairs,
+        Seq(col("realname"), col("email_address")), "id")
       .select(col("id"), col("realname"), col("email_address"))
       .orderBy(col("id"))
   }

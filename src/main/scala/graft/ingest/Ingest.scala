@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse layout: one Parquet directory per table under a root path, fact
@@ -31,17 +30,54 @@ final case class Warehouse(root: String) {
   */
 object Ingest {
 
-  /** W1 — append fact rows, partitioned by event date for partition pruning. */
-  def appendEvents(df: DataFrame, warehouse: Warehouse, table: String): Unit =
+  /** W1 — append fact rows, partitioned by (event_date, batch_id):
+    * `event_date` for partition pruning, `batch_id` for IDEMPOTENT re-delivery —
+    * a retried micro-batch first deletes its own `batch_id=N` leaf directories
+    * and rewrites them, so at-least-once delivery from the streaming engine
+    * becomes exactly-once table contents (overwrite-by-batchId; the reference
+    * gets the same guarantee from per-row PostgreSQL transactions,
+    * core.py:46-48).
+    */
+  def appendEvents(df: DataFrame, warehouse: Warehouse, table: String,
+      batchId: Long = 0L): Unit = {
+    deleteBatchDirs(df.sparkSession, warehouse.path(table), s"*/batch_id=$batchId")
     df.withColumn("event_date", to_date(col("timestamp")))
+      .withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append)
-      .partitionBy("event_date")
+      .partitionBy("event_date", "batch_id")
       .parquet(warehouse.path(table))
+  }
 
-  /** W5 — dead-letter sink (schema `graft.model.Schemas.deadLetter`). */
-  def appendDeadLetters(df: DataFrame, warehouse: Warehouse): Unit =
-    if (!df.isEmpty)
-      df.write.mode(SaveMode.Append).parquet(warehouse.path("dead_letters"))
+  /** W5 — dead-letter sink (schema `graft.model.Schemas.deadLetter`), same
+    * overwrite-by-batchId idempotence as the fact append.
+    */
+  def appendDeadLetters(df: DataFrame, warehouse: Warehouse,
+      batchId: Long = 0L): Unit =
+    if (!df.isEmpty) idempotentAppend(df, warehouse, "dead_letters", batchId)
+
+  /** Idempotent un-dated append (bridge tables like `inbox_tocc`):
+    * overwrite-by-batchId, partitioned by `batch_id` only.
+    */
+  def idempotentAppend(df: DataFrame, warehouse: Warehouse, table: String,
+      batchId: Long): Unit = {
+    deleteBatchDirs(df.sparkSession, warehouse.path(table), s"batch_id=$batchId")
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(warehouse.path(table))
+  }
+
+  /** Remove a batch's partition directories (glob relative to `root`) so a
+    * replayed batch rewrites exactly its own output.
+    */
+  private def deleteBatchDirs(spark: SparkSession, root: String,
+      glob: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) {
+      val hits = fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/$glob"))
+      if (hits != null) hits.foreach(s => fs.delete(s.getPath, true))
+    }
+  }
 
   /** W2 — dimension upsert ("lookup-or-insert", maillog.py:66-78).
     *
@@ -63,19 +99,32 @@ object Ingest {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.model.Schemas.contacts)
     val maxId = existing.agg(coalesce(max(col("id")), lit(0L))).collect()(0).getLong(0)
-    val fresh = newContacts
+    val newPairs = newContacts
       .select(col("realname"), col("email_address")).distinct()
       .join(existing.select("realname", "email_address"),
         Seq("realname", "email_address"), "left_anti")
-      .withColumn("id",
-        lit(maxId) + row_number().over(
-          Window.orderBy(col("realname"), col("email_address"))).cast("long"))
+    // ids via the distributed ordered indexer (no single-partition window);
+    // maxId offset keeps ids stable across replays of the same batch
+    val fresh = graft.ops.OrderedIndex.withOrderedId(newPairs,
+        Seq(col("realname"), col("email_address")), "id", offset = maxId)
       .select(col("id"), col("realname"), col("email_address"))
     val updated = existing.unionByName(fresh)
-    val staged = updated.cache()
-    staged.count()
-    staged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
-    staged.unpersist()
+    // crash-safe swap: write the refreshed dimension to a scratch path (the
+    // read lineage over the live path stays valid while writing), then swap
+    // via rename — a crash leaves either the old or the new table, never a
+    // half-overwritten one. With a transactional table format this whole body
+    // is one MERGE.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(tmp, true)
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
     spark.read.parquet(path)
   }
 

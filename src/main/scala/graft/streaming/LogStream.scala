@@ -28,10 +28,12 @@ object LogStream {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId threads through to overwrite-by-batchId idempotent appends:
+        // a redelivered micro-batch rewrites its own partitions, not duplicates
         val res = parsed(batch)
-        Ingest.appendEvents(res.events, warehouse, table)
-        Ingest.appendDeadLetters(res.deadLetters, warehouse)
+        Ingest.appendEvents(res.events, warehouse, table, batchId)
+        Ingest.appendDeadLetters(res.deadLetters, warehouse, batchId)
       }
       .start()
 
@@ -69,14 +71,21 @@ object LogStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestMailBatch(batch, warehouse)
+        ingestMailBatch(batch, warehouse, batchId)
       }
       .start()
 
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
+    *
+    * Idempotence: message ids continue from the max id of OTHER batches
+    * (`batch_id != batchId`), and the inbox/tocc writes overwrite this batch's
+    * own partitions — so a redelivered micro-batch reproduces the same ids and
+    * row counts instead of appending duplicates. Contacts are replay-safe via
+    * the upsert's anti-join.
     */
-  def ingestMailBatch(batch: DataFrame, warehouse: Warehouse): Unit = {
+  def ingestMailBatch(batch: DataFrame, warehouse: Warehouse,
+      batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val parsed = MailParser.parse(batch).cache()
     try {
@@ -89,14 +98,15 @@ object LogStream {
 
       // arrival timestamp = now() at insert (maillog.py:97)
       val maxMsgId = if (tableExists(spark, warehouse.path("inbox")))
-        warehouse.inbox(spark).agg(coalesce(max(col("id")), lit(0L)))
+        warehouse.inbox(spark).filter(col("batch_id") =!= batchId)
+          .agg(coalesce(max(col("id")), lit(0L)))
           .collect()(0).getLong(0)
       else 0L
 
-      val keyed = parsed
-        .withColumn("id", lit(maxMsgId) +
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("modificationTime"), col("sender_email"))).cast("long"))
+      // distributed ordered indexer — no single-partition row_number window
+      val keyed = graft.ops.OrderedIndex.withOrderedId(parsed,
+          Seq(col("modificationTime"), col("sender_email")), "id",
+          offset = maxMsgId)
         .cache()
       keyed.count()
 
@@ -108,10 +118,7 @@ object LogStream {
         .select(keyed("id"), col("timestamp_now").as("timestamp"),
           substring(keyed("subject"), 1, 2048).as("subject"),
           contacts("id").as("sender_id"), keyed("size"), keyed("date"))
-      inboxRows
-        .withColumn("event_date", to_date(col("timestamp")))
-        .write.mode("append").partitionBy("event_date")
-        .parquet(warehouse.path("inbox"))
+      Ingest.appendEvents(inboxRows, warehouse, "inbox", batchId)
 
       // per-message first-occurrence recipient dedup (maillog.py:88-94) — the
       // contact-id identity dedup maps to distinct contact ids per message.
@@ -122,7 +129,7 @@ object LogStream {
             col("r._2") === contacts("email_address"))
         .select(col("msg_id"), contacts("id").as("contact_id"))
         .distinct()
-      tocc.write.mode("append").parquet(warehouse.path("inbox_tocc"))
+      Ingest.idempotentAppend(tocc, warehouse, "inbox_tocc", batchId)
       keyed.unpersist()
     } finally parsed.unpersist()
   }

@@ -71,6 +71,19 @@ class IngestSpec extends GraftSpec {
     assert(scanned.contains("event_date"), "partition column missing from scan")
   }
 
+  test("appendEvents with the same batchId overwrites, not duplicates (idempotent redelivery)") {
+    val wh = tmpWarehouse()
+    val df = Seq(("2026-08-10 23:00:00", "a"), ("2026-08-11 01:00:00", "b"))
+      .toDF("ts", "username")
+      .select(col("ts").cast("timestamp").as("timestamp"), col("username"),
+        lit("1.2.3.4").as("src_addr"))
+    Ingest.appendEvents(df, wh, "authfail", batchId = 3L)
+    Ingest.appendEvents(df, wh, "authfail", batchId = 3L) // redelivered batch
+    assert(wh.authfail(spark).count() === 2)
+    Ingest.appendEvents(df, wh, "authfail", batchId = 4L) // a NEW batch appends
+    assert(wh.authfail(spark).count() === 4)
+  }
+
   test("dead letters append with the reference error-record shape (W5)") {
     val wh = tmpWarehouse()
     val dead = Seq(("2026-08-11T00:00:00Z", "bad line", "ValueError",

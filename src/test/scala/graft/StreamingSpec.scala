@@ -71,6 +71,26 @@ class StreamingSpec extends GraftSpec {
     assert(byMsg.values.toSeq.sorted === Seq(1, 2))
   }
 
+  test("replayed mail micro-batch is a no-op: same ids and counts (idempotent)") {
+    import spark.implicits._
+    val wh = Warehouse(tmp("replay-wh").toString)
+    val msg =
+      "From: Alice <alice@a.example>\nTo: Bob <bob@b.example>\n" +
+        "Subject: replay\nDate: Tue, 11 Aug 2026 04:00:00 +0000\n\nbody"
+    val batch = Seq((msg.getBytes(UTF_8), new java.sql.Timestamp(1754880000000L)))
+      .toDF("content", "modificationTime")
+    LogStream.ingestMailBatch(batch, wh, batchId = 7L)
+    val ids1 = wh.inbox(spark).select("id").as[Long].collect().sorted.toSeq
+    val tocc1 = wh.tocc(spark).count()
+    val contacts1 = wh.contacts(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    LogStream.ingestMailBatch(batch, wh, batchId = 7L) // redelivery
+    assert(wh.inbox(spark).select("id").as[Long].collect().sorted.toSeq === ids1)
+    assert(wh.tocc(spark).count() === tocc1)
+    assert(wh.contacts(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === contacts1)
+  }
+
   test("windowed streaming report: watermarked tumbling aggregation (§2.7 ext)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
