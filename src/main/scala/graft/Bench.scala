@@ -38,7 +38,10 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        return -1.0
+      }
       finally spark.catalog.clearCache() // release per-query caches (e.g. minhash index)
       (System.nanoTime() - t0) / 1e9
     }
@@ -61,15 +64,26 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
+    // any failed run fails the query outright (-1, counted) — a crash must
+    // never improve the headline total or hide behind the other run's time
     val results = headline.map { n =>
       val a = run(n)
       val b = run(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val failures = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for log-wrapped stdout: also persist the line to a file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
