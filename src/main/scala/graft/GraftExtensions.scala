@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF32, MinHashBandSigs, Reencode, SimHash16}
+import graft.functions.{DotProductF32, HyperplaneBucket, MinHashBandSigs, Reencode, SimHash16}
 
 /** SparkSessionExtensions entry point exposing the engine's native Catalyst
   * expressions to SQL users:
@@ -43,6 +43,14 @@ object GraftExtensions {
           val k = args(1).eval().asInstanceOf[Int]
           val bs = args(2).eval().asInstanceOf[Int]
           MinHashBandSigs(args.head, k, bs)
+        }),
+      (FunctionIdentifier("hyperplane_bucket"),
+        info("hyperplane_bucket",
+          "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),
+        (args: Seq[Expression]) => {
+          val planes = args(1).eval().asInstanceOf[Int]
+          val dims = args(2).eval().asInstanceOf[Int]
+          HyperplaneBucket(args.head, planes, dims)
         }))
 
   /** Register the same functions into an already-created session. */

@@ -97,14 +97,18 @@ object F {
       .otherwise(concat(realname, lit(" <"), email, lit(">")))
 
   // --------------------------------------------------------------------------
-  // Q2 ordering — PostgreSQL INET sorts numerically by octet (reference
-  // authfail.py:38 `order_by(asc(src_addr))` on an INET column). For dotted-quad
-  // text we sort on the parsed octets.
+  // Q2 ordering — PostgreSQL INET sorts by address family then numeric address
+  // (reference core.py:14 INET column; authfail.py:38 `order_by(asc(src_addr))`).
+  // sshd logs both families, so the key must order mixed IPv4/IPv6 without
+  // nulling or (under ANSI mode) throwing on the non-dotted-quad form: a native
+  // expression emits a binary [family ++ addressBytes] key whose unsigned
+  // bytewise order IS the INET order; unparseable strings yield NULL.
   // --------------------------------------------------------------------------
-  def ipSortKey(ip: Column): Column = {
-    val parts = split(ip, "\\.")
-    array((0 until 4).map(i => parts.getItem(i).cast("int")): _*)
-  }
+  def ipSortKey(ip: Column): Column = InetSortKey(ip)
+
+  /** Driver-side mirror of the INET key (tests / report rendering). */
+  def ipSortKeyScala(ip: String): Array[Byte] =
+    InetSortKey.key(org.apache.spark.unsafe.types.UTF8String.fromString(ip))
 
   // --------------------------------------------------------------------------
   // P13 — relative time literal (reference core.py:60-61). `now` injectable for

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Native random-hyperplane LSH bucket over an `array<float>` embedding:
+  * bit i of the bucket is the sign of ⟨v, h_i⟩ for `planes` fixed
+  * pseudo-random hyperplanes whose components are exact integer-derived
+  * doubles (((i·37 + j·101) mod 17 − 8) / 8).
+  *
+  * Replaces a generated SQL string of planes × dims CASE/CAST terms (an
+  * expression tree that grows O(planes·dims) and dominated s03's runtime)
+  * with one codegen'd primitive loop. The projection accumulates in double
+  * with the same FIXED left-to-right fold as the SQL form (SQL `+` is
+  * left-associative) and the same float→double widening, so buckets are
+  * bit-identical to the DuckDB oracle mirror (EntryOps.duckHyperplaneBucket).
+  */
+case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], planes, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBucket.compute($c, $planes, $dims)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBucket = copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bucket"
+}
+
+object HyperplaneBucket {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(e: ArrayData, planes: Int, dims: Int): Int = {
+    val n = math.min(dims, e.numElements())
+    var bucket = 0
+    var i = 0
+    while (i < planes) {
+      var acc = 0.0d
+      var j = 1
+      while (j <= n) {
+        // hyperplane component: exact dyadic rational in [-1, 1]
+        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0d
+        acc += e.getFloat(j - 1).toDouble * c
+        j += 1
+      }
+      if (acc > 0.0d) bucket |= 1 << i
+      i += 1
+    }
+    bucket
+  }
+
+  def apply(c: Column, planes: Int, dims: Int = 64): Column =
+    GraftBridge.column(
+      HyperplaneBucket(GraftBridge.expression(c), planes, dims))
+}

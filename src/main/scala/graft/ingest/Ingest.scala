@@ -16,7 +16,12 @@ final case class Warehouse(root: String) {
   def apache(spark: SparkSession): DataFrame = read(spark, "apache_access")
   def authfail(spark: SparkSession): DataFrame = read(spark, "authfail")
   def inbox(spark: SparkSession): DataFrame = read(spark, "inbox")
-  def contacts(spark: SparkSession): DataFrame = read(spark, "inbox_contacts")
+  def contacts(spark: SparkSession): DataFrame = {
+    // self-healing open: if a crash interrupted the staged swap while the live
+    // directory was absent, restore it from __staging/__old before reading
+    Ingest.recoverSwap(spark, path("inbox_contacts"))
+    read(spark, "inbox_contacts")
+  }
   def tocc(spark: SparkSession): DataFrame = read(spark, "inbox_tocc")
   def deadLetters(spark: SparkSession): DataFrame = read(spark, "dead_letters")
 }
@@ -94,6 +99,7 @@ object Ingest {
   def upsertContacts(newContacts: DataFrame, warehouse: Warehouse): DataFrame = {
     val spark = newContacts.sparkSession
     val path = warehouse.path("inbox_contacts")
+    recoverSwap(spark, path) // heal a swap a previous run crashed mid-way
     val existing: DataFrame =
       if (tableExists(spark, path)) spark.read.parquet(path)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -112,8 +118,13 @@ object Ingest {
     // crash-safe swap: write the refreshed dimension to a scratch path (the
     // read lineage over the live path stays valid while writing), then swap
     // via rename — a crash leaves either the old or the new table, never a
-    // half-overwritten one. With a transactional table format this whole body
-    // is one MERGE.
+    // half-overwritten one. The window where `live` is absent (between the two
+    // renames) is healed by [[recoverSwap]] on the next open. CAVEAT: this
+    // relies on `rename` being atomic (HDFS/local); on S3-style object stores
+    // rename is copy+delete, so the production form there is a transactional
+    // table format where this whole body is one MERGE (the scaladoc contract
+    // above). Reference invariant: per-row txn + UNIQUE(realname,
+    // email_address), maillog.py:16, core.py:46-48.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
@@ -126,6 +137,35 @@ object Ingest {
     fs.rename(tmp, live)
     fs.delete(old, true)
     spark.read.parquet(path)
+  }
+
+  /** Self-heal a staged swap interrupted between its two renames. States a
+    * crash can leave (in swap order) and their recovery:
+    *  - staging write died mid-flight → `live` still present: no-op (the
+    *    garbage staging dir is deleted at the next upsert's start);
+    *  - after `rename(live, old)`, before `rename(staging, live)` → `live`
+    *    absent, staging COMPLETE (it was fully written before the swap began;
+    *    `_SUCCESS` proves it): promote staging — it is the newest data;
+    *  - staging somehow incomplete and `live` absent → fall back to `__old`
+    *    (the pre-swap table; loses only the crashed batch, which the caller
+    *    replays idempotently).
+    * Idempotent and cheap (two `exists` calls) — safe to call on every open.
+    */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) return
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val stagingComplete = fs.exists(staging) &&
+      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    if (stagingComplete) {
+      fs.rename(staging, live)
+      fs.delete(old, true) // finish the interrupted swap
+    } else if (fs.exists(old)) {
+      fs.rename(old, live)
+      fs.delete(staging, true)
+    }
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

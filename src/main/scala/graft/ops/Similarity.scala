@@ -94,17 +94,13 @@ object Similarity {
     * (((i·37 + j·101) mod 17 − 8) / 8), so the projection folds are bitwise
     * reproducible in the oracle. Complements [[bucketOf]] (IVF coarse
     * quantizer): angular buckets instead of axis-aligned sign buckets.
+    *
+    * A native codegen'd expression ([[graft.functions.HyperplaneBucket]]):
+    * one primitive loop per row instead of a planes×dims CASE/CAST expression
+    * tree, same fixed fold order as the oracle mirror.
     */
-  def hyperplaneBucket(e: String, planes: Int, dims: Int = 64): Column = {
-    val terms = (0 until planes).map { i =>
-      val proj = (1 to dims).map { j =>
-        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0
-        s"CAST(element_at($e, $j) AS DOUBLE) * CAST($c AS DOUBLE)"
-      }.mkString("(", " + ", ")")
-      s"(CASE WHEN $proj > CAST(0 AS DOUBLE) THEN ${1 << i} ELSE 0 END)"
-    }
-    expr(terms.mkString(" + "))
-  }
+  def hyperplaneBucket(e: String, planes: Int, dims: Int = 64): Column =
+    graft.functions.HyperplaneBucket(col(e), planes, dims)
 
   /** LSH-bucketed ANN: probe the query's hyperplane bucket, rank within it —
     * the angular-hash scale path (bucket join instead of all-pairs).

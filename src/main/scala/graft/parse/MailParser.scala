@@ -90,6 +90,39 @@ object MailParser {
 
   // -- address lists ----------------------------------------------------------
 
+  /** Parse a full RFC 5322 address-list, including group syntax
+    * (`Team: a@x.example, B <b@y.example>;` and the empty
+    * `undisclosed-recipients:;`), into flattened member addresses — the same
+    * view `email.policy.default`'s `AddressHeader.addresses` gives the
+    * reference (maillog.py:148-151): group display names are dropped, members
+    * surface as plain addresses. Quotes and angle brackets protect `:,;`.
+    */
+  def parseAddressList(v: String): Seq[Address] = {
+    val out = scala.collection.mutable.ArrayBuffer[Address]()
+    val cur = new StringBuilder
+    var inQuote = false
+    var depth = 0
+    var inGroup = false
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty) out += parseAddress(s)
+      cur.clear()
+    }
+    v.foreach {
+      case '"' => inQuote = !inQuote; cur += '"'
+      case '<' if !inQuote => depth += 1; cur += '<'
+      case '>' if !inQuote => depth -= 1; cur += '>'
+      case ':' if !inQuote && depth == 0 && !inGroup =>
+        inGroup = true; cur.clear() // group display name — dropped on flatten
+      case ';' if !inQuote && depth == 0 && inGroup =>
+        flush(); inGroup = false
+      case ',' if !inQuote && depth == 0 => flush()
+      case c => cur += c
+    }
+    flush()
+    out.toSeq
+  }
+
   /** Split an address list on top-level commas (respecting quotes and <>). */
   def splitAddresses(v: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -142,12 +175,19 @@ object MailParser {
   def parseMessage(bytes: Array[Byte]): ParsedMail = {
     val raw = new String(bytes, StandardCharsets.UTF_8)
     val subject = header(raw, "Subject").map(decodeRfc2047).getOrElse("NO SUBJECT")
-    val from = header(raw, "From").map(parseAddress).getOrElse(Address("", ""))
+    // msg["From"].addresses[0] (maillog.py:150): first address of the From
+    // list (which may be a group). RFC 5322 §3.6.2: when From is absent or
+    // multi-address the Sender field carries the actual submitter — fall back
+    // to it rather than dead-lettering a parseable message.
+    val from = Seq("From", "Sender")
+      .flatMap(h => header(raw, h).toSeq)
+      .flatMap(parseAddressList)
+      .headOption.getOrElse(Address("", ""))
     val date = header(raw, "Date").flatMap(parseDate)
       .getOrElse(new java.sql.Timestamp(0L))
-    // To + CC concatenated in order (maillog.py:148-151)
+    // To + CC concatenated in order (maillog.py:148-151), groups flattened
     val recips = Seq("To", "CC").flatMap(h => header(raw, h).toSeq)
-      .flatMap(splitAddresses).map(parseAddress)
+      .flatMap(parseAddressList)
     ParsedMail(subject, from.realname, from.email, date, recips, bytes.length.toLong)
   }
 

@@ -17,6 +17,40 @@ class ExtensionsSpec extends GraftSpec {
     assert(row.getAs[Double]("d") === 5.5)
   }
 
+  test("native hyperplane_bucket equals the expression-string formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    // deterministic pseudo-random float vectors, 64 dims, incl. exact zeros
+    val vecs = (0 until 50).map { v =>
+      (v.toLong, (1 to 64).map { j =>
+        val h = (v * 131 + j * 17) % 23 - 11
+        (h.toFloat / 4.0f)
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    // the pre-r3 generated-SQL formulation, kept here as the spec oracle
+    val planes = 4
+    val terms = (0 until planes).map { i =>
+      val proj = (1 to 64).map { j =>
+        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0
+        s"CAST(element_at(embedding, $j) AS DOUBLE) * CAST($c AS DOUBLE)"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $proj > CAST(0 AS DOUBLE) THEN ${1 << i} ELSE 0 END)"
+    }
+    val rows = vecs
+      .withColumn("native",
+        graft.functions.HyperplaneBucket(col("embedding"), planes, 64))
+      .withColumn("via_sql", expr(terms.mkString(" + ")))
+      .withColumn("via_fn", expr(s"hyperplane_bucket(embedding, $planes, 64)"))
+      .select("vec_id", "native", "via_sql", "via_fn")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"vec ${r.getLong(0)}")
+      assert(r.getInt(1) === r.getInt(3), s"vec ${r.getLong(0)}")
+    }
+    assert(rows.map(_.getInt(1)).distinct.length > 1) // buckets actually vary
+  }
+
   test("SQL simhash16 equals the Dedup pipeline value") {
     import spark.implicits._
     GraftExtensions.registerAll(spark)

@@ -80,6 +80,87 @@ class FunctionsSpec extends GraftSpec {
     assert(sorted === Array("9.255.0.1", "10.2.0.1", "10.10.0.1"))
   }
 
+  test("ipSortKey orders mixed IPv4/IPv6 like PostgreSQL INET (property)") {
+    import spark.implicits._
+    // generate addresses FROM known bytes so the expected order is independent
+    // of the parser under test: expected = unsigned-bytewise (family ++ addr)
+    val genV4 = Gen.listOfN(4, Gen.chooseNum(0, 255)).map { os =>
+      (os.mkString("."), (4.toByte +: os.map(_.toByte)).toArray)
+    }
+    val genV6 = for {
+      words <- Gen.listOfN(8, Gen.chooseNum(0, 0xffff))
+      upper <- Gen.oneOf(true, false)
+      compressAt <- Gen.chooseNum(-1, 7) // -1 = full form
+    } yield {
+      val hex = words.map(w => if (upper) f"$w%X" else f"$w%x")
+      val text =
+        if (compressAt >= 0 && words(compressAt) == 0) {
+          // run-length of zeros starting at compressAt
+          val end = (compressAt until 8).takeWhile(words(_) == 0).last
+          val head = hex.take(compressAt).mkString(":")
+          val tail = hex.drop(end + 1).mkString(":")
+          s"$head::$tail"
+        } else hex.mkString(":")
+      val bytes = 6.toByte +: words.flatMap(w =>
+        Seq(((w >> 8) & 0xff).toByte, (w & 0xff).toByte))
+      (text, bytes.toArray)
+    }
+    val cmp = new Ordering[Array[Byte]] {
+      def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+    forAll(Gen.listOfN(24, Gen.frequency(1 -> genV4, 1 -> genV6)), n = 20) { addrs =>
+      val distinct = addrs.distinctBy(_._1)
+      val expected = distinct.sortBy(_._2)(cmp).map(_._1)
+      val viaSpark = distinct.map(_._1).toDF("ip")
+        .orderBy(F.ipSortKey(col("ip")).asc, col("ip").asc)
+        .as[String].collect().toSeq
+      // ties in key (same address, different text form) broken by text asc in
+      // both orders
+      val expectedStable = distinct
+        .sortBy { case (t, k) => (k, t) }(Ordering.Tuple2(cmp, Ordering.String))
+        .map(_._1)
+      assert(viaSpark === expectedStable, s"inputs: ${distinct.map(_._1)}")
+      assert(expected.toSet === viaSpark.toSet)
+    }
+  }
+
+  test("ipSortKey handles embedded-IPv4, ::, and malformed input without error") {
+    import spark.implicits._
+    val rows = Seq(
+      "::ffff:1.2.3.4",     // v4-mapped v6
+      "::",                 // all zeros
+      "2001:DB8::8:800:200C:417A",
+      "1.2.3.4",
+      "999.1.1.1",          // bad octet
+      "1:2:3:4:5:6:7:8:9",  // too many groups
+      "1::2::3",            // double compression
+      "not an ip",
+      "").toDF("ip")
+      .select(col("ip"), F.ipSortKey(col("ip")).as("k"))
+      .collect()
+    val keys = rows.map(r => r.getString(0) -> r.getAs[Array[Byte]]("k")).toMap
+    assert(keys("::ffff:1.2.3.4") ===
+      Array[Byte](6, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1, -1, 1, 2, 3, 4))
+    assert(keys("::") === (6.toByte +: Array.fill[Byte](16)(0)))
+    assert(keys("1.2.3.4") === Array[Byte](4, 1, 2, 3, 4))
+    assert(keys("2001:DB8::8:800:200C:417A") !== null) // case-insensitive hex
+    Seq("999.1.1.1", "1:2:3:4:5:6:7:8:9", "1::2::3", "not an ip", "")
+      .foreach(s => assert(keys(s) === null, s"'$s' should yield null"))
+    // family order: every v4 sorts before every v6
+    val fam = Seq("255.255.255.255", "::", "0.0.0.0").toDF("ip")
+      .orderBy(F.ipSortKey(col("ip")).asc).as[String].collect()
+    assert(fam === Array("0.0.0.0", "255.255.255.255", "::"))
+  }
+
   test("iso8601Z renders UTC with Z suffix (core.py:64-65)") {
     import spark.implicits._
     val out = Seq("2026-08-11 04:23:17").toDF("s")

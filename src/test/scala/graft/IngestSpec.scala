@@ -84,6 +84,53 @@ class IngestSpec extends GraftSpec {
     assert(wh.authfail(spark).count() === 4)
   }
 
+  test("contacts dimension self-heals from every crash point of the staged swap") {
+    val wh = tmpWarehouse()
+    val fsPath = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts"))
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def live = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts"))
+    def staging = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts") + "__staging")
+    def old = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts") + "__old")
+
+    val batch1 = Seq(("Alice", "alice@a.example")).toDF("realname", "email_address")
+    Ingest.upsertContacts(batch1, wh)
+    val batch2 = Seq(("Bob", "bob@b.example")).toDF("realname", "email_address")
+    Ingest.upsertContacts(batch2, wh)
+    val expected = wh.contacts(spark).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(expected === Seq((1L, "Alice"), (2L, "Bob")))
+
+    // crash point A: between rename(live, old) and rename(staging, live) —
+    // live absent, staging complete, old present. Recover → newest (staging).
+    fs.rename(live, staging) // stand-in for the fully-written staging dir
+    // staging was written by parquet so _SUCCESS exists; simulate old as stale
+    Seq(("Alice", "alice@a.example")).toDF("realname", "email_address")
+      .write.parquet(old.toString)
+    assert(!fs.exists(live))
+    val healedA = wh.contacts(spark).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(healedA === expected, "recovery must promote the complete staging dir")
+    assert(!fs.exists(old) && !fs.exists(staging), "swap must be finished")
+
+    // crash point B: staging incomplete (no _SUCCESS) and live absent —
+    // recover falls back to __old (pre-swap table).
+    fs.rename(live, old)
+    fs.mkdirs(staging) // torn write: directory exists, no _SUCCESS
+    assert(!fs.exists(live))
+    val healedB = wh.contacts(spark).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(healedB === expected, "recovery must fall back to the old table")
+    assert(!fs.exists(staging), "torn staging dir must be cleared")
+
+    // crash point C: nothing to heal — live present plus leftover dirs; reads
+    // and the next upsert proceed and clean up.
+    fs.mkdirs(staging)
+    val batch3 = Seq(("Carol", "carol@c.example")).toDF("realname", "email_address")
+    val c3 = Ingest.upsertContacts(batch3, wh).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(c3 === Seq((1L, "Alice"), (2L, "Bob"), (3L, "Carol")))
+  }
+
   test("dead letters append with the reference error-record shape (W5)") {
     val wh = tmpWarehouse()
     val dead = Seq(("2026-08-11T00:00:00Z", "bad line", "ValueError",

@@ -133,4 +133,39 @@ class ParserSpec extends GraftSpec {
     assert(p.recipients.map(_.email) === Seq("jdoe@d.e", "jane@d.e"))
     assert(p.recipients(0).realname === "Doe, John")
   }
+
+  test("MailParser flattens group addresses like policy=default .addresses") {
+    // groups: display name dropped, members surface flat (maillog.py:148-151
+    // reads msg["To"].addresses, which flattens RFC 5322 group syntax)
+    val raw =
+      """From: x@y.z
+        |To: Team Alpha: a@x.example, Bea <b@y.example>;, solo@z.example
+        |CC: undisclosed-recipients:;
+        |Date: Mon, 10 Aug 2026 00:00:00 +0000
+        |
+        |.""".stripMargin
+    val p = MailParser.parseMessage(raw.getBytes(UTF_8))
+    assert(p.recipients.map(_.email) ===
+      Seq("a@x.example", "b@y.example", "solo@z.example"))
+    assert(p.recipients(1).realname === "Bea")
+    // quoted colon must NOT start a group
+    val q = MailParser.parseAddressList("\"Dept: Sales\" <sales@x.example>")
+    assert(q === Seq(MailParser.Address("Dept: Sales", "sales@x.example")))
+  }
+
+  test("MailParser falls back to Sender when From is absent (RFC 5322 §3.6.2)") {
+    val raw =
+      """Sender: Actual Submitter <submit@relay.example>
+        |To: someone@dest.example
+        |Subject: sender only
+        |Date: Mon, 10 Aug 2026 00:00:00 +0000
+        |
+        |.""".stripMargin
+    val p = MailParser.parseMessage(raw.getBytes(UTF_8))
+    assert(p.sender_email === "submit@relay.example")
+    assert(p.sender_name === "Actual Submitter")
+    // From wins over Sender when both are present
+    val both = "From: f@a.example\nSender: s@b.example\nDate: Mon, 10 Aug 2026 00:00:00 +0000\n\n."
+    assert(MailParser.parseMessage(both.getBytes(UTF_8)).sender_email === "f@a.example")
+  }
 }

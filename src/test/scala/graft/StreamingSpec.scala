@@ -123,4 +123,55 @@ class StreamingSpec extends GraftSpec {
       .as[(String, String, Long)].collect()
     assert(rows.toSet === Set(("2026-08-10", "GET /a HTTP/1.1", 1L)))
   }
+
+  test("streaming daily window cross-checks the batch report on the same data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 events inside the tumbling window [2026-08-10, 2026-08-11), five
+    // reqlines, distinct byte counts — plus one sentinel two days later whose
+    // watermark closes the window so append mode emits it
+    def line(ts: String, path: String, bytesin: Int, bytesout: Int): String =
+      s"$ts +0000|www.example.com|443|203.0.113.7|$bytesin|$bytesout|100|200|" +
+        s"""["-", "GET $path HTTP/1.1", "GET", "$path", "HTTP/1.1", "-", "ua"]"""
+    val base = java.time.LocalDateTime.of(2026, 8, 10, 0, 0, 0)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val inWindow = (0 until 40).map { i =>
+      line(base.plusMinutes(17L * i).format(fmt), s"/p${i % 5}", 100 + i, 1000 + 3 * i)
+    }
+    val sentinel = line("2026-08-12 05:00:00", "/sentinel", 1, 1)
+    val in = tmp("xcheck-in")
+    Files.writeString(in.resolve("access.log"),
+      (inWindow :+ sentinel).mkString("", "\n", "\n"))
+
+    // streaming: parse -> watermarked 24 h tumbling aggregation -> parquet
+    val out = tmp("xcheck-out")
+    val q = StreamingReports.windowedHits(
+        graft.parse.ApacheParser.parse(spark.readStream.text(in.toString)).events,
+        "24 hours", "1 hour")
+      .writeStream
+      .option("checkpointLocation", tmp("xcheck-ck").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out.toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out.toString)
+      .filter(date_format($"window_start", "yyyy-MM-dd") === "2026-08-10")
+      .select($"reqline", $"qty", $"sum_bytesin", $"sum_bytesout")
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    // batch: the REAL report (Reports.apacheHitsByRequest) evaluated at
+    // now = window end over the data visible at that instant
+    val parsedBatch = graft.parse.ApacheParser.parse(
+      inWindow.toDF("value")).events
+    val batch = graft.reports.Reports.apacheHitsByRequest(
+        parsedBatch, lit("2026-08-11 00:00:00").cast("timestamp"))
+      .select($"reqline", $"qty", $"sum_bytesin", $"sum_bytesout")
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    assert(streamed === batch)
+    assert(batch.size === 5) // all five reqlines present, real aggregation
+    assert(batch.toSeq.map(_._2).sum === 40L)
+  }
 }
