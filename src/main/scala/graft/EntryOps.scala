@@ -50,6 +50,9 @@ object EntryOps {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(emb(spark, dir), minCosine = 0.3)
 
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(emb(spark, dir), minCosine = 0.3)
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -390,6 +393,14 @@ object EntryOps {
                  ${duckCosine("a.embedding", "b.embedding")} AS cosine
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
           WHERE cosine >= 0.3 ORDER BY id1, id2""",
+    "d06_embed_neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+              ${duckHyperplaneBucket("embedding", 4)} AS bucket FROM embeddings)
+          SELECT id1, id2, cosine FROM (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 ${duckCosine("a.embedding", "b.embedding")} AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          WHERE cosine >= 0.3 ORDER BY id1, id2""",
     "s01_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                      WHERE vec_id % 40 = 0),
@@ -612,6 +623,7 @@ object EntryOps {
     "d03_minhash_lsh" -> (minhashLsh _),
     "d04_simhash" -> (simhash _),
     "d05_embed_neardup" -> (embedNearDup _),
+    "d06_embed_neardup_lsh" -> (embedNearDupLsh _),
     "s01_topk_brute" -> (topkBrute _),
     "s02_topk_ivf" -> (topkIvf _),
     "s03_topk_lsh" -> (topkLsh _),

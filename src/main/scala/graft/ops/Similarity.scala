@@ -142,4 +142,29 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cosine"))
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** LSH-blocked near-duplicate pairs — the scale path for [[nearDupPairs]]:
+    * candidates are only same-hyperplane-bucket pairs (an EQUI-join on the
+    * bucket id, so the pair generation shuffles by bucket instead of
+    * all-pairs), each verified by exact cosine ≥ `minCosine`. Same output
+    * schema as the baseline; recall is bounded by the bucket collision
+    * probability (1 − θ/π per plane for angle θ), the standard LSH trade —
+    * the oracle mirrors the SAME blocking, so correctness is exact on the
+    * blocked candidate set.
+    */
+  def nearDupPairsLsh(emb: DataFrame, minCosine: Double,
+      planes: Int = 4): DataFrame = {
+    val bucketed = emb.withColumn("bucket",
+      hyperplaneBucket("embedding", planes))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id1"),
+      col("embedding").as("e1"), norm2("embedding").as("n1"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id2"),
+      col("embedding").as("e2"), norm2("embedding").as("n2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", dot("e1", "e2") / (col("n1") * col("n2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
 }

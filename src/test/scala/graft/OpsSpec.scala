@@ -82,6 +82,26 @@ class OpsSpec extends GraftSpec {
     assert(out === Array((1L, 2L)))
   }
 
+  test("LSH-blocked near-dup is the baseline restricted to same-bucket pairs") {
+    val full = Similarity.nearDupPairs(vecs, 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.nearDupPairsLsh(vecs, 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(full), "blocking must never invent pairs")
+    // near-identical vectors land in the same hyperplane bucket → recalled
+    assert(blocked.contains((1L, 2L)))
+    // and the exact-cosine verify still rejects same-bucket non-dups: every
+    // emitted pair re-checks cosine, so blocked ⊆ full regardless of buckets
+    val bucketOf = vecs.select($"vec_id",
+      graft.functions.HyperplaneBucket($"embedding", 4).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val sameBucketPairs = for {
+      a <- bucketOf.keys; b <- bucketOf.keys
+      if a < b && bucketOf(a) == bucketOf(b)
+    } yield (a, b)
+    assert(blocked === full.intersect(sameBucketPairs.toSet))
+  }
+
   test("langId flags CJK text as zh and defaults to en") {
     val d = Seq((1L, "the cat and the dog", "en"), (2L, "你好 世界", "zh"))
       .toDF("doc_id", "text", "lang")

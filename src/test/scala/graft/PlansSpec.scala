@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Plan-evidence guard over EVERY registered query (docs/PLANS.md is the
+  * narrative companion): asserts the physical-plan properties that keep the
+  * engine efficient at cluster scale, so a regression in join strategy or
+  * partitioning fails CI instead of only showing up as a bench delta.
+  *
+  * Checked (AQE off, so the static plan is deterministic):
+  *  1. no BroadcastNestedLoopJoin outside the intentional all-pairs baselines
+  *     (s01/d05) and 1-row scalar-cutoff broadcasts;
+  *  2. no window function over an unpartitioned (global) frame — the r1
+  *     scale-killer that serialized whole tables through one task;
+  *  3. a SinglePartition shuffle may appear only where its input is bounded:
+  *     under a final global aggregate (rows entering are already partial-
+  *     aggregated per map task) or a limit.
+  */
+class PlansSpec extends GraftSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is by design:
+    *  - s01/d05: labeled exact all-pairs baselines (SURVEY);
+    *  - scalar-cutoff joins broadcast a single aggregated row (build side is
+    *    provably 1 row, so "nested loop" degenerates to a constant probe).
+    */
+  private val allowedBnlj = Set("s01_topk_brute", "d05_embed_neardup")
+  private def isScalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      case _ => j.left
+    }
+    build.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty => a
+    }.nonEmpty
+  }
+
+  private def violations(name: String, plan: SparkPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: SparkPlan, parent: Option[SparkPlan]): Unit = {
+      p match {
+        case j: BroadcastNestedLoopJoinExec
+            if !allowedBnlj.contains(name) && !isScalarBuild(j) =>
+          out += s"$name: BroadcastNestedLoopJoin (${j.joinType}) outside baselines"
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          out += s"$name: global window (no PARTITION BY) — single-task scan"
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          val ok = parent.exists {
+            case a: HashAggregateExec => a.groupingExpressions.isEmpty
+            case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+            case a: SortAggregateExec => a.groupingExpressions.isEmpty
+            case _: GlobalLimitExec | _: CollectLimitExec |
+                _: TakeOrderedAndProjectExec => true
+            case _ => false
+          }
+          if (!ok) out += s"$name: Exchange SinglePartition under " +
+            s"${parent.map(_.nodeName).getOrElse("root")} (unbounded input)"
+        case _ =>
+      }
+      // codegen wrappers are transparent: the structural parent of a node
+      // under InputAdapter/WholeStageCodegen is the operator above them
+      val nextParent = p match {
+        case _: org.apache.spark.sql.execution.InputAdapter |
+            _: org.apache.spark.sql.execution.WholeStageCodegenExec => parent
+        case _ => Some(p)
+      }
+      p.children.foreach(walk(_, nextParent))
+    }
+    walk(plan, None)
+    out.toSeq
+  }
+
+  test("no registered query plans an unbounded single-task stage or stray BNLJ") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        violations(name, fn(spark, sfDir).queryExecution.executedPlan)
+      }
+      assert(all.isEmpty, "\n" + all.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}
