@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF32, HyperplaneBucket, MinHashBandSigs, Reencode, SimHash16}
+import graft.functions.{DotProductF32, HyperplaneBucket, MinHashBandSigs, ParseStrArray, Reencode, SimHash16}
 
 /** SparkSessionExtensions entry point exposing the engine's native Catalyst
   * expressions to SQL users:
@@ -44,6 +44,10 @@ object GraftExtensions {
           val bs = args(2).eval().asInstanceOf[Int]
           MinHashBandSigs(args.head, k, bs)
         }),
+      (FunctionIdentifier("parse_str_array"),
+        info("parse_str_array",
+          "parse_str_array(str) - parse a quoted-string-array log literal (JSON + \\xhh escapes)"),
+        (args: Seq[Expression]) => ParseStrArray(args.head)),
       (FunctionIdentifier("hyperplane_bucket"),
         info("hyperplane_bucket",
           "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),

@@ -21,31 +21,27 @@ final case class ParseResult(events: DataFrame, deadLetters: DataFrame)
   * }}}
   *
   * Spark-first design: the 9-way `split` with a limit mirrors `line.split("|", 8)`
-  * (apache_access.py:95-105); the trailing string-array literal is JSON-compatible
-  * except for Apache's `\xhh` escapes, which we rewrite to `\u00hh` so the whole
-  * parse stays inside codegen'd builtins (`from_json`) instead of a UDF
-  * (`ast.literal_eval` at apache_access.py:106-108). Each of the 7 strings is
-  * latin-1→utf-8 re-decoded (apache_access.py:146-147).
+  * (apache_access.py:95-105); the trailing string-array literal is parsed by the
+  * native codegen'd [[graft.functions.ParseStrArray]] expression, which handles
+  * JSON escapes plus Apache's `\xhh` in one scan (`ast.literal_eval` at
+  * apache_access.py:106-108). Each of the 7 strings is latin-1→utf-8 re-decoded
+  * (apache_access.py:146-147).
   */
 object ApacheParser {
-  private val strsType = ArrayType(StringType)
 
   /** `lines` must have a string column `value`; extra columns are preserved on the
     * dead-letter side for provenance.
     */
   def parse(lines: DataFrame): ParseResult = {
     // Staged projections so the two expensive expressions — the 9-way split and
-    // the from_json (a CodegenFallback, evaluated interpretively) — run ONCE per
-    // row: CollapseProject refuses to inline non-cheap expressions referenced
-    // multiple times, so each stays a single evaluation feeding cheap,
-    // codegen'd column extractions.
-    val withParts = lines.withColumn("parts", split(col("value"), "\\|", 9))
-    // Apache escapes non-printables as \xhh (not valid JSON); rewrite to \u00hh.
+    // the string-array parse — run ONCE per row. The Staged fence keeps the
+    // optimizer from collapsing the projections or pushing the validity filter
+    // below them (which would re-derive the parse per filter conjunct).
+    val withParts = lines.withColumn("parts",
+      graft.functions.Staged(split(col("value"), "\\|", 9)))
     val withStrs = withParts.withColumn("strs",
-      from_json(
-        regexp_replace(get(col("parts"), lit(8)),
-          "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1"),
-        strsType))
+      graft.functions.Staged(
+        graft.functions.ParseStrArray(get(col("parts"), lit(8)))))
 
     def p(i: Int): Column = get(col("parts"), lit(i))
     def s(i: Int): Column = F.reencode(get(col("strs"), lit(i)))

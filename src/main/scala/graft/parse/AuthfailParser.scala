@@ -37,17 +37,22 @@ object AuthfailParser {
     val m1 = col("value").rlike(FailedRgx)
     val m2 = col("value").rlike(InvalidRgx)
 
+    // One Staged projection evaluates the regex work exactly once per row:
+    // whole-stage codegen eliminates the shared rlike subexpressions WITHIN
+    // the projection, and the fence keeps the validity filter from being
+    // pushed below it (which would re-run both regexes per filter conjunct).
     val withCols = lines
-      .withColumn("matched", m1 || m2)
-      .withColumn("ts_raw",
-        when(m1, regexp_extract(col("value"), FailedRgx, 1))
-          .when(m2, regexp_extract(col("value"), InvalidRgx, 1)))
-      .withColumn("username",
-        when(m1, regexp_extract(col("value"), FailedRgx, 2))
-          .when(m2, regexp_extract(col("value"), InvalidRgx, 2)))
-      .withColumn("src_addr",
-        when(m1, regexp_extract(col("value"), FailedRgx, 3))
-          .when(m2, regexp_extract(col("value"), InvalidRgx, 3)))
+      .withColumns(Map(
+        "matched" -> graft.functions.Staged(m1 || m2),
+        "ts_raw" -> graft.functions.Staged(
+          when(m1, regexp_extract(col("value"), FailedRgx, 1))
+            .when(m2, regexp_extract(col("value"), InvalidRgx, 1))),
+        "username" -> graft.functions.Staged(
+          when(m1, regexp_extract(col("value"), FailedRgx, 2))
+            .when(m2, regexp_extract(col("value"), InvalidRgx, 2))),
+        "src_addr" -> graft.functions.Staged(
+          when(m1, regexp_extract(col("value"), FailedRgx, 3))
+            .when(m2, regexp_extract(col("value"), InvalidRgx, 3)))))
       .withColumn("timestamp", try_to_timestamp(col("ts_raw")))
 
     val ok = col("matched") && col("timestamp").isNotNull

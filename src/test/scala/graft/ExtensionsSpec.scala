@@ -51,6 +51,47 @@ class ExtensionsSpec extends GraftSpec {
     assert(rows.map(_.getInt(1)).distinct.length > 1) // buckets actually vary
   }
 
+  test("native parse_str_array equals the from_json formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val rows = Seq(
+      """["-", "GET /index.html HTTP/1.1", "GET", "/index.html", "HTTP/1.1", "-", "Mozilla/5.0 (X11; Linux x86_64)"]""",
+      """["a\"b", "back\\slash", "sol\/idus", "tab\tx", "nl\nx", "uAx", "hex\x21x"]""",
+      """[]""",
+      """  [ "spaced" , "list" ]  """,
+      """["trailing"] junk""", // from_json ignores post-value garbage; so do we
+      """["unterminated]""",
+      """["bad escape \q"]""",
+      """not an array""",
+      s"""["a${1.toChar}b"]""").toDF("raw")
+    val out = rows
+      .withColumn("native", graft.functions.ParseStrArray(col("raw")))
+      // the pre-r3 formulation, kept as the spec oracle
+      .withColumn("via_json",
+        from_json(regexp_replace(col("raw"), "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+      .withColumn("via_sql", expr("parse_str_array(raw)"))
+      .select("raw", "native", "via_json", "via_sql")
+      .collect()
+    out.foreach { r =>
+      val native = r.getSeq[String](r.fieldIndex("native"))
+      val json = r.getSeq[String](r.fieldIndex("via_json"))
+      assert(native === json, s"input: ${r.getString(0)}")
+      assert(native === r.getSeq[String](r.fieldIndex("via_sql")))
+    }
+    // well-formed fixtures parsed, malformed null
+    assert(out(0).getSeq[String](out(0).fieldIndex("native")).length === 7)
+    assert(out(1).getSeq[String](out(1).fieldIndex("native")) ===
+      Seq("a\"b", "back\\slash", "sol/idus", "tab\tx", "nl\nx", "uAx", "hex!x"))
+    assert(out(2).getSeq[String](out(2).fieldIndex("native")) === Seq())
+    assert(out(3).getSeq[String](out(3).fieldIndex("native")) === Seq("spaced", "list"))
+    assert(out(4).getSeq[String](out(4).fieldIndex("native")) === Seq("trailing"))
+    (5 until 9).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("native")),
+      s"row $i should be null"))
+  }
+
   test("SQL simhash16 equals the Dedup pipeline value") {
     import spark.implicits._
     GraftExtensions.registerAll(spark)
