@@ -16,12 +16,11 @@ final case class Warehouse(root: String) {
   def apache(spark: SparkSession): DataFrame = read(spark, "apache_access")
   def authfail(spark: SparkSession): DataFrame = read(spark, "authfail")
   def inbox(spark: SparkSession): DataFrame = read(spark, "inbox")
-  def contacts(spark: SparkSession): DataFrame = {
-    // self-healing open: if a crash interrupted the staged swap while the live
-    // directory was absent, restore it from __staging/__old before reading
-    Ingest.recoverSwap(spark, path("inbox_contacts"))
-    read(spark, "inbox_contacts")
-  }
+  def contacts(spark: SparkSession): DataFrame =
+    Ingest.currentSnapshot(spark, path("inbox_contacts")) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => read(spark, "inbox_contacts") // missing table: same error as before
+    }
   def tocc(spark: SparkSession): DataFrame = read(spark, "inbox_tocc")
   def deadLetters(spark: SparkSession): DataFrame = read(spark, "dead_letters")
 }
@@ -99,11 +98,13 @@ object Ingest {
   def upsertContacts(newContacts: DataFrame, warehouse: Warehouse): DataFrame = {
     val spark = newContacts.sparkSession
     val path = warehouse.path("inbox_contacts")
-    recoverSwap(spark, path) // heal a swap a previous run crashed mid-way
-    val existing: DataFrame =
-      if (tableExists(spark, path)) spark.read.parquet(path)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    val snapshot = currentSnapshot(spark, path)
+    val existing: DataFrame = snapshot match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.model.Schemas.contacts)
+    }
     val maxId = existing.agg(coalesce(max(col("id")), lit(0L))).collect()(0).getLong(0)
     val newPairs = newContacts
       .select(col("realname"), col("email_address")).distinct()
@@ -115,41 +116,98 @@ object Ingest {
         Seq(col("realname"), col("email_address")), "id", offset = maxId)
       .select(col("id"), col("realname"), col("email_address"))
     val updated = existing.unionByName(fresh)
-    // crash-safe swap: write the refreshed dimension to a scratch path (the
-    // read lineage over the live path stays valid while writing), then swap
-    // via rename — a crash leaves either the old or the new table, never a
-    // half-overwritten one. The window where `live` is absent (between the two
-    // renames) is healed by [[recoverSwap]] on the next open. CAVEAT: this
-    // relies on `rename` being atomic (HDFS/local); on S3-style object stores
-    // rename is copy+delete, so the production form there is a transactional
-    // table format where this whole body is one MERGE (the scaladoc contract
-    // above). Reference invariant: per-row txn + UNIQUE(realname,
-    // email_address), maillog.py:16, core.py:46-48.
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
-    val live = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.delete(tmp, true)
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, true)
-    spark.read.parquet(path)
+    // Versioned-snapshot commit (the minimal core of a transactional table
+    // format, object-store safe — no directory renames anywhere):
+    //  - each refresh writes a NEW immutable `v-NNNNNNNN` directory; the
+    //    committer writes `_SUCCESS` last, and that file IS the commit marker;
+    //  - readers resolve the highest version with `_SUCCESS`, so a torn write
+    //    (no `_SUCCESS`) is simply invisible and the previous snapshot keeps
+    //    serving — there is no instant at which the table is absent;
+    //  - a replay after a torn write recomputes the same next version number
+    //    and SaveMode.Overwrite reclaims the torn directory.
+    // Single-writer (the reference is a cron job, maillog.py); at cluster
+    // scale with concurrent writers this becomes a real table format's MERGE.
+    // Reference invariant: per-row txn + UNIQUE(realname, email_address),
+    // maillog.py:16, core.py:46-48.
+    val nextVersion = snapshot match {
+      case Some(VersionDirRe(n)) => n.toLong + 1
+      case Some(_) => 1L // legacy un-versioned layout: first versioned commit
+      case None => 1L
+    }
+    val target = f"$path/v-$nextVersion%08d"
+    updated.write.mode(SaveMode.Overwrite).parquet(target)
+    gcOldSnapshots(spark, path, keepFrom = nextVersion - 1)
+    spark.read.parquet(target)
   }
 
-  /** Self-heal a staged swap interrupted between its two renames. States a
-    * crash can leave (in swap order) and their recovery:
-    *  - staging write died mid-flight → `live` still present: no-op (the
-    *    garbage staging dir is deleted at the next upsert's start);
+  private[ingest] val VersionDirRe = ".*/v-(\\d{8})$".r
+
+  /** Resolve the current committed snapshot directory of a versioned
+    * dimension table: the highest `v-NNNNNNNN` child containing `_SUCCESS`.
+    * Falls back to the pre-versioning layouts so existing warehouses upgrade
+    * transparently on their next upsert:
+    *  - plain parquet files directly under `base` → that directory;
+    *  - a crashed pre-versioning staged swap (`__staging`/`__old` leftovers)
+    *    is healed first via [[recoverSwap]].
+    * Returns None when the table does not exist at all.
+    */
+  def currentSnapshot(spark: SparkSession, base: String): Option[String] = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(basePath)) Array.empty[(Long, String)]
+      else fs.listStatus(basePath).collect {
+        case st if st.isDirectory =>
+          st.getPath.toString match {
+            case VersionDirRe(n)
+                if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+              Some((n.toLong, st.getPath.toString))
+            case _ => None
+          }
+      }.flatten
+    if (versions.nonEmpty) Some(versions.maxBy(_._1)._2)
+    else {
+      recoverSwap(spark, base) // heal a pre-versioning swap crash
+      val hasLegacyData = fs.exists(basePath) &&
+        fs.listStatus(basePath).exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      if (hasLegacyData) Some(base) else None
+    }
+  }
+
+  /** Retain the current and previous snapshots (short-lived readers of the
+    * prior version finish against immutable files); delete older versions,
+    * torn higher-numbered directories from crashed FUTURE writes cannot exist
+    * (single writer), and clear pre-versioning legacy files once a versioned
+    * snapshot is committed.
+    */
+  private def gcOldSnapshots(spark: SparkSession, base: String, keepFrom: Long): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(basePath).foreach { st =>
+      st.getPath.toString match {
+        case VersionDirRe(n) if st.isDirectory && n.toLong < keepFrom =>
+          fs.delete(st.getPath, true)
+        case _ =>
+          // legacy layout leftovers: root part-files, _SUCCESS, __old/__staging
+          val name = st.getPath.getName
+          if (name.startsWith("part-") || name == "_SUCCESS")
+            fs.delete(st.getPath, false)
+      }
+    }
+    val old = new org.apache.hadoop.fs.Path(base + "__old")
+    val staging = new org.apache.hadoop.fs.Path(base + "__staging")
+    fs.delete(old, true)
+    fs.delete(staging, true)
+  }
+
+  /** Self-heal a PRE-VERSIONING staged swap interrupted between its two
+    * renames (kept for transparent upgrade of old warehouses; the versioned
+    * commit above never renames). States and recovery:
+    *  - staging write died mid-flight → `live` still present: no-op;
     *  - after `rename(live, old)`, before `rename(staging, live)` → `live`
-    *    absent, staging COMPLETE (it was fully written before the swap began;
-    *    `_SUCCESS` proves it): promote staging — it is the newest data;
-    *  - staging somehow incomplete and `live` absent → fall back to `__old`
-    *    (the pre-swap table; loses only the crashed batch, which the caller
-    *    replays idempotently).
-    * Idempotent and cheap (two `exists` calls) — safe to call on every open.
+    *    absent, staging COMPLETE (`_SUCCESS` proves it): promote staging;
+    *  - staging incomplete and `live` absent → fall back to `__old` (loses
+    *    only the crashed batch, which the caller replays idempotently).
     */
   def recoverSwap(spark: SparkSession, path: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
@@ -166,11 +224,5 @@ object Ingest {
       fs.rename(old, live)
       fs.delete(staging, true)
     }
-  }
-
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
   }
 }

@@ -84,51 +84,61 @@ class IngestSpec extends GraftSpec {
     assert(wh.authfail(spark).count() === 4)
   }
 
-  test("contacts dimension self-heals from every crash point of the staged swap") {
+  test("versioned contact snapshots survive every crash point (no renames)") {
     val wh = tmpWarehouse()
-    val fsPath = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts"))
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def live = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts"))
-    def staging = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts") + "__staging")
-    def old = new org.apache.hadoop.fs.Path(wh.path("inbox_contacts") + "__old")
-
-    val batch1 = Seq(("Alice", "alice@a.example")).toDF("realname", "email_address")
-    Ingest.upsertContacts(batch1, wh)
-    val batch2 = Seq(("Bob", "bob@b.example")).toDF("realname", "email_address")
-    Ingest.upsertContacts(batch2, wh)
-    val expected = wh.contacts(spark).orderBy("id")
+    val base = wh.path("inbox_contacts")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dim = wh.contacts(spark).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(expected === Seq((1L, "Alice"), (2L, "Bob")))
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
 
-    // crash point A: between rename(live, old) and rename(staging, live) —
-    // live absent, staging complete, old present. Recover → newest (staging).
-    fs.rename(live, staging) // stand-in for the fully-written staging dir
-    // staging was written by parquet so _SUCCESS exists; simulate old as stale
-    Seq(("Alice", "alice@a.example")).toDF("realname", "email_address")
-      .write.parquet(old.toString)
-    assert(!fs.exists(live))
-    val healedA = wh.contacts(spark).orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(healedA === expected, "recovery must promote the complete staging dir")
-    assert(!fs.exists(old) && !fs.exists(staging), "swap must be finished")
+    Ingest.upsertContacts(
+      Seq(("Alice", "alice@a.example")).toDF("realname", "email_address"), wh)
+    Ingest.upsertContacts(
+      Seq(("Bob", "bob@b.example")).toDF("realname", "email_address"), wh)
+    assert(dim === Seq((1L, "Alice"), (2L, "Bob")))
+    // current + previous snapshots retained, both immutable
+    assert(exists(s"$base/v-00000001") && exists(s"$base/v-00000002"))
 
-    // crash point B: staging incomplete (no _SUCCESS) and live absent —
-    // recover falls back to __old (pre-swap table).
-    fs.rename(live, old)
-    fs.mkdirs(staging) // torn write: directory exists, no _SUCCESS
-    assert(!fs.exists(live))
-    val healedB = wh.contacts(spark).orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(healedB === expected, "recovery must fall back to the old table")
-    assert(!fs.exists(staging), "torn staging dir must be cleared")
+    // crash point A: a torn NEXT-version write (directory exists, no _SUCCESS
+    // — the committer writes it last). Readers must keep serving v2.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/v-00000003"))
+    assert(dim === Seq((1L, "Alice"), (2L, "Bob")),
+      "a torn write must be invisible to readers")
 
-    // crash point C: nothing to heal — live present plus leftover dirs; reads
-    // and the next upsert proceed and clean up.
-    fs.mkdirs(staging)
-    val batch3 = Seq(("Carol", "carol@c.example")).toDF("realname", "email_address")
-    val c3 = Ingest.upsertContacts(batch3, wh).orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(c3 === Seq((1L, "Alice"), (2L, "Bob"), (3L, "Carol")))
+    // the crashed batch replays: the writer recomputes next = v3 and
+    // SaveMode.Overwrite reclaims the torn directory
+    Ingest.upsertContacts(
+      Seq(("Carol", "carol@c.example")).toDF("realname", "email_address"), wh)
+    assert(dim === Seq((1L, "Alice"), (2L, "Bob"), (3L, "Carol")))
+    assert(exists(s"$base/v-00000003/_SUCCESS"))
+    assert(!exists(s"$base/v-00000001"), "older snapshots are GC'd (keep 2)")
+
+    // legacy upgrade: a pre-versioning warehouse (plain parquet at the table
+    // root) reads as-is and is migrated by its next upsert
+    val wh2 = tmpWarehouse()
+    Seq((1L, "Alice", "alice@a.example")).toDF("id", "realname", "email_address")
+      .write.parquet(wh2.path("inbox_contacts"))
+    assert(wh2.contacts(spark).count() === 1)
+    Ingest.upsertContacts(
+      Seq(("Bob", "bob@b.example")).toDF("realname", "email_address"), wh2)
+    val base2 = wh2.path("inbox_contacts")
+    assert(exists(s"$base2/v-00000001/_SUCCESS"))
+    assert(wh2.contacts(spark).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "Alice"), (2L, "Bob")))
+    // legacy root files cleared so the layout is purely versioned
+    val rootFiles = fs.listStatus(new org.apache.hadoop.fs.Path(base2))
+      .filter(_.isFile).map(_.getPath.getName).toSeq
+    assert(rootFiles.isEmpty, s"legacy files should be GC'd, found $rootFiles")
+
+    // legacy swap-crash healing still works on the way in: table root absent,
+    // complete __old left by a pre-versioning crash → promoted, then read
+    val wh3 = tmpWarehouse()
+    Seq((1L, "Zoe", "zoe@z.example")).toDF("id", "realname", "email_address")
+      .write.parquet(wh3.path("inbox_contacts") + "__old")
+    assert(wh3.contacts(spark).count() === 1)
   }
 
   test("dead letters append with the reference error-record shape (W5)") {
