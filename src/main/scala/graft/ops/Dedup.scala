@@ -68,11 +68,20 @@ object Dedup {
         tri.join(freq.select("gram"), Seq("gram"))
       }
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = filtered.as("a")
-    val b = filtered.as("b")
-    val inter = a.join(b, col("a.gram") === col("b.gram") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    // Pair generation: ONE shuffle of the inverted index (gram → sorted doc
+    // list), then per-gram pair combinations generated locally — the
+    // self-join formulation shuffled the index twice (both join sides) to
+    // produce the same pair multiset. The df cap bounds each list at
+    // maxDocFreq, so the local expansion is ≤ df²/2 pairs per gram; the pair
+    // count aggregation partial-aggregates map-side before its shuffle.
+    val lists = filtered.groupBy("gram")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val inter = lists
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids)), i ->
+             transform(slice(ids, i + 1, size(ids) - i), j ->
+               struct(element_at(ids, i) AS doc1, j AS doc2))))""")).as("p"))
+      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
