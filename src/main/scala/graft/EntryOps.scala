@@ -258,9 +258,14 @@ object EntryOps {
     val words = d.select(col("doc_id"),
       explode(graft.ops.Dedup.words(col("text"))).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // df = number of docs containing w = tf rows per w — a window count over
+    // the tf frame itself, so the w-shuffle both computes df and carries the
+    // rows forward (the former groupBy(w) + equi-join added a second shuffle
+    // of the tf frame by w for the same values)
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("w"))))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "w")
+    val scored = withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("weight", expr("tf * n_docs * 1000 div df"))
     val rank = Window.partitionBy(col("doc_id"))

@@ -124,6 +124,44 @@ class StreamingSpec extends GraftSpec {
     assert(rows.toSet === Set(("2026-08-10", "GET /a HTTP/1.1", 1L)))
   }
 
+  test("streaming attempts-by-IP window cross-checks the batch Q2 report") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def line(ts: String, ip: String): String =
+      s"$ts myhost sshd[1]: Failed password for root from $ip port 22 ssh2"
+    // 12 in-window failures over 3 IPs on 2026-08-10, plus a later sentinel
+    // whose watermark closes the window
+    val inWindow = (0 until 12).map { i =>
+      line(f"2026-08-10T0${i % 6}%d:00:00+00:00", s"198.51.100.${i % 3}")
+    }
+    val sentinel = line("2026-08-12T05:00:00+00:00", "203.0.113.9")
+    val in = tmp("att-in")
+    Files.writeString(in.resolve("auth.log"),
+      (inWindow :+ sentinel).mkString("", "\n", "\n"))
+    val out = tmp("att-out")
+    val q = StreamingReports.windowedAttempts(
+        graft.parse.AuthfailParser.parse(spark.readStream.text(in.toString)).events,
+        "24 hours", "1 hour")
+      .writeStream
+      .option("checkpointLocation", tmp("att-ck").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out.toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out.toString)
+      .filter(date_format($"window_start", "yyyy-MM-dd") === "2026-08-10")
+      .select($"src_addr", $"qty").as[(String, Long)].collect().toSet
+    val batch = graft.reports.Reports.authfailAttemptsByIp(
+        graft.parse.AuthfailParser.parse(inWindow.toDF("value")).events,
+        lit("2026-08-11 00:00:00").cast("timestamp"))
+      .select($"src_addr", $"qty").as[(String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch === Set(("198.51.100.0", 4L), ("198.51.100.1", 4L),
+      ("198.51.100.2", 4L)))
+  }
+
   test("streaming daily window cross-checks the batch report on the same data") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
