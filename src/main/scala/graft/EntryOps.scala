@@ -62,6 +62,9 @@ object EntryOps {
   def topkLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkLsh(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
+  def topkLshBands(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkLshBands(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
@@ -448,6 +451,26 @@ object EntryOps {
           SELECT query_id, bucket, rank, cand_id, cosine FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
     },
+    "s04_topk_lsh_bands" -> {
+      // bands = bit-slices of ONE 8-plane bucket; candidate iff ANY band
+      // collides (the OR mirrors the Spark union-of-band-joins + dedup)
+      s"""WITH e AS (SELECT vec_id, embedding,
+              ${duckHyperplaneBucket("embedding", 8)} AS b8 FROM embeddings),
+          e2 AS (SELECT vec_id, embedding, b8 % 16 AS band0, b8 // 16 AS band1
+                 FROM e),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, band0, band1
+                FROM e2 WHERE vec_id % 40 = 0),
+          s AS (SELECT q.query_id, c.vec_id AS cand_id,
+                ${duckCosine("q.qe", "c.embedding")} AS cosine
+                FROM q JOIN e2 c
+                  ON (c.band0 = q.band0 OR c.band1 = q.band1)
+                 AND c.vec_id != q.query_id),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, rank, cand_id, cosine FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
     "t01_langid" ->
       """SELECT doc_id, zh_hits, en_hits, fr_hits, es_hits, de_hits, actual_lang,
            CASE WHEN zh_hits > 0 THEN 'zh'
@@ -632,6 +655,7 @@ object EntryOps {
     "s01_topk_brute" -> (topkBrute _),
     "s02_topk_ivf" -> (topkIvf _),
     "s03_topk_lsh" -> (topkLsh _),
+    "s04_topk_lsh_bands" -> (topkLshBands _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),

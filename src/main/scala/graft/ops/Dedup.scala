@@ -170,4 +170,20 @@ object Dedup {
       .select(col("doc_id"), graft.functions.SimHash16(col("text")).as("simhash"))
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
+
+  /** Streaming exact dedup: emit only the FIRST document seen per content
+    * hash; duplicates arriving within the watermark horizon are dropped and
+    * per-hash state expires once the watermark passes (bounded state — the
+    * property that lets this run forever on an unbounded corpus feed, unlike
+    * a global `dropDuplicates`, whose state only grows). `docs` must carry an
+    * `event_time` timestamp column. Duplicates farther apart than `horizon`
+    * can both survive: at 100 TB/day the horizon is the dedup window a
+    * production feed actually wants, and a periodic batch [[exact]] pass
+    * sweeps the long tail.
+    */
+  def streamingExactDedup(docs: DataFrame, horizon: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -143,6 +143,53 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Multi-band (multi-probe) LSH ANN: `bands` independent hyperplane bands
+    * of `planesPerBand` planes each, taken as bit-slices of ONE
+    * `bands × planesPerBand`-plane bucket (computed once per vector by the
+    * native expression). A candidate matches a query if they collide in ANY
+    * band — the OR over bands recovers neighbors a single `planes`-bit bucket
+    * splits apart (the same banding trade MinHash-LSH uses): per-band
+    * collision prob is (1−θ/π)^p, overall 1−(1−(1−θ/π)^p)^B. Candidates are
+    * the union of per-band EQUI-joins (each shuffles by its band key — never
+    * all-pairs), deduped per (query, candidate), then exact-cosine ranked.
+    */
+  def topkLshBands(emb: DataFrame, queryPred: Column, k: Int,
+      planesPerBand: Int = 4, bands: Int = 2): DataFrame = {
+    val mask = (1 << planesPerBand) - 1
+    val bucketed = emb.withColumn("b_all",
+      hyperplaneBucket("embedding", planesPerBand * bands))
+    def bandCol(i: Int): Column =
+      shiftright(col("b_all"), i * planesPerBand).bitwiseAND(lit(mask))
+    val withBands = (0 until bands).foldLeft(bucketed)((d, i) =>
+      d.withColumn(s"band$i", bandCol(i)))
+    val q = withBands.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm2("embedding").as("qnorm"),
+        struct((0 until bands).map(i => col(s"band$i")): _*).as("qbands"))
+    val c = withBands
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        norm2("embedding").as("cnorm"),
+        struct((0 until bands).map(i => col(s"band$i")): _*).as("cbands"))
+    val perBand = (0 until bands).map { i =>
+      q.withColumn("bkey", col("qbands")(s"band$i"))
+        .join(c.withColumn("bkey", col("cbands")(s"band$i")), Seq("bkey"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("qe"), col("ce"),
+          col("qnorm"), col("cnorm"))
+    }
+    val candidates = perBand.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "cand_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    candidates
+      .withColumn("cosine", dot("qe", "ce") / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-blocked near-duplicate pairs — the scale path for [[nearDupPairs]]:
     * candidates are only same-hyperplane-bucket pairs (an EQUI-join on the
     * bucket id, so the pair generation shuffles by bucket instead of

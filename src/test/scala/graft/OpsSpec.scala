@@ -82,6 +82,22 @@ class OpsSpec extends GraftSpec {
     assert(out === Array((1L, 2L)))
   }
 
+  test("multi-band LSH recalls at least the single-band candidate set") {
+    // band 0 of the 8-plane bucket IS the 4-plane bucket (the plane
+    // coefficients depend only on (plane, dim)), so every single-band
+    // candidate also collides in band 0 of the banded variant — banding can
+    // only ADD candidates (via band 1), never lose them
+    val single = Similarity.topkLsh(vecs, $"vec_id" === 1, k = 10)
+      .select("cand_id").as[Long].collect().toSet
+    val banded = Similarity.topkLshBands(vecs, $"vec_id" === 1, k = 10)
+      .select("cand_id").as[Long].collect().toSet
+    assert(single.subsetOf(banded))
+    // identical-direction vectors collide in every band → always recalled
+    val out = Similarity.topkLshBands(vecs, $"vec_id" === 1, k = 3)
+      .select("rank", "cand_id").as[(Long, Long)].collect()
+    assert(out.headOption === Some((1L, 2L)))
+  }
+
   test("LSH-blocked near-dup is the baseline restricted to same-bucket pairs") {
     val full = Similarity.nearDupPairs(vecs, 0.3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

@@ -124,6 +124,43 @@ class StreamingSpec extends GraftSpec {
     assert(rows.toSet === Set(("2026-08-10", "GET /a HTTP/1.1", 1L)))
   }
 
+  test("streaming exact dedup keeps first doc per content hash with bounded state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("dedup-in")
+    val t0 = 3600000000L // 1 h in µs (off the epoch-0 initial watermark)
+    // batch 1: a duplicate pair; batch 2: fresh text + a later duplicate of
+    // batch 1's text, still within the horizon → dropped via carried state
+    Files.writeString(in.resolve("b1.csv"),
+      s"1,hello world,$t0\n2,hello world,${t0 + 60000000L}\n")
+    Files.writeString(in.resolve("b2.csv"),
+      s"3,fresh text,${t0 + 120000000L}\n4,hello world,${t0 + 180000000L}\n")
+    Files.setLastModifiedTime(in.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts_us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in.toString)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val q = graft.ops.Dedup.streamingExactDedup(stream, "10 minutes")
+      .select("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", tmp("dedup-ck").toString)
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("stream_dedup_out")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.map(_._2).sorted === Seq("fresh text", "hello world"),
+      "exactly one survivor per content hash")
+    assert(rows.contains((3L, "fresh text")))
+    assert(!rows.map(_._1).contains(4L),
+      "a duplicate in a later micro-batch must be dropped via carried state")
+  }
+
   test("streaming attempts-by-IP window cross-checks the batch Q2 report") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
