@@ -88,6 +88,10 @@ object EntryOps {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.assetMetadata(Multimodal.asAssets(Tables.documents(spark, dir)))
 
+  /** Oracle-checked frame sampling (evenly-spaced payload slices). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.asAssets(Tables.documents(spark, dir)))
+
   /** Window function: top-3 events by value per type (rank over partition). */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -608,6 +612,14 @@ object EntryOps {
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            lower(substring(hex(encode(text)), 1, 16)) AS digest16
          FROM documents ORDER BY asset_id""",
+    "m03_frame_sample" ->
+      """WITH b AS (SELECT doc_id AS asset_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+         f AS (SELECT asset_id, n_bytes, hx, unnest(range(4)) AS frame_idx FROM b)
+         SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32) AS frame_hex,
+           CAST(len(substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32)) // 2 AS BIGINT) AS frame_bytes
+         FROM f ORDER BY asset_id, frame_idx""",
     "q29_asof_join" ->
       """SELECT event_id, user_id, ts_us, last_signup_id, lag_sec FROM (
            SELECT event_id, user_id, ts_us,
@@ -662,6 +674,7 @@ object EntryOps {
     "t04_fingerprint" -> (fingerprint _),
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),
+    "m03_frame_sample" -> (frameSample _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -44,6 +44,10 @@ object GraftExtensions {
           val bs = args(2).eval().asInstanceOf[Int]
           MinHashBandSigs(args.head, k, bs)
         }),
+      (FunctionIdentifier("inet_sort_key"),
+        info("inet_sort_key",
+          "inet_sort_key(ip) - PostgreSQL-INET-order binary sort key for IPv4/IPv6 text"),
+        (args: Seq[Expression]) => graft.functions.InetSortKey(args.head)),
       (FunctionIdentifier("parse_str_array"),
         info("parse_str_array",
           "parse_str_array(str) - parse a quoted-string-array log literal (JSON + \\xhh escapes)"),

@@ -60,6 +60,30 @@ object Multimodal {
       lower(substring(hex(col("payload")), 1, 16)).as("digest16"))
       .orderBy(col("asset_id"))
 
+  /** Frame sampling over the binary payload — the video-frame-sample /
+    * audio-chunk plumbing: `frames` evenly-spaced fixed-size slices per
+    * asset, one output row per (asset, frame). Pure builtins over the hex
+    * view of the bytes (no UDF, no shuffle; the explode multiplies rows
+    * locally). A real decoder replaces the slice with a container-aware
+    * frame fetch at the same (offset, size) call sites — the plan shape is
+    * identical.
+    */
+  def frameSample(assets: DataFrame, frames: Int = 4,
+      frameBytes: Int = 16): DataFrame =
+    assets
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("hx", lower(hex(col("payload"))))
+      .select(col("asset_id"), col("n_bytes"), col("hx"),
+        explode(sequence(lit(0), lit(frames - 1))).as("frame_idx"))
+      .withColumn("frame_hex", expr(
+        s"substring(hx, CAST(frame_idx * (n_bytes div $frames) * 2 + 1 AS INT), ${frameBytes * 2})"))
+      .select(
+        col("asset_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_hex"),
+        (length(col("frame_hex")) / 2).cast("long").as("frame_bytes"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+
   /** Feature extraction over the binary payload — the decode-and-featurize stage
     * of a multimodal ingest. One narrow map, no shuffle. The 4-bin byte
     * histogram is emitted as four scalar columns (h0..h3) so the result is

@@ -82,6 +82,18 @@ class OpsSpec extends GraftSpec {
     assert(out === Array((1L, 2L)))
   }
 
+  test("frameSample slices evenly-spaced fixed-size frames from the payload") {
+    val assets = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+      .select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload"))
+    val frames = graft.ops.Multimodal.frameSample(assets, frames = 4, frameBytes = 2)
+      .select("frame_idx", "frame_hex", "frame_bytes")
+      .as[(Long, String, Long)].collect()
+    // 8 bytes / 4 frames → stride 2: "ab" "cd" "ef" "gh"
+    assert(frames === Array((0L, "6162", 2L), (1L, "6364", 2L),
+      (2L, "6566", 2L), (3L, "6768", 2L)))
+  }
+
   test("multi-band LSH recalls at least the single-band candidate set") {
     // band 0 of the 8-plane bucket IS the 4-plane bucket (the plane
     // coefficients depend only on (plane, dim)), so every single-band
