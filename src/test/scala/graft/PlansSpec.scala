@@ -78,6 +78,40 @@ class PlansSpec extends GraftSpec {
     out.toSeq
   }
 
+  test("the Staged fence keeps validity filters above the parse projections") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // If the dead-letter filter is ever pushed below the staged split/parse
+    // projections again, its condition re-derives the parse per conjunct
+    // (FilterExec generated code has no cross-conjunct subexpression
+    // elimination — measured 3× slower). The fence makes the filter operate
+    // on materialized `parts`/`strs` attributes, so its condition must not
+    // contain the parse expressions themselves.
+    // file-backed source: a LocalRelation would be constant-folded, Filter
+    // and all, before the pushdown behavior under test even exists
+    val dir = java.nio.file.Files.createTempDirectory("fence-spec")
+    java.nio.file.Files.writeString(dir.resolve("in.log"), "x|y\n")
+    val lines = spark.read.text(dir.toString)
+    val events = graft.parse.ApacheParser.parse(lines).events
+    val filters = events.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }
+    assert(filters.nonEmpty)
+    filters.foreach { cond =>
+      assert(!cond.contains("parse_str_array") && !cond.contains("split("),
+        s"validity filter was pushed into the parse stage:\n$cond")
+    }
+    val auth = graft.parse.AuthfailParser.parse(lines).events
+    val authFilters = auth.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }
+    assert(authFilters.nonEmpty)
+    authFilters.foreach { cond =>
+      assert(!cond.toLowerCase.contains("rlike") && !cond.contains("regexp_extract"),
+        s"validity filter was pushed into the regex stage:\n$cond")
+    }
+  }
+
   test("no registered query plans an unbounded single-task stage or stray BNLJ") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
