@@ -92,6 +92,45 @@ class ExtensionsSpec extends GraftSpec {
       s"row $i should be null"))
   }
 
+  test("parse_str_array matches from_json on randomized arrays and garbage (property)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val strGen = Gen.listOfN(12, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('"', '\\', '\t', '\n', ' ', 'é', '中'),
+      1 -> Gen.oneOf('[', ']', ',', ':'))).map(_.mkString)
+    val arrGen = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, strGen))
+      .map(xs => xs.map(s => "\"" + jsonEscape(s) + "\"").mkString("[", ", ", "]"))
+    val junkGen = Gen.listOfN(16, Gen.asciiPrintableChar).map(_.mkString)
+    val inputs = (1 to 120).flatMap { i =>
+      val gen = if (i % 3 == 0) junkGen else arrGen
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+    }
+    val out = inputs.toDF("raw")
+      .withColumn("native", graft.functions.ParseStrArray(col("raw")))
+      .withColumn("via_json",
+        from_json(regexp_replace(col("raw"), "\\\\x([0-9a-fA-F]{2})", "\\\\u00$1"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+      .collect()
+    out.foreach { r =>
+      val native =
+        if (r.isNullAt(1)) null else r.getSeq[String](1)
+      val json =
+        if (r.isNullAt(2)) null else r.getSeq[String](2)
+      assert(native === json, s"input: <${r.getString(0)}>")
+    }
+    // the generator actually produced parsed arrays, not only nulls
+    assert(out.count(!_.isNullAt(1)) > 40)
+  }
+
   test("SQL simhash16 equals the Dedup pipeline value") {
     import spark.implicits._
     GraftExtensions.registerAll(spark)
