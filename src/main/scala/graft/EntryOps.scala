@@ -190,6 +190,25 @@ object EntryOps {
         count(lit(1)).as("qty"))
       .orderBy(col("event_type"))
 
+  /** Linear-counting distinct sketch with an ENGINE-PORTABLE hash: the bucket
+    * is the first 3 hex chars of md5 (m = 4096 buckets), so the occupied-
+    * bucket count — the sketch's sufficient statistic — is bit-identical in
+    * any engine with md5, and hash-checkable (unlike q28's HLL, whose sketch
+    * is implementation-specific). The estimate is `-m·ln(1 − occupied/m)`,
+    * left to the caller: the emitted columns stay integer-exact. Scale: the
+    * distinct runs map-side partial per (type, bucket) — state per group is
+    * min(distinct, 4096) however many users exist.
+    */
+  def linearCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        lit(4096L).as("m"),
+        countDistinct(
+          substring(md5(col("user_id").cast("string")), 1, 3)).as("occupied"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   /** S5 — point-lookup scan (reference maillog.py:67-71: conjunctive equality,
     * first row): pushed equality predicates + deterministic LIMIT 1.
     */
@@ -620,6 +639,11 @@ object EntryOps {
            substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32) AS frame_hex,
            CAST(len(substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32)) // 2 AS BIGINT) AS frame_bytes
          FROM f ORDER BY asset_id, frame_idx""",
+    "q31_linear_count_distinct" ->
+      """SELECT event_type, CAST(4096 AS BIGINT) AS m,
+           CAST(count(DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS occupied,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q29_asof_join" ->
       """SELECT event_id, user_id, ts_us, last_signup_id, lag_sec FROM (
            SELECT event_id, user_id, ts_us,
@@ -685,6 +709,7 @@ object EntryOps {
     "q26_latest_per_key" -> (latestPerKey _),
     "q27_salted_agg" -> (saltedAgg _),
     "q28_approx_distinct" -> (approxDistinct _), // rows-only (no oracle): HLL sketches differ across engines
+    "q31_linear_count_distinct" -> (linearCountDistinct _),
     "q29_asof_join" -> (asofJoin _),
     "q30_percentiles" -> (percentiles _),
     "t05_fingerprint_agg" -> (fingerprintAgg _),

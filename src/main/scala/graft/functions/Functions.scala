@@ -106,10 +106,6 @@ object F {
   // --------------------------------------------------------------------------
   def ipSortKey(ip: Column): Column = InetSortKey(ip)
 
-  /** Driver-side mirror of the INET key (tests / report rendering). */
-  def ipSortKeyScala(ip: String): Array[Byte] =
-    InetSortKey.key(org.apache.spark.unsafe.types.UTF8String.fromString(ip))
-
   // --------------------------------------------------------------------------
   // P13 — relative time literal (reference core.py:60-61). `now` injectable for
   // deterministic tests and oracle parity.

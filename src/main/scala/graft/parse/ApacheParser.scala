@@ -2,7 +2,6 @@ package graft.parse
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
 
 import graft.functions.F
 
