@@ -68,11 +68,17 @@ class SessionizeSpec extends GraftSpec {
     Files.writeString(in.resolve("b1.csv"), "9,1,3600000000\n9,2,3660000000\n")
     Files.writeString(in.resolve("b2.csv"), "8,3,90000000000\n")
     Files.writeString(in.resolve("b3.csv"), "8,4,90060000000\n")
+    // batches 4/5: user 9 returns AFTER its timeout flush — the numbering
+    // sentinel must continue at session_num 2 (batch-sessionizer parity);
+    // the 5th batch's far-later event closes session 2 via the gap rule
+    Files.writeString(in.resolve("b4.csv"), "9,5,90120000000\n")
+    Files.writeString(in.resolve("b5.csv"), "9,6,95000000000\n")
     val nowMs = System.currentTimeMillis()
-    Files.setLastModifiedTime(in.resolve("b1.csv"),
-      java.nio.file.attribute.FileTime.fromMillis(nowMs - 120000))
-    Files.setLastModifiedTime(in.resolve("b2.csv"),
-      java.nio.file.attribute.FileTime.fromMillis(nowMs - 60000))
+    Seq("b1.csv" -> 120000L, "b2.csv" -> 90000L, "b3.csv" -> 60000L,
+      "b4.csv" -> 30000L).foreach { case (f, back) =>
+      Files.setLastModifiedTime(in.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(nowMs - back))
+    }
     val stream = spark.readStream
       .schema("user_id LONG, event_id LONG, ts_us LONG")
       .option("maxFilesPerTrigger", "1")
@@ -89,9 +95,15 @@ class SessionizeSpec extends GraftSpec {
     q.awaitTermination()
     val rows = spark.table("sessions_timeout_out")
       .as[Sessionize.ClosedSession].collect().toSet
-    // user 9's session closed by timeout; user 8's trailing session stays open
-    // (the stream never ended for it — correct streaming semantics)
-    assert(rows === Set(Sessionize.ClosedSession(9, 1, 2, 3600000000L, 60L)))
+    // session 1 closed by timeout; session 2 (opened from the numbering
+    // sentinel AFTER the flush) closed by the gap rule; user 8's session
+    // closed by the final timeout sweep (the last batch pushes the watermark
+    // past its last_us + gap); user 9's trailing session 3 stays open — its
+    // timeout (95000 s + gap) is beyond the final watermark
+    assert(rows === Set(
+      Sessionize.ClosedSession(9, 1, 2, 3600000000L, 60L),
+      Sessionize.ClosedSession(9, 2, 1, 90120000000L, 0L),
+      Sessionize.ClosedSession(8, 1, 2, 90000000000L, 60L)))
   }
 
   test("stateful sessionizer carries open sessions across micro-batches") {
