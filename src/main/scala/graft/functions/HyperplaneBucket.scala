@@ -36,19 +36,29 @@ case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
 }
 
 object HyperplaneBucket {
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    * A vector shorter than `dims` or containing a null element yields bucket
+    * 0 — the SQL formulation's behavior (element_at beyond the end / a null
+    * element NULL-propagates through the projection sum, every sign CASE
+    * yields 0), so buckets stay bit-identical to the oracle on ragged input.
+    */
   def compute(e: ArrayData, planes: Int, dims: Int): Int = {
-    val n = math.min(dims, e.numElements())
+    if (e.numElements() < dims) return 0
+    var j = 0
+    while (j < dims) {
+      if (e.isNullAt(j)) return 0
+      j += 1
+    }
     var bucket = 0
     var i = 0
     while (i < planes) {
       var acc = 0.0d
-      var j = 1
-      while (j <= n) {
+      var k = 1
+      while (k <= dims) {
         // hyperplane component: exact dyadic rational in [-1, 1]
-        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0d
-        acc += e.getFloat(j - 1).toDouble * c
-        j += 1
+        val c = ((i * 37 + k * 101) % 17 - 8).toDouble / 8.0d
+        acc += e.getFloat(k - 1).toDouble * c
+        k += 1
       }
       if (acc > 0.0d) bucket |= 1 << i
       i += 1

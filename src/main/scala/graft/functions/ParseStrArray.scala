@@ -55,7 +55,10 @@ case class ParseStrArray(child: Expression) extends UnaryExpression {
 object ParseStrArray {
 
   /** Static entry point shared by interpreted eval and generated code.
-    * Returns null for anything that is not a flat array of scalars.
+    * Returns null for anything `from_json` would reject (bareword tokens,
+    * unbalanced nesting, bad escapes); accepts what it accepts — quoted
+    * strings, JSON scalars (stringified the same way), nested structures
+    * (captured as raw text).
     */
   def parse(u: UTF8String): ArrayData = {
     if (u == null) return null
@@ -122,15 +125,49 @@ object ParseStrArray {
           else { sb.append(ch); i += 1 }
         }
         out += UTF8String.fromString(sb.toString)
+      } else if (s.charAt(i) == '[' || s.charAt(i) == '{') {
+        // nested structure: from_json with a string schema captures it as raw
+        // JSON text — emit the balanced substructure verbatim (matching
+        // closers, quote-aware); unbalanced/mismatched nesting is malformed
+        val start = i
+        val stack = new scala.collection.mutable.ArrayDeque[Char]()
+        var inQ = false
+        var ok = true
+        while (i < n && (i == start || stack.nonEmpty) && ok) {
+          val c = s.charAt(i)
+          if (inQ) {
+            if (c == '\\') i += 1
+            else if (c == '"') inQ = false
+          } else c match {
+            case '"' => inQ = true
+            case '[' => stack.prepend(']')
+            case '{' => stack.prepend('}')
+            case ']' | '}' =>
+              if (stack.isEmpty || stack.head != c) ok = false
+              else stack.removeHead()
+            case _ =>
+          }
+          i += 1
+        }
+        if (!ok || stack.nonEmpty || inQ) return null
+        out += UTF8String.fromString(s.substring(start, i))
       } else {
-        // bare scalar token (number/true/false/null) — stringified, as
-        // from_json does for a string schema; JSON null stays a null element
+        // bare token: ONLY strict JSON scalars, exactly as Jackson accepts
+        // them — from_json stringifies ints verbatim, renders fraction/
+        // exponent numbers from the parsed double ('1e3' -> '1000.0'), keeps
+        // true/false, and maps JSON null to a null element; anything else
+        // (barewords) is malformed
         val start = i
         while (i < n && s.charAt(i) != ',' && s.charAt(i) != ']' &&
           !Character.isWhitespace(s.charAt(i))) i += 1
         if (i == start) return null
         val tok = s.substring(start, i)
-        out += (if (tok == "null") null else UTF8String.fromString(tok))
+        if (tok == "null") out += null
+        else if (tok == "true" || tok == "false") out += UTF8String.fromString(tok)
+        else if (tok.matches("-?(?:0|[1-9][0-9]*)")) out += UTF8String.fromString(tok)
+        else if (tok.matches("-?(?:0|[1-9][0-9]*)(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"))
+          out += UTF8String.fromString(java.lang.Double.toString(tok.toDouble))
+        else return null
       }
       ws()
       if (i >= n) return null

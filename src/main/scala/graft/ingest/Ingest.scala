@@ -154,23 +154,40 @@ object Ingest {
   def currentSnapshot(spark: SparkSession, base: String): Option[String] = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions =
-      if (!fs.exists(basePath)) Array.empty[(Long, String)]
-      else fs.listStatus(basePath).collect {
-        case st if st.isDirectory =>
-          st.getPath.toString match {
-            case VersionDirRe(n)
-                if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
-              Some((n.toLong, st.getPath.toString))
-            case _ => None
-          }
-      }.flatten
-    if (versions.nonEmpty) Some(versions.maxBy(_._1)._2)
+    // steady state costs ONE listing; the extra filesystem work below happens
+    // only in crash-recovery states
+    val listing =
+      if (fs.exists(basePath)) fs.listStatus(basePath)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val versionDirs = listing.collect {
+      case st if st.isDirectory =>
+        st.getPath.toString match {
+          case VersionDirRe(n) => Some((n.toLong, st.getPath))
+          case _ => None
+        }
+    }.flatten
+    val committed = versionDirs.filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+    if (committed.nonEmpty) Some(committed.maxBy(_._1)._2.toString)
     else {
-      recoverSwap(spark, base) // heal a pre-versioning swap crash
-      val hasLegacyData = fs.exists(basePath) &&
-        fs.listStatus(basePath).exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      if (hasLegacyData) Some(base) else None
+      val hasLegacyData =
+        listing.exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      if (hasLegacyData) {
+        // a torn FIRST versioned commit (v-dir without _SUCCESS) nested under
+        // a legacy layout would make spark.read.parquet(base) trip over the
+        // mixed files/dirs structure — clear the torn garbage so the legacy
+        // data stays readable (the replaying writer rebuilds the version)
+        versionDirs.foreach { case (_, p) => fs.delete(p, true) }
+        Some(base)
+      } else if (versionDirs.nonEmpty) {
+        None // only torn writes exist: no committed table yet
+      } else {
+        recoverSwap(spark, base) // heal a pre-versioning swap crash
+        val healed = fs.exists(basePath) &&
+          fs.listStatus(basePath).exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        if (healed) Some(base) else None
+      }
     }
   }
 

@@ -98,26 +98,35 @@ object MailParser {
     * surface as plain addresses. Quotes and angle brackets protect `:,;`.
     */
   def parseAddressList(v: String): Seq[Address] = {
+    // RFC 5322 group syntax always terminates with ';' — a top-level ':'
+    // with no ';' anywhere after it is NOT a group start (e.g. a colon in an
+    // RFC-2047 display word), so treat it literally. '[' ']' protect
+    // domain-literal colons (user@[IPv6:2001:db8::1]).
+    val canBeGroup = Array.tabulate(v.length) { i => v.indexOf(';', i) >= 0 }
     val out = scala.collection.mutable.ArrayBuffer[Address]()
     val cur = new StringBuilder
     var inQuote = false
     var depth = 0
     var inGroup = false
+    var idx = -1
     def flush(): Unit = {
       val s = cur.toString.trim
       if (s.nonEmpty) out += parseAddress(s)
       cur.clear()
     }
-    v.foreach {
-      case '"' => inQuote = !inQuote; cur += '"'
-      case '<' if !inQuote => depth += 1; cur += '<'
-      case '>' if !inQuote => depth -= 1; cur += '>'
-      case ':' if !inQuote && depth == 0 && !inGroup =>
-        inGroup = true; cur.clear() // group display name — dropped on flatten
-      case ';' if !inQuote && depth == 0 && inGroup =>
-        flush(); inGroup = false
-      case ',' if !inQuote && depth == 0 => flush()
-      case c => cur += c
+    v.foreach { c =>
+      idx += 1
+      c match {
+        case '"' => inQuote = !inQuote; cur += '"'
+        case '<' | '[' if !inQuote => depth += 1; cur += c
+        case '>' | ']' if !inQuote => depth -= 1; cur += c
+        case ':' if !inQuote && depth == 0 && !inGroup && canBeGroup(idx) =>
+          inGroup = true; cur.clear() // group display name — dropped on flatten
+        case ';' if !inQuote && depth == 0 && inGroup =>
+          flush(); inGroup = false
+        case ',' if !inQuote && depth == 0 => flush()
+        case _ => cur += c
+      }
     }
     flush()
     out.toSeq

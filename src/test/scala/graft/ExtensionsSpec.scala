@@ -49,6 +49,14 @@ class ExtensionsSpec extends GraftSpec {
       assert(r.getInt(1) === r.getInt(3), s"vec ${r.getLong(0)}")
     }
     assert(rows.map(_.getInt(1)).distinct.length > 1) // buckets actually vary
+    // ragged input: the DuckDB oracle mirror indexes e[k] out of range →
+    // NULL → the projection sum NULL-propagates → every CASE yields 0 →
+    // bucket 0. The native expression must agree (and must not read past the
+    // array), so short vectors land in bucket 0, never a partial-sum bucket.
+    val short = Seq((99L, Array(1.0f, -1.0f))).toDF("vec_id", "embedding")
+      .select(graft.functions.HyperplaneBucket(col("embedding"), planes, 64))
+      .collect()(0)
+    assert(short.getInt(0) === 0)
   }
 
   test("native parse_str_array equals the from_json formulation") {
@@ -61,9 +69,13 @@ class ExtensionsSpec extends GraftSpec {
       """[]""",
       """  [ "spaced" , "list" ]  """,
       """["trailing"] junk""", // from_json ignores post-value garbage; so do we
+      """[1, 2.5, true, null, 1e3, -4]""", // JSON scalars stringify like Jackson
+      """[["a"],["b"], {"k":1}]""", // nested structures captured as raw text
       """["unterminated]""",
       """["bad escape \q"]""",
       """not an array""",
+      """[a, b]""", // barewords: invalid JSON, both null
+      """[[unbalanced}""",
       s"""["a${1.toChar}b"]""").toDF("raw")
     val out = rows
       .withColumn("native", graft.functions.ParseStrArray(col("raw")))
@@ -88,7 +100,13 @@ class ExtensionsSpec extends GraftSpec {
     assert(out(2).getSeq[String](out(2).fieldIndex("native")) === Seq())
     assert(out(3).getSeq[String](out(3).fieldIndex("native")) === Seq("spaced", "list"))
     assert(out(4).getSeq[String](out(4).fieldIndex("native")) === Seq("trailing"))
-    (5 until 9).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("native")),
+    // JSON scalars: ints verbatim, fraction/exponent via parsed double, null
+    // element preserved (parity asserted against via_json above)
+    assert(out(5).getSeq[String](out(5).fieldIndex("native")) ===
+      Seq("1", "2.5", "true", null, "1000.0", "-4"))
+    assert(out(6).getSeq[String](out(6).fieldIndex("native")) ===
+      Seq("""["a"]""", """["b"]""", """{"k":1}"""))
+    (7 until 13).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("native")),
       s"row $i should be null"))
   }
 

@@ -139,6 +139,27 @@ class IngestSpec extends GraftSpec {
     Seq((1L, "Zoe", "zoe@z.example")).toDF("id", "realname", "email_address")
       .write.parquet(wh3.path("inbox_contacts") + "__old")
     assert(wh3.contacts(spark).count() === 1)
+
+    // crash point B: the FIRST versioned commit over a legacy warehouse dies
+    // mid-write (torn v-dir with data files, no _SUCCESS) — readers must see
+    // exactly the legacy rows, never the torn files, and the replayed upsert
+    // must rebuild v1 from the legacy data alone
+    val wh4 = tmpWarehouse()
+    val base4 = wh4.path("inbox_contacts")
+    Seq((1L, "Ann", "ann@a.example")).toDF("id", "realname", "email_address")
+      .write.parquet(base4)
+    val torn = new org.apache.hadoop.fs.Path(s"$base4/v-00000001")
+    Seq((1L, "Ann", "ann@a.example"), (1L, "Ann", "ann@a.example"))
+      .toDF("id", "realname", "email_address").write.parquet(torn.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(torn, "_SUCCESS"), false)
+    val legacyRead = wh4.contacts(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(legacyRead === Seq((1L, "Ann")), "torn v-dir must not leak into reads")
+    assert(!fs.exists(torn), "torn first commit is cleared on open")
+    val replayed = Ingest.upsertContacts(
+      Seq(("Bob", "bob@b.example")).toDF("realname", "email_address"), wh4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(replayed === Seq((1L, "Ann"), (2L, "Bob")))
   }
 
   test("dead letters append with the reference error-record shape (W5)") {

@@ -151,6 +151,13 @@ class ParserSpec extends GraftSpec {
     // quoted colon must NOT start a group
     val q = MailParser.parseAddressList("\"Dept: Sales\" <sales@x.example>")
     assert(q === Seq(MailParser.Address("Dept: Sales", "sales@x.example")))
+    // a domain-literal colon (user@[IPv6:...]) must NOT start a group either
+    val lit6 = MailParser.parseAddressList("user@[IPv6:2001:db8::1]")
+    assert(lit6 === Seq(MailParser.Address("", "user@[IPv6:2001:db8::1]")))
+    // an unquoted display colon with NO terminating ';' is not group syntax
+    val noSemi = MailParser.parseAddressList("Note: real <real@x.example>")
+    assert(noSemi.map(_.email) === Seq("real@x.example"))
+    assert(noSemi(0).realname === "Note: real")
   }
 
   test("MailParser falls back to Sender when From is absent (RFC 5322 §3.6.2)") {
