@@ -65,6 +65,9 @@ object EntryOps {
   def topkLshBands(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkLshBands(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
+  def topkIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkIvfMultiProbe(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
@@ -494,6 +497,24 @@ object EntryOps {
           SELECT query_id, rank, cand_id, cosine FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
     },
+    "s05_topk_ivf_multiprobe" -> {
+      val bucket = (1 to 4).map(j =>
+        s"(CASE WHEN embedding[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
+      // probes = own bucket + every Hamming-1 neighbor (xor one sign bit)
+      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+          q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
+                 FROM e WHERE vec_id % 40 = 0),
+          q AS (SELECT query_id, qe, xor(qbucket, m) AS bucket
+                FROM q0, (SELECT unnest([0, 1, 2, 4, 8]) AS m)),
+          s AS (SELECT q.query_id, c.vec_id AS cand_id,
+                ${duckCosine("q.qe", "c.embedding")} AS cosine
+                FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.query_id),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, rank, cand_id, cosine FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
     "t01_langid" ->
       """SELECT doc_id, zh_hits, en_hits, fr_hits, es_hits, de_hits, actual_lang,
            CASE WHEN zh_hits > 0 THEN 'zh'
@@ -692,6 +713,7 @@ object EntryOps {
     "s02_topk_ivf" -> (topkIvf _),
     "s03_topk_lsh" -> (topkLsh _),
     "s04_topk_lsh_bands" -> (topkLshBands _),
+    "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),

@@ -88,6 +88,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multi-probe IVF: each query probes its own coarse bucket PLUS every
+    * Hamming-1 neighbor (one sign bit flipped) — the standard IVF recall
+    * lever: a vector near a quantization boundary sits in an adjacent
+    * bucket, and flipping the uncertain bit finds it. The probe set explodes
+    * on the (tiny) query side into `dims + 1` rows, so candidate generation
+    * stays an EQUI-join on the bucket id — the corpus side still shuffles
+    * (or stays partitioned) by bucket exactly as single-probe IVF does.
+    */
+  def topkIvfMultiProbe(emb: DataFrame, queryPred: Column, k: Int,
+      dims: Int = 4): DataFrame = {
+    val bucketed = emb.withColumn("bucket", bucketOf("embedding", dims))
+    val masks = 0 +: (0 until dims).map(1 << _)
+    val q = bucketed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"), norm2("embedding").as("qnorm"))
+      .withColumn("mask", explode(lit(masks.toArray)))
+      .withColumn("bucket", expr("qbucket ^ mask"))
+    val c = bucketed.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("bucket"), norm2("embedding").as("cnorm"))
+    // probe buckets are distinct per query, so each candidate matches at most
+    // one probe row — no dedup needed before ranking
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", dot("qe", "ce") / (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucketing: bit i of the bucket is the sign of
     * ⟨v, h_i⟩ for `planes` fixed pseudo-random hyperplanes. Hyperplane
     * components are exact integer-derived doubles

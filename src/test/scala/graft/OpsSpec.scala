@@ -110,6 +110,21 @@ class OpsSpec extends GraftSpec {
     assert(out.headOption === Some((1L, 2L)))
   }
 
+  test("multi-probe IVF recalls at least the single-probe candidate set") {
+    // probe set includes mask 0 (the query's own bucket), so single-probe
+    // candidates are always recalled; Hamming-1 probes can only add
+    val single = Similarity.topkIvf(vecs, $"vec_id" === 1, k = 10)
+      .select("cand_id").as[Long].collect().toSet
+    val multi = Similarity.topkIvfMultiProbe(vecs, $"vec_id" === 1, k = 10)
+      .select("cand_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi))
+    // vec 1 sits alone in bucket 1 (single-probe finds nothing); the
+    // Hamming-1 probes reach bucket 3 (vec 2) and bucket 0 (vec 4), while
+    // vec 3's bucket 2 differs in TWO bits — beyond the probe radius
+    assert(single === Set.empty[Long])
+    assert(multi === Set(2L, 4L))
+  }
+
   test("LSH-blocked near-dup is the baseline restricted to same-bucket pairs") {
     val full = Similarity.nearDupPairs(vecs, 0.3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
