@@ -47,7 +47,15 @@ object Ingest {
     deleteBatchDirs(df.sparkSession, warehouse.path(table), s"*/batch_id=$batchId")
     df.withColumn("event_date", to_date(col("timestamp")))
       .withColumn("batch_id", lit(batchId))
+      // co-locate each date's rows before partitionBy: without this, EVERY
+      // upstream task writes its own file into EVERY (event_date, batch_id)
+      // leaf — tasks × dates small files per micro-batch, the classic
+      // accumulation that kills 100 TB scans. One date = one writer task and
+      // maxRecordsPerFile re-splits a genuinely hot date into right-sized
+      // files instead of one giant one.
+      .repartition(col("event_date"))
       .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", 5000000)
       .partitionBy("event_date", "batch_id")
       .parquet(warehouse.path(table))
   }

@@ -162,6 +162,29 @@ class IngestSpec extends GraftSpec {
     assert(replayed === Seq((1L, "Ann"), (2L, "Bob")))
   }
 
+  test("appendEvents writes one file per (date, batch) leaf, not one per task") {
+    val wh = tmpWarehouse()
+    // 8 input partitions spanning 2 dates: without the pre-write repartition
+    // this would write up to 8 files into EACH date leaf
+    val rows = spark.range(0, 400, 1, 8)
+      .selectExpr(
+        "timestamp_micros(CAST(1754784000000000 + (id % 2) * 86400000000 AS LONG)) AS timestamp",
+        "CAST(id AS STRING) AS payload")
+    Ingest.appendEvents(rows, wh, "apache_access", batchId = 1)
+    val base = new org.apache.hadoop.fs.Path(wh.path("apache_access"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"${wh.path("apache_access")}/*/batch_id=1"))
+    assert(leaves.length === 2, "two event_date partitions")
+    leaves.foreach { leaf =>
+      val files = fs.listStatus(leaf.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      assert(files.length === 1,
+        s"${leaf.getPath.getName}: expected 1 compacted file, got ${files.length}")
+    }
+    assert(wh.apache(spark).count() === 400)
+  }
+
   test("dead letters append with the reference error-record shape (W5)") {
     val wh = tmpWarehouse()
     val dead = Seq(("2026-08-11T00:00:00Z", "bad line", "ValueError",
