@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: results are fully materialized through the no-op sink (forces
   * every operator, avoids collect/driver transfer skew); a small warmup query
-  * first amortizes JVM/classloader cost; each query reports the best of two
-  * runs (steady-state time, robust to bursty co-tenant noise on the host).
+  * first amortizes JVM/classloader cost; each query reports the MEDIAN of
+  * three runs (best-of-two could not absorb a co-tenant load burst spanning
+  * both runs — the r3 d02 straggler), and the 1-minute host load average is
+  * recorded before/after each query's runs so a noisy number carries its own
+  * evidence (`load` in the JSON, from /proc/loadavg).
   */
 object Bench {
 
@@ -64,19 +67,31 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
+    // 1-minute load average (first /proc/loadavg field); -1 if unreadable
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     // any failed run fails the query outright (-1, counted) — a crash must
-    // never improve the headline total or hide behind the other run's time
+    // never improve the headline total or hide behind another run's time
     val results = headline.map { n =>
-      val a = run(n)
-      val b = run(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val before = loadavg()
+      val runs = Seq(run(n), run(n), run(n))
+      val after = loadavg()
+      val value = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1) // median
+      (n, value, runs, before, after)
     }
     val failures = results.count(_._2 < 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, rs, _, _) =>
+      "\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")
+    val loadJson = results.map { case (k, _, _, b, a) =>
+      "\"" + k + "\":[" + b + "," + a + "]" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"stat":"median_of_3","queries":$qs,"runs":$runsJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

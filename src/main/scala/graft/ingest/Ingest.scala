@@ -17,8 +17,8 @@ final case class Warehouse(root: String) {
   def authfail(spark: SparkSession): DataFrame = read(spark, "authfail")
   def inbox(spark: SparkSession): DataFrame = read(spark, "inbox")
   def contacts(spark: SparkSession): DataFrame =
-    Ingest.currentSnapshot(spark, path("inbox_contacts")) match {
-      case Some(dir) => spark.read.parquet(dir)
+    Ingest.snapshotPaths(spark, path("inbox_contacts")) match {
+      case Some(paths) => spark.read.parquet(paths: _*)
       case None => read(spark, "inbox_contacts") // missing table: same error as before
     }
   def tocc(spark: SparkSession): DataFrame = read(spark, "inbox_tocc")
@@ -43,17 +43,29 @@ object Ingest {
     * core.py:46-48).
     */
   def appendEvents(df: DataFrame, warehouse: Warehouse, table: String,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L, writersPerDate: Int = 0): Unit = {
     deleteBatchDirs(df.sparkSession, warehouse.path(table), s"*/batch_id=$batchId")
+    // Shuffle rows to (event_date, bounded salt) before partitionBy. Either
+    // extreme fails at 100 TB/day:
+    //  - no repartition: EVERY upstream task writes a file into EVERY
+    //    (event_date, batch_id) leaf — tasks × dates small files per
+    //    micro-batch, the accumulation that kills large scans;
+    //  - repartition(event_date) alone: a date maps to exactly ONE task, and
+    //    a steady daily feed is overwhelmingly one date — the whole batch
+    //    funnels through a single writer while the rest of the cluster
+    //    idles (maxRecordsPerFile re-splits FILES, not the task).
+    // The bounded salt keeps both properties: ≤ dates × B files per batch,
+    // and a hot date fans out across up to B writer tasks. The salt hashes
+    // the full row content, so it is stable across a replay of the same
+    // batch (replays overwrite-by-batchId anyway) and spreads rows evenly
+    // even when every timestamp lands in the same second.
+    val b =
+      if (writersPerDate > 0) writersPerDate
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(b))
     df.withColumn("event_date", to_date(col("timestamp")))
       .withColumn("batch_id", lit(batchId))
-      // co-locate each date's rows before partitionBy: without this, EVERY
-      // upstream task writes its own file into EVERY (event_date, batch_id)
-      // leaf — tasks × dates small files per micro-batch, the classic
-      // accumulation that kills 100 TB scans. One date = one writer task and
-      // maxRecordsPerFile re-splits a genuinely hot date into right-sized
-      // files instead of one giant one.
-      .repartition(col("event_date"))
+      .repartition(col("event_date"), salt)
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", 5000000)
       .partitionBy("event_date", "batch_id")
@@ -103,63 +115,162 @@ object Ingest {
     * `MERGE INTO contacts USING batch ON name<=>n AND email<=>e WHEN NOT MATCHED
     * THEN INSERT`.
     */
-  def upsertContacts(newContacts: DataFrame, warehouse: Warehouse): DataFrame = {
+  def upsertContacts(newContacts: DataFrame, warehouse: Warehouse,
+      lockTimeoutMs: Long = 10 * 60 * 1000L, maxAttempts: Int = 600): DataFrame = {
     val spark = newContacts.sparkSession
     val path = warehouse.path("inbox_contacts")
-    val snapshot = currentSnapshot(spark, path)
-    val existing: DataFrame = snapshot match {
-      case Some(dir) => spark.read.parquet(dir)
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.model.Schemas.contacts)
-    }
-    val maxId = existing.agg(coalesce(max(col("id")), lit(0L))).collect()(0).getLong(0)
-    val newPairs = newContacts
-      .select(col("realname"), col("email_address")).distinct()
-      .join(existing.select("realname", "email_address"),
-        Seq("realname", "email_address"), "left_anti")
-    // ids via the distributed ordered indexer (no single-partition window);
-    // maxId offset keeps ids stable across replays of the same batch
-    val fresh = graft.ops.OrderedIndex.withOrderedId(newPairs,
-        Seq(col("realname"), col("email_address")), "id", offset = maxId)
-      .select(col("id"), col("realname"), col("email_address"))
-    val updated = existing.unionByName(fresh)
+    val basePath = new org.apache.hadoop.fs.Path(path)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-versioning swap-crash healing renames directories — WRITER-only
+    // (a reader doing this could rename under a committing writer's feet)
+    recoverSwap(spark, path)
     // Versioned-snapshot commit (the minimal core of a transactional table
-    // format, object-store safe — no directory renames anywhere):
+    // format, object-store friendly — no directory renames anywhere):
     //  - each refresh writes a NEW immutable `v-NNNNNNNN` directory; the
     //    committer writes `_SUCCESS` last, and that file IS the commit marker;
     //  - readers resolve the highest version with `_SUCCESS`, so a torn write
     //    (no `_SUCCESS`) is simply invisible and the previous snapshot keeps
     //    serving — there is no instant at which the table is absent;
-    //  - a replay after a torn write recomputes the same next version number
-    //    and SaveMode.Overwrite reclaims the torn directory.
-    // Single-writer (the reference is a cron job, maillog.py); at cluster
-    // scale with concurrent writers this becomes a real table format's MERGE.
+    //  - CONCURRENT writers serialize through a per-version claim marker
+    //    (`v-NNNNNNNN.lock`, atomic create-if-absent): version N can only be
+    //    written while holding lock N, and lock N is released only after
+    //    N's `_SUCCESS` — so the merge base (the highest committed version at
+    //    claim time) cannot be superseded while the merge runs, and no
+    //    committed batch is ever silently overwritten. A loser re-resolves
+    //    and re-merges against the winner's output (maillog.py:16's
+    //    UNIQUE-constraint serialization, set-based). The post-claim
+    //    `_SUCCESS` re-check closes the resolve→claim race with a holder
+    //    that committed and released in between.
+    //  - a lock whose holder crashed mid-write (lock present, no `_SUCCESS`,
+    //    untouched for `lockTimeoutMs`) is stolen: torn dir + lock removed,
+    //    claim retried. The lease trade-off is standard: a writer stalled
+    //    longer than the timeout could be stolen from, so size the timeout
+    //    well above a merge's worst case. Atomic create-if-absent holds on
+    //    HDFS and local FS; on an eventually-consistent object store use a
+    //    real table format's conditional commit instead.
     // Reference invariant: per-row txn + UNIQUE(realname, email_address),
     // maillog.py:16, core.py:46-48.
-    val nextVersion = snapshot match {
-      case Some(VersionDirRe(n)) => n.toLong + 1
-      case Some(_) => 1L // legacy un-versioned layout: first versioned commit
-      case None => 1L
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new IllegalStateException(
+          s"upsertContacts: could not claim a version after $maxAttempts attempts ($path)")
+      val (committedVersion, existingPaths) = resolveCommitted(fs, path)
+      val existing: DataFrame =
+        if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.model.Schemas.contacts)
+      val next = committedVersion + 1
+      val target = new org.apache.hadoop.fs.Path(path, f"v-$next%08d")
+      val lock = new org.apache.hadoop.fs.Path(path, f"v-$next%08d.lock")
+      if (tryClaim(fs, lock)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+          // `next` was committed between our resolve and claim (the previous
+          // holder releases its lock only after _SUCCESS): stale merge base
+          fs.delete(lock, false)
+        } else {
+          try {
+            val maxId = existing.agg(coalesce(max(col("id")), lit(0L)))
+              .collect()(0).getLong(0)
+            val newPairs = newContacts
+              .select(col("realname"), col("email_address")).distinct()
+              .join(existing.select("realname", "email_address"),
+                Seq("realname", "email_address"), "left_anti")
+            // ids via the distributed ordered indexer (no single-partition
+            // window); maxId offset keeps ids stable across replays
+            val fresh = graft.ops.OrderedIndex.withOrderedId(newPairs,
+                Seq(col("realname"), col("email_address")), "id", offset = maxId)
+              .select(col("id"), col("realname"), col("email_address"))
+            // SaveMode.Overwrite reclaims a torn directory from a crashed
+            // (stolen or pre-lock) earlier attempt at the same version
+            existing.unionByName(fresh)
+              .write.mode(SaveMode.Overwrite).parquet(target.toString)
+            gcOldSnapshots(spark, path, keepFrom = next - 1)
+          } finally fs.delete(lock, false)
+          return spark.read.parquet(target.toString)
+        }
+      } else {
+        // lock held by another writer: wait for its commit, or steal from a
+        // crashed holder once the lock is stale and `next` never committed
+        val stale =
+          try {
+            val st = fs.getFileStatus(lock)
+            System.currentTimeMillis() - st.getModificationTime > lockTimeoutMs
+          } catch { case _: java.io.FileNotFoundException => false }
+        if (stale && !fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+          fs.delete(target, true)
+          fs.delete(lock, false)
+        } else Thread.sleep(50L * math.min(attempt, 20))
+      }
     }
-    val target = f"$path/v-$nextVersion%08d"
-    updated.write.mode(SaveMode.Overwrite).parquet(target)
-    gcOldSnapshots(spark, path, keepFrom = nextVersion - 1)
-    spark.read.parquet(target)
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Atomic create-if-absent claim marker. `java.io.File.createNewFile` is
+    * the atomic primitive on the local FS; elsewhere `create(overwrite=false)`
+    * is atomic on HDFS (namenode-arbitrated) — the two stores this layer
+    * targets directly (object stores: see the commit protocol note above).
+    */
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Boolean = {
+    fs.mkdirs(lock.getParent)
+    if (fs.getScheme == "file")
+      new java.io.File(lock.toUri.getPath).createNewFile()
+    else
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
   }
 
   private[ingest] val VersionDirRe = ".*/v-(\\d{8})$".r
+  private[ingest] val LockFileRe = ".*/v-(\\d{8})\\.lock$".r
 
-  /** Resolve the current committed snapshot directory of a versioned
-    * dimension table: the highest `v-NNNNNNNN` child containing `_SUCCESS`.
-    * Falls back to the pre-versioning layouts so existing warehouses upgrade
-    * transparently on their next upsert:
-    *  - plain parquet files directly under `base` → that directory;
-    *  - a crashed pre-versioning staged swap (`__staging`/`__old` leftovers)
-    *    is healed first via [[recoverSwap]].
+  /** Writer-side resolution of the committed state: (version, data paths).
+    * Version 0 = no versioned commit yet; the paths are then the legacy
+    * root `part-` files (explicit file list — a torn v-dir nested under the
+    * legacy layout is simply not read, never deleted by resolution) or empty
+    * when the table does not exist.
+    */
+  private def resolveCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): (Long, Seq[String]) = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val listing =
+      if (fs.exists(basePath)) fs.listStatus(basePath)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val committed = listing.collect {
+      case st if st.isDirectory =>
+        st.getPath.toString match {
+          case VersionDirRe(n)
+            if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+            Some((n.toLong, st.getPath))
+          case _ => None
+        }
+    }.flatten
+    if (committed.nonEmpty) {
+      val (v, p) = committed.maxBy(_._1)
+      (v, Seq(p.toString))
+    } else
+      (0L, listing.collect {
+        case st if st.isFile && st.getPath.getName.startsWith("part-") =>
+          st.getPath.toString
+      }.toSeq)
+  }
+
+  /** READ-ONLY snapshot resolution: the parquet paths a reader should load.
+    * Never mutates storage — a reader racing a writer must not delete or
+    * rename anything the writer is committing into (torn-state healing is
+    * writer-only, inside [[upsertContacts]]). Resolution order:
+    *  - highest `v-NNNNNNNN` child containing `_SUCCESS`;
+    *  - legacy un-versioned layout: the root `part-` files, as an EXPLICIT
+    *    file list so a torn first versioned commit (v-dir without `_SUCCESS`)
+    *    is simply not read — never deleted;
+    *  - a pre-versioning swap crash with the live dir absent: a COMPLETE
+    *    `__staging` (its `_SUCCESS` proves it), else `__old` — read in
+    *    place, without performing the writer's healing renames.
     * Returns None when the table does not exist at all.
     */
-  def currentSnapshot(spark: SparkSession, base: String): Option[String] = {
+  def snapshotPaths(spark: SparkSession, base: String): Option[Seq[String]] = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // steady state costs ONE listing; the extra filesystem work below happens
@@ -177,33 +288,32 @@ object Ingest {
     val committed = versionDirs.filter { case (_, p) =>
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     }
-    if (committed.nonEmpty) Some(committed.maxBy(_._1)._2.toString)
+    if (committed.nonEmpty) Some(Seq(committed.maxBy(_._1)._2.toString))
     else {
-      val hasLegacyData =
-        listing.exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      if (hasLegacyData) {
-        // a torn FIRST versioned commit (v-dir without _SUCCESS) nested under
-        // a legacy layout would make spark.read.parquet(base) trip over the
-        // mixed files/dirs structure — clear the torn garbage so the legacy
-        // data stays readable (the replaying writer rebuilds the version)
-        versionDirs.foreach { case (_, p) => fs.delete(p, true) }
-        Some(base)
-      } else if (versionDirs.nonEmpty) {
-        None // only torn writes exist: no committed table yet
-      } else {
-        recoverSwap(spark, base) // heal a pre-versioning swap crash
-        val healed = fs.exists(basePath) &&
-          fs.listStatus(basePath).exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        if (healed) Some(base) else None
+      val legacyFiles = listing.collect {
+        case st if st.isFile && st.getPath.getName.startsWith("part-") =>
+          st.getPath.toString
+      }
+      if (legacyFiles.nonEmpty) Some(legacyFiles.toSeq)
+      else if (versionDirs.nonEmpty) None // only torn writes: no committed table yet
+      else {
+        val staging = new org.apache.hadoop.fs.Path(base + "__staging")
+        val old = new org.apache.hadoop.fs.Path(base + "__old")
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+          Some(Seq(staging.toString))
+        else if (fs.exists(old)) Some(Seq(old.toString))
+        else None
       }
     }
   }
 
   /** Retain the current and previous snapshots (short-lived readers of the
-    * prior version finish against immutable files); delete older versions,
-    * torn higher-numbered directories from crashed FUTURE writes cannot exist
-    * (single writer), and clear pre-versioning legacy files once a versioned
-    * snapshot is committed.
+    * prior version finish against immutable files); delete older versions and
+    * their leftover lock markers (a crash between `_SUCCESS` and lock release
+    * leaves a lock on a committed version — harmless, cleaned here), and
+    * clear pre-versioning legacy files once a versioned snapshot is
+    * committed. Torn higher-numbered directories from a crashed concurrent
+    * writer are reclaimed by the claim protocol (steal-on-stale), not GC.
     */
   private def gcOldSnapshots(spark: SparkSession, base: String, keepFrom: Long): Unit = {
     val basePath = new org.apache.hadoop.fs.Path(base)
@@ -212,6 +322,8 @@ object Ingest {
       st.getPath.toString match {
         case VersionDirRe(n) if st.isDirectory && n.toLong < keepFrom =>
           fs.delete(st.getPath, true)
+        case LockFileRe(n) if st.isFile && n.toLong <= keepFrom =>
+          fs.delete(st.getPath, false)
         case _ =>
           // legacy layout leftovers: root part-files, _SUCCESS, __old/__staging
           val name = st.getPath.getName

@@ -132,22 +132,26 @@ object Dedup {
       .select(col("doc1"), col("doc2"))
       .distinct()
     // verify candidates with exact Jaccard over the shared shingle index.
-    // Candidates are small by construction — broadcast ONLY `cand` (the pair
-    // list); its gram expansion is candidates × ~grams/doc rows, unbounded at
-    // corpus scale, so that side stays distributed and the gram equi-join
-    // shuffles by gram like any inverted-index join.
+    // The candidate pair list grows with the corpus (every true near-dup plus
+    // every band false positive), so it is NOT broadcast — the doc1 equi-join
+    // shuffles both sides by key like any join, and the gram equi-join below
+    // shuffles by gram like any inverted-index join. (AQE may still choose a
+    // runtime broadcast when the pair list is actually small — a per-run
+    // decision, not a plan-time assumption that OOMs at 100 TB.)
     val sizes = sg.select(col("doc_id"), col("n"))
     val t1 = tri.withColumnRenamed("doc_id", "doc1")
     val t2 = tri.withColumnRenamed("doc_id", "doc2").withColumnRenamed("gram", "gram2")
-    val expanded = broadcast(cand).join(t1, "doc1")
+    val expanded = cand.join(t1, "doc1")
     expanded
       .join(t2, col("gram") === col("gram2") && t2("doc2") === expanded("doc2"))
       .groupBy(expanded("doc1"), expanded("doc2"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc1")
-        .withColumnRenamed("n", "n1")), "doc1")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc2")
-        .withColumnRenamed("n", "n2")), "doc2")
+      // sizes is 1 row per corpus doc — same unbounded-broadcast hazard as
+      // the pair list; both lookups stay shuffled equi-joins
+      .join(sizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("n", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("n", "n2"), "doc2")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= verifyThreshold)

@@ -196,23 +196,34 @@ object Similarity {
       shiftright(col("b_all"), i * planesPerBand).bitwiseAND(lit(mask))
     val withBands = (0 until bands).foldLeft(bucketed)((d, i) =>
       d.withColumn(s"band$i", bandCol(i)))
+    // Candidate generation carries ONLY the id pair: the per-band joins and
+    // the (query_id, cand_id) dedup shuffle 2 longs per row instead of two
+    // 64-float embeddings + norms (~16× narrower on the widest shuffles in
+    // the plan). Vectors re-join AFTER the dedup, each side once by id (no
+    // broadcast hint: the query set is not bounded by construction; AQE
+    // broadcasts at runtime when it actually is small).
     val q = withBands.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        norm2("embedding").as("qnorm"),
+      .select(col("vec_id").as("query_id"),
         struct((0 until bands).map(i => col(s"band$i")): _*).as("qbands"))
     val c = withBands
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-        norm2("embedding").as("cnorm"),
+      .select(col("vec_id").as("cand_id"),
         struct((0 until bands).map(i => col(s"band$i")): _*).as("cbands"))
     val perBand = (0 until bands).map { i =>
       q.withColumn("bkey", col("qbands")(s"band$i"))
         .join(c.withColumn("bkey", col("cbands")(s"band$i")), Seq("bkey"))
         .filter(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), col("qe"), col("ce"),
-          col("qnorm"), col("cnorm"))
+        .select(col("query_id"), col("cand_id"))
     }
-    val candidates = perBand.reduce(_ unionByName _)
+    val pairs = perBand.reduce(_ unionByName _)
       .dropDuplicates("query_id", "cand_id")
+    val qvec = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm2("embedding").as("qnorm"))
+    val cvec = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), norm2("embedding").as("cnorm"))
+    val candidates = pairs
+      .join(qvec, Seq("query_id"))
+      .join(cvec, Seq("cand_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     candidates

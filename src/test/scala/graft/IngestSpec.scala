@@ -155,22 +155,76 @@ class IngestSpec extends GraftSpec {
     val legacyRead = wh4.contacts(spark)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(legacyRead === Seq((1L, "Ann")), "torn v-dir must not leak into reads")
-    assert(!fs.exists(torn), "torn first commit is cleared on open")
+    // READERS never mutate storage: the torn dir survives the read (deleting
+    // it could race the very writer committing into it) and is reclaimed by
+    // the replaying WRITER below (SaveMode.Overwrite on the claimed version)
+    assert(fs.exists(torn), "a reader must not heal (mutate) the table")
     val replayed = Ingest.upsertContacts(
       Seq(("Bob", "bob@b.example")).toDF("realname", "email_address"), wh4)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(replayed === Seq((1L, "Ann"), (2L, "Bob")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base4/v-00000001/_SUCCESS")))
   }
 
-  test("appendEvents writes one file per (date, batch) leaf, not one per task") {
+  test("concurrent upsertContacts writers both land (claim-serialized commit)") {
+    val wh = tmpWarehouse()
+    // seed so both writers start from the same committed version
+    Ingest.upsertContacts(
+      Seq(("Seed", "seed@s.example")).toDF("realname", "email_address"), wh)
+    val batches = Seq(
+      Seq(("Alice", "alice@a.example"), ("Bob", "bob@b.example")),
+      Seq(("Carol", "carol@c.example"), ("Dave", "dave@d.example")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = batches.map { b =>
+      scala.concurrent.Future {
+        Ingest.upsertContacts(b.toDF("realname", "email_address"), wh)
+      }
+    }
+    import scala.concurrent.duration._
+    futures.foreach(f => scala.concurrent.Await.result(f, 120.seconds))
+    pool.shutdown()
+    val names = wh.contacts(spark).select("realname")
+      .collect().map(_.getString(0)).toSet
+    assert(names === Set("Seed", "Alice", "Bob", "Carol", "Dave"),
+      "a concurrent writer's batch was silently dropped")
+    // ids stay dense and unique across the serialized merges
+    val ids = wh.contacts(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (1L to 5L))
+  }
+
+  test("a stale lock from a crashed writer is stolen, not deadlocked") {
+    val wh = tmpWarehouse()
+    val base = wh.path("inbox_contacts")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ingest.upsertContacts(
+      Seq(("Alice", "alice@a.example")).toDF("realname", "email_address"), wh)
+    // a writer crashed after claiming v2: lock present, torn dir, no _SUCCESS
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/v-00000002"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$base/v-00000002.lock"), false).close()
+    val merged = Ingest.upsertContacts(
+      Seq(("Bob", "bob@b.example")).toDF("realname", "email_address"), wh,
+      lockTimeoutMs = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged === Seq((1L, "Alice"), (2L, "Bob")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/v-00000002/_SUCCESS")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/v-00000002.lock")),
+      "the released lock must not linger")
+  }
+
+  test("appendEvents bounds files per (date, batch) leaf at the salt width") {
     val wh = tmpWarehouse()
     // 8 input partitions spanning 2 dates: without the pre-write repartition
-    // this would write up to 8 files into EACH date leaf
+    // this would write up to 8 files into EACH date leaf; with the salted
+    // repartition the bound is writersPerDate (default: shuffle partitions)
     val rows = spark.range(0, 400, 1, 8)
       .selectExpr(
         "timestamp_micros(CAST(1754784000000000 + (id % 2) * 86400000000 AS LONG)) AS timestamp",
         "CAST(id AS STRING) AS payload")
     Ingest.appendEvents(rows, wh, "apache_access", batchId = 1)
+    val b = spark.sessionState.conf.numShufflePartitions
     val base = new org.apache.hadoop.fs.Path(wh.path("apache_access"))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val leaves = fs.globStatus(
@@ -179,9 +233,43 @@ class IngestSpec extends GraftSpec {
     leaves.foreach { leaf =>
       val files = fs.listStatus(leaf.getPath)
         .filter(_.getPath.getName.startsWith("part-"))
-      assert(files.length === 1,
-        s"${leaf.getPath.getName}: expected 1 compacted file, got ${files.length}")
+      assert(files.length >= 1 && files.length <= b,
+        s"${leaf.getPath.getName}: expected 1..$b files, got ${files.length}")
     }
+    assert(wh.apache(spark).count() === 400)
+  }
+
+  test("appendEvents fans a single-date batch out across multiple writer tasks") {
+    val wh = tmpWarehouse()
+    // ONE date (the steady-daily-feed shape): repartition(event_date) alone
+    // would funnel all 400 rows through a single writer task; the salted
+    // shuffle must spread them across >1 task (observable as >1 output file,
+    // since each task writes at most one file per leaf)
+    val rows = spark.range(0, 400, 1, 8)
+      .selectExpr(
+        "timestamp_micros(1754784000000000) AS timestamp",
+        "CAST(id AS STRING) AS payload")
+    // AQE's partition coalescing rightly collapses a tiny test batch into one
+    // task (the funnel only matters for batches past the advisory partition
+    // size, where AQE keeps them apart) — turn it off here to observe the
+    // partitioning KEY shape the big-batch case relies on
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try Ingest.appendEvents(rows, wh, "apache_access", batchId = 7, writersPerDate = 8)
+    finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    val base = new org.apache.hadoop.fs.Path(wh.path("apache_access"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"${wh.path("apache_access")}/*/batch_id=7"))
+    assert(leaves.length === 1, "single event_date partition")
+    val files = fs.listStatus(leaves(0).getPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+    assert(files.length > 1,
+      s"hot date must not serialize through one writer, got ${files.length} file(s)")
     assert(wh.apache(spark).count() === 400)
   }
 
