@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /** Native random-hyperplane LSH bucket over an `array<float>` embedding:
   * bit i of the bucket is the sign of ⟨v, h_i⟩ for `planes` fixed
@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * bit-identical to the DuckDB oracle mirror (EntryOps.duckHyperplaneBucket).
   */
 case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+
+  // array<double> input would silently read wrong buckets (getFloat over
+  // 8-byte slots) — fail at analysis time instead
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(ArrayType(FloatType))
 
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneBucket.compute(input.asInstanceOf[ArrayData], planes, dims)

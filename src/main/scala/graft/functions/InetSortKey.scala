@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** PostgreSQL-INET-compatible sort key for textual IP addresses (reference
@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * lookup inside a codegen'd expression would be a scale (and security)
   * disaster on 100 TB of attacker-controlled strings.
   */
-case class InetSortKey(child: Expression) extends UnaryExpression {
+case class InetSortKey(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = BinaryType
+
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(StringType)
 
   override def nullable: Boolean = true
 

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * identically as strings and numbers.
   */
 case class MinHashBandSigs(child: Expression, numHashes: Int, bandSize: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(ArrayType(StringType))
+
   require(numHashes % bandSize == 0)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * yields NULL (never throws), which the caller routes to the dead-letter
   * sink exactly as `from_json`'s PERMISSIVE null did.
   */
-case class ParseStrArray(child: Expression) extends UnaryExpression {
+case class ParseStrArray(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(StringType)
+
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(StringType)
 
   override def nullable: Boolean = true
 
@@ -164,7 +167,9 @@ object ParseStrArray {
         val tok = s.substring(start, i)
         if (tok == "null") out += null
         else if (tok == "true" || tok == "false") out += UTF8String.fromString(tok)
-        else if (tok.matches("-?(?:0|[1-9][0-9]*)")) out += UTF8String.fromString(tok)
+        else if (tok.matches("-?(?:0|[1-9][0-9]*)"))
+          // Jackson copies integers via getIntValue, so "-0" renders as "0"
+          out += UTF8String.fromString(if (tok == "-0") "0" else tok)
         else if (tok.matches("-?(?:0|[1-9][0-9]*)(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"))
           out += UTF8String.fromString(java.lang.Double.toString(tok.toDouble))
         else return null

@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,7 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen as a static call on UTF8String values. Null-safe:
   * evaluates only on non-null inputs.
   */
-case class Reencode(child: Expression) extends UnaryExpression {
+case class Reencode(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(StringType)
+
   override def dataType: DataType = StringType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

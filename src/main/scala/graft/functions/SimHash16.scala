@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * formulation digit-for-digit (lowercase-hex md5, nibble decode, integer
   * division), so results are byte-identical.
   */
-case class SimHash16(child: Expression) extends UnaryExpression {
+case class SimHash16(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(StringType)
+
   override def dataType: DataType = StringType
 
   override protected def nullSafeEval(input: Any): Any =

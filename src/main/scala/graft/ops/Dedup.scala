@@ -182,12 +182,32 @@ object Dedup {
     * a global `dropDuplicates`, whose state only grows). `docs` must carry an
     * `event_time` timestamp column. Duplicates farther apart than `horizon`
     * can both survive: at 100 TB/day the horizon is the dedup window a
-    * production feed actually wants, and a periodic batch [[exact]] pass
-    * sweeps the long tail.
+    * production feed actually wants, and the periodic batch [[sweepTail]]
+    * pass over the accumulated output closes the long tail.
     */
   def streamingExactDedup(docs: DataFrame, horizon: String): DataFrame =
     docs
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Batch long-tail sweep composing with [[streamingExactDedup]]: duplicates
+    * farther apart than the streaming horizon both land in the output table,
+    * so a periodic batch pass (e.g. daily, over the accumulated survivors)
+    * keeps only the minimum-doc_id row per content hash — the same canonical
+    * -survivor rule as [[exact]]. One hash-partitioned shuffle, no state,
+    * preserves the input schema row-for-row on the survivors.
+    */
+  def sweepTail(survivors: DataFrame): DataFrame = {
+    val hadHash = survivors.columns.contains("content_hash")
+    val hashed =
+      if (hadHash) survivors
+      else survivors.withColumn("content_hash", md5(col("text")))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id").asc)
+    val kept = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    if (hadHash) kept else kept.drop("content_hash")
+  }
 }

@@ -181,40 +181,62 @@ object MailParser {
 
   // -- whole message ----------------------------------------------------------
 
-  def parseMessage(bytes: Array[Byte]): ParsedMail = {
+  /** Strict reference parity: `process_input` (maillog.py:142-164) catches
+    * EVERY exception and error-exits WITHOUT ingesting, so a message the
+    * reference would raise on must dead-letter here, never be ingested with a
+    * synthesized field. Left carries the Python exception type the reference
+    * would hit:
+    *  - absent `From` → `msg["From"].addresses` on None → `AttributeError`;
+    *  - `From` present but zero addresses (e.g. an empty group) →
+    *    `.addresses[0]` → `IndexError`;
+    *  - absent `Date` → `msg["Date"].datetime` on None → `AttributeError`;
+    *  - unparseable `Date` → `.datetime` is None → non-nullable `inbox.date`
+    *    column (maillog.py:59) → `IntegrityError` at insert.
+    * (No `Sender:` fallback: the reference reads only `From`, so a
+    * From-less message with a Sender header is an error there too.)
+    */
+  def parseMessage(bytes: Array[Byte]): Either[String, ParsedMail] = {
     val raw = new String(bytes, StandardCharsets.UTF_8)
     val subject = header(raw, "Subject").map(decodeRfc2047).getOrElse("NO SUBJECT")
-    // msg["From"].addresses[0] (maillog.py:150): first address of the From
-    // list (which may be a group). RFC 5322 §3.6.2: when From is absent or
-    // multi-address the Sender field carries the actual submitter — fall back
-    // to it rather than dead-lettering a parseable message.
-    val from = Seq("From", "Sender")
-      .flatMap(h => header(raw, h).toSeq)
-      .flatMap(parseAddressList)
-      .headOption.getOrElse(Address("", ""))
-    val date = header(raw, "Date").flatMap(parseDate)
-      .getOrElse(new java.sql.Timestamp(0L))
-    // To + CC concatenated in order (maillog.py:148-151), groups flattened
-    val recips = Seq("To", "CC").flatMap(h => header(raw, h).toSeq)
-      .flatMap(parseAddressList)
-    ParsedMail(subject, from.realname, from.email, date, recips, bytes.length.toLong)
+    for {
+      fromV <- header(raw, "From").toRight("AttributeError")
+      from <- parseAddressList(fromV).headOption.toRight("IndexError")
+      dateV <- header(raw, "Date").toRight("AttributeError")
+      date <- parseDate(dateV).toRight("IntegrityError")
+    } yield {
+      // To + CC concatenated in order (maillog.py:148-151), groups flattened
+      val recips = Seq("To", "CC").flatMap(h => header(raw, h).toSeq)
+        .flatMap(parseAddressList)
+      ParsedMail(subject, from.realname, from.email, date, recips,
+        bytes.length.toLong)
+    }
   }
 
-  private val parseUdf = udf((bytes: Array[Byte]) => {
-    val p = parseMessage(bytes)
-    (p.subject, p.sender_name, p.sender_email, p.date,
-      p.recipients.map(a => (a.realname, a.email)), p.size)
-  })
+  private val parseUdf = udf((bytes: Array[Byte]) =>
+    parseMessage(bytes) match {
+      case Right(p) =>
+        (p.subject, p.sender_name, p.sender_email, p.date,
+          p.recipients.map(a => (a.realname, a.email)), p.size, null: String)
+      case Left(err) =>
+        (null: String, null: String, null: String, null: java.sql.Timestamp,
+          null: Seq[(String, String)], 0L, err)
+    })
 
   /** `messages` must have a binary column `content` (e.g. from
-    * `spark.read.format("binaryFile")`). Output columns: subject, sender_name,
+    * `spark.read.format("binaryFile")`). Event columns: subject, sender_name,
     * sender_email, date, recipients array<struct<_1,_2>>, size — plus any
     * non-content input columns (path, modificationTime, …) for provenance.
+    * Messages the reference would raise on (see [[parseMessage]]) surface on
+    * the dead-letter side with its error-record shape.
     */
-  def parse(messages: DataFrame): DataFrame = {
+  def parse(messages: DataFrame): ParseResult = {
     val keep = messages.columns.filterNot(_ == "content").map(col)
-    messages
-      .withColumn("parsed", parseUdf(col("content")))
+    // Staged fence: one UDF evaluation per row, not re-derived per branch
+    // filter (same rationale as the Apache parser's staged projections)
+    val withParsed = messages.withColumn("parsed",
+      graft.functions.Staged(parseUdf(col("content"))))
+    val mails = withParsed
+      .filter(col("parsed._7").isNull)
       .select(keep ++ Seq(
         col("parsed._1").as("subject"),
         col("parsed._2").as("sender_name"),
@@ -222,5 +244,16 @@ object MailParser {
         col("parsed._4").as("date"),
         col("parsed._5").as("recipients"),
         col("parsed._6").as("size")): _*)
+    // "Error processing e-mail" is the reference's message (maillog.py:162);
+    // the line column carries the leading header bytes as the description its
+    // TODO asks for
+    val dead = withParsed
+      .filter(col("parsed._7").isNotNull)
+      .select(
+        graft.functions.F.iso8601Z(current_timestamp()).as("time"),
+        substring(col("content").cast("string"), 1, 120).as("line"),
+        col("parsed._7").as("error_type"),
+        lit("Error processing e-mail").as("error"))
+    ParseResult(mails, dead)
   }
 }

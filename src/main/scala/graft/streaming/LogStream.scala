@@ -87,7 +87,11 @@ object LogStream {
   def ingestMailBatch(batch: DataFrame, warehouse: Warehouse,
       batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    val parsed = MailParser.parse(batch).cache()
+    val res = MailParser.parse(batch)
+    // reference parity: a message process_input would raise on is NOT
+    // ingested (maillog.py:159-164) — it lands in dead_letters instead
+    Ingest.appendDeadLetters(res.deadLetters, warehouse, batchId)
+    val parsed = res.events.cache()
     try {
       val addrs = parsed
         .select(explode(concat(

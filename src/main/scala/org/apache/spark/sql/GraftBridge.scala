@@ -9,4 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `types.AbstractDataType` is `private[sql]`, but `ExpectsInputTypes.
+    * inputTypes` is typed in terms of it — alias it out so the engine's
+    * native expressions can declare their input types.
+    */
+  type AbsDataType = org.apache.spark.sql.types.AbstractDataType
 }

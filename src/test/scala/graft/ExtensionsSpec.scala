@@ -149,6 +149,36 @@ class ExtensionsSpec extends GraftSpec {
     assert(out.count(!_.isNullAt(1)) > 40)
   }
 
+  test("misuse fails at analysis time, not with wrong results at runtime") {
+    GraftExtensions.registerAll(spark)
+    // hyperplane_bucket over array<double> used to silently read wrong
+    // buckets (getFloat over 8-byte slots); with ExpectsInputTypes every
+    // type mismatch is an AnalysisException before any task runs
+    val bad = Seq(
+      "SELECT hyperplane_bucket(array(CAST(1.0 AS DOUBLE)), 4, 1)",
+      "SELECT inet_sort_key(42)",
+      "SELECT parse_str_array(array('a'))",
+      "SELECT simhash16(123)",
+      "SELECT dot_f32(array(CAST(1.0 AS DOUBLE)), array(CAST(1.0 AS DOUBLE)))",
+      "SELECT minhash_band_sigs(array(1, 2), 8, 4)")
+    bad.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+      assert(e.getMessage.toLowerCase.contains("type"), s"$sql: ${e.getMessage}")
+    }
+    // sane implicit casts still work (string is castable where expected)
+    assert(spark.sql("SELECT inet_sort_key('10.0.0.1') IS NOT NULL AS ok")
+      .head().getBoolean(0))
+  }
+
+  test("parse_str_array normalizes -0 like Jackson's integer path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Seq("""[-0, 0, -0.0]""").toDF("raw")
+      .select(graft.functions.ParseStrArray(col("raw")).as("a"))
+      .head()
+    assert(out.getSeq[String](0) === Seq("0", "0", "-0.0"))
+  }
+
   test("SQL simhash16 equals the Dedup pipeline value") {
     import spark.implicits._
     GraftExtensions.registerAll(spark)

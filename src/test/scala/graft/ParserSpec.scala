@@ -108,7 +108,7 @@ class ParserSpec extends GraftSpec {
         |
         |Body text.
         |""".stripMargin
-    val p = MailParser.parseMessage(raw.getBytes(UTF_8))
+    val p = MailParser.parseMessage(raw.getBytes(UTF_8)).toOption.get
     assert(p.subject === "Daily digest — café")
     assert(p.sender_name === "Ærøskøbing Lister")
     assert(p.sender_email === "lister@example.org")
@@ -121,7 +121,7 @@ class ParserSpec extends GraftSpec {
 
   test("MailParser defaults missing Subject to NO SUBJECT (maillog.py:153)") {
     val raw = "From: a@b.c\nDate: Tue, 11 Aug 2026 03:59:00 +0000\n\nx"
-    val p = MailParser.parseMessage(raw.getBytes(UTF_8))
+    val p = MailParser.parseMessage(raw.getBytes(UTF_8)).toOption.get
     assert(p.subject === "NO SUBJECT")
     assert(p.recipients.isEmpty)
   }
@@ -129,7 +129,7 @@ class ParserSpec extends GraftSpec {
   test("MailParser unfolds continuation lines and splits quoted addresses") {
     val raw =
       "From: x@y.z\nTo: \"Doe, John\" <jdoe@d.e>,\n jane@d.e\nDate: Mon, 10 Aug 2026 00:00:00 +0000\n\n."
-    val p = MailParser.parseMessage(raw.getBytes(UTF_8))
+    val p = MailParser.parseMessage(raw.getBytes(UTF_8)).toOption.get
     assert(p.recipients.map(_.email) === Seq("jdoe@d.e", "jane@d.e"))
     assert(p.recipients(0).realname === "Doe, John")
   }
@@ -144,7 +144,7 @@ class ParserSpec extends GraftSpec {
         |Date: Mon, 10 Aug 2026 00:00:00 +0000
         |
         |.""".stripMargin
-    val p = MailParser.parseMessage(raw.getBytes(UTF_8))
+    val p = MailParser.parseMessage(raw.getBytes(UTF_8)).toOption.get
     assert(p.recipients.map(_.email) ===
       Seq("a@x.example", "b@y.example", "solo@z.example"))
     assert(p.recipients(1).realname === "Bea")
@@ -160,19 +160,23 @@ class ParserSpec extends GraftSpec {
     assert(noSemi(0).realname === "Note: real")
   }
 
-  test("MailParser falls back to Sender when From is absent (RFC 5322 §3.6.2)") {
-    val raw =
-      """Sender: Actual Submitter <submit@relay.example>
-        |To: someone@dest.example
-        |Subject: sender only
-        |Date: Mon, 10 Aug 2026 00:00:00 +0000
-        |
-        |.""".stripMargin
-    val p = MailParser.parseMessage(raw.getBytes(UTF_8))
-    assert(p.sender_email === "submit@relay.example")
-    assert(p.sender_name === "Actual Submitter")
-    // From wins over Sender when both are present
+  test("MailParser rejects what process_input would raise on (strict parity)") {
+    def err(raw: String): String =
+      MailParser.parseMessage(raw.getBytes(UTF_8)).swap.toOption.get
+    // absent From: msg["From"].addresses on None raises — even when a Sender
+    // header exists (the reference never reads Sender)
+    assert(err("Sender: s <s@relay.example>\nTo: t@d.e\n" +
+      "Date: Mon, 10 Aug 2026 00:00:00 +0000\n\n.") === "AttributeError")
+    // From present but zero addresses (empty group): .addresses[0] raises
+    assert(err("From: undisclosed-recipients:;\n" +
+      "Date: Mon, 10 Aug 2026 00:00:00 +0000\n\n.") === "IndexError")
+    // absent Date: msg["Date"].datetime on None raises
+    assert(err("From: a@b.c\nTo: t@d.e\n\n.") === "AttributeError")
+    // unparseable Date: .datetime is None, inbox.date is non-nullable
+    assert(err("From: a@b.c\nDate: not a date\n\n.") === "IntegrityError")
+    // a From with both present parses From (never Sender)
     val both = "From: f@a.example\nSender: s@b.example\nDate: Mon, 10 Aug 2026 00:00:00 +0000\n\n."
-    assert(MailParser.parseMessage(both.getBytes(UTF_8)).sender_email === "f@a.example")
+    assert(MailParser.parseMessage(both.getBytes(UTF_8))
+      .toOption.get.sender_email === "f@a.example")
   }
 }

@@ -48,10 +48,20 @@ class StreamingSpec extends GraftSpec {
     val msg2 =
       "From: Alice <alice@a.example>\nTo: Bob <bob@b.example>\n" +
         "Subject: again\nDate: Tue, 11 Aug 2026 04:30:00 +0000\n\nbody2"
+    // From-less message: the reference raises (maillog.py:150) and does not
+    // ingest — must land in dead_letters, not in inbox/contacts
+    val msg3 = "Sender: s@relay.example\nTo: Bob <bob@b.example>\n" +
+      "Subject: no from\nDate: Tue, 11 Aug 2026 05:00:00 +0000\n\nbody3"
     Files.write(in.resolve("m1.eml"), msg1.getBytes(UTF_8))
     Files.write(in.resolve("m2.eml"), msg2.getBytes(UTF_8))
+    Files.write(in.resolve("m3.eml"), msg3.getBytes(UTF_8))
     val q = LogStream.maillog(spark, in.toString, wh, tmp("mail-ck").toString)
     q.awaitTermination()
+
+    val dead = wh.deadLetters(spark).collect()
+    assert(dead.length === 1)
+    assert(dead(0).getAs[String]("error_type") === "AttributeError")
+    assert(dead(0).getAs[String]("error") === "Error processing e-mail")
 
     // contacts deduplicated across messages (maillog.py:66-78): Alice, Bob, Carol
     val contacts = wh.contacts(spark).orderBy("id").collect()
@@ -159,6 +169,47 @@ class StreamingSpec extends GraftSpec {
     assert(rows.contains((3L, "fresh text")))
     assert(!rows.map(_._1).contains(4L),
       "a duplicate in a later micro-batch must be dropped via carried state")
+  }
+
+  test("sweepTail closes the long tail the streaming dedup's horizon leaves open") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("sweep-in")
+    val t0 = 3600000000L // 1 h in µs (off the epoch-0 initial watermark)
+    // the duplicate pair straddles the 10-minute horizon (6 h apart): the
+    // streaming pass rightly emits BOTH (its per-hash state expired once the
+    // middle batch advanced the watermark past t0 + horizon — the watermark
+    // only moves between micro-batches), and the composed batch sweep must
+    // end with exactly one survivor
+    Files.writeString(in.resolve("b1.csv"), s"1,tail text,$t0\n")
+    Files.writeString(in.resolve("b2.csv"), s"3,other text,${t0 + 10800000000L}\n")
+    Files.writeString(in.resolve("b3.csv"), s"4,third text,${t0 + 10860000000L}\n")
+    Files.writeString(in.resolve("b4.csv"), s"2,tail text,${t0 + 21600000000L}\n")
+    Seq("b1.csv" -> 180000L, "b2.csv" -> 120000L, "b3.csv" -> 60000L).foreach {
+      case (f, ago) => Files.setLastModifiedTime(in.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ago))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts_us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in.toString)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val q = graft.ops.Dedup.streamingExactDedup(stream, "10 minutes")
+      .writeStream
+      .option("checkpointLocation", tmp("sweep-ck").toString)
+      .outputMode("append")
+      .format("memory")
+      .queryName("sweep_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sweep_out")
+    assert(streamed.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L),
+      "both far-apart duplicates survive the streaming horizon by design")
+    val swept = graft.ops.Dedup.sweepTail(streamed)
+    assert(swept.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 4L),
+      "the batch sweep keeps the min-doc_id survivor per content hash")
+    assert(swept.columns === streamed.columns, "sweep preserves the table schema")
   }
 
   test("streaming attempts-by-IP window cross-checks the batch Q2 report") {
