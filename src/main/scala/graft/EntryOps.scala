@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,48 @@ object EntryOps {
   /** Oracle-checked frame sampling (evenly-spaced payload slices). */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.asAssets(Tables.documents(spark, dir)))
+
+  /** m04 — REAL container-header decode: synthesize payloads carrying valid
+    * PNG / GIF89a / BMP / JPEG(APP0+SOF0) headers with doc_id-derived
+    * dimensions (plus a headerless branch), then sniff them back with the
+    * native [[graft.functions.MediaDims]] expression. The oracle computes
+    * the expected (format, width, height) DIRECTLY from doc_id — it never
+    * sees the bytes — so any defect in either the documented header layout
+    * or the byte parsing breaks the hash match. (Real-bytes fixtures incl.
+    * JPEG fill bytes, SOF2, and a top-down BMP are spec-checked in
+    * FunctionsSpec.)
+    */
+  def mediaDims(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("doc_id") % 1000 + 1
+    val h = (col("doc_id") * 7) % 1000 + 3
+    def hx(c: Column, width: Int): Column = lpad(hex(c), width, "0")
+    def be16(c: Column): Column = hx(c, 4)
+    def be32(c: Column): Column = hx(c, 8)
+    def le16(c: Column): Column =
+      concat(hx(c.bitwiseAND(lit(255)), 2), hx(shiftright(c, 8).bitwiseAND(lit(255)), 2))
+    def le32(c: Column): Column =
+      concat(le16(c), hx(shiftright(c, 16).bitwiseAND(lit(255)), 2),
+        hx(shiftright(c, 24).bitwiseAND(lit(255)), 2))
+    val headerHex = when(col("doc_id") % 5 === 0,
+        // PNG signature + IHDR length/type + width/height (big-endian u32)
+        concat(lit("89504E470D0A1A0A" + "0000000D49484452"), be32(w), be32(h)))
+      .when(col("doc_id") % 5 === 1,
+        // GIF89a + logical screen width/height (little-endian u16)
+        concat(lit("474946383961"), le16(w), le16(h)))
+      .when(col("doc_id") % 5 === 2,
+        // BM + 16 filler bytes (size/reserved/offset/hdrsize) + w/h (LE i32)
+        concat(lit("424D" + "00" * 16), le32(w), le32(h)))
+      .when(col("doc_id") % 5 === 3,
+        // SOI + APP0(JFIF, len 16) + SOF0(len 17, precision 8, h, w BE u16)
+        concat(lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000"
+          + "FFC0" + "0011" + "08"), be16(h), be16(w)))
+      // headerless branch: a leading NUL byte matches no container signature
+      .otherwise(lit("00"))
+    val assets = Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      unhex(concat(headerHex, hex(col("text").cast("binary")))).as("payload"))
+    Multimodal.mediaDims(assets)
+  }
 
   /** Window function: top-3 events by value per type (rank over partition). */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
@@ -660,6 +702,15 @@ object EntryOps {
            substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32) AS frame_hex,
            CAST(len(substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32)) // 2 AS BIGINT) AS frame_bytes
          FROM f ORDER BY asset_id, frame_idx""",
+    "m04_media_dims" ->
+      """SELECT doc_id AS asset_id,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'unknown' END AS format,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE CAST(doc_id % 1000 + 1 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE CAST((doc_id * 7) % 1000 + 3 AS BIGINT) END AS height
+         FROM documents ORDER BY asset_id""",
     "q31_linear_count_distinct" ->
       """SELECT event_type, CAST(4096 AS BIGINT) AS m,
            CAST(count(DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS occupied,
@@ -721,6 +772,7 @@ object EntryOps {
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),
     "m03_frame_sample" -> (frameSample _),
+    "m04_media_dims" -> (mediaDims _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -52,6 +52,10 @@ object GraftExtensions {
         info("parse_str_array",
           "parse_str_array(str) - parse a quoted-string-array log literal (JSON + \\xhh escapes)"),
         (args: Seq[Expression]) => ParseStrArray(args.head)),
+      (FunctionIdentifier("media_dims"),
+        info("media_dims",
+          "media_dims(payload) - struct(format, width, height) sniffed from PNG/GIF/BMP/JPEG header bytes"),
+        (args: Seq[Expression]) => graft.functions.MediaDims(args.head)),
       (FunctionIdentifier("hyperplane_bucket"),
         info("hyperplane_bucket",
           "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),

@@ -84,6 +84,20 @@ object Multimodal {
         (length(col("frame_hex")) / 2).cast("long").as("frame_bytes"))
       .orderBy(col("asset_id"), col("frame_idx"))
 
+  /** Container-format metadata via header sniffing — the REAL (non-stubbed)
+    * media decode step: PNG/GIF/BMP/JPEG format + dimensions from fixed
+    * header-byte offsets, computed by the native codegen'd
+    * [[graft.functions.MediaDims]] expression. One narrow per-row map over
+    * the payload column; at 100 TB this is the metadata-extraction scan that
+    * never shuffles and never runs a codec.
+    */
+  def mediaDims(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), graft.functions.MediaDims(col("payload")).as("m"))
+      .select(col("asset_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+      .orderBy(col("asset_id"))
+
   /** Feature extraction over the binary payload — the decode-and-featurize stage
     * of a multimodal ingest. One narrow map, no shuffle. The 4-bin byte
     * histogram is emitted as four scalar columns (h0..h3) so the result is

@@ -167,4 +167,52 @@ class FunctionsSpec extends GraftSpec {
       .select(F.iso8601Z(col("s").cast("timestamp"))).head().getString(0)
     assert(out === "2026-08-11T04:23:17Z")
   }
+
+  test("media_dims sniffs real container header bytes (no codec)") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // REAL fixed bytes straight from the format specs — not the same
+    // construction path as the m04 fixtures, so a matched construct/parse
+    // bug cannot hide here
+    val png1x1 = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 0x0d, 'I', 'H', 'D', 'R', 0, 0, 0, 1, 0, 0, 0, 1)
+    val gif2x3 = bytes('G', 'I', 'F', '8', '9', 'a', 2, 0, 3, 0)
+    // BMP 4 wide, height -5 (top-down): raw signed value surfaces
+    val bmpTopDown = bytes('B', 'M') ++ Array.fill[Byte](16)(0) ++
+      bytes(4, 0, 0, 0, 0xfb, 0xff, 0xff, 0xff)
+    // JPEG: SOI, APP0 (JFIF, len 16), two FF fill bytes, then PROGRESSIVE
+    // SOF2 (h=32, w=16) — exercises segment skip + fill bytes + non-SOF0
+    val jpegSof2 = bytes(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xff, 0xff, 0xc2, 0x00, 0x11, 0x08, 0x00, 0x20, 0x00, 0x10)
+    // JPEG whose scan data starts before any frame header
+    val jpegSosFirst = bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 1, 2)
+    val pngTruncated = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val rows = Seq(
+      (1L, png1x1), (2L, gif2x3), (3L, bmpTopDown), (4L, jpegSof2),
+      (5L, jpegSosFirst), (6L, pngTruncated), (7L, Array.empty[Byte]),
+      (8L, "BM too short".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"), graft.functions.MediaDims(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id")
+      .collect()
+    def dims(r: org.apache.spark.sql.Row): (String, Any, Any) =
+      (r.getString(1), if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))
+    assert(dims(rows(0)) === (("png", 1L, 1L)))
+    assert(dims(rows(1)) === (("gif", 2L, 3L)))
+    assert(dims(rows(2)) === (("bmp", 4L, -5L)))
+    assert(dims(rows(3)) === (("jpeg", 16L, 32L)))
+    assert(dims(rows(4)) === (("jpeg", null, null)))
+    assert(dims(rows(5)) === (("unknown", null, null)))
+    assert(dims(rows(6)) === (("unknown", null, null)))
+    assert(dims(rows(7)) === (("unknown", null, null)), "BM sig but < 26 bytes")
+    // SQL registration round-trip
+    GraftExtensions.registerAll(spark)
+    val viaSql = Seq(Tuple1(gif2x3)).toDF("p")
+      .selectExpr("media_dims(p).format AS f", "media_dims(p).width AS w")
+      .head()
+    assert(viaSql.getString(0) === "gif" && viaSql.getLong(1) === 2L)
+  }
 }
