@@ -1,0 +1,169 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction for the date-partitioned fact tables.
+  *
+  * The append layout (`event_date=D/batch_id=N/`, [[Ingest.appendEvents]])
+  * bounds files PER BATCH at the salt width, but a long-running feed
+  * accumulates one leaf per micro-batch — leaves × B files per date grows
+  * without bound, and at 100 TB the scan's file listing and open-per-file
+  * overhead become the bottleneck. Compaction rewrites a date's accumulated
+  * leaves into one right-sized leaf.
+  *
+  * Commit protocol (the same marker discipline as the contacts versioned
+  * snapshot — readers flip atomically, deletion is only GC):
+  *  - compacted data is written to a GENERATION leaf `batch_id=-G` (negative
+  *    ids are reserved: stream batch ids are non-negative), recording the
+  *    highest source batch id it covers in a `_GRAFT_COMPACTED` marker file
+  *    written AFTER the data;
+  *  - a reader ([[resolveFactPaths]]) takes, per date, the highest MARKED
+  *    generation leaf plus every positive leaf with id > its covered
+  *    horizon. An unmarked generation leaf (torn compaction) is invisible;
+  *    until the marker lands, readers keep using the source leaves — there
+  *    is no instant at which rows are absent or double-counted;
+  *  - after the marker, the covered source leaves (and older generations)
+  *    are garbage: deleted opportunistically by the same run, and by the
+  *    next run if this one crashes first.
+  *
+  * The newest `keepLatest` batch leaves of each date are never compacted, so
+  * a redelivered recent micro-batch (overwrite-by-batchId replay) still
+  * targets its own leaf, never rows swallowed by a compaction. Single
+  * compactor per table by assumption (it is a periodic maintenance job); two
+  * concurrent runs are safe for readers regardless — the marker flip is
+  * per-generation — but would duplicate work.
+  */
+object Compaction {
+
+  private val DateLeaf = "event_date=(.+)".r
+  private val BatchLeaf = "batch_id=(-?\\d+)".r
+  private val Marker = "_GRAFT_COMPACTED"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listDirs(fs: FileSystem, p: Path): Seq[FileStatus] =
+    if (fs.exists(p)) fs.listStatus(p).toSeq.filter(_.isDirectory) else Seq.empty
+
+  private final case class DateState(
+      dateDir: Path,
+      positive: Seq[(Long, Path)],
+      generations: Seq[(Long, Path, Option[Long])]) // (gen, path, covered-if-marked)
+
+  private def dateState(fs: FileSystem, dateDir: Path): DateState = {
+    val leaves = listDirs(fs, dateDir).flatMap { st =>
+      st.getPath.getName match {
+        case BatchLeaf(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+    val (neg, pos) = leaves.partition(_._1 < 0)
+    val gens = neg.map { case (id, p) =>
+      val covered = readMarker(fs, p)
+      (-id, p, covered)
+    }
+    DateState(dateDir, pos, gens)
+  }
+
+  private def readMarker(fs: FileSystem, leaf: Path): Option[Long] = {
+    val m = new Path(leaf, Marker)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Per-date file resolution under the compaction protocol. Returns None
+    * when the table has no generation leaves at all — the caller then uses
+    * the plain root read (zero overhead for never-compacted tables).
+    */
+  def resolveFactPaths(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val dates = listDirs(fs, rootPath).filter(st =>
+      DateLeaf.pattern.matcher(st.getPath.getName).matches())
+    val states = dates.map(st => dateState(fs, st.getPath))
+    if (states.forall(_.generations.isEmpty)) return None
+    val paths = states.flatMap { s =>
+      val committed = s.generations.collect { case (g, p, Some(c)) => (g, p, c) }
+      if (committed.isEmpty) s.positive.map(_._2.toString) // torn gen leaf: invisible
+      else {
+        val (_, genPath, covered) = committed.maxBy(_._1)
+        genPath.toString +: s.positive.collect {
+          case (id, p) if id > covered => p.toString
+        }
+      }
+    }
+    Some(paths)
+  }
+
+  /** Compact every date whose un-covered positive leaf count is at least
+    * `minLeaves`, keeping the newest `keepLatest` batch leaves out of the
+    * rewrite (replay safety).
+    */
+  def compact(spark: SparkSession, warehouse: Warehouse, table: String,
+      minLeaves: Int = 4, keepLatest: Int = 2): Unit = {
+    val root = new Path(warehouse.path(table))
+    val fs = fsOf(spark, root)
+    listDirs(fs, root).foreach { dateSt =>
+      dateSt.getPath.getName match {
+        case DateLeaf(_) => compactDate(spark, fs, dateState(fs, dateSt.getPath),
+          minLeaves, keepLatest)
+        case _ => ()
+      }
+    }
+  }
+
+  private def compactDate(spark: SparkSession, fs: FileSystem, s: DateState,
+      minLeaves: Int, keepLatest: Int): Unit = {
+    val committed = s.generations.collect { case (g, p, Some(c)) => (g, p, c) }
+    val currentGen = if (committed.isEmpty) 0L else committed.map(_._1).max
+    val coveredNow = if (committed.isEmpty) -1L else committed.maxBy(_._1)._3
+    // GC leftovers from a crashed earlier run first: covered positives,
+    // superseded generations, torn (unmarked) generation leaves
+    gcDate(fs, s, committed)
+    val live = s.positive.filter(_._1 > coveredNow).sortBy(_._1)
+    if (live.size < minLeaves) return
+    val toCompact = live.dropRight(keepLatest)
+    if (toCompact.isEmpty) return
+    val maxCovered = toCompact.map(_._1).max
+    val newGen = currentGen + 1
+    val target = new Path(s.dateDir, s"batch_id=-$newGen")
+    fs.delete(target, true) // reclaim a torn leaf of the same generation
+    val sources: Seq[String] = toCompact.map(_._2.toString) ++
+      committed.sortBy(_._1).lastOption.map(_._2.toString).toSeq
+    // The leaf dirs hold bare data files (partition values live in the dir
+    // names we are rewriting), so read them directly. NO coalesce(1) and no
+    // shuffle: `files.maxPartitionBytes` bin-packing merges the small files
+    // into right-sized read partitions, each task writes one ~partition-
+    // sized file — output file count ≈ total bytes / maxPartitionBytes, and
+    // a huge date compacts with full parallelism instead of funneling
+    // through one writer (the same trap the salted append avoids).
+    spark.read.parquet(sources: _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(target.toString)
+    // remove Spark's job-level _SUCCESS before OUR marker: the marker is the
+    // single commit point readers trust
+    fs.delete(new Path(target, "_SUCCESS"), false)
+    val out = fs.create(new Path(target, Marker), true)
+    try out.write(maxCovered.toString.getBytes("UTF-8"))
+    finally out.close()
+    // from here on, deletion is garbage collection, not correctness
+    toCompact.foreach { case (_, p) => fs.delete(p, true) }
+    committed.foreach { case (_, p, _) => fs.delete(p, true) }
+  }
+
+  private def gcDate(fs: FileSystem, s: DateState,
+      committed: Seq[(Long, Path, Long)]): Unit = {
+    if (committed.isEmpty) return
+    val (curGen, _, covered) = committed.maxBy(_._1)
+    s.positive.collect { case (id, p) if id <= covered => p }
+      .foreach(fs.delete(_, true))
+    s.generations.collect {
+      case (g, p, _) if g < curGen => p // superseded or torn older gens
+    }.foreach(fs.delete(_, true))
+  }
+}

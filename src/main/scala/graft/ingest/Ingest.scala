@@ -13,9 +13,21 @@ final case class Warehouse(root: String) {
   def path(table: String): String = s"$root/$table"
   private def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))
-  def apache(spark: SparkSession): DataFrame = read(spark, "apache_access")
-  def authfail(spark: SparkSession): DataFrame = read(spark, "authfail")
-  def inbox(spark: SparkSession): DataFrame = read(spark, "inbox")
+  /** Date-partitioned fact tables resolve through the compaction protocol:
+    * a never-compacted table short-circuits to the plain root read; once
+    * generation leaves exist, each date reads its highest MARKED generation
+    * plus the batches past its covered horizon ([[Compaction]]). `basePath`
+    * keeps the partition columns (and their pruning) intact.
+    */
+  private def readFact(spark: SparkSession, table: String): DataFrame =
+    Compaction.resolveFactPaths(spark, path(table)) match {
+      case Some(paths) if paths.nonEmpty =>
+        spark.read.option("basePath", path(table)).parquet(paths: _*)
+      case _ => read(spark, table)
+    }
+  def apache(spark: SparkSession): DataFrame = readFact(spark, "apache_access")
+  def authfail(spark: SparkSession): DataFrame = readFact(spark, "authfail")
+  def inbox(spark: SparkSession): DataFrame = readFact(spark, "inbox")
   def contacts(spark: SparkSession): DataFrame =
     Ingest.snapshotPaths(spark, path("inbox_contacts")) match {
       case Some(paths) => spark.read.parquet(paths: _*)

@@ -273,6 +273,97 @@ class IngestSpec extends GraftSpec {
     assert(wh.apache(spark).count() === 400)
   }
 
+  test("compaction merges batch leaves behind an atomic marker flip") {
+    import org.apache.spark.sql.functions._
+    val wh = tmpWarehouse()
+    val base = new org.apache.hadoop.fs.Path(wh.path("authfail"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkBatch(day: Int, b: Long): Unit = {
+      val df = spark.range(b * 10, b * 10 + 10, 1, 2)
+        .selectExpr(
+          s"timestamp_micros(1754784000000000 + $day * 86400000000) AS timestamp",
+          "CAST(id AS STRING) AS username")
+        .withColumn("src_addr", lit("1.2.3.4"))
+      Ingest.appendEvents(df, wh, "authfail", batchId = b)
+    }
+    // 6 batches on day 0, 2 on day 1
+    (0L to 5L).foreach(mkBatch(0, _))
+    (6L to 7L).foreach(mkBatch(1, _))
+    val before = wh.authfail(spark).count()
+    assert(before === 80)
+    def leaves(day: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(base, s"event_date=$day"))
+        .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 4, keepLatest = 2)
+    // day 0: batches 0-3 compacted into gen 1, 4-5 kept for replay; day 1:
+    // below minLeaves, untouched
+    assert(leaves("2025-08-10") === Seq("batch_id=-1", "batch_id=4", "batch_id=5"))
+    assert(leaves("2025-08-11") === Seq("batch_id=6", "batch_id=7"))
+    assert(wh.authfail(spark).count() === before, "no rows lost or doubled")
+    // partition pruning survives the path-resolved read
+    val q = wh.authfail(spark)
+      .filter(col("event_date") === java.sql.Date.valueOf("2025-08-11"))
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(q.count() === 20)
+    // a NEW batch after compaction appends and reads normally
+    mkBatch(0, 8L)
+    assert(wh.authfail(spark).count() === before + 10)
+    // a second compaction covers the survivors + gen 1 into gen 2
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 2, keepLatest = 1)
+    assert(leaves("2025-08-10") === Seq("batch_id=-2", "batch_id=8"))
+    assert(wh.authfail(spark).count() === before + 10)
+  }
+
+  test("compaction crash points: torn leaf invisible, marker makes GC lazy") {
+    import org.apache.spark.sql.functions._
+    val wh = tmpWarehouse()
+    val base = new org.apache.hadoop.fs.Path(wh.path("authfail"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkBatch(b: Long): Unit = {
+      val df = spark.range(b * 10, b * 10 + 10, 1, 2)
+        .selectExpr("timestamp_micros(1754784000000000) AS timestamp",
+          "CAST(id AS STRING) AS username")
+        .withColumn("src_addr", lit("1.2.3.4"))
+      Ingest.appendEvents(df, wh, "authfail", batchId = b)
+    }
+    (0L to 3L).foreach(mkBatch)
+    val day = new org.apache.hadoop.fs.Path(base, "event_date=2025-08-10")
+
+    // crash point A: generation leaf fully written but NO marker — readers
+    // must keep serving the source leaves only (no double count, no loss)
+    val torn = new org.apache.hadoop.fs.Path(day, "batch_id=-1")
+    spark.range(0, 999).selectExpr(
+        "timestamp_micros(1754784000000000) AS timestamp",
+        "CAST(id AS STRING) AS username", "'9.9.9.9' AS src_addr")
+      .write.parquet(torn.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(torn, "_SUCCESS"), false)
+    assert(wh.authfail(spark).count() === 40, "torn generation must be invisible")
+
+    // the next compaction run reclaims the torn leaf and completes
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 2, keepLatest = 1)
+    assert(wh.authfail(spark).count() === 40)
+
+    // crash point B: marker written, source deletion crashed — readers use
+    // the generation + uncovered batches only (covered sources are garbage,
+    // not truth), and the next run GCs them
+    mkBatch(9L)
+    val resurrected = new org.apache.hadoop.fs.Path(day, "batch_id=0")
+    spark.range(0, 10).selectExpr(
+        "timestamp_micros(1754784000000000) AS timestamp",
+        "CAST(id AS STRING) AS username", "'8.8.8.8' AS src_addr")
+      .write.parquet(resurrected.toString)
+    assert(wh.authfail(spark).count() === 50,
+      "a covered (stale) source leaf must not double-count")
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 99, keepLatest = 1) // below threshold: only GC runs
+    assert(!fs.exists(resurrected), "stale covered leaf is GC'd")
+    assert(wh.authfail(spark).count() === 50)
+  }
+
   test("dead letters append with the reference error-record shape (W5)") {
     val wh = tmpWarehouse()
     val dead = Seq(("2026-08-11T00:00:00Z", "bad line", "ValueError",

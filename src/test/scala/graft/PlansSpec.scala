@@ -112,6 +112,34 @@ class PlansSpec extends GraftSpec {
     }
   }
 
+  test("s04 candidate shuffles carry id pairs, never embedding arrays") {
+    // The r3 defect: per-band joins and the (query_id, cand_id) dedup
+    // shuffled two 64-float embeddings + norms per candidate row. The r4
+    // shape moves ONLY the id pair through candidate generation and re-joins
+    // vectors afterwards — mechanically: every exchange whose schema carries
+    // BOTH ids (the pair-pipeline shuffles) must be array-free. Vector-side
+    // shuffles carry one id + its embedding (inherent: corpus vectors must
+    // move once) and are correctly exempt.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("s04_topk_lsh_bands")(spark, sfDir)
+        .queryExecution.executedPlan
+      val pairShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.output.exists(_.name == "query_id") &&
+              e.output.exists(_.name == "cand_id") => e
+      }
+      assert(pairShuffles.nonEmpty, "expected at least the pair-dedup exchange")
+      pairShuffles.foreach { e =>
+        val arrays = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"pair shuffle carries array columns: ${arrays.map(_.name).mkString(", ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no registered query plans an unbounded single-task stage or stray BNLJ") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
