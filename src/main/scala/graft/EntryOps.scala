@@ -68,6 +68,12 @@ object EntryOps {
   def topkIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkIvfMultiProbe(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
+  def topkIvfCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkIvfCentroids(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(docs(spark, dir), maxHamming = 2)
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
@@ -394,6 +400,25 @@ object EntryOps {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** Mirror of Dedup's SimHash16 fingerprint: CTE chain ending in
+    * `sig(doc_id, simhash)` (same arithmetic as the d04 oracle).
+    */
+  private def duckSimhashSig: String = {
+    val sigChars = (0 until 16).map(i =>
+      s"(CASE WHEN min(CASE WHEN b = $i THEN s END) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+        wr AS (SELECT doc_id, substring(md5(wd), 1, 4) AS hex4
+               FROM (SELECT doc_id, unnest(l) AS wd FROM w)),
+        bits AS (SELECT doc_id, b,
+                 strpos('0123456789abcdef', substring(hex4, b // 4 + 1, 1)) - 1 AS v
+                 FROM wr CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+        sums AS (SELECT doc_id, b, sum(
+                 ((v // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+                 FROM bits GROUP BY 1, 2),
+        sig AS (SELECT doc_id, $sigChars AS simhash FROM sums GROUP BY doc_id)"""
+  }
+
   /** Mirror of Similarity.hyperplaneBucket (same coefficient generation). */
   private def duckHyperplaneBucket(e: String, planes: Int, dims: Int = 64): String =
     (0 until planes).map { i =>
@@ -702,6 +727,45 @@ object EntryOps {
            substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32) AS frame_hex,
            CAST(len(substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32)) // 2 AS BIGINT) AS frame_bytes
          FROM f ORDER BY asset_id, frame_idx""",
+    "s06_topk_ivf_centroids" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                        ORDER BY vec_id LIMIT 8),
+          sc AS (SELECT e.vec_id, e.embedding, c.cid,
+                 ${duckDot("e.embedding", "c.ce")} AS score
+                 FROM embeddings e CROSS JOIN cent c),
+          asg AS (SELECT vec_id, embedding, cid AS bucket FROM (
+                  SELECT vec_id, embedding, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+          s AS (SELECT q.vec_id AS query_id, CAST(q.bucket AS BIGINT) AS bucket,
+                c.vec_id AS cand_id,
+                ${duckCosine("q.embedding", "c.embedding")} AS cosine
+                FROM asg q JOIN asg c
+                  ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+                WHERE q.vec_id % 40 = 0),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, bucket, rank, cand_id, cosine FROM r
+          WHERE rank <= 3 ORDER BY query_id, rank""",
+    "d07_simhash_neardup" -> {
+      val ham = (1 to 16).map(i =>
+        s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $duckSimhashSig,
+          bd AS (SELECT doc_id, simhash, 0 AS band, substring(simhash, 1, 6) AS bits FROM sig
+                 UNION ALL
+                 SELECT doc_id, simhash, 1, substring(simhash, 7, 5) FROM sig
+                 UNION ALL
+                 SELECT doc_id, simhash, 2, substring(simhash, 12, 5) FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
+                          b.doc_id AS doc2, b.simhash AS s2
+                   FROM bd a JOIN bd b
+                     ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+          SELECT doc1, doc2, hamming FROM (
+            SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
+          WHERE hamming <= 2 ORDER BY doc1, doc2"""
+    },
     "m04_media_dims" ->
       """SELECT doc_id AS asset_id,
            CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -765,6 +829,8 @@ object EntryOps {
     "s03_topk_lsh" -> (topkLsh _),
     "s04_topk_lsh_bands" -> (topkLshBands _),
     "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
+    "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
+    "d07_simhash_neardup" -> (simhashNearDup _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),

@@ -175,6 +175,51 @@ object Dedup {
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup PAIRS with Hamming-distance blocking ([[simhash]]
+    * buckets only identical fingerprints; real near-dups differ in a few
+    * bits): the 16-bit fingerprint is sliced into `maxHamming + 1`
+    * contiguous bands, and by pigeonhole any pair within Hamming ≤
+    * `maxHamming` matches EXACTLY on at least one band — so candidate
+    * generation is an equi-join on (band index, band bits), shuffled by
+    * band value, never all-pairs. Candidates are verified by the exact
+    * per-position Hamming distance over the 16-char bitstring (identical
+    * arithmetic in the oracle).
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16)
+    val bands = maxHamming + 1
+    // contiguous slices of the 16 bits, sizes as equal as possible
+    val bounds: Seq[(Int, Int)] = {
+      val base = 16 / bands
+      val extra = 16 % bands
+      val sizes = Seq.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
+      sizes.scanLeft(1)(_ + _).zip(sizes).take(bands)
+    }
+    val sh = docs.select(col("doc_id"),
+      graft.functions.SimHash16(col("text")).as("sh"))
+    val bandRows = sh.select(col("doc_id"), col("sh"),
+      posexplode(array(bounds.map { case (start, len) =>
+        substring(col("sh"), start, len)
+      }: _*)).as(Seq("band", "bits")))
+    val a = bandRows.select(col("doc_id").as("doc1"), col("sh").as("sh1"),
+      col("band"), col("bits"))
+    val b = bandRows.select(col("doc_id").as("doc2"), col("sh").as("sh2"),
+      col("band"), col("bits"))
+    val cand = a.join(b, Seq("band", "bits"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("sh1"), col("doc2"), col("sh2"))
+      .distinct() // a pair may collide in several bands — fingerprints are
+                  // 16 chars, so carrying them through the dedup is cheap
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("sh1"), i, 1) =!= substring(col("sh2"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   /** Streaming exact dedup: emit only the FIRST document seen per content
     * hash; duplicates arriving within the watermark horizon are dropped and
     * per-hash state expires once the watermark passes (bounded state — the

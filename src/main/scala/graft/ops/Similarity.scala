@@ -122,6 +122,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF with DATA-DERIVED centroids — the real inverted-file shape (the
+    * sign-bit [[bucketOf]] quantizer partitions space blindly; centroids
+    * adapt to the data): the `nCentroids` vectors with the smallest vec_ids
+    * serve as a deterministic centroid sample (no k-means iterations — the
+    * standard "sample, don't train" bootstrap), every vector is assigned to
+    * its maximum-inner-product centroid (ties → smallest centroid id), and a
+    * query probes only its own centroid's inverted list via an equi-join.
+    *
+    * Scale: the centroid table is K rows — broadcast to every task; the
+    * assignment is a map-side cross of N×K followed by a partially-
+    * aggregated `max_by` (the shuffle carries ~N rows, not N×K); the probe
+    * join shuffles (or stays partitioned) by centroid id exactly like the
+    * other IVF variants. Deterministic by construction, so the oracle
+    * reproduces the assignment bit-for-bit.
+    */
+  def topkIvfCentroids(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 8): DataFrame = {
+    val centroids = emb.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    val scored = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        dot("embedding", "centroid").as("score"))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
+          .as("bucket"),
+        first(col("embedding")).as("embedding"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"), norm2("embedding").as("qnorm"))
+    val c = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("bucket"), norm2("embedding").as("cnorm"))
+    val scoredPairs = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", dot("qe", "ce") / (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scoredPairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket").cast("long").as("bucket"),
+        col("rank").cast("long").as("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucketing: bit i of the bucket is the sign of
     * ⟨v, h_i⟩ for `planes` fixed pseudo-random hyperplanes. Hyperplane
     * components are exact integer-derived doubles

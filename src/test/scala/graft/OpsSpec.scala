@@ -145,6 +145,64 @@ class OpsSpec extends GraftSpec {
     assert(blocked === full.intersect(sameBucketPairs.toSet))
   }
 
+  test("simhashNearDup finds banded Hamming-close pairs, exact-verifies") {
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),   // identical → hamming 0, collides in every band
+      (3L, "q r s t u v")  // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashNearDup(d, maxHamming = 2).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(2) == 0L), "identical docs must pair at hamming 0")
+    // every emitted pair respects the threshold
+    out.foreach(r => assert(r.getLong(2) <= 2L))
+    // banding recall: a pair the blocked path emits is also what the
+    // unblocked all-pairs hamming filter would emit (pigeonhole exactness
+    // for hamming <= bands-1)
+    val sh = d.select($"doc_id",
+      graft.functions.SimHash16($"text").as("sh"))
+    val a = sh.select($"doc_id".as("doc1"), $"sh".as("sh1"))
+    val b = sh.select($"doc_id".as("doc2"), $"sh".as("sh2"))
+    val ham = (1 to 16).map(i =>
+      when(substring($"sh1", i, 1) =!= substring($"sh2", i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    val exact = a.join(b, $"doc1" < $"doc2")
+      .withColumn("hamming", ham.cast("long"))
+      .filter($"hamming" <= 2)
+      .select("doc1", "doc2", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === exact)
+  }
+
+  test("centroid IVF assigns every vector to its max-dot centroid") {
+    val vecs = (0 until 30).map { v =>
+      (v.toLong, (1 to 64).map(j => ((v * 7 + j * 13) % 9 - 4).toFloat / 3f).toArray)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.topkIvfCentroids(vecs, col("vec_id") % 10 === 0,
+      k = 3, nCentroids = 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // buckets are centroid ids = the 4 smallest vec_ids
+    assert(rows.map(_.getAs[Long]("bucket")).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // ranks are contiguous from 1 per query
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rs.length.toLong))
+    }
+    // spot-check the assignment rule for one vector against brute force
+    val cents = vecs.orderBy($"vec_id").limit(4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val v9 = vecs.filter($"vec_id" === 9).head().getSeq[Float](1).toArray
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    val expected = cents.map { case (cid, ce) => (dot(v9, ce), -cid) }.max
+    val expectedCid = -expected._2
+    // vec 9 appears as a candidate (or query) somewhere with its bucket
+    val v9bucket = Similarity.topkIvfCentroids(vecs, col("vec_id") === 9,
+      k = 1, nCentroids = 4).head().getAs[Long]("bucket")
+    assert(v9bucket === expectedCid)
+  }
+
   test("langId flags CJK text as zh and defaults to en") {
     val d = Seq((1L, "the cat and the dog", "en"), (2L, "你好 世界", "zh"))
       .toDF("doc_id", "text", "lang")

@@ -28,11 +28,13 @@ class PlansSpec extends GraftSpec {
 
   /** Queries whose BroadcastNestedLoopJoin is by design:
     *  - s01/d05: labeled exact all-pairs baselines (SURVEY);
-    *  - scalar-cutoff joins broadcast a single aggregated row (build side is
-    *    provably 1 row, so "nested loop" degenerates to a constant probe).
+    *  - builds whose row count is PROVABLY bounded: a single aggregated row
+    *    (scalar cutoffs) or a literal LIMIT (e.g. the K-row centroid sample
+    *    in s06) — "nested loop" over a constant-size build is a constant
+    *    probe, not an all-pairs blowup.
     */
   private val allowedBnlj = Set("s01_topk_brute", "d05_embed_neardup")
-  private def isScalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+  private def isBoundedBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = j.buildSide match {
       case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
       case _ => j.left
@@ -40,6 +42,12 @@ class PlansSpec extends GraftSpec {
     build.collectFirst {
       case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
       case a: SortAggregateExec if a.groupingExpressions.isEmpty => a
+      case l: GlobalLimitExec => l
+      case l: TakeOrderedAndProjectExec => l
+      case l: CollectLimitExec => l
+      // a reused broadcast is opaque here, but its ORIGINAL occurrence is
+      // audited wherever it first appears — reuse cannot hide a violation
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
     }.nonEmpty
   }
 
@@ -48,7 +56,7 @@ class PlansSpec extends GraftSpec {
     def walk(p: SparkPlan, parent: Option[SparkPlan]): Unit = {
       p match {
         case j: BroadcastNestedLoopJoinExec
-            if !allowedBnlj.contains(name) && !isScalarBuild(j) =>
+            if !allowedBnlj.contains(name) && !isBoundedBuild(j) =>
           out += s"$name: BroadcastNestedLoopJoin (${j.joinType}) outside baselines"
         case w: WindowExec if w.partitionSpec.isEmpty =>
           out += s"$name: global window (no PARTITION BY) — single-task scan"
