@@ -74,6 +74,9 @@ object EntryOps {
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docs(spark, dir), maxHamming = 2)
 
+  def simhashNearDup64(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup64(docs(spark, dir), maxHamming = 3)
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
@@ -413,6 +416,29 @@ object EntryOps {
         bits AS (SELECT doc_id, b,
                  strpos('0123456789abcdef', substring(hex4, b // 4 + 1, 1)) - 1 AS v
                  FROM wr CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+        sums AS (SELECT doc_id, b, sum(
+                 ((v // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+                 FROM bits GROUP BY 1, 2),
+        sig AS (SELECT doc_id, $sigChars AS simhash FROM sums GROUP BY doc_id)"""
+  }
+
+  /** 64-bit variant of [[duckSimhashSig]]: CTE chain ending in
+    * `sig(doc_id, simhash)` with a 64-char bitstring (first 16 hex digits of
+    * md5 per word). The Spark side packs the same bits into a long
+    * (fingerprint bit b at binary position 63-b), so bitstring chars
+    * [16k+1..16k+16] ≡ the long's k-th 16-bit band — blocking keys and
+    * Hamming counts agree without the oracle ever building the signed long.
+    */
+  private def duckSimhash64Sig: String = {
+    val sigChars = (0 until 64).map(i =>
+      s"(CASE WHEN min(CASE WHEN b = $i THEN s END) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+        wr AS (SELECT doc_id, substring(md5(wd), 1, 16) AS hex16
+               FROM (SELECT doc_id, unnest(l) AS wd FROM w)),
+        bits AS (SELECT doc_id, b,
+                 strpos('0123456789abcdef', substring(hex16, b // 4 + 1, 1)) - 1 AS v
+                 FROM wr CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
         sums AS (SELECT doc_id, b, sum(
                  ((v // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
                  FROM bits GROUP BY 1, 2),
@@ -766,6 +792,22 @@ object EntryOps {
             SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
           WHERE hamming <= 2 ORDER BY doc1, doc2"""
     },
+    "d08_simhash64_neardup" -> {
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $duckSimhash64Sig,
+          bd AS (SELECT doc_id, simhash, b AS band,
+                        substring(simhash, b * 16 + 1, 16) AS bits
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
+                          b.doc_id AS doc2, b.simhash AS s2
+                   FROM bd a JOIN bd b
+                     ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+          SELECT doc1, doc2, hamming FROM (
+            SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
+          WHERE hamming <= 3 ORDER BY doc1, doc2"""
+    },
     "m04_media_dims" ->
       """SELECT doc_id AS asset_id,
            CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -831,6 +873,7 @@ object EntryOps {
     "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
     "d07_simhash_neardup" -> (simhashNearDup _),
+    "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),

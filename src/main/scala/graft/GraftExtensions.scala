@@ -52,6 +52,9 @@ object GraftExtensions {
         info("parse_str_array",
           "parse_str_array(str) - parse a quoted-string-array log literal (JSON + \\xhh escapes)"),
         (args: Seq[Expression]) => ParseStrArray(args.head)),
+      (FunctionIdentifier("simhash64"),
+        info("simhash64", "simhash64(text) - 64-bit SimHash of the word multiset (long)"),
+        (args: Seq[Expression]) => graft.functions.SimHash64(args.head)),
       (FunctionIdentifier("media_dims"),
         info("media_dims",
           "media_dims(payload) - struct(format, width, height) sniffed from PNG/GIF/BMP/JPEG header bytes"),

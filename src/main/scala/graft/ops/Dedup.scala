@@ -184,6 +184,12 @@ object Dedup {
     * band value, never all-pairs. Candidates are verified by the exact
     * per-position Hamming distance over the 16-char bitstring (identical
     * arithmetic in the oracle).
+    *
+    * SCALE NOTE: 16-bit bands are 5-6 bits wide — at most 64 blocking
+    * buckets per band, so candidate volume degrades toward all-pairs/64 on
+    * a large corpus. This variant is the oracle-friendly demonstration; the
+    * corpus-scale path is [[simhashNearDup64]] (4×16-bit bands = 65536
+    * buckets per band).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16)
@@ -215,6 +221,40 @@ object Dedup {
         .otherwise(0)).reduce(_ + _)
     cand
       .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Corpus-scale SimHash near-dup pairs: 64-bit fingerprints (native
+    * [[graft.functions.SimHash64]], one long per doc) banded into four
+    * 16-bit slices — 65536 blocking buckets per band, the width production
+    * near-dup pipelines run. Pigeonhole guarantees exact recall for
+    * Hamming ≤ 3 (= bands − 1); candidates come from per-band equi-joins on
+    * the 16-bit key and verify with one `bit_count(xor)` — the whole
+    * pipeline shuffles (band, key, doc_id, fingerprint) = 3-4 longs per
+    * row, codegen end to end.
+    */
+  def simhashNearDup64(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4 fixed 16-bit bands guarantee recall only for hamming <= 3")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.SimHash64(col("text")).as("sh"))
+    val bandRows = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map { k =>
+        shiftrightunsigned(col("sh"), 48 - 16 * k).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "bits")))
+    val a = bandRows.select(col("doc_id").as("doc1"), col("sh").as("sh1"),
+      col("band"), col("bits"))
+    val b = bandRows.select(col("doc_id").as("doc2"), col("sh").as("sh2"),
+      col("band"), col("bits"))
+    val cand = a.join(b, Seq("band", "bits"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("sh1"), col("doc2"), col("sh2"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc1"), col("doc2"), col("hamming"))
       .orderBy(col("doc1"), col("doc2"))

@@ -174,6 +174,39 @@ class OpsSpec extends GraftSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === exact)
   }
 
+  test("simhash64: top 16 bits equal simhash16; blocked pairs equal all-pairs") {
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c d x e"),
+      (4L, "q r s t u v")
+    ).toDF("doc_id", "text")
+    // bits 0..15 of md5 are shared by both fingerprints, so SimHash64's top
+    // 16 bits (MSB-first) must equal the SimHash16 bitstring
+    val both = d.select(
+      graft.functions.SimHash16($"text").as("s16"),
+      graft.functions.SimHash64($"text").as("s64")).collect()
+    both.foreach { r =>
+      val top16 = (0 until 16).map { b =>
+        if (((r.getLong(1) >>> (63 - b)) & 1L) == 1L) '1' else '0'
+      }.mkString
+      assert(top16 === r.getString(0))
+    }
+    // blocked path ≡ unblocked all-pairs bit_count filter (pigeonhole
+    // exactness for hamming <= 3 with 4 bands)
+    val out = Dedup.simhashNearDup64(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = d.select($"doc_id", graft.functions.SimHash64($"text").as("sh"))
+    val exact = sh.select($"doc_id".as("doc1"), $"sh".as("sh1"))
+      .join(sh.select($"doc_id".as("doc2"), $"sh".as("sh2")), $"doc1" < $"doc2")
+      .withColumn("hamming", bit_count($"sh1".bitwiseXOR($"sh2")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select("doc1", "doc2", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === exact)
+    assert(out.exists { case (d1, d2, h) => d1 == 1L && d2 == 2L && h == 0L })
+  }
+
   test("centroid IVF assigns every vector to its max-dot centroid") {
     val vecs = (0 until 30).map { v =>
       (v.toLong, (1 to 64).map(j => ((v * 7 + j * 13) % 9 - 4).toFloat / 3f).toArray)
