@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Deduplication operators for large-scale text corpora — the training-data
   * pipeline extensions beyond the reference's surface (SURVEY §7.1-9).
@@ -275,6 +276,110 @@ object Dedup {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  final case class BandDoc(band: Int, bits: Long, doc_id: Long, sh: Long,
+      ts_us: Long)
+  final case class BandEntry(doc_id: Long, sh: Long, ts_us: Long)
+  final case class BucketEntries(entries: Seq[BandEntry])
+  final case class StreamPair(band: Int, doc1: Long, doc2: Long,
+      hamming: Long, ts_us: Long)
+
+  /** STREAMING SimHash-64 near-dup: emits a verified pair as soon as the
+    * second document arrives, for documents whose event times are within
+    * `horizonUs` of each other (the r3 streaming-dedup horizon semantics,
+    * extended from exact to NEAR duplicates). Per (band, 16-bit key) bucket,
+    * managed state holds the (doc_id, fingerprint, ts) triples still inside
+    * the horizon — a few longs per doc per band; entries older than
+    * `watermark − horizon` can never pair with a future arrival and are
+    * evicted on the event-time timeout sweep, so state is BOUNDED by the
+    * horizon however long the stream runs. A colliding pair may emit once
+    * per matching band (rows distinguished by `band`); the distinct-pair
+    * view is a trivial downstream `dropDuplicates(doc1, doc2)` — or the
+    * batch [[simhashNearDup64]] pass over the accumulated corpus, exactly
+    * like [[sweepTail]] closes [[streamingExactDedup]]'s long tail.
+    *
+    * In BATCH mode ([[Dataset.isStreaming]] false) the group function sees
+    * each bucket's full history once and applies the same within-horizon
+    * pairing — used by the spec to cross-check the streaming output.
+    * `docs` needs (doc_id long, text string, event_time timestamp).
+    */
+  def streamingSimhashNearDup(docs: DataFrame, horizonUs: Long,
+      maxHamming: Int = 3, lateness: String = "0 seconds"): Dataset[StreamPair] = {
+    require(maxHamming >= 0 && maxHamming < 4)
+    implicit val bandDocEnc = Encoders.product[BandDoc]
+    implicit val stateEnc = Encoders.product[BucketEntries]
+    implicit val pairEnc = Encoders.product[StreamPair]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+
+    val streaming = docs.isStreaming
+    val withSig = docs
+      .withColumn("sh", graft.functions.SimHash64(col("text")))
+      .withColumn("ts_us", unix_micros(col("event_time")))
+    val watermarked =
+      if (streaming) withSig.withWatermark("event_time", lateness) else withSig
+    // event_time stays in the schema (not in BandDoc) so the stateful
+    // operator can see the watermark column; as[] resolves fields by name
+    val bands = watermarked
+      .select(col("doc_id"), col("sh"), col("ts_us"), col("event_time"),
+        posexplode(array((0 until 4).map { k =>
+          shiftrightunsigned(col("sh"), 48 - 16 * k).bitwiseAND(lit(0xffffL))
+        }: _*)).as(Seq("band", "bits")))
+      .as[BandDoc]
+
+    def pairsOf(band: Int, older: BandEntry, newer: BandEntry): Option[StreamPair] = {
+      val ham = java.lang.Long.bitCount(older.sh ^ newer.sh).toLong
+      if (ham <= maxHamming && older.doc_id != newer.doc_id &&
+          newer.ts_us - older.ts_us <= horizonUs)
+        Some(StreamPair(band,
+          math.min(older.doc_id, newer.doc_id),
+          math.max(older.doc_id, newer.doc_id), ham, newer.ts_us))
+      else None
+    }
+
+    def update(key: (Int, Long), batch: Iterator[BandDoc],
+        state: GroupState[BucketEntries]): Iterator[StreamPair] = {
+      if (streaming && state.hasTimedOut) {
+        // eviction sweep: entries older than watermark − horizon can never
+        // pair again (late data beyond the watermark is dropped upstream)
+        val cutoff = state.getCurrentWatermarkMs() * 1000L - horizonUs
+        val live = state.getOption.map(_.entries.filter(_.ts_us >= cutoff))
+          .getOrElse(Seq.empty)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(BucketEntries(live))
+          state.setTimeoutTimestamp(math.max(
+            live.map(_.ts_us).max / 1000L + horizonUs / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+        }
+        Iterator.empty
+      } else {
+        val newDocs = batch.toSeq.sortBy(d => (d.ts_us, d.doc_id))
+          .map(d => BandEntry(d.doc_id, d.sh, d.ts_us))
+        val held = state.getOption.map(_.entries).getOrElse(Seq.empty)
+        val out = scala.collection.mutable.ArrayBuffer[StreamPair]()
+        var seen = held
+        newDocs.foreach { n =>
+          seen.foreach(o => pairsOf(key._1, o, n).foreach(out += _))
+          seen = seen :+ n
+        }
+        if (streaming) {
+          val cutoff = state.getCurrentWatermarkMs() * 1000L - horizonUs
+          val live = seen.filter(_.ts_us >= cutoff)
+          state.update(BucketEntries(live))
+          state.setTimeoutTimestamp(math.max(
+            live.map(_.ts_us).max / 1000L + horizonUs / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+        }
+        out.iterator
+      }
+    }
+
+    bands
+      .groupByKey(d => (d.band, d.bits))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** Batch long-tail sweep composing with [[streamingExactDedup]]: duplicates
     * farther apart than the streaming horizon both land in the output table,

@@ -212,6 +212,60 @@ class StreamingSpec extends GraftSpec {
     assert(swept.columns === streamed.columns, "sweep preserves the table schema")
   }
 
+  test("streaming simhash near-dup: pairs within horizon, none across it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("sndup-in")
+    val t0 = 3600000000L
+    val horizonUs = 600000000L // 10 minutes
+    // docs 1/2: identical text 1 min apart, in SEPARATE micro-batches (the
+    // pair must come from carried state); doc 5: identical text 6 h later —
+    // outside the horizon, must NOT pair with 1/2 even though the bucket
+    // collides (the stale entries are also evicted by then)
+    Files.writeString(in.resolve("b1.csv"), s"1,alpha beta gamma,$t0\n")
+    Files.writeString(in.resolve("b2.csv"),
+      s"2,alpha beta gamma,${t0 + 60000000L}\n")
+    Files.writeString(in.resolve("b3.csv"),
+      s"3,completely different words,${t0 + 10800000000L}\n")
+    Files.writeString(in.resolve("b4.csv"),
+      s"5,alpha beta gamma,${t0 + 21600000000L}\n")
+    Seq("b1.csv" -> 180000L, "b2.csv" -> 120000L, "b3.csv" -> 60000L).foreach {
+      case (f, ago) => Files.setLastModifiedTime(in.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ago))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts_us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in.toString)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val q = graft.ops.Dedup.streamingSimhashNearDup(stream, horizonUs)
+      .writeStream
+      .option("checkpointLocation", tmp("sndup-ck").toString)
+      .outputMode("append")
+      .format("memory")
+      .queryName("sndup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sndup_out")
+    val pairs = streamed.select("doc1", "doc2").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      "exactly the within-horizon pair, possibly once per colliding band")
+    assert(streamed.filter($"hamming" =!= 0L).count() === 0)
+    // batch mode applies the same within-horizon pairing (cross-check)
+    val batchDf = Seq(
+      (1L, "alpha beta gamma", t0),
+      (2L, "alpha beta gamma", t0 + 60000000L),
+      (3L, "completely different words", t0 + 10800000000L),
+      (5L, "alpha beta gamma", t0 + 21600000000L))
+      .toDF("doc_id", "text", "ts_us")
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val batchPairs = graft.ops.Dedup.streamingSimhashNearDup(batchDf, horizonUs)
+      .select("doc1", "doc2").distinct().as[(Long, Long)].collect().toSet
+    assert(batchPairs === pairs)
+  }
+
   test("streaming attempts-by-IP window cross-checks the batch Q2 report") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
