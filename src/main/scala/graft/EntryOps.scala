@@ -132,8 +132,9 @@ object EntryOps {
         // GIF89a + logical screen width/height (little-endian u16)
         concat(lit("474946383961"), le16(w), le16(h)))
       .when(col("doc_id") % 5 === 2,
-        // BM + 16 filler bytes (size/reserved/offset/hdrsize) + w/h (LE i32)
-        concat(lit("424D" + "00" * 16), le32(w), le32(h)))
+        // BM + 12 filler bytes (size/reserved/offset) + DIB header size 40
+        // (BITMAPINFOHEADER, LE) + w/h (LE i32)
+        concat(lit("424D" + "00" * 12 + "28000000"), le32(w), le32(h)))
       .when(col("doc_id") % 5 === 3,
         // SOI + APP0(JFIF, len 16) + SOF0(len 17, precision 8, h, w BE u16)
         concat(lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000"

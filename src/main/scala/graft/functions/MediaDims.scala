@@ -17,9 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    width/height are the big-endian u32s at bytes 16-19 / 20-23;
   *  - GIF: "GIF87a"/"GIF89a", logical-screen width/height are the
   *    little-endian u16s at bytes 6-7 / 8-9;
-  *  - BMP: "BM", BITMAPINFOHEADER width/height are the little-endian SIGNED
-  *    i32s at bytes 18-21 / 22-25 (height < 0 = top-down row order — emitted
-  *    raw, the caller owns the abs());
+  *  - BMP: "BM", dispatched on the DIB header-size field (LE u32 at byte
+  *    14): the BITMAPINFOHEADER family (40/52/56/64/108/124) stores
+  *    width/height as little-endian SIGNED i32s at bytes 18-21 / 22-25
+  *    (height < 0 = top-down row order — emitted raw, the caller owns the
+  *    abs()); the OS/2 BITMAPCOREHEADER (12) stores them as LE u16s at
+  *    bytes 18-19 / 20-21; any other header size yields "bmp" with null
+  *    dims rather than silently misreading field offsets;
   *  - JPEG: FF D8 FF, then a marker-segment walk to the first SOF frame
   *    header (C0-C3/C5-C7/C9-CB/CD-CF), whose payload carries height then
   *    width as big-endian u16s; a stream that reaches SOS/EOI or runs out
@@ -76,8 +80,14 @@ object MediaDims {
     else if (n >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
         u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a')
       row("gif", le16(6), le16(8))
-    else if (n >= 26 && u(0) == 'B' && u(1) == 'M')
-      row("bmp", le32s(18), le32s(22))
+    else if (n >= 26 && u(0) == 'B' && u(1) == 'M') {
+      le32s(14) match {
+        case 12L => row("bmp", le16(18), le16(20)) // OS/2 BITMAPCOREHEADER
+        case 40L | 52L | 56L | 64L | 108L | 124L =>
+          row("bmp", le32s(18), le32s(22)) // BITMAPINFOHEADER family
+        case _ => row("bmp", null, null) // unknown DIB header: don't misread
+      }
+    }
     else if (n >= 4 && u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff) {
       // marker-segment walk: FF [FF fill...] marker [len_hi len_lo payload]
       var i = 2

@@ -23,16 +23,20 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *    horizon. An unmarked generation leaf (torn compaction) is invisible;
   *    until the marker lands, readers keep using the source leaves — there
   *    is no instant at which rows are absent or double-counted;
-  *  - after the marker, the covered source leaves (and older generations)
-  *    are garbage: deleted opportunistically by the same run, and by the
-  *    next run if this one crashes first.
+  *  - after the marker, the covered source leaves (and the superseded
+  *    generation) are garbage — but NOT deleted by the same run: an
+  *    in-flight reader that resolved its paths just before the flip is
+  *    still scanning them. They are removed by the NEXT run's GC sweep, so
+  *    the grace period is the inter-run interval — the same
+  *    current-plus-previous discipline as the contacts snapshot GC.
   *
   * The newest `keepLatest` batch leaves of each date are never compacted, so
   * a redelivered recent micro-batch (overwrite-by-batchId replay) still
-  * targets its own leaf, never rows swallowed by a compaction. Single
-  * compactor per table by assumption (it is a periodic maintenance job); two
-  * concurrent runs are safe for readers regardless — the marker flip is
-  * per-generation — but would duplicate work.
+  * targets its own leaf, never rows swallowed by a compaction. Concurrent
+  * runs serialize per date through an atomic claim marker
+  * (`_graft_compact.lock`, create-if-absent — same primitive as the
+  * contacts commit): a date whose lock is held is skipped (the other run is
+  * doing the work), and a crashed holder's lock is stolen once stale.
   */
 object Compaction {
 
@@ -105,16 +109,39 @@ object Compaction {
     * rewrite (replay safety).
     */
   def compact(spark: SparkSession, warehouse: Warehouse, table: String,
-      minLeaves: Int = 4, keepLatest: Int = 2): Unit = {
+      minLeaves: Int = 4, keepLatest: Int = 2,
+      lockTimeoutMs: Long = 60 * 60 * 1000L): Unit = {
     val root = new Path(warehouse.path(table))
     val fs = fsOf(spark, root)
     listDirs(fs, root).foreach { dateSt =>
       dateSt.getPath.getName match {
-        case DateLeaf(_) => compactDate(spark, fs, dateState(fs, dateSt.getPath),
-          minLeaves, keepLatest)
+        case DateLeaf(_) =>
+          withDateLock(fs, dateSt.getPath, lockTimeoutMs) {
+            compactDate(spark, fs, dateState(fs, dateSt.getPath),
+              minLeaves, keepLatest)
+          }
         case _ => ()
       }
     }
+  }
+
+  /** Serialize compactors per date via an atomic claim marker. A held lock
+    * means another run owns the date — skip it (the work gets done either
+    * way); a stale lock (holder crashed mid-run) is stolen. Runs `body`
+    * only when the claim succeeds.
+    */
+  private def withDateLock(fs: FileSystem, dateDir: Path,
+      lockTimeoutMs: Long)(body: => Unit): Unit = {
+    val lock = new Path(dateDir, "_graft_compact.lock")
+    def claim(): Boolean = Ingest.tryClaim(fs, lock)
+    val owned = claim() || {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > lockTimeoutMs
+        catch { case _: java.io.FileNotFoundException => false }
+      stale && { fs.delete(lock, false); claim() }
+    }
+    if (owned) try body finally fs.delete(lock, false)
   }
 
   private def compactDate(spark: SparkSession, fs: FileSystem, s: DateState,
@@ -122,8 +149,10 @@ object Compaction {
     val committed = s.generations.collect { case (g, p, Some(c)) => (g, p, c) }
     val currentGen = if (committed.isEmpty) 0L else committed.map(_._1).max
     val coveredNow = if (committed.isEmpty) -1L else committed.maxBy(_._1)._3
-    // GC leftovers from a crashed earlier run first: covered positives,
-    // superseded generations, torn (unmarked) generation leaves
+    // GC what the PREVIOUS run's marker made garbage (covered positives,
+    // superseded/torn older generations). Deleting only here — never in the
+    // same run that writes a marker — gives in-flight readers of the
+    // pre-marker state the whole inter-run interval to finish.
     gcDate(fs, s, committed)
     val live = s.positive.filter(_._1 > coveredNow).sortBy(_._1)
     if (live.size < minLeaves) return
@@ -151,9 +180,9 @@ object Compaction {
     val out = fs.create(new Path(target, Marker), true)
     try out.write(maxCovered.toString.getBytes("UTF-8"))
     finally out.close()
-    // from here on, deletion is garbage collection, not correctness
-    toCompact.foreach { case (_, p) => fs.delete(p, true) }
-    committed.foreach { case (_, p, _) => fs.delete(p, true) }
+    // the now-covered sources become garbage for the NEXT run's gcDate —
+    // in-flight readers that resolved against them keep scanning immutable
+    // files until then
   }
 
   private def gcDate(fs: FileSystem, s: DateState,

@@ -163,12 +163,20 @@ object Ingest {
     // Reference invariant: per-row txn + UNIQUE(realname, email_address),
     // maillog.py:16, core.py:46-48.
     var attempt = 0
+    var lastSeenVersion = -1L
     while (true) {
       attempt += 1
       if (attempt > maxAttempts)
         throw new IllegalStateException(
           s"upsertContacts: could not claim a version after $maxAttempts attempts ($path)")
       val (committedVersion, existingPaths) = resolveCommitted(fs, path)
+      // the attempt budget bounds time WITHOUT progress: any newly committed
+      // version proves the system is live (we lost a fair race), so the
+      // clock restarts — healthy contention never exhausts the budget
+      if (committedVersion > lastSeenVersion) {
+        lastSeenVersion = committedVersion
+        attempt = 1
+      }
       val existing: DataFrame =
         if (existingPaths.nonEmpty) spark.read.parquet(existingPaths: _*)
         else spark.createDataFrame(
@@ -225,7 +233,7 @@ object Ingest {
     * is atomic on HDFS (namenode-arbitrated) — the two stores this layer
     * targets directly (object stores: see the commit protocol note above).
     */
-  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+  private[ingest] def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path): Boolean = {
     fs.mkdirs(lock.getParent)
     if (fs.getScheme == "file")

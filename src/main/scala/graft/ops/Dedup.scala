@@ -236,15 +236,21 @@ object Dedup {
     * pipeline shuffles (band, key, doc_id, fingerprint) = 3-4 longs per
     * row, codegen end to end.
     */
+  /** The four 16-bit band keys of a [[graft.functions.SimHash64]] long —
+    * the blocking contract the d08 oracle mirrors bit-for-bit; shared by the
+    * batch and streaming 64-bit paths so they cannot drift.
+    */
+  private def band64Keys(sh: Column): Seq[Column] =
+    (0 until 4).map(k =>
+      shiftrightunsigned(sh, 48 - 16 * k).bitwiseAND(lit(0xffffL)))
+
   def simhashNearDup64(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "4 fixed 16-bit bands guarantee recall only for hamming <= 3")
     val sh = docs.select(col("doc_id"),
       graft.functions.SimHash64(col("text")).as("sh"))
     val bandRows = sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map { k =>
-        shiftrightunsigned(col("sh"), 48 - 16 * k).bitwiseAND(lit(0xffffL))
-      }: _*)).as(Seq("band", "bits")))
+      posexplode(array(band64Keys(col("sh")): _*)).as(Seq("band", "bits")))
     val a = bandRows.select(col("doc_id").as("doc1"), col("sh").as("sh1"),
       col("band"), col("bits"))
     val b = bandRows.select(col("doc_id").as("doc2"), col("sh").as("sh2"),
@@ -304,8 +310,9 @@ object Dedup {
     * `docs` needs (doc_id long, text string, event_time timestamp).
     */
   def streamingSimhashNearDup(docs: DataFrame, horizonUs: Long,
-      maxHamming: Int = 3, lateness: String = "0 seconds"): Dataset[StreamPair] = {
+      maxHamming: Int = 3, latenessUs: Long = 0L): Dataset[StreamPair] = {
     require(maxHamming >= 0 && maxHamming < 4)
+    require(latenessUs >= 0L)
     implicit val bandDocEnc = Encoders.product[BandDoc]
     implicit val stateEnc = Encoders.product[BucketEntries]
     implicit val pairEnc = Encoders.product[StreamPair]
@@ -316,20 +323,23 @@ object Dedup {
       .withColumn("sh", graft.functions.SimHash64(col("text")))
       .withColumn("ts_us", unix_micros(col("event_time")))
     val watermarked =
-      if (streaming) withSig.withWatermark("event_time", lateness) else withSig
+      if (streaming)
+        withSig.withWatermark("event_time", s"$latenessUs microseconds")
+      else withSig
     // event_time stays in the schema (not in BandDoc) so the stateful
     // operator can see the watermark column; as[] resolves fields by name
     val bands = watermarked
       .select(col("doc_id"), col("sh"), col("ts_us"), col("event_time"),
-        posexplode(array((0 until 4).map { k =>
-          shiftrightunsigned(col("sh"), 48 - 16 * k).bitwiseAND(lit(0xffffL))
-        }: _*)).as(Seq("band", "bits")))
+        posexplode(array(band64Keys(col("sh")): _*)).as(Seq("band", "bits")))
       .as[BandDoc]
 
     def pairsOf(band: Int, older: BandEntry, newer: BandEntry): Option[StreamPair] = {
       val ham = java.lang.Long.bitCount(older.sh ^ newer.sh).toLong
+      // ABSOLUTE event-time distance: a late arrival (admitted by the
+      // lateness allowance) can carry a ts far below a held entry's — a
+      // signed check would pair docs arbitrarily far apart
       if (ham <= maxHamming && older.doc_id != newer.doc_id &&
-          newer.ts_us - older.ts_us <= horizonUs)
+          math.abs(newer.ts_us - older.ts_us) <= horizonUs)
         Some(StreamPair(band,
           math.min(older.doc_id, newer.doc_id),
           math.max(older.doc_id, newer.doc_id), ham, newer.ts_us))
@@ -339,16 +349,18 @@ object Dedup {
     def update(key: (Int, Long), batch: Iterator[BandDoc],
         state: GroupState[BucketEntries]): Iterator[StreamPair] = {
       if (streaming && state.hasTimedOut) {
-        // eviction sweep: entries older than watermark − horizon can never
-        // pair again (late data beyond the watermark is dropped upstream)
-        val cutoff = state.getCurrentWatermarkMs() * 1000L - horizonUs
+        // eviction sweep: a future admitted arrival carries event time >=
+        // watermark − lateness, so entries older than watermark − lateness −
+        // horizon can never pair again
+        val cutoff =
+          state.getCurrentWatermarkMs() * 1000L - latenessUs - horizonUs
         val live = state.getOption.map(_.entries.filter(_.ts_us >= cutoff))
           .getOrElse(Seq.empty)
         if (live.isEmpty) state.remove()
         else {
           state.update(BucketEntries(live))
           state.setTimeoutTimestamp(math.max(
-            live.map(_.ts_us).max / 1000L + horizonUs / 1000L + 1L,
+            live.map(_.ts_us).max / 1000L + (horizonUs + latenessUs) / 1000L + 1L,
             state.getCurrentWatermarkMs() + 1L))
         }
         Iterator.empty
@@ -363,11 +375,12 @@ object Dedup {
           seen = seen :+ n
         }
         if (streaming) {
-          val cutoff = state.getCurrentWatermarkMs() * 1000L - horizonUs
+          val cutoff =
+            state.getCurrentWatermarkMs() * 1000L - latenessUs - horizonUs
           val live = seen.filter(_.ts_us >= cutoff)
           state.update(BucketEntries(live))
           state.setTimeoutTimestamp(math.max(
-            live.map(_.ts_us).max / 1000L + horizonUs / 1000L + 1L,
+            live.map(_.ts_us).max / 1000L + (horizonUs + latenessUs) / 1000L + 1L,
             state.getCurrentWatermarkMs() + 1L))
         }
         out.iterator

@@ -229,12 +229,24 @@ object MailParser {
     * Messages the reference would raise on (see [[parseMessage]]) surface on
     * the dead-letter side with its error-record shape.
     */
-  def parse(messages: DataFrame): ParseResult = {
-    val keep = messages.columns.filterNot(_ == "content").map(col)
-    // Staged fence: one UDF evaluation per row, not re-derived per branch
-    // filter (same rationale as the Apache parser's staged projections)
-    val withParsed = messages.withColumn("parsed",
+  def parse(messages: DataFrame): ParseResult = fromRaw(parseRaw(messages))
+
+  /** The one-UDF-evaluation frame: input columns plus the `parsed` struct.
+    * The Staged fence stops the optimizer re-deriving the UDF per filter
+    * conjunct WITHIN a plan, but [[fromRaw]]'s two branches are two plans —
+    * a caller that materializes both (the streaming ingest writes dead
+    * letters AND events every micro-batch) should `cache()` THIS frame so
+    * the expensive RFC-5322 parse runs once per message, not once per
+    * branch.
+    */
+  def parseRaw(messages: DataFrame): DataFrame =
+    messages.withColumn("parsed",
       graft.functions.Staged(parseUdf(col("content"))))
+
+  /** Split a [[parseRaw]] frame into events + reference-shaped dead letters. */
+  def fromRaw(withParsed: DataFrame): ParseResult = {
+    val keep = withParsed.columns
+      .filterNot(c => c == "content" || c == "parsed").map(col)
     val mails = withParsed
       .filter(col("parsed._7").isNull)
       .select(keep ++ Seq(

@@ -87,11 +87,15 @@ object LogStream {
   def ingestMailBatch(batch: DataFrame, warehouse: Warehouse,
       batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    val res = MailParser.parse(batch)
+    // cache the ONE-parse frame: dead letters + the events pipeline below
+    // are separate actions, and without this each would re-run the RFC-5322
+    // UDF over every message
+    val raw = MailParser.parseRaw(batch).cache()
+    val res = MailParser.fromRaw(raw)
     // reference parity: a message process_input would raise on is NOT
     // ingested (maillog.py:159-164) — it lands in dead_letters instead
     Ingest.appendDeadLetters(res.deadLetters, warehouse, batchId)
-    val parsed = res.events.cache()
+    val parsed = res.events
     try {
       val addrs = parsed
         .select(explode(concat(
@@ -135,7 +139,7 @@ object LogStream {
         .distinct()
       Ingest.idempotentAppend(tocc, warehouse, "inbox_tocc", batchId)
       keyed.unpersist()
-    } finally parsed.unpersist()
+    } finally raw.unpersist()
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

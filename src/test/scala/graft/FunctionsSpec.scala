@@ -177,9 +177,16 @@ class FunctionsSpec extends GraftSpec {
     val png1x1 = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       0, 0, 0, 0x0d, 'I', 'H', 'D', 'R', 0, 0, 0, 1, 0, 0, 0, 1)
     val gif2x3 = bytes('G', 'I', 'F', '8', '9', 'a', 2, 0, 3, 0)
-    // BMP 4 wide, height -5 (top-down): raw signed value surfaces
-    val bmpTopDown = bytes('B', 'M') ++ Array.fill[Byte](16)(0) ++
-      bytes(4, 0, 0, 0, 0xfb, 0xff, 0xff, 0xff)
+    // BMP (BITMAPINFOHEADER, size 40) 4 wide, height -5 (top-down): raw
+    // signed value surfaces
+    val bmpTopDown = bytes('B', 'M') ++ Array.fill[Byte](12)(0) ++
+      bytes(40, 0, 0, 0) ++ bytes(4, 0, 0, 0, 0xfb, 0xff, 0xff, 0xff)
+    // OS/2 BITMAPCOREHEADER (size 12): u16 dims at 18/20
+    val bmpCore = bytes('B', 'M') ++ Array.fill[Byte](12)(0) ++
+      bytes(12, 0, 0, 0) ++ bytes(7, 0, 9, 0) ++ Array.fill[Byte](4)(0)
+    // unrecognized DIB header size: format known, dims must NOT be misread
+    val bmpWeird = bytes('B', 'M') ++ Array.fill[Byte](12)(0) ++
+      bytes(99, 0, 0, 0) ++ bytes(4, 0, 0, 0, 5, 0, 0, 0)
     // JPEG: SOI, APP0 (JFIF, len 16), two FF fill bytes, then PROGRESSIVE
     // SOF2 (h=32, w=16) — exercises segment skip + fill bytes + non-SOF0
     val jpegSof2 = bytes(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10,
@@ -191,7 +198,8 @@ class FunctionsSpec extends GraftSpec {
     val rows = Seq(
       (1L, png1x1), (2L, gif2x3), (3L, bmpTopDown), (4L, jpegSof2),
       (5L, jpegSosFirst), (6L, pngTruncated), (7L, Array.empty[Byte]),
-      (8L, "BM too short".getBytes("UTF-8")))
+      (8L, "BM too short".getBytes("UTF-8")),
+      (9L, bmpCore), (10L, bmpWeird))
       .toDF("id", "payload")
       .select(col("id"), graft.functions.MediaDims(col("payload")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
@@ -208,6 +216,9 @@ class FunctionsSpec extends GraftSpec {
     assert(dims(rows(5)) === (("unknown", null, null)))
     assert(dims(rows(6)) === (("unknown", null, null)))
     assert(dims(rows(7)) === (("unknown", null, null)), "BM sig but < 26 bytes")
+    assert(dims(rows(8)) === (("bmp", 7L, 9L)), "OS/2 core header u16 dims")
+    assert(dims(rows(9)) === (("bmp", null, null)),
+      "unknown DIB header size must not be misread as dims")
     // SQL registration round-trip
     GraftExtensions.registerAll(spark)
     val viaSql = Seq(Tuple1(gif2x3)).toDF("p")

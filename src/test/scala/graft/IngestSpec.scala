@@ -297,11 +297,14 @@ class IngestSpec extends GraftSpec {
 
     graft.ingest.Compaction.compact(spark, wh, "authfail",
       minLeaves = 4, keepLatest = 2)
-    // day 0: batches 0-3 compacted into gen 1, 4-5 kept for replay; day 1:
-    // below minLeaves, untouched
-    assert(leaves("2025-08-10") === Seq("batch_id=-1", "batch_id=4", "batch_id=5"))
+    // day 0: batches 0-3 compacted into gen 1 (sources kept for in-flight
+    // readers — GC'd by the NEXT run), 4-5 kept for replay; day 1: below
+    // minLeaves, untouched
+    assert(leaves("2025-08-10") === Seq("batch_id=-1", "batch_id=0",
+      "batch_id=1", "batch_id=2", "batch_id=3", "batch_id=4", "batch_id=5"))
     assert(leaves("2025-08-11") === Seq("batch_id=6", "batch_id=7"))
-    assert(wh.authfail(spark).count() === before, "no rows lost or doubled")
+    assert(wh.authfail(spark).count() === before,
+      "covered sources must not double-count while they await GC")
     // partition pruning survives the path-resolved read
     val q = wh.authfail(spark)
       .filter(col("event_date") === java.sql.Date.valueOf("2025-08-11"))
@@ -310,11 +313,45 @@ class IngestSpec extends GraftSpec {
     // a NEW batch after compaction appends and reads normally
     mkBatch(0, 8L)
     assert(wh.authfail(spark).count() === before + 10)
-    // a second compaction covers the survivors + gen 1 into gen 2
+    // the second run first GCs gen 1's covered sources, then compacts the
+    // survivors + gen 1 into gen 2 (gen 1 + its sources now await next GC)
     graft.ingest.Compaction.compact(spark, wh, "authfail",
       minLeaves = 2, keepLatest = 1)
+    assert(leaves("2025-08-10") === Seq("batch_id=-1", "batch_id=-2",
+      "batch_id=4", "batch_id=5", "batch_id=8"))
+    assert(wh.authfail(spark).count() === before + 10)
+    // a third (below-threshold) run leaves only the live state
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 99, keepLatest = 1)
     assert(leaves("2025-08-10") === Seq("batch_id=-2", "batch_id=8"))
     assert(wh.authfail(spark).count() === before + 10)
+  }
+
+  test("compaction skips a locked date and steals a stale lock") {
+    val wh = tmpWarehouse()
+    val base = new org.apache.hadoop.fs.Path(wh.path("authfail"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 3L).foreach { b =>
+      val df = spark.range(b * 10, b * 10 + 10, 1, 2)
+        .selectExpr("timestamp_micros(1754784000000000) AS timestamp",
+          "CAST(id AS STRING) AS username")
+        .withColumn("src_addr", lit("1.2.3.4"))
+      Ingest.appendEvents(df, wh, "authfail", batchId = b)
+    }
+    val day = new org.apache.hadoop.fs.Path(base, "event_date=2025-08-10")
+    val lock = new org.apache.hadoop.fs.Path(day, "_graft_compact.lock")
+    fs.create(lock, false).close()
+    // a concurrently-held (fresh) lock: the date is skipped entirely
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 2, keepLatest = 1)
+    assert(!fs.listStatus(day).exists(_.getPath.getName.startsWith("batch_id=-")),
+      "a locked date must not be compacted")
+    // a stale lock (crashed holder) is stolen and the date compacts
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 2, keepLatest = 1, lockTimeoutMs = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(day, "batch_id=-1/_GRAFT_COMPACTED")))
+    assert(!fs.exists(lock), "the lock must be released after the run")
+    assert(wh.authfail(spark).count() === 40)
   }
 
   test("compaction crash points: torn leaf invisible, marker makes GC lazy") {
@@ -347,20 +384,17 @@ class IngestSpec extends GraftSpec {
       minLeaves = 2, keepLatest = 1)
     assert(wh.authfail(spark).count() === 40)
 
-    // crash point B: marker written, source deletion crashed — readers use
-    // the generation + uncovered batches only (covered sources are garbage,
-    // not truth), and the next run GCs them
+    // after the marker the covered sources (0-2) still exist — readers must
+    // use the generation + uncovered batches only (covered leaves are
+    // garbage awaiting GC, not truth), even as new batches arrive
     mkBatch(9L)
-    val resurrected = new org.apache.hadoop.fs.Path(day, "batch_id=0")
-    spark.range(0, 10).selectExpr(
-        "timestamp_micros(1754784000000000) AS timestamp",
-        "CAST(id AS STRING) AS username", "'8.8.8.8' AS src_addr")
-      .write.parquet(resurrected.toString)
+    val covered = new org.apache.hadoop.fs.Path(day, "batch_id=0")
+    assert(fs.exists(covered), "sources survive their own run for in-flight readers")
     assert(wh.authfail(spark).count() === 50,
-      "a covered (stale) source leaf must not double-count")
+      "a covered (awaiting-GC) source leaf must not double-count")
     graft.ingest.Compaction.compact(spark, wh, "authfail",
       minLeaves = 99, keepLatest = 1) // below threshold: only GC runs
-    assert(!fs.exists(resurrected), "stale covered leaf is GC'd")
+    assert(!fs.exists(covered), "covered leaf is GC'd by the NEXT run")
     assert(wh.authfail(spark).count() === 50)
   }
 
