@@ -57,6 +57,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // 1-minute load average (first /proc/loadavg field); -1 if unreadable
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Bounded quiet gate: this host shows bursty co-tenant load (loads past
+    // 20 with zero local JVMs — see docs/BENCH_NOTES.md), and a burst during
+    // the run turns the headline into a load-lottery draw. Wait up to
+    // SPARK_GRAFT_QUIET_WAIT_SEC (default 10 min) for the 1-minute load to
+    // drop below SPARK_GRAFT_QUIET_LOAD (default 2.0); a permanently-busy
+    // host still measures after the deadline — the per-query `load` fields
+    // then carry the evidence.
+    val quietThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+    val quietDeadline = System.currentTimeMillis() +
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "600").toLong * 1000L
+    while (loadavg() > quietThreshold &&
+        System.currentTimeMillis() < quietDeadline)
+      Thread.sleep(15000L)
+    val gateLoad = loadavg()
+
     // warmup: spin up parquet readers, codegen, and shuffle machinery on tiny
     // plans over each table family so the first measured query isn't charged
     // for one-time JVM/framework initialization
@@ -74,12 +96,6 @@ object Bench {
         .select(graft.ops.Similarity.norm2("embedding"))
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
-
-    // 1-minute load average (first /proc/loadavg field); -1 if unreadable
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
 
     // any failed run fails the query outright (-1, counted) — a crash must
     // never improve the headline total or hide behind another run's time
@@ -99,7 +115,7 @@ object Bench {
       "\"" + k + "\":[" + b + "," + a + "]" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"stat":"median_of_3","queries":$qs,"runs":$runsJson,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"stat":"median_of_3","gate_load":$gateLoad,"queries":$qs,"runs":$runsJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
