@@ -107,21 +107,39 @@ object Bench {
       (n, value, runs, before, after)
     }
     val failures = results.count(_._2 < 0)
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    // The harness that captures this line keeps only a bounded tail of the
+    // process output (observed: 2000 chars, with sbt's [success] trailer
+    // inside the same window). Round 4's line carried per-run and per-load
+    // arrays inline and overflowed that window — the official artifact
+    // recorded parsed:null. The stdout line is therefore COMPACT (3-decimal
+    // medians only); the full evidence (all runs, before/after loadavg,
+    // quiet-gate load) goes to the side file bench_detail.json.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"stat":"median_of_3","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
+    println(line)
     val runsJson = results.map { case (k, _, rs, _, _) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")
     val loadJson = results.map { case (k, _, _, b, a) =>
       "\"" + k + "\":[" + b + "," + a + "]" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"stat":"median_of_3","gate_load":$gateLoad,"queries":$qs,"runs":$runsJson,"load":$loadJson,"sf":"$sfDir"}"""
-    println(line)
+    val detail =
+      s"""{"summary":$line,"gate_load":$gateLoad,"runs":$runsJson,"load":$loadJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")),
+        detail + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench output files: ${e.getMessage}")
     }
     spark.stop()
   }
