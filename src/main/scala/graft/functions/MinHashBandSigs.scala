@@ -88,8 +88,11 @@ object MinHashBandSigs {
     * digests (unsigned compare ≡ hex-string compare); hex strings are built
     * only for the final per-band signatures.
     */
-  def compute(grams: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
-    val md = MessageDigest.getInstance("MD5")
+  /** Per-hash minimum digests (1-indexed; null slot 0), or null when the
+    * shingle array is empty — the shared inner loop of both expressions.
+    */
+  private def minDigests(md: MessageDigest, grams: ArrayData,
+      numHashes: Int): Array[Array[Byte]] = {
     val salts = Array.tabulate(numHashes + 1)(h => s"$h:".getBytes(UTF_8))
     val mins = new Array[Array[Byte]](numHashes + 1)
     val n = grams.numElements()
@@ -109,9 +112,15 @@ object MinHashBandSigs {
       }
       i += 1
     }
+    if (mins(1) == null) null else mins
+  }
+
+  def compute(grams: ArrayData, numHashes: Int, bandSize: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val mins = minDigests(md, grams, numHashes)
     // no shingles ⇒ no signatures (matches the SQL formulation, where such
     // docs are simply absent from the signature aggregation)
-    if (mins(1) == null) return new GenericArrayData(new Array[AnyRef](0))
+    if (mins == null) return new GenericArrayData(new Array[AnyRef](0))
     val numBands = numHashes / bandSize
     val sigs = new Array[AnyRef](numBands)
     var b = 0
@@ -124,7 +133,54 @@ object MinHashBandSigs {
     new GenericArrayData(sigs)
   }
 
+  /** The raw k-vector of per-hash hex minima (empty for shingle-less docs) —
+    * the signature payload a streaming near-dup keeps in state to ESTIMATE
+    * Jaccard (matching positions / k) without a shingle join.
+    */
+  def computeMins(grams: ArrayData, numHashes: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val mins = minDigests(md, grams, numHashes)
+    if (mins == null) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](numHashes)
+    var h = 1
+    while (h <= numHashes) {
+      out(h - 1) = UTF8String.fromString(toHex(mins(h)))
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def apply(c: Column, numHashes: Int, bandSize: Int): Column =
     GraftBridge.column(
       MinHashBandSigs(GraftBridge.expression(c), numHashes, bandSize))
+}
+
+/** Native per-hash MinHash minima — [[MinHashBandSigs]] without the banding:
+  * returns the k lowercase-hex minima `min(md5("<h>:" + shingle))` as an
+  * array. Same arithmetic as the band signatures (a band signature is the md5
+  * of '|'-joined consecutive minima), so band keys derived from this vector
+  * match [[MinHashBandSigs]] exactly.
+  */
+case class MinHashMins(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBandSigs.computeMins(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashBandSigs.computeMins($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashMins =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_mins"
+}
+
+object MinHashMins {
+  def apply(c: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashMins(GraftBridge.expression(c), numHashes))
 }

@@ -396,6 +396,126 @@ object Dedup {
         else GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class MhBandDoc(band: Int, sig: String, doc_id: Long,
+      mins: Seq[String], ts_us: Long)
+  final case class MhEntry(doc_id: Long, mins: Seq[String], ts_us: Long)
+  final case class MhBucket(entries: Seq[MhEntry])
+  final case class MhStreamPair(band: Int, doc1: Long, doc2: Long,
+      matched: Long, k: Long, ts_us: Long)
+
+  /** STREAMING MinHash near-dup — the Jaccard analog of
+    * [[streamingSimhashNearDup]]: per doc, k per-hash MinHash minima (native
+    * [[graft.functions.MinHashMins]], one per-row map) banded into
+    * k/`bandSize` signatures; per (band, signature) bucket, managed state
+    * holds the (doc_id, minima-vector, ts) entries still inside `horizonUs`,
+    * and a new arrival pairs with every held entry, emitting the count of
+    * MATCHING minima positions — `matched / k` is the standard unbiased
+    * estimate of the pair's Jaccard similarity, available without any
+    * shingle join (the exact-verification join is batch [[minhashLsh]]'s
+    * job over the accumulated corpus, like [[sweepTail]] closes
+    * [[streamingExactDedup]]'s long tail).
+    *
+    * State is BOUNDED by the horizon (entries older than `watermark −
+    * lateness − horizon` can never pair and are evicted on the event-time
+    * timeout sweep); each entry is k 32-char strings, independent of document
+    * size — the property that makes signature-based streaming dedup the
+    * production shape at 100 TB/day. A colliding pair emits once per matching
+    * band; distinct-pair view = `dropDuplicates(doc1, doc2)` downstream.
+    *
+    * In BATCH mode the group function sees each bucket's full history once
+    * and applies the same within-horizon pairing (spec cross-check).
+    * `docs` needs (doc_id long, text string, event_time timestamp).
+    */
+  def streamingMinhashNearDup(docs: DataFrame, horizonUs: Long, n: Int = 3,
+      numHashes: Int = 8, bandSize: Int = 4,
+      latenessUs: Long = 0L): Dataset[MhStreamPair] = {
+    require(numHashes % bandSize == 0)
+    require(latenessUs >= 0L)
+    implicit val bandDocEnc = Encoders.product[MhBandDoc]
+    implicit val stateEnc = Encoders.product[MhBucket]
+    implicit val pairEnc = Encoders.product[MhStreamPair]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaInt)
+
+    val streaming = docs.isStreaming
+    val numBands = numHashes / bandSize
+    val withSig = docs
+      .withColumn("words", words(col("text")))
+      .withColumn("grams", shingleArray(n))
+      .withColumn("mins", graft.functions.MinHashMins(col("grams"), numHashes))
+      // band signature = md5 of the '|'-joined band minima — identical to
+      // MinHashBandSigs' construction, derived here from the minima already
+      // in hand instead of re-hashing every shingle per band
+      .withColumn("sigs", expr(
+        s"""transform(sequence(0, ${numBands - 1}), b ->
+              md5(array_join(slice(mins, b * $bandSize + 1, $bandSize), '|')))"""))
+      .withColumn("ts_us", unix_micros(col("event_time")))
+      .filter(size(col("mins")) > 0) // shingle-less docs sign nothing
+    val watermarked =
+      if (streaming)
+        withSig.withWatermark("event_time", s"$latenessUs microseconds")
+      else withSig
+    val bands = watermarked
+      .select(col("doc_id"), col("mins"), col("ts_us"), col("event_time"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      .as[MhBandDoc]
+
+    def pairsOf(band: Int, older: MhEntry, newer: MhEntry): Option[MhStreamPair] = {
+      if (older.doc_id != newer.doc_id &&
+          math.abs(newer.ts_us - older.ts_us) <= horizonUs) {
+        val matched = older.mins.iterator.zip(newer.mins.iterator)
+          .count { case (a, b) => a == b }.toLong
+        Some(MhStreamPair(band,
+          math.min(older.doc_id, newer.doc_id),
+          math.max(older.doc_id, newer.doc_id),
+          matched, numHashes.toLong, newer.ts_us))
+      } else None
+    }
+
+    def update(key: (String, Int), batch: Iterator[MhBandDoc],
+        state: GroupState[MhBucket]): Iterator[MhStreamPair] = {
+      if (streaming && state.hasTimedOut) {
+        val cutoff =
+          state.getCurrentWatermarkMs() * 1000L - latenessUs - horizonUs
+        val live = state.getOption.map(_.entries.filter(_.ts_us >= cutoff))
+          .getOrElse(Seq.empty)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(MhBucket(live))
+          state.setTimeoutTimestamp(math.max(
+            live.map(_.ts_us).max / 1000L + (horizonUs + latenessUs) / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+        }
+        Iterator.empty
+      } else {
+        val newDocs = batch.toSeq.sortBy(d => (d.ts_us, d.doc_id))
+          .map(d => MhEntry(d.doc_id, d.mins, d.ts_us))
+        val held = state.getOption.map(_.entries).getOrElse(Seq.empty)
+        val out = scala.collection.mutable.ArrayBuffer[MhStreamPair]()
+        var seen = held
+        newDocs.foreach { nd =>
+          seen.foreach(o => pairsOf(key._2, o, nd).foreach(out += _))
+          seen = seen :+ nd
+        }
+        if (streaming) {
+          val cutoff =
+            state.getCurrentWatermarkMs() * 1000L - latenessUs - horizonUs
+          val live = seen.filter(_.ts_us >= cutoff)
+          state.update(MhBucket(live))
+          state.setTimeoutTimestamp(math.max(
+            live.map(_.ts_us).max / 1000L + (horizonUs + latenessUs) / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+        }
+        out.iterator
+      }
+    }
+
+    bands
+      .groupByKey(d => (d.sig, d.band))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Batch long-tail sweep composing with [[streamingExactDedup]]: duplicates
     * farther apart than the streaming horizon both land in the output table,
     * so a periodic batch pass (e.g. daily, over the accumulated survivors)

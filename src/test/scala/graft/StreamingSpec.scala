@@ -266,6 +266,80 @@ class StreamingSpec extends GraftSpec {
     assert(batchPairs === pairs)
   }
 
+  test("streaming minhash near-dup: estimated Jaccard within horizon, none across it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("mhdup-in")
+    val t0 = 3600000000L
+    val horizonUs = 600000000L // 10 minutes
+    // docs 1/2: identical text 1 min apart in separate micro-batches (pair
+    // must come from carried state; identical shingles ⇒ all k minima match);
+    // doc 3: unrelated text (no shared band signature ⇒ no pair); doc 5:
+    // identical to 1/2 but 6 h later — same buckets, outside the horizon
+    Files.writeString(in.resolve("b1.csv"), s"1,alpha beta gamma delta,$t0\n")
+    Files.writeString(in.resolve("b2.csv"),
+      s"2,alpha beta gamma delta,${t0 + 60000000L}\n")
+    Files.writeString(in.resolve("b3.csv"),
+      s"3,completely different words entirely,${t0 + 10800000000L}\n")
+    Files.writeString(in.resolve("b4.csv"),
+      s"5,alpha beta gamma delta,${t0 + 21600000000L}\n")
+    Seq("b1.csv" -> 180000L, "b2.csv" -> 120000L, "b3.csv" -> 60000L).foreach {
+      case (f, ago) => Files.setLastModifiedTime(in.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ago))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts_us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in.toString)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val q = graft.ops.Dedup.streamingMinhashNearDup(stream, horizonUs)
+      .writeStream
+      .option("checkpointLocation", tmp("mhdup-ck").toString)
+      .outputMode("append")
+      .format("memory")
+      .queryName("mhdup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("mhdup_out")
+    val pairs = streamed.select("doc1", "doc2").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      "exactly the within-horizon pair, possibly once per colliding band")
+    assert(streamed.filter($"matched" =!= $"k").count() === 0,
+      "identical docs match on every minima position (estimated Jaccard 1.0)")
+    // batch mode applies the same within-horizon pairing (cross-check), and
+    // the band signatures derived from the minima vector agree with the
+    // native MinHashBandSigs construction used by the batch LSH path
+    val batchDf = Seq(
+      (1L, "alpha beta gamma delta", t0),
+      (2L, "alpha beta gamma delta", t0 + 60000000L),
+      (3L, "completely different words entirely", t0 + 10800000000L),
+      (5L, "alpha beta gamma delta", t0 + 21600000000L))
+      .toDF("doc_id", "text", "ts_us")
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val batchPairs = graft.ops.Dedup.streamingMinhashNearDup(batchDf, horizonUs)
+      .select("doc1", "doc2").distinct().as[(Long, Long)].collect().toSet
+    assert(batchPairs === pairs)
+    val derivedSigs = batchDf
+      .withColumn("words", graft.ops.Dedup.words(col("text")))
+      .withColumn("grams", expr(
+        """array_distinct(filter(transform(sequence(1, size(words)), i ->
+             CASE WHEN i + 2 <= size(words)
+                  THEN concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))
+             END), x -> x IS NOT NULL))"""))
+      .select(col("doc_id"),
+        graft.functions.MinHashBandSigs(col("grams"), 8, 4).as("native"),
+        expr("""transform(sequence(0, 1), b ->
+                  md5(array_join(slice(transform(sequence(1, 8), h ->
+                    array_min(transform(grams, g -> md5(concat(cast(h as string), ':', g))))),
+                  b * 4 + 1, 4), '|')))""").as("sqlform"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    derivedSigs.foreach { case (id, native, sqlform) =>
+      assert(native === sqlform, s"doc $id: derived band sigs must match the native construction")
+    }
+  }
+
   test("streaming attempts-by-IP window cross-checks the batch Q2 report") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
