@@ -77,6 +77,71 @@ object EntryOps {
   def simhashNearDup64(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup64(docs(spark, dir), maxHamming = 3)
 
+  /** d09 — pairs → GROUPS: connected components over the d08 near-dup pair
+    * list (min-label propagation; the oracle mirrors it with a recursive
+    * transitive-closure CTE). Chains collapse to one canonical min-id
+    * survivor even when the endpoints never paired directly.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.clusterComponents(d, Dedup.simhashNearDup64(d, maxHamming = 3))
+  }
+
+  /** q32 — time-RANGE join via binning: for every event, how many OTHER
+    * events (any user) fall within ±60 s. The naive |Δt| ≤ w predicate is a
+    * broadcast-nested-loop O(N²) plan; the scalable form buckets timestamps
+    * into window-width bins, equi-joins on the bin key with the probe side
+    * exploded to its 3 adjacent bins (bounded 3× duplication), then applies
+    * the exact predicate — the standard interval-binning rewrite that turns
+    * any bounded-width range join into a shuffle-partitionable equi-join.
+    * Zero-neighbor events are kept by joining counts back to the event list.
+    */
+  def rangeJoinCount(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 60000000L // ±60 s
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val build = ev.select(col("event_id").as("cand_id"),
+      col("ts_us").as("cand_ts"), expr(s"ts_us div $winUs").as("bin"))
+    val probe = ev.select(col("event_id"), col("ts_us"),
+      explode(array(expr(s"ts_us div $winUs - 1"), expr(s"ts_us div $winUs"),
+        expr(s"ts_us div $winUs + 1"))).as("bin"))
+    val counts = probe.join(build, "bin")
+      .filter(abs(col("cand_ts") - col("ts_us")) <= winUs &&
+        col("cand_id") =!= col("event_id"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+    ev.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("ts_us"),
+        coalesce(col("n"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q33 — deterministic stratified sampling: exactly `perLang` docs per
+    * language, chosen by a salted content-independent hash order
+    * (md5 over the doc id) — reproducible across runs, engines, and
+    * partitionings, the property a training-data split needs (a `rand()`
+    * sample is none of those). One shuffle by stratum; the rank bound makes
+    * the window's per-stratum state O(perLang) after the sort.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = 20
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("smp:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("skey").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= perLang)
+      .select(col("lang"), col("rk"), col("doc_id"), col("skey"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** t07 — decontamination: docs with doc_id % 100 == 0 stand in for the
+    * held-out benchmark set; every other doc is "training". 3-grams here so
+    * the synthetic corpus yields verified overlap (187 pairs at sf0.01);
+    * production decontamination runs the same plan with 8-13-grams.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contamination(docs(spark, dir), col("doc_id") % 100 === 0, n = 3)
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
@@ -809,6 +874,31 @@ object EntryOps {
             SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
           WHERE hamming <= 3 ORDER BY doc1, doc2"""
     },
+    "d09_dedup_clusters" -> {
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $duckSimhash64Sig,
+          bd AS (SELECT doc_id, simhash, b AS band,
+                        substring(simhash, b * 16 + 1, 16) AS bits
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
+                          b.doc_id AS doc2, b.simhash AS s2
+                   FROM bd a JOIN bd b
+                     ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+          prs AS (SELECT doc1, doc2 FROM (
+                    SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
+                  WHERE hamming <= 3),
+          ed AS (SELECT doc1 AS a, doc2 AS b FROM prs
+                 UNION SELECT doc2, doc1 FROM prs),
+          reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
+                    UNION
+                    SELECT ed.b AS doc, reach.r FROM reach JOIN ed ON reach.doc = ed.a),
+          cl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)
+          SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM cl ORDER BY doc_id"""
+    },
     "m04_media_dims" ->
       """SELECT doc_id AS asset_id,
            CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -857,7 +947,34 @@ object EntryOps {
           gh AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM tri)
           SELECT doc_id,
                  array_to_string(list_sort(list(h))[1:4], ',') AS fingerprint
-          FROM gh GROUP BY doc_id ORDER BY doc_id"""
+          FROM gh GROUP BY doc_id ORDER BY doc_id""",
+    "q32_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+          nb AS (SELECT a.event_id, count(*) AS n
+                 FROM e a JOIN e b ON abs(b.ts_us - a.ts_us) <= 60000000
+                                  AND b.event_id != a.event_id
+                 GROUP BY 1)
+         SELECT e.event_id, e.ts_us,
+                CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_neighbors
+         FROM e LEFT JOIN nb USING (event_id) ORDER BY event_id""",
+    "q33_stratified_sample" ->
+      """SELECT lang, rk, doc_id, skey FROM (
+           SELECT lang, doc_id, md5('smp:' || CAST(doc_id AS VARCHAR)) AS skey,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                  AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY lang, rk""",
+    "t07_contamination" ->
+      s"""WITH ${duckShingles(3)},
+          ev AS (SELECT doc_id AS eval_id, gram FROM tri WHERE doc_id % 100 = 0),
+          evs AS (SELECT eval_id, count(*) AS eval_grams FROM ev GROUP BY 1),
+          tr AS (SELECT doc_id AS train_id, gram FROM tri WHERE doc_id % 100 != 0),
+          ov AS (SELECT train_id, eval_id, count(*) AS shared_grams
+                 FROM tr JOIN ev USING (gram) GROUP BY 1, 2)
+          SELECT train_id, eval_id, shared_grams, eval_grams,
+                 CAST(shared_grams AS DOUBLE) / CAST(eval_grams AS DOUBLE) AS containment
+          FROM ov JOIN evs USING (eval_id) ORDER BY train_id, eval_id"""
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -875,6 +992,7 @@ object EntryOps {
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
     "d07_simhash_neardup" -> (simhashNearDup _),
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
+    "d09_dedup_clusters" -> (dedupClusters _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),
@@ -897,6 +1015,9 @@ object EntryOps {
     "q29_asof_join" -> (asofJoin _),
     "q30_percentiles" -> (percentiles _),
     "t05_fingerprint_agg" -> (fingerprintAgg _),
-    "t06_salient_terms" -> (salientTerms _)
+    "t06_salient_terms" -> (salientTerms _),
+    "t07_contamination" -> (contamination _),
+    "q32_range_join" -> (rangeJoinCount _),
+    "q33_stratified_sample" -> (stratifiedSample _)
   )
 }

@@ -269,6 +269,100 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** Train/eval CONTAMINATION check — the decontamination join every
+    * training-data pipeline runs before a model ships: which training
+    * documents contain n-grams of a held-out evaluation document, and how
+    * much of each eval doc is covered. `isEval` marks the benchmark side;
+    * output is one row per overlapping (train, eval) pair with the shared
+    * distinct-gram count and the containment ratio (shared / eval grams —
+    * the standard "fraction of the eval doc present in training" direction).
+    *
+    * Scale: the corpus-side shingle index shuffles ONCE by gram into the
+    * equi-join; per-gram fan-out is bounded by the EVAL side's document
+    * frequency, and benchmark suites are tiny relative to the corpus, so no
+    * frequency cap is needed (contrast [[ngramJaccard]]'s corpus×corpus
+    * self-join). The (train, eval) pair aggregation partial-aggregates
+    * map-side. No broadcast assumptions: the eval id list joins by key and
+    * AQE may still choose a runtime broadcast when it is actually small.
+    */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    val tri = shingles(docs, n).cache() // feeds both sides of the join
+    val evalIds = docs.filter(isEval).select(col("doc_id"))
+    val te = tri.join(evalIds, "doc_id")
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val evalSizes = te.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("eval_grams"))
+    val tt = tri.join(evalIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("train_id"), col("gram"))
+    tt.join(te, "gram")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(evalSizes, "eval_id")
+      .withColumn("containment",
+        col("shared_grams").cast("double") / col("eval_grams").cast("double"))
+      .select(col("train_id"), col("eval_id"), col("shared_grams"),
+        col("eval_grams"), col("containment"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * PAIRS into dedup GROUPS (a chain a~b~c must collapse to ONE canonical
+    * survivor even when a and c never paired directly). Iterative min-label
+    * propagation: every doc starts labeled with its own id; each round, every
+    * doc takes the minimum label among itself and its neighbors; at fixpoint
+    * the label is the minimum doc_id of the component — the same canonical
+    * -survivor rule as [[exact]].
+    *
+    * Scale design: each round is one equi-join of the (undirected) edge list
+    * against the label table plus one hash aggregation — all shuffles are
+    * key-partitioned, nothing is broadcast or collected (the driver reads ONE
+    * scalar per round: the label-sum convergence metric, monotone
+    * non-increasing and constant exactly at fixpoint, so convergence
+    * detection needs no row-level diff join). Labels are locally
+    * checkpointed each round to truncate the iterative lineage. Round count
+    * is bounded by the component DIAMETER: near-dup clusters are dense
+    * (band-collision edges), with diameters of 2-3 in practice. For
+    * adversarial long-chain graphs production systems switch to the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) whose round count is
+    * O(log n); the per-round dataflow shape — join, re-key, min-aggregate —
+    * is identical to this one.
+    *
+    * `edges` needs (doc1, doc2) columns; `docs` needs doc_id. Docs in no
+    * pair form singleton clusters. Output: (doc_id, cluster_id,
+    * cluster_size) ordered by doc_id.
+    */
+  def clusterComponents(docs: DataFrame, edges: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val und = edges.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(edges.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .distinct()
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var prevSum = BigDecimal(labels.agg(sum(col("label"))).head().getLong(0))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbr = und.join(labels, und("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label")).union(nbr)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val nextSum = BigDecimal(next.agg(sum(col("label"))).head().getLong(0))
+      labels = next
+      converged = nextSum == prevSum // labels only decrease; equal sum ⇒ fixpoint
+      prevSum = nextSum
+      it += 1
+    }
+    und.unpersist(false)
+    labels
+      .withColumnRenamed("label", "cluster_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming exact dedup: emit only the FIRST document seen per content
     * hash; duplicates arriving within the watermark horizon are dropped and
     * per-hash state expires once the watermark passes (bounded state — the

@@ -236,6 +236,29 @@ class OpsSpec extends GraftSpec {
     assert(v9bucket === expectedCid)
   }
 
+  test("clusterComponents collapses chains to min-id groups, keeps singletons") {
+    // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
+    // singleton 20; edges deliberately listed max-id-first to prove the
+    // propagation is direction-independent
+    val ds = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((2L, 1L), (3L, 2L), (11L, 10L)).toDF("doc1", "doc2")
+    val out = Dedup.clusterComponents(ds, edges)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L), (20L, 20L, 1L)))
+  }
+
+  test("clusterComponents converges on a long path (diameter > 2)") {
+    // path 1-2-3-4-5-6: min label must walk the whole diameter
+    val ds = (1L to 6L).toDF("doc_id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val out = Dedup.clusterComponents(ds, edges)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSeq
+    assert(out === (1L to 6L).map(i => (i, 1L)))
+  }
+
   test("langId flags CJK text as zh and defaults to en") {
     val d = Seq((1L, "the cat and the dog", "en"), (2L, "你好 世界", "zh"))
       .toDF("doc_id", "text", "lang")
