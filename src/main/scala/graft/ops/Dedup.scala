@@ -338,11 +338,19 @@ object Dedup {
       .union(edges.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // Iterate ONLY over the ACTIVE vertex set — docs that appear in an edge.
+    // Near-dup pairs are a vanishing fraction of a deduplicated corpus, so
+    // per-round state is proportional to the near-dup GRAPH, not the corpus;
+    // the (huge) singleton remainder joins back once at the end. At 100 TB
+    // this is the difference between iterating over gigabytes and petabytes.
+    var labels = und.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var prevSum = BigDecimal(labels.agg(sum(col("label"))).head().getLong(0))
+    var prevSum = BigDecimal(Option(
+      labels.agg(sum(col("label"))).head().get(0)).fold(0L)(_.asInstanceOf[Long]))
     var it = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && it < maxIters) {
       val nbr = und.join(labels, und("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
@@ -356,8 +364,9 @@ object Dedup {
       it += 1
     }
     und.unpersist(false)
-    labels
-      .withColumnRenamed("label", "cluster_id")
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("label", "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
