@@ -437,6 +437,40 @@ object EntryOps {
         count(lit(1)).as("qty"))
       .orderBy(col("event_type"))
 
+  /** q34 — MERGEABLE approximate percentiles via a fixed-width histogram:
+    * exact percentiles ([[percentiles]]) need the full value multiset per
+    * group (a sort, O(rows) state); the histogram form needs one mergeable
+    * map-side-combinable count per (group, bin) — O(bins) state however many
+    * rows, the sketch shape percentile monitoring runs at 100 TB. The
+    * quantile estimate is the first bin whose cumulative count reaches
+    * ceil(q·n), reported as the bin midpoint; thresholds use pure integer
+    * arithmetic — ceil(q·n) = (19n+19) div 20 for q=0.95 — so Spark and
+    * DuckDB agree bit-for-bit (0.95·n in doubles would not).
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT) div 100").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = binned
+      .withColumn("cum", sum(col("cnt")).over(
+        byType.orderBy(col("bin").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(byType))
+    cum
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("total")).as("n"),
+        min(when(col("cum") >= expr("(total + 1) div 2"), col("bin"))).as("p50_bin"),
+        min(when(col("cum") >= expr("(19 * total + 19) div 20"), col("bin"))).as("p95_bin"))
+      .select(col("event_type"), col("n"),
+        col("p50_bin"), (col("p50_bin") * 100 + 50).as("p50_est_cents"),
+        col("p95_bin"), (col("p95_bin") * 100 + 50).as("p95_est_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Tumbling-day rollup — the batch form of the streaming daily report
     * (SURVEY §2.7): date_trunc window + group/aggregate.
     */
@@ -948,6 +982,21 @@ object EntryOps {
           SELECT doc_id,
                  array_to_string(list_sort(list(h))[1:4], ',') AS fingerprint
           FROM gh GROUP BY doc_id ORDER BY doc_id""",
+    "q34_histogram_quantiles" ->
+      """WITH h AS (SELECT event_type,
+                    CAST(floor(value * 100) AS BIGINT) // 100 AS bin,
+                    count(*) AS cnt FROM events GROUP BY 1, 2),
+          c AS (SELECT event_type, bin, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+                FROM h)
+         SELECT event_type, max(total) AS n,
+           min(CASE WHEN cum >= (total + 1) // 2 THEN bin END) AS p50_bin,
+           CAST(min(CASE WHEN cum >= (total + 1) // 2 THEN bin END) * 100 + 50 AS BIGINT) AS p50_est_cents,
+           min(CASE WHEN cum >= (19 * total + 19) // 20 THEN bin END) AS p95_bin,
+           CAST(min(CASE WHEN cum >= (19 * total + 19) // 20 THEN bin END) * 100 + 50 AS BIGINT) AS p95_est_cents
+         FROM c GROUP BY event_type ORDER BY event_type""",
     "q32_range_join" ->
       """WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
           nb AS (SELECT a.event_id, count(*) AS n
@@ -1018,6 +1067,7 @@ object EntryOps {
     "t06_salient_terms" -> (salientTerms _),
     "t07_contamination" -> (contamination _),
     "q32_range_join" -> (rangeJoinCount _),
-    "q33_stratified_sample" -> (stratifiedSample _)
+    "q33_stratified_sample" -> (stratifiedSample _),
+    "q34_histogram_quantiles" -> (histogramQuantiles _)
   )
 }

@@ -87,6 +87,31 @@ object Ingest {
   /** W5 — dead-letter sink (schema `graft.model.Schemas.deadLetter`), same
     * overwrite-by-batchId idempotence as the fact append.
     */
+  /** Bucketed table write — the 100 TB co-location primitive: hash-bucketing
+    * a fact table by its dominant join/aggregation key ONCE at write time
+    * lets every downstream equi-join and groupBy on that key run with NO
+    * shuffle (Spark plans bucketed scans as pre-partitioned children; with
+    * `sortBy` the sort-merge join's sort is free too). One ingest-time
+    * shuffle amortized across every consumer is the same trade the classic
+    * sort-merge-bucket ETL pattern makes; at a 1000-executor scale the
+    * avoided exchange is usually the whole job cost.
+    *
+    * Registers `table` in the session catalog backed by parquet files at
+    * `path` (external table — the files outlive the catalog entry and remain
+    * plain parquet for non-bucket-aware readers; only the catalog carries
+    * the bucket spec, which is why this goes through `saveAsTable` rather
+    * than the path-based writer). IngestSpec asserts the no-shuffle plans.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   def appendDeadLetters(df: DataFrame, warehouse: Warehouse,
       batchId: Long = 0L): Unit =
     if (!df.isEmpty) idempotentAppend(df, warehouse, "dead_letters", batchId)

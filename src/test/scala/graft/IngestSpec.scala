@@ -273,6 +273,39 @@ class IngestSpec extends GraftSpec {
     assert(wh.apache(spark).count() === 400)
   }
 
+  test("bucketed tables join and aggregate with zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val dir = Files.createTempDirectory("graft-bkt")
+    val facts = (1L to 400L).map(i => (i % 40, i, s"t${i % 5}"))
+      .toDF("user_id", "event_id", "event_type")
+    val dim = (0L until 40L).map(i => (i, s"user$i")).toDF("user_id", "name")
+    Ingest.writeBucketed(facts, "bkt_facts", s"$dir/facts", "user_id", 4,
+      sortCols = Seq("user_id"))
+    Ingest.writeBucketed(dim, "bkt_dim", s"$dir/dim", "user_id", 4,
+      sortCols = Seq("user_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_dim"), "user_id")
+      val agged = spark.table("bkt_facts").groupBy("user_id").count()
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect { case s: ShuffleExchangeLike => s }.size
+      assert(shuffles(joined) === 0,
+        "same-bucket-count equi-join must use the write-time partitioning")
+      assert(shuffles(agged) === 0,
+        "groupBy on the bucket key must use the write-time partitioning")
+      assert(joined.count() === 400)
+      // and the answers match the un-bucketed plans
+      val plainJoin = facts.join(dim, "user_id")
+      assert(joined.orderBy("event_id").collect() ===
+        plainJoin.orderBy("event_id").collect())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dim")
+    }
+  }
+
   test("compaction merges batch leaves behind an atomic marker flip") {
     import org.apache.spark.sql.functions._
     val wh = tmpWarehouse()
