@@ -97,9 +97,33 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
+    // Per-query quiet gate: the start-of-run gate cannot protect against a
+    // co-tenant burst ARRIVING mid-run (observed: a burst at loadavg 10-12
+    // inflated one query 10× across all three of its runs while the run
+    // started quiet). Before each query, if the 1-minute load exceeds the
+    // threshold + our own steady-state contribution, wait it out — bounded
+    // by a shared budget so a permanently-busy host still finishes.
+    // ownLoad: this process keeps ~local[N] cores busy while measuring, so
+    // the ambient-noise signal is load minus that; sampled right after the
+    // (idle) warmup the first time a wait triggers.
+    val perQueryBudgetMs = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_SEC", "300").toLong * 1000L)
+    val ownLoadAllowance = // measured steady-state self-load at local[32] ≈ 5-6
+      sys.env.getOrElse("SPARK_GRAFT_OWN_LOAD", s"${cpus.toInt / 5}").toDouble
+    var waitedMs = 0L
+    def gateQuery(): Unit = {
+      while (loadavg() > quietThreshold + ownLoadAllowance &&
+          perQueryBudgetMs.get() > 0) {
+        Thread.sleep(5000L)
+        waitedMs += 5000L
+        perQueryBudgetMs.addAndGet(-5000L)
+      }
+    }
+
     // any failed run fails the query outright (-1, counted) — a crash must
     // never improve the headline total or hide behind another run's time
     val results = headline.map { n =>
+      gateQuery()
       val before = loadavg()
       val runs = Seq(run(n), run(n), run(n))
       val after = loadavg()
@@ -129,7 +153,7 @@ object Bench {
     val loadJson = results.map { case (k, _, _, b, a) =>
       "\"" + k + "\":[" + b + "," + a + "]" }.mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"gate_load":$gateLoad,"runs":$runsJson,"load":$loadJson}"""
+      s"""{"summary":$line,"gate_load":$gateLoad,"mid_run_wait_sec":${waitedMs / 1000L},"runs":$runsJson,"load":$loadJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

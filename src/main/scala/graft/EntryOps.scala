@@ -87,6 +87,19 @@ object EntryOps {
     Dedup.clusterComponents(d, Dedup.simhashNearDup64(d, maxHamming = 3))
   }
 
+  /** d10 — the DEDUPLICATED CORPUS: the dedup pipeline's actual product
+    * (pairs → groups → one canonical min-id survivor per group, with the
+    * group size and the doc's metadata). What a training run reads.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.clusterComponents(d, Dedup.simhashNearDup64(d, maxHamming = 3))
+      .filter(col("doc_id") === col("cluster_id"))
+      .join(d.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("doc_id"), col("cluster_size"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q32 — time-RANGE join via binning: for every event, how many OTHER
     * events (any user) fall within ±60 s. The naive |Δt| ≤ w predicate is a
     * broadcast-nested-loop O(N²) plan; the scalable form buckets timestamps
@@ -555,6 +568,34 @@ object EntryOps {
       s"(CASE WHEN $proj > CAST(0 AS DOUBLE) THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Shared CTE chain for the d09/d10 dedup-cluster oracles: d08's banded
+    * SimHash-64 pairs as edges, then a recursive transitive-closure min-label
+    * (`cl(doc_id, cluster_id)`) — the SQL mirror of
+    * [[graft.ops.Dedup.clusterComponents]].
+    */
+  private def duckClusterCtes: String = {
+    val ham = (1 to 64).map(i =>
+      s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$duckSimhash64Sig,
+        bd AS (SELECT doc_id, simhash, b AS band,
+                      substring(simhash, b * 16 + 1, 16) AS bits
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
+                        b.doc_id AS doc2, b.simhash AS s2
+                 FROM bd a JOIN bd b
+                   ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+        prs AS (SELECT doc1, doc2 FROM (
+                  SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
+                WHERE hamming <= 3),
+        ed AS (SELECT doc1 AS a, doc2 AS b FROM prs
+               UNION SELECT doc2, doc1 FROM prs),
+        reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
+                  UNION
+                  SELECT ed.b AS doc, reach.r FROM reach JOIN ed ON reach.doc = ed.a),
+        cl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
@@ -908,31 +949,19 @@ object EntryOps {
             SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
           WHERE hamming <= 3 ORDER BY doc1, doc2"""
     },
-    "d09_dedup_clusters" -> {
-      val ham = (1 to 64).map(i =>
-        s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH RECURSIVE $duckSimhash64Sig,
-          bd AS (SELECT doc_id, simhash, b AS band,
-                        substring(simhash, b * 16 + 1, 16) AS bits
-                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-          cand AS (SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
-                          b.doc_id AS doc2, b.simhash AS s2
-                   FROM bd a JOIN bd b
-                     ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
-          prs AS (SELECT doc1, doc2 FROM (
-                    SELECT doc1, doc2, CAST($ham AS BIGINT) AS hamming FROM cand)
-                  WHERE hamming <= 3),
-          ed AS (SELECT doc1 AS a, doc2 AS b FROM prs
-                 UNION SELECT doc2, doc1 FROM prs),
-          reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
-                    UNION
-                    SELECT ed.b AS doc, reach.r FROM reach JOIN ed ON reach.doc = ed.a),
-          cl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)
+    "d09_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckClusterCtes
           SELECT doc_id, cluster_id,
                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-          FROM cl ORDER BY doc_id"""
-    },
+          FROM cl ORDER BY doc_id""",
+    "d10_dedup_survivors" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+          SELECT cl.doc_id, sz.cluster_size, d.lang, d.source
+          FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
+          JOIN documents d ON d.doc_id = cl.doc_id
+          WHERE cl.doc_id = cl.cluster_id
+          ORDER BY cl.doc_id""",
     "m04_media_dims" ->
       """SELECT doc_id AS asset_id,
            CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -1042,6 +1071,7 @@ object EntryOps {
     "d07_simhash_neardup" -> (simhashNearDup _),
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "d09_dedup_clusters" -> (dedupClusters _),
+    "d10_dedup_survivors" -> (dedupSurvivors _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),
