@@ -192,6 +192,33 @@ object EntryOps {
     * JPEG fill bytes, SOF2, and a top-down BMP are spec-checked in
     * FunctionsSpec.)
     */
+  /** m05 — REAL pixel decode: synthesized binary netpbm payloads (P6 RGB for
+    * doc_id % 3 != 0, P5 gray otherwise; every 7th carries a `#` header
+    * comment) whose pixel bytes cycle `(doc_id + j) % 256`. The native
+    * `ppm_features` expression parses header AND raster from the actual
+    * bytes; the oracle computes the expected sums from the doc_id formulas
+    * directly, so a construct/parse inverse bug cannot cancel out
+    * (real-bytes fixtures are additionally spec-checked in FunctionsSpec).
+    */
+  def ppmPixels(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("doc_id") % 8 + 2
+    val h = (col("doc_id") * 3) % 8 + 2
+    val isP6 = col("doc_id") % 3 =!= 0
+    val chans = when(isP6, lit(3L)).otherwise(lit(1L))
+    val start = col("doc_id") % 256
+    val header = concat(
+      when(isP6, lit("P6")).otherwise(lit("P5")), lit("\n"),
+      when(col("doc_id") % 7 === 0, lit("# synthetic fixture\n")).otherwise(lit("")),
+      w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val pixHex = array_join(
+      transform(sequence(lit(0L), w * h * chans - 1),
+        j => lpad(hex((start + j) % 256), 2, "0")), "")
+    val assets = Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      concat(header.cast("binary"), unhex(pixHex)).as("payload"))
+    Multimodal.ppmFeatures(assets)
+  }
+
   def mediaDims(spark: SparkSession, dir: String): DataFrame = {
     val w = col("doc_id") % 1000 + 1
     val h = (col("doc_id") * 7) % 1000 + 3
@@ -971,6 +998,27 @@ object EntryOps {
            CASE WHEN doc_id % 5 = 4 THEN NULL
                 ELSE CAST((doc_id * 7) % 1000 + 3 AS BIGINT) END AS height
          FROM documents ORDER BY asset_id""",
+    "m05_ppm_pixels" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
+                       doc_id % 256 AS start,
+                       CASE WHEN doc_id % 3 != 0 THEN 3 ELSE 1 END AS chans
+                       FROM documents),
+          px AS (SELECT doc_id, j % chans AS c, (start + j) % 256 AS v
+                 FROM (SELECT doc_id, chans, start, unnest(range(0, w * h * chans)) AS j
+                       FROM base)),
+          sums AS (SELECT doc_id, c, CAST(sum(v) AS BIGINT) AS s FROM px GROUP BY 1, 2),
+          p AS (SELECT doc_id,
+                min(CASE WHEN c = 0 THEN s END) AS s0,
+                min(CASE WHEN c = 1 THEN s END) AS s1,
+                min(CASE WHEN c = 2 THEN s END) AS s2 FROM sums GROUP BY doc_id)
+         SELECT b.doc_id AS asset_id,
+                CASE WHEN b.chans = 3 THEN 'ppm' ELSE 'pgm' END AS format,
+                CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                CAST(255 AS BIGINT) AS maxval,
+                CAST(b.w * b.h AS BIGINT) AS n_pixels,
+                p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
+                COALESCE(p.s2, p.s0) AS sum_b
+         FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
     "q31_linear_count_distinct" ->
       """SELECT event_type, CAST(4096 AS BIGINT) AS m,
            CAST(count(DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS occupied,
@@ -1080,6 +1128,7 @@ object EntryOps {
     "m02_asset_metadata" -> (multimodalMeta _),
     "m03_frame_sample" -> (frameSample _),
     "m04_media_dims" -> (mediaDims _),
+    "m05_ppm_pixels" -> (ppmPixels _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

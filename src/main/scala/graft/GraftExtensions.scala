@@ -59,6 +59,10 @@ object GraftExtensions {
         info("media_dims",
           "media_dims(payload) - struct(format, width, height) sniffed from PNG/GIF/BMP/JPEG header bytes"),
         (args: Seq[Expression]) => graft.functions.MediaDims(args.head)),
+      (FunctionIdentifier("ppm_features"),
+        info("ppm_features",
+          "ppm_features(payload) - struct(format, width, height, maxval, n_pixels, sum_r, sum_g, sum_b) decoded from binary netpbm (P6/P5) bytes"),
+        (args: Seq[Expression]) => graft.functions.PpmFeatures(args.head)),
       (FunctionIdentifier("hyperplane_bucket"),
         info("hyperplane_bucket",
           "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),

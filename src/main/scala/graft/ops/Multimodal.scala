@@ -98,6 +98,23 @@ object Multimodal {
         col("m.width").as("width"), col("m.height").as("height"))
       .orderBy(col("asset_id"))
 
+  /** REAL pixel-level decode for binary netpbm payloads (P6 PPM / P5 PGM) —
+    * header fields and exact per-channel integer pixel sums computed from the
+    * image bytes by the native codegen'd [[graft.functions.PpmFeatures]]
+    * expression (no codec library exists or is needed for this family).
+    * Same scan-stage shape as [[mediaDims]]: one narrow per-row map, only
+    * the per-asset stats struct ever leaves the scan.
+    */
+  def ppmFeatures(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), graft.functions.PpmFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format").as("format"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.maxval").as("maxval"), col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"))
+      .orderBy(col("asset_id"))
+
   /** Feature extraction over the binary payload — the decode-and-featurize stage
     * of a multimodal ingest. One narrow map, no shuffle. The 4-bin byte
     * histogram is emitted as four scalar columns (h0..h3) so the result is

@@ -162,7 +162,8 @@ class ExtensionsSpec extends GraftSpec {
       "SELECT dot_f32(array(CAST(1.0 AS DOUBLE)), array(CAST(1.0 AS DOUBLE)))",
       "SELECT minhash_band_sigs(array(1, 2), 8, 4)",
       "SELECT simhash64(array('a'))",
-      "SELECT media_dims(array(1, 2))")
+      "SELECT media_dims(array(1, 2))",
+      "SELECT ppm_features(array(1, 2))")
     bad.foreach { sql =>
       val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
       assert(e.getMessage.toLowerCase.contains("type"), s"$sql: ${e.getMessage}")

@@ -226,4 +226,43 @@ class FunctionsSpec extends GraftSpec {
       .head()
     assert(viaSql.getString(0) === "gif" && viaSql.getLong(1) === 2L)
   }
+
+  test("ppm_features decodes real netpbm pixel bytes (P6/P5, comments, guards)") {
+    import spark.implicits._
+    // REAL hand-laid bytes, independent of the m05 fixture constructor
+    // 2x1 P6: pixels (10,20,30) and (40,50,60) → sums r=50 g=70 b=90
+    val p6 = "P6\n2 1\n255\n".getBytes("UTF-8") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    // P5 with a header comment, 3x1 gray 200/201/202 → sum 603 in all slots
+    val p5 = "P5\n# a comment\n3 1\n255\n".getBytes("UTF-8") ++
+      Array(200, 201, 202).map(_.toByte)
+    // truncated raster: header promises 4 pixels, only 2 bytes present
+    val trunc = "P5\n2 2\n255\n".getBytes("UTF-8") ++ Array[Byte](1, 2)
+    // 16-bit samples (maxval 65535): dims parse, sums must refuse
+    val deep = "P6\n1 1\n65535\n".getBytes("UTF-8") ++
+      Array[Byte](0, 1, 0, 2, 0, 3)
+    val notPpm = "P3\n1 1\n255\n1 2 3\n".getBytes("UTF-8") // ASCII variant
+    val rows = Seq((1L, p6), (2L, p5), (3L, trunc), (4L, deep), (5L, notPpm))
+      .toDF("id", "payload")
+      .select(col("id"), graft.functions.PpmFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.n_pixels"),
+        col("f.sum_r"), col("f.sum_g"), col("f.sum_b"))
+      .orderBy("id").collect()
+    def g(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.get(i)
+    assert((rows(0).getString(1), g(rows(0), 2), g(rows(0), 3), g(rows(0), 4),
+      g(rows(0), 5), g(rows(0), 6)) === (("ppm", 2L, 2L, 50L, 70L, 90L)))
+    assert((rows(1).getString(1), g(rows(1), 2), g(rows(1), 3), g(rows(1), 4),
+      g(rows(1), 5), g(rows(1), 6)) === (("pgm", 3L, 3L, 603L, 603L, 603L)))
+    assert((rows(2).getString(1), g(rows(2), 2), g(rows(2), 4)) ===
+      (("pgm", 2L, null)), "truncated raster must not sum partially")
+    assert((rows(3).getString(1), g(rows(3), 2), g(rows(3), 4)) ===
+      (("ppm", 1L, null)), "2-byte samples must refuse, not misread")
+    assert(rows(4).getString(1) === "unknown", "ASCII P3 is not decoded")
+    // SQL registration round-trip
+    GraftExtensions.registerAll(spark)
+    val viaSql = Seq(Tuple1(p6)).toDF("p")
+      .selectExpr("ppm_features(p).sum_b AS sb").head().getLong(0)
+    assert(viaSql === 90L)
+  }
 }
