@@ -511,6 +511,34 @@ object EntryOps {
       .orderBy(col("event_type"))
   }
 
+  /** q35 — anomalous-day detection with INTEGER-EXACT z-scores: flag days
+    * whose event count deviates more than 2 population-σ from the type's
+    * daily mean. |c − μ| > 2σ is evaluated as (D·c − Σc)² > 4·(D·Σc² − (Σc)²)
+    * — both sides pure integers, so Spark and DuckDB agree bit-for-bit where
+    * a floating z-score could flip a borderline day on rounding. Two
+    * aggregations (daily rollup, then per-type moment window over ~30 rows
+    * per type); the moment sums are the mergeable-sketch shape, so the same
+    * plan monitors 100 TB/day feeds with O(types·days) state.
+    */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("qty"))
+    val byType = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("dd", count(lit(1)).over(byType))
+      .withColumn("sc", sum(col("qty")).over(byType))
+      .withColumn("sc2", sum(col("qty") * col("qty")).over(byType))
+      .withColumn("is_anomaly",
+        when(col("dd") > 1 &&
+          (col("dd") * col("qty") - col("sc")) * (col("dd") * col("qty") - col("sc")) >
+            lit(4L) * (col("dd") * col("sc2") - col("sc") * col("sc")), 1L)
+          .otherwise(0L))
+      .select(col("event_type"), col("day"), col("qty"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Tumbling-day rollup — the batch form of the streaming daily report
     * (SURVEY §2.7): date_trunc window + group/aggregate.
     */
@@ -1074,6 +1102,20 @@ object EntryOps {
            min(CASE WHEN cum >= (19 * total + 19) // 20 THEN bin END) AS p95_bin,
            CAST(min(CASE WHEN cum >= (19 * total + 19) // 20 THEN bin END) * 100 + 50 AS BIGINT) AS p95_est_cents
          FROM c GROUP BY event_type ORDER BY event_type""",
+    "q35_anomaly_days" ->
+      """WITH d AS (SELECT event_type,
+                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                    count(*) AS qty FROM events GROUP BY 1, 2),
+          s AS (SELECT event_type, day, qty,
+                CAST(count(*) OVER w AS BIGINT) AS dd,
+                CAST(sum(qty) OVER w AS BIGINT) AS sc,
+                CAST(sum(qty * qty) OVER w AS BIGINT) AS sc2
+                FROM d WINDOW w AS (PARTITION BY event_type))
+         SELECT event_type, day, qty,
+                CAST(CASE WHEN dd > 1 AND
+                  (dd * qty - sc) * (dd * qty - sc) > 4 * (dd * sc2 - sc * sc)
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         FROM s ORDER BY event_type, day""",
     "q32_range_join" ->
       """WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
           nb AS (SELECT a.event_id, count(*) AS n
@@ -1147,6 +1189,7 @@ object EntryOps {
     "t07_contamination" -> (contamination _),
     "q32_range_join" -> (rangeJoinCount _),
     "q33_stratified_sample" -> (stratifiedSample _),
-    "q34_histogram_quantiles" -> (histogramQuantiles _)
+    "q34_histogram_quantiles" -> (histogramQuantiles _),
+    "q35_anomaly_days" -> (anomalyDays _)
   )
 }
