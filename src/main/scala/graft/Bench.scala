@@ -103,20 +103,22 @@ object Bench {
     // started quiet). Before each query, if the 1-minute load exceeds the
     // threshold + our own steady-state contribution, wait it out — bounded
     // by a shared budget so a permanently-busy host still finishes.
-    // ownLoad: this process keeps ~local[N] cores busy while measuring, so
-    // the ambient-noise signal is load minus that; sampled right after the
-    // (idle) warmup the first time a wait triggers.
-    val perQueryBudgetMs = new java.util.concurrent.atomic.AtomicLong(
-      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_SEC", "300").toLong * 1000L)
-    val ownLoadAllowance = // measured steady-state self-load at local[32] ≈ 5-6
-      sys.env.getOrElse("SPARK_GRAFT_OWN_LOAD", s"${cpus.toInt / 5}").toDouble
-    var waitedMs = 0L
+    // ownLoad: this process keeps roughly cpus/5 of loadavg busy while
+    // benchmarking short queries (measured ≈ 5-6 at local[32]); the
+    // fractional division matters — an integer cpus/5 is 0 at the default
+    // cpus=4, and a zero allowance makes the gate trip on our OWN load,
+    // burning the whole budget on a quiet host and leaving a later real
+    // burst unprotected.
+    val quietBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_SEC", "300").toLong * 1000L
+    val ownLoadAllowance =
+      sys.env.getOrElse("SPARK_GRAFT_OWN_LOAD", (cpus.toDouble / 5.0).toString).toDouble
+    var remainingBudgetMs = quietBudgetMs
     def gateQuery(): Unit = {
       while (loadavg() > quietThreshold + ownLoadAllowance &&
-          perQueryBudgetMs.get() > 0) {
+          remainingBudgetMs > 0) {
         Thread.sleep(5000L)
-        waitedMs += 5000L
-        perQueryBudgetMs.addAndGet(-5000L)
+        remainingBudgetMs -= 5000L
       }
     }
 
@@ -153,7 +155,7 @@ object Bench {
     val loadJson = results.map { case (k, _, _, b, a) =>
       "\"" + k + "\":[" + b + "," + a + "]" }.mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"gate_load":$gateLoad,"mid_run_wait_sec":${waitedMs / 1000L},"runs":$runsJson,"load":$loadJson}"""
+      s"""{"summary":$line,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"runs":$runsJson,"load":$loadJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

@@ -104,10 +104,16 @@ object PpmFeatures {
     i += 1
     if (maxval > 255) // 2-byte samples: refuse rather than misread
       return row(fmt, Array[Any](w, h, maxval, w * h, null, null, null))
-    val need = w * h * channels
-    if (n - i < need) // truncated raster
-      return row(fmt, Array[Any](w, h, maxval, w * h, null, null, null))
+    // truncated-raster guard in overflow-safe form: w and h are each capped
+    // at Int.MaxValue by nextInt, so w*h fits a Long (≤ 2^62), but a further
+    // *channels could wrap negative and slip past a `n - i < need` check —
+    // compare against the available bytes by division instead
+    val wh = w * h
+    if (wh > (n.toLong - i) / channels)
+      return row(fmt, Array[Any](w, h, maxval, wh, null, null, null))
+    val need = wh * channels
 
+    // need ≤ n - i ≤ Int.MaxValue here, so the toInt is exact
     var sr = 0L; var sg = 0L; var sb = 0L
     if (channels == 3) {
       var p = i
@@ -124,7 +130,7 @@ object PpmFeatures {
       while (p < end) { sr += b(p) & 0xff; p += 1 }
       sg = sr; sb = sr // gray: one channel reported in all three slots
     }
-    row(fmt, Array[Any](w, h, maxval, w * h, sr, sg, sb))
+    row(fmt, Array[Any](w, h, maxval, wh, sr, sg, sb))
   }
 
   def apply(c: Column): Column =

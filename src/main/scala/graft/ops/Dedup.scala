@@ -330,7 +330,9 @@ object Dedup {
     *
     * `edges` needs (doc1, doc2) columns; `docs` needs doc_id. Docs in no
     * pair form singleton clusters. Output: (doc_id, cluster_id,
-    * cluster_size) ordered by doc_id.
+    * cluster_size) ordered by doc_id. Hitting the round bound before the
+    * fixpoint THROWS — silently returning under-merged clusters would be
+    * data corruption (d10 would keep several "survivors" of one group).
     */
   def clusterComponents(docs: DataFrame, edges: DataFrame,
       maxIters: Int = 25): DataFrame = {
@@ -364,6 +366,16 @@ object Dedup {
       it += 1
     }
     und.unpersist(false)
+    // Fail LOUDLY on truncated propagation: exiting on the round bound with
+    // labels still moving would silently split one component into several
+    // "clusters" — and a dedup that silently under-merges is data
+    // corruption, not degraded service. A graph whose diameter defeats the
+    // bound needs the large-star/small-star contraction, not more rounds.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterComponents did not converge in $maxIters rounds: a component's " +
+        "diameter exceeds the bound; raise maxIters or use star-contraction " +
+        "for adversarial chain graphs")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("label", "cluster_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

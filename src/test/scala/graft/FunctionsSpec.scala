@@ -242,7 +242,12 @@ class FunctionsSpec extends GraftSpec {
     val deep = "P6\n1 1\n65535\n".getBytes("UTF-8") ++
       Array[Byte](0, 1, 0, 2, 0, 3)
     val notPpm = "P3\n1 1\n255\n1 2 3\n".getBytes("UTF-8") // ASCII variant
-    val rows = Seq((1L, p6), (2L, p5), (3L, trunc), (4L, deep), (5L, notPpm))
+    // adversarial header: w*h fits a Long but *3 would wrap negative — the
+    // guard must classify it as truncated, not crash or misread
+    val hugeDims = "P6\n2147483647 2147483647\n255\n".getBytes("UTF-8") ++
+      Array[Byte](1, 2, 3)
+    val rows = Seq((1L, p6), (2L, p5), (3L, trunc), (4L, deep), (5L, notPpm),
+      (6L, hugeDims))
       .toDF("id", "payload")
       .select(col("id"), graft.functions.PpmFeatures(col("payload")).as("f"))
       .select(col("id"), col("f.format"), col("f.width"), col("f.n_pixels"),
@@ -259,6 +264,9 @@ class FunctionsSpec extends GraftSpec {
     assert((rows(3).getString(1), g(rows(3), 2), g(rows(3), 4)) ===
       (("ppm", 1L, null)), "2-byte samples must refuse, not misread")
     assert(rows(4).getString(1) === "unknown", "ASCII P3 is not decoded")
+    assert((rows(5).getString(1), g(rows(5), 2), g(rows(5), 4)) ===
+      (("ppm", 2147483647L, null)),
+      "overflowing w*h*channels must be treated as truncated, never read out of bounds")
     // SQL registration round-trip
     GraftExtensions.registerAll(spark)
     val viaSql = Seq(Tuple1(p6)).toDF("p")

@@ -259,6 +259,17 @@ class OpsSpec extends GraftSpec {
     assert(out === (1L to 6L).map(i => (i, 1L)))
   }
 
+  test("clusterComponents fails loudly when the round bound truncates propagation") {
+    // same path graph with maxIters too small: silently under-merged
+    // clusters would be data corruption, so the contract is to throw
+    val ds = (1L to 6L).toDF("doc_id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterComponents(ds, edges, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("langId flags CJK text as zh and defaults to en") {
     val d = Seq((1L, "the cat and the dog", "en"), (2L, "你好 世界", "zh"))
       .toDF("doc_id", "text", "lang")
