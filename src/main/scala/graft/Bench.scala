@@ -122,15 +122,28 @@ object Bench {
       }
     }
 
+    // Process CPU seconds — the noise signal loadavg misses: hypervisor-level
+    // starvation (co-tenant burst on the physical host) inflates wall time
+    // while neither the 1-minute load nor our thread count moves. A query
+    // whose wall×parallelism far exceeds its recorded CPU seconds was
+    // starved, not slow.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuSec(): Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
     // any failed run fails the query outright (-1, counted) — a crash must
     // never improve the headline total or hide behind another run's time
     val results = headline.map { n =>
       gateQuery()
       val before = loadavg()
+      val cpu0 = cpuSec()
       val runs = Seq(run(n), run(n), run(n))
+      val cpu = cpuSec() - cpu0
       val after = loadavg()
       val value = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1) // median
-      (n, value, runs, before, after)
+      (n, value, runs, before, after, cpu)
     }
     val failures = results.count(_._2 < 0)
     // The harness that captures this line keeps only a bounded tail of the
@@ -142,7 +155,7 @@ object Bench {
     // quiet-gate load) goes to the side file bench_detail.json.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
@@ -150,12 +163,15 @@ object Bench {
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)
-    val runsJson = results.map { case (k, _, rs, _, _) =>
+    val runsJson = results.map { case (k, _, rs, _, _, _) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, b, a) =>
+    val loadJson = results.map { case (k, _, _, b, a, _) =>
       "\"" + k + "\":[" + b + "," + a + "]" }.mkString("{", ",", "}")
+    val cpuJson = results.map { case (k, _, _, _, _, c) =>
+      "\"" + k + "\":" + BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"runs":$runsJson,"load":$loadJson}"""
+      s"""{"summary":$line,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
