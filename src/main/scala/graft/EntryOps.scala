@@ -15,11 +15,16 @@ object EntryOps {
   /** The local test tables are single Parquet files = one scan partition, which
     * would serialize every CPU-heavy per-row stage (shingling, hashing, vector
     * folds) onto one core until the first shuffle. At production scale the input
-    * arrives as many files/splits, so this fan-out exists naturally; here we
-    * restore it explicitly before compute-bound pipelines.
+    * arrives as many files/splits, so this fan-out exists naturally — and the
+    * repartition is therefore CONDITIONAL: an input that already has at least
+    * the session's shuffle parallelism passes through untouched, so this can
+    * never add a full extra shuffle of a production corpus whose scan already
+    * fans out across thousands of splits.
     */
-  private def par(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+  private def par(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     par(Tables.documents(spark, dir))
@@ -132,16 +137,35 @@ object EntryOps {
     * language, chosen by a salted content-independent hash order
     * (md5 over the doc id) — reproducible across runs, engines, and
     * partitionings, the property a training-data split needs (a `rand()`
-    * sample is none of those). One shuffle by stratum; the rank bound makes
-    * the window's per-stratum state O(perLang) after the sort.
+    * sample is none of those).
+    *
+    * Two-stage selection keeps the per-stratum sort DISTRIBUTED: a single
+    * `row_number() over (partition by lang)` would sort ALL of a language's
+    * rows in one task (an English-dominated 100 TB corpus ⇒ one task sorts
+    * most of the corpus). Stage 1 ranks within (lang, salt) — a
+    * deterministic doc_id-derived salt spreads each stratum over
+    * `saltBuckets` tasks, each sorting ~1/saltBuckets of the stratum — and
+    * keeps the per-bucket top `perLang`. The global per-stratum top-k is
+    * provably inside that union (removing non-top rows of a bucket cannot
+    * promote anything), so stage 2 ranks only ≤ saltBuckets·perLang
+    * survivors per stratum. Same output, no single-task stratum sort.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val perLang = 20
-    docs(spark, dir)
+    val saltBuckets = 64 // ≥ cluster cores / expected strata; bounds stage-2 input
+    val base = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         md5(concat(lit("smp:"), col("doc_id").cast("string"))).as("skey"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
-        .orderBy(col("skey").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+    val local = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    val survivors = base
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= perLang)
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    survivors
+      .withColumn("rk", row_number().over(global).cast("long"))
       .filter(col("rk") <= perLang)
       .select(col("lang"), col("rk"), col("doc_id"), col("skey"))
       .orderBy(col("lang"), col("rk"))
@@ -444,12 +468,17 @@ object EntryOps {
     val words = d.select(col("doc_id"),
       explode(graft.ops.Dedup.words(col("text"))).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    // df = number of docs containing w = tf rows per w — a window count over
-    // the tf frame itself, so the w-shuffle both computes df and carries the
-    // rows forward (the former groupBy(w) + equi-join added a second shuffle
-    // of the tf frame by w for the same values)
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("w"))))
+    // df = number of docs containing w = tf rows per w. DELIBERATELY the
+    // two-shuffle groupBy(w) + equi-join form, not `count(*) over
+    // (partition by w)` on the tf frame: word frequency is Zipfian, so a
+    // window on w puts EVERY (doc, w) row of a stop word ("the", df ≈ N)
+    // into one task with no map-side partial aggregation and no AQE skew
+    // splitting — a guaranteed straggler at corpus scale. The groupBy
+    // partial-aggregates to one row per (w, task) before its shuffle, and
+    // the join back onto tf is an equi-join AQE's skew-join splitting can
+    // break up. The extra shuffle of the tf frame is the right trade.
+    val dfCounts = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(dfCounts, "w")
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val scored = withDf
       .crossJoin(broadcast(nDocs))

@@ -335,7 +335,7 @@ object Dedup {
     * data corruption (d10 would keep several "survivors" of one group).
     */
   def clusterComponents(docs: DataFrame, edges: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, fallbackToStar: Boolean = true): DataFrame = {
     val und = edges.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(edges.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()
@@ -366,23 +366,101 @@ object Dedup {
       it += 1
     }
     und.unpersist(false)
-    // Fail LOUDLY on truncated propagation: exiting on the round bound with
-    // labels still moving would silently split one component into several
-    // "clusters" — and a dedup that silently under-merges is data
-    // corruption, not degraded service. A graph whose diameter defeats the
-    // bound needs the large-star/small-star contraction, not more rounds.
-    if (!converged)
+    // A graph whose diameter defeats the round bound (adversarial chains —
+    // near-dup clusters are dense in practice) hands off to the O(log n)
+    // large-star/small-star contraction rather than burning more linear
+    // rounds. With the fallback disabled the contract is to fail LOUDLY:
+    // exiting on the bound with labels still moving would silently split one
+    // component into several "clusters", and a dedup that under-merges is
+    // data corruption, not degraded service.
+    if (!converged) {
+      if (fallbackToStar) return clusterComponentsStar(docs, edges)
       throw new IllegalStateException(
         s"clusterComponents did not converge in $maxIters rounds: a component's " +
         "diameter exceeds the bound; raise maxIters or use star-contraction " +
         "for adversarial chain graphs")
+    }
+    labelsToClusters(docs, labels)
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the adversarial-graph
+    * fallback for [[clusterComponents]]: min-label propagation needs
+    * diameter-many rounds (a 10 000-link near-dup chain = 10 000 joins); star
+    * contraction converges in O(log n) rounds on ANY graph by rewiring edges
+    * toward local minima instead of walking them.
+    *
+    * Each round is two phases over a canonical (hi > lo) edge list:
+    *  - large-star: for every node u, connect each STRICTLY LARGER neighbor
+    *    to m = min(N(u) ∪ {u}) — long chains fold in half;
+    *  - small-star: for every node u, connect u and each smaller neighbor to
+    *    m = min(N⁻(u) ∪ {u}) — partial stars flatten onto their minimum.
+    * At the joint fixpoint every component is a star centered on its minimum
+    * id, i.e. exactly the label table. Both phases are the same dataflow
+    * shape as a min-label round — equi-join + hash min-aggregate, all
+    * shuffles key-partitioned, nothing broadcast or collected — so the scale
+    * properties carry over; only the round COUNT changes. Convergence is an
+    * exact edge-set comparison (count + except, both key-partitioned): a
+    * checksum could false-converge, and per-node labels are not monotone
+    * mid-contraction, so the label-sum trick does not apply here.
+    */
+  def clusterComponentsStar(docs: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    var e = edges.filter(col("doc1") =!= col("doc2"))
+      .select(greatest(col("doc1"), col("doc2")).as("hi"),
+        least(col("doc1"), col("doc2")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var it = 0
+    var converged = eCount == 0L
+    while (!converged && it < maxIters) {
+      // large-star: group over BOTH directions; emit (v, min(mn, u)) for the
+      // larger neighbors v > u. Output stays canonical: v > u ≥ min(mn, u).
+      val bi = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = bi.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = bi.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("mn"), col("u")).as("lo"))
+        .distinct()
+      // small-star: group the canonical list by hi; every smaller neighbor
+      // (and hi itself) connects to the minimum m. lo ≥ m always, = filtered.
+      val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(sMins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(sMins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      val ssCount = ss.count()
+      // fixpoint = identical edge set across a full round (counts equal and
+      // no edge in ss missing from e); except() is exact, unlike a checksum
+      converged = ssCount == eCount && ss.except(e).head(1).isEmpty
+      e = ss
+      eCount = ssCount
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterComponentsStar did not converge in $maxIters rounds — " +
+        "O(log n) bounds this at ~64 for any graph that fits in storage; " +
+        "this indicates a bug, not an adversarial input")
+    labelsToClusters(docs, e.select(col("hi").as("doc_id"), col("lo").as("label")))
+  }
+
+  /** Shared tail of the component algorithms: attach labels to the full doc
+    * list (absent docs are singletons labeled by their own id) and annotate
+    * cluster sizes. The size window partitions on cluster_id — bounded by
+    * the largest near-dup cluster, not the corpus.
+    */
+  private def labelsToClusters(docs: DataFrame, labels: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("label", "cluster_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
-  }
 
   /** Streaming exact dedup: emit only the FIRST document seen per content
     * hash; duplicates arriving within the watermark horizon are dropped and

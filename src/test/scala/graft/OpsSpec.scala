@@ -260,14 +260,67 @@ class OpsSpec extends GraftSpec {
   }
 
   test("clusterComponents fails loudly when the round bound truncates propagation") {
-    // same path graph with maxIters too small: silently under-merged
-    // clusters would be data corruption, so the contract is to throw
+    // same path graph with maxIters too small AND the star fallback off:
+    // silently under-merged clusters would be data corruption, so the
+    // contract is to throw
     val ds = (1L to 6L).toDF("doc_id")
     val edges = (1L to 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
     val e = intercept[IllegalStateException] {
-      Dedup.clusterComponents(ds, edges, maxIters = 2).collect()
+      Dedup.clusterComponents(ds, edges, maxIters = 2,
+        fallbackToStar = false).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star contraction collapses a 10k-link chain in O(log n) rounds") {
+    // the adversarial input for min-label propagation: a path graph of
+    // diameter 10 000 (propagation would need 10 000 rounds and throws at
+    // its bound); large-star/small-star folds it in ~log2(n) rounds
+    val n = 10000L
+    val ds = spark.range(1, n + 1).toDF("doc_id")
+    val edges = spark.range(1, n).select(col("id").as("doc1"),
+      (col("id") + 1).as("doc2"))
+    val out = Dedup.clusterComponentsStar(ds, edges)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === n.toInt)
+    assert(out.forall { case (_, cid, sz) => cid == 1L && sz == n })
+  }
+
+  test("star contraction handles forests, singletons and max-id-first edges") {
+    val ds = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((2L, 1L), (3L, 2L), (11L, 10L)).toDF("doc1", "doc2")
+    val out = Dedup.clusterComponentsStar(ds, edges)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L), (20L, 20L, 1L)))
+  }
+
+  test("clusterComponents hands a bound-defeating graph to the star fallback") {
+    // diameter 6 > maxIters 2: instead of throwing, the default contract
+    // completes via star contraction with the identical result
+    val ds = (1L to 6L).toDF("doc_id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val out = Dedup.clusterComponents(ds, edges, maxIters = 2)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSeq
+    assert(out === (1L to 6L).map(i => (i, 1L)))
+  }
+
+  test("star contraction agrees with min-label propagation on the d08 edge set") {
+    // the swap-in guarantee for d09/d10: both algorithms must produce the
+    // same clusters over the REAL near-dup pair list the registry uses
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.simhashNearDup64(docs.select(col("doc_id"), col("text")))
+      .select(col("doc1"), col("doc2"))
+    val viaLabels = Dedup.clusterComponents(docs, pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaStar = Dedup.clusterComponentsStar(docs, pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaStar === viaLabels)
   }
 
   test("langId flags CJK text as zh and defaults to en") {

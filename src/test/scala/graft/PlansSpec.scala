@@ -60,6 +60,22 @@ class PlansSpec extends GraftSpec {
           out += s"$name: BroadcastNestedLoopJoin (${j.joinType}) outside baselines"
         case w: WindowExec if w.partitionSpec.isEmpty =>
           out += s"$name: global window (no PARTITION BY) — single-task scan"
+        case w: WindowExec if {
+          // No window may partition on a text/token column: word frequency
+          // is Zipfian, so a window keyed on a token puts every row of a
+          // stop word into ONE task, with no map-side partial aggregation
+          // and no AQE skew splitting (the r5 t06 hazard — use groupBy +
+          // equi-join for per-token counts instead). Bounded keys (ids,
+          // lang, event_type, hash buckets) stay allowed.
+          val tokenish = Set("w", "gram", "token", "term", "word", "shingle", "text")
+          w.partitionSpec.exists {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              tokenish.contains(a.name)
+            case _ => false
+          }
+        } =>
+          out += s"$name: window partitioned on a token column (" +
+            w.partitionSpec.map(_.sql).mkString(", ") + ") — Zipf-skewed single task"
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
           val ok = parent.exists {
             case a: HashAggregateExec => a.groupingExpressions.isEmpty
@@ -145,6 +161,36 @@ class PlansSpec extends GraftSpec {
         assert(arrays.isEmpty,
           s"pair shuffle carries array columns: ${arrays.map(_.name).mkString(", ")}")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q33 ranks strata through a salted local top-k (no single-stratum sort)") {
+    // The r5 hazard: row_number() over (partition by lang) sorts ALL of a
+    // language's rows in one task. The fixed plan must rank the full table
+    // through a (lang, salt) window first — mechanically: the WindowExec
+    // that computes the local rank (`lrk`) partitions on TWO expressions,
+    // and only the bounded survivor set (≤ saltBuckets·perLang per stratum)
+    // reaches the single-key global-rank window.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q33_stratified_sample")(spark, sfDir)
+        .queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      val localRank = wins.filter(_.windowExpression.exists(_.name == "lrk"))
+      assert(localRank.nonEmpty, "expected the salted local-rank window (lrk)")
+      localRank.foreach { w =>
+        assert(w.partitionSpec.size == 2,
+          s"local rank window must partition by (lang, salt), got: " +
+            w.partitionSpec.map(_.sql).mkString(", "))
+      }
+      // the global rank window (its expression is cast-wrapped, so match by
+      // shape): single-key partition, and it must consume the lrk survivors
+      val globalRank = wins.filter(w => w.partitionSpec.size == 1 &&
+        w.find { case l: WindowExec => l.windowExpression.exists(_.name == "lrk")
+                 case _ => false }.nonEmpty)
+      assert(globalRank.nonEmpty,
+        "expected the global per-stratum rank window above the lrk survivors")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
