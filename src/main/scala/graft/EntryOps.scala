@@ -988,10 +988,26 @@ object EntryOps {
                   SELECT vec_id, embedding, cid, row_number() OVER (
                     PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
                   FROM sc) WHERE rn = 1),
+          qs AS (SELECT bucket, k,
+                 CAST(sum(CAST(floor(CAST(embedding[k] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sq,
+                 count(*) AS cnt
+                 FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+                 GROUP BY 1, 2),
+          ref AS (SELECT bucket AS cid,
+                  list(CAST(sq AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) ORDER BY k) AS ce
+                  FROM qs GROUP BY 1),
+          sc2 AS (SELECT e.vec_id, e.embedding, r.cid,
+                  list_reduce(list_transform(range(1, 65),
+                    k -> CAST(e.embedding[k] AS DOUBLE) * r.ce[k]), (x, y) -> x + y) AS score
+                  FROM embeddings e CROSS JOIN ref r),
+          asg2 AS (SELECT vec_id, embedding, cid AS bucket FROM (
+                   SELECT vec_id, embedding, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                   FROM sc2) WHERE rn = 1),
           s AS (SELECT q.vec_id AS query_id, CAST(q.bucket AS BIGINT) AS bucket,
                 c.vec_id AS cand_id,
                 ${duckCosine("q.embedding", "c.embedding")} AS cosine
-                FROM asg q JOIN asg c
+                FROM asg2 q JOIN asg2 c
                   ON c.bucket = q.bucket AND c.vec_id != q.vec_id
                 WHERE q.vec_id % 40 = 0),
           r AS (SELECT *, CAST(row_number() OVER (

@@ -122,28 +122,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF with DATA-DERIVED centroids — the real inverted-file shape (the
-    * sign-bit [[bucketOf]] quantizer partitions space blindly; centroids
-    * adapt to the data): the `nCentroids` vectors with the smallest vec_ids
-    * serve as a deterministic centroid sample (no k-means iterations — the
-    * standard "sample, don't train" bootstrap), every vector is assigned to
-    * its maximum-inner-product centroid (ties → smallest centroid id), and a
-    * query probes only its own centroid's inverted list via an equi-join.
+  /** IVF with DATA-DERIVED, LLOYD-REFINED centroids — the real inverted-file
+    * shape (the sign-bit [[bucketOf]] quantizer partitions space blindly;
+    * centroids adapt to the data): the `nCentroids` vectors with the
+    * smallest vec_ids serve as a deterministic centroid sample (the standard
+    * "sample, don't train" bootstrap), every vector is assigned to its
+    * maximum-inner-product centroid (ties → smallest centroid id), and ONE
+    * k-means (Lloyd) refinement recomputes each centroid as the mean of its
+    * assigned vectors before the final assignment that the probe join uses.
     *
-    * Scale: the centroid table is K rows — broadcast to every task; the
+    * The Lloyd step is made ORDER-INDEPENDENT — and therefore both
+    * bit-reproducible and map-side-combinable — by summing in integer space:
+    * each float component is quantized to floor(x·2²⁰) (exact: a float
+    * scaled by a power of two loses no mantissa bits in a double, and floor
+    * is integral), per-(centroid, component) LONG sums commute however tasks
+    * interleave, and the refined component is the double quotient
+    * sum / (count·2²⁰). A double summation would depend on reduction order;
+    * this is the quantized-mean Lloyd step production pipelines run so that
+    * retrained centroids are identical across cluster layouts. The oracle
+    * mirrors the quantization bit-for-bit.
+    *
+    * Scale: centroid tables are K rows — broadcast to every task; each
     * assignment is a map-side cross of N×K followed by a partially-
-    * aggregated `max_by` (the shuffle carries ~N rows, not N×K); the probe
+    * aggregated `max_by` (the shuffle carries ~N rows, not N×K); the Lloyd
+    * sums aggregate N·dim rows into K·dim partial-combined groups; the probe
     * join shuffles (or stays partitioned) by centroid id exactly like the
     * other IVF variants. Deterministic by construction, so the oracle
-    * reproduces the assignment bit-for-bit.
+    * reproduces assignment AND refinement bit-for-bit.
     */
   def topkIvfCentroids(emb: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8): DataFrame = {
-    val centroids = emb.orderBy(col("vec_id").asc).limit(nCentroids)
+    val quant = 1048576L // 2^20: float mantissa fits a double at this scale
+    val seeds = emb.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-    val scored = emb.crossJoin(broadcast(centroids))
+    val seedScored = emb.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("embedding"), col("cid"),
         dot("embedding", "centroid").as("score"))
+    val seedAssigned = seedScored.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
+          .as("bucket"),
+        first(col("embedding")).as("embedding"))
+    // one Lloyd round: quantized per-(bucket, component) integer sums …
+    val compSums = seedAssigned
+      .select(col("bucket"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("bucket"), col("i"),
+        floor(col("x").cast("double") * quant).as("qx"))
+      .groupBy(col("bucket"), col("i"))
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("cnt"))
+    // … reassembled into the refined centroid array in component order
+    val refined = compSums
+      .withColumn("c", col("sq").cast("double") / (col("cnt") * quant).cast("double"))
+      .groupBy(col("bucket"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .as("centroid"))
+      .select(col("bucket").as("cid"), col("centroid"))
+    // final assignment against the refined centroids (float·double fold in
+    // fixed component order — the oracle mirrors the same fold)
+    val refScore = expr("aggregate(zip_with(embedding, centroid, " +
+      "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    val scored = emb.crossJoin(broadcast(refined))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        refScore.as("score"))
     val assigned = scored.groupBy(col("vec_id"))
       .agg(
         max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
