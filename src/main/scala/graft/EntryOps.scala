@@ -179,6 +179,33 @@ object EntryOps {
   def contamination(spark: SparkSession, dir: String): DataFrame =
     Dedup.contamination(docs(spark, dir), col("doc_id") % 100 === 0, n = 3)
 
+  /** t08 — decontamination at the PRODUCTION gram length (n=8): the
+    * synthetic corpus has no organic 8-gram overlap, so the fixture plants
+    * one — every train doc with doc_id % 23 == 1 gets the first 12 words of
+    * its "century" eval doc (doc_id div 100 · 100) appended, yielding 5
+    * verified shared 8-grams per planted pair. The plant is a tiny
+    * equi-join (eval side is 1% of the corpus — AQE broadcasts it), and the
+    * detection plan is byte-identical to t07's, only with n=8 — proving the
+    * pipeline catches real eval substrings at the gram length production
+    * decontamination runs, not just the fixture-friendly n=3.
+    */
+  def contamination8(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ev = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("ev_id"),
+        array_join(slice(graft.ops.Dedup.words(col("text")), 1, 12), " ")
+          .as("snippet"))
+    val planted = d
+      .withColumn("century", expr("(doc_id div 100) * 100"))
+      .join(ev, col("century") === col("ev_id") &&
+        col("doc_id") % 100 =!= 0 && col("doc_id") % 23 === 1, "left")
+      .select(col("doc_id"),
+        when(col("snippet").isNotNull,
+          concat(col("text"), lit(" "), col("snippet")))
+          .otherwise(col("text")).as("text"))
+    Dedup.contamination(planted, col("doc_id") % 100 === 0, n = 8)
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
@@ -584,9 +611,9 @@ object EntryOps {
   // -------------------------------------------------------------------------
 
   /** Distinct word n-gram shingles per doc (mirror of Dedup.shingles). */
-  private def duckShingles(n: Int): String = {
+  private def duckShingles(n: Int, source: String = "documents"): String = {
     val gram = (0 until n).map(j => s"l[i + $j]").mkString(" || ' ' || ")
-    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM $source),
         tri AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
           range(1, len(l) + 1), i -> CASE WHEN i + ${n - 1} <= len(l) THEN $gram END),
           x -> x IS NOT NULL))) AS gram FROM w)"""
@@ -1178,6 +1205,24 @@ object EntryOps {
                   AS BIGINT) AS rk
            FROM documents)
          WHERE rk <= 20 ORDER BY lang, rk""",
+    "t08_contamination_n8" ->
+      s"""WITH ev0 AS (SELECT doc_id AS ev_id,
+                array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
+              FROM documents WHERE doc_id % 100 = 0),
+          corpus AS (SELECT d.doc_id,
+                CASE WHEN d.doc_id % 100 != 0 AND d.doc_id % 23 = 1
+                          AND ev0.snippet IS NOT NULL
+                     THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
+              FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
+          ${duckShingles(8, "corpus")},
+          ev AS (SELECT doc_id AS eval_id, gram FROM tri WHERE doc_id % 100 = 0),
+          evs AS (SELECT eval_id, count(*) AS eval_grams FROM ev GROUP BY 1),
+          tr AS (SELECT doc_id AS train_id, gram FROM tri WHERE doc_id % 100 != 0),
+          ov AS (SELECT train_id, eval_id, count(*) AS shared_grams
+                 FROM tr JOIN ev USING (gram) GROUP BY 1, 2)
+          SELECT train_id, eval_id, shared_grams, eval_grams,
+                 CAST(shared_grams AS DOUBLE) / CAST(eval_grams AS DOUBLE) AS containment
+          FROM ov JOIN evs USING (eval_id) ORDER BY train_id, eval_id""",
     "t07_contamination" ->
       s"""WITH ${duckShingles(3)},
           ev AS (SELECT doc_id AS eval_id, gram FROM tri WHERE doc_id % 100 = 0),
@@ -1232,6 +1277,7 @@ object EntryOps {
     "t05_fingerprint_agg" -> (fingerprintAgg _),
     "t06_salient_terms" -> (salientTerms _),
     "t07_contamination" -> (contamination _),
+    "t08_contamination_n8" -> (contamination8 _),
     "q32_range_join" -> (rangeJoinCount _),
     "q33_stratified_sample" -> (stratifiedSample _),
     "q34_histogram_quantiles" -> (histogramQuantiles _),
