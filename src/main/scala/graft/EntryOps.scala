@@ -270,6 +270,92 @@ object EntryOps {
     Multimodal.ppmFeatures(assets)
   }
 
+  /** m06 fixture — VALID PNG payloads synthesized in-plan from doc_id:
+    * width/height/color cycle like m05's netpbm fixture, raw samples are
+    * `(doc_id + j) % 256` in scanline order, and each scanline y is encoded
+    * with filter type `y % 5` — so every one of the five PNG filters
+    * (None/Sub/Up/Average/Paeth) is exercised in the oracle-checked path
+    * (the FORWARD filter arithmetic runs here in SQL; the decoder must
+    * invert it). The zlib stream uses a stored (uncompressed) DEFLATE block
+    * with the REAL adler32 computed by SQL aggregation, and every chunk
+    * carries its REAL CRC via Spark's builtin `crc32` — the payloads are
+    * spec-valid PNGs end to end (FunctionsSpec cross-checks fixture bytes
+    * against the JDK's own ImageIO decoder), so a construct/parse inverse
+    * bug cannot cancel out.
+    */
+  def pngAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 8 + 2).as("w"),
+        ((col("doc_id") * 3) % 8 + 2).as("h"),
+        (col("doc_id") % 256).as("start"),
+        when(col("doc_id") % 3 =!= 0, lit(3L)).otherwise(lit(1L)).as("bpp"))
+      .withColumn("stride", col("w") * col("bpp"))
+      .withColumn("len", col("h") * (col("stride") + 1))
+    // filtered raster: index k over h·(stride+1) bytes; the first byte of a
+    // row is its filter type (y % 5), the rest is the forward-filtered
+    // sample. SQL lambdas have no let-bindings, so raw/left/up/upleft —
+    // each closed-form from (start + y·stride + x) % 256 — are inlined by
+    // string substitution here; the decoder must invert the arithmetic.
+    val y = "(k div (stride + 1))"
+    val x = "(k % (stride + 1) - 1)"
+    def rawAt(yy: String, xx: String) = s"((start + $yy * stride + $xx) % 256)"
+    val raw = rawAt(y, x)
+    val lf = s"IF($x >= bpp, ${rawAt(y, s"($x - bpp)")}, 0L)"
+    val up = s"IF($y > 0, ${rawAt(s"($y - 1)", x)}, 0L)"
+    val ul = s"IF($x >= bpp AND $y > 0, ${rawAt(s"($y - 1)", s"($x - bpp)")}, 0L)"
+    val p = s"($lf + $up - $ul)"
+    val pred = s"""CASE
+        WHEN $y % 5 = 0 THEN 0L
+        WHEN $y % 5 = 1 THEN $lf
+        WHEN $y % 5 = 2 THEN $up
+        WHEN $y % 5 = 3 THEN ($lf + $up) div 2
+        WHEN abs($p - $lf) <= abs($p - $up) AND abs($p - $lf) <= abs($p - $ul) THEN $lf
+        WHEN abs($p - $up) <= abs($p - $ul) THEN $up
+        ELSE $ul END"""
+    val fdata = expr(
+      s"""transform(sequence(0L, len - 1), k ->
+            IF(k % (stride + 1) = 0, $y % 5, pmod($raw - $pred, 256)))""")
+    val withData = d.withColumn("fdata", fdata)
+      .withColumn("data_hex",
+        expr("array_join(transform(fdata, v -> lpad(hex(v), 2, '0')), '')"))
+      // adler32 over the raster: A = (1 + Σd) mod 65521,
+      // B = (len + Σ (len − i)·dᵢ) mod 65521 (i 0-based) — pure aggregation
+      .withColumn("adler_a",
+        expr("(1 + aggregate(fdata, 0L, (acc, v) -> acc + v)) % 65521"))
+      .withColumn("adler_b", expr(
+        "(len + aggregate(transform(fdata, (v, i) -> (len - i) * v), 0L, (acc, v) -> acc + v)) % 65521"))
+    def be32hex(c: Column): Column = lpad(hex(c), 8, "0")
+    def le16hex(e: String): Column =
+      expr(s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) div 256), 2, '0'))")
+    val zlibHex = concat(
+      lit("780101"), // CMF/FLG (5C=30721, %31==0) + final stored block
+      le16hex("len"), le16hex("65535 - len"), // LEN, NLEN (one's complement)
+      col("data_hex"),
+      be32hex(col("adler_b") * 65536 + col("adler_a")))
+    val ihdrBody = concat(
+      be32hex(col("w")), be32hex(col("h")), lit("08"), // 8-bit
+      when(col("bpp") === 3, lit("02")).otherwise(lit("00")), // RGB / gray
+      lit("000000")) // compression 0, filter 0, no interlace
+    def chunkHex(typeHex: Column, bodyHex: Column): Column = concat(
+      be32hex((length(bodyHex) / 2).cast("long")), typeHex, bodyHex,
+      be32hex(crc32(unhex(concat(typeHex, bodyHex)))))
+    val payloadHex = concat(
+      lit("89504E470D0A1A0A"),
+      chunkHex(lit("49484452"), ihdrBody), // IHDR
+      chunkHex(lit("49444154"), zlibHex), // IDAT
+      lit("0000000049454E44AE426082")) // IEND (constant CRC)
+    withData.select(col("doc_id").as("asset_id"), unhex(payloadHex).as("payload"))
+  }
+
+  /** m06 — REAL pixel decode of a COMPRESSED format: [[pngAssets]] payloads
+    * through the native `png_features` expression (chunk walk + JDK-zlib
+    * inflate + filter inversion). The oracle computes the expected sums
+    * from the doc_id formulas directly — it never sees a PNG byte.
+    */
+  def pngPixels(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pngFeatures(pngAssets(spark, dir))
+
   def mediaDims(spark: SparkSession, dir: String): DataFrame = {
     val w = col("doc_id") % 1000 + 1
     val h = (col("doc_id") * 7) % 1000 + 3
@@ -1119,6 +1205,26 @@ object EntryOps {
                 p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
                 COALESCE(p.s2, p.s0) AS sum_b
          FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
+    "m06_png_pixels" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
+                       doc_id % 256 AS start,
+                       CASE WHEN doc_id % 3 != 0 THEN 3 ELSE 1 END AS chans
+                       FROM documents),
+          px AS (SELECT doc_id, j % chans AS c, (start + j) % 256 AS v
+                 FROM (SELECT doc_id, chans, start, unnest(range(0, w * h * chans)) AS j
+                       FROM base)),
+          sums AS (SELECT doc_id, c, CAST(sum(v) AS BIGINT) AS s FROM px GROUP BY 1, 2),
+          p AS (SELECT doc_id,
+                min(CASE WHEN c = 0 THEN s END) AS s0,
+                min(CASE WHEN c = 1 THEN s END) AS s1,
+                min(CASE WHEN c = 2 THEN s END) AS s2 FROM sums GROUP BY doc_id)
+         SELECT b.doc_id AS asset_id, 'png' AS format,
+                CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                CAST(CASE WHEN b.chans = 3 THEN 2 ELSE 0 END AS BIGINT) AS color_type,
+                CAST(b.w * b.h AS BIGINT) AS n_pixels,
+                p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
+                COALESCE(p.s2, p.s0) AS sum_b
+         FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
     "q31_linear_count_distinct" ->
       """SELECT event_type, CAST(4096 AS BIGINT) AS m,
            CAST(count(DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS occupied,
@@ -1261,6 +1367,7 @@ object EntryOps {
     "m03_frame_sample" -> (frameSample _),
     "m04_media_dims" -> (mediaDims _),
     "m05_ppm_pixels" -> (ppmPixels _),
+    "m06_png_pixels" -> (pngPixels _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -63,6 +63,10 @@ object GraftExtensions {
         info("ppm_features",
           "ppm_features(payload) - struct(format, width, height, maxval, n_pixels, sum_r, sum_g, sum_b) decoded from binary netpbm (P6/P5) bytes"),
         (args: Seq[Expression]) => graft.functions.PpmFeatures(args.head)),
+      (FunctionIdentifier("png_features"),
+        info("png_features",
+          "png_features(payload) - struct(format, width, height, color_type, n_pixels, sum_r, sum_g, sum_b) decoded from PNG bytes (JDK zlib inflate + scanline unfilter)"),
+        (args: Seq[Expression]) => graft.functions.PngFeatures(args.head)),
       (FunctionIdentifier("hyperplane_bucket"),
         info("hyperplane_bucket",
           "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),

@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs as a batch-shaped function over the binary
   * payload.
   *
-  * The decode step itself is STUBBED (this container has no image/audio codecs):
-  * `fakeDecode` produces deterministic features from the raw bytes — length,
+  * IMAGE decode is REAL: [[mediaDims]] parses PNG/GIF/BMP/JPEG container
+  * headers, [[ppmFeatures]] decodes uncompressed netpbm rasters, and
+  * [[pngFeatures]] decodes DEFLATE-compressed PNG pixel data — all from
+  * actual bytes with zero codec libraries. Only AUDIO/VIDEO codecs (which
+  * genuinely don't exist in this container) remain stubbed: `fakeDecode`
+  * produces deterministic features from the raw bytes — length,
   * leading-bytes digest, and a 4-bin byte histogram standing in for
-  * decoded-pixel statistics. The Spark-side plumbing is real: schema, batch
-  * shape, and partitioning are exactly what a Pandas-UDF/`mapInPandas`
-  * (Python) or Arrow-batch (Scala) decoder would see; swapping `fakeDecode`
-  * for a real codec changes no plan shape.
+  * decoded-sample statistics. The Spark-side plumbing is real: schema,
+  * batch shape, and partitioning are exactly what a Pandas-UDF/
+  * `mapInPandas` (Python) or Arrow-batch (Scala) decoder would see;
+  * swapping `fakeDecode` for a real codec changes no plan shape.
   *
   * Scale notes: binary payloads dominate row size, so the asset table is stored
   * with payloads in their own column chunk (Parquet) and the feature extraction
@@ -23,7 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Deterministic stand-in for a media decoder: (n_bytes, digest16, histogram[4]). */
+  /** Deterministic stand-in for an AUDIO/VIDEO decoder (the codecs this
+    * container genuinely lacks; image decode is real — see [[pngFeatures]],
+    * [[ppmFeatures]], [[mediaDims]]): (n_bytes, digest16, histogram[4]).
+    */
   def fakeDecode(bytes: Array[Byte]): (Long, String, Array[Long]) = {
     if (bytes == null) (0L, "", Array.fill(4)(0L))
     else {
@@ -96,6 +103,25 @@ object Multimodal {
       .select(col("asset_id"), graft.functions.MediaDims(col("payload")).as("m"))
       .select(col("asset_id"), col("m.format").as("format"),
         col("m.width").as("width"), col("m.height").as("height"))
+      .orderBy(col("asset_id"))
+
+  /** REAL pixel-level decode for COMPRESSED PNG payloads — signature/chunk
+    * walk, JDK-Inflater zlib decompression, full scanline unfiltering
+    * (None/Sub/Up/Average/Paeth) and exact per-channel integer pixel sums,
+    * all computed from the actual bytes by the native codegen'd
+    * [[graft.functions.PngFeatures]] expression (zero codec libraries —
+    * zlib is in the JDK and PNG filters are public-spec arithmetic).
+    * Same scan-stage shape as [[mediaDims]]: one narrow per-row map, only
+    * the per-asset stats struct ever leaves the scan.
+    */
+  def pngFeatures(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), graft.functions.PngFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format").as("format"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.color_type").as("color_type"), col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"))
       .orderBy(col("asset_id"))
 
   /** REAL pixel-level decode for binary netpbm payloads (P6 PPM / P5 PGM) —

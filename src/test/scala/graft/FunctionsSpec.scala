@@ -273,4 +273,164 @@ class FunctionsSpec extends GraftSpec {
       .selectExpr("ppm_features(p).sum_b AS sb").head().getLong(0)
     assert(viaSql === 90L)
   }
+
+  /** Reference PNG encoder for the spec: REAL deflate (Deflater's dynamic
+    * Huffman — the in-plan m06 fixture only exercises stored blocks), real
+    * CRCs, per-row filter choice with spec-correct forward filtering. Kept
+    * in the test tree: production code only ever DECODES.
+    */
+  private def pngEncode(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+      filterFor: Int => Int, bitDepth: Int = 8, interlace: Int = 0,
+      corruptIdatCrc: Boolean = false, corruptZlib: Boolean = false,
+      truncateIdat: Int = 0): Array[Byte] = {
+    val bpp = if (colorType == 2) 3 else 1
+    val stride = w * bpp
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = filterFor(y)
+      raw.write(ft)
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val left = if (x >= bpp) pixels(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) pixels((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](raw.size() + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    var z = zbuf.take(zlen)
+    if (corruptZlib) z(z.length - 5) = (z(z.length - 5) ^ 0x01).toByte // adler byte
+    if (truncateIdat > 0) z = z.dropRight(truncateIdat)
+    def chunk(typ: String, body: Array[Byte], badCrc: Boolean = false): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(body.length)
+      val tb = typ.getBytes("US-ASCII")
+      dos.write(tb); dos.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      dos.writeInt((crc.getValue ^ (if (badCrc) 0xff else 0)).toInt)
+      out.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z, badCrc = corruptIdatCrc) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  private def imageIoSums(png: Array[Byte]): (Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO rejected a fixture PNG — the encoder is wrong")
+    // raw raster samples, NOT getRGB: getRGB routes gray through a
+    // CS_GRAY→sRGB color-space conversion that gamma-shifts the bytes
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val sums = new Array[Long](bands)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth; b <- 0 until bands)
+      sums(b) += raster.getSample(x, y, b)
+    if (bands >= 3) (sums(0), sums(1), sums(2)) else (sums(0), sums(0), sums(0))
+  }
+
+  test("png_features decodes real deflate-compressed pixels (all filters, ImageIO parity)") {
+    import spark.implicits._
+    // RGB 4x5, deterministic pixels, one row per filter type 0..4 — REAL
+    // dynamic-Huffman deflate (the m06 in-plan fixture covers stored blocks)
+    val w = 4; val h = 5
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = pngEncode(w, h, colorType = 2, rgb, filterFor = y => y % 5)
+    // gray 7x3, Paeth everywhere
+    val gray = Array.tabulate(7 * 3)(i => ((i * 73 + 5) % 256).toByte)
+    val gpng = pngEncode(7, 3, colorType = 0, gray, filterFor = _ => 4)
+    val rows = Seq((1L, png), (2L, gpng)).toDF("id", "payload")
+      .select(col("id"), graft.functions.PngFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.height"),
+        col("f.color_type"), col("f.n_pixels"),
+        col("f.sum_r"), col("f.sum_g"), col("f.sum_b"))
+      .orderBy("id").collect()
+    // expected sums straight from the pixel arrays
+    def chanSum(px: Array[Byte], bpp: Int, c: Int): Long =
+      px.indices.filter(_ % bpp == c).map(px(_) & 0xff).map(_.toLong).sum
+    assert(rows(0).getString(1) === "png")
+    assert((rows(0).getLong(2), rows(0).getLong(3), rows(0).getLong(4),
+      rows(0).getLong(5)) === ((4L, 5L, 2L, 20L)))
+    assert((rows(0).getLong(6), rows(0).getLong(7), rows(0).getLong(8)) ===
+      ((chanSum(rgb, 3, 0), chanSum(rgb, 3, 1), chanSum(rgb, 3, 2))))
+    // the JDK's own PNG decoder agrees byte-for-byte on both fixtures
+    assert(imageIoSums(png) ===
+      ((chanSum(rgb, 3, 0), chanSum(rgb, 3, 1), chanSum(rgb, 3, 2))))
+    val gsum = chanSum(gray, 1, 0)
+    assert((rows(1).getString(1), rows(1).getLong(4), rows(1).getLong(6),
+      rows(1).getLong(7), rows(1).getLong(8)) === (("png", 0L, gsum, gsum, gsum)))
+    assert(imageIoSums(gpng) === ((gsum, gsum, gsum)))
+    // SQL registration round-trip
+    GraftExtensions.registerAll(spark)
+    val viaSql = Seq(Tuple1(png)).toDF("p")
+      .selectExpr("png_features(p).sum_g AS sg").head().getLong(0)
+    assert(viaSql === chanSum(rgb, 3, 1))
+  }
+
+  test("png_features refuses what it cannot decode — never misreads") {
+    import spark.implicits._
+    val px = Array.tabulate(6)(i => (i * 9 % 256).toByte)
+    def f0: Int => Int = _ => 0
+    val deep = pngEncode(2, 1, 0, px.take(2), f0, bitDepth = 16)
+    val pal = pngEncode(2, 3, 3, px, f0) // palette color type
+    val adam7 = pngEncode(2, 3, 0, px, f0, interlace = 1)
+    val badCrc = pngEncode(2, 3, 0, px, f0, corruptIdatCrc = true)
+    val badAdler = pngEncode(2, 3, 0, px, f0, corruptZlib = true)
+    val short = pngEncode(2, 3, 0, px, f0, truncateIdat = 4)
+    val notPng = "GIF89a??".getBytes("US-ASCII")
+    val rows = Seq((1L, deep), (2L, pal), (3L, adam7), (4L, badCrc),
+      (5L, badAdler), (6L, short), (7L, notPng))
+      .toDF("id", "payload")
+      .select(col("id"), graft.functions.PngFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.color_type"),
+        col("f.sum_r"))
+      .orderBy("id").collect()
+    def g(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.get(i)
+    // unsupported-but-well-formed: dims survive, stats refuse
+    assert((rows(0).getString(1), g(rows(0), 2), g(rows(0), 3)) === (("png", 2L, 0L)))
+    assert(g(rows(0), 4) === null, "16-bit samples must refuse")
+    assert(g(rows(1), 4) === null, "palette images must refuse")
+    assert(g(rows(2), 4) === null, "Adam7 interlace must refuse")
+    // integrity failures: refuse, keep header facts
+    assert(g(rows(3), 4) === null, "bad IDAT CRC must refuse")
+    assert(g(rows(4), 4) === null, "bad zlib adler32 must refuse")
+    assert(g(rows(5), 4) === null, "truncated deflate stream must refuse")
+    assert(rows(6).getString(1) === "unknown")
+  }
+
+  test("m06 fixture payloads are spec-valid PNGs (ImageIO parity on real bytes)") {
+    // guard against a matched construct/parse bug: the in-plan fixture's
+    // bytes must decode identically under the JDK's own PNG reader
+    val assets = EntryOps.pngAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") < 10).orderBy("asset_id").collect()
+    assert(assets.length === 10)
+    assets.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val decoded = graft.functions.PngFeatures.decode(bytes)
+      val (sr, sg, sb) = imageIoSums(bytes)
+      assert((decoded.getLong(5), decoded.getLong(6), decoded.getLong(7)) ===
+        ((sr, sg, sb)), s"asset $id: native decode disagrees with ImageIO")
+    }
+  }
 }
