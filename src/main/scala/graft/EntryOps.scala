@@ -356,6 +356,63 @@ object EntryOps {
   def pngPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pngFeatures(pngAssets(spark, dir))
 
+  /** m07 fixture — VALID RIFF/WAVE PCM payloads synthesized in-plan from
+    * doc_id: channels = doc_id%2+1, width is 16-bit signed LE for
+    * doc_id%3 != 0 and 8-bit unsigned otherwise, rate = 8000+(doc_id%5)·2000,
+    * doc_id%12+4 frames; interleaved sample j carries byte
+    * `(doc_id·5 + j·7) % 256` (8-bit) or LE word `(doc_id·11 + j·13) % 65536`
+    * (16-bit). Every 7th payload interposes a LIST chunk with an ODD body
+    * size before `fmt ` so the decoder's chunk-skip + word-alignment padding
+    * is on the oracle-checked path, and an odd-sized 8-bit data chunk gets
+    * its trailing pad byte — the payloads are spec-valid WAVs end to end
+    * (FunctionsSpec cross-checks fixture bytes against the JDK's own
+    * `javax.sound.sampled` decoder), so a construct/parse inverse bug cannot
+    * cancel out.
+    */
+  def wavAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 2 + 1).as("c"),
+        when(col("doc_id") % 3 =!= 0, lit(16L)).otherwise(lit(8L)).as("bits"),
+        (col("doc_id") % 5 * 2000 + 8000).as("rate"),
+        (col("doc_id") % 12 + 4).as("f"))
+      .withColumn("block", expr("c * bits div 8"))
+      .withColumn("dsize", col("f") * col("block"))
+    def le16hex(e: String): Column =
+      expr(s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) div 256), 2, '0'))")
+    def le32hex(e: String): Column =
+      concat(le16hex(s"($e) % 65536"), le16hex(s"($e) div 65536"))
+    val samplesHex = expr(
+      """array_join(transform(sequence(0L, f * c - 1), j ->
+           IF(bits = 8,
+              lpad(hex((doc_id * 5 + j * 7) % 256), 2, '0'),
+              concat(lpad(hex((doc_id * 11 + j * 13) % 65536 % 256), 2, '0'),
+                     lpad(hex((doc_id * 11 + j * 13) % 65536 div 256), 2, '0')))), '')""")
+    // LIST chunk with a 5-byte INFO body ("INFOX") — odd size, so a real
+    // writer emits a pad byte after it; exercises the skip-and-align path
+    val listHex = when(col("doc_id") % 7 === 0,
+      lit("4C495354" + "05000000" + "494E464F58" + "00")).otherwise(lit(""))
+    val fmtHex = concat(lit("666D7420" + "10000000" + "0100"), // PCM
+      le16hex("c"), le32hex("rate"), le32hex("rate * block"),
+      le16hex("block"), le16hex("bits"))
+    val dataHex = concat(lit("64617461"), le32hex("dsize"), samplesHex,
+      when(col("dsize") % 2 === 1, lit("00")).otherwise(lit("")))
+    val bodyHex = concat(lit("57415645"), listHex, fmtHex, dataHex)
+    val payloadHex = concat(lit("52494646"),
+      le32hex("length(bodyHex) div 2"), col("bodyHex"))
+    d.withColumn("bodyHex", bodyHex)
+      .withColumn("payloadHex", payloadHex)
+      .select(col("doc_id").as("asset_id"), unhex(col("payloadHex")).as("payload"))
+  }
+
+  /** m07 — REAL sample decode of PCM audio: [[wavAssets]] payloads through
+    * the native `wav_features` expression (RIFF chunk walk + interleaved
+    * sample sums). The oracle computes the expected sums from the doc_id
+    * formulas directly — it never sees a WAV byte.
+    */
+  def wavPcm(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFeatures(wavAssets(spark, dir))
+
   def mediaDims(spark: SparkSession, dir: String): DataFrame = {
     val w = col("doc_id") % 1000 + 1
     val h = (col("doc_id") * 7) % 1000 + 3
@@ -1225,6 +1282,30 @@ object EntryOps {
                 p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
                 COALESCE(p.s2, p.s0) AS sum_b
          FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
+    "m07_wav_pcm" ->
+      """WITH base AS (SELECT doc_id, doc_id % 2 + 1 AS c,
+                       CASE WHEN doc_id % 3 != 0 THEN 16 ELSE 8 END AS bits,
+                       doc_id % 5 * 2000 + 8000 AS rate,
+                       doc_id % 12 + 4 AS f FROM documents),
+          smp AS (SELECT doc_id, j % c AS ch,
+                  CASE WHEN bits = 8 THEN (doc_id * 5 + j * 7) % 256 - 128
+                       WHEN (doc_id * 11 + j * 13) % 65536 < 32768
+                         THEN (doc_id * 11 + j * 13) % 65536
+                       ELSE (doc_id * 11 + j * 13) % 65536 - 65536 END AS v
+                  FROM (SELECT doc_id, c, bits, unnest(range(0, f * c)) AS j
+                        FROM base)),
+          agg AS (SELECT doc_id, ch, CAST(sum(v) AS BIGINT) AS s,
+                  CAST(max(abs(v)) AS BIGINT) AS pk FROM smp GROUP BY 1, 2),
+          p AS (SELECT doc_id,
+                min(CASE WHEN ch = 0 THEN s END) AS s0,
+                min(CASE WHEN ch = 1 THEN s END) AS s1,
+                max(pk) AS pk FROM agg GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'wav' AS format,
+                CAST(b.c AS BIGINT) AS channels, CAST(b.rate AS BIGINT) AS sample_rate,
+                CAST(b.bits AS BIGINT) AS bits, CAST(b.f AS BIGINT) AS n_frames,
+                p.s0 AS sum_ch0, COALESCE(p.s1, p.s0) AS sum_ch1,
+                p.pk AS peak_abs
+         FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
     "q31_linear_count_distinct" ->
       """SELECT event_type, CAST(4096 AS BIGINT) AS m,
            CAST(count(DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS occupied,
@@ -1368,6 +1449,7 @@ object EntryOps {
     "m04_media_dims" -> (mediaDims _),
     "m05_ppm_pixels" -> (ppmPixels _),
     "m06_png_pixels" -> (pngPixels _),
+    "m07_wav_pcm" -> (wavPcm _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -67,6 +67,10 @@ object GraftExtensions {
         info("png_features",
           "png_features(payload) - struct(format, width, height, color_type, n_pixels, sum_r, sum_g, sum_b) decoded from PNG bytes (JDK zlib inflate + scanline unfilter)"),
         (args: Seq[Expression]) => graft.functions.PngFeatures(args.head)),
+      (FunctionIdentifier("wav_features"),
+        info("wav_features",
+          "wav_features(payload) - struct(format, channels, sample_rate, bits, n_frames, sum_ch0, sum_ch1, peak_abs) decoded from RIFF/WAVE PCM bytes"),
+        (args: Seq[Expression]) => graft.functions.WavFeatures(args.head)),
       (FunctionIdentifier("hyperplane_bucket"),
         info("hyperplane_bucket",
           "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),

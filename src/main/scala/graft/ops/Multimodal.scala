@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[mediaDims]] parses PNG/GIF/BMP/JPEG container
   * headers, [[ppmFeatures]] decodes uncompressed netpbm rasters, and
   * [[pngFeatures]] decodes DEFLATE-compressed PNG pixel data — all from
-  * actual bytes with zero codec libraries. Only AUDIO/VIDEO codecs (which
-  * genuinely don't exist in this container) remain stubbed: `fakeDecode`
+  * actual bytes with zero codec libraries. AUDIO decode is REAL for the
+  * raw-sample family: [[wavFeatures]] walks RIFF/WAVE chunks and sums the
+  * actual PCM samples. Only compressed AUDIO/VIDEO codecs (which genuinely
+  * don't exist in this container) remain stubbed: `fakeDecode`
   * produces deterministic features from the raw bytes — length,
   * leading-bytes digest, and a 4-bin byte histogram standing in for
   * decoded-sample statistics. The Spark-side plumbing is real: schema,
@@ -27,9 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Deterministic stand-in for an AUDIO/VIDEO decoder (the codecs this
-    * container genuinely lacks; image decode is real — see [[pngFeatures]],
-    * [[ppmFeatures]], [[mediaDims]]): (n_bytes, digest16, histogram[4]).
+  /** Deterministic stand-in for a COMPRESSED audio/video decoder (the codecs
+    * this container genuinely lacks; image decode is real — see
+    * [[pngFeatures]], [[ppmFeatures]], [[mediaDims]] — and raw-PCM audio
+    * decode is real — see [[wavFeatures]]): (n_bytes, digest16, histogram[4]).
     */
   def fakeDecode(bytes: Array[Byte]): (Long, String, Array[Long]) = {
     if (bytes == null) (0L, "", Array.fill(4)(0L))
@@ -139,6 +142,24 @@ object Multimodal {
         col("f.maxval").as("maxval"), col("f.n_pixels").as("n_pixels"),
         col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
         col("f.sum_b").as("sum_b"))
+      .orderBy(col("asset_id"))
+
+  /** REAL sample-level decode for RIFF/WAVE PCM payloads — chunk walk,
+    * fmt parse, and exact per-channel integer sums of the decoded samples
+    * (8-bit unsigned re-centered, 16-bit signed LE), all computed from the
+    * actual bytes by the native codegen'd [[graft.functions.WavFeatures]]
+    * expression (PCM is raw samples — no codec library exists or is needed).
+    * Same scan-stage shape as [[pngFeatures]]: one narrow per-row map, only
+    * the per-asset stats struct ever leaves the scan.
+    */
+  def wavFeatures(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), graft.functions.WavFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format").as("format"),
+        col("f.channels").as("channels"), col("f.sample_rate").as("sample_rate"),
+        col("f.bits").as("bits"), col("f.n_frames").as("n_frames"),
+        col("f.sum_ch0").as("sum_ch0"), col("f.sum_ch1").as("sum_ch1"),
+        col("f.peak_abs").as("peak_abs"))
       .orderBy(col("asset_id"))
 
   /** Feature extraction over the binary payload — the decode-and-featurize stage

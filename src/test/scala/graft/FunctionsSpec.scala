@@ -433,4 +433,168 @@ class FunctionsSpec extends GraftSpec {
         ((sr, sg, sb)), s"asset $id: native decode disagrees with ImageIO")
     }
   }
+
+  /** Spec-side WAV writer for wav_features fixtures: canonical RIFF layout,
+    * optional LIST chunk (odd body → pad byte), and dials for every refusal
+    * branch. `samples` are DECODED amplitudes (−128..127 for 8-bit).
+    */
+  private def wavEncode(channels: Int, bits: Int, rate: Int,
+      samples: Array[Int], formatTag: Int = 1, listChunk: Boolean = false,
+      blockAlignDelta: Int = 0, dataBeforeFmt: Boolean = false): Array[Byte] = {
+    val bytesPer = bits / 8
+    val blockAlign = channels * bytesPer + blockAlignDelta
+    val data = new java.io.ByteArrayOutputStream()
+    samples.foreach { v =>
+      if (bits == 8) data.write((v + 128) & 0xff) // re-center to unsigned
+      else { data.write(v & 0xff); data.write((v >> 8) & 0xff)
+        if (bits == 24) data.write((v >> 16) & 0xff) }
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      val s = body.length
+      out.write(s & 0xff); out.write((s >> 8) & 0xff)
+      out.write((s >> 16) & 0xff); out.write((s >> 24) & 0xff)
+      out.write(body)
+      if (s % 2 == 1) out.write(0) // word alignment
+      out.toByteArray
+    }
+    val fmtBody = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(formatTag.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort).array()
+    val chunks = new java.io.ByteArrayOutputStream()
+    if (listChunk) chunks.write(chunk("LIST", "INFOX".getBytes("US-ASCII")))
+    if (dataBeforeFmt) {
+      chunks.write(chunk("data", data.toByteArray))
+      chunks.write(chunk("fmt ", fmtBody))
+    } else {
+      chunks.write(chunk("fmt ", fmtBody))
+      chunks.write(chunk("data", data.toByteArray))
+    }
+    val body = chunks.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val rs = body.length + 4
+    out.write(rs & 0xff); out.write((rs >> 8) & 0xff)
+    out.write((rs >> 16) & 0xff); out.write((rs >> 24) & 0xff)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Independent decode via the JDK's own WAV reader: javax.sound parses the
+    * container and fmt; the sample arithmetic below mirrors the published
+    * PCM rules (8-bit unsigned +128 offset, 16-bit signed LE).
+    */
+  private def javaxSums(wav: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val f = in.getFormat
+    assert(!f.isBigEndian)
+    val expectedEnc =
+      if (f.getSampleSizeInBits == 8) javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      else javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+    assert(f.getEncoding === expectedEnc)
+    val bytes = in.readAllBytes()
+    val bp = f.getSampleSizeInBits / 8
+    val ch = f.getChannels
+    var s0 = 0L; var s1 = 0L; var peak = 0L; var j = 0
+    while ((j + 1) * bp <= bytes.length) {
+      val p = j * bp
+      val v =
+        if (bp == 1) (bytes(p) & 0xff) - 128
+        else { val u = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+          if (u < 32768) u else u - 65536 }
+      if (j % ch == 0) s0 += v else s1 += v
+      val a = math.abs(v.toLong); if (a > peak) peak = a
+      j += 1
+    }
+    if (ch == 1) s1 = s0
+    (ch, f.getSampleRate.toInt, j.toLong / ch, s0, s1, peak)
+  }
+
+  test("wav_features decodes real PCM samples (8/16-bit, mono/stereo, javax.sound parity)") {
+    import spark.implicits._
+    val mono8 = Array.tabulate(11)(i => (i * 37 + 3) % 256 - 128)
+    val stereo16 = Array.tabulate(14)(i => (i * 4099 + 7) % 65536 - 32768)
+    val w1 = wavEncode(1, 8, 8000, mono8, listChunk = true) // odd data + LIST
+    val w2 = wavEncode(2, 16, 44100, stereo16)
+    val rows = Seq((1L, w1), (2L, w2)).toDF("id", "payload")
+      .select(col("id"), graft.functions.WavFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.channels"), col("f.sample_rate"),
+        col("f.bits"), col("f.n_frames"), col("f.sum_ch0"), col("f.sum_ch1"),
+        col("f.peak_abs"))
+      .orderBy("id").collect()
+    def sums(xs: Array[Int], ch: Int, c: Int): Long =
+      xs.indices.filter(_ % ch == c).map(xs(_).toLong).sum
+    assert((rows(0).getString(1), rows(0).getLong(2), rows(0).getLong(3),
+      rows(0).getLong(4), rows(0).getLong(5)) === (("wav", 1L, 8000L, 8L, 11L)))
+    assert((rows(0).getLong(6), rows(0).getLong(7), rows(0).getLong(8)) ===
+      ((sums(mono8, 1, 0), sums(mono8, 1, 0), mono8.map(v => math.abs(v.toLong)).max)))
+    assert((rows(1).getString(1), rows(1).getLong(2), rows(1).getLong(3),
+      rows(1).getLong(4), rows(1).getLong(5)) === (("wav", 2L, 44100L, 16L, 7L)))
+    assert((rows(1).getLong(6), rows(1).getLong(7), rows(1).getLong(8)) ===
+      ((sums(stereo16, 2, 0), sums(stereo16, 2, 1),
+        stereo16.map(v => math.abs(v.toLong)).max)))
+    // the JDK's own WAV reader agrees on both fixtures
+    assert(javaxSums(w1) === ((1, 8000, 11L, sums(mono8, 1, 0), sums(mono8, 1, 0),
+      mono8.map(v => math.abs(v.toLong)).max)))
+    assert(javaxSums(w2) === ((2, 44100, 7L, sums(stereo16, 2, 0),
+      sums(stereo16, 2, 1), stereo16.map(v => math.abs(v.toLong)).max)))
+    // SQL registration round-trip
+    GraftExtensions.registerAll(spark)
+    val viaSql = Seq(Tuple1(w2)).toDF("p")
+      .selectExpr("wav_features(p).sum_ch1 AS s").head().getLong(0)
+    assert(viaSql === sums(stereo16, 2, 1))
+  }
+
+  test("wav_features refuses what it cannot decode — never misreads") {
+    import spark.implicits._
+    val s = Array.tabulate(6)(i => i * 11 - 30)
+    val float32 = wavEncode(1, 16, 8000, s, formatTag = 3) // IEEE float tag
+    val deep24 = wavEncode(1, 24, 8000, s)
+    val tooMany = wavEncode(3, 16, 8000, s)
+    val badAlign = wavEncode(1, 16, 8000, s, blockAlignDelta = 1)
+    val truncated = wavEncode(1, 16, 8000, s).dropRight(4) // size > bytes
+    val orphan = wavEncode(1, 16, 8000, s, dataBeforeFmt = true)
+    val notRiff = "OggS????".getBytes("US-ASCII")
+    val rows = Seq((1L, float32), (2L, deep24), (3L, tooMany), (4L, badAlign),
+      (5L, truncated), (6L, orphan), (7L, notRiff))
+      .toDF("id", "payload")
+      .select(col("id"), graft.functions.WavFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.channels"), col("f.bits"),
+        col("f.n_frames"), col("f.sum_ch0"))
+      .orderBy("id").collect()
+    def g(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.get(i)
+    // unsupported-but-well-formed: header facts survive, stats refuse
+    assert((rows(0).getString(1), g(rows(0), 2), g(rows(0), 3)) === (("wav", 1L, 16L)))
+    assert(g(rows(0), 5) === null, "non-PCM format tag must refuse")
+    assert((g(rows(1), 3), g(rows(1), 5)) === ((24L, null)), "24-bit must refuse")
+    assert(g(rows(2), 5) === null, "3-channel must refuse")
+    assert(g(rows(3), 5) === null, "contradictory block align must refuse")
+    assert(g(rows(4), 5) === null, "truncated data chunk must refuse")
+    assert(g(rows(5), 5) === null, "data before fmt must refuse")
+    assert(rows(6).getString(1) === "unknown")
+  }
+
+  test("m07 fixture payloads are spec-valid WAVs (javax.sound parity on real bytes)") {
+    // guard against a matched construct/parse bug: the in-plan fixture's
+    // bytes must decode identically under the JDK's own WAV reader
+    val assets = EntryOps.wavAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") < 15).orderBy("asset_id").collect()
+    assert(assets.length === 15)
+    assets.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val d = graft.functions.WavFeatures.decode(bytes)
+      val (ch, rate, frames, s0, s1, peak) = javaxSums(bytes)
+      assert((d.getLong(1), d.getLong(2), d.getLong(4), d.getLong(5),
+        d.getLong(6), d.getLong(7)) ===
+        ((ch.toLong, rate.toLong, frames, s0, s1, peak)),
+        s"asset $id: native decode disagrees with javax.sound")
+    }
+  }
 }
