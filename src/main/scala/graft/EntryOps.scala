@@ -209,6 +209,41 @@ object EntryOps {
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(spark, dir))
 
+  /** t09 fixture — the corpus with PII planted in-plan from doc_id: one
+    * e-mail for doc_id%3==1 (a second for %9==1 so counts>1 are on the
+    * checked path), a 555-exchange phone for %4==2, an IPv4 literal for
+    * %5==3; %60==22-style overlaps give documents with several kinds. The
+    * oracle mirrors the planting formulas and runs the SAME regexes through
+    * RE2, so both the counts and the masked text are hash-checked across
+    * two independent regex engines.
+    */
+  def piiDocs(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    Tables.documents(spark, dir).select(id, concat(col("text"),
+      when(id % 3 === 1,
+        concat(lit(" reach user"), id.cast("string"), lit("@example.org")))
+        .otherwise(lit("")),
+      when(id % 9 === 1,
+        concat(lit(" cc admin"), id.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(id % 4 === 2,
+        concat(lit(" call 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 5 === 3,
+        concat(lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+          (id % 100).cast("string")))
+        .otherwise(lit(""))).as("text"))
+  }
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(piiDocs(spark, dir))
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(spark, dir))
+
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplate(docs(spark, dir))
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(spark, dir))
 
@@ -1419,7 +1454,70 @@ object EntryOps {
                  FROM tr JOIN ev USING (gram) GROUP BY 1, 2)
           SELECT train_id, eval_id, shared_grams, eval_grams,
                  CAST(shared_grams AS DOUBLE) / CAST(eval_grams AS DOUBLE) AS containment
-          FROM ov JOIN evs USING (eval_id) ORDER BY train_id, eval_id"""
+          FROM ov JOIN evs USING (eval_id) ORDER BY train_id, eval_id""",
+    "t09_pii_scrub" -> {
+      import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+      s"""WITH p AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 1
+                 THEN ' reach user' || doc_id || '@example.org' ELSE '' END ||
+            CASE WHEN doc_id % 9 = 1
+                 THEN ' cc admin' || doc_id || '@mail.example.com' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 2
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+            CASE WHEN doc_id % 5 = 3
+                 THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END
+            AS text FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+            CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ipv4,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+              '$ipv4Re', '<IP>', 'g') AS masked,
+            CAST(CASE WHEN len(regexp_extract_all(text, '$emailRe'))
+                         + len(regexp_extract_all(text, '$phoneRe'))
+                         + len(regexp_extract_all(text, '$ipv4Re')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+          FROM p ORDER BY doc_id"""
+    },
+    "t10_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+                    FROM documents),
+          g AS (SELECT doc_id, len(l) AS nw, len(list_distinct(l)) AS ndw,
+                CASE WHEN len(l) >= 2 THEN list_transform(range(1, len(l)),
+                       i -> l[i] || ' ' || l[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END AS g2,
+                CASE WHEN len(l) >= 3 THEN list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+                     ELSE CAST([] AS VARCHAR[]) END AS g3
+                FROM w)
+         SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(ndw AS BIGINT) AS n_distinct_words,
+           CAST(len(g2) AS BIGINT) AS n_2grams,
+           CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
+           CAST(len(g3) AS BIGINT) AS n_3grams,
+           CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_3grams,
+           CAST(CASE WHEN nw > 0
+                THEN (nw - ndw) * 1000 // nw ELSE 0 END AS BIGINT) AS dup_word_mille,
+           CAST(CASE WHEN len(g2) > 0
+                THEN (len(g2) - len(list_distinct(g2))) * 1000 // len(g2)
+                ELSE 0 END AS BIGINT) AS dup_2gram_mille,
+           CAST(CASE WHEN len(g3) > 0
+                THEN (len(g3) - len(list_distinct(g3))) * 1000 // len(g3)
+                ELSE 0 END AS BIGINT) AS dup_3gram_mille
+         FROM g ORDER BY doc_id""",
+    "t11_boilerplate" ->
+      s"""WITH ${duckShingles(5)},
+          dfq AS (SELECT gram, count(*) AS df FROM tri GROUP BY 1),
+          nd AS (SELECT count(*) AS n_docs FROM documents),
+          b AS (SELECT gram FROM dfq, nd WHERE df * 20 >= n_docs),
+          per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(count(b.gram) AS BIGINT) AS n_boiler
+                  FROM tri t LEFT JOIN b ON t.gram = b.gram GROUP BY 1)
+          SELECT doc_id, n_grams, n_boiler,
+                 CAST(n_boiler * 1000 // n_grams AS BIGINT) AS boiler_mille
+          FROM per ORDER BY doc_id"""
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1443,6 +1541,9 @@ object EntryOps {
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),
     "t04_fingerprint" -> (fingerprint _),
+    "t09_pii_scrub" -> (piiScrub _),
+    "t10_repetition" -> (repetition _),
+    "t11_boilerplate" -> (boilerplate _),
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),
     "m03_frame_sample" -> (frameSample _),

@@ -86,6 +86,111 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** PII regexes shared by the Spark plan and (verbatim) the DuckDB oracle —
+    * deliberately restricted to constructs with identical semantics in
+    * java.util.regex and RE2 (character classes, bounded repeats, ASCII \b):
+    * the same pattern must count/replace identically in both engines.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b555-[0-9]{4}\\b" // NANP reserved test exchange
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII detection + scrubbing — the pre-training redaction pass: count and
+    * mask e-mail addresses, phone numbers, and IPv4 literals. Pure per-row
+    * regexp builtins (codegen'd, no UDF): one narrow scan, no shuffle at any
+    * scale. Replacement order (e-mail → phone → IP) is fixed so the masked
+    * text is deterministic; the patterns cannot overlap each other's
+    * replacements (`<EMAIL>` etc. contain no pattern-matchable characters).
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+        col("doc_id"),
+        reCount(t, emailRe).as("n_emails"),
+        reCount(t, phoneRe).as("n_phones"),
+        reCount(t, ipv4Re).as("n_ipv4"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+          lit(ipv4Re), lit("<IP>")).as("masked"))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_phones") + col("n_ipv4") > 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document repetition signals (the Gopher/MassiveText quality
+    * rules): duplicate word / 2-gram / 3-gram fractions, integer-exact in
+    * per-mille. Entirely per-row higher-order functions — zero shuffle,
+    * fully codegen-compatible, embarrassingly parallel at 100 TB. The
+    * `IF(n >= k, …, array())` guards matter: Spark's `sequence(1, 0)`
+    * DESCENDS rather than returning empty, so an unguarded short document
+    * would fabricate grams.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", Dedup.words(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("g2", expr(
+        """IF(n_words >= 2,
+             transform(sequence(1, CAST(n_words AS INT) - 1), i ->
+               concat(element_at(w, i), ' ', element_at(w, i + 1))),
+             CAST(array() AS ARRAY<STRING>))"""))
+      .withColumn("g3", expr(
+        """IF(n_words >= 3,
+             transform(sequence(1, CAST(n_words AS INT) - 2), i ->
+               concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                 element_at(w, i + 2))),
+             CAST(array() AS ARRAY<STRING>))"""))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        size(array_distinct(col("g2"))).cast("long").as("n_distinct_2grams"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct_3grams"))
+      .withColumn("dup_word_mille", expr(
+        "IF(n_words > 0, (n_words - n_distinct_words) * 1000 div n_words, 0L)"))
+      .withColumn("dup_2gram_mille", expr(
+        "IF(n_2grams > 0, (n_2grams - n_distinct_2grams) * 1000 div n_2grams, 0L)"))
+      .withColumn("dup_3gram_mille", expr(
+        "IF(n_3grams > 0, (n_3grams - n_distinct_3grams) * 1000 div n_3grams, 0L)"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level boilerplate detection (the CCNet/C4 shared-paragraph rule,
+    * shingle-granular because the corpus has no line structure): a distinct
+    * word `n`-gram appearing in ≥ 1/`divisor` of all documents is
+    * boilerplate; each document reports how much of it is made of such
+    * grams. Plan shape chosen for 100 TB:
+    *  - per-doc distinct grams come from `array_distinct` BEFORE the explode
+    *    (no dedup shuffle);
+    *  - document frequency is a groupBy(gram) — map-side partial aggregation
+    *    collapses each task's rows before the one gram shuffle (never a
+    *    window over a Zipf-skewed key — see t06);
+    *  - the boilerplate gram set is PROVABLY bounded: Σdf = P (total
+    *    doc-gram pairs), so |{df ≥ N/divisor}| ≤ divisor·P/N = divisor ×
+    *    avg distinct grams per doc — independent of corpus row count.
+    *    That bound justifies the explicit broadcast back onto the gram
+    *    stream (a few MB at divisor 20 even for book-length documents);
+    *  - the per-doc rollup is one more map-side-partial groupBy.
+    */
+  def boilerplate(docs: DataFrame, n: Int = 5, divisor: Int = 20): DataFrame = {
+    val grams = Dedup.shingles(docs, n) // distinct (doc_id, gram) pairs
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val boiler = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * divisor >= col("n_docs"))
+      .select(col("gram"), lit(1L).as("is_boiler"))
+    grams.join(broadcast(boiler), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("is_boiler")), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_mille", expr("n_boiler * 1000 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing-style document fingerprint: md5 over sliding word `n`-grams,
     * keep the `k` smallest distinct hashes (a bottom-k sketch), rendered as a
     * sorted comma-joined string. Equal fingerprints ⇒ near-dup candidates.

@@ -444,6 +444,67 @@ class OpsSpec extends GraftSpec {
     assert(out === Array((1L, "a,b,c"), (2L, "z")))
   }
 
+  test("piiScrub counts and masks emails, phones, and IPv4 without cross-talk") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk or eve@ex.org soon"),
+      (2L, "call 555-0134 not 1234-5678 from 10.1.2.3 or 999.1.2.3x"),
+      (3L, "plain text no identifiers here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).orderBy("doc_id").collect()
+    assert((out(0).getAs[Long]("n_emails"), out(0).getAs[Long]("n_phones"),
+      out(0).getAs[Long]("n_ipv4")) === ((2L, 0L, 0L)))
+    assert(out(0).getAs[String]("masked") === "mail <EMAIL> or <EMAIL> soon")
+    // 1234-5678 must not match the 555 test exchange, and 999.1.2.3x must
+    // not match the quad: its trailing \b fails ('3' → 'x' is no boundary)
+    assert((out(1).getAs[Long]("n_phones"), out(1).getAs[Long]("n_ipv4")) === ((1L, 1L)))
+    assert(out(1).getAs[String]("masked")
+      === "call <PHONE> not 1234-5678 from <IP> or 999.1.2.3x")
+    assert(out(2).getAs[Long]("has_pii") === 0L)
+    assert(out(2).getAs[String]("masked") === "plain text no identifiers here")
+  }
+
+  test("repetition: duplicate word/2-gram/3-gram fractions, short-doc guards") {
+    val d = Seq(
+      (1L, "spam spam spam spam"), // all dup words, all dup 2/3-grams
+      (2L, "a b c d"),             // no repetition at all
+      (3L, "x"),                   // 1 word: no grams, no division blowup
+      (4L, "go go")                // 2 words: one 2-gram, no 3-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).orderBy("doc_id").collect()
+    def g(i: Int, c: String) = out(i).getAs[Long](c)
+    assert((g(0, "n_words"), g(0, "n_distinct_words"), g(0, "dup_word_mille"))
+      === ((4L, 1L, 750L)))
+    assert((g(0, "n_2grams"), g(0, "n_distinct_2grams"), g(0, "dup_2gram_mille"))
+      === ((3L, 1L, 666L)))
+    assert((g(0, "n_3grams"), g(0, "n_distinct_3grams"), g(0, "dup_3gram_mille"))
+      === ((2L, 1L, 500L)))
+    assert((g(1, "dup_word_mille"), g(1, "dup_2gram_mille"), g(1, "dup_3gram_mille"))
+      === ((0L, 0L, 0L)))
+    assert((g(2, "n_words"), g(2, "n_2grams"), g(2, "n_3grams")) === ((1L, 0L, 0L)))
+    assert((g(3, "n_2grams"), g(3, "n_3grams")) === ((1L, 0L)))
+  }
+
+  test("boilerplate: grams above the df threshold are flagged per doc") {
+    // 5-gram "v w x y z" appears in ALL 4 docs (df=4 ≥ 4/2=2 with divisor 2);
+    // every other gram is unique to its doc
+    val d = Seq(
+      (1L, "v w x y z p1 q1"),
+      (2L, "v w x y z p2 q2"),
+      (3L, "v w x y z p3 q3"),
+      (4L, "v w x y z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplate(d, n = 5, divisor = 2)
+      .orderBy("doc_id").collect()
+    // docs 1-3: 3 distinct 5-grams each, exactly 1 boilerplate
+    (0 to 2).foreach { i =>
+      assert((out(i).getAs[Long]("n_grams"), out(i).getAs[Long]("n_boiler"),
+        out(i).getAs[Long]("boiler_mille")) === ((3L, 1L, 333L)), s"doc ${i + 1}")
+    }
+    // doc 4 is pure boilerplate
+    assert((out(3).getAs[Long]("n_grams"), out(3).getAs[Long]("n_boiler"),
+      out(3).getAs[Long]("boiler_mille")) === ((1L, 1L, 1000L)))
+  }
+
   implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
