@@ -171,6 +171,58 @@ object EntryOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** q36 — token-budget sampling: per language, take documents in
+    * deterministic salted-hash order until the cumulative whitespace-token
+    * count reaches the budget (the crossing document is included). The
+    * straightforward plan — `sum(tokens) over (partition by lang order by
+    * skey)` on the corpus — is the q33 hazard again: one task sorts and
+    * scans an entire stratum. Scale-safe two-stage instead:
+    *
+    *  1. a salted local pass: cumulative sums within (lang, salt) keep only
+    *     rows whose LOCAL running total (before self) is < budget. The local
+    *     prefix is a subset of the global prefix, so local-cum ≤ global-cum
+    *     and every globally-selected doc survives;
+    *  2. the exact rank/cumsum window runs over survivors only. Survivors
+    *     are budget-bounded — each of the `saltBuckets` buckets contributes
+    *     at most its own budget-prefix — so stage 2's input is
+    *     O(saltBuckets × budget/avg_tokens) rows per stratum, INDEPENDENT of
+    *     corpus size.
+    *
+    * Exactness: every doc preceding a selected doc is itself a survivor (its
+    * local-cum-before ≤ its global-cum-before < budget), so the survivor
+    * cumsum equals the true cumsum on the whole selected prefix; conversely
+    * a non-selected doc x always has ≥ budget SURVIVOR tokens before it
+    * (take the first non-survivor e0 before x in any salt: e0's local prefix
+    * is all survivors summing ≥ budget), so x cannot pass the stage-2
+    * filter. The oracle runs the single-window form — identical rows.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val saltBuckets = 64
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(graft.ops.Dedup.words(col("text"))).cast("long").as("tokens"),
+        md5(concat(lit("tb:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+    val local = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survivors = base
+      .withColumn("lcum", sum(col("tokens")).over(local))
+      .filter(col("lcum") - col("tokens") < budget)
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    survivors
+      .withColumn("cum_tokens",
+        sum(col("tokens")).over(global.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("cum_tokens") - col("tokens") < budget)
+      .select(col("lang"), col("rk"), col("doc_id"), col("tokens"),
+        col("cum_tokens"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** t07 — decontamination: docs with doc_id % 100 == 0 stand in for the
     * held-out benchmark set; every other doc is "training". 3-grams here so
     * the synthetic corpus yields verified overlap (187 pairs at sf0.01);
@@ -243,6 +295,9 @@ object EntryOps {
 
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.boilerplate(docs(spark, dir))
+
+  def unigramScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramScore(docs(spark, dir))
 
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(spark, dir))
@@ -1507,6 +1562,35 @@ object EntryOps {
                 THEN (len(g3) - len(list_distinct(g3))) * 1000 // len(g3)
                 ELSE 0 END AS BIGINT) AS dup_3gram_mille
          FROM g ORDER BY doc_id""",
+    "t12_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w
+                       FROM documents),
+          model AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+          tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total_words FROM model),
+          sc AS (SELECT t.doc_id, m.cw * 1000000 // tot.total_words AS freq_ppm
+                 FROM toks t JOIN model m ON t.w = m.w CROSS JOIN tot)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(freq_ppm) // count(*) AS BIGINT) AS avg_freq_ppm,
+           CAST(min(freq_ppm) AS BIGINT) AS min_freq_ppm,
+           CAST(max(freq_ppm) AS BIGINT) AS max_freq_ppm
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q36_token_budget_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+                    len(string_split_regex(trim(text), '\s+')) AS tokens,
+                    md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey
+                    FROM documents),
+          c AS (SELECT *, sum(tokens) OVER (PARTITION BY lang
+                  ORDER BY skey ASC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t)
+         SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rk,
+           doc_id, CAST(tokens AS BIGINT) AS tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+         FROM c WHERE cum - tokens < 2000 ORDER BY lang, rk""",
     "t11_boilerplate" ->
       s"""WITH ${duckShingles(5)},
           dfq AS (SELECT gram, count(*) AS df FROM tri GROUP BY 1),
@@ -1544,6 +1628,8 @@ object EntryOps {
     "t09_pii_scrub" -> (piiScrub _),
     "t10_repetition" -> (repetition _),
     "t11_boilerplate" -> (boilerplate _),
+    "t12_unigram_lm" -> (unigramScore _),
+    "q36_token_budget_sample" -> (tokenBudgetSample _),
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),
     "m03_frame_sample" -> (frameSample _),

@@ -191,6 +191,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model scoring (the CCNet-style LM quality filter with
+    * a corpus-trained unigram model, kept in integer arithmetic so two
+    * engines hash-match): every word's corpus frequency in parts-per-million
+    * (`count(w)·1e6 div total_words`), then each document's mean over its
+    * token OCCURRENCES — high = built from common words, low = rare-word
+    * soup. Also reports the rarest word's ppm (the strongest single outlier
+    * signal). Plan shape at 100 TB: the unigram "model" is a
+    * map-side-partial groupBy(w) (never a window on the Zipf-skewed token
+    * key — see t06), the model join back onto the token stream is an
+    * AQE-skew-splittable equi-join, and the per-doc rollup partial-aggs
+    * again; the totals scalar is a 1-row broadcast.
+    */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.words(col("text"))).as("w"))
+    val model = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = model.agg(sum(col("cw")).as("total_words"))
+    val scored = toks.join(model, "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("freq_ppm", expr("cw * 1000000 div total_words"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        expr("sum(freq_ppm) div count(1)").as("avg_freq_ppm"),
+        min(col("freq_ppm")).as("min_freq_ppm"),
+        max(col("freq_ppm")).as("max_freq_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing-style document fingerprint: md5 over sliding word `n`-grams,
     * keep the `k` smallest distinct hashes (a bottom-k sketch), rendered as a
     * sorted comma-joined string. Equal fingerprints ⇒ near-dup candidates.

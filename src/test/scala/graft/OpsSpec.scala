@@ -505,6 +505,50 @@ class OpsSpec extends GraftSpec {
       out(3).getAs[Long]("boiler_mille")) === ((1L, 1L, 1000L)))
   }
 
+  test("unigramScore: common-word docs score high, rare words drag the min") {
+    val d = Seq(
+      (1L, "the the the cat"), // 'the' 3/8 of corpus, 'cat' 1/8
+      (2L, "the rare zebra unicorn")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(d).orderBy("doc_id").collect()
+    // total 8 tokens: the=4 (500000 ppm), cat/rare/zebra/unicorn=1 (125000)
+    assert(out(0).getAs[Long]("n_tokens") === 4L)
+    assert(out(0).getAs[Long]("avg_freq_ppm") === (3 * 500000L + 125000L) / 4)
+    assert(out(0).getAs[Long]("min_freq_ppm") === 125000L)
+    assert(out(0).getAs[Long]("max_freq_ppm") === 500000L)
+    assert(out(1).getAs[Long]("avg_freq_ppm") === (500000L + 3 * 125000L) / 4)
+    assert(out(0).getAs[Long]("avg_freq_ppm") > out(1).getAs[Long]("avg_freq_ppm"))
+  }
+
+  test("tokenBudgetSample: two-stage equals the naive per-stratum cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    // ground truth: single global window per lang (fine at spec scale)
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(Dedup.words(col("text"))).cast("long").as("tokens"),
+        md5(concat(lit("tb:"), col("doc_id").cast("string"))).as("skey"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    val naive = base
+      .withColumn("cum_tokens", sum(col("tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("cum_tokens") - col("tokens") < 2000L)
+      .select("lang", "rk", "doc_id", "tokens", "cum_tokens")
+      .orderBy("lang", "rk").collect()
+    val twoStage = graft.EntryOps
+      .tokenBudgetSample(spark, "/root/testdata/sf0.001").collect()
+    assert(twoStage.length === naive.length)
+    assert(twoStage.map(_.toSeq) === naive.map(_.toSeq))
+    // every stratum stops right after crossing the budget: last cum ≥ 2000,
+    // previous cum < 2000 (strictly increasing positive tokens)
+    twoStage.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val cums = rows.sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(cums.init.forall(_ < 2000L), s"$lang selected past the budget")
+      assert(cums.last >= 2000L || cums.last == cums.max, s"$lang stopped early")
+    }
+  }
+
   implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
