@@ -503,6 +503,53 @@ object EntryOps {
   def wavPcm(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFeatures(wavAssets(spark, dir))
 
+  /** m08 fixture — VALID GIF89a payloads synthesized in-plan from doc_id:
+    * a 128-color global palette (entry i = (i, 5i%256, 11i%256) — a Scala
+    * constant embedded as hex), w/h cycling like m05/m06, pixel j carrying
+    * palette index `(doc_id + j) % 128`. The LZW stream uses the classic
+    * "uncompressed GIF" encoding: minimum code size 7 ⇒ 8-bit codes, one
+    * leading CLEAR (0x80), every pixel emitted as its literal code, then
+    * END (0x81) — with ≤ 81 pixels the dictionary stays below 256 entries
+    * so the code width never grows and every code is byte-aligned,
+    * making the stream expressible as plain SQL hex. It is nonetheless a
+    * REAL LZW stream: the decoder runs its full variable-width machinery
+    * (and FunctionsSpec feeds it genuinely COMPRESSED streams written by
+    * the JDK's own ImageIO GIF encoder, cross-checking the sums). The
+    * oracle computes expected sums from the doc_id/palette formulas — it
+    * never sees a GIF byte.
+    */
+  def gifAssets(spark: SparkSession, dir: String): DataFrame = {
+    val paletteHex = (0 until 128)
+      .map(i => f"$i%02X${i * 5 % 256}%02X${i * 11 % 256}%02X").mkString
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 8 + 2).as("w"),
+        ((col("doc_id") * 3) % 8 + 2).as("h"))
+    def le16hex(e: String): Column =
+      expr(s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) div 256), 2, '0'))")
+    val pixelsHex = expr(
+      """array_join(transform(sequence(0L, w * h - 1), j ->
+           lpad(hex((doc_id + j) % 128), 2, '0')), '')""")
+    val payloadHex = concat(
+      lit("474946383961"), le16hex("w"), le16hex("h"),
+      // packed: GCT present, colour resolution 7, size 2^(6+1)=128; bg; aspect
+      lit("F6" + "00" + "00" + paletteHex),
+      lit("2C" + "00000000"), le16hex("w"), le16hex("h"), lit("00"), // full frame
+      lit("07"), // LZW minimum code size
+      expr("lpad(hex(w * h + 2), 2, '0')"), // one sub-block: clear+pixels+end
+      lit("80"), pixelsHex, lit("81"),
+      lit("00" + "3B")) // sub-block terminator + trailer
+    d.select(col("doc_id").as("asset_id"), unhex(payloadHex).as("payload"))
+  }
+
+  /** m08 — REAL pixel decode of an LZW-compressed format: [[gifAssets]]
+    * payloads through the native `gif_features` expression (block walk +
+    * from-spec LZW + palette mapping). The oracle computes the expected
+    * sums from the doc_id formulas directly — it never sees a GIF byte.
+    */
+  def gifPixels(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFeatures(gifAssets(spark, dir))
+
   def mediaDims(spark: SparkSession, dir: String): DataFrame = {
     val w = col("doc_id") % 1000 + 1
     val h = (col("doc_id") * 7) % 1000 + 3
@@ -1372,6 +1419,21 @@ object EntryOps {
                 p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
                 COALESCE(p.s2, p.s0) AS sum_b
          FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
+    "m08_gif_pixels" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h
+                       FROM documents),
+          px AS (SELECT doc_id, (doc_id + j) % 128 AS idx
+                 FROM (SELECT doc_id, unnest(range(0, w * h)) AS j FROM base)),
+          s AS (SELECT doc_id, CAST(sum(idx) AS BIGINT) AS sr,
+                CAST(sum(idx * 5 % 256) AS BIGINT) AS sg,
+                CAST(sum(idx * 11 % 256) AS BIGINT) AS sb
+                FROM px GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'gif' AS format,
+                CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                CAST(128 AS BIGINT) AS palette_size,
+                CAST(b.w * b.h AS BIGINT) AS n_pixels,
+                s.sr AS sum_r, s.sg AS sum_g, s.sb AS sum_b
+         FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
     "m07_wav_pcm" ->
       """WITH base AS (SELECT doc_id, doc_id % 2 + 1 AS c,
                        CASE WHEN doc_id % 3 != 0 THEN 16 ELSE 8 END AS bits,
@@ -1637,6 +1699,7 @@ object EntryOps {
     "m05_ppm_pixels" -> (ppmPixels _),
     "m06_png_pixels" -> (pngPixels _),
     "m07_wav_pcm" -> (wavPcm _),
+    "m08_gif_pixels" -> (gifPixels _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -67,6 +67,10 @@ object GraftExtensions {
         info("png_features",
           "png_features(payload) - struct(format, width, height, color_type, n_pixels, sum_r, sum_g, sum_b) decoded from PNG bytes (JDK zlib inflate + scanline unfilter)"),
         (args: Seq[Expression]) => graft.functions.PngFeatures(args.head)),
+      (FunctionIdentifier("gif_features"),
+        info("gif_features",
+          "gif_features(payload) - struct(format, width, height, palette_size, n_pixels, sum_r, sum_g, sum_b) decoded from GIF bytes (from-spec LZW decompressor)"),
+        (args: Seq[Expression]) => graft.functions.GifFeatures(args.head)),
       (FunctionIdentifier("wav_features"),
         info("wav_features",
           "wav_features(payload) - struct(format, channels, sample_rate, bits, n_frames, sum_ch0, sum_ch1, peak_abs) decoded from RIFF/WAVE PCM bytes"),

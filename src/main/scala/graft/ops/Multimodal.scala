@@ -144,6 +144,26 @@ object Multimodal {
         col("f.sum_b").as("sum_b"))
       .orderBy(col("asset_id"))
 
+  /** REAL pixel-level decode for LZW-COMPRESSED GIF payloads — header and
+    * extension-block walk, sub-block reassembly, a from-the-spec
+    * variable-width LZW decompressor (no JDK binding exists for GIF's LZW),
+    * palette mapping and exact per-channel integer sums, all computed from
+    * the actual bytes by the native codegen'd
+    * [[graft.functions.GifFeatures]] expression. Same scan-stage shape as
+    * [[pngFeatures]]: one narrow per-row map, only the per-asset stats
+    * struct ever leaves the scan.
+    */
+  def gifFeatures(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), graft.functions.GifFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format").as("format"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.palette_size").as("palette_size"),
+        col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"))
+      .orderBy(col("asset_id"))
+
   /** REAL sample-level decode for RIFF/WAVE PCM payloads — chunk walk,
     * fmt parse, and exact per-channel integer sums of the decoded samples
     * (8-bit unsigned re-centered, 16-bit signed LE), all computed from the

@@ -434,6 +434,139 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  /** Real COMPRESSED GIF bytes from the JDK's own encoder: an indexed
+    * image with the m08 palette formula, written via ImageIO — genuine
+    * variable-width LZW (the in-plan fixture covers the byte-aligned
+    * literal-code encoding; this covers dictionary growth).
+    */
+  private def imageIoGif(w: Int, h: Int, pixFn: Int => Int): Array[Byte] = {
+    val size = 128
+    val r = Array.tabulate(size)(i => i.toByte)
+    val g = Array.tabulate(size)(i => (i * 5 % 256).toByte)
+    val bl = Array.tabulate(size)(i => (i * 11 % 256).toByte)
+    val cm = new java.awt.image.IndexColorModel(7, size, r, g, bl)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pixFn(y * w + x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    out.toByteArray
+  }
+
+  /** Actual-colour channel sums via ImageIO's reader — robust to any palette
+    * permutation the encoder chooses.
+    */
+  private def rgbSums(bytes: Array[Byte]): (Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected a fixture GIF")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    (sr, sg, sb)
+  }
+
+  /** Spec-side GIF writer with refusal dials: minimum code size 7 (8-bit
+    * byte-aligned literal codes, CLEAR every 100 pixels keeps the
+    * dictionary narrow), palette entry i = (i, 5i, 11i) mod 256.
+    */
+  private def gifEncode(w: Int, h: Int, palBits: Int, pixels: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    val palSize = 1 << palBits
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | 0x70 | (palBits - 1)); out.write(0); out.write(0)
+    for (i <- 0 until palSize) {
+      out.write(i % 256); out.write(i * 5 % 256); out.write(i * 11 % 256)
+    }
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(7) // minimum code size: 8-bit codes, clear=0x80, end=0x81
+    val codes = scala.collection.mutable.ArrayBuffer[Int](0x80)
+    var count = 0
+    pixels.foreach { p =>
+      if (count == 100) { codes += 0x80; count = 0 } // dict stays < 256
+      codes += p; count += 1
+    }
+    codes += 0x81
+    codes.grouped(255).foreach { blk =>
+      out.write(blk.length); blk.foreach(out.write)
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  test("gif_features decodes real variable-width LZW pixels (ImageIO parity)") {
+    import spark.implicits._
+    // noisy 31x17 (poorly compressible) + patterned 64x48 (dictionary-heavy,
+    // forces code-width growth past 9 bits)
+    val noisy = imageIoGif(31, 17, i => (i * 37 + 11) % 128)
+    val patterned = imageIoGif(64, 48, i => (i / 16) % 128)
+    val rows = Seq((1L, noisy), (2L, patterned)).toDF("id", "payload")
+      .select(col("id"), graft.functions.GifFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.height"),
+        col("f.n_pixels"), col("f.sum_r"), col("f.sum_g"), col("f.sum_b"))
+      .orderBy("id").collect()
+    val (nr, ng, nb) = rgbSums(noisy)
+    assert((rows(0).getString(1), rows(0).getLong(2), rows(0).getLong(3),
+      rows(0).getLong(4)) === (("gif", 31L, 17L, 527L)))
+    assert((rows(0).getLong(5), rows(0).getLong(6), rows(0).getLong(7)) ===
+      ((nr, ng, nb)))
+    val (pr, pg, pb) = rgbSums(patterned)
+    assert((rows(1).getLong(5), rows(1).getLong(6), rows(1).getLong(7)) ===
+      ((pr, pg, pb)))
+    // SQL registration round-trip
+    GraftExtensions.registerAll(spark)
+    val viaSql = Seq(Tuple1(noisy)).toDF("p")
+      .selectExpr("gif_features(p).sum_g AS sg").head().getLong(0)
+    assert(viaSql === ng)
+  }
+
+  test("gif_features refuses what it cannot decode — never misreads") {
+    import spark.implicits._
+    val px = Array.tabulate(12)(i => (i * 7) % 128)
+    // interlace flag set: sums are row-order-invariant, so this DECODES
+    val inter = gifEncode(4, 3, 7, px, interlaced = true)
+    val truncated = gifEncode(4, 3, 7, px).dropRight(6)
+    val badIdx = gifEncode(4, 3, 2, Array.fill(12)(5)) // 4-colour palette, index 5
+    val notGif = "PNG?????".getBytes("US-ASCII")
+    val ok = gifEncode(4, 3, 7, px) // sanity: the dialled encoder is valid
+    val rows = Seq((1L, inter), (2L, truncated), (3L, badIdx), (4L, notGif),
+      (5L, ok)).toDF("id", "payload")
+      .select(col("id"), graft.functions.GifFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.palette_size"),
+        col("f.sum_r"))
+      .orderBy("id").collect()
+    def g(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.get(i)
+    val expectedSumR = px.map(i => (i % 256).toLong).sum
+    assert((rows(0).getString(1), g(rows(0), 2)) === (("gif", 4L)))
+    assert(g(rows(0), 4) === expectedSumR, "interlace only permutes rows — decode")
+    assert(g(rows(1), 4) === null, "truncated stream must refuse")
+    assert(g(rows(2), 4) === null, "palette-overflow index must refuse")
+    assert(rows(3).getString(1) === "unknown")
+    assert(g(rows(4), 4) === expectedSumR, "the valid dialled fixture must decode")
+  }
+
+  test("m08 fixture payloads are spec-valid GIFs (ImageIO parity on real bytes)") {
+    val assets = EntryOps.gifAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") < 10).orderBy("asset_id").collect()
+    assert(assets.length === 10)
+    assets.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val d = graft.functions.GifFeatures.decode(bytes)
+      val (sr, sg, sb) = rgbSums(bytes)
+      assert((d.getLong(5), d.getLong(6), d.getLong(7)) === ((sr, sg, sb)),
+        s"asset $id: native decode disagrees with ImageIO")
+    }
+  }
+
   /** Spec-side WAV writer for wav_features fixtures: canonical RIFF layout,
     * optional LIST chunk (odd body → pad byte), and dials for every refusal
     * branch. `samples` are DECODED amplitudes (−128..127 for 8-bit).
