@@ -550,6 +550,59 @@ object EntryOps {
   def gifPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.gifFeatures(gifAssets(spark, dir))
 
+  /** m09 fixture — VALID ANIMATED GIFs synthesized in-plan from doc_id:
+    * doc_id%4+1 frames over the m08 palette; frame 0 paints the full
+    * screen, later frames paint the partial rectangle (left=1, width w−1 —
+    * the standard animation delta shape); pixel j of frame f carries
+    * palette index `(doc_id + 31·f + j) % 128`; every 3rd payload
+    * interposes a Graphic Control Extension before frames so the
+    * extension-skip path is oracle-checked. Same byte-aligned literal-code
+    * LZW per frame as [[gifAssets]] (FunctionsSpec feeds ImageIO-written
+    * compressed ANIMATIONS for the multi-frame + dictionary-growth path).
+    */
+  def gifAnimAssets(spark: SparkSession, dir: String): DataFrame = {
+    val paletteHex = (0 until 128)
+      .map(i => f"$i%02X${i * 5 % 256}%02X${i * 11 % 256}%02X").mkString
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 8 + 2).as("w"),
+        ((col("doc_id") * 3) % 8 + 2).as("h"),
+        (col("doc_id") % 4 + 1).as("nf"))
+    // per-frame image block: descriptor (frame 0 full, later frames at
+    // left=1 with width w−1), 8-bit literal-code LZW stream; w,h ≤ 9 so
+    // every le16 is one significant byte + 00
+    val framesHex = expr(
+      """array_join(transform(sequence(0L, nf - 1), f -> concat(
+           '2C',
+           IF(f = 0, '00000000', '01000000'),
+           lpad(hex(IF(f = 0, w, w - 1)), 2, '0'), '00',
+           lpad(hex(h), 2, '0'), '00',
+           '00', '07',
+           lpad(hex(IF(f = 0, w, w - 1) * h + 2), 2, '0'),
+           '80',
+           array_join(transform(sequence(0L, IF(f = 0, w, w - 1) * h - 1),
+             j -> lpad(hex((doc_id + 31 * f + j) % 128), 2, '0')), ''),
+           '81', '00')), '')""")
+    val gceHex = when(col("doc_id") % 3 === 0,
+      lit("21F9040000000000")).otherwise(lit("")) // GCE: skipped by the walk
+    val payloadHex = concat(
+      lit("474946383961"),
+      expr("lpad(hex(w), 2, '0')"), lit("00"),
+      expr("lpad(hex(h), 2, '0')"), lit("00"),
+      lit("F6" + "00" + "00" + paletteHex),
+      gceHex, framesHex, lit("3B"))
+    d.withColumn("payloadHex", payloadHex)
+      .select(col("doc_id").as("asset_id"), unhex(col("payloadHex")).as("payload"))
+  }
+
+  /** m09 — frame-sequence decode of animated GIFs (the zero-codec video
+    * stand-in): [[gifAnimAssets]] payloads through the native
+    * `gif_anim_features` expression. The oracle computes expected frame
+    * counts and sums from the doc_id formulas — it never sees a GIF byte.
+    */
+  def gifAnim(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gifAnimFeatures(gifAnimAssets(spark, dir))
+
   def mediaDims(spark: SparkSession, dir: String): DataFrame = {
     val w = col("doc_id") % 1000 + 1
     val h = (col("doc_id") * 7) % 1000 + 3
@@ -1419,6 +1472,25 @@ object EntryOps {
                 p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
                 COALESCE(p.s2, p.s0) AS sum_b
          FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
+    "m09_gif_anim" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
+                       doc_id % 4 + 1 AS nf FROM documents),
+          fr AS (SELECT doc_id, f,
+                 CASE WHEN f = 0 THEN w ELSE w - 1 END * h AS np
+                 FROM (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM base)),
+          px AS (SELECT doc_id, (doc_id + 31 * f + j) % 128 AS idx
+                 FROM (SELECT doc_id, f, unnest(range(0, np)) AS j FROM fr)),
+          s AS (SELECT doc_id, CAST(sum(idx) AS BIGINT) AS sr,
+                CAST(sum(idx * 5 % 256) AS BIGINT) AS sg,
+                CAST(sum(idx * 11 % 256) AS BIGINT) AS sb FROM px GROUP BY 1),
+          fp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                 CAST(sum(np) AS BIGINT) AS n_pixels FROM fr GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'gif' AS format,
+                CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                fp.n_frames, fp.n_pixels,
+                s.sr AS sum_r, s.sg AS sum_g, s.sb AS sum_b
+         FROM base b JOIN fp USING (doc_id) JOIN s USING (doc_id)
+         ORDER BY asset_id""",
     "m08_gif_pixels" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h
                        FROM documents),
@@ -1700,6 +1772,7 @@ object EntryOps {
     "m06_png_pixels" -> (pngPixels _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
+    "m09_gif_anim" -> (gifAnim _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

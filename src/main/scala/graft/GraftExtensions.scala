@@ -71,6 +71,10 @@ object GraftExtensions {
         info("gif_features",
           "gif_features(payload) - struct(format, width, height, palette_size, n_pixels, sum_r, sum_g, sum_b) decoded from GIF bytes (from-spec LZW decompressor)"),
         (args: Seq[Expression]) => graft.functions.GifFeatures(args.head)),
+      (FunctionIdentifier("gif_anim_features"),
+        info("gif_anim_features",
+          "gif_anim_features(payload) - struct(format, width, height, n_frames, n_pixels, sum_r, sum_g, sum_b) over ALL frames of a (possibly animated) GIF"),
+        (args: Seq[Expression]) => graft.functions.GifAnimFeatures(args.head)),
       (FunctionIdentifier("wav_features"),
         info("wav_features",
           "wav_features(payload) - struct(format, channels, sample_rate, bits, n_frames, sum_ch0, sum_ch1, peak_abs) decoded from RIFF/WAVE PCM bytes"),

@@ -69,7 +69,7 @@ object GifFeatures {
 
   private val nulls: Array[Any] = Array.fill[Any](7)(null)
 
-  private def le16(b: Array[Byte], i: Int): Int =
+  private[functions] def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
 
   /** Static entry point shared by interpreted eval and generated code. */
@@ -161,7 +161,7 @@ object GifFeatures {
     * palette indices or null on any malformation (truncation, code beyond
     * dictionary, output over/underflow, absurd root size).
     */
-  private def lzwDecode(data: Array[Byte], minCode: Int, nPix: Int): Array[Byte] = {
+  private[functions] def lzwDecode(data: Array[Byte], minCode: Int, nPix: Int): Array[Byte] = {
     if (minCode < 2 || minCode > 11) return null
     val clear = 1 << minCode
     val endCode = clear + 1

@@ -164,6 +164,25 @@ object Multimodal {
         col("f.sum_b").as("sum_b"))
       .orderBy(col("asset_id"))
 
+  /** Frame-SEQUENCE decode for ANIMATED GIF payloads — the zero-codec-library
+    * stand-in for video: every image block (frame) is decoded through the
+    * same from-spec LZW machinery as [[gifFeatures]], honoring per-frame
+    * local palettes and partial-frame rectangles (the animation delta
+    * encoding); reports frame count and exact channel sums over every
+    * painted pixel, via the native codegen'd
+    * [[graft.functions.GifAnimFeatures]] expression. Same scan-stage shape
+    * as the still decoders: one narrow per-row map, no shuffle.
+    */
+  def gifAnimFeatures(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), graft.functions.GifAnimFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format").as("format"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.n_frames").as("n_frames"), col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"))
+      .orderBy(col("asset_id"))
+
   /** REAL sample-level decode for RIFF/WAVE PCM payloads — chunk walk,
     * fmt parse, and exact per-channel integer sums of the decoded samples
     * (8-bit unsigned re-centered, 16-bit signed LE), all computed from the

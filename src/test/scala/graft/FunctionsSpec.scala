@@ -553,6 +553,88 @@ class FunctionsSpec extends GraftSpec {
     assert(g(rows(4), 4) === expectedSumR, "the valid dialled fixture must decode")
   }
 
+  /** Real ANIMATED GIF from the JDK's sequence writer (genuine multi-frame
+    * LZW container).
+    */
+  private def imageIoAnimGif(w: Int, h: Int, frames: Seq[Int => Int]): Array[Byte] = {
+    val size = 128
+    val r = Array.tabulate(size)(i => i.toByte)
+    val g = Array.tabulate(size)(i => (i * 5 % 256).toByte)
+    val bl = Array.tabulate(size)(i => (i * 11 % 256).toByte)
+    val cm = new java.awt.image.IndexColorModel(7, size, r, g, bl)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(y * w + x))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    out.toByteArray
+  }
+
+  /** Frame-by-frame actual-colour sums via ImageIO's reader. */
+  private def rgbSumsAllFrames(bytes: Array[Byte]): (Int, Long, Long, Long) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val nf = reader.getNumImages(true)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (i <- 0 until nf) {
+      val img = reader.read(i)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+    }
+    reader.dispose(); iis.close()
+    (nf, sr, sg, sb)
+  }
+
+  test("gif_anim_features decodes every frame of a real ImageIO animation") {
+    import spark.implicits._
+    val anim = imageIoAnimGif(16, 12,
+      Seq(i => (i * 7 + 1) % 128, i => (i * 13 + 5) % 128, i => (i / 3) % 128))
+    val single = imageIoGif(16, 12, i => (i * 7 + 1) % 128)
+    val rows = Seq((1L, anim), (2L, single)).toDF("id", "payload")
+      .select(col("id"), graft.functions.GifAnimFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.n_frames"), col("f.n_pixels"),
+        col("f.sum_r"), col("f.sum_g"), col("f.sum_b"))
+      .orderBy("id").collect()
+    val (nf, sr, sg, sb) = rgbSumsAllFrames(anim)
+    assert(nf === 3)
+    assert((rows(0).getString(1), rows(0).getLong(2), rows(0).getLong(3)) ===
+      (("gif", 3L, 3L * 16 * 12)))
+    assert((rows(0).getLong(4), rows(0).getLong(5), rows(0).getLong(6)) ===
+      ((sr, sg, sb)))
+    // a single-frame still decodes with n_frames = 1 and gif_features' sums
+    val stillRow = graft.functions.GifFeatures.decode(single)
+    assert((rows(1).getLong(2), rows(1).getLong(4), rows(1).getLong(5),
+      rows(1).getLong(6)) ===
+      ((1L, stillRow.getLong(5), stillRow.getLong(6), stillRow.getLong(7))))
+  }
+
+  test("m09 fixture payloads decode frame-for-frame under ImageIO") {
+    val assets = EntryOps.gifAnimAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") < 10).orderBy("asset_id").collect()
+    assert(assets.length === 10)
+    assets.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val d = graft.functions.GifAnimFeatures.decode(bytes)
+      val (nf, sr, sg, sb) = rgbSumsAllFrames(bytes)
+      assert((d.getLong(3), d.getLong(5), d.getLong(6), d.getLong(7)) ===
+        ((nf.toLong, sr, sg, sb)),
+        s"asset $id: native animation decode disagrees with ImageIO")
+    }
+  }
+
   test("m08 fixture payloads are spec-valid GIFs (ImageIO parity on real bytes)") {
     val assets = EntryOps.gifAssets(spark, "/root/testdata/sf0.001")
       .filter(col("asset_id") < 10).orderBy("asset_id").collect()
