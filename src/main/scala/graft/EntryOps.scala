@@ -603,6 +603,14 @@ object EntryOps {
   def gifAnim(spark: SparkSession, dir: String): DataFrame =
     Multimodal.gifAnimFeatures(gifAnimAssets(spark, dir))
 
+  /** m10 — the per-frame TABLE view of [[gifAnimAssets]]: one row per
+    * decoded frame (placement + exact sums) via `gif_frame_stats` +
+    * `explode`. The oracle recomputes every frame row from the doc_id
+    * formulas — it never sees a GIF byte.
+    */
+  def gifFrameTable(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFrameTable(gifAnimAssets(spark, dir))
+
   def mediaDims(spark: SparkSession, dir: String): DataFrame = {
     val w = col("doc_id") % 1000 + 1
     val h = (col("doc_id") * 7) % 1000 + 3
@@ -1472,6 +1480,25 @@ object EntryOps {
                 p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
                 COALESCE(p.s2, p.s0) AS sum_b
          FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
+    "m10_gif_frames" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
+                       doc_id % 4 + 1 AS nf FROM documents),
+          fr AS (SELECT doc_id, f,
+                 CASE WHEN f = 0 THEN 0 ELSE 1 END AS x0,
+                 CASE WHEN f = 0 THEN w ELSE w - 1 END AS fw, h AS fh
+                 FROM (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM base)),
+          px AS (SELECT doc_id, f, (doc_id + 31 * f + j) % 128 AS idx
+                 FROM (SELECT doc_id, f, unnest(range(0, fw * fh)) AS j FROM fr)),
+          s AS (SELECT doc_id, f, CAST(sum(idx) AS BIGINT) AS sr,
+                CAST(sum(idx * 5 % 256) AS BIGINT) AS sg,
+                CAST(sum(idx * 11 % 256) AS BIGINT) AS sb FROM px GROUP BY 1, 2)
+         SELECT fr.doc_id AS asset_id, CAST(fr.f AS BIGINT) AS frame_idx,
+                CAST(fr.x0 AS BIGINT) AS x0, CAST(0 AS BIGINT) AS y0,
+                CAST(fr.fw AS BIGINT) AS width, CAST(fr.fh AS BIGINT) AS height,
+                CAST(fr.fw * fr.fh AS BIGINT) AS n_pixels,
+                s.sr AS sum_r, s.sg AS sum_g, s.sb AS sum_b
+         FROM fr JOIN s ON fr.doc_id = s.doc_id AND fr.f = s.f
+         ORDER BY asset_id, frame_idx""",
     "m09_gif_anim" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
                        doc_id % 4 + 1 AS nf FROM documents),
@@ -1773,6 +1800,7 @@ object EntryOps {
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),
+    "m10_gif_frames" -> (gifFrameTable _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

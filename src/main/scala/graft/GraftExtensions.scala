@@ -75,6 +75,10 @@ object GraftExtensions {
         info("gif_anim_features",
           "gif_anim_features(payload) - struct(format, width, height, n_frames, n_pixels, sum_r, sum_g, sum_b) over ALL frames of a (possibly animated) GIF"),
         (args: Seq[Expression]) => graft.functions.GifAnimFeatures(args.head)),
+      (FunctionIdentifier("gif_frame_stats"),
+        info("gif_frame_stats",
+          "gif_frame_stats(payload) - array of per-frame struct(frame_idx, left, top, width, height, n_pixels, sum_r, sum_g, sum_b) for a (possibly animated) GIF"),
+        (args: Seq[Expression]) => graft.functions.GifFrameStats(args.head)),
       (FunctionIdentifier("wav_features"),
         info("wav_features",
           "wav_features(payload) - struct(format, channels, sample_rate, bits, n_frames, sum_ch0, sum_ch1, peak_abs) decoded from RIFF/WAVE PCM bytes"),

@@ -69,28 +69,31 @@ object GifAnimFeatures {
 
   import GifFeatures.{le16, lzwDecode}
 
-  /** Static entry point shared by interpreted eval and generated code. */
-  def decode(b: Array[Byte]): InternalRow = {
+  /** Shared frame walker: (isGif, w, h, frames) where `frames` is null on
+    * any malformation; each frame = Array(left, top, iw, ih, sumR, sumG,
+    * sumB). EOF without a trailer is tolerated (like most readers) iff at
+    * least one frame decoded cleanly.
+    */
+  private[functions] def walk(b: Array[Byte]): (Boolean, Long, Long, Array[Array[Long]]) = {
     val n = b.length
     if (n < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
         (b(4) != '7' && b(4) != '9') || b(5) != 'a')
-      return row("unknown", nulls.clone())
+      return (false, 0L, 0L, null)
     val w = le16(b, 6).toLong
     val h = le16(b, 8).toLong
     val packed = b(10) & 0xff
     val hasGct = (packed & 0x80) != 0
     val gctSize = 2 << (packed & 7)
-    def refuse(): InternalRow =
-      row("gif", Array[Any](w, h, null, null, null, null, null))
+    val acc = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    def refuse(): (Boolean, Long, Long, Array[Array[Long]]) = (true, w, h, null)
+    def done(): (Boolean, Long, Long, Array[Array[Long]]) =
+      if (acc.nonEmpty) (true, w, h, acc.toArray) else refuse()
     var i = 13
     val gctOff = i
     if (hasGct) {
       i += 3 * gctSize
-      if (i > n) return row("gif", nulls.clone())
+      if (i > n) return refuse()
     }
-    var frames = 0L
-    var pixels = 0L
-    var sr = 0L; var sg = 0L; var sb = 0L
     while (i < n) {
       (b(i) & 0xff) match {
         case 0x21 =>
@@ -100,7 +103,7 @@ object GifAnimFeatures {
           if (i > n) return refuse()
         case 0x2c =>
           if (i + 10 > n) return refuse()
-          val left = le16(b, i + 1); val top = le16(b, i + 3)
+          val left = le16(b, i + 1).toLong; val top = le16(b, i + 3).toLong
           val iw = le16(b, i + 5).toLong; val ih = le16(b, i + 7).toLong
           val p2 = b(i + 9) & 0xff // interlace accepted: sums are order-free
           val hasLct = (p2 & 0x80) != 0
@@ -135,6 +138,7 @@ object GifAnimFeatures {
           if (nPix > Int.MaxValue) return refuse()
           val indices = lzwDecode(data, minCode, nPix.toInt)
           if (indices == null) return refuse()
+          var sr = 0L; var sg = 0L; var sb = 0L
           var k = 0
           while (k < indices.length) {
             val idx = indices(k) & 0xff
@@ -143,19 +147,25 @@ object GifAnimFeatures {
             sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
             k += 1
           }
-          frames += 1
-          pixels += nPix
-        case 0x3b =>
-          return if (frames > 0)
-            row("gif", Array[Any](w, h, frames, pixels, sr, sg, sb))
-          else refuse()
+          acc += Array(left, top, iw, ih, sr, sg, sb)
+        case 0x3b => return done()
         case _ => return refuse()
       }
     }
-    // EOF without trailer: tolerate like most readers IF at least one frame
-    // decoded cleanly (the per-frame checks above already validated bytes)
-    if (frames > 0) row("gif", Array[Any](w, h, frames, pixels, sr, sg, sb))
-    else refuse()
+    done()
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def decode(b: Array[Byte]): InternalRow = {
+    val (isGif, w, h, frames) = walk(b)
+    if (!isGif) return row("unknown", nulls.clone())
+    if (frames == null)
+      return row("gif", Array[Any](w, h, null, null, null, null, null))
+    var pixels = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    frames.foreach { f =>
+      pixels += f(2) * f(3); sr += f(4); sg += f(5); sb += f(6)
+    }
+    row("gif", Array[Any](w, h, frames.length.toLong, pixels, sr, sg, sb))
   }
 
   def apply(c: Column): Column =

@@ -183,6 +183,28 @@ object Multimodal {
         col("f.sum_b").as("sum_b"))
       .orderBy(col("asset_id"))
 
+  /** Per-frame TABLE over (possibly animated) GIF payloads — the
+    * real-decode sibling of [[frameSample]]: one row per decoded frame with
+    * placement and exact channel sums, via the native
+    * [[graft.functions.GifFrameStats]] expression + a local `explode`.
+    * The decode is a narrow per-row map in the scan stage; the explode
+    * multiplies rows locally (no shuffle) — downstream per-frame analytics
+    * are plain relational ops.
+    */
+  def gifFrameTable(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"),
+        explode(graft.functions.GifFrameStats(col("payload"))).as("f"))
+      .select(col("asset_id"), col("f.frame_idx").as("frame_idx"),
+        // x0/y0, not left/top: LEFT is a reserved word in ANSI SQL and the
+        // oracle must alias the identical column names unquoted
+        col("f.left").as("x0"), col("f.top").as("y0"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+
   /** REAL sample-level decode for RIFF/WAVE PCM payloads — chunk walk,
     * fmt parse, and exact per-channel integer sums of the decoded samples
     * (8-bit unsigned re-centered, 16-bit signed LE), all computed from the

@@ -620,6 +620,25 @@ class FunctionsSpec extends GraftSpec {
       ((1L, stillRow.getLong(5), stillRow.getLong(6), stillRow.getLong(7))))
   }
 
+  test("gif_frame_stats yields one exact row per frame; refusals are null") {
+    import spark.implicits._
+    val anim = imageIoAnimGif(9, 7,
+      Seq(i => (i * 7 + 1) % 128, i => (i * 13 + 5) % 128))
+    val rows = Seq((1L, anim), (2L, "not a gif".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        explode_outer(graft.functions.GifFrameStats(col("payload"))).as("f"))
+      .orderBy(col("id"), col("f.frame_idx")).collect()
+    assert(rows.length === 3) // 2 frames + 1 null refusal row
+    // frame rows agree with the whole-animation aggregate
+    val agg = graft.functions.GifAnimFeatures.decode(anim)
+    val frameSums = rows.filter(!_.isNullAt(1)).map(_.getStruct(1))
+    assert(frameSums.map(_.getAs[Long]("n_pixels")).sum === agg.getLong(4))
+    assert(frameSums.map(_.getAs[Long]("sum_r")).sum === agg.getLong(5))
+    assert(frameSums.map(_.getAs[Long]("frame_idx")).toSeq === Seq(0L, 1L))
+    assert(rows(2).isNullAt(1), "non-GIF must explode_outer to a null row")
+  }
+
   test("m09 fixture payloads decode frame-for-frame under ImageIO") {
     val assets = EntryOps.gifAnimAssets(spark, "/root/testdata/sf0.001")
       .filter(col("asset_id") < 10).orderBy("asset_id").collect()
