@@ -299,6 +299,9 @@ object EntryOps {
   def unigramScore(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramScore(docs(spark, dir))
 
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusProfile(docs(spark, dir))
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(spark, dir))
 
@@ -1737,6 +1740,23 @@ object EntryOps {
            CAST(min(freq_ppm) AS BIGINT) AS min_freq_ppm,
            CAST(max(freq_ppm) AS BIGINT) AS max_freq_ppm
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "t13_corpus_profile" ->
+      """WITH toks AS (SELECT source,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w
+                       FROM documents),
+          vocab AS (SELECT source, CAST(count(*) AS BIGINT) AS distinct_words,
+                    CAST(sum(cw) AS BIGINT) AS total_tokens
+                    FROM (SELECT source, w, count(*) AS cw FROM toks GROUP BY 1, 2)
+                    GROUP BY 1),
+          base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+                   FROM documents GROUP BY 1)
+         SELECT b.source, b.n_docs, b.n_langs, b.total_chars,
+                CAST(b.total_chars // b.n_docs AS BIGINT) AS avg_chars,
+                v.total_tokens, v.distinct_words,
+                CAST(v.distinct_words * 1000 // v.total_tokens AS BIGINT) AS ttr_mille
+         FROM base b JOIN vocab v USING (source) ORDER BY source""",
     "q36_token_budget_sample" ->
       """WITH t AS (SELECT doc_id, lang,
                     len(string_split_regex(trim(text), '\s+')) AS tokens,
@@ -1790,6 +1810,7 @@ object EntryOps {
     "t10_repetition" -> (repetition _),
     "t11_boilerplate" -> (boilerplate _),
     "t12_unigram_lm" -> (unigramScore _),
+    "t13_corpus_profile" -> (corpusProfile _),
     "q36_token_budget_sample" -> (tokenBudgetSample _),
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),

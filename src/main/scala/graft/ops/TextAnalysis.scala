@@ -220,6 +220,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source corpus profile — the dataset-card rollup a training-data
+    * pipeline publishes per provenance bucket: document/token volumes,
+    * exact vocabulary size, integer-mille type-token ratio (lexical
+    * diversity), language spread, and average document length. Plan shape
+    * at 100 TB: the token stream partial-aggregates by (source, word)
+    * BEFORE the per-source vocabulary count (both shuffles are map-side
+    * combined groupBys on bounded-or-partial-agg'd keys; source cardinality
+    * is small but nothing here relies on it), then joins per-source scalar
+    * aggregates computed straight off the corpus scan.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(Dedup.words(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("distinct_words"), sum(col("cw")).as("total_tokens"))
+    val base = docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+    base.join(vocab, "source")
+      .withColumn("avg_chars", expr("total_chars div n_docs"))
+      .withColumn("ttr_mille", expr("distinct_words * 1000 div total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("total_chars"),
+        col("avg_chars"), col("total_tokens"), col("distinct_words"),
+        col("ttr_mille"))
+      .orderBy(col("source"))
+  }
+
   /** Winnowing-style document fingerprint: md5 over sliding word `n`-grams,
     * keep the `k` smallest distinct hashes (a bottom-k sketch), rendered as a
     * sorted comma-joined string. Equal fingerprints ⇒ near-dup candidates.

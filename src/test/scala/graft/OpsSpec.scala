@@ -505,6 +505,22 @@ class OpsSpec extends GraftSpec {
       out(3).getAs[Long]("boiler_mille")) === ((1L, 1L, 1000L)))
   }
 
+  test("corpusProfile: per-source volumes, vocabulary, and type-token ratio") {
+    val d = Seq(
+      (1L, "a b a b", "en", "s1", 7L),
+      (2L, "a c", "fr", "s1", 3L),
+      (3L, "x x x x x", "en", "s2", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.corpusProfile(d).orderBy("source").collect()
+    // s1: 2 docs, 2 langs, 6 tokens, vocab {a,b,c}=3, ttr 500
+    assert((out(0).getAs[Long]("n_docs"), out(0).getAs[Long]("n_langs"),
+      out(0).getAs[Long]("total_tokens"), out(0).getAs[Long]("distinct_words"),
+      out(0).getAs[Long]("ttr_mille")) === ((2L, 2L, 6L, 3L, 500L)))
+    // s2: 1 doc, vocab {x}=1 over 5 tokens → ttr 200
+    assert((out(1).getAs[Long]("n_docs"), out(1).getAs[Long]("distinct_words"),
+      out(1).getAs[Long]("ttr_mille")) === ((1L, 1L, 200L)))
+  }
+
   test("unigramScore: common-word docs score high, rare words drag the min") {
     val d = Seq(
       (1L, "the the the cat"), // 'the' 3/8 of corpus, 'cat' 1/8
