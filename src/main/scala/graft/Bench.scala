@@ -164,8 +164,11 @@ object Bench {
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // sf as basename: every stdout byte competes with the queries map for
+    // the ~2000-char capture window (full path remains in the detail file)
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"stat":"median_of_3","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"stat":"median_of_3","queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)
@@ -177,7 +180,7 @@ object Bench {
       "\"" + k + "\":" + BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
+      s"""{"summary":$line,"sf_dir":"$sfDir","gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

@@ -75,6 +75,52 @@ object LogStream {
       }
       .start()
 
+  /** Media asset directory stream → decoded-feature table: the streaming
+    * MULTIMODAL ingest path. Every native decoder (container sniff, GIF
+    * still/animation, WAV PCM) runs per-row inside the micro-batch's scan
+    * stage — payloads never leave the stage; the parquet sink receives only
+    * the small per-asset feature rows. One format-dispatch projection:
+    * `format` reports which decoder claimed the payload, and the
+    * family-specific stats ride in nullable columns (exactly the
+    * wide-feature-table layout a training pipeline lands media into).
+    */
+  def mediaAssets(spark: SparkSession, dir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val decoded = spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(dir)
+      .select(col("path"), col("length").as("n_bytes"),
+        graft.functions.MediaDims(col("content")).as("dims"),
+        graft.functions.GifAnimFeatures(col("content")).as("gif"),
+        graft.functions.WavFeatures(col("content")).as("wav"))
+    decoded.select(
+        col("path"), col("n_bytes"),
+        when(col("wav.format") === "wav", lit("wav"))
+          .when(col("gif.format") === "gif", lit("gif"))
+          .otherwise(col("dims.format")).as("format"),
+        coalesce(col("gif.width"), col("dims.width")).as("width"),
+        coalesce(col("gif.height"), col("dims.height")).as("height"),
+        col("gif.n_frames").as("n_frames"),
+        col("gif.sum_r").as("sum_r"),
+        col("gif.sum_g").as("sum_g"),
+        col("gif.sum_b").as("sum_b"),
+        col("wav.channels").as("channels"),
+        col("wav.n_frames").as("audio_frames"),
+        col("wav.sum_ch0").as("sum_ch0"),
+        col("wav.peak_abs").as("peak_abs"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
     *

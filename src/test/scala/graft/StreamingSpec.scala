@@ -428,4 +428,41 @@ class StreamingSpec extends GraftSpec {
     assert(batch.size === 5) // all five reqlines present, real aggregation
     assert(batch.toSeq.map(_._2).sum === 40L)
   }
+
+  test("media asset stream: binary payloads -> decoded feature table") {
+    import org.apache.spark.sql.functions._
+    val in = tmp("media-in")
+    val outDir = tmp("media-out").toString
+    // real fixture payloads from the oracle-checked in-plan builders: one
+    // animated GIF, one WAV, one unknown blob
+    val gifBytes = EntryOps.gifAnimAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") === 3L).head().getAs[Array[Byte]]("payload")
+    val wavBytes = EntryOps.wavAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") === 4L).head().getAs[Array[Byte]]("payload")
+    Files.write(in.resolve("a.gif"), gifBytes)
+    Files.write(in.resolve("b.wav"), wavBytes)
+    Files.write(in.resolve("c.bin"), "no media here".getBytes(UTF_8))
+    val q = LogStream.mediaAssets(spark, in.toString, outDir,
+      tmp("media-ck").toString)
+    q.awaitTermination()
+
+    val out = spark.read.parquet(outDir).orderBy("path").collect()
+    assert(out.length === 3)
+    val byExt = out.map(r => r.getAs[String]("path").split('.').last -> r).toMap
+    // the GIF row carries the SAME stats the batch expression computes
+    val g = graft.functions.GifAnimFeatures.decode(gifBytes)
+    assert(byExt("gif").getAs[String]("format") === "gif")
+    assert((byExt("gif").getAs[Long]("n_frames"),
+      byExt("gif").getAs[Long]("sum_r")) === ((g.getLong(3), g.getLong(5))))
+    val w = graft.functions.WavFeatures.decode(wavBytes)
+    assert(byExt("wav").getAs[String]("format") === "wav")
+    assert((byExt("wav").getAs[Long]("channels"),
+      byExt("wav").getAs[Long]("audio_frames"),
+      byExt("wav").getAs[Long]("sum_ch0"),
+      byExt("wav").getAs[Long]("peak_abs")) ===
+      ((w.getLong(1), w.getLong(4), w.getLong(5), w.getLong(7))))
+    assert(byExt("wav").isNullAt(byExt("wav").fieldIndex("n_frames")))
+    assert(byExt("bin").getAs[String]("format") === "unknown")
+    assert(byExt("bin").isNullAt(byExt("bin").fieldIndex("sum_r")))
+  }
 }
