@@ -302,6 +302,38 @@ object EntryOps {
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusProfile(docs(spark, dir))
 
+  /** e01 — THE end-to-end training-corpus query: the whole pipeline's
+    * product in one declarative plan, proving the operators COMPOSE. SimHash
+    * near-dup pairs → connected components → one survivor per cluster
+    * (d08/d09/d10 machinery), low-quality documents dropped (t02 scoring,
+    * bucket ≠ low), PII masked (t09 regexes), provenance + cluster size +
+    * integer-mille quality + token count carried along — the corpus table a
+    * trainer actually reads. Catalyst fuses the three per-row stages
+    * (quality, mask, tokens) into the same scan; the only shuffles are the
+    * dedup machinery's own. The oracle rebuilds the identical pipeline in
+    * SQL (recursive-CTE components + inline quality formula + RE2 masking),
+    * so every stage's composition is hash-checked end to end.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val survivors = graft.ops.Dedup
+      .clusterComponents(d, graft.ops.Dedup.simhashNearDup64(d, maxHamming = 3))
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size"))
+    val quality = TextAnalysis.quality(d)
+      .select(col("doc_id"), col("score"), col("bucket"))
+    val masked = TextAnalysis.piiScrub(d).select(col("doc_id"), col("masked"))
+    d.select(col("doc_id"), col("lang"), col("source"))
+      .join(survivors, "doc_id")
+      .join(quality, "doc_id").filter(col("bucket") =!= "low")
+      .join(masked, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("cluster_size"),
+        floor(col("score") * 1000).cast("long").as("quality_mille"),
+        size(graft.ops.Dedup.words(col("masked"))).cast("long").as("n_tokens"),
+        col("masked").as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(spark, dir))
 
@@ -1740,6 +1772,39 @@ object EntryOps {
            CAST(min(freq_ppm) AS BIGINT) AS min_freq_ppm,
            CAST(max(freq_ppm) AS BIGINT) AS max_freq_ppm
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "e01_training_corpus" -> {
+      import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+      s"""WITH RECURSIVE $duckClusterCtes,
+          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
+          surv AS (SELECT cl.doc_id, sz.cluster_size
+                   FROM cl JOIN sz USING (cluster_id)
+                   WHERE cl.doc_id = cl.cluster_id),
+          q AS (SELECT doc_id,
+                0.5 * least(CAST(n_words AS DOUBLE) / CAST(80 AS DOUBLE), CAST(1 AS DOUBLE))
+                + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)) * CAST(4 AS DOUBLE)
+                + 0.2 * (CAST(1 AS DOUBLE) - CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS score
+                FROM (SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS n_stopwords
+                  FROM documents)),
+          p AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+                  '$ipv4Re', '<IP>', 'g') AS masked
+                FROM documents)
+         SELECT d.doc_id, d.lang, d.source, surv.cluster_size,
+                CAST(floor(q.score * 1000) AS BIGINT) AS quality_mille,
+                CAST(len(string_split_regex(trim(p.masked), '\\s+')) AS BIGINT) AS n_tokens,
+                p.masked AS text
+         FROM documents d
+         JOIN surv ON d.doc_id = surv.doc_id
+         JOIN q ON d.doc_id = q.doc_id
+         JOIN p ON d.doc_id = p.doc_id
+         WHERE q.score >= 0.5
+         ORDER BY d.doc_id"""
+    },
     "t13_corpus_profile" ->
       """WITH toks AS (SELECT source,
                        unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -1811,6 +1876,7 @@ object EntryOps {
     "t11_boilerplate" -> (boilerplate _),
     "t12_unigram_lm" -> (unigramScore _),
     "t13_corpus_profile" -> (corpusProfile _),
+    "e01_training_corpus" -> (trainingCorpus _),
     "q36_token_budget_sample" -> (tokenBudgetSample _),
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),
