@@ -302,6 +302,18 @@ object EntryOps {
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusProfile(docs(spark, dir))
 
+  /** d11 — incremental dedup: docs with doc_id % 10 == 7 stand in for the
+    * incoming batch, the rest for the existing corpus; each arrival gets an
+    * exact / near / new verdict against the corpus only (no corpus-side
+    * re-clustering).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.ops.Dedup.dedupAgainst(
+      d.filter(col("doc_id") % 10 === 7),
+      d.filter(col("doc_id") % 10 =!= 7))
+  }
+
   /** e01 — THE end-to-end training-corpus query: the whole pipeline's
     * product in one declarative plan, proving the operators COMPOSE. SimHash
     * near-dup pairs → connected components → one survivor per cluster
@@ -1465,6 +1477,40 @@ object EntryOps {
           JOIN documents d ON d.doc_id = cl.doc_id
           WHERE cl.doc_id = cl.cluster_id
           ORDER BY cl.doc_id""",
+    "d11_incremental_dedup" -> {
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $duckSimhash64Sig,
+          inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+          exi AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 7),
+          exh AS (SELECT md5(d.text) AS h, d.doc_id AS ex_id
+                  FROM documents d JOIN exi USING (doc_id)),
+          ext AS (SELECT d.doc_id, min(exh.ex_id) AS exact_id
+                  FROM documents d JOIN inc USING (doc_id)
+                  JOIN exh ON md5(d.text) = exh.h GROUP BY 1),
+          bd AS (SELECT doc_id, simhash, b AS band,
+                        substring(simhash, b * 16 + 1, 16) AS bits
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id, a.simhash AS s1,
+                          e.doc_id AS ex_id, e.simhash AS s2
+                   FROM bd a JOIN inc ON a.doc_id = inc.doc_id
+                   JOIN bd e ON a.band = e.band AND a.bits = e.bits
+                   JOIN exi ON e.doc_id = exi.doc_id),
+          near AS (SELECT doc_id, min(ex_id) AS near_id FROM (
+                   SELECT doc_id, ex_id, CAST($ham AS BIGINT) AS hamming
+                   FROM cand)
+                   WHERE hamming <= 3 GROUP BY 1)
+         SELECT i.doc_id,
+           CASE WHEN ext.exact_id IS NOT NULL THEN 'exact'
+                WHEN near.near_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
+           COALESCE(ext.exact_id, near.near_id) AS match_id
+         FROM inc i
+         LEFT JOIN ext ON i.doc_id = ext.doc_id
+         LEFT JOIN near ON i.doc_id = near.doc_id
+         ORDER BY i.doc_id"""
+    },
     "m04_media_dims" ->
       """SELECT doc_id AS asset_id,
            CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -1867,6 +1913,7 @@ object EntryOps {
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "d09_dedup_clusters" -> (dedupClusters _),
     "d10_dedup_survivors" -> (dedupSurvivors _),
+    "d11_incremental_dedup" -> (incrementalDedup _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),

@@ -269,6 +269,52 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** INCREMENTAL dedup — the production arrival shape: deduplicate an
+    * incoming batch AGAINST an existing corpus without re-clustering the
+    * world. Exact matches by content hash; near matches by the d08 SimHash
+    * banding restricted to CROSS-side (incoming × existing) candidate pairs
+    * — the existing side's band index is exactly what a production pipeline
+    * keeps materialized between arrivals. Verdict precedence: exact > near >
+    * new; `match_id` is the minimum matching existing doc (deterministic).
+    *
+    * Scale: both joins are equi-joins (content hash, band key); the incoming
+    * batch is typically small relative to the corpus so AQE broadcasts its
+    * side at runtime — no hint is planted, nothing is all-pairs, and the
+    * per-band fan-out is bounded by the incoming side's bucket occupancy,
+    * not corpus × corpus.
+    */
+  def dedupAgainst(incoming: DataFrame, existing: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4 fixed 16-bit bands guarantee recall only for hamming <= 3")
+    val exHash = existing.select(md5(col("text")).as("h"),
+      col("doc_id").as("ex_id"))
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exHash, "h")
+      .groupBy(col("doc_id")).agg(min(col("ex_id")).as("exact_id"))
+    def bands(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          posexplode(array(band64Keys(col("sh")): _*)).as(Seq("band", "bits")))
+    val inb = bands(incoming)
+    val exb = bands(existing).select(col("doc_id").as("ex_id"),
+      col("sh").as("ex_sh"), col("band"), col("bits"))
+    val near = inb.join(exb, Seq("band", "bits"))
+      .select(col("doc_id"), col("sh"), col("ex_id"), col("ex_sh"))
+      .distinct()
+      .filter(bit_count(col("sh").bitwiseXOR(col("ex_sh"))) <= maxHamming)
+      .groupBy(col("doc_id")).agg(min(col("ex_id")).as("near_id"))
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval CONTAMINATION check — the decontamination join every
     * training-data pipeline runs before a model ships: which training
     * documents contain n-grams of a held-out evaluation document, and how

@@ -505,6 +505,27 @@ class OpsSpec extends GraftSpec {
       out(3).getAs[Long]("boiler_mille")) === ((1L, 1L, 1000L)))
   }
 
+  test("dedupAgainst: exact/near/new verdicts, cross-side only, exact wins") {
+    val existing = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h"), // byte-identical to 1: exact (and near) → exact
+      (11L, "q p r s t u v w"), // 2's words reordered: same SimHash multiset,
+                                // different md5 → near, match 2
+      (12L, "zz yy xx ww vv uu tt ss"), // unlike anything → new
+      (13L, "k1 k2 k3 k4 k5 k6 k7 k8"), // dup of ANOTHER INCOMING doc only:
+      (14L, "k1 k2 k3 k4 k5 k6 k7 k8")  // cross-side check → both new
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(incoming, existing).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(10L) === (("exact", 1L)))
+    assert(out(11L) === (("near", 2L)))
+    assert(out(12L) === (("new", -1L)))
+    assert(out(13L) === (("new", -1L)), "incoming×incoming must not match")
+    assert(out(14L) === (("new", -1L)))
+  }
+
   test("corpusProfile: per-source volumes, vocabulary, and type-token ratio") {
     val d = Seq(
       (1L, "a b a b", "en", "s1", 7L),
