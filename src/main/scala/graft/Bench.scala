@@ -25,15 +25,20 @@ object Bench {
     *    blocking buckets, which on a self-similar corpus degrades toward
     *    all-pairs/64 (measured: ≥ 14 s at sf0.1 vs 0.8 s for the 64-bit
     *    form). Its corpus-scale form is d08 (4×16-bit bands);
-    * and one measured-elsewhere duplicate:
+    * and two measured-elsewhere duplicates (summary-line bytes are a hard
+    * budget — see docs/BENCH_NOTES.md):
     *  - m10: the per-frame TABLE view of the same assets m09 decodes with
-    *    the same walker — benching both measures the decoder twice and
-    *    costs summary-line bytes the capture window cannot spare.
+    *    the same walker — benching both measures the decoder twice;
+    *  - d12: the star-contraction route to d09's EXACT output rows (the
+    *    oracle is d09's verbatim); its distinguishing property is the
+    *    O(log n) round bound, which OpsSpec proves on the 10k adversarial
+    *    chain where propagation throws — a per-round cost number at sf0.1
+    *    would restate d09's join+agg cost.
     */
   private def headline: Seq[String] =
     SparkEntry.queries.keys.toSeq
       .filterNot(Set("d05_embed_neardup", "d07_simhash_neardup",
-        "m10_gif_frames"))
+        "m10_gif_frames", "d12_dedup_clusters_star"))
       .sorted
 
   def main(args: Array[String]): Unit = {

@@ -92,6 +92,17 @@ object EntryOps {
     Dedup.clusterComponents(d, Dedup.simhashNearDup64(d, maxHamming = 3))
   }
 
+  /** d12 — the SAME components via large-star/small-star contraction (the
+    * O(log n)-round production fallback for adversarial diameters), on the
+    * same d08 edge set — so its oracle is d09's oracle verbatim: both
+    * algorithms must land the identical min-id clustering, hash-checked.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.clusterComponentsStar(d,
+      Dedup.simhashNearDup64(d, maxHamming = 3).select(col("doc1"), col("doc2")))
+  }
+
   /** d10 — the DEDUPLICATED CORPUS: the dedup pipeline's actual product
     * (pairs → groups → one canonical min-id survivor per group, with the
     * group size and the doc's metadata). What a training run reads.
@@ -456,12 +467,15 @@ object EntryOps {
     val withData = d.withColumn("fdata", fdata)
       .withColumn("data_hex",
         expr("array_join(transform(fdata, v -> lpad(hex(v), 2, '0')), '')"))
-      // adler32 over the raster: A = (1 + Σd) mod 65521,
-      // B = (len + Σ (len − i)·dᵢ) mod 65521 (i 0-based) — pure aggregation
-      .withColumn("adler_a",
-        expr("(1 + aggregate(fdata, 0L, (acc, v) -> acc + v)) % 65521"))
-      .withColumn("adler_b", expr(
-        "(len + aggregate(transform(fdata, (v, i) -> (len - i) * v), 0L, (acc, v) -> acc + v)) % 65521"))
+      // adler32 over the raster in ONE aggregate pass (the textbook
+      // recurrence A += v; B += A, no mod needed until the end: with
+      // len ≤ 720 the accumulators stay < 2^28) — replaces the previous
+      // transform + two aggregates, the dominant cost of this fixture
+      .withColumn("adler", expr(
+        """aggregate(fdata, named_struct('a', 1L, 'b', 0L),
+             (acc, v) -> named_struct('a', acc.a + v, 'b', acc.b + acc.a + v))"""))
+      .withColumn("adler_a", expr("adler.a % 65521"))
+      .withColumn("adler_b", expr("adler.b % 65521"))
     def be32hex(c: Column): Column = lpad(hex(c), 8, "0")
     def le16hex(e: String): Column =
       expr(s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) div 256), 2, '0'))")
@@ -1469,6 +1483,13 @@ object EntryOps {
           SELECT doc_id, cluster_id,
                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
           FROM cl ORDER BY doc_id""",
+    // d12 must produce d09's exact rows: two independent component
+    // algorithms, one ground truth
+    "d12_dedup_clusters_star" ->
+      s"""WITH RECURSIVE $duckClusterCtes
+          SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM cl ORDER BY doc_id""",
     "d10_dedup_survivors" ->
       s"""WITH RECURSIVE $duckClusterCtes,
           sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
@@ -1914,6 +1935,7 @@ object EntryOps {
     "d09_dedup_clusters" -> (dedupClusters _),
     "d10_dedup_survivors" -> (dedupSurvivors _),
     "d11_incremental_dedup" -> (incrementalDedup _),
+    "d12_dedup_clusters_star" -> (dedupClustersStar _),
     "t01_langid" -> (langId _),
     "t02_quality" -> (quality _),
     "t03_tokens" -> (tokenStats _),
