@@ -170,7 +170,14 @@ object Bench {
     // mode); 10 ms resolution loses nothing the judge compares on, and the
     // 3-decimal values remain in bench_detail.json's runs arrays
     def r2(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (v < 0) "-1"
+      else {
+        // trailing zeros carry no information and the line pays per byte:
+        // 0.50 → 0.5, 2.00 → 2 (still valid JSON numbers)
+        val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.stripTrailingZeros.toPlainString
+        if (s.isEmpty || s == "-0") "0" else s
+      }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
