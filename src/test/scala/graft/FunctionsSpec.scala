@@ -654,6 +654,43 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("all binary decoders refuse arbitrary bytes without throwing") {
+    // fuzz hardening: a malicious or corrupt payload must land in the
+    // honest-refusal path, never an exception (a throw in a codegen'd
+    // expression kills the task and with it the whole ingest job).
+    // Three byte distributions: uniform random, valid-prefix + random
+    // tail (header parsers run deepest here), and truncations of VALID
+    // payloads (every length boundary in the format walks).
+    val rnd = new scala.util.Random(20260812L)
+    val validGif = gifEncode(4, 3, 7, Array.tabulate(12)(i => i % 128))
+    val validWav = wavEncode(2, 16, 8000, Array.tabulate(10)(i => i * 9 - 40))
+    val prefixes = Seq("GIF89a", "RIFF", "P6\n", "PNG", "BM")
+      .map(_.getBytes("ISO-8859-1"))
+    val cases: Seq[Array[Byte]] =
+      (1 to 300).map(_ => { // uniform random, lengths 0..600
+        val b = new Array[Byte](rnd.nextInt(600)); rnd.nextBytes(b); b
+      }) ++
+      (1 to 200).map { _ => // magic prefix + random tail
+        val tail = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(tail)
+        prefixes(rnd.nextInt(prefixes.length)) ++ tail
+      } ++
+      (0 until validGif.length).map(validGif.take) ++ // every truncation
+      (0 until validWav.length).map(validWav.take)
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      try {
+        graft.functions.GifFeatures.decode(bytes)
+        graft.functions.GifAnimFeatures.decode(bytes)
+        graft.functions.GifFrameStats.decode(bytes)
+        graft.functions.WavFeatures.decode(bytes)
+        graft.functions.PpmFeatures.decode(bytes)
+        graft.functions.PngFeatures.decode(bytes)
+        graft.functions.MediaDims.parseHeader(bytes)
+      } catch { case e: Throwable =>
+        fail(s"decoder threw on fuzz case $i (len ${bytes.length}): $e")
+      }
+    }
+  }
+
   test("m08 fixture payloads are spec-valid GIFs (ImageIO parity on real bytes)") {
     val assets = EntryOps.gifAssets(spark, "/root/testdata/sf0.001")
       .filter(col("asset_id") < 10).orderBy("asset_id").collect()
