@@ -83,6 +83,10 @@ object GraftExtensions {
         info("wav_features",
           "wav_features(payload) - struct(format, channels, sample_rate, bits, n_frames, sum_ch0, sum_ch1, peak_abs) decoded from RIFF/WAVE PCM bytes"),
         (args: Seq[Expression]) => graft.functions.WavFeatures(args.head)),
+      (FunctionIdentifier("zorder_key"),
+        info("zorder_key",
+          "zorder_key(a, b) - 64-bit Morton interleave of two longs (multi-column clustering key)"),
+        (args: Seq[Expression]) => graft.functions.ZOrderKey(args(0), args(1))),
       (FunctionIdentifier("hyperplane_bucket"),
         info("hyperplane_bucket",
           "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),

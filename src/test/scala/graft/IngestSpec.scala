@@ -440,4 +440,55 @@ class IngestSpec extends GraftSpec {
     assert(rows.length === 1)
     assert(rows(0).getAs[String]("error_type") === "ValueError")
   }
+
+  test("zorder_key matches a bit-by-bit reference; Column path agrees") {
+    val rnd = new scala.util.Random(42)
+    def slowMorton(a: Long, b: Long): Long = {
+      var out = 0L
+      for (i <- 0 until 32) {
+        out |= ((a >> i) & 1L) << (2 * i)
+        out |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      out
+    }
+    val pairs = Seq.fill(200)((rnd.nextLong() & 0xffffffffL,
+      rnd.nextLong() & 0xffffffffL)) ++
+      Seq((0L, 0L), (0xffffffffL, 0L), (0L, 0xffffffffL),
+        (0xffffffffL, 0xffffffffL))
+    pairs.foreach { case (a, b) =>
+      assert(graft.functions.ZOrderKey.morton(a, b) === slowMorton(a, b))
+    }
+    val viaCol = pairs.toDF("a", "b")
+      .select(graft.functions.ZOrderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCol === pairs.map { case (a, b) => slowMorton(a, b) })
+  }
+
+  test("z-ordered layout bounds BOTH key columns per file (2-D skipping)") {
+    // single-column sort: each of the 8 files spans ~the full l_partkey
+    // range (no pruning on the second column). Z-order: every file covers a
+    // rectangle — its partkey span collapses. Span ratio is the direct
+    // measure of what parquet min/max stats can skip.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+    val oneDim = Files.createTempDirectory("zorder-1d").toString
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(oneDim)
+    val zDir = Files.createTempDirectory("zorder-2d").toString
+    Ingest.writeZOrdered(li, zDir, "l_orderkey", "l_partkey")
+    def meanPartkeySpan(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("l_partkey") - min("l_partkey")).as("span"))
+        .collect().map(_.getAs[Long]("span"))
+      spans.sum.toDouble / spans.length
+    }
+    val span1d = meanPartkeySpan(oneDim)
+    val spanZ = meanPartkeySpan(zDir)
+    assert(spanZ < 0.75 * span1d,
+      s"z-order should shrink per-file partkey spans: z=$spanZ vs 1d=$span1d")
+    // and the z-ordered rows are the same multiset (layout, not content)
+    assert(spark.read.parquet(zDir).count() === li.count())
+  }
 }
