@@ -246,7 +246,7 @@ object MailParser {
   /** Split a [[parseRaw]] frame into events + reference-shaped dead letters. */
   def fromRaw(withParsed: DataFrame): ParseResult = {
     val keep = withParsed.columns
-      .filterNot(c => c == "content" || c == "parsed").map(col)
+      .filterNot(c => c == "content" || c == "parsed").toIndexedSeq.map(col)
     val mails = withParsed
       .filter(col("parsed._7").isNull)
       .select(keep ++ Seq(
