@@ -313,6 +313,9 @@ object EntryOps {
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusProfile(docs(spark, dir))
 
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(docs(spark, dir))
+
   /** d11 — incremental dedup: docs with doc_id % 10 == 7 stand in for the
     * incoming batch, the rest for the existing corpus; each arrival gets an
     * exact / near / new verdict against the corpus only (no corpus-side
@@ -1872,6 +1875,21 @@ object EntryOps {
          WHERE q.score >= 0.5
          ORDER BY d.doc_id"""
     },
+    "t14_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
+                    len(string_split_regex(trim(text), '\s+')) AS nw
+                    FROM documents),
+          st AS (SELECT doc_id, l, nw,
+                 unnest(list_filter(range(0, nw, 30),
+                   s -> s = 0 OR nw - s > 10)) AS s
+                 FROM w)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+             AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_word,
+           CAST(least(40, nw - s) AS BIGINT) AS chunk_tokens,
+           array_to_string(l[s + 1 : least(s + 40, nw)], ' ') AS chunk_text
+         FROM st ORDER BY doc_id, chunk_idx""",
     "t13_corpus_profile" ->
       """WITH toks AS (SELECT source,
                        unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -1945,6 +1963,7 @@ object EntryOps {
     "t11_boilerplate" -> (boilerplate _),
     "t12_unigram_lm" -> (unigramScore _),
     "t13_corpus_profile" -> (corpusProfile _),
+    "t14_chunking" -> (chunkDocs _),
     "e01_training_corpus" -> (trainingCorpus _),
     "q36_token_budget_sample" -> (tokenBudgetSample _),
     "m01_multimodal" -> (multimodal _),

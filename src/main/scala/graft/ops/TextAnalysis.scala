@@ -250,6 +250,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Document chunking — the documents → training-sequences step: fixed
+    * `size`-word windows advancing by `size - overlap`, so consecutive
+    * chunks share `overlap` words of context. A trailing fragment already
+    * fully contained in the previous chunk (length ≤ overlap) is dropped —
+    * except for single-chunk documents. Entirely per-row higher-order
+    * functions + one LOCAL posexplode (rows multiply in the scan stage, no
+    * shuffle): the shape that turns a 100 TB corpus into sequences without
+    * moving anything but the chunks themselves.
+    */
+  def chunk(docs: DataFrame, size: Int = 40, overlap: Int = 10): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val stride = size - overlap
+    docs
+      .withColumn("w", Dedup.words(col("text")))
+      .withColumn("nw", org.apache.spark.sql.functions.size(col("w")).cast("long"))
+      .select(col("doc_id"), col("w"), col("nw"),
+        posexplode(expr(
+          s"""filter(transform(sequence(0L, nw - 1, $stride),
+                s -> IF(s = 0 OR nw - s > $overlap, s, NULL)),
+              x -> x IS NOT NULL)""")).as(Seq("chunk_idx", "start_word")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long"),
+        col("start_word"),
+        least(lit(size.toLong), col("nw") - col("start_word")).as("chunk_tokens"),
+        expr(s"array_join(slice(w, CAST(start_word + 1 AS INT), $size), ' ')")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Winnowing-style document fingerprint: md5 over sliding word `n`-grams,
     * keep the `k` smallest distinct hashes (a bottom-k sketch), rendered as a
     * sorted comma-joined string. Equal fingerprints ⇒ near-dup candidates.

@@ -526,6 +526,28 @@ class OpsSpec extends GraftSpec {
     assert(out(14L) === (("new", -1L)))
   }
 
+  test("chunk: fixed windows with overlap, contained-tail drop, full coverage") {
+    val words100 = (0 until 100).map(i => s"w$i").mkString(" ")
+    val words41 = (0 until 41).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words100), (2L, "a b c d e"), (3L, words41))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, size = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // 100 words, stride 30: starts 0/30/60 (90 would be a 10-word tail fully
+    // inside the previous chunk → dropped); chunk 60 still reaches word 99
+    assert(byDoc(1L).map(_.getLong(2)).toSeq === Seq(0L, 30L, 60L))
+    assert(byDoc(1L).last.getAs[String]("chunk_text").endsWith("w99"))
+    // consecutive chunks share exactly `overlap` words
+    val c0 = byDoc(1L)(0).getAs[String]("chunk_text").split(" ")
+    val c1 = byDoc(1L)(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(10).toSeq === c1.take(10).toSeq)
+    // short doc: one whole-doc chunk
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(3))).toSeq === Seq((0L, 5L)))
+    // 41 words: the 11-word tail carries 1 new word → kept
+    assert(byDoc(3L).map(_.getLong(3)).toSeq === Seq(40L, 11L))
+  }
+
   test("corpusProfile: per-source volumes, vocabulary, and type-token ratio") {
     val d = Seq(
       (1L, "a b a b", "en", "s1", 7L),
