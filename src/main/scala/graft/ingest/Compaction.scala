@@ -108,9 +108,18 @@ object Compaction {
     * `minLeaves`, keeping the newest `keepLatest` batch leaves out of the
     * rewrite (replay safety).
     */
+  /** `zorderBy`: when set, the compaction rewrite also Z-ORDER clusters the
+    * generation leaf on the two named columns ([[Ingest.writeZOrdered]]'s
+    * range-normalized Morton layout) — compaction is the natural home for
+    * multi-dimensional re-clustering because it already rewrites the data
+    * behind an atomic marker flip (this is the OPTIMIZE ZORDER lifecycle:
+    * ingest appends fast and unsorted, the maintenance pass buys min/max
+    * skipping on BOTH predicate columns with zero reader coordination).
+    */
   def compact(spark: SparkSession, warehouse: Warehouse, table: String,
       minLeaves: Int = 4, keepLatest: Int = 2,
-      lockTimeoutMs: Long = 60 * 60 * 1000L): Unit = {
+      lockTimeoutMs: Long = 60 * 60 * 1000L,
+      zorderBy: Option[(String, String)] = None): Unit = {
     val root = new Path(warehouse.path(table))
     val fs = fsOf(spark, root)
     listDirs(fs, root).foreach { dateSt =>
@@ -118,7 +127,7 @@ object Compaction {
         case DateLeaf(_) =>
           withDateLock(fs, dateSt.getPath, lockTimeoutMs) {
             compactDate(spark, fs, dateState(fs, dateSt.getPath),
-              minLeaves, keepLatest)
+              minLeaves, keepLatest, zorderBy)
           }
         case _ => ()
       }
@@ -145,7 +154,8 @@ object Compaction {
   }
 
   private def compactDate(spark: SparkSession, fs: FileSystem, s: DateState,
-      minLeaves: Int, keepLatest: Int): Unit = {
+      minLeaves: Int, keepLatest: Int,
+      zorderBy: Option[(String, String)] = None): Unit = {
     val committed = s.generations.collect { case (g, p, Some(c)) => (g, p, c) }
     val currentGen = if (committed.isEmpty) 0L else committed.map(_._1).max
     val coveredNow = if (committed.isEmpty) -1L else committed.maxBy(_._1)._3
@@ -171,9 +181,16 @@ object Compaction {
     // sized file — output file count ≈ total bytes / maxPartitionBytes, and
     // a huge date compacts with full parallelism instead of funneling
     // through one writer (the same trap the salted append avoids).
-    spark.read.parquet(sources: _*)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(target.toString)
+    val src = spark.read.parquet(sources: _*)
+    zorderBy match {
+      case Some((c1, c2)) =>
+        // same right-sized output granularity as the plain path: the
+        // bin-packed read partition count ≈ total bytes / maxPartitionBytes
+        Ingest.writeZOrdered(src, target.toString, c1, c2,
+          files = math.max(1, src.rdd.getNumPartitions))
+      case None =>
+        src.write.mode(SaveMode.Overwrite).parquet(target.toString)
+    }
     // remove Spark's job-level _SUCCESS before OUR marker: the marker is the
     // single commit point readers trust
     fs.delete(new Path(target, "_SUCCESS"), false)
