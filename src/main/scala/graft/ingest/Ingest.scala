@@ -33,6 +33,22 @@ final case class Warehouse(root: String) {
       case Some(paths) => spark.read.parquet(paths: _*)
       case None => read(spark, "inbox_contacts") // missing table: same error as before
     }
+  /** TIME TRAVEL over the contacts dimension: read an exact committed
+    * snapshot version. GC retains current + previous, so the reachable
+    * window is [[contactsVersions]] — the same contract as a vacuumed
+    * Delta table; an evicted or never-committed version throws with the
+    * retained list rather than silently reading something else.
+    */
+  def contactsAt(spark: SparkSession, version: Long): DataFrame =
+    Ingest.snapshotPathAt(spark, path("inbox_contacts"), version) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => throw new NoSuchElementException(
+        s"contacts snapshot v$version is not committed/retained; " +
+          s"available: ${contactsVersions(spark).mkString(", ")}")
+    }
+  /** Committed, still-retained contacts snapshot versions (ascending). */
+  def contactsVersions(spark: SparkSession): Seq[Long] =
+    Ingest.snapshotVersions(spark, path("inbox_contacts"))
   def tocc(spark: SparkSession): DataFrame = read(spark, "inbox_tocc")
   def deadLetters(spark: SparkSession): DataFrame = read(spark, "dead_letters")
 }
@@ -385,6 +401,37 @@ object Ingest {
         else None
       }
     }
+  }
+
+  /** Committed, still-retained snapshot versions under `base`, ascending —
+    * the TIME-TRAVEL window. [[snapshotGc]] keeps current + previous, so
+    * this normally lists the last two commits (plus any the GC has not yet
+    * swept); a version outside this list is unreachable by design, exactly
+    * like a vacuumed Delta/Iceberg table.
+    */
+  def snapshotVersions(spark: SparkSession, base: String): Seq[Long] = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) return Seq.empty
+    fs.listStatus(basePath).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.toString match {
+          case VersionDirRe(n) if fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+            Some(n.toLong)
+          case _ => None
+        }
+    }.flatten.sorted
+  }
+
+  /** The path of one EXACT committed snapshot version, if retained. */
+  def snapshotPathAt(spark: SparkSession, base: String,
+      version: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(base, f"v-$version%08d")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      Some(p.toString)
+    else None
   }
 
   /** Retain the current and previous snapshots (short-lived readers of the

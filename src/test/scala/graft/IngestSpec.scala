@@ -441,6 +441,27 @@ class IngestSpec extends GraftSpec {
     assert(rows(0).getAs[String]("error_type") === "ValueError")
   }
 
+  test("contacts time travel: exact retained versions, loud eviction error") {
+    val wh = tmpWarehouse()
+    Ingest.upsertContacts(Seq(("Alice", "alice@a.example"))
+      .toDF("realname", "email_address"), wh)
+    Ingest.upsertContacts(Seq(("Bob", "bob@b.example"))
+      .toDF("realname", "email_address"), wh)
+    val versions = wh.contactsVersions(spark)
+    assert(versions.length === 2 && versions === versions.sorted)
+    // v1 is the pre-Bob world; v2 (current) matches the live read
+    assert(wh.contactsAt(spark, versions.head)
+      .select("realname").as[String].collect().toSeq === Seq("Alice"))
+    assert(wh.contactsAt(spark, versions.last)
+      .select("realname").as[String].collect().sorted.toSeq ===
+      Seq("Alice", "Bob"))
+    assert(wh.contactsAt(spark, versions.last).count() ===
+      wh.contacts(spark).count())
+    // asking for an unreachable version names the retained window
+    val e = intercept[NoSuchElementException](wh.contactsAt(spark, 99L))
+    assert(e.getMessage.contains("available"))
+  }
+
   test("compaction with zorderBy re-clusters behind the same marker flip") {
     val wh = tmpWarehouse()
     val base = wh.path("authfail")
