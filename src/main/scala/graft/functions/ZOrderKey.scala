@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * five mask-and-shift rounds per operand, no loops, no allocation.
   */
 case class ZOrderKey(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes { // INT literals coerce
   override def dataType: DataType = LongType
 
   override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(LongType, LongType)

@@ -17,6 +17,22 @@ class ExtensionsSpec extends GraftSpec {
     assert(row.getAs[Double]("d") === 5.5)
   }
 
+  test("every registered extension function resolves and answers from SQL") {
+    GraftExtensions.registerAll(spark)
+    GraftExtensions.functions.foreach { case (id, _, _) =>
+      assert(spark.sessionState.functionRegistry.functionExists(id),
+        s"${id.funcName} registered but not resolvable")
+    }
+    // spot-answers through the SQL path for the round-6 additions
+    val dims = spark.sql(
+      """SELECT media_dims(unhex(
+           '89504E470D0A1A0A0000000D49484452000000050000000700')).format AS f
+      """).head().getString(0)
+    assert(dims === "png")
+    val z = spark.sql("SELECT zorder_key(3, 5) AS z").head().getLong(0)
+    assert(z === graft.functions.ZOrderKey.morton(3L, 5L))
+  }
+
   test("native hyperplane_bucket equals the expression-string formulation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -548,6 +548,32 @@ class OpsSpec extends GraftSpec {
     assert(byDoc(3L).map(_.getLong(3)).toSeq === Seq(40L, 11L))
   }
 
+  test("chunk property: every word lands in a chunk, strides are exact") {
+    // coverage invariant across word counts including every boundary around
+    // the stride/overlap arithmetic
+    val sizes = (1 to 45) ++ Seq(59, 60, 61, 69, 70, 71, 99, 100, 101, 150)
+    val d = sizes.map(n => (n.toLong, (0 until n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(d, size = 40, overlap = 10)
+      .collect().groupBy(_.getLong(0))
+    sizes.foreach { n =>
+      val cs = chunks(n.toLong).sortBy(_.getLong(1))
+      val starts = cs.map(_.getLong(2))
+      // strides are exactly size - overlap
+      assert(starts.zip(starts.drop(1)).forall { case (a, b) => b - a == 30 },
+        s"n=$n starts=${starts.toSeq}")
+      // every word index is covered by some [start, start+40) window
+      val covered = cs.flatMap(r =>
+        r.getLong(2) until math.min(r.getLong(2) + 40, n.toLong)).toSet
+      assert(covered === (0L until n.toLong).toSet, s"n=$n coverage hole")
+      // chunk_tokens matches the text split
+      cs.foreach { r =>
+        assert(r.getAs[String]("chunk_text").split(" ").length ===
+          r.getLong(3), s"n=$n chunk ${r.getLong(1)}")
+      }
+    }
+  }
+
   test("corpusProfile: per-source volumes, vocabulary, and type-token ratio") {
     val d = Seq(
       (1L, "a b a b", "en", "s1", 7L),
