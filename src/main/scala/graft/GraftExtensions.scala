@@ -26,7 +26,34 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
-  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+  /** Declared argument count per function, enforced before the builder runs
+    * so `SELECT zorder_key(x)` fails analysis with the standard
+    * WRONG_NUM_ARGS message instead of an IndexOutOfBoundsException.
+    */
+  private val arities: Map[String, Int] = Map(
+    "reencode" -> 1, "simhash16" -> 1, "dot_f32" -> 2,
+    "minhash_band_sigs" -> 3, "inet_sort_key" -> 1, "parse_str_array" -> 1,
+    "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1,
+    "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
+    "gif_frame_stats" -> 1, "wav_features" -> 1, "zorder_key" -> 2,
+    "hyperplane_bucket" -> 3)
+
+  private def checkArity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      if (args.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"),
+          None)
+      build(args)
+    }
+
+  private val raw: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("reencode"),
         info("reencode", "reencode(str) - repairs latin-1/UTF-8 mojibake"),
@@ -96,6 +123,11 @@ object GraftExtensions {
           val dims = args(2).eval().asInstanceOf[Int]
           HyperplaneBucket(args.head, planes, dims)
         }))
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    raw.map { case (id, inf, build) =>
+      (id, inf, checkArity(id.funcName, arities(id.funcName))(build))
+    }
 
   /** Register the same functions into an already-created session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -157,12 +157,24 @@ object GifFeatures {
     partial(if (hasGct) gctSize.toLong else null)
   }
 
+  /** Raster allocation ceiling: one byte per palette index, same 256 MB
+    * discipline as [[PngFeatures]]' MaxRasterBytes — header-claimed dimensions
+    * beyond this are refused before any allocation, so a crafted ~40-byte GIF
+    * claiming 46000x46000 cannot OOM an executor.
+    */
+  private[functions] val MaxPixels: Int = 256 << 20
+
   /** Variable-width LSB-first GIF-flavor LZW: returns exactly `nPix` decoded
     * palette indices or null on any malformation (truncation, code beyond
-    * dictionary, output over/underflow, absurd root size).
+    * dictionary, output over/underflow, absurd root size, or a claimed raster
+    * no stream of this length could emit).
     */
   private[functions] def lzwDecode(data: Array[Byte], minCode: Int, nPix: Int): Array[Byte] = {
     if (minCode < 2 || minCode > 11) return null
+    if (nPix < 0 || nPix > MaxPixels) return null
+    // A stream of L bytes holds at most L*8/(minCode+1) codes and each code
+    // emits at most 4096 pixels; a claim beyond that ceiling cannot decode.
+    if (nPix.toLong > data.length.toLong * 8 / (minCode + 1) * 4096) return null
     val clear = 1 << minCode
     val endCode = clear + 1
     val prefix = new Array[Int](4096)

@@ -146,12 +146,34 @@ object Ingest {
     // per-file span at 99% of unsorted). Production Z-ordering normalizes
     // each dimension first; 16 bits per dimension is plenty for file-level
     // min/max skipping. The bounds pass is one tiny 4-scalar aggregate.
+    // try_cast, not cast: under ANSI a malformed string would abort the
+    // bounds job with a raw CAST_INVALID_INPUT instead of reaching the
+    // named-column guard below.
+    def asLong(c: String) = expr(s"try_cast(`$c` AS BIGINT)")
+    def uncastable(c: String) =
+      count(when(col(c).isNotNull && asLong(c).isNull, 1))
     val b = df.agg(
-      min(col(c1).cast("long")), max(col(c1).cast("long")),
-      min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+      min(asLong(c1)), max(asLong(c1)),
+      min(asLong(c2)), max(asLong(c2)),
+      uncastable(c1), uncastable(c2)).head()
+    // Empty input or a non-numeric key (try_cast->long yields null, e.g. an
+    // alphabetic username) leaves null bounds; fail with the column named
+    // rather than an opaque NPE mid-compaction — and a partially-castable
+    // string column must not silently cluster only its numeric rows.
+    Seq(c1 -> 0, c2 -> 2).foreach { case (c, i) =>
+      if (b.isNullAt(i) || b.isNullAt(i + 1))
+        throw new IllegalArgumentException(
+          s"writeZOrdered: no numeric bounds for z-order column '$c' " +
+            "(empty input, or the column does not cast to long); " +
+            "use a plain write or pick numeric z-order columns")
+      if (b.getLong(4 + i / 2) > 0)
+        throw new IllegalArgumentException(
+          s"writeZOrdered: z-order column '$c' has values that do not cast " +
+            "to long; clustering would silently cover only the numeric rows")
+    }
     def norm(c: String, lo: Long, hi: Long) =
       if (hi > lo)
-        ((col(c).cast("long") - lit(lo)).cast("double") / lit((hi - lo).toDouble)
+        ((asLong(c) - lit(lo)).cast("double") / lit((hi - lo).toDouble)
           * lit(65535.0)).cast("long")
       else lit(0L)
     df.withColumn("__z", graft.functions.ZOrderKey(

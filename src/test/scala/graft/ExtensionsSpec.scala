@@ -33,6 +33,28 @@ class ExtensionsSpec extends GraftSpec {
     assert(z === graft.functions.ZOrderKey.morton(3L, 5L))
   }
 
+  test("wrong arity fails analysis with WRONG_NUM_ARGS, not an index error") {
+    GraftExtensions.registerAll(spark)
+    val cases = Seq(
+      "SELECT zorder_key(3)",        // too few (was IndexOutOfBounds)
+      "SELECT zorder_key(1, 2, 3)",  // too many
+      "SELECT reencode('a', 'b')",   // single-arg fn silently ignored extras
+      "SELECT dot_f32(array(CAST(1 AS FLOAT)))")
+    cases.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        s"$sql: expected WRONG_NUM_ARGS, got ${e.getCondition}")
+    }
+    // declared arities stay in lockstep with the registry
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
+      Set("reencode", "simhash16", "dot_f32", "minhash_band_sigs",
+        "inet_sort_key", "parse_str_array", "simhash64", "media_dims",
+        "ppm_features", "png_features", "gif_features", "gif_anim_features",
+        "gif_frame_stats", "wav_features", "zorder_key", "hyperplane_bucket"))
+  }
+
   test("native hyperplane_bucket equals the expression-string formulation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

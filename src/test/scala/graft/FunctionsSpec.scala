@@ -654,6 +654,37 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("gif decoders refuse header-claimed rasters before allocating") {
+    import graft.functions.GifFeatures
+    // A ~50-byte GIF whose headers claim 46000x46000 (≈ 2.1 G pixels): the
+    // decode must land in the refusal path WITHOUT a 2 GB allocation (the
+    // PNG MaxRasterBytes discipline applied to the LZW path).
+    val tiny = gifEncode(2, 2, 7, Array(1, 2, 3, 4))
+    def putDims(b: Array[Byte], off: Int, w: Int, h: Int): Unit = {
+      b(off) = (w & 0xff).toByte; b(off + 1) = (w >> 8).toByte
+      b(off + 2) = (h & 0xff).toByte; b(off + 3) = (h >> 8).toByte
+    }
+    val huge = tiny.clone()
+    putDims(huge, 6, 46000, 46000) // logical screen descriptor
+    val imgDesc = 6 + 7 + 3 * 128 // header + LSD + 128-entry palette
+    assert(huge(imgDesc) === 0x2c.toByte)
+    putDims(huge, imgDesc + 5, 46000, 46000) // image descriptor w/h
+    val d = GifFeatures.decode(huge)
+    assert(d.getString(0) === "gif" && d.isNullAt(4),
+      "oversized claim must refuse pixel fields, not decode")
+    assert(GifFeatures.decode(Array.emptyByteArray) != null) // still total
+    // under the 256M-pixel cap but beyond what this ~6-byte LZW stream could
+    // ever emit (L*8/(minCode+1) codes × ≤4096 px): the emit ceiling refuses
+    val midClaim = tiny.clone()
+    putDims(midClaim, 6, 5000, 5000)
+    putDims(midClaim, imgDesc + 5, 5000, 5000)
+    assert(GifFeatures.decode(midClaim).isNullAt(4),
+      "claim beyond the stream's emit ceiling must refuse")
+    // animated walker shares lzwDecode, so the same claim refuses there
+    val animD = graft.functions.GifAnimFeatures.decode(huge)
+    assert(animD.isNullAt(4), "animated walker must refuse the oversized claim")
+  }
+
   test("all binary decoders refuse arbitrary bytes without throwing") {
     // fuzz hardening: a malicious or corrupt payload must land in the
     // honest-refusal path, never an exception (a throw in a codegen'd

@@ -542,4 +542,27 @@ class IngestSpec extends GraftSpec {
     // and the z-ordered rows are the same multiset (layout, not content)
     assert(spark.read.parquet(zDir).count() === li.count())
   }
+
+  test("writeZOrdered refuses unusable z-order columns with the column named") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("zorder-bad").toString
+    // alphabetic column: cast -> long is null for every row
+    val alpha = Seq(("alice", 1L), ("bob", 2L)).toDF("username", "ts")
+    val e1 = intercept[IllegalArgumentException] {
+      Ingest.writeZOrdered(alpha, out, "username", "ts")
+    }
+    assert(e1.getMessage.contains("username"))
+    // partially castable: must refuse rather than cluster only numeric rows
+    val mixed = Seq(("123", 1L), ("bob", 2L)).toDF("username", "ts")
+    val e2 = intercept[IllegalArgumentException] {
+      Ingest.writeZOrdered(mixed, out, "username", "ts")
+    }
+    assert(e2.getMessage.contains("username"))
+    // empty input: clear error, not an NPE from the null bounds row
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e3 = intercept[IllegalArgumentException] {
+      Ingest.writeZOrdered(empty, out, "a", "b")
+    }
+    assert(e3.getMessage.contains("'a'"))
+  }
 }
