@@ -252,21 +252,30 @@ object EntryOps {
     * pipeline catches real eval substrings at the gram length production
     * decontamination runs, not just the fixture-friendly n=3.
     */
-  def contamination8(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def contamination8(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contamination(
+      plantedCorpus(docs(spark, dir)).select(col("doc_id"), col("text")),
+      col("doc_id") % 100 === 0, n = 8)
+
+  /** The t08/e02 fixture corpus: every train doc with doc_id % 23 == 1 gets
+    * the first 12 words of its "century" eval doc appended, so production
+    * gram-length (n=8) decontamination has verified overlap to find in a
+    * synthetic corpus with no organic 8-gram repeats. Keeps (doc_id, lang,
+    * source, text); the plant is a tiny equi-join (eval side is 1% of the
+    * corpus — AQE broadcasts it).
+    */
+  private def plantedCorpus(d: DataFrame): DataFrame = {
     val ev = d.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("ev_id"),
         array_join(slice(graft.ops.Dedup.words(col("text")), 1, 12), " ")
           .as("snippet"))
-    val planted = d
-      .withColumn("century", expr("(doc_id div 100) * 100"))
+    d.withColumn("century", expr("(doc_id div 100) * 100"))
       .join(ev, col("century") === col("ev_id") &&
         col("doc_id") % 100 =!= 0 && col("doc_id") % 23 === 1, "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), col("source"),
         when(col("snippet").isNotNull,
           concat(col("text"), lit(" "), col("snippet")))
           .otherwise(col("text")).as("text"))
-    Dedup.contamination(planted, col("doc_id") % 100 === 0, n = 8)
   }
 
   def langId(spark: SparkSession, dir: String): DataFrame =
@@ -358,6 +367,85 @@ object EntryOps {
         size(graft.ops.Dedup.words(col("masked"))).cast("long").as("n_tokens"),
         col("masked").as("text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** e02 — the FULL training-data pipeline, end to end: what a production
+    * run emits is not a document table but TRAINING SEQUENCES, and this
+    * query composes every stage that gets there in ONE declarative plan:
+    *
+    *   1. decontaminate at the production gram length — any train doc
+    *      sharing an 8-gram with the held-out eval set (doc_id % 100 == 0)
+    *      is dropped ([[Dedup.contamination]], over the t08 planted-overlap
+    *      fixture corpus so the stage verifiably removes rows);
+    *   2. near-dup dedup over the survivors — banded SimHash-64 pairs →
+    *      connected components → one canonical doc per cluster;
+    *   3. quality gate (score ≥ 0.5) and PII masking;
+    *   4. token budget per lang in deterministic hash order (q36's salted
+    *      two-stage cumsum — no single-lang sort task);
+    *   5. chunk each kept doc into size-40 / overlap-10 sequences (t14).
+    *
+    * Output: one row per training sequence with full provenance — doc_id,
+    * chunk_idx, lang, source, cluster_size, quality_mille, chunk_tokens,
+    * chunk_text. The oracle rebuilds all five stages in SQL (recursive-CTE
+    * components, RE2 masking, window cumsum, list slicing), so the
+    * COMPOSITION is hash-checked, not just each stage alone. Per-row stages
+    * fuse into the scan; every shuffle is an equi-join or key-partitioned
+    * window of the dedup/budget machinery itself.
+    */
+  def trainingSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4000L
+    val saltBuckets = 64
+    val planted = plantedCorpus(docs(spark, dir))
+    // stage 1: production-gram-length decontamination
+    val contaminatedIds = Dedup
+      .contamination(planted.select(col("doc_id"), col("text")),
+        col("doc_id") % 100 === 0, n = 8)
+      .select(col("train_id").as("doc_id")).distinct()
+    val train = planted.filter(col("doc_id") % 100 =!= 0)
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
+    // stage 2: near-dup dedup over the decontaminated train set
+    val survivors = Dedup
+      .clusterComponents(train,
+        Dedup.simhashNearDup64(train, maxHamming = 3))
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size"))
+    // stage 3: quality gate + PII mask (per-row; fused into the scan)
+    val quality = TextAnalysis.quality(train)
+      .select(col("doc_id"), col("score"))
+    val masked = TextAnalysis.piiScrub(train)
+      .select(col("doc_id"), col("masked"))
+    val gated = train.select(col("doc_id"), col("lang"), col("source"))
+      .join(survivors, "doc_id")
+      .join(quality, "doc_id").filter(col("score") >= 0.5)
+      .join(masked, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("cluster_size"),
+        floor(col("score") * 1000).cast("long").as("quality_mille"),
+        col("masked"),
+        size(graft.ops.Dedup.words(col("masked"))).cast("long").as("tokens"),
+        md5(concat(lit("e02:"), col("doc_id").cast("string"))).as("skey"))
+    // stage 4: per-lang token budget, q36's salted two-stage cumsum (the
+    // equivalence proof is at tokenBudgetSample; same constants)
+    val local = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stage1 = gated.withColumn("lcum", sum(col("tokens")).over(local))
+      .filter(col("lcum") - col("tokens") < budget)
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgeted = stage1
+      .withColumn("cum", sum(col("tokens")).over(global))
+      .filter(col("cum") - col("tokens") < budget)
+    // stage 5: chunk kept docs into training sequences, provenance attached
+    TextAnalysis
+      .chunk(budgeted.select(col("doc_id"), col("masked").as("text")))
+      .join(budgeted.select(col("doc_id"), col("lang"), col("source"),
+        col("cluster_size"), col("quality_mille")), "doc_id")
+      .select(col("doc_id"), col("chunk_idx"), col("lang"), col("source"),
+        col("cluster_size"), col("quality_mille"), col("chunk_tokens"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   def quality(spark: SparkSession, dir: String): DataFrame =
@@ -1058,11 +1146,11 @@ object EntryOps {
     * [16k+1..16k+16] ≡ the long's k-th 16-bit band — blocking keys and
     * Hamming counts agree without the oracle ever building the signed long.
     */
-  private def duckSimhash64Sig: String = {
+  private def duckSimhash64Sig(source: String = "documents"): String = {
     val sigChars = (0 until 64).map(i =>
       s"(CASE WHEN min(CASE WHEN b = $i THEN s END) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
-    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM $source),
         wr AS (SELECT doc_id, substring(md5(wd), 1, 16) AS hex16
                FROM (SELECT doc_id, unnest(l) AS wd FROM w)),
         bits AS (SELECT doc_id, b,
@@ -1089,11 +1177,11 @@ object EntryOps {
     * (`cl(doc_id, cluster_id)`) — the SQL mirror of
     * [[graft.ops.Dedup.clusterComponents]].
     */
-  private def duckClusterCtes: String = {
+  private def duckClusterCtes(source: String = "documents"): String = {
     val ham = (1 to 64).map(i =>
       s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""$duckSimhash64Sig,
+    s"""${duckSimhash64Sig(source)},
         bd AS (SELECT doc_id, simhash, b AS band,
                       substring(simhash, b * 16 + 1, 16) AS bits
                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
@@ -1106,7 +1194,7 @@ object EntryOps {
                 WHERE hamming <= 3),
         ed AS (SELECT doc1 AS a, doc2 AS b FROM prs
                UNION SELECT doc2, doc1 FROM prs),
-        reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
+        reach AS (SELECT doc_id AS doc, doc_id AS r FROM $source
                   UNION
                   SELECT ed.b AS doc, reach.r FROM reach JOIN ed ON reach.doc = ed.a),
         cl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)"""
@@ -1469,7 +1557,7 @@ object EntryOps {
       val ham = (1 to 64).map(i =>
         s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH $duckSimhash64Sig,
+      s"""WITH ${duckSimhash64Sig()},
           bd AS (SELECT doc_id, simhash, b AS band,
                         substring(simhash, b * 16 + 1, 16) AS bits
                  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
@@ -1482,19 +1570,19 @@ object EntryOps {
           WHERE hamming <= 3 ORDER BY doc1, doc2"""
     },
     "d09_dedup_clusters" ->
-      s"""WITH RECURSIVE $duckClusterCtes
+      s"""WITH RECURSIVE ${duckClusterCtes()}
           SELECT doc_id, cluster_id,
                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
           FROM cl ORDER BY doc_id""",
     // d12 must produce d09's exact rows: two independent component
     // algorithms, one ground truth
     "d12_dedup_clusters_star" ->
-      s"""WITH RECURSIVE $duckClusterCtes
+      s"""WITH RECURSIVE ${duckClusterCtes()}
           SELECT doc_id, cluster_id,
                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
           FROM cl ORDER BY doc_id""",
     "d10_dedup_survivors" ->
-      s"""WITH RECURSIVE $duckClusterCtes,
+      s"""WITH RECURSIVE ${duckClusterCtes()},
           sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
           SELECT cl.doc_id, sz.cluster_size, d.lang, d.source
           FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
@@ -1505,7 +1593,7 @@ object EntryOps {
       val ham = (1 to 64).map(i =>
         s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH $duckSimhash64Sig,
+      s"""WITH ${duckSimhash64Sig()},
           inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
           exi AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 7),
           exh AS (SELECT md5(d.text) AS h, d.doc_id AS ex_id
@@ -1844,7 +1932,7 @@ object EntryOps {
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "e01_training_corpus" -> {
       import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
-      s"""WITH RECURSIVE $duckClusterCtes,
+      s"""WITH RECURSIVE ${duckClusterCtes()},
           sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
           surv AS (SELECT cl.doc_id, sz.cluster_size
                    FROM cl JOIN sz USING (cluster_id)
@@ -1874,6 +1962,75 @@ object EntryOps {
          JOIN p ON d.doc_id = p.doc_id
          WHERE q.score >= 0.5
          ORDER BY d.doc_id"""
+    },
+    "e02_training_sequences" -> {
+      import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+      val gram8 = (0 until 8).map(j => s"l8[i + $j]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE
+          ev0 AS (SELECT doc_id AS ev_id,
+                  array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
+                  FROM documents WHERE doc_id % 100 = 0),
+          corpus AS (SELECT d.doc_id, d.lang, d.source,
+                  CASE WHEN d.doc_id % 100 != 0 AND d.doc_id % 23 = 1
+                            AND ev0.snippet IS NOT NULL
+                       THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
+                  FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
+          w8 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l8 FROM corpus),
+          tri8 AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+                   range(1, len(l8) + 1), i -> CASE WHEN i + 7 <= len(l8) THEN $gram8 END),
+                   x -> x IS NOT NULL))) AS gram FROM w8),
+          evg AS (SELECT doc_id AS eval_id, gram FROM tri8 WHERE doc_id % 100 = 0),
+          contam AS (SELECT DISTINCT t.doc_id FROM tri8 t
+                     JOIN evg ON t.gram = evg.gram WHERE t.doc_id % 100 != 0),
+          train AS (SELECT c.* FROM corpus c
+                    WHERE c.doc_id % 100 != 0
+                      AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
+          ${duckClusterCtes("train")},
+          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
+          surv AS (SELECT cl.doc_id, sz.cluster_size
+                   FROM cl JOIN sz USING (cluster_id)
+                   WHERE cl.doc_id = cl.cluster_id),
+          q AS (SELECT doc_id,
+                0.5 * least(CAST(n_words AS DOUBLE) / CAST(80 AS DOUBLE), CAST(1 AS DOUBLE))
+                + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)) * CAST(4 AS DOUBLE)
+                + 0.2 * (CAST(1 AS DOUBLE) - CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS score
+                FROM (SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS n_stopwords
+                  FROM train)),
+          p AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+                  '$ipv4Re', '<IP>', 'g') AS masked
+                FROM train),
+          gated AS (SELECT t.doc_id, t.lang, t.source, surv.cluster_size,
+                    CAST(floor(q.score * 1000) AS BIGINT) AS quality_mille,
+                    p.masked,
+                    CAST(len(string_split_regex(trim(p.masked), '\\s+')) AS BIGINT) AS tokens
+                    FROM train t
+                    JOIN surv ON t.doc_id = surv.doc_id
+                    JOIN q ON t.doc_id = q.doc_id
+                    JOIN p ON t.doc_id = p.doc_id
+                    WHERE q.score >= 0.5),
+          bud AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY lang
+                    ORDER BY md5('e02:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM gated),
+          kept AS (SELECT * FROM bud WHERE cum - tokens < 4000),
+          cw AS (SELECT doc_id, lang, source, cluster_size, quality_mille,
+                 string_split_regex(trim(masked), '\\s+') AS l,
+                 len(string_split_regex(trim(masked), '\\s+')) AS nw FROM kept),
+          st AS (SELECT *, unnest(list_filter(range(0, nw, 30),
+                   s -> s = 0 OR nw - s > 10)) AS s FROM cw)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+             AS BIGINT) AS chunk_idx,
+           lang, source, cluster_size, quality_mille,
+           CAST(least(40, nw - s) AS BIGINT) AS chunk_tokens,
+           array_to_string(l[s + 1 : least(s + 40, nw)], ' ') AS chunk_text
+         FROM st ORDER BY doc_id, chunk_idx"""
     },
     "t14_chunking" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
@@ -1965,6 +2122,7 @@ object EntryOps {
     "t13_corpus_profile" -> (corpusProfile _),
     "t14_chunking" -> (chunkDocs _),
     "e01_training_corpus" -> (trainingCorpus _),
+    "e02_training_sequences" -> (trainingSequences _),
     "q36_token_budget_sample" -> (tokenBudgetSample _),
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),
