@@ -655,6 +655,76 @@ object EntryOps {
   def wavPcm(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFeatures(wavAssets(spark, dir))
 
+  /** m11 fixture — spec-valid MPEG audio streams synthesized in-plan from
+    * doc_id: version cycles MPEG-1/2/2.5 (doc_id % 3), sample-rate index
+    * `(doc_id div 3) % 3`, Layer III bitrate index `doc_id % 14 + 1`,
+    * 2–5 frames with per-frame padding bits `(doc_id + j) % 2`, mono or
+    * joint stereo by parity. Refusal branches are planted in-plan too:
+    * doc_id % 17 == 3 makes the first frame FREE FORMAT (bitrate index 0),
+    * doc_id % 13 == 5 truncates the final frame by 3 bytes; doc_id % 11 ==
+    * 7 prepends an ID3v2 tag whose body is stuffed with byte sequences
+    * that parse as valid frame headers (so a walker that hunts instead of
+    * honoring the syncsafe size locks onto garbage and fails the hash);
+    * doc_id % 29 == 9 appends the 128-byte ID3v1 'TAG' trailer the walk
+    * must tolerate. Frame payloads are 0xAB filler — the walker must hop
+    * by the SPEC's computed frame length, never by scanning.
+    */
+  def mpegAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("ver", col("doc_id") % 3) // 0 = V1, 1 = V2, 2 = V2.5
+      .withColumn("srx", expr("(doc_id div 3) % 3"))
+      .withColumn("brx", col("doc_id") % 14 + 1)
+      .withColumn("nf", col("doc_id") % 4 + 2)
+      .withColumn("freef", col("doc_id") % 17 === 3)
+      .withColumn("rate", expr(
+        """CASE ver WHEN 0 THEN element_at(array(44100, 48000, 32000), CAST(srx + 1 AS INT))
+                    WHEN 1 THEN element_at(array(22050, 24000, 16000), CAST(srx + 1 AS INT))
+                    ELSE element_at(array(11025, 12000, 8000), CAST(srx + 1 AS INT)) END"""))
+      .withColumn("br", expr(
+        """CASE WHEN ver = 0
+           THEN element_at(array(32,40,48,56,64,80,96,112,128,160,192,224,256,320), CAST(brx AS INT))
+           ELSE element_at(array(8,16,24,32,40,48,56,64,80,96,112,128,144,160), CAST(brx AS INT)) END"""))
+      .withColumn("flen_base",
+        expr("(CASE WHEN ver = 0 THEN 144000 ELSE 72000 END) * br div rate"))
+      .withColumn("b1", expr(
+        "CASE ver WHEN 0 THEN 'fb' WHEN 1 THEN 'f3' ELSE 'e3' END"))
+      .withColumn("b3", expr("IF(doc_id % 2 = 1, 'c4', '44')"))
+    val framesHex = (0 until 5).map { j =>
+      s"""IF($j < nf, concat('ff', b1,
+            lpad(hex((CASE WHEN freef AND $j = 0 THEN 0 ELSE brx END) * 16
+                     + srx * 4 + ((doc_id + $j) % 2) * 2), 2, '0'),
+            b3, repeat('ab', CAST(flen_base + (doc_id + $j) % 2 - 4 AS INT))), '')"""
+    }.mkString("concat(", ", ", ")")
+    val id3Hex =
+      """IF(doc_id % 11 = 7,
+           concat('494433', '0400', '00', '000000',
+             lpad(hex(doc_id % 50 + 8), 2, '0'),
+             substring(repeat('fffb92c4', CAST((doc_id % 50 + 8) div 4 + 1 AS INT)),
+               1, CAST((doc_id % 50 + 8) * 2 AS INT))), '')"""
+    val tagHex = "IF(doc_id % 29 = 9, concat('544147', repeat('00', 125)), '')"
+    d.withColumn("full_hex", expr(s"concat($id3Hex, $framesHex, $tagHex)"))
+      .withColumn("payload_hex", expr(
+        "IF(doc_id % 13 = 5, substring(full_hex, 1, CAST(length(full_hex) - 6 AS INT)), full_hex)"))
+      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m11 — MPEG audio frame-header walk over [[mpegAssets]] through the
+    * native `mpeg_features` expression. The oracle computes every expected
+    * field (version, rate, frame count, duration, bitrate — and which docs
+    * must REFUSE) from the doc_id formulas directly, never touching a byte,
+    * so the sync scan, ID3 skip, frame-length tables, and refusal paths are
+    * all hash-checked against an independent derivation.
+    */
+  def mpegFrames(spark: SparkSession, dir: String): DataFrame =
+    mpegAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.MpegFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format"), col("f.version"),
+        col("f.layer"), col("f.sample_rate"), col("f.channels"),
+        col("f.n_frames"), col("f.total_samples"), col("f.duration_ms"),
+        col("f.avg_bitrate_kbps"))
+      .orderBy(col("asset_id"))
+
   /** m08 fixture — VALID GIF89a payloads synthesized in-plan from doc_id:
     * a 128-color global palette (entry i = (i, 5i%256, 11i%256) — a Scala
     * constant embedded as hex), w/h cycling like m05/m06, pixel j carrying
@@ -1632,6 +1702,33 @@ object EntryOps {
            CASE WHEN doc_id % 5 = 4 THEN NULL
                 ELSE CAST((doc_id * 7) % 1000 + 3 AS BIGINT) END AS height
          FROM documents ORDER BY asset_id""",
+    "m11_mpeg_frames" ->
+      """WITH base AS (SELECT doc_id,
+             doc_id % 3 AS ver, (doc_id // 3) % 3 AS srx,
+             doc_id % 14 + 1 AS brx, doc_id % 4 + 2 AS nf,
+             doc_id % 2 AS mono,
+             (doc_id % 17 = 3 OR doc_id % 13 = 5) AS refused
+             FROM documents),
+          p AS (SELECT doc_id, ver, mono, nf, refused,
+             CASE ver WHEN 0 THEN ([44100, 48000, 32000])[CAST(srx + 1 AS INT)]
+                      WHEN 1 THEN ([22050, 24000, 16000])[CAST(srx + 1 AS INT)]
+                      ELSE ([11025, 12000, 8000])[CAST(srx + 1 AS INT)] END AS rate,
+             CASE WHEN ver = 0
+                  THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(brx AS INT)]
+                  ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(brx AS INT)] END AS br,
+             CASE WHEN ver = 0 THEN 1152 ELSE 576 END AS spf
+             FROM base)
+         SELECT doc_id AS asset_id, 'mpeg' AS format,
+           CASE ver WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END AS version,
+           CAST(3 AS BIGINT) AS layer,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN mono = 1 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+           CASE WHEN refused THEN NULL ELSE CAST(nf AS BIGINT) END AS n_frames,
+           CASE WHEN refused THEN NULL ELSE CAST(nf * spf AS BIGINT) END AS total_samples,
+           CASE WHEN refused THEN NULL
+                ELSE CAST(nf * spf * 1000 // rate AS BIGINT) END AS duration_ms,
+           CASE WHEN refused THEN NULL ELSE CAST(br AS BIGINT) END AS avg_bitrate_kbps
+         FROM p ORDER BY asset_id""",
     "m05_ppm_pixels" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
                        doc_id % 256 AS start,
@@ -2134,6 +2231,7 @@ object EntryOps {
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),
     "m10_gif_frames" -> (gifFrameTable _),
+    "m11_mpeg_frames" -> (mpegFrames _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

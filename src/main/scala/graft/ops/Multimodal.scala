@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Deterministic stand-in for a COMPRESSED audio/video decoder (the codecs
-    * this container genuinely lacks; image decode is real — see
-    * [[pngFeatures]], [[ppmFeatures]], [[mediaDims]] — and raw-PCM audio
-    * decode is real — see [[wavFeatures]]): (n_bytes, digest16, histogram[4]).
+  /** Deterministic stand-in for full audio/video SAMPLE decode ONLY — the
+    * DCT/entropy codecs this container genuinely lacks (MP3/AAC synthesis,
+    * H.26x). Everything short of that is real: image pixel decode
+    * ([[pngFeatures]], [[ppmFeatures]], GIF LZW, [[mediaDims]]), raw-PCM
+    * audio decode ([[wavFeatures]]), and MPEG-audio container metadata
+    * (frame-header walk, [[graft.functions.MpegFeatures]]).
+    * Output: (n_bytes, digest16, histogram[4]).
     */
   def fakeDecode(bytes: Array[Byte]): (Long, String, Array[Long]) = {
     if (bytes == null) (0L, "", Array.fill(4)(0L))

@@ -685,6 +685,100 @@ class FunctionsSpec extends GraftSpec {
     assert(animD.isNullAt(4), "animated walker must refuse the oversized claim")
   }
 
+  /** Spec-side MPEG frame builder: one frame of `layer` (1/2/3) under
+    * version bits `ver` (3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5) with the given
+    * bitrate/sample-rate indices; payload filled with 0xAB.
+    */
+  private def mpegFrame(ver: Int, layer: Int, brIdx: Int, srIdx: Int,
+      pad: Int = 0, mono: Boolean = false): Array[Byte] = {
+    val layerBits = 4 - layer
+    val b1 = 0xe0 | (ver << 3) | (layerBits << 1) | 1
+    val b2 = (brIdx << 4) | (srIdx << 2) | (pad << 1)
+    val b3 = (if (mono) 0xc0 else 0x40) | 0x04
+    val brV1 = Map(
+      1 -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      2 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      3 -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+    val brV2 = Map(
+      1 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      2 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      3 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+    val br = (if (ver == 3) brV1 else brV2)(layer)(brIdx)
+    val rate = (ver match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val len =
+      if (layer == 1) (12000 * br / rate + pad) * 4
+      else if (layer == 3 && ver != 3) 72000 * br / rate + pad
+      else 144000 * br / rate + pad
+    val f = Array.fill[Byte](len)(0xab.toByte)
+    f(0) = 0xff.toByte; f(1) = b1.toByte; f(2) = b2.toByte; f(3) = b3.toByte
+    f
+  }
+
+  test("mpeg_features walks frames per the public header tables") {
+    import graft.functions.MpegFeatures
+    def fields(r: org.apache.spark.sql.catalyst.InternalRow) =
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+        if (r.isNullAt(5)) -1L else r.getLong(5), // n_frames
+        if (r.isNullAt(6)) -1L else r.getLong(6), // total_samples
+        if (r.isNullAt(7)) -1L else r.getLong(7), // duration_ms
+        if (r.isNullAt(8)) -1L else r.getLong(8)) // avg_bitrate_kbps
+    // V1 Layer III stereo 128 kbps @ 44100: frame = 144000*128/44100 = 417
+    val v1l3 = (1 to 3).flatMap(_ => mpegFrame(3, 3, 9, 0)).toArray
+    assert(v1l3.length === 3 * 417)
+    assert(fields(MpegFeatures.decode(v1l3)) ===
+      (("mpeg", "1", 3L, 3456L, 3456L * 1000 / 44100, 128L)))
+    // VBR: indices 1 (32 kbps) and 14 (320 kbps) -> avg floor((32+320)/2)
+    val vbr = (mpegFrame(3, 3, 1, 0) ++ mpegFrame(3, 3, 14, 0))
+    assert(fields(MpegFeatures.decode(vbr)) ===
+      (("mpeg", "1", 2L, 2304L, 2304L * 1000 / 44100, 176L)))
+    // Layer I slot math: V1 L1 256 kbps @ 32000, pad 1 -> (12000*256/32000+1)*4
+    val l1 = mpegFrame(3, 1, 8, 2, pad = 1)
+    assert(l1.length === (12000 * 256 / 32000 + 1) * 4)
+    assert(fields(MpegFeatures.decode(l1)) ===
+      (("mpeg", "1", 1L, 384L, 384L * 1000 / 32000, 256L)))
+    // Layer II keeps the 144000 formula and 1152 samples
+    assert(fields(MpegFeatures.decode(mpegFrame(3, 2, 4, 1))) ===
+      (("mpeg", "1", 1L, 1152L, 1152L * 1000 / 48000, 64L)))
+    // MPEG-2 Layer III: 72000 formula, 576-sample granule
+    val v2 = mpegFrame(2, 3, 10, 1, mono = true)
+    assert(v2.length === 72000 * 96 / 24000)
+    assert(fields(MpegFeatures.decode(v2)) ===
+      (("mpeg", "2", 1L, 576L, 576L * 1000 / 24000, 96L)))
+    // MPEG-2.5 version bits
+    assert(fields(MpegFeatures.decode(mpegFrame(0, 3, 3, 2)))._2 === "2.5")
+    // ID3v2 whose body is stuffed with fake valid headers: the syncsafe
+    // skip must land on the real stream (hunting would lock onto garbage)
+    val body = Array.fill(12)(Seq(0xff, 0xfb, 0x92, 0xc4)).flatten
+      .map(_.toByte).toArray
+    val id3 = Array('I', 'D', '3', 4, 0, 0, 0, 0, 0, body.length)
+      .map(_.toByte) ++ body
+    assert(fields(MpegFeatures.decode(id3 ++ v1l3)) ===
+      fields(MpegFeatures.decode(v1l3)))
+    // trailing 128-byte ID3v1 'TAG' block is tolerated
+    val tag = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    assert(fields(MpegFeatures.decode(v1l3 ++ tag)) ===
+      fields(MpegFeatures.decode(v1l3)))
+    // refusals keep first-frame fields but null the counts
+    val truncated = MpegFeatures.decode(v1l3.dropRight(3))
+    assert(truncated.getUTF8String(1).toString === "1" && truncated.isNullAt(5))
+    val free = MpegFeatures.decode(mpegFrame(3, 3, 7, 0).updated(2, 0x00.toByte))
+    assert(free.getString(0) === "mpeg" && free.isNullAt(5))
+    val desync = MpegFeatures.decode(
+      mpegFrame(3, 3, 7, 0) ++ Array.fill[Byte](40)(0x11))
+    assert(desync.getUTF8String(1).toString === "1" && desync.isNullAt(5))
+    // parameter change mid-stream (rate differs) is a refusal, not a misread
+    val mixed = mpegFrame(3, 3, 7, 0) ++ mpegFrame(3, 3, 7, 1)
+    assert(MpegFeatures.decode(mixed).isNullAt(5))
+    // no sync at all
+    assert(MpegFeatures.decode("plain text".getBytes("US-ASCII"))
+      .getString(0) === "unknown")
+  }
+
   test("all binary decoders refuse arbitrary bytes without throwing") {
     // fuzz hardening: a malicious or corrupt payload must land in the
     // honest-refusal path, never an exception (a throw in a codegen'd
@@ -713,6 +807,7 @@ class FunctionsSpec extends GraftSpec {
         graft.functions.GifAnimFeatures.decode(bytes)
         graft.functions.GifFrameStats.decode(bytes)
         graft.functions.WavFeatures.decode(bytes)
+        graft.functions.MpegFeatures.decode(bytes)
         graft.functions.PpmFeatures.decode(bytes)
         graft.functions.PngFeatures.decode(bytes)
         graft.functions.MediaDims.parseHeader(bytes)
