@@ -401,8 +401,13 @@ object EntryOps {
       .contamination(planted.select(col("doc_id"), col("text")),
         col("doc_id") % 100 === 0, n = 8)
       .select(col("train_id").as("doc_id")).distinct()
+    // A real run materializes the decontaminated corpus at this stage
+    // boundary; without it the 8-gram shingle join above is re-executed by
+    // every downstream consumer (edges, components, quality, mask, final
+    // join — measured 6× the cached cost at bench scale).
     val train = planted.filter(col("doc_id") % 100 =!= 0)
       .join(contaminatedIds, Seq("doc_id"), "left_anti")
+      .cache()
     // stage 2: near-dup dedup over the decontaminated train set
     val survivors = Dedup
       .clusterComponents(train,
@@ -437,6 +442,7 @@ object EntryOps {
     val budgeted = stage1
       .withColumn("cum", sum(col("tokens")).over(global))
       .filter(col("cum") - col("tokens") < budget)
+      .cache() // consumed twice (chunking + provenance join); ≤ budget rows/lang
     // stage 5: chunk kept docs into training sequences, provenance attached
     TextAnalysis
       .chunk(budgeted.select(col("doc_id"), col("masked").as("text")))
