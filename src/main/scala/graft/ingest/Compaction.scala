@@ -70,13 +70,27 @@ object Compaction {
     DateState(dateDir, pos, gens)
   }
 
-  private def readMarker(fs: FileSystem, leaf: Path): Option[Long] = {
+  private def readMarker(fs: FileSystem, leaf: Path): Option[Long] =
+    readMarkerFull(fs, leaf).map(_._1)
+
+  /** Full marker parse: (covered horizon, surviving positive ids at commit
+    * time). The second component is None for v1 markers written before
+    * as-of reads existed — such generations serve current reads normally
+    * but cannot be time-traveled to (their live set was never recorded).
+    */
+  private def readMarkerFull(fs: FileSystem, leaf: Path): Option[(Long, Option[Seq[Long]])] = {
     val m = new Path(leaf, Marker)
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = text.trim.split("\n")
+      val covered = lines(0).trim.toLong
+      val live = lines.find(_.startsWith("live=")).map { l =>
+        val ids = l.stripPrefix("live=").trim
+        if (ids.isEmpty) Seq.empty[Long] else ids.split(",").map(_.toLong).toSeq
+      }
+      Some((covered, live))
     }
   }
 
@@ -194,12 +208,92 @@ object Compaction {
     // remove Spark's job-level _SUCCESS before OUR marker: the marker is the
     // single commit point readers trust
     fs.delete(new Path(target, "_SUCCESS"), false)
+    // marker v2: line 1 is the covered horizon (what v1 readers parse),
+    // line 2 records the positive leaves alive at commit time — the exact
+    // read set an as-of view of THIS generation needs ([[resolveFactPathsAt]])
+    val survivors = live.takeRight(keepLatest).map(_._1)
     val out = fs.create(new Path(target, Marker), true)
-    try out.write(maxCovered.toString.getBytes("UTF-8"))
+    try out.write(
+      s"$maxCovered\nlive=${survivors.mkString(",")}".getBytes("UTF-8"))
     finally out.close()
     // the now-covered sources become garbage for the NEXT run's gcDate —
     // in-flight readers that resolved against them keep scanning immutable
     // files until then
+  }
+
+  /** TIME-TRAVEL path resolution: the table as it stood when compaction
+    * generation `version` committed. Per date (dates compact
+    * independently): the newest committed generation g ≤ version plus the
+    * positive leaves its marker recorded as alive at commit time; a date
+    * with no generations at all reads its current positives (nothing there
+    * has ever been rewritten or GC'd).
+    *
+    * Retention window: a generation stays reachable until the NEXT
+    * compaction run's GC sweep removes it or its recorded live leaves (the
+    * same lazy-grace discipline in-flight readers rely on). Outside the
+    * window the read FAILS LOUDLY with the retained versions — never a
+    * silent partial state:
+    *  - version predates the oldest retained generation → eviction error;
+    *  - a recorded live leaf was GC'd → eviction error;
+    *  - a v1-marker generation (no live-set record) → explicit error.
+    */
+  def resolveFactPathsAt(spark: SparkSession, root: String,
+      version: Long): Seq[String] = {
+    require(version >= 1, s"fact-table versions start at 1, got $version")
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val dates = listDirs(fs, rootPath).filter(st =>
+      DateLeaf.pattern.matcher(st.getPath.getName).matches())
+    def evict(dateDir: Path, detail: String): Nothing =
+      throw new NoSuchElementException(
+        s"$root as-of v$version is not retained for ${dateDir.getName} " +
+          s"($detail); retained versions: " +
+          factVersions(spark, root).mkString(", "))
+    dates.flatMap { st =>
+      val s = dateState(fs, st.getPath)
+      val committed = s.generations
+        .collect { case (g, p, Some(_)) => (g, p) }
+      if (committed.isEmpty) s.positive.map(_._2.toString)
+      else {
+        val eligible = committed.filter(_._1 <= version)
+        if (eligible.isEmpty)
+          evict(st.getPath,
+            s"oldest retained generation is ${committed.map(_._1).min}")
+        val (g, genPath) = eligible.maxBy(_._1)
+        readMarkerFull(fs, genPath).flatMap(_._2) match {
+          case None =>
+            evict(st.getPath,
+              s"generation $g predates as-of support (v1 marker, no live-set record)")
+          case Some(liveIds) =>
+            val leaves = liveIds.map(id => new Path(st.getPath, s"batch_id=$id"))
+            val missing = leaves.filterNot(fs.exists).map(_.getName)
+            if (missing.nonEmpty)
+              evict(st.getPath,
+                s"batches ${missing.mkString(", ")} covered since generation $g were garbage-collected")
+            genPath.toString +: leaves.map(_.toString)
+        }
+      }
+    }
+  }
+
+  /** Still-reachable as-of versions: committed generations whose leaf and
+    * recorded live set both survive, across all dates (ascending).
+    */
+  def factVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val dates = listDirs(fs, rootPath).filter(st =>
+      DateLeaf.pattern.matcher(st.getPath.getName).matches())
+    dates.flatMap { st =>
+      val s = dateState(fs, st.getPath)
+      s.generations.collect { case (g, p, Some(_)) => (g, p) }.filter {
+        case (_, p) => readMarkerFull(fs, p).flatMap(_._2) match {
+          case Some(liveIds) => liveIds.forall(id =>
+            fs.exists(new Path(st.getPath, s"batch_id=$id")))
+          case None => false
+        }
+      }.map(_._1)
+    }.distinct.sorted
   }
 
   private def gcDate(fs: FileSystem, s: DateState,

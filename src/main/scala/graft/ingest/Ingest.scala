@@ -51,6 +51,29 @@ final case class Warehouse(root: String) {
     Ingest.snapshotVersions(spark, path("inbox_contacts"))
   def tocc(spark: SparkSession): DataFrame = read(spark, "inbox_tocc")
   def deadLetters(spark: SparkSession): DataFrame = read(spark, "dead_letters")
+
+  /** TIME TRAVEL over a date-partitioned fact table: the table exactly as
+    * it stood when compaction generation `version` committed — so a report
+    * run against yesterday's state is reproducible after today's
+    * compaction rewrote the files. Each date resolves to its newest
+    * committed generation ≤ version plus the batch leaves that
+    * generation's marker recorded as live at commit time; the reachable
+    * window is [[tableVersions]] (a version survives until the next run's
+    * GC sweep — the same lazy-grace discipline as current readers), and an
+    * evicted, never-committed, or pre-as-of version throws with the
+    * retained list rather than silently reading something else
+    * ([[Compaction.resolveFactPathsAt]]).
+    */
+  def tableAt(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val paths = Compaction.resolveFactPathsAt(spark, path(table), version)
+    if (paths.isEmpty) throw new NoSuchElementException(
+      s"${path(table)} has no data at v$version")
+    spark.read.option("basePath", path(table)).parquet(paths: _*)
+  }
+
+  /** Still-reachable fact-table as-of versions (ascending). */
+  def tableVersions(spark: SparkSession, table: String): Seq[Long] =
+    Compaction.factVersions(spark, path(table))
 }
 
 /** Batch writers (reference W1/W2/W3/W5, SURVEY §2.3).

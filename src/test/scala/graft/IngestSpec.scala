@@ -360,6 +360,52 @@ class IngestSpec extends GraftSpec {
     assert(wh.authfail(spark).count() === before + 10)
   }
 
+  test("fact-table time travel: as-of reads survive compaction, evict loudly") {
+    import org.apache.spark.sql.functions._
+    val wh = tmpWarehouse()
+    def mkBatch(b: Long): Unit = {
+      val df = spark.range(b * 10, b * 10 + 10, 1, 2)
+        .selectExpr("timestamp_micros(1754784000000000) AS timestamp",
+          "CAST(id AS STRING) AS username")
+        .withColumn("src_addr", lit("1.2.3.4"))
+      Ingest.appendEvents(df, wh, "authfail", batchId = b)
+    }
+    (0L to 5L).foreach(mkBatch)
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 4, keepLatest = 2) // gen 1 covers 0-3, live = {4, 5}
+    assert(wh.tableVersions(spark, "authfail") === Seq(1L))
+    // new batches arrive AFTER gen 1 committed: the as-of view must exclude
+    // them — v1 is the state at commit time, not the current state
+    (8L to 9L).foreach(mkBatch)
+    assert(wh.authfail(spark).count() === 80)
+    val v1 = wh.tableAt(spark, "authfail", 1L)
+    assert(v1.count() === 60, "v1 = gen 1 + its recorded live batches only")
+    assert(v1.agg(max(col("username").cast("long"))).head().getLong(0) === 59)
+    // a second compaction supersedes gen 1 but does NOT GC it in the same
+    // run: v1 stays reproducible through the grace window
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 2, keepLatest = 1) // gen 2 covers 0-8, live = {9}
+    assert(wh.tableVersions(spark, "authfail") === Seq(1L, 2L))
+    assert(wh.tableAt(spark, "authfail", 1L).count() === 60,
+      "previous generation must stay readable until the next GC sweep")
+    assert(wh.tableAt(spark, "authfail", 2L).count() === 80)
+    // version numbers between/past generations resolve to the newest gen <=
+    // version; versions before the first are never readable
+    assert(wh.tableAt(spark, "authfail", 99L).count() === 80)
+    intercept[IllegalArgumentException](wh.tableAt(spark, "authfail", 0L))
+    // the NEXT run's GC sweep evicts gen 1's read set: the as-of read must
+    // fail loudly with the retained list, never silently re-resolve
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 99, keepLatest = 1) // below threshold: GC only
+    assert(wh.tableVersions(spark, "authfail") === Seq(2L))
+    val e = intercept[NoSuchElementException](
+      wh.tableAt(spark, "authfail", 1L))
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("2"),
+      s"eviction must name the version and the retained list: ${e.getMessage}")
+    assert(wh.tableAt(spark, "authfail", 2L).count() === 80,
+      "current generation stays readable after the sweep")
+  }
+
   test("compaction skips a locked date and steals a stale lock") {
     val wh = tmpWarehouse()
     val base = new org.apache.hadoop.fs.Path(wh.path("authfail"))
