@@ -121,6 +121,49 @@ object LogStream {
       .start()
   }
 
+  /** STREAMING incremental dedup against the WAREHOUSE — the production
+    * shape of the d11 batch operator: arrivals stream → per micro-batch,
+    * join the PERSISTED corpus dedup index ([[graft.ops.Dedup
+    * .buildCorpusIndex]]: md5 + packed SimHash-64, one row per corpus doc,
+    * refreshed by ingest/compaction) → exact / near / new verdicts land in
+    * a verdict sink partitioned by batch id for idempotent replay.
+    *
+    * The index path is re-read INSIDE foreachBatch, so every micro-batch
+    * sees the corpus as of ITS OWN planning time — files appended to the
+    * index between batches (new ingest, a compaction rewrite) are picked
+    * up with no query restart, which a static-side join would miss.
+    *
+    * State is bounded at exactly zero: no stateful operator exists in the
+    * plan (offsets in the checkpoint are the only carried state) — the
+    * corpus lives in the warehouse, not the state store, so a year-long
+    * run holds nothing in memory between triggers. Contrast
+    * [[graft.ops.Dedup.streamingSimhashNearDup]], which pairs arrivals
+    * against ARRIVALS within an event-time horizon and must carry (and
+    * evict) per-bucket state; this operator answers the other production
+    * question — "is this arrival already in my corpus?" — and the verdicts
+    * match [[graft.ops.Dedup.dedupAgainst]] batch-for-batch by
+    * construction (both run [[graft.ops.Dedup.dedupAgainstIndex]]).
+    */
+  def dedupArrivals(arrivals: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = graft.ops.Dedup
+          .dedupAgainstIndex(batch, spark.read.parquet(indexPath), maxHamming)
+          .withColumn("batch_id", lit(batchId))
+        // replayed micro-batch overwrites its own partition, not duplicates
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try verdicts.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
     *

@@ -465,4 +465,64 @@ class StreamingSpec extends GraftSpec {
     assert(byExt("bin").getAs[String]("format") === "unknown")
     assert(byExt("bin").isNullAt(byExt("bin").fieldIndex("sum_r")))
   }
+
+  test("streaming dedup against the warehouse: verdicts match batch, index refreshes, zero state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("ddup-in")
+    val idx = tmp("ddup-idx").resolve("index").toString
+    val out = tmp("ddup-out").toString
+    val ck = tmp("ddup-ck").toString
+    val corpus1 = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "the quick brown fox jumps over everything")).toDF("doc_id", "text")
+    graft.ops.Dedup.buildCorpusIndex(corpus1).write.parquet(idx)
+    // batch 1: an exact dup of 100, a NEAR dup of 100 (same word multiset,
+    // different byte order => same SimHash, different md5), and a new doc
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"),
+      (3L, "unrelated completely novel arrival words"))
+    Files.writeString(in.resolve("b1.csv"),
+      b1.map { case (i, t) => s"$i,$t" }.mkString("", "\n", "\n"))
+    def arrivals = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").csv(in.toString)
+    val q1 = LogStream.dedupArrivals(arrivals, idx, out, ck)
+    q1.awaitTermination()
+    // no stateful operator: the corpus lives in the warehouse index, so a
+    // year-long run carries nothing between triggers but source offsets
+    assert(q1.lastProgress.stateOperators.isEmpty,
+      "stream-vs-warehouse dedup must hold zero state-store state")
+    val v1 = spark.read.parquet(out)
+      .select("doc_id", "verdict", "match_id").as[(Long, String, Option[Long])]
+      .collect().toSet
+    assert(v1((1L, "exact", Some(100L))), s"exact dup verdict missing in $v1")
+    assert(v1((2L, "near", Some(100L))), s"reordered text must be near, got $v1")
+    // byte-for-byte the batch operator's verdicts on the same arrivals
+    val batch1 = graft.ops.Dedup.dedupAgainst(b1.toDF("doc_id", "text"), corpus1)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(v1 === batch1)
+    // corpus grows between batches (ingest/compaction refreshes the index);
+    // the NEXT micro-batch must see it without a query restart ceremony —
+    // foreachBatch re-reads the index path per batch
+    val corpus2 = Seq((200L, "fresh corpus document added much later")).toDF("doc_id", "text")
+    graft.ops.Dedup.buildCorpusIndex(corpus2).write.mode("append").parquet(idx)
+    val b2 = Seq(
+      (4L, "fresh corpus document added much later"),
+      (5L, "yet another brand new arrival"))
+    Files.writeString(in.resolve("b2.csv"),
+      b2.map { case (i, t) => s"$i,$t" }.mkString("", "\n", "\n"))
+    val q2 = LogStream.dedupArrivals(arrivals, idx, out, ck)
+    q2.awaitTermination()
+    val v2 = spark.read.parquet(out)
+      .select("doc_id", "verdict", "match_id").as[(Long, String, Option[Long])]
+      .collect().toSet
+    assert(v2((4L, "exact", Some(200L))),
+      s"batch 2 must see the refreshed corpus index, got $v2")
+    val batch2 = graft.ops.Dedup.dedupAgainst(
+      b2.toDF("doc_id", "text"), corpus1.union(corpus2))
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(v2 === batch1 ++ batch2,
+      "every batch's verdicts must equal the batch operator against the corpus as of that batch")
+  }
 }
