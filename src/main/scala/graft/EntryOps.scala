@@ -76,6 +76,9 @@ object EntryOps {
   def topkIvfCentroids(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkIvfCentroids(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
+  def topkPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkPq(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docs(spark, dir), maxHamming = 2)
 
@@ -1611,6 +1614,61 @@ object EntryOps {
                 FROM s)
           SELECT query_id, bucket, rank, cand_id, cosine FROM r
           WHERE rank <= 3 ORDER BY query_id, rank""",
+    "s07_topk_pq" -> {
+      // 4-dim sub-vector inner product, both sides cast (mirrors dotFD's
+      // zip_with fold; list_reduce-without-init equals aggregate-with-0 —
+      // the established duckDot equivalence)
+      def sdot(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 5),
+            k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
+      s"""WITH mm AS (SELECT unnest(range(0, 16)) AS m),
+          sv AS (SELECT vec_id, m,
+                 embedding[m * 4 + 1 : m * 4 + 4] AS s
+                 FROM embeddings CROSS JOIN mm),
+          seeds AS (SELECT m, s16.vec_id AS cid,
+                    s16.embedding[m * 4 + 1 : m * 4 + 4] AS cent
+                    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16) s16
+                    CROSS JOIN mm),
+          a1 AS (SELECT vec_id, m, cid AS code, s FROM (
+                 SELECT sv.vec_id, sv.m, seeds.cid, sv.s,
+                        row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                          ORDER BY ${sdot("sv.s", "seeds.cent")}
+                                   - ${sdot("seeds.cent", "seeds.cent")} / 2 DESC,
+                          seeds.cid ASC) AS rn
+                 FROM sv JOIN seeds ON sv.m = seeds.m) WHERE rn = 1),
+          qs AS (SELECT m, code, k,
+                 CAST(sum(CAST(floor(CAST(s[k] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sq,
+                 count(*) AS cnt
+                 FROM a1 CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+                 GROUP BY 1, 2, 3),
+          ref AS (SELECT m, code AS cid,
+                  list(CAST(sq AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) ORDER BY k) AS cent
+                  FROM qs GROUP BY 1, 2),
+          codes AS (SELECT vec_id, m, cid AS code FROM (
+                    SELECT sv.vec_id, sv.m, ref.cid,
+                           row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                             ORDER BY ${sdot("sv.s", "ref.cent")}
+                                      - ${sdot("ref.cent", "ref.cent")} / 2 DESC,
+                             ref.cid ASC) AS rn
+                    FROM sv JOIN ref ON sv.m = ref.m) WHERE rn = 1),
+          lut AS (SELECT sv.vec_id AS query_id, sv.m, ref.cid AS code,
+                  ${sdot("sv.s", "ref.cent")} AS p,
+                  ${sdot("ref.cent", "ref.cent")} AS n
+                  FROM sv JOIN ref ON sv.m = ref.m
+                  WHERE sv.vec_id % 40 = 0),
+          adc AS (SELECT l.query_id, c.vec_id AS cand_id,
+                  list_reduce(list(l.p ORDER BY l.m), (x, y) -> x + y)
+                    / sqrt(list_reduce(list(l.n ORDER BY l.m), (x, y) -> x + y))
+                    AS adc_score
+                  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+                  WHERE l.query_id != c.vec_id
+                  GROUP BY 1, 2),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_score DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM adc)
+         SELECT query_id, rank, cand_id, adc_score FROM r
+         WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
     "d07_simhash_neardup" -> {
       val ham = (1 to 16).map(i =>
         s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
@@ -2208,6 +2266,7 @@ object EntryOps {
     "s04_topk_lsh_bands" -> (topkLshBands _),
     "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
+    "s07_topk_pq" -> (topkPq _),
     "d07_simhash_neardup" -> (simhashNearDup _),
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "d09_dedup_clusters" -> (dedupClusters _),

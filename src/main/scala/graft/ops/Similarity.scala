@@ -207,6 +207,96 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PRODUCT-QUANTIZATION ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the memory-bounded path real
+    * 100 TB vector search runs: the vector splits into `subspaces`
+    * sub-vectors, each sub-space learns a tiny `codebookSize`-entry
+    * codebook (deterministic seed sample + ONE quantized-integer Lloyd
+    * refinement — [[topkIvfCentroids]]'s exact discipline, per sub-space),
+    * and every vector is stored as `subspaces` small codes. A candidate
+    * then costs `subspaces` bytes instead of dims·4 — at a billion vectors
+    * the difference between codes-in-RAM and vectors-on-disk.
+    *
+    * Query time is ASYMMETRIC DISTANCE (ADC): the un-quantized query builds
+    * a (sub-space × code) inner-product lookup table against the codebooks
+    * — Q·M·K tiny rows, broadcast — and each candidate's score is the
+    * fixed-order sum of its M table hits. Per candidate: M lookups + M
+    * adds, never a dims-length dot product; the only shuffle is the
+    * (query, candidate) partial-aggregated sum and the per-query top-k.
+    *
+    * Encoding assigns each sub-vector to argmin-L2 centroid via the
+    * monotone form max(⟨sv,c⟩ − ½⟨c,c⟩) (ties → smallest code id). Every
+    * arithmetic step — seed assignment, the 2²⁰-quantized Lloyd sums, the
+    * refined-codebook fold, the m-ordered ADC sum — is fixed-order and
+    * integer-anchored, so the DuckDB oracle reproduces scores bitwise.
+    */
+  def topkPq(emb: DataFrame, queryPred: Column, k: Int,
+      subspaces: Int = 16, codebookSize: Int = 16, dims: Int = 64): DataFrame = {
+    val sub = dims / subspaces
+    val quant = 1048576L // 2^20, same exact-quantization argument as IVF
+    def dotFD(a: String, b: String) = expr(
+      s"""aggregate(zip_with($a, $b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    def subSplit(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${subspaces - 1}),
+              mm -> slice(embedding, mm * $sub + 1, $sub))"""))
+        .as(Seq("m", "sv")))
+    val svecs = subSplit(emb)
+    val seeds = subSplit(emb.orderBy(col("vec_id").asc).limit(codebookSize))
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cent"))
+    def assign(cents: DataFrame): DataFrame =
+      svecs.join(broadcast(cents), Seq("m"))
+        .withColumn("score", dotFD("sv", "cent") - dotFD("cent", "cent") / 2)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
+          .as("code"),
+          first(col("sv")).as("sv"))
+    // one Lloyd round per sub-space, in integer space (order-independent)
+    val sums = assign(seeds)
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+      .select(col("m"), col("code"), col("i"),
+        floor(col("x").cast("double") * quant).as("qx"))
+      .groupBy(col("m"), col("code"), col("i"))
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("cnt"))
+    val refined = sums
+      .withColumn("c",
+        col("sq").cast("double") / (col("cnt") * quant).cast("double"))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .as("cent"))
+      .select(col("m"), col("code").as("cid"), col("cent"))
+    val codes = assign(refined).select(col("vec_id"), col("m"), col("code"))
+    // ADC lookup tables: one row per (query, sub-space, code) carrying the
+    // query-centroid inner product AND the centroid's self-product, so the
+    // candidate score can be the RECONSTRUCTION COSINE ⟨q,recon⟩/‖recon‖
+    // (the exact ranking s01 uses, up to quantization — an unnormalized
+    // inner product would just rank high-norm candidates first). ‖q‖ is
+    // constant per query and cannot change its own ranking.
+    val lut = subSplit(emb.filter(queryPred))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(refined), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        dotFD("qsv", "cent").as("p"), dotFD("cent", "cent").as("n"))
+    // fixed m-ascending folds: a bare SUM over doubles would make the
+    // score depend on reduction order and break the bitwise oracle match
+    def mFold(f: String) = expr(
+      s"""aggregate(transform(array_sort(collect_list(struct(m, p, n))),
+            s -> s.$f), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((mFold("p") / sqrt(mFold("n"))).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"),
+        col("adc").as("adc_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucketing: bit i of the bucket is the sign of
     * ⟨v, h_i⟩ for `planes` fixed pseudo-random hyperplanes. Hyperplane
     * components are exact integer-derived doubles

