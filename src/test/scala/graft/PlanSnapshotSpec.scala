@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** GOLDEN PLAN FINGERPRINTS for every registered query (the third leg of
+  * plan evidence, next to PlansSpec's anti-pattern bans and docs/PLANS.md's
+  * narratives): the exact physical operator-tree SHAPE, AQE off, is checked
+  * in under `src/test/resources/plans/<query>.txt`. A change that inserts a
+  * shuffle, drops a broadcast, or re-orders a join fails THIS test with a
+  * readable tree diff the moment it lands — not as an unexplained bench
+  * delta three rounds later.
+  *
+  * Fingerprints are shape-only: codegen stage ids are stripped (they
+  * renumber when unrelated stages change), and no expressions, statistics,
+  * or paths are recorded — those may drift without a structural change.
+  *
+  * Regeneration (after an INTENTIONAL plan change — review the diff!):
+  * {{{
+  * SPARK_GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanSnapshotSpec"
+  * }}}
+  */
+class PlanSnapshotSpec extends GraftSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val goldenDir = Paths.get("src/test/resources/plans")
+
+  private def fingerprint(plan: SparkPlan): String = {
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      // "(4)" codegen-stage / plan-id suffixes renumber freely — strip
+      val name = p.nodeName.replaceAll("\\s*\\(\\d+\\)", "").trim
+      sb.append("  " * depth).append(name).append('\n')
+      p.children.foreach(walk(_, depth + 1))
+    }
+    walk(plan, 0)
+    sb.toString
+  }
+
+  /** Two-column diff window around the first divergence — enough context to
+    * read the structural change without dumping two 100-line trees.
+    */
+  private def renderDiff(golden: String, actual: String): String = {
+    val g = golden.split("\n", -1)
+    val a = actual.split("\n", -1)
+    val firstDiff = g.zipAll(a, "<missing>", "<missing>")
+      .indexWhere { case (x, y) => x != y }
+    val from = math.max(0, firstDiff - 4)
+    val to = math.min(math.max(g.length, a.length), firstDiff + 8)
+    (from until to).map { i =>
+      val gl = if (i < g.length) g(i) else "<missing>"
+      val al = if (i < a.length) a(i) else "<missing>"
+      if (gl == al) s"    $gl"
+      else s"  - $gl\n  + $al"
+    }.mkString("\n")
+  }
+
+  test("every registered query's physical plan matches its golden fingerprint") {
+    val regen = sys.env.contains("SPARK_GRAFT_REGEN_PLANS")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      if (regen) Files.createDirectories(goldenDir)
+      val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, build) =>
+          val fp = fingerprint(
+            build(spark, sfDir).queryExecution.executedPlan)
+          val file = goldenDir.resolve(s"$name.txt")
+          if (regen) {
+            Files.writeString(file, fp)
+            None
+          } else if (!Files.exists(file)) {
+            Some(s"$name: no golden fingerprint — run " +
+              "SPARK_GRAFT_REGEN_PLANS=1 sbt 'testOnly graft.PlanSnapshotSpec'")
+          } else {
+            val golden = Files.readString(file)
+            if (golden == fp) None
+            else Some(s"$name: physical plan shape drifted from the golden " +
+              s"fingerprint (regen only if INTENTIONAL):\n" +
+              renderDiff(golden, fp))
+          }
+      }
+      assert(problems.isEmpty,
+        s"\n${problems.size} plan snapshot failure(s):\n\n" +
+          problems.mkString("\n\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}
