@@ -79,6 +79,9 @@ object EntryOps {
   def topkPq(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkPq(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkIvfPq(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docs(spark, dir), maxHamming = 2)
 
@@ -1669,6 +1672,113 @@ object EntryOps {
          SELECT query_id, rank, cand_id, adc_score FROM r
          WHERE rank <= 3 ORDER BY query_id, rank"""
     },
+    "s08_topk_ivfpq" -> {
+      def sdot(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 5),
+            k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
+      def dot64(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+            k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                        ORDER BY vec_id LIMIT 8),
+          sc AS (SELECT e.vec_id, e.embedding, c.cid,
+                 ${dot64("e.embedding", "c.ce")} AS score
+                 FROM embeddings e CROSS JOIN cent c),
+          asg AS (SELECT vec_id, embedding, cid AS bucket FROM (
+                  SELECT vec_id, embedding, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+          qs AS (SELECT bucket, k,
+                 CAST(sum(CAST(floor(CAST(embedding[k] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sq,
+                 count(*) AS cnt
+                 FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+                 GROUP BY 1, 2),
+          ref AS (SELECT bucket AS cid,
+                  list(CAST(sq AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) ORDER BY k) AS ce
+                  FROM qs GROUP BY 1),
+          sc2 AS (SELECT e.vec_id, e.embedding, r.cid,
+                  ${dot64("e.embedding", "r.ce")} AS score
+                  FROM embeddings e CROSS JOIN ref r),
+          asg2 AS (SELECT vec_id, embedding, cid AS bucket FROM (
+                   SELECT vec_id, embedding, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                   FROM sc2) WHERE rn = 1),
+          mm AS (SELECT unnest(range(0, 16)) AS m),
+          resid AS (SELECT a.vec_id, a.bucket,
+                    list_transform(range(1, 65),
+                      k -> CAST(a.embedding[k] AS DOUBLE) - r.ce[k]) AS rr
+                    FROM asg2 a JOIN ref r ON a.bucket = r.cid),
+          rsv AS (SELECT vec_id, bucket, m, rr[m * 4 + 1 : m * 4 + 4] AS s
+                  FROM resid CROSS JOIN mm),
+          rseeds AS (SELECT m, r16.vec_id AS cid,
+                     r16.rr[m * 4 + 1 : m * 4 + 4] AS cent
+                     FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16) r16
+                     CROSS JOIN mm),
+          ra1 AS (SELECT vec_id, bucket, m, cid AS code, s FROM (
+                  SELECT rsv.vec_id, rsv.bucket, rsv.m, rseeds.cid, rsv.s,
+                         row_number() OVER (PARTITION BY rsv.vec_id, rsv.m
+                           ORDER BY ${sdot("rsv.s", "rseeds.cent")}
+                                    - ${sdot("rseeds.cent", "rseeds.cent")} / 2 DESC,
+                           rseeds.cid ASC) AS rn
+                  FROM rsv JOIN rseeds ON rsv.m = rseeds.m) WHERE rn = 1),
+          rqs AS (SELECT m, code, k,
+                  CAST(sum(CAST(floor(s[k] * 1048576) AS BIGINT)) AS BIGINT) AS sq,
+                  count(*) AS cnt
+                  FROM ra1 CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+                  GROUP BY 1, 2, 3),
+          ref2 AS (SELECT m, code AS cid,
+                   list(CAST(sq AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) ORDER BY k) AS cent
+                   FROM rqs GROUP BY 1, 2),
+          codes AS (SELECT vec_id, bucket, m, cid AS code FROM (
+                    SELECT rsv.vec_id, rsv.bucket, rsv.m, ref2.cid,
+                           row_number() OVER (PARTITION BY rsv.vec_id, rsv.m
+                             ORDER BY ${sdot("rsv.s", "ref2.cent")}
+                                      - ${sdot("ref2.cent", "ref2.cent")} / 2 DESC,
+                             ref2.cid ASC) AS rn
+                    FROM rsv JOIN ref2 ON rsv.m = ref2.m) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                WHERE vec_id % 40 = 0),
+          cellsc AS (SELECT q.query_id, r.cid AS bucket,
+                     ${dot64("q.qe", "r.ce")} AS qc
+                     FROM q CROSS JOIN ref r),
+          probes AS (SELECT query_id, bucket, qc FROM (
+                     SELECT query_id, bucket, qc, row_number() OVER (
+                       PARTITION BY query_id ORDER BY qc DESC, bucket ASC) AS pr
+                     FROM cellsc) WHERE pr <= 3),
+          lutp AS (SELECT q.query_id, ref2.m, ref2.cid AS code,
+                   ${sdot("q.qe[ref2.m * 4 + 1 : ref2.m * 4 + 4]", "ref2.cent")} AS p
+                   FROM q CROSS JOIN ref2),
+          ccnn AS (SELECT r.cid AS bucket, ref2.m, ref2.cid AS code,
+                   ${sdot("r.ce[ref2.m * 4 + 1 : ref2.m * 4 + 4]", "ref2.cent")} AS cc,
+                   ${sdot("ref2.cent", "ref2.cent")} AS nn
+                   FROM ref r CROSS JOIN ref2),
+          cb2 AS (SELECT cid AS bucket, ${dot64("ce", "ce")} AS c2 FROM ref),
+          adc AS (SELECT pr.query_id, c.vec_id AS cand_id, c.bucket, pr.qc,
+                  list_reduce(list(l.p ORDER BY c.m), (x, y) -> x + y) AS sp,
+                  list_reduce(list(2 * cn.cc + cn.nn ORDER BY c.m), (x, y) -> x + y) AS sd
+                  FROM codes c
+                  JOIN probes pr ON c.bucket = pr.bucket AND c.vec_id != pr.query_id
+                  JOIN lutp l ON l.query_id = pr.query_id AND l.m = c.m AND l.code = c.code
+                  JOIN ccnn cn ON cn.bucket = c.bucket AND cn.m = c.m AND cn.code = c.code
+                  GROUP BY 1, 2, 3, 4),
+          sc3 AS (SELECT adc.query_id, adc.cand_id,
+                  (adc.qc + adc.sp) / sqrt(b.c2 + adc.sd) AS adc_score
+                  FROM adc JOIN cb2 b ON adc.bucket = b.bucket),
+          short AS (SELECT query_id, cand_id FROM (
+                    SELECT query_id, cand_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY adc_score DESC, cand_id ASC) AS slr
+                    FROM sc3) WHERE slr <= 8),
+          rr AS (SELECT s.query_id, s.cand_id,
+                 ${duckCosine("qv.embedding", "cv.embedding")} AS cosine
+                 FROM short s
+                 JOIN embeddings qv ON qv.vec_id = s.query_id
+                 JOIN embeddings cv ON cv.vec_id = s.cand_id),
+          rnk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+                  FROM rr)
+         SELECT query_id, rank, cand_id, cosine FROM rnk
+         WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
     "d07_simhash_neardup" -> {
       val ham = (1 to 16).map(i =>
         s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
@@ -2267,6 +2377,7 @@ object EntryOps {
     "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
     "s07_topk_pq" -> (topkPq _),
+    "s08_topk_ivfpq" -> (topkIvfPq _),
     "d07_simhash_neardup" -> (simhashNearDup _),
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "d09_dedup_clusters" -> (dedupClusters _),

@@ -302,6 +302,35 @@ class OpsSpec extends GraftSpec {
     assert(!top.getAs[Double]("adc_score").isNaN)
   }
 
+  test("IVF-PQ composes cell pruning with residual codebooks; recall floor") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 40 === 0
+    val exact = Similarity.topkBruteForce(emb, pred, k = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.topkIvfPq(emb, pred, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length.toLong))
+      assert(!rs.exists(_.getAs[Long]("cand_id") == q), "self-match leaked")
+    }
+    val approx = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    info(f"s08 recall@3 vs s01: $recall%.3f (${approx.intersect(exact).size}/${exact.size})")
+    assert(recall >= 0.3, f"IVF-PQ recall collapsed: $recall%.3f")
+    // pruning really prunes: with an unbounded k the candidate set per
+    // query is the PROBED CELLS' population, strictly less than the corpus
+    // (flat PQ at the same k would return every other vector)
+    val n = emb.count()
+    val unbounded = Similarity.topkIvfPq(emb, pred, k = n.toInt)
+      .groupBy("query_id").count().collect()
+    unbounded.foreach { r =>
+      assert(r.getLong(1) < n - 1,
+        s"query ${r.get(0)}: nprobe=2 of 8 cells must prune candidates " +
+          s"(got ${r.getLong(1)} of ${n - 1})")
+    }
+  }
+
   test("clusterComponents collapses chains to min-id groups, keeps singletons") {
     // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
     // singleton 20; edges deliberately listed max-id-first to prove the
