@@ -460,6 +460,42 @@ object EntryOps {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** t15 — GPT-style sequence packing over the corpus ([[TextAnalysis
+    * .packSequences]]): per-(lang, shard) deterministic token streams cut
+    * at 128-token boundaries, documents straddling a cut split across both
+    * sides.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(docs(spark, dir))
+
+  /** q37 — DATA-RECIPE mixture sampling: each source gets a fractional
+    * epoch weight (srcN → 0.25 + (N mod 7)·0.25 epochs, so some sources
+    * are DOWN-sampled below one epoch and some repeat), and every document
+    * materializes floor(w) copies plus one more with probability frac(w) —
+    * decided by an md5-derived uniform that both engines compute
+    * identically (first hex byte of md5('mx:'||doc_id), compared in
+    * integer space: hex·1000 < frac_mille·256). This is the deterministic
+    * fractional upsampling step that executes a training-data mixture
+    * recipe; output is one row per (doc, epoch) with provenance. Zero
+    * shuffles: weights are a per-row formula and the explode is local.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("src_n", expr("CAST(substring(source, 4, 10) AS INT)"))
+      .withColumn("weight_mille", lit(250L) + (col("src_n") % 7) * 250L)
+      .withColumn("hex1",
+        expr("CAST(conv(substring(md5(concat('mx:', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT)"))
+      .withColumn("n_copies",
+        expr("weight_mille div 1000") +
+          when(col("hex1") * 1000 < (col("weight_mille") % 1000) * 256, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+    d.select(col("doc_id"), col("source"), col("weight_mille"),
+        col("n_copies"),
+        explode(expr("sequence(0L, n_copies - 1)")).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(spark, dir))
 
@@ -2318,6 +2354,44 @@ object EntryOps {
            CAST(least(40, nw - s) AS BIGINT) AS chunk_tokens,
            array_to_string(l[s + 1 : least(s + 40, nw)], ' ') AS chunk_text
          FROM st ORDER BY doc_id, chunk_idx""",
+    "t15_sequence_packing" ->
+      """WITH base AS (SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens,
+             md5('pk:' || CAST(doc_id AS VARCHAR)) AS skey,
+             doc_id % 16 AS shard
+             FROM documents),
+          c AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY lang, shard
+                ORDER BY skey ASC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM base WHERE tokens > 0),
+          e AS (SELECT lang, shard, doc_id, tokens, cum - tokens AS strt,
+                unnest(range((cum - tokens) // 128, (cum - 1) // 128 + 1)) AS seq_idx
+                FROM c)
+         SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(seq_idx AS BIGINT) AS seq_idx, doc_id,
+           tokens AS doc_tokens,
+           CAST(greatest(seq_idx * 128 - strt, 0) AS BIGINT) AS take_from,
+           CAST(least((seq_idx + 1) * 128, strt + tokens)
+                - greatest(seq_idx * 128, strt) AS BIGINT) AS take_n
+         FROM e ORDER BY lang, shard, seq_idx, doc_id""",
+    "q37_mixture_sample" ->
+      """WITH base AS (SELECT doc_id, source,
+             250 + (CAST(source[4:] AS INT) % 7) * 250 AS weight_mille,
+             (strpos('0123456789abcdef',
+                substring(md5('mx:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                substring(md5('mx:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hex1
+             FROM documents),
+          n AS (SELECT doc_id, source, weight_mille,
+                weight_mille // 1000
+                + CASE WHEN hex1 * 1000 < (weight_mille % 1000) * 256
+                       THEN 1 ELSE 0 END AS n_copies
+                FROM base)
+         SELECT doc_id, source, CAST(weight_mille AS BIGINT) AS weight_mille,
+                CAST(n_copies AS BIGINT) AS n_copies,
+                CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch
+         FROM n WHERE n_copies > 0
+         ORDER BY doc_id, epoch""",
     "t13_corpus_profile" ->
       """WITH toks AS (SELECT source,
                        unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -2394,6 +2468,8 @@ object EntryOps {
     "t12_unigram_lm" -> (unigramScore _),
     "t13_corpus_profile" -> (corpusProfile _),
     "t14_chunking" -> (chunkDocs _),
+    "t15_sequence_packing" -> (packSequences _),
+    "q37_mixture_sample" -> (mixtureSample _),
     "e01_training_corpus" -> (trainingCorpus _),
     "e02_training_sequences" -> (trainingSequences _),
     "q36_token_budget_sample" -> (tokenBudgetSample _),

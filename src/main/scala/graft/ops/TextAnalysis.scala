@@ -280,6 +280,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** SEQUENCE PACKING — the GPT-style step that turns variable-length
+    * documents into fixed-length training rows: per (lang, shard), documents
+    * are concatenated in deterministic hash order into one token stream and
+    * the stream is cut at every `seqLen` tokens; a document straddling a cut
+    * contributes a piece to each side (exactly the concat-then-chunk packing
+    * GPT-2/T5 pipelines run, so no token is padded away and no sequence is
+    * short). Output: one row per (document × packed sequence it touches)
+    * with `take_from`/`take_n` — the slice of the document that lands in
+    * that sequence — so a downstream writer can materialize the packed rows
+    * with a join and never shuffles token arrays around.
+    *
+    * Scale: packing is inherently sequential IN THE STREAM ORDER, so the
+    * corpus is salted into `shards` independent streams per lang (shard =
+    * doc_id % shards — deterministic and oracle-computable, unlike a hash
+    * salt) and each (lang, shard) packs in parallel; shard count scales
+    * with the corpus, the per-task work is corpus/shards, and sequence ids
+    * are (lang, shard, seq_idx) — exactly how production packers shard.
+    * All arithmetic is integer (token counts, cumulative sums, floor
+    * division), so the oracle matches hash-exactly.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 128,
+      shards: Int = 16): DataFrame = {
+    val w = Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.size(Dedup.words(col("text")))
+          .cast("long").as("tokens"),
+        md5(concat(lit("pk:"), col("doc_id").cast("string"))).as("skey"),
+        (col("doc_id") % shards).as("shard"))
+      .filter(col("tokens") > 0)
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("start", col("cum") - col("tokens"))
+      .select(col("lang"), col("shard"), col("doc_id"), col("tokens"),
+        col("start"),
+        explode(expr(s"sequence(start div $seqLen, (cum - 1) div $seqLen)"))
+          .as("seq_idx"))
+      .select(col("lang"), col("shard"), col("seq_idx"), col("doc_id"),
+        col("tokens").as("doc_tokens"),
+        greatest(col("seq_idx") * seqLen - col("start"), lit(0L))
+          .as("take_from"),
+        (least((col("seq_idx") + 1) * seqLen, col("start") + col("tokens"))
+          - greatest(col("seq_idx") * seqLen, col("start"))).as("take_n"))
+      .orderBy(col("lang"), col("shard"), col("seq_idx"), col("doc_id"))
+  }
+
   /** Winnowing-style document fingerprint: md5 over sliding word `n`-grams,
     * keep the `k` smallest distinct hashes (a bottom-k sketch), rendered as a
     * sorted comma-joined string. Equal fingerprints ⇒ near-dup candidates.

@@ -331,6 +331,66 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("sequence packing: every sequence full, no token lost, slices contiguous") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.packSequences(d, seqLen = 128, shards = 16).collect()
+    assert(out.nonEmpty)
+    // every packed sequence holds exactly 128 tokens except each stream's
+    // final one (the concat-then-cut guarantee: no padding, no short rows)
+    val bySeq = out.groupBy(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("shard"), r.getAs[Long]("seq_idx")))
+    val streams = out.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+    streams.foreach { case ((lang, shard), rows) =>
+      val last = rows.map(_.getAs[Long]("seq_idx")).max
+      (0L to last).foreach { s =>
+        val tot = bySeq((lang, shard, s)).map(_.getAs[Long]("take_n")).sum
+        if (s < last) assert(tot === 128L, s"($lang,$shard,$s) not full: $tot")
+        else assert(tot > 0 && tot <= 128L)
+      }
+    }
+    // no token lost or duplicated: per doc the slices cover [0, doc_tokens)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("take_from"))
+      assert(sorted.map(_.getAs[Long]("take_n")).sum ===
+        sorted.head.getAs[Long]("doc_tokens"), s"doc $id tokens lost")
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("take_from") === expect, s"doc $id gap")
+        expect + r.getAs[Long]("take_n")
+      }
+    }
+  }
+
+  test("mixture sampling realizes fractional epoch weights deterministically") {
+    import org.apache.spark.sql.functions.{col => c}
+    val out = EntryOps.mixtureSample(spark, "/root/testdata/sf0.001").collect()
+    // epochs are contiguous from 0 per doc
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[Long]("epoch")).sorted.toSeq ===
+        (0L until rows.length.toLong), s"doc $id epochs not contiguous")
+      assert(rows.head.getAs[Long]("n_copies") === rows.length.toLong)
+    }
+    // per-source realized epochs track the fractional weight: with 25
+    // docs/source at sf0.001 the md5-uniform keeps the mean within ~0.35
+    // of the target (3-sigma of a Bernoulli over 25 draws is ~0.3)
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val perSource = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val w = rows.head.getAs[Long]("weight_mille").toDouble / 1000.0
+      val realized = rows.length.toDouble / perSource(src)
+      assert(math.abs(realized - w) < 0.35,
+        f"$src: realized $realized%.2f epochs vs weight $w%.2f")
+    }
+    // weight >= 1x sources never drop a document entirely
+    val kept = out.map(_.getAs[Long]("doc_id")).toSet
+    d.select("doc_id", "source").collect().foreach { r =>
+      val n = r.getString(1).stripPrefix("src").toInt
+      if (250 + (n % 7) * 250 >= 1000)
+        assert(kept.contains(r.getLong(0)),
+          s"doc ${r.getLong(0)} of >=1-epoch source ${r.getString(1)} dropped")
+    }
+  }
+
   test("clusterComponents collapses chains to min-id groups, keeps singletons") {
     // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
     // singleton 20; edges deliberately listed max-id-first to prove the
