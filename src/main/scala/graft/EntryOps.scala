@@ -557,6 +557,75 @@ object EntryOps {
     Multimodal.ppmFeatures(assets)
   }
 
+  /** m12/d13 fixture — netpbm payloads whose PIXEL CONTENT is a NONLINEAR
+    * function of a pattern seed (quadratic in (seed + byte index) mod 256):
+    * a difference hash of a LINEAR ramp is seed-invariant (neighbor
+    * differences cancel the seed), so a linear fixture would make every
+    * same-shape image hash-identical and the near-dup join degenerate.
+    * Dimensions and channel count derive from the DECADE (doc_id div 10)
+    * so planted pairs share shape; every doc with doc_id % 10 == 1 reuses
+    * the seed of doc_id − 1 — those are the planted visual duplicates d13
+    * must find (different doc, same rendered content).
+    */
+  def dhashAssets(spark: SparkSession, dir: String): DataFrame = {
+    val dec = expr("doc_id div 10")
+    val w = dec % 8 + 2
+    val h = (dec * 3) % 8 + 2
+    val chans = when(dec % 3 =!= 0, lit(3L)).otherwise(lit(1L))
+    val seed = expr(
+      "(IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 131) % 251")
+    val header = concat(
+      when(chans === 3, lit("P6")).otherwise(lit("P5")), lit("\n"),
+      w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val pixHex = array_join(
+      transform(sequence(lit(0L), w * h * chans - 1),
+        jj => lpad(hex(
+          ((seed + jj) * (seed + jj) * 13 + (seed + jj) * 7 + seed) % 256),
+          2, "0")), "")
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      concat(header.cast("binary"), unhex(pixHex)).as("payload"))
+  }
+
+  /** m12 — perceptual image hash over REAL decoded netpbm rasters: the
+    * native `ppm_dhash` expression against [[dhashAssets]]; the oracle
+    * computes the expected 9×8 grid, grayscale, and gradient bits from the
+    * doc_id formulas directly — it never parses a byte.
+    */
+  def ppmDhash(spark: SparkSession, dir: String): DataFrame =
+    dhashAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.PpmDHash(col("payload")).as("dhash"))
+      .orderBy(col("asset_id"))
+
+  /** d13 — IMAGE near-dup pairs: dHash over the decoded rasters, banded
+    * 4×16 exactly like the SimHash-64 text path (pigeonhole recall for
+    * hamming ≤ 3), candidate pairs verified by character-level Hamming.
+    * Finds the planted same-content pairs of [[dhashAssets]] — visual
+    * dedup with every stage computed from real pixel bytes.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = ppmDhash(spark, dir).filter(col("dhash").isNotNull)
+    val bands = hashed.select(col("asset_id"), col("dhash"),
+      posexplode(array((0 until 4).map(bd =>
+        substring(col("dhash"), bd * 16 + 1, 16)): _*))
+        .as(Seq("band", "bits")))
+    val a = bands.select(col("asset_id").as("id1"), col("dhash").as("h1"),
+      col("band"), col("bits"))
+    val bsd = bands.select(col("asset_id").as("id2"), col("dhash").as("h2"),
+      col("band"), col("bits"))
+    a.join(bsd, Seq("band", "bits"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("h1"), col("id2"), col("h2"))
+      .distinct()
+      .withColumn("hamming", expr(
+        """aggregate(sequence(1, 64), 0L,
+             (acc, i) -> acc + IF(substring(h1, i, 1) = substring(h2, i, 1), 0L, 1L))"""))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** m06 fixture — VALID PNG payloads synthesized in-plan from doc_id:
     * width/height/color cycle like m05's netpbm fixture, raw samples are
     * `(doc_id + j) % 256` in scanline order, and each scanline y is encoded
@@ -1939,6 +2008,72 @@ object EntryOps {
                 ELSE CAST(nf * spf * 1000 // rate AS BIGINT) END AS duration_ms,
            CASE WHEN refused THEN NULL ELSE CAST(br AS BIGINT) END AS avg_bitrate_kbps
          FROM p ORDER BY asset_id""",
+    "m12_ppm_dhash" -> {
+      def fp(j: String) =
+        s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
+      s"""WITH dims AS (SELECT doc_id,
+             (doc_id // 10) % 8 + 2 AS w,
+             ((doc_id // 10) * 3) % 8 + 2 AS h,
+             CASE WHEN (doc_id // 10) % 3 != 0 THEN 3 ELSE 1 END AS chans,
+             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131) % 251 AS seed
+             FROM documents),
+          g AS (SELECT doc_id, y, x,
+                CASE WHEN chans = 3
+                     THEN (${fp("(3 * jj)")} + ${fp("(3 * jj + 1)")} + ${fp("(3 * jj + 2)")}) // 3
+                     ELSE ${fp("jj")} END AS gv
+                FROM (SELECT doc_id, chans, seed, y, x,
+                      (y * h // 8) * w + (x * w // 9) AS jj
+                      FROM dims
+                      CROSS JOIN (SELECT unnest(range(0, 8)) AS y)
+                      CROSS JOIN (SELECT unnest(range(0, 9)) AS x))),
+          bt AS (SELECT a.doc_id, a.y, a.x,
+                 CASE WHEN b.gv > a.gv THEN '1' ELSE '0' END AS bit
+                 FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y
+                                  AND b.x = a.x + 1
+                 WHERE a.x < 8)
+         SELECT doc_id AS asset_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+         FROM bt GROUP BY doc_id ORDER BY asset_id"""
+    },
+    "d13_image_neardup" -> {
+      def fp(j: String) =
+        s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH dims AS (SELECT doc_id,
+             (doc_id // 10) % 8 + 2 AS w,
+             ((doc_id // 10) * 3) % 8 + 2 AS h,
+             CASE WHEN (doc_id // 10) % 3 != 0 THEN 3 ELSE 1 END AS chans,
+             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131) % 251 AS seed
+             FROM documents),
+          g AS (SELECT doc_id, y, x,
+                CASE WHEN chans = 3
+                     THEN (${fp("(3 * jj)")} + ${fp("(3 * jj + 1)")} + ${fp("(3 * jj + 2)")}) // 3
+                     ELSE ${fp("jj")} END AS gv
+                FROM (SELECT doc_id, chans, seed, y, x,
+                      (y * h // 8) * w + (x * w // 9) AS jj
+                      FROM dims
+                      CROSS JOIN (SELECT unnest(range(0, 8)) AS y)
+                      CROSS JOIN (SELECT unnest(range(0, 9)) AS x))),
+          bt AS (SELECT a.doc_id, a.y, a.x,
+                 CASE WHEN b.gv > a.gv THEN '1' ELSE '0' END AS bit
+                 FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y
+                                  AND b.x = a.x + 1
+                 WHERE a.x < 8),
+          h64 AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+                  FROM bt GROUP BY doc_id),
+          bd AS (SELECT doc_id, dhash, b AS band,
+                 substring(dhash, b * 16 + 1, 16) AS bits
+                 FROM h64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
+                   b.doc_id AS id2, b.dhash AS h2
+                   FROM bd a JOIN bd b
+                     ON a.band = b.band AND a.bits = b.bits
+                        AND a.doc_id < b.doc_id)
+         SELECT id1, id2, hamming FROM (
+           SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM cand)
+         WHERE hamming <= 3 ORDER BY id1, id2"""
+    },
     "m05_ppm_pixels" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
                        doc_id % 256 AS start,
@@ -2484,6 +2619,8 @@ object EntryOps {
     "m09_gif_anim" -> (gifAnim _),
     "m10_gif_frames" -> (gifFrameTable _),
     "m11_mpeg_frames" -> (mpegFrames _),
+    "m12_ppm_dhash" -> (ppmDhash _),
+    "d13_image_neardup" -> (imageNearDup _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

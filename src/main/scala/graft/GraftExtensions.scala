@@ -33,7 +33,7 @@ object GraftExtensions {
   private val arities: Map[String, Int] = Map(
     "reencode" -> 1, "simhash16" -> 1, "dot_f32" -> 2,
     "minhash_band_sigs" -> 3, "inet_sort_key" -> 1, "parse_str_array" -> 1,
-    "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1,
+    "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1, "ppm_dhash" -> 1,
     "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
     "gif_frame_stats" -> 1, "wav_features" -> 1, "mpeg_features" -> 1, "zorder_key" -> 2,
     "hyperplane_bucket" -> 3)
@@ -91,6 +91,10 @@ object GraftExtensions {
         info("ppm_features",
           "ppm_features(payload) - struct(format, width, height, maxval, n_pixels, sum_r, sum_g, sum_b) decoded from binary netpbm (P6/P5) bytes"),
         (args: Seq[Expression]) => graft.functions.PpmFeatures(args.head)),
+      (FunctionIdentifier("ppm_dhash"),
+        info("ppm_dhash",
+          "ppm_dhash(payload) - 64-char difference-hash bitstring of a decoded netpbm raster (9x8 grayscale gradient signs); NULL on refusal"),
+        (args: Seq[Expression]) => graft.functions.PpmDHash(args.head)),
       (FunctionIdentifier("png_features"),
         info("png_features",
           "png_features(payload) - struct(format, width, height, color_type, n_pixels, sum_r, sum_g, sum_b) decoded from PNG bytes (JDK zlib inflate + scanline unfilter)"),

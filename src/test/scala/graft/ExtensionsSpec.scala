@@ -51,7 +51,7 @@ class ExtensionsSpec extends GraftSpec {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("reencode", "simhash16", "dot_f32", "minhash_band_sigs",
         "inet_sort_key", "parse_str_array", "simhash64", "media_dims",
-        "ppm_features", "png_features", "gif_features", "gif_anim_features",
+        "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
         "gif_frame_stats", "wav_features", "mpeg_features", "zorder_key",
         "hyperplane_bucket"))
   }

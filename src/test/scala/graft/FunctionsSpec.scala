@@ -779,6 +779,41 @@ class FunctionsSpec extends GraftSpec {
       .getString(0) === "unknown")
   }
 
+  test("ppm_dhash computes the 9x8 gradient hash; refusals are null") {
+    import graft.functions.PpmDHash
+    // 4x2 P5 gray image with hand-checkable values: row 0 = 10,20,30,40,
+    // row 1 = 90,80,70,60. Grid row y -> pixel row y*2/8 (rows 0-3 -> 0,
+    // rows 4-7 -> 1); grid col x -> pixel col x*4/9 (0,0,0,1,1,2,2,3,3).
+    // Row 0 ascends -> bits 1 exactly where the sampled column INCREASES
+    // (x=2,4,6: cols 0->1, 1->2, 2->3); row 1 descends -> same positions 0.
+    val hdr = "P5\n4 2\n255\n".getBytes("US-ASCII")
+    val img = hdr ++ Array[Byte](10, 20, 30, 40, 90.toByte, 80, 70, 60)
+    val h = PpmDHash.hash(img)
+    assert(h != null && h.toString.length === 64)
+    val topRow = "00101010" // rising samples at x = 2, 4, 6
+    val bottomRow = "00000000"
+    assert(h.toString === topRow * 4 + bottomRow * 4)
+    // P6 color: gray = (r+g+b) div 3 — a channel-only change that keeps the
+    // mean constant keeps the hash identical (perceptual, not byte, equality)
+    def p6(px: Seq[(Int, Int, Int)]): Array[Byte] =
+      "P6\n4 1\n255\n".getBytes("US-ASCII") ++
+        px.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+    val c1 = p6(Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (5, 5, 5)))
+    val c2 = p6(Seq((30, 20, 10), (60, 50, 40), (90, 80, 70), (5, 5, 5)))
+    assert(PpmDHash.hash(c1) != null)
+    assert(PpmDHash.hash(c1).toString === PpmDHash.hash(c2).toString)
+    // refusal paths: bad magic, 2-byte samples, truncated raster -> null
+    assert(PpmDHash.hash("JUNK".getBytes("US-ASCII")) == null)
+    assert(PpmDHash.hash("P5\n2 2\n65535\n  ".getBytes("ISO-8859-1")) == null)
+    assert(PpmDHash.hash("P5\n4 4\n255\n".getBytes("ISO-8859-1")) == null)
+    // agrees through the SQL registration too
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val viaSql = Seq(img).toDF("p")
+      .selectExpr("ppm_dhash(p) AS h").head().getString(0)
+    assert(viaSql === h.toString)
+  }
+
   test("all binary decoders refuse arbitrary bytes without throwing") {
     // fuzz hardening: a malicious or corrupt payload must land in the
     // honest-refusal path, never an exception (a throw in a codegen'd
@@ -809,6 +844,7 @@ class FunctionsSpec extends GraftSpec {
         graft.functions.WavFeatures.decode(bytes)
         graft.functions.MpegFeatures.decode(bytes)
         graft.functions.PpmFeatures.decode(bytes)
+        graft.functions.PpmDHash.hash(bytes)
         graft.functions.PngFeatures.decode(bytes)
         graft.functions.MediaDims.parseHeader(bytes)
       } catch { case e: Throwable =>
