@@ -36,12 +36,16 @@ object Bench {
     *    oracle is d09's verbatim); its distinguishing property is the
     *    O(log n) round bound, which OpsSpec proves on the 10k adversarial
     *    chain where propagation throws — a per-round cost number at sf0.1
-    *    would restate d09's join+agg cost.
+    *    would restate d09's join+agg cost;
+    *  - e03: e02's sequences + t15's packing arithmetic (its oracle shares
+    *    e02's chain verbatim) — benching it re-runs the whole composed
+    *    pipeline a second time to measure a per-row cut computation that
+    *    t15 already prices.
     */
   private def headline: Seq[String] =
     SparkEntry.queries.keys.toSeq
       .filterNot(Set("d05_embed_neardup", "d07_simhash_neardup",
-        "m10_gif_frames", "d12_dedup_clusters_star"))
+        "m10_gif_frames", "d12_dedup_clusters_star", "e03_packed_corpus"))
       .sorted
 
   def main(args: Array[String]): Unit = {

@@ -496,6 +496,50 @@ object EntryOps {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** e03 — the pipeline's FINAL artifact: [[trainingSequences]]' chunks
+    * packed into fixed 128-token training rows (t15's concat-then-cut over
+    * CHUNK units instead of raw documents), provenance intact. This is
+    * literally what a trainer streams: every non-final row of a stream
+    * holds exactly 128 tokens, a chunk straddling a cut contributes a
+    * slice to each side, and each slice row carries (doc_id, chunk_idx,
+    * source, cluster_size, quality_mille) so any token in any batch is
+    * attributable to its document. Packing shards per (lang, doc_id % 16)
+    * like t15 — the sequential stream order parallelizes by shard. The
+    * oracle shares e02's entire CTE chain and appends the packing
+    * arithmetic, so dedup → decontamination → gating → budget → chunk →
+    * PACK is hash-checked end to end as ONE composition.
+    */
+  def packedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 128
+    val units = trainingSequences(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("lang"), col("source"),
+        col("cluster_size"), col("quality_mille"), col("chunk_tokens"))
+      .filter(col("chunk_tokens") > 0)
+      .withColumn("skey", md5(concat(lit("e03:"), col("doc_id").cast("string"),
+        lit(":"), col("chunk_idx").cast("string"))))
+      .withColumn("shard", col("doc_id") % 16)
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("skey").asc, col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    units
+      .withColumn("cum", sum(col("chunk_tokens")).over(w))
+      .withColumn("strt", col("cum") - col("chunk_tokens"))
+      .select(col("lang"), col("shard"), col("doc_id"), col("chunk_idx"),
+        col("source"), col("cluster_size"), col("quality_mille"),
+        col("chunk_tokens"), col("strt"), col("cum"),
+        explode(expr(s"sequence(strt div $seqLen, (cum - 1) div $seqLen)"))
+          .as("seq_idx"))
+      .select(col("lang"), col("shard"), col("seq_idx"), col("doc_id"),
+        col("chunk_idx"), col("source"), col("cluster_size"),
+        col("quality_mille"),
+        greatest(col("seq_idx") * seqLen - col("strt"), lit(0L))
+          .as("take_from"),
+        (least((col("seq_idx") + 1) * seqLen, col("cum"))
+          - greatest(col("seq_idx") * seqLen, col("strt"))).as("take_n"))
+      .orderBy(col("lang"), col("shard"), col("seq_idx"), col("doc_id"),
+        col("chunk_idx"))
+  }
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(spark, dir))
 
@@ -1386,6 +1430,83 @@ object EntryOps {
                   SELECT ed.b AS doc, reach.r FROM reach JOIN ed ON reach.doc = ed.a),
         cl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)"""
   }
+
+  /** Shared oracle pieces for the composed-pipeline queries: the full e02
+    * CTE chain (planted corpus → decontamination → components → quality/PII
+    * → budget → chunk cut points) and the training-sequence SELECT over it.
+    * e02 emits the sequences directly; e03 wraps them in one more CTE and
+    * packs them ([[duckE02Ctes]] keeps the two oracles from drifting).
+    */
+  private def duckE02Ctes: String = {
+    import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+    val gram8 = (0 until 8).map(j => s"l8[i + $j]").mkString(" || ' ' || ")
+    s"""ev0 AS (SELECT doc_id AS ev_id,
+                  array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
+                  FROM documents WHERE doc_id % 100 = 0),
+          corpus AS (SELECT d.doc_id, d.lang, d.source,
+                  CASE WHEN d.doc_id % 100 != 0 AND d.doc_id % 23 = 1
+                            AND ev0.snippet IS NOT NULL
+                       THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
+                  FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
+          w8 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l8 FROM corpus),
+          tri8 AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+                   range(1, len(l8) + 1), i -> CASE WHEN i + 7 <= len(l8) THEN $gram8 END),
+                   x -> x IS NOT NULL))) AS gram FROM w8),
+          evg AS (SELECT doc_id AS eval_id, gram FROM tri8 WHERE doc_id % 100 = 0),
+          contam AS (SELECT DISTINCT t.doc_id FROM tri8 t
+                     JOIN evg ON t.gram = evg.gram WHERE t.doc_id % 100 != 0),
+          train AS (SELECT c.* FROM corpus c
+                    WHERE c.doc_id % 100 != 0
+                      AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
+          ${duckClusterCtes("train")},
+          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
+          surv AS (SELECT cl.doc_id, sz.cluster_size
+                   FROM cl JOIN sz USING (cluster_id)
+                   WHERE cl.doc_id = cl.cluster_id),
+          q AS (SELECT doc_id,
+                0.5 * least(CAST(n_words AS DOUBLE) / CAST(80 AS DOUBLE), CAST(1 AS DOUBLE))
+                + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)) * CAST(4 AS DOUBLE)
+                + 0.2 * (CAST(1 AS DOUBLE) - CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS score
+                FROM (SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS n_stopwords
+                  FROM train)),
+          p AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+                  '$ipv4Re', '<IP>', 'g') AS masked
+                FROM train),
+          gated AS (SELECT t.doc_id, t.lang, t.source, surv.cluster_size,
+                    CAST(floor(q.score * 1000) AS BIGINT) AS quality_mille,
+                    p.masked,
+                    CAST(len(string_split_regex(trim(p.masked), '\\s+')) AS BIGINT) AS tokens
+                    FROM train t
+                    JOIN surv ON t.doc_id = surv.doc_id
+                    JOIN q ON t.doc_id = q.doc_id
+                    JOIN p ON t.doc_id = p.doc_id
+                    WHERE q.score >= 0.5),
+          bud AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY lang
+                    ORDER BY md5('e02:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM gated),
+          kept AS (SELECT * FROM bud WHERE cum - tokens < 4000),
+          cw AS (SELECT doc_id, lang, source, cluster_size, quality_mille,
+                 string_split_regex(trim(masked), '\\s+') AS l,
+                 len(string_split_regex(trim(masked), '\\s+')) AS nw FROM kept),
+          st AS (SELECT *, unnest(list_filter(range(0, nw, 30),
+                   s -> s = 0 OR nw - s > 10)) AS s FROM cw)"""
+  }
+
+  private val duckE02Select: String =
+    """SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+             AS BIGINT) AS chunk_idx,
+           lang, source, cluster_size, quality_mille,
+           CAST(least(40, nw - s) AS BIGINT) AS chunk_tokens,
+           array_to_string(l[s + 1 : least(s + 40, nw)], ' ') AS chunk_text
+         FROM st"""
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -2405,75 +2526,34 @@ object EntryOps {
          WHERE q.score >= 0.5
          ORDER BY d.doc_id"""
     },
-    "e02_training_sequences" -> {
-      import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
-      val gram8 = (0 until 8).map(j => s"l8[i + $j]").mkString(" || ' ' || ")
-      s"""WITH RECURSIVE
-          ev0 AS (SELECT doc_id AS ev_id,
-                  array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
-                  FROM documents WHERE doc_id % 100 = 0),
-          corpus AS (SELECT d.doc_id, d.lang, d.source,
-                  CASE WHEN d.doc_id % 100 != 0 AND d.doc_id % 23 = 1
-                            AND ev0.snippet IS NOT NULL
-                       THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
-                  FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
-          w8 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l8 FROM corpus),
-          tri8 AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
-                   range(1, len(l8) + 1), i -> CASE WHEN i + 7 <= len(l8) THEN $gram8 END),
-                   x -> x IS NOT NULL))) AS gram FROM w8),
-          evg AS (SELECT doc_id AS eval_id, gram FROM tri8 WHERE doc_id % 100 = 0),
-          contam AS (SELECT DISTINCT t.doc_id FROM tri8 t
-                     JOIN evg ON t.gram = evg.gram WHERE t.doc_id % 100 != 0),
-          train AS (SELECT c.* FROM corpus c
-                    WHERE c.doc_id % 100 != 0
-                      AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
-          ${duckClusterCtes("train")},
-          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
-          surv AS (SELECT cl.doc_id, sz.cluster_size
-                   FROM cl JOIN sz USING (cluster_id)
-                   WHERE cl.doc_id = cl.cluster_id),
-          q AS (SELECT doc_id,
-                0.5 * least(CAST(n_words AS DOUBLE) / CAST(80 AS DOUBLE), CAST(1 AS DOUBLE))
-                + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)) * CAST(4 AS DOUBLE)
-                + 0.2 * (CAST(1 AS DOUBLE) - CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS score
-                FROM (SELECT doc_id,
-                  CAST(length(text) AS BIGINT) AS n_chars,
-                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
-                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
-                  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS n_stopwords
-                  FROM train)),
-          p AS (SELECT doc_id,
-                regexp_replace(regexp_replace(regexp_replace(text,
-                  '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
-                  '$ipv4Re', '<IP>', 'g') AS masked
-                FROM train),
-          gated AS (SELECT t.doc_id, t.lang, t.source, surv.cluster_size,
-                    CAST(floor(q.score * 1000) AS BIGINT) AS quality_mille,
-                    p.masked,
-                    CAST(len(string_split_regex(trim(p.masked), '\\s+')) AS BIGINT) AS tokens
-                    FROM train t
-                    JOIN surv ON t.doc_id = surv.doc_id
-                    JOIN q ON t.doc_id = q.doc_id
-                    JOIN p ON t.doc_id = p.doc_id
-                    WHERE q.score >= 0.5),
-          bud AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY lang
-                    ORDER BY md5('e02:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-                  FROM gated),
-          kept AS (SELECT * FROM bud WHERE cum - tokens < 4000),
-          cw AS (SELECT doc_id, lang, source, cluster_size, quality_mille,
-                 string_split_regex(trim(masked), '\\s+') AS l,
-                 len(string_split_regex(trim(masked), '\\s+')) AS nw FROM kept),
-          st AS (SELECT *, unnest(list_filter(range(0, nw, 30),
-                   s -> s = 0 OR nw - s > 10)) AS s FROM cw)
-         SELECT doc_id,
-           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
-             AS BIGINT) AS chunk_idx,
-           lang, source, cluster_size, quality_mille,
-           CAST(least(40, nw - s) AS BIGINT) AS chunk_tokens,
-           array_to_string(l[s + 1 : least(s + 40, nw)], ' ') AS chunk_text
-         FROM st ORDER BY doc_id, chunk_idx"""
-    },
+    "e02_training_sequences" ->
+      s"""WITH RECURSIVE $duckE02Ctes
+         $duckE02Select ORDER BY doc_id, chunk_idx""",
+    "e03_packed_corpus" ->
+      s"""WITH RECURSIVE $duckE02Ctes,
+          seqs AS ($duckE02Select),
+          un AS (SELECT doc_id, chunk_idx, lang, source, cluster_size,
+                 quality_mille, chunk_tokens,
+                 md5('e03:' || CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(chunk_idx AS VARCHAR)) AS skey,
+                 doc_id % 16 AS shard
+                 FROM seqs WHERE chunk_tokens > 0),
+          cm AS (SELECT *, CAST(sum(chunk_tokens) OVER (
+                 PARTITION BY lang, shard
+                 ORDER BY skey ASC, doc_id ASC, chunk_idx ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM un),
+          ex AS (SELECT lang, shard, doc_id, chunk_idx, source, cluster_size,
+                 quality_mille, chunk_tokens, cum - chunk_tokens AS strt, cum,
+                 unnest(range((cum - chunk_tokens) // 128, (cum - 1) // 128 + 1)) AS seq_idx
+                 FROM cm)
+         SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(seq_idx AS BIGINT) AS seq_idx, doc_id, chunk_idx,
+           source, cluster_size, quality_mille,
+           CAST(greatest(seq_idx * 128 - strt, 0) AS BIGINT) AS take_from,
+           CAST(least((seq_idx + 1) * 128, cum)
+                - greatest(seq_idx * 128, strt) AS BIGINT) AS take_n
+         FROM ex ORDER BY lang, shard, seq_idx, doc_id, chunk_idx""",
     "t14_chunking" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
                     len(string_split_regex(trim(text), '\s+')) AS nw
@@ -2607,6 +2687,7 @@ object EntryOps {
     "q37_mixture_sample" -> (mixtureSample _),
     "e01_training_corpus" -> (trainingCorpus _),
     "e02_training_sequences" -> (trainingSequences _),
+    "e03_packed_corpus" -> (packedCorpus _),
     "q36_token_budget_sample" -> (tokenBudgetSample _),
     "m01_multimodal" -> (multimodal _),
     "m02_asset_metadata" -> (multimodalMeta _),

@@ -824,6 +824,9 @@ class FunctionsSpec extends GraftSpec {
     val rnd = new scala.util.Random(20260812L)
     val validGif = gifEncode(4, 3, 7, Array.tabulate(12)(i => i % 128))
     val validWav = wavEncode(2, 16, 8000, Array.tabulate(10)(i => i * 9 - 40))
+    val validMpeg = (mpegFrame(3, 3, 9, 0) ++ mpegFrame(3, 3, 9, 0, pad = 1))
+    val validPpm = "P6\n3 2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](18)(i => (i * 13).toByte)
     val prefixes = Seq("GIF89a", "RIFF", "P6\n", "PNG", "BM")
       .map(_.getBytes("ISO-8859-1"))
     val cases: Seq[Array[Byte]] =
@@ -835,7 +838,9 @@ class FunctionsSpec extends GraftSpec {
         prefixes(rnd.nextInt(prefixes.length)) ++ tail
       } ++
       (0 until validGif.length).map(validGif.take) ++ // every truncation
-      (0 until validWav.length).map(validWav.take)
+      (0 until validWav.length).map(validWav.take) ++
+      (0 until validMpeg.length).map(validMpeg.take) ++
+      (0 until validPpm.length).map(validPpm.take)
     cases.zipWithIndex.foreach { case (bytes, i) =>
       try {
         graft.functions.GifFeatures.decode(bytes)

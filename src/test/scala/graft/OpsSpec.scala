@@ -391,6 +391,32 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("e03 packs e02's chunks into full rows with provenance intact") {
+    val out = EntryOps.packedCorpus(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val bySeq = out.groupBy(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("shard"), r.getAs[Long]("seq_idx")))
+    out.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case ((lang, shard), rows) =>
+        val last = rows.map(_.getAs[Long]("seq_idx")).max
+        (0L to last).foreach { s =>
+          val tot = bySeq((lang, shard, s)).map(_.getAs[Long]("take_n")).sum
+          if (s < last) assert(tot === 128L, s"($lang,$shard,$s): $tot")
+          else assert(tot > 0 && tot <= 128L)
+        }
+      }
+    // every slice attributes to a surviving (doc, chunk) of the pipeline
+    val seqs = EntryOps.trainingSequences(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "chunk_idx", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")))
+      .foreach { case (key, rows) =>
+        assert(seqs.contains(key), s"slice for non-surviving chunk $key")
+        assert(rows.map(_.getAs[Long]("take_n")).sum === seqs(key),
+          s"chunk $key tokens lost across packed rows")
+      }
+  }
+
   test("clusterComponents collapses chains to min-id groups, keeps singletons") {
     // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
     // singleton 20; edges deliberately listed max-id-first to prove the
