@@ -816,6 +816,78 @@ object EntryOps {
   def wavPcm(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFeatures(wavAssets(spark, dir))
 
+  /** m13/d14 fixture — mono 8-bit PCM WAVs whose SAMPLE CONTENT is a
+    * nonlinear function of a pattern seed (quadratic, like [[dhashAssets]]
+    * and for the same reason: a linear ramp's energy-gradient hash is
+    * seed-invariant). Every doc with doc_id % 10 == 1 reuses the seed of
+    * doc_id − 1 — the planted same-content recordings d14 must find — but
+    * gets a DIFFERENT frame count (130 + doc_id % 7): the hashes still
+    * match because the sub-window tail is excluded by construction, which
+    * is itself a property under test.
+    */
+  def wavDhashAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("seed", expr(
+        "(IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173) % 239"))
+      .withColumn("f", expr("130 + doc_id % 7"))
+    def le16hex(e: String): Column =
+      expr(s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) div 256), 2, '0'))")
+    def le32hex(e: String): Column =
+      concat(le16hex(s"($e) % 65536"), le16hex(s"($e) div 65536"))
+    val samplesHex = expr(
+      """array_join(transform(sequence(0L, f - 1), j ->
+           lpad(hex(((seed + j) * (seed + j) * 7 + (seed + j) * 11 + seed) % 256),
+             2, '0')), '')""")
+    val fmtHex = concat(lit("666D7420" + "10000000" + "0100" + "0100"), // PCM mono
+      le32hex("8000"), le32hex("8000"), lit("0100" + "0800")) // 8-bit
+    val dataHex = concat(lit("64617461"), le32hex("f"), samplesHex,
+      when(col("f") % 2 === 1, lit("00")).otherwise(lit("")))
+    val bodyHex = concat(lit("57415645"), fmtHex, dataHex)
+    d.withColumn("bodyHex", bodyHex)
+      .select(col("doc_id").as("asset_id"),
+        unhex(concat(lit("52494646"),
+          le32hex("length(bodyHex) div 2"), col("bodyHex"))).as("payload"))
+  }
+
+  /** m13 — perceptual audio hash over REAL decoded PCM: the native
+    * `wav_dhash` expression against [[wavDhashAssets]]; the oracle derives
+    * the 65 window energies and gradient bits from the doc_id formulas
+    * directly, never touching a byte.
+    */
+  def wavDhash(spark: SparkSession, dir: String): DataFrame =
+    wavDhashAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.WavDHash(col("payload")).as("dhash"))
+      .orderBy(col("asset_id"))
+
+  /** d14 — AUDIO near-dup pairs: energy-gradient hashes banded 4×16 like
+    * the SimHash-64 and image paths, Hamming ≤ 3 verify. Finds the planted
+    * same-content recordings (including pairs whose frame counts differ in
+    * the excluded tail) — audio dedup with every stage computed from real
+    * sample bytes.
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = wavDhash(spark, dir).filter(col("dhash").isNotNull)
+    val bands = hashed.select(col("asset_id"), col("dhash"),
+      posexplode(array((0 until 4).map(bd =>
+        substring(col("dhash"), bd * 16 + 1, 16)): _*))
+        .as(Seq("band", "bits")))
+    val a = bands.select(col("asset_id").as("id1"), col("dhash").as("h1"),
+      col("band"), col("bits"))
+    val bsd = bands.select(col("asset_id").as("id2"), col("dhash").as("h2"),
+      col("band"), col("bits"))
+    a.join(bsd, Seq("band", "bits"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("h1"), col("id2"), col("h2"))
+      .distinct()
+      .withColumn("hamming", expr(
+        """aggregate(sequence(1, 64), 0L,
+             (acc, i) -> acc + IF(substring(h1, i, 1) = substring(h2, i, 1), 0L, 1L))"""))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** m11 fixture — spec-valid MPEG audio streams synthesized in-plan from
     * doc_id: version cycles MPEG-1/2/2.5 (doc_id % 3), sample-rate index
     * `(doc_id div 3) % 3`, Layer III bitrate index `doc_id % 14 + 1`,
@@ -2195,6 +2267,54 @@ object EntryOps {
            SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM cand)
          WHERE hamming <= 3 ORDER BY id1, id2"""
     },
+    "m13_wav_dhash" -> {
+      def fw(j: String) =
+        s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
+      s"""WITH base AS (SELECT doc_id,
+             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173) % 239 AS seed
+             FROM documents),
+          en AS (SELECT doc_id, w,
+                 abs((${fw("(2 * w)")}) - 128)
+                 + abs((${fw("(2 * w + 1)")}) - 128) AS e
+                 FROM base CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
+          bt AS (SELECT a.doc_id, a.w,
+                 CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+                 FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                 WHERE a.w < 64)
+         SELECT doc_id AS asset_id, string_agg(bit, '' ORDER BY w) AS dhash
+         FROM bt GROUP BY doc_id ORDER BY asset_id"""
+    },
+    "d14_audio_neardup" -> {
+      def fw(j: String) =
+        s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT doc_id,
+             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173) % 239 AS seed
+             FROM documents),
+          en AS (SELECT doc_id, w,
+                 abs((${fw("(2 * w)")}) - 128)
+                 + abs((${fw("(2 * w + 1)")}) - 128) AS e
+                 FROM base CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
+          bt AS (SELECT a.doc_id, a.w,
+                 CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+                 FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                 WHERE a.w < 64),
+          h64 AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS dhash
+                  FROM bt GROUP BY doc_id),
+          bd AS (SELECT doc_id, dhash, b AS band,
+                 substring(dhash, b * 16 + 1, 16) AS bits
+                 FROM h64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
+                   b.doc_id AS id2, b.dhash AS h2
+                   FROM bd a JOIN bd b
+                     ON a.band = b.band AND a.bits = b.bits
+                        AND a.doc_id < b.doc_id)
+         SELECT id1, id2, hamming FROM (
+           SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM cand)
+         WHERE hamming <= 3 ORDER BY id1, id2"""
+    },
     "m05_ppm_pixels" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
                        doc_id % 256 AS start,
@@ -2702,6 +2822,8 @@ object EntryOps {
     "m11_mpeg_frames" -> (mpegFrames _),
     "m12_ppm_dhash" -> (ppmDhash _),
     "d13_image_neardup" -> (imageNearDup _),
+    "m13_wav_dhash" -> (wavDhash _),
+    "d14_audio_neardup" -> (audioNearDup _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -35,7 +35,7 @@ object GraftExtensions {
     "minhash_band_sigs" -> 3, "inet_sort_key" -> 1, "parse_str_array" -> 1,
     "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1, "ppm_dhash" -> 1,
     "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
-    "gif_frame_stats" -> 1, "wav_features" -> 1, "mpeg_features" -> 1, "zorder_key" -> 2,
+    "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "zorder_key" -> 2,
     "hyperplane_bucket" -> 3)
 
   private def checkArity(name: String, n: Int)(
@@ -111,6 +111,10 @@ object GraftExtensions {
         info("gif_frame_stats",
           "gif_frame_stats(payload) - array of per-frame struct(frame_idx, left, top, width, height, n_pixels, sum_r, sum_g, sum_b) for a (possibly animated) GIF"),
         (args: Seq[Expression]) => graft.functions.GifFrameStats(args.head)),
+      (FunctionIdentifier("wav_dhash"),
+        info("wav_dhash",
+          "wav_dhash(payload) - 64-char energy-gradient hash bitstring of decoded RIFF/WAVE PCM (65 time windows); NULL on refusal"),
+        (args: Seq[Expression]) => graft.functions.WavDHash(args.head)),
       (FunctionIdentifier("wav_features"),
         info("wav_features",
           "wav_features(payload) - struct(format, channels, sample_rate, bits, n_frames, sum_ch0, sum_ch1, peak_abs) decoded from RIFF/WAVE PCM bytes"),

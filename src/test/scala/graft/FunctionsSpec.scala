@@ -814,6 +814,41 @@ class FunctionsSpec extends GraftSpec {
     assert(viaSql === h.toString)
   }
 
+  test("wav_dhash: energy-gradient hash, gain- and tail-invariant; refusals null") {
+    import graft.functions.WavDHash
+    // 65 frames mono 16-bit, window size 1: energy(w) = |amp(w)| directly,
+    // so the hash is exactly the rising/falling pattern of |amp|
+    val amps = Array.tabulate(65)(i => (i % 13 - 6) * 40) // zig-zag envelope
+    val h = WavDHash.hash(wavEncode(1, 16, 8000, amps))
+    assert(h != null && h.toString.length === 64)
+    val expect = (0 until 64).map { i =>
+      if (math.abs(amps(i + 1)) > math.abs(amps(i))) '1' else '0'
+    }.mkString
+    assert(h.toString === expect)
+    // uniform gain cancels out of every comparison — the perceptual property
+    val loud = WavDHash.hash(wavEncode(1, 16, 8000, amps.map(_ * 7)))
+    assert(loud.toString === h.toString)
+    // a sub-window tail is excluded by design: 65 vs 65+0(tail) identical
+    val tail = WavDHash.hash(wavEncode(1, 16, 8000, amps :+ 9999))
+    assert(tail != null)
+    // (66 frames: wsize still 1, windows read frames 0..64 — same hash)
+    assert(tail.toString === h.toString)
+    // stereo sums both channels per frame
+    val st = wavEncode(2, 16, 8000,
+      Array.tabulate(130)(i => (i / 2 % 9 - 4) * 25))
+    assert(WavDHash.hash(st) != null)
+    // refusals: under 65 frames, non-PCM magic, truncated payload
+    assert(WavDHash.hash(wavEncode(1, 16, 8000, amps.take(64))) == null)
+    assert(WavDHash.hash("RIFFxxxxJUNK".getBytes("US-ASCII")) == null)
+    assert(WavDHash.hash(wavEncode(1, 16, 8000, amps).dropRight(5)) == null)
+    // SQL registration path agrees
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val viaSql = Seq(wavEncode(1, 16, 8000, amps)).toDF("p")
+      .selectExpr("wav_dhash(p) AS h").head().getString(0)
+    assert(viaSql === h.toString)
+  }
+
   test("all binary decoders refuse arbitrary bytes without throwing") {
     // fuzz hardening: a malicious or corrupt payload must land in the
     // honest-refusal path, never an exception (a throw in a codegen'd
@@ -847,6 +882,7 @@ class FunctionsSpec extends GraftSpec {
         graft.functions.GifAnimFeatures.decode(bytes)
         graft.functions.GifFrameStats.decode(bytes)
         graft.functions.WavFeatures.decode(bytes)
+        graft.functions.WavDHash.hash(bytes)
         graft.functions.MpegFeatures.decode(bytes)
         graft.functions.PpmFeatures.decode(bytes)
         graft.functions.PpmDHash.hash(bytes)
