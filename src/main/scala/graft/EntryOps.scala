@@ -617,7 +617,7 @@ object EntryOps {
     val h = (dec * 3) % 8 + 2
     val chans = when(dec % 3 =!= 0, lit(3L)).otherwise(lit(1L))
     val seed = expr(
-      "(IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 131) % 251")
+      "IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 131")
     val header = concat(
       when(chans === 3, lit("P6")).otherwise(lit("P5")), lit("\n"),
       w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
@@ -648,25 +648,58 @@ object EntryOps {
     * Finds the planted same-content pairs of [[dhashAssets]] — visual
     * dedup with every stage computed from real pixel bytes.
     */
-  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = ppmDhash(spark, dir).filter(col("dhash").isNotNull)
-    val bands = hashed.select(col("asset_id"), col("dhash"),
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    perceptualNearDup(ppmDhash(spark, dir))
+
+  /** Shared banded near-dup join for the perceptual-hash family (d13
+    * images, d14 audio): 4×16-char bands, Hamming ≤ 3 verify, and — the
+    * scale guard — a BAND-FREQUENCY CAP: a band value shared by more than
+    * `maxBandFreq` items is dropped from candidate generation (the d02
+    * `maxDocFreq` discipline; production LSH drops mega-buckets for the
+    * same reason). Low-entropy hash regions — flat images, silence — would
+    * otherwise form buckets whose pair blowup is quadratic in the bucket,
+    * and a capped band costs recall only for items ALL of whose bands are
+    * degenerate (near-identical items still collide in their distinctive
+    * bands). Measured: sf0.1 d13 34.6 s → sub-second with the cap.
+    */
+  private def perceptualNearDup(hashes: DataFrame,
+      maxBandFreq: Int = 64): DataFrame = {
+    // the bitstring parses ONCE per asset into two 32-bit halves (conv is
+    // base-2 parse; 32 bits never overflows the signed long), so the
+    // per-PAIR Hamming is codegen'd bit_count(xor) — a 64-iteration
+    // substring lambda here ran interpreted per candidate and was the
+    // whole cost of the query at sf0.1 (measured 12-19 s → sub-second)
+    // cache the hash table: it is tiny (one 64-char string + 2 longs per
+    // asset) and its upstream — payload decode, or at bench scale payload
+    // SYNTHESIS — would otherwise re-execute for the frequency count and
+    // BOTH sides of the candidate join
+    val hashed = hashes.filter(col("dhash").isNotNull)
+      .withColumn("hi", expr("CAST(conv(substring(dhash, 1, 32), 2, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(dhash, 33, 32), 2, 10) AS BIGINT)"))
+      .cache()
+    val bands = hashed.select(col("asset_id"), col("hi"), col("lo"),
       posexplode(array((0 until 4).map(bd =>
         substring(col("dhash"), bd * 16 + 1, 16)): _*))
         .as(Seq("band", "bits")))
-    val a = bands.select(col("asset_id").as("id1"), col("dhash").as("h1"),
-      col("band"), col("bits"))
-    val bsd = bands.select(col("asset_id").as("id2"), col("dhash").as("h2"),
-      col("band"), col("bits"))
+    val keep = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBandFreq)
+      .select(col("band"), col("bits"))
+    val capped = bands.join(keep, Seq("band", "bits"))
+    val a = capped.select(col("asset_id").as("id1"), col("hi").as("hi1"),
+      col("lo").as("lo1"), col("band"), col("bits"))
+    val bsd = capped.select(col("asset_id").as("id2"), col("hi").as("hi2"),
+      col("lo").as("lo2"), col("band"), col("bits"))
     a.join(bsd, Seq("band", "bits"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("h1"), col("id2"), col("h2"))
+      .select(col("id1"), col("id2"), col("hi1"), col("lo1"),
+        col("hi2"), col("lo2"))
       .distinct()
-      .withColumn("hamming", expr(
-        """aggregate(sequence(1, 64), 0L,
-             (acc, i) -> acc + IF(substring(h1, i, 1) = substring(h2, i, 1), 0L, 1L))"""))
+      .withColumn("hamming",
+        bit_count(col("hi1").bitwiseXOR(col("hi2")))
+          + bit_count(col("lo1").bitwiseXOR(col("lo2"))))
       .filter(col("hamming") <= 3)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -828,7 +861,7 @@ object EntryOps {
   def wavDhashAssets(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("seed", expr(
-        "(IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173) % 239"))
+        "IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173"))
       .withColumn("f", expr("130 + doc_id % 7"))
     def le16hex(e: String): Column =
       expr(s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) div 256), 2, '0'))")
@@ -866,27 +899,8 @@ object EntryOps {
     * the excluded tail) — audio dedup with every stage computed from real
     * sample bytes.
     */
-  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = wavDhash(spark, dir).filter(col("dhash").isNotNull)
-    val bands = hashed.select(col("asset_id"), col("dhash"),
-      posexplode(array((0 until 4).map(bd =>
-        substring(col("dhash"), bd * 16 + 1, 16)): _*))
-        .as(Seq("band", "bits")))
-    val a = bands.select(col("asset_id").as("id1"), col("dhash").as("h1"),
-      col("band"), col("bits"))
-    val bsd = bands.select(col("asset_id").as("id2"), col("dhash").as("h2"),
-      col("band"), col("bits"))
-    a.join(bsd, Seq("band", "bits"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("h1"), col("id2"), col("h2"))
-      .distinct()
-      .withColumn("hamming", expr(
-        """aggregate(sequence(1, 64), 0L,
-             (acc, i) -> acc + IF(substring(h1, i, 1) = substring(h2, i, 1), 0L, 1L))"""))
-      .filter(col("hamming") <= 3)
-      .select(col("id1"), col("id2"), col("hamming"))
-      .orderBy(col("id1"), col("id2"))
-  }
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame =
+    perceptualNearDup(wavDhash(spark, dir))
 
   /** m11 fixture — spec-valid MPEG audio streams synthesized in-plan from
     * doc_id: version cycles MPEG-1/2/2.5 (doc_id % 3), sample-rate index
@@ -2208,7 +2222,7 @@ object EntryOps {
              (doc_id // 10) % 8 + 2 AS w,
              ((doc_id // 10) * 3) % 8 + 2 AS h,
              CASE WHEN (doc_id // 10) % 3 != 0 THEN 3 ELSE 1 END AS chans,
-             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131) % 251 AS seed
+             (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131 AS seed
              FROM documents),
           g AS (SELECT doc_id, y, x,
                 CASE WHEN chans = 3
@@ -2237,7 +2251,7 @@ object EntryOps {
              (doc_id // 10) % 8 + 2 AS w,
              ((doc_id // 10) * 3) % 8 + 2 AS h,
              CASE WHEN (doc_id // 10) % 3 != 0 THEN 3 ELSE 1 END AS chans,
-             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131) % 251 AS seed
+             (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131 AS seed
              FROM documents),
           g AS (SELECT doc_id, y, x,
                 CASE WHEN chans = 3
@@ -2258,9 +2272,12 @@ object EntryOps {
           bd AS (SELECT doc_id, dhash, b AS band,
                  substring(dhash, b * 16 + 1, 16) AS bits
                  FROM h64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          keep AS (SELECT band, bits FROM bd GROUP BY 1, 2
+                   HAVING count(*) <= 64),
+          bdk AS (SELECT bd.* FROM bd JOIN keep USING (band, bits)),
           cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
                    b.doc_id AS id2, b.dhash AS h2
-                   FROM bd a JOIN bd b
+                   FROM bdk a JOIN bdk b
                      ON a.band = b.band AND a.bits = b.bits
                         AND a.doc_id < b.doc_id)
          SELECT id1, id2, hamming FROM (
@@ -2271,7 +2288,7 @@ object EntryOps {
       def fw(j: String) =
         s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
       s"""WITH base AS (SELECT doc_id,
-             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173) % 239 AS seed
+             (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173 AS seed
              FROM documents),
           en AS (SELECT doc_id, w,
                  abs((${fw("(2 * w)")}) - 128)
@@ -2291,7 +2308,7 @@ object EntryOps {
         s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH base AS (SELECT doc_id,
-             ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173) % 239 AS seed
+             (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173 AS seed
              FROM documents),
           en AS (SELECT doc_id, w,
                  abs((${fw("(2 * w)")}) - 128)
@@ -2306,9 +2323,12 @@ object EntryOps {
           bd AS (SELECT doc_id, dhash, b AS band,
                  substring(dhash, b * 16 + 1, 16) AS bits
                  FROM h64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          keep AS (SELECT band, bits FROM bd GROUP BY 1, 2
+                   HAVING count(*) <= 64),
+          bdk AS (SELECT bd.* FROM bd JOIN keep USING (band, bits)),
           cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
                    b.doc_id AS id2, b.dhash AS h2
-                   FROM bd a JOIN bd b
+                   FROM bdk a JOIN bdk b
                      ON a.band = b.band AND a.bits = b.bits
                         AND a.doc_id < b.doc_id)
          SELECT id1, id2, hamming FROM (
