@@ -902,6 +902,24 @@ object EntryOps {
   def audioNearDup(spark: SparkSession, dir: String): DataFrame =
     perceptualNearDup(wavDhash(spark, dir))
 
+  /** d15 — image dedup CLUSTERS: d13's perceptual pairs through the same
+    * connected-components machinery the text dedup family runs
+    * ([[graft.ops.Dedup.clusterComponents]], min-label propagation with
+    * the star-contraction fallback) — visually-duplicate image GROUPS with
+    * a canonical min-id representative, proving the perceptual-hash
+    * candidate generators compose with the clustering layer unchanged.
+    */
+  def imageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = imageNearDup(spark, dir)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val ids = dhashAssets(spark, dir)
+      .select(col("asset_id").as("doc_id"))
+    graft.ops.Dedup.clusterComponents(ids, pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("asset_id"))
+  }
+
   /** m11 fixture — spec-valid MPEG audio streams synthesized in-plan from
     * doc_id: version cycles MPEG-1/2/2.5 (doc_id % 3), sample-rate index
     * `(doc_id div 3) % 3`, Layer III bitrate index `doc_id % 14 + 1`,
@@ -1594,6 +1612,54 @@ object EntryOps {
            array_to_string(l[s + 1 : least(s + 40, nw)], ' ') AS chunk_text
          FROM st"""
 
+  /** Shared CTE chain for the image-perceptual-hash oracles (d13 pairs,
+    * d15 clusters): formula-derived dHashes → banded candidates under the
+    * df ≤ 64 cap → Hamming-verified pairs, ending in `prs(id1, id2)`.
+    */
+  private def duckImagePairCtes: String = {
+    def fp(j: String) =
+      s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
+    val ham = (1 to 64).map(i =>
+      s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""dims AS (SELECT doc_id,
+           (doc_id // 10) % 8 + 2 AS w,
+           ((doc_id // 10) * 3) % 8 + 2 AS h,
+           CASE WHEN (doc_id // 10) % 3 != 0 THEN 3 ELSE 1 END AS chans,
+           (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131 AS seed
+           FROM documents),
+        g AS (SELECT doc_id, y, x,
+              CASE WHEN chans = 3
+                   THEN (${fp("(3 * jj)")} + ${fp("(3 * jj + 1)")} + ${fp("(3 * jj + 2)")}) // 3
+                   ELSE ${fp("jj")} END AS gv
+              FROM (SELECT doc_id, chans, seed, y, x,
+                    (y * h // 8) * w + (x * w // 9) AS jj
+                    FROM dims
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS y)
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS x))),
+        bt AS (SELECT a.doc_id, a.y, a.x,
+               CASE WHEN b.gv > a.gv THEN '1' ELSE '0' END AS bit
+               FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y
+                                AND b.x = a.x + 1
+               WHERE a.x < 8),
+        h64 AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+                FROM bt GROUP BY doc_id),
+        bd AS (SELECT doc_id, dhash, b AS band,
+               substring(dhash, b * 16 + 1, 16) AS bits
+               FROM h64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        keep AS (SELECT band, bits FROM bd GROUP BY 1, 2
+                 HAVING count(*) <= 64),
+        bdk AS (SELECT bd.* FROM bd JOIN keep USING (band, bits)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
+                 b.doc_id AS id2, b.dhash AS h2
+                 FROM bdk a JOIN bdk b
+                   ON a.band = b.band AND a.bits = b.bits
+                      AND a.doc_id < b.doc_id),
+        prs AS (SELECT id1, id2, hamming FROM (
+                SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM cand)
+                WHERE hamming <= 3)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
@@ -2241,49 +2307,21 @@ object EntryOps {
          SELECT doc_id AS asset_id, string_agg(bit, '' ORDER BY y, x) AS dhash
          FROM bt GROUP BY doc_id ORDER BY asset_id"""
     },
-    "d13_image_neardup" -> {
-      def fp(j: String) =
-        s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
-      val ham = (1 to 64).map(i =>
-        s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH dims AS (SELECT doc_id,
-             (doc_id // 10) % 8 + 2 AS w,
-             ((doc_id // 10) * 3) % 8 + 2 AS h,
-             CASE WHEN (doc_id // 10) % 3 != 0 THEN 3 ELSE 1 END AS chans,
-             (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 131 AS seed
-             FROM documents),
-          g AS (SELECT doc_id, y, x,
-                CASE WHEN chans = 3
-                     THEN (${fp("(3 * jj)")} + ${fp("(3 * jj + 1)")} + ${fp("(3 * jj + 2)")}) // 3
-                     ELSE ${fp("jj")} END AS gv
-                FROM (SELECT doc_id, chans, seed, y, x,
-                      (y * h // 8) * w + (x * w // 9) AS jj
-                      FROM dims
-                      CROSS JOIN (SELECT unnest(range(0, 8)) AS y)
-                      CROSS JOIN (SELECT unnest(range(0, 9)) AS x))),
-          bt AS (SELECT a.doc_id, a.y, a.x,
-                 CASE WHEN b.gv > a.gv THEN '1' ELSE '0' END AS bit
-                 FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y
-                                  AND b.x = a.x + 1
-                 WHERE a.x < 8),
-          h64 AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
-                  FROM bt GROUP BY doc_id),
-          bd AS (SELECT doc_id, dhash, b AS band,
-                 substring(dhash, b * 16 + 1, 16) AS bits
-                 FROM h64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-          keep AS (SELECT band, bits FROM bd GROUP BY 1, 2
-                   HAVING count(*) <= 64),
-          bdk AS (SELECT bd.* FROM bd JOIN keep USING (band, bits)),
-          cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
-                   b.doc_id AS id2, b.dhash AS h2
-                   FROM bdk a JOIN bdk b
-                     ON a.band = b.band AND a.bits = b.bits
-                        AND a.doc_id < b.doc_id)
-         SELECT id1, id2, hamming FROM (
-           SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM cand)
-         WHERE hamming <= 3 ORDER BY id1, id2"""
-    },
+    "d13_image_neardup" ->
+      s"""WITH $duckImagePairCtes
+         SELECT id1, id2, hamming FROM prs ORDER BY id1, id2""",
+    "d15_image_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckImagePairCtes,
+          ed AS (SELECT id1 AS a, id2 AS b FROM prs
+                 UNION SELECT id2, id1 FROM prs),
+          reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
+                    UNION
+                    SELECT ed.b AS doc, reach.r FROM reach JOIN ed ON reach.doc = ed.a),
+          cl AS (SELECT doc AS asset_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM cl GROUP BY 1)
+         SELECT cl.asset_id, cl.cluster_id, sz.cluster_size
+         FROM cl JOIN sz USING (cluster_id) ORDER BY cl.asset_id""",
     "m13_wav_dhash" -> {
       def fw(j: String) =
         s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
@@ -2844,6 +2882,7 @@ object EntryOps {
     "d13_image_neardup" -> (imageNearDup _),
     "m13_wav_dhash" -> (wavDhash _),
     "d14_audio_neardup" -> (audioNearDup _),
+    "d15_image_dedup_clusters" -> (imageDedupClusters _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),
