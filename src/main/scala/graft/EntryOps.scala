@@ -912,8 +912,9 @@ object EntryOps {
   def imageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = imageNearDup(spark, dir)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
-    val ids = dhashAssets(spark, dir)
-      .select(col("asset_id").as("doc_id"))
+    // the asset universe is documents 1:1 — listing ids through
+    // dhashAssets would re-synthesize every payload just to drop it
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
     graft.ops.Dedup.clusterComponents(ids, pairs)
       .select(col("doc_id").as("asset_id"), col("cluster_id"),
         col("cluster_size"))
