@@ -334,6 +334,71 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-side MEDIA dedup index: one row per asset with its perceptual
+    * hash (a 64-char bitstring from [[graft.functions.PpmDHash]] /
+    * [[graft.functions.WavDHash]]) — the media analog of
+    * [[buildCorpusIndex]], built at ingest cadence and persisted so
+    * arrivals join hashes instead of re-decoding the corpus.
+    */
+  def buildMediaIndex(assets: DataFrame, hash: Column): DataFrame =
+    assets.select(col("asset_id").as("ex_id"), hash.as("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** Perceptual dedup of incoming media against a persisted
+    * [[buildMediaIndex]] table: banded candidate generation (4×16-char
+    * bands, df ≤ `maxBandFreq` cap on the index side — mega-buckets from
+    * low-entropy hash regions are dropped, the [[ngramJaccard]]
+    * `maxDocFreq` discipline), Hamming verification via once-per-row
+    * bitstring→long parsing and codegen'd bit_count(xor), and one verdict
+    * per arrival: `exact` (Hamming 0), `near` (≤ maxHamming, smallest
+    * (hamming, ex_id) match), or `new`. The same equi-join-only shape as
+    * [[dedupAgainstIndex]] — nothing here is all-pairs and nothing
+    * unbounded is broadcast.
+    */
+  def mediaDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
+      maxHamming: Int = 3, maxBandFreq: Int = 64): DataFrame = {
+    def halves(df: DataFrame): DataFrame = df
+      .withColumn("hi", expr("CAST(conv(substring(dhash, 1, 32), 2, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(dhash, 33, 32), 2, 10) AS BIGINT)"))
+    def bands(df: DataFrame): DataFrame = df.select(df.columns.map(col) :+
+      posexplode(array((0 until 4).map(bd =>
+        substring(col("dhash"), bd * 16 + 1, 16)): _*))
+        .as(Seq("band", "bits")): _*)
+    val inb = bands(halves(
+      incoming.filter(col("dhash").isNotNull)
+        .select(col("asset_id"), col("dhash"))))
+      .select(col("asset_id"), col("hi"), col("lo"), col("band"), col("bits"))
+    val exbAll = bands(halves(index.select(col("ex_id"), col("dhash"))))
+      .select(col("ex_id"), col("hi").as("ex_hi"), col("lo").as("ex_lo"),
+        col("band"), col("bits"))
+    val keep = exbAll.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxBandFreq)
+      .select(col("band"), col("bits"))
+    val exb = exbAll.join(keep, Seq("band", "bits"))
+    val best = inb.join(exb, Seq("band", "bits"))
+      .select(col("asset_id"), col("ex_id"),
+        (bit_count(col("hi").bitwiseXOR(col("ex_hi")))
+          + bit_count(col("lo").bitwiseXOR(col("ex_lo"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("asset_id"))
+      .agg(min(struct(col("hamming"), col("ex_id"))).as("m"))
+      .select(col("asset_id"), col("m.ex_id").as("match_id"),
+        col("m.hamming").as("hamming"))
+    // a payload the hash REFUSED is not "new content" — it is unhashable,
+    // and a pipeline must not admit it as a dedup survivor by default
+    incoming.select(col("asset_id"), col("dhash"))
+      .join(best, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        when(col("dhash").isNull, "unhashable")
+          .when(col("hamming") === 0, "exact")
+          .when(col("hamming").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        col("match_id"), col("hamming"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Train/eval CONTAMINATION check — the decontamination join every
     * training-data pipeline runs before a model ships: which training
     * documents contain n-grams of a held-out evaluation document, and how

@@ -164,6 +164,38 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING media dedup against the warehouse — [[dedupArrivals]]' shape
+    * for IMAGES: arriving payloads hash in the micro-batch scan stage
+    * (native `ppm_dhash`; payloads never leave it), then join the PERSISTED
+    * perceptual-hash index ([[graft.ops.Dedup.buildMediaIndex]], re-read
+    * per batch so corpus growth is visible without restart) for
+    * exact / near / new verdicts ([[graft.ops.Dedup
+    * .mediaDedupAgainstIndex]]: banded candidates under the band-frequency
+    * cap, codegen'd Hamming). Zero state-store state; verdicts land
+    * batch-partitioned for idempotent replay.
+    */
+  def dedupImageArrivals(arrivals: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String,
+      maxHamming: Int = 3): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.select(col("path").as("asset_id"),
+          graft.functions.PpmDHash(col("content")).as("dhash"))
+        val verdicts = graft.ops.Dedup.mediaDedupAgainstIndex(
+          hashed, spark.read.parquet(indexPath), maxHamming)
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try verdicts.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
     *

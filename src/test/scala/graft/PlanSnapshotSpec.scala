@@ -64,6 +64,12 @@ class PlanSnapshotSpec extends GraftSpec {
       if (regen) Files.createDirectories(goldenDir)
       val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, build) =>
+          // cached relations registered by OTHER queries (or other suites
+          // sharing the JVM-wide session) substitute InMemoryTableScans
+          // into equivalent subtrees and make the fingerprint depend on
+          // execution history; an empty cache per query is reproducible —
+          // a query's OWN .cache() marks still register during its build
+          spark.catalog.clearCache()
           val fp = fingerprint(
             build(spark, sfDir).queryExecution.executedPlan)
           val file = goldenDir.resolve(s"$name.txt")

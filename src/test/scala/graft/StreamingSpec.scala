@@ -466,6 +466,56 @@ class StreamingSpec extends GraftSpec {
     assert(byExt("bin").isNullAt(byExt("bin").fieldIndex("sum_r")))
   }
 
+  test("streaming image dedup: hash-in-scan verdicts vs persisted index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // spec-built P5 rasters: 16x8, nonlinear pixel patterns per seed
+    def pgm(seed: Int): Array[Byte] =
+      "P5\n16 8\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate[Byte](128)(j => (((seed + j) * (seed + j) * 5
+          + (seed + j) * 3 + seed) % 256).toByte)
+    val in = tmp("imgdedup-in")
+    val idx = tmp("imgdedup-idx").resolve("index").toString
+    val out = tmp("imgdedup-out").toString
+    val corpus = Seq((100L, pgm(7)), (101L, pgm(40))).toDF("asset_id", "payload")
+    graft.ops.Dedup.buildMediaIndex(corpus,
+      graft.functions.PpmDHash(col("payload"))).write.parquet(idx)
+    // arrivals: an exact visual dup of 100, a brand-new pattern, junk bytes
+    Files.write(in.resolve("a_dup.pgm"), pgm(7))
+    Files.write(in.resolve("b_new.pgm"), pgm(90))
+    Files.write(in.resolve("c_junk.bin"), "not an image".getBytes(UTF_8))
+    val arrivals = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(in.toString)
+    val q = LogStream.dedupImageArrivals(arrivals, idx, out,
+      tmp("imgdedup-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    val v = spark.read.parquet(out)
+      .collect().map(r => {
+        val name = r.getAs[String]("asset_id").split('/').last
+        name -> ((r.getAs[String]("verdict"),
+          Option(r.getAs[Any]("match_id")).map(_.toString)))
+      }).toMap
+    assert(v("a_dup.pgm") === (("exact", Some("100"))), s"got $v")
+    assert(v("b_new.pgm")._1 === "new")
+    assert(v("c_junk.bin")._1 === "unhashable",
+      "refused payloads must not be admitted as new content")
+    // verdicts equal the batch operator on the same arrivals
+    val batchIn = Seq(
+      (in.resolve("a_dup.pgm").toString, pgm(7)),
+      (in.resolve("b_new.pgm").toString, pgm(90)),
+      (in.resolve("c_junk.bin").toString, "not an image".getBytes(UTF_8)))
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"),
+        graft.functions.PpmDHash(col("payload")).as("dhash"))
+    val batchV = graft.ops.Dedup.mediaDedupAgainstIndex(
+      batchIn, spark.read.parquet(idx))
+      .collect().map(r => r.getAs[String]("asset_id").split('/').last ->
+        r.getAs[String]("verdict")).toMap
+    assert(batchV === v.map { case (k, (vd, _)) => k -> vd })
+  }
+
   test("streaming dedup against the warehouse: verdicts match batch, index refreshes, zero state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
