@@ -58,6 +58,9 @@ object EntryOps {
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsLsh(emb(spark, dir), minCosine = 0.3)
 
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(spark, dir), minCosine = 0.3)
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -1456,6 +1459,38 @@ object EntryOps {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** Mirror of Similarity.refinedAssignment (s06/d16's shared coarse stage):
+    * CTE chain ending in `asg2(vec_id, embedding, bucket)` and
+    * `ref(cid, ce)` — seed sample, one 2²⁰-quantized Lloyd round, final
+    * assignment, bit-for-bit.
+    */
+  private def duckRefinedAssign: String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                        ORDER BY vec_id LIMIT 8),
+          sc AS (SELECT e.vec_id, e.embedding, c.cid,
+                 ${duckDot("e.embedding", "c.ce")} AS score
+                 FROM embeddings e CROSS JOIN cent c),
+          asg AS (SELECT vec_id, embedding, cid AS bucket FROM (
+                  SELECT vec_id, embedding, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+          qs AS (SELECT bucket, k,
+                 CAST(sum(CAST(floor(CAST(embedding[k] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sq,
+                 count(*) AS cnt
+                 FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+                 GROUP BY 1, 2),
+          ref AS (SELECT bucket AS cid,
+                  list(CAST(sq AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) ORDER BY k) AS ce
+                  FROM qs GROUP BY 1),
+          sc2 AS (SELECT e.vec_id, e.embedding, r.cid,
+                  list_reduce(list_transform(range(1, 65),
+                    k -> CAST(e.embedding[k] AS DOUBLE) * r.ce[k]), (x, y) -> x + y) AS score
+                  FROM embeddings e CROSS JOIN ref r),
+          asg2 AS (SELECT vec_id, embedding, cid AS bucket FROM (
+                   SELECT vec_id, embedding, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                   FROM sc2) WHERE rn = 1)"""
+
   /** Mirror of Dedup's SimHash16 fingerprint: CTE chain ending in
     * `sig(doc_id, simhash)` (same arithmetic as the d04 oracle).
     */
@@ -1960,31 +1995,7 @@ object EntryOps {
            CAST(len(substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32)) // 2 AS BIGINT) AS frame_bytes
          FROM f ORDER BY asset_id, frame_idx""",
     "s06_topk_ivf_centroids" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                        ORDER BY vec_id LIMIT 8),
-          sc AS (SELECT e.vec_id, e.embedding, c.cid,
-                 ${duckDot("e.embedding", "c.ce")} AS score
-                 FROM embeddings e CROSS JOIN cent c),
-          asg AS (SELECT vec_id, embedding, cid AS bucket FROM (
-                  SELECT vec_id, embedding, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
-                  FROM sc) WHERE rn = 1),
-          qs AS (SELECT bucket, k,
-                 CAST(sum(CAST(floor(CAST(embedding[k] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sq,
-                 count(*) AS cnt
-                 FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
-                 GROUP BY 1, 2),
-          ref AS (SELECT bucket AS cid,
-                  list(CAST(sq AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) ORDER BY k) AS ce
-                  FROM qs GROUP BY 1),
-          sc2 AS (SELECT e.vec_id, e.embedding, r.cid,
-                  list_reduce(list_transform(range(1, 65),
-                    k -> CAST(e.embedding[k] AS DOUBLE) * r.ce[k]), (x, y) -> x + y) AS score
-                  FROM embeddings e CROSS JOIN ref r),
-          asg2 AS (SELECT vec_id, embedding, cid AS bucket FROM (
-                   SELECT vec_id, embedding, cid, row_number() OVER (
-                     PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
-                   FROM sc2) WHERE rn = 1),
+      s"""WITH $duckRefinedAssign,
           s AS (SELECT q.vec_id AS query_id, CAST(q.bucket AS BIGINT) AS bucket,
                 c.vec_id AS cand_id,
                 ${duckCosine("q.embedding", "c.embedding")} AS cosine
@@ -2323,6 +2334,38 @@ object EntryOps {
                  FROM cl GROUP BY 1)
          SELECT cl.asset_id, cl.cluster_id, sz.cluster_size
          FROM cl JOIN sz USING (cluster_id) ORDER BY cl.asset_id""",
+    "d16_semantic_dedup" ->
+      s"""WITH $duckRefinedAssign,
+          cn AS (SELECT cid, ce,
+                 sqrt(list_reduce(list_transform(range(1, 65),
+                   k -> ce[k] * ce[k]), (x, y) -> x + y)) AS cnorm
+                 FROM ref),
+          cc AS (SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket,
+                 a.embedding,
+                 list_reduce(list_transform(range(1, 65),
+                   k -> CAST(a.embedding[k] AS DOUBLE) * n.ce[k]), (x, y) -> x + y)
+                   / (sqrt(${duckDot("a.embedding", "a.embedding")}) * n.cnorm)
+                   AS centroid_cos
+                 FROM asg2 a JOIN cn n ON n.cid = a.bucket),
+          p AS (SELECT x.vec_id AS a_id, x.centroid_cos AS a_cc,
+                y.vec_id AS b_id, y.centroid_cos AS b_cc
+                FROM cc x JOIN cc y
+                  ON y.bucket = x.bucket AND y.vec_id != x.vec_id
+                WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.3),
+          v AS (SELECT a_id, CAST(count(*) AS BIGINT) AS n_dups FROM p GROUP BY 1),
+          rm AS (SELECT a_id, b_id AS removed_by FROM (
+                 SELECT a_id, b_id, row_number() OVER (
+                   PARTITION BY a_id ORDER BY b_cc ASC, b_id ASC) AS rn
+                 FROM p WHERE b_cc < a_cc OR (b_cc = a_cc AND b_id < a_id))
+                 WHERE rn = 1)
+         SELECT c.vec_id, c.bucket, c.centroid_cos,
+                COALESCE(v.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+                CASE WHEN rm.removed_by IS NOT NULL
+                     THEN 'removed' ELSE 'kept' END AS action,
+                rm.removed_by
+         FROM cc c LEFT JOIN v ON v.a_id = c.vec_id
+                   LEFT JOIN rm ON rm.a_id = c.vec_id
+         ORDER BY c.vec_id""",
     "m13_wav_dhash" -> {
       def fw(j: String) =
         s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
@@ -2884,6 +2927,7 @@ object EntryOps {
     "m13_wav_dhash" -> (wavDhash _),
     "d14_audio_neardup" -> (audioNearDup _),
     "d15_image_dedup_clusters" -> (imageDedupClusters _),
+    "d16_semantic_dedup" -> (semanticDedup _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -597,4 +597,68 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cosine"))
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** SEMANTIC dedup (Abbas et al., "SemDeDup", 2023): cluster the corpus's
+    * embeddings, then dedup ONLY within clusters — the published recipe for
+    * pruning semantically-redundant (not byte-identical) training data at
+    * web scale. Clustering reuses s06's deterministic machinery
+    * ([[refinedAssignment]]: seed sample → one 2²⁰-quantized Lloyd round →
+    * final assignment), so the oracle reproduces the partition bit-for-bit.
+    *
+    * Within a cluster, (x, y) are semantic duplicates when cosine ≥
+    * `minCosine`. The keep policy is the paper's: rank cluster members by
+    * similarity-to-centroid ASCENDING (ties → smaller vec_id) and keep
+    * low-rank items — the far-from-centroid "edge" examples carry the most
+    * marginal information. An item is `removed` exactly when SOME
+    * duplicate-neighbor ranks before it (a one-pass dominance rule: no
+    * sequential scan, no iteration — the deliberately parallel variant of
+    * the paper's greedy sweep, which only compares against *surviving*
+    * predecessors and therefore removes slightly less; at dedup thresholds
+    * duplicate-neighborhoods are near-cliques and the two rules agree).
+    *
+    * Scale: this is SemDeDup's design point — candidate generation is
+    * cluster-blocked, O(Σ nc²) pairs instead of O(N²), with `nCentroids`
+    * grown ~N/⟨cluster⟩ at corpus scale (the paper runs 50k clusters for
+    * 5B embeddings); the K-row centroid table is the only broadcast, pair
+    * generation is an equi-join shuffling by cluster id, and the dominance
+    * verdict is a per-item aggregation over its own neighbors.
+    */
+  def semanticDedup(emb: DataFrame, minCosine: Double,
+      nCentroids: Int = 8): DataFrame = {
+    val (assigned, refined) = refinedAssignment(emb, nCentroids)
+    // similarity to own (refined, double-valued) centroid: the same fixed
+    // float·double fold refinedAssignment scores with, normalized
+    val cdot = expr("aggregate(zip_with(embedding, centroid, " +
+      "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    val cnorm = expr("sqrt(aggregate(transform(centroid, x -> x * x), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
+    val members = assigned
+      .join(broadcast(refined.withColumnRenamed("cid", "bucket")), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"), col("embedding"),
+        (cdot / (norm2("embedding") * cnorm)).as("centroid_cos"))
+    val x = members.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), norm2("embedding").as("an"),
+      col("centroid_cos").as("a_cc"))
+    val y = members.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), norm2("embedding").as("bn"),
+      col("centroid_cos").as("b_cc"))
+    val pairs = x.join(y, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(dot("ae", "be") / (col("an") * col("bn")) >= minCosine)
+      .select(col("a_id"), col("a_cc"), col("b_id"), col("b_cc"))
+    val verdicts = pairs
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(when(col("b_cc") < col("a_cc")
+            || (col("b_cc") === col("a_cc") && col("b_id") < col("a_id")),
+          struct(col("b_cc"), col("b_id")))).as("dom"))
+    members
+      .join(verdicts.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        col("centroid_cos"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("dom").isNotNull, "removed").otherwise("kept").as("action"),
+        col("dom.b_id").as("removed_by"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -331,6 +331,43 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("semantic dedup: dominance keeps the far-from-centroid edge examples") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.semanticDedup(emb, minCosine = 0.3).collect()
+    assert(out.length === emb.count())
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    out.foreach { r =>
+      val kept = r.getAs[String]("action") == "kept"
+      // removed_by is the verdict's witness: present iff removed
+      assert(kept === (r.get(r.fieldIndex("removed_by")) == null))
+      // an item with no duplicate-neighbors can never be removed
+      if (r.getAs[Long]("n_dups") == 0L) assert(kept)
+      if (!kept) {
+        // the witness is a real cluster-mate that outranks this item under
+        // the SemDeDup policy (lower centroid-cosine survives)
+        val w = byId(r.getAs[Long]("removed_by"))
+        assert(w.getAs[Long]("bucket") === r.getAs[Long]("bucket"))
+        val (wc, rc) = (w.getAs[Double]("centroid_cos"),
+          r.getAs[Double]("centroid_cos"))
+        assert(wc < rc || (wc == rc
+          && w.getAs[Long]("vec_id") < r.getAs[Long]("vec_id")))
+      }
+    }
+    val removed = out.count(_.getAs[String]("action") == "removed")
+    info(s"semantic dedup: $removed of ${out.length} removed")
+    assert(removed > 0, "sf0.001 corpus is known to contain semantic dups")
+    // survivors are duplicate-free among THEMSELVES under the dominance
+    // rule only when neighborhoods are cliques; what IS guaranteed: every
+    // duplicate-pair loses at most one... exactly: of any dup pair, the
+    // earlier-ranked item never names the later as its witness
+    out.filter(_.getAs[String]("action") == "removed").foreach { r =>
+      val w = byId(r.getAs[Long]("removed_by"))
+      assert(!(w.getAs[String]("action") == "removed"
+        && w.getAs[Long]("removed_by") == r.getAs[Long]("vec_id")),
+        "mutual removal witnesses: dominance must be antisymmetric")
+    }
+  }
+
   test("sequence packing: every sequence full, no token lost, slices contiguous") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextAnalysis.packSequences(d, seqLen = 128, shards = 16).collect()
