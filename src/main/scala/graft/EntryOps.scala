@@ -994,6 +994,90 @@ object EntryOps {
         col("f.avg_bitrate_kbps"))
       .orderBy(col("asset_id"))
 
+  /** m14 fixture — spec-valid ISO-BMFF (MP4) files synthesized in-plan from
+    * doc_id: `ftyp` (brand cycling isom/mp42/avc1), `moov` holding a
+    * full-size `mvhd` (v0, or the 64-bit v1 layout when doc_id % 7 = 2;
+    * timescale 600·(doc_id % 4 + 1), duration doc_id % 9000 + 100 units)
+    * and 1–3 `trak`/`mdia`/`hdlr` chains whose handlers cycle
+    * vide/soun/text by (doc_id + t) % 3, plus an `mdat` of 0xAB filler the
+    * walk must SKIP by declared size. Layout and size-encoding branches:
+    * doc_id % 5 = 0 puts mdat BEFORE moov (the streaming-upload layout);
+    * % 19 = 4 gives mdat the 64-bit `size == 1` + largesize header;
+    * % 23 = 6 (when mdat is last and neither of the above) declares
+    * `size == 0` (to-EOF). Refusal branches: % 37 = 11 replaces ftyp with
+    * a `free` box (→ "unknown"); % 17 = 3 omits moov; % 13 = 5 truncates
+    * the final 10 bytes so the last box's declared size overruns EOF;
+    * % 31 = 8 sets timescale 0 (fields intact, duration_ms uncomputable).
+    */
+  def mp4Assets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("nt", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("ts", expr(
+        "IF(doc_id % 31 = 8, 0L, 600L * (doc_id % 4 + 1))"))
+      .withColumn("dur", col("doc_id") % 9000 + 100)
+      .withColumn("v1", col("doc_id") % 7 === 2)
+      .withColumn("mdatFirst", col("doc_id") % 5 === 0)
+      .withColumn("largeMdat", col("doc_id") % 19 === 4)
+      .withColumn("fill", (col("doc_id") % 16 + 12).cast("int"))
+    def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
+    def u64hex(e: String) = s"lpad(hex($e), 16, '0')"
+    val brandHex = "CASE doc_id % 3 WHEN 0 THEN '69736F6D' " +
+      "WHEN 1 THEN '6D703432' ELSE '61766331' END"
+    val ftypHex = s"IF(doc_id % 37 = 11, " +
+      "concat('00000010', '66726565', repeat('00', 8)), " + // free, not ftyp
+      s"concat('00000010', '66747970', $brandHex, '00000000'))"
+    // mvhd v0 (size 108) and v1 (size 120) both trail 80 zero bytes after
+    // the duration (rate/volume/reserved/matrix/pre_defined/next_track_id)
+    val mvhdHex = s"""IF(v1,
+        concat('00000078', '6D766864', '01000000', repeat('00', 16),
+               ${u32hex("ts")}, ${u64hex("dur")}, repeat('00', 80)),
+        concat('0000006C', '6D766864', '00000000', repeat('00', 8),
+               ${u32hex("ts")}, ${u32hex("dur")}, repeat('00', 80)))"""
+    // trak(49) > mdia(41) > hdlr(33): fullbox + pre_defined + handler +
+    // 12 reserved + empty name terminator
+    val trakHex = (0 until 3).map { t =>
+      s"""IF($t < nt, concat('00000031', '7472616B', '00000029', '6D646961',
+            '00000021', '68646C72', '00000000', '00000000',
+            CASE (doc_id + $t) % 3 WHEN 0 THEN '76696465'
+                 WHEN 1 THEN '736F756E' ELSE '74657874' END,
+            repeat('00', 12), '00'), '')"""
+    }.mkString("concat(", ", ", ")")
+    val moovHex = s"""IF(doc_id % 17 = 3,
+        concat('00000010', '66726565', repeat('00', 8)),
+        concat(${u32hex("8 + IF(v1, 120, 108) + nt * 49")}, '6D6F6F76',
+               $mvhdHex, $trakHex))"""
+    val mdatHex = s"""CASE
+        WHEN largeMdat THEN concat('00000001', '6D646174',
+          ${u64hex("16 + fill")}, repeat('AB', fill))
+        WHEN doc_id % 23 = 6 AND NOT mdatFirst AND doc_id % 13 != 5
+          THEN concat('00000000', '6D646174', repeat('AB', fill))
+        ELSE concat(${u32hex("8 + fill")}, '6D646174', repeat('AB', fill))
+        END"""
+    d.withColumn("full_hex", expr(
+        s"""concat($ftypHex, IF(mdatFirst, $mdatHex, ''), $moovHex,
+            IF(mdatFirst, '', $mdatHex))"""))
+      .withColumn("payload_hex", expr(
+        "IF(doc_id % 13 = 5, substring(full_hex, 1, CAST(length(full_hex) - 20 AS INT)), full_hex)"))
+      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m14 — ISO-BMFF box walk over [[mp4Assets]] through the native
+    * `mp4_features` expression. The oracle computes every expected field
+    * (brand, timescale, duration, track inventory — and which docs must
+    * REFUSE) from the doc_id formulas directly, never touching a byte, so
+    * the box walk, the three mdat size encodings, the v0/v1 mvhd layouts,
+    * and the refusal paths are all hash-checked against an independent
+    * derivation.
+    */
+  def mp4Boxes(spark: SparkSession, dir: String): DataFrame =
+    mp4Assets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Mp4Features(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format"), col("f.brand"),
+        col("f.timescale"), col("f.duration_ms"), col("f.track_count"),
+        col("f.video_tracks"), col("f.audio_tracks"))
+      .orderBy(col("asset_id"))
+
   /** m08 fixture — VALID GIF89a payloads synthesized in-plan from doc_id:
     * a 128-color global palette (entry i = (i, 5i%256, 11i%256) — a Scala
     * constant embedded as hex), w/h cycling like m05/m06, pixel j carrying
@@ -2293,6 +2377,32 @@ object EntryOps {
                 ELSE CAST(nf * spf * 1000 // rate AS BIGINT) END AS duration_ms,
            CASE WHEN refused THEN NULL ELSE CAST(br AS BIGINT) END AS avg_bitrate_kbps
          FROM p ORDER BY asset_id""",
+    "m14_mp4_boxes" ->
+      """WITH base AS (SELECT doc_id,
+             doc_id % 3 + 1 AS nt,
+             CASE WHEN doc_id % 31 = 8 THEN 0 ELSE 600 * (doc_id % 4 + 1) END AS ts,
+             doc_id % 9000 + 100 AS dur,
+             doc_id % 37 = 11 AS noftyp,
+             (doc_id % 17 = 3 OR doc_id % 13 = 5) AS refused
+             FROM documents)
+         SELECT doc_id AS asset_id,
+           CASE WHEN noftyp THEN 'unknown' ELSE 'mp4' END AS format,
+           CASE WHEN noftyp THEN NULL
+                ELSE CASE doc_id % 3 WHEN 0 THEN 'isom'
+                     WHEN 1 THEN 'mp42' ELSE 'avc1' END END AS brand,
+           CASE WHEN noftyp OR refused THEN NULL
+                ELSE CAST(ts AS BIGINT) END AS timescale,
+           CASE WHEN noftyp OR refused OR ts = 0 THEN NULL
+                ELSE CAST(dur * 1000 // ts AS BIGINT) END AS duration_ms,
+           CASE WHEN noftyp OR refused THEN NULL
+                ELSE CAST(nt AS BIGINT) END AS track_count,
+           CASE WHEN noftyp OR refused THEN NULL
+                ELSE CAST(len(list_filter(range(0, nt),
+                  t -> (doc_id + t) % 3 = 0)) AS BIGINT) END AS video_tracks,
+           CASE WHEN noftyp OR refused THEN NULL
+                ELSE CAST(len(list_filter(range(0, nt),
+                  t -> (doc_id + t) % 3 = 1)) AS BIGINT) END AS audio_tracks
+         FROM base ORDER BY asset_id""",
     "m12_ppm_dhash" -> {
       def fp(j: String) =
         s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
@@ -2922,6 +3032,7 @@ object EntryOps {
     "m09_gif_anim" -> (gifAnim _),
     "m10_gif_frames" -> (gifFrameTable _),
     "m11_mpeg_frames" -> (mpegFrames _),
+    "m14_mp4_boxes" -> (mp4Boxes _),
     "m12_ppm_dhash" -> (ppmDhash _),
     "d13_image_neardup" -> (imageNearDup _),
     "m13_wav_dhash" -> (wavDhash _),

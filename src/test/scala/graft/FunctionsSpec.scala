@@ -849,6 +849,65 @@ class FunctionsSpec extends GraftSpec {
     assert(viaSql === h.toString)
   }
 
+  test("mp4_features walks ISO-BMFF boxes; mdat skipped by size; refusals honest") {
+    import graft.functions.Mp4Features
+    def u32(x: Long) = Array((x >> 24).toByte, (x >> 16).toByte,
+      (x >> 8).toByte, x.toByte)
+    def u64(x: Long) = u32(x >>> 32) ++ u32(x & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    def ftyp(brand: String) = box("ftyp", brand.getBytes("US-ASCII") ++ u32(0))
+    def mvhd0(ts: Long, dur: Long) = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(ts) ++ u32(dur) ++
+        new Array[Byte](80))
+    def mvhd1(ts: Long, dur: Long) = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++ u32(ts) ++ u64(dur) ++
+        new Array[Byte](80))
+    def hdlr(h: String) = box("hdlr",
+      new Array[Byte](8) ++ h.getBytes("US-ASCII") ++ new Array[Byte](13))
+    def trak(h: String) = box("trak", box("mdia", hdlr(h)))
+    def mdat(k: Int) = box("mdat", Array.fill[Byte](k)(0xab.toByte))
+    def fields(b: Array[Byte]) = {
+      val r = Mp4Features.decode(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+        (2 to 6).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)))
+    }
+    // streaming layout (mdat first), three tracks incl. one with no hdlr:
+    // it counts in track_count but as neither video nor audio
+    val moov = box("moov", mvhd0(600, 3000) ++ trak("vide") ++ trak("soun") ++
+      box("trak", box("mdia", box("free", new Array[Byte](4)))))
+    assert(fields(ftyp("isom") ++ mdat(32) ++ moov) ===
+      (("mp4", "isom", Seq(600L, 5000L, 3L, 1L, 1L))))
+    // v1 (64-bit) mvhd, 64-bit largesize mdat, and a to-EOF final mdat
+    val moov1 = box("moov", mvhd1(1000, 2500) ++ trak("soun"))
+    val large = u32(1) ++ "mdat".getBytes("US-ASCII") ++ u64(16L + 9) ++
+      Array.fill[Byte](9)(0xab.toByte)
+    val toEof = u32(0) ++ "mdat".getBytes("US-ASCII") ++
+      Array.fill[Byte](7)(0xab.toByte)
+    assert(fields(ftyp("mp42") ++ large ++ moov1 ++ toEof) ===
+      (("mp4", "mp42", Seq(1000L, 2500L, 1L, 0L, 1L))))
+    // timescale 0: fields intact, duration_ms uncomputable
+    assert(fields(ftyp("avc1") ++ box("moov", mvhd0(0, 3000) ++ trak("vide"))) ===
+      (("mp4", "avc1", Seq(0L, -1L, 1L, 1L, 0L))))
+    // refusals keep the brand, null the counts: truncated trailing box,
+    // missing moov, undersized mvhd, and a NESTED to-EOF size (only the
+    // final TOP-LEVEL box may omit its size)
+    val whole = ftyp("isom") ++ moov ++ mdat(20)
+    assert(fields(whole.dropRight(10)) === (("mp4", "isom", Seq(-1L, -1L, -1L, -1L, -1L))))
+    assert(fields(ftyp("isom") ++ mdat(8)) ===
+      (("mp4", "isom", Seq(-1L, -1L, -1L, -1L, -1L))))
+    assert(fields(ftyp("isom") ++ box("moov", box("mvhd", new Array[Byte](8)))) ===
+      (("mp4", "isom", Seq(-1L, -1L, -1L, -1L, -1L))))
+    val nestedEof = box("moov", mvhd0(600, 3000) ++ u32(0) ++
+      "trak".getBytes("US-ASCII"))
+    assert(fields(ftyp("isom") ++ nestedEof) ===
+      (("mp4", "isom", Seq(-1L, -1L, -1L, -1L, -1L))))
+    // not ISO-BMFF at all
+    assert(fields("plain text here".getBytes("US-ASCII"))._1 === "unknown")
+    assert(fields(mdat(16) ++ ftyp("isom"))._1 === "unknown")
+  }
+
   test("all binary decoders refuse arbitrary bytes without throwing") {
     // fuzz hardening: a malicious or corrupt payload must land in the
     // honest-refusal path, never an exception (a throw in a codegen'd
@@ -862,6 +921,18 @@ class FunctionsSpec extends GraftSpec {
     val validMpeg = (mpegFrame(3, 3, 9, 0) ++ mpegFrame(3, 3, 9, 0, pad = 1))
     val validPpm = "P6\n3 2\n255\n".getBytes("US-ASCII") ++
       Array.tabulate[Byte](18)(i => (i * 13).toByte)
+    val validMp4 = {
+      def u32b(x: Long) = Array((x >> 24).toByte, (x >> 16).toByte,
+        (x >> 8).toByte, x.toByte)
+      def bx(typ: String, p: Array[Byte]) =
+        u32b(p.length + 8L) ++ typ.getBytes("US-ASCII") ++ p
+      bx("ftyp", "isom".getBytes("US-ASCII") ++ u32b(0)) ++
+        bx("moov", bx("mvhd", Array[Byte](0, 0, 0, 0) ++ u32b(0) ++ u32b(0) ++
+          u32b(600) ++ u32b(1200) ++ new Array[Byte](80)) ++
+          bx("trak", bx("mdia", bx("hdlr", new Array[Byte](8) ++
+            "vide".getBytes("US-ASCII") ++ new Array[Byte](13))))) ++
+        bx("mdat", Array.fill[Byte](11)(0xab.toByte))
+    }
     val prefixes = Seq("GIF89a", "RIFF", "P6\n", "PNG", "BM")
       .map(_.getBytes("ISO-8859-1"))
     val cases: Seq[Array[Byte]] =
@@ -875,7 +946,8 @@ class FunctionsSpec extends GraftSpec {
       (0 until validGif.length).map(validGif.take) ++ // every truncation
       (0 until validWav.length).map(validWav.take) ++
       (0 until validMpeg.length).map(validMpeg.take) ++
-      (0 until validPpm.length).map(validPpm.take)
+      (0 until validPpm.length).map(validPpm.take) ++
+      (0 until validMp4.length).map(validMp4.take)
     cases.zipWithIndex.foreach { case (bytes, i) =>
       try {
         graft.functions.GifFeatures.decode(bytes)
@@ -888,6 +960,7 @@ class FunctionsSpec extends GraftSpec {
         graft.functions.PpmDHash.hash(bytes)
         graft.functions.PngFeatures.decode(bytes)
         graft.functions.MediaDims.parseHeader(bytes)
+        graft.functions.Mp4Features.decode(bytes)
       } catch { case e: Throwable =>
         fail(s"decoder threw on fuzz case $i (len ${bytes.length}): $e")
       }
