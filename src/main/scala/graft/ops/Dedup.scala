@@ -344,6 +344,52 @@ object Dedup {
     assets.select(col("asset_id").as("ex_id"), hash.as("dhash"))
       .filter(col("dhash").isNotNull)
 
+  /** Corpus-side EMBEDDING dedup index — the semantic analog of
+    * [[buildCorpusIndex]]/[[buildMediaIndex]], completing the incremental
+    * family across text, media, and embeddings: one row per vector with its
+    * hyperplane-LSH bucket precomputed, so arrivals join a bucket key
+    * instead of scoring the corpus. Persisted at ingest/compaction cadence.
+    */
+  def buildEmbedIndex(corpus: DataFrame, planes: Int = 4): DataFrame =
+    corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("ex_id"), col("embedding").as("ex_e"),
+        Similarity.hyperplaneBucket("embedding", planes).as("bucket"))
+
+  /** Semantic dedup of incoming vectors against a persisted
+    * [[buildEmbedIndex]] table: candidates are same-bucket pairs (the d06
+    * blocking — an equi-join on the bucket key, never all-pairs), verified
+    * by exact cosine ≥ `minCosine`; the verdict per arrival is `near`
+    * (best match by (cosine desc, ex_id asc)), `new`, or `invalid` for a
+    * null/wrong-dimension embedding (which must not pass as novel content
+    * — the media path's `unhashable` discipline). No `exact` tier: float
+    * cosine of even an identical vector is not reliably 1.0, and a
+    * byte-identity claim belongs to the content-hash index, not this one.
+    */
+  def embedDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
+      minCosine: Double, planes: Int = 4, dims: Int = 64): DataFrame = {
+    val valid = incoming.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === dims)
+    val inb = valid.select(col("vec_id"), col("embedding").as("e"),
+      Similarity.hyperplaneBucket("embedding", planes).as("bucket"))
+    val best = inb.join(index, Seq("bucket"))
+      .withColumn("cosine", Similarity.dot("e", "ex_e")
+        / (sqrt(Similarity.dot("e", "e")) * sqrt(Similarity.dot("ex_e", "ex_e"))))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("cosine")).as("nc"), col("ex_id"))).as("m"))
+      .select(col("vec_id"), col("m.ex_id").as("match_id"),
+        negate(col("m.nc")).as("cosine"))
+    incoming.select(col("vec_id"), col("embedding"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("embedding").isNull || size(col("embedding")) =!= dims,
+          "invalid")
+          .when(col("match_id").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        col("match_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Perceptual dedup of incoming media against a persisted
     * [[buildMediaIndex]] table: banded candidate generation (4×16-char
     * bands, df ≤ `maxBandFreq` cap on the index side — mega-buckets from

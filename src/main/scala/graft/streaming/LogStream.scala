@@ -196,6 +196,35 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING embedding dedup against the warehouse — the third modality
+    * of the incremental family (text [[dedupArrivals]], images
+    * [[dedupImageArrivals]], embeddings here): arriving vectors join the
+    * PERSISTED LSH-bucketed index ([[graft.ops.Dedup.buildEmbedIndex]],
+    * re-read per batch) on the bucket key and verify by exact cosine
+    * ([[graft.ops.Dedup.embedDedupAgainstIndex]]). near / new / invalid
+    * verdicts land batch-partitioned for idempotent replay; zero
+    * state-store state.
+    */
+  def dedupEmbedArrivals(arrivals: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String,
+      minCosine: Double = 0.9): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = graft.ops.Dedup.embedDedupAgainstIndex(
+          batch, spark.read.parquet(indexPath), minCosine)
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try verdicts.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
     *
