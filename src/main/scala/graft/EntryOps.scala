@@ -328,6 +328,9 @@ object EntryOps {
   def unigramScore(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramScore(docs(spark, dir))
 
+  def bigramScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramScore(docs(spark, dir))
+
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusProfile(docs(spark, dir))
 
@@ -2825,6 +2828,25 @@ object EntryOps {
            CAST(min(freq_ppm) AS BIGINT) AS min_freq_ppm,
            CAST(max(freq_ppm) AS BIGINT) AS max_freq_ppm
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "t16_bigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+                    string_split_regex(trim(text), '\s+') AS l FROM documents),
+          bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i + 1])) AS bg
+                 FROM w WHERE len(l) >= 2),
+          model AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+          ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS c1
+                  FROM model GROUP BY 1),
+          probs AS (SELECT m.bg, m.cb * 1000000 // ctx.c1 AS p_ppm
+                    FROM model m JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1)
+         SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(p.p_ppm) // count(*) AS BIGINT) AS avg_p_ppm,
+           CAST(min(p.p_ppm) AS BIGINT) AS min_p_ppm,
+           CAST(max(p.p_ppm) AS BIGINT) AS max_p_ppm
+         FROM bg b JOIN probs p USING (bg)
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "e01_training_corpus" -> {
       import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
       s"""WITH RECURSIVE ${duckClusterCtes()},
@@ -3013,6 +3035,7 @@ object EntryOps {
     "t10_repetition" -> (repetition _),
     "t11_boilerplate" -> (boilerplate _),
     "t12_unigram_lm" -> (unigramScore _),
+    "t16_bigram_lm" -> (bigramScore _),
     "t13_corpus_profile" -> (corpusProfile _),
     "t14_chunking" -> (chunkDocs _),
     "t15_sequence_packing" -> (packSequences _),

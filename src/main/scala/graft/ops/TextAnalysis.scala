@@ -220,6 +220,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM fluency score — the CCNet-style perplexity filter one step
+    * up from [[unigramScore]]: the corpus trains a conditional bigram model
+    * (count(w1 w2) / count(w1 ·) in integer ppm — order sensitivity is what
+    * a unigram model cannot see), and each document is scored by the mean /
+    * min / max conditional probability of its own bigrams. Low avg = the
+    * word ORDER is improbable even when the words are common — word salad,
+    * shuffled scrapes, keyword stuffing.
+    *
+    * Integer-ppm arithmetic end to end (sum-then-divide, like t12), so the
+    * oracle reproduces scores exactly. Plan shape at 100 TB: the bigram
+    * stream partial-aggregates into the model (map-side combine on the
+    * bigram key), context totals partial-aggregate off the MODEL (vocab-
+    * bounded, never the corpus), and both the model join and the doc score
+    * are AQE-skew-joinable equi-joins — never a window over a Zipf-skewed
+    * token key (the t06 discipline). Docs under two words have no bigrams
+    * and are excluded by construction.
+    */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+           (a, b) -> concat(a, ' ', b))""")).as("bg"))
+    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val probs = model.join(ctx, "w1")
+      .select(col("bg"), expr("cb * 1000000 div c1").as("p_ppm"))
+    bg.join(probs, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("avg_p_ppm"),
+        min(col("p_ppm")).as("min_p_ppm"),
+        max(col("p_ppm")).as("max_p_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus profile — the dataset-card rollup a training-data
     * pipeline publishes per provenance bucket: document/token volumes,
     * exact vocabulary size, integer-mille type-token ratio (lexical

@@ -790,6 +790,30 @@ class OpsSpec extends GraftSpec {
     assert(out(0).getAs[Long]("avg_freq_ppm") > out(1).getAs[Long]("avg_freq_ppm"))
   }
 
+  test("bigramScore: improbable word ORDER scores below the common order") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "the quick brown fox jumps"),
+      (4L, "fox the jumps quick brown"), // same WORDS, scrambled order —
+      (5L, "solo")                       // invisible to a unigram model
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramScore(d).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId.contains(5L), "a one-word doc has no bigrams")
+    assert(byId(1L).getAs[Long]("n_bigrams") === 4L)
+    // model: heads the->4, quick->4, brown->3, fox->4, jumps->1; the
+    // common-order doc rides cb 3..4 bigrams, the scramble rides cb 1
+    assert(byId(1L).getAs[Long]("avg_p_ppm") === 875000L)
+    assert(byId(4L).getAs[Long]("avg_p_ppm") === 625000L)
+    assert(byId(4L).getAs[Long]("avg_p_ppm") < byId(1L).getAs[Long]("avg_p_ppm"))
+    assert(byId(1L).getAs[Long]("avg_p_ppm") === byId(2L).getAs[Long]("avg_p_ppm"))
+    // unigramScore, by construction, CANNOT separate docs 1 and 4
+    val uni = TextAnalysis.unigramScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("avg_freq_ppm")).toMap
+    assert(uni(1L) === uni(4L))
+  }
+
   test("tokenBudgetSample: two-stage equals the naive per-stratum cumsum") {
     import org.apache.spark.sql.expressions.Window
     // ground truth: single global window per lang (fine at spec scale)
