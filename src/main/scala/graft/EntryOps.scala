@@ -61,6 +61,20 @@ object EntryOps {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(emb(spark, dir), minCosine = 0.3)
 
+  /** d17 — the incremental EMBEDDING dedup demonstrated as a registered
+    * query: vec_id % 10 == 0 plays the arrival batch, the rest is the
+    * persisted corpus index ([[graft.ops.Dedup.buildEmbedIndex]]); the
+    * same operator the streaming path runs per micro-batch, here
+    * hash-checked end to end.
+    */
+  def embedDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    graft.ops.Dedup.embedDedupAgainstIndex(
+      e.filter(col("vec_id") % 10 === 0),
+      graft.ops.Dedup.buildEmbedIndex(e.filter(col("vec_id") % 10 =!= 0)),
+      minCosine = 0.3)
+  }
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -2479,6 +2493,25 @@ object EntryOps {
          FROM cc c LEFT JOIN v ON v.a_id = c.vec_id
                    LEFT JOIN rm ON rm.a_id = c.vec_id
          ORDER BY c.vec_id""",
+    "d17_embed_dedup_incremental" ->
+      s"""WITH corpus AS (SELECT vec_id AS ex_id, embedding AS ex_e,
+                 ${duckHyperplaneBucket("embedding", 4)} AS bucket
+                 FROM embeddings WHERE vec_id % 10 != 0),
+          arr AS (SELECT vec_id, embedding AS e,
+                 ${duckHyperplaneBucket("embedding", 4)} AS bucket
+                 FROM embeddings WHERE vec_id % 10 = 0),
+          scored AS (SELECT a.vec_id, c.ex_id,
+                 ${duckCosine("a.e", "c.ex_e")} AS cosine
+                 FROM arr a JOIN corpus c ON c.bucket = a.bucket),
+          best AS (SELECT vec_id, ex_id AS match_id, cosine FROM (
+                 SELECT vec_id, ex_id, cosine, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                 FROM scored WHERE cosine >= 0.3) WHERE rn = 1)
+         SELECT a.vec_id,
+           CASE WHEN b.match_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+           b.match_id, b.cosine
+         FROM arr a LEFT JOIN best b ON b.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
     "m13_wav_dhash" -> {
       def fw(j: String) =
         s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
@@ -3062,6 +3095,7 @@ object EntryOps {
     "d14_audio_neardup" -> (audioNearDup _),
     "d15_image_dedup_clusters" -> (imageDedupClusters _),
     "d16_semantic_dedup" -> (semanticDedup _),
+    "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),
