@@ -75,6 +75,12 @@ object EntryOps {
       minCosine = 0.3)
   }
 
+  /** d18 — exact duplicated-substring spans (the ExactSubstr recipe); n=5
+    * word grams, df cap 256 mirroring d02's discipline.
+    */
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(spark, dir), n = 5, maxDocFreq = 256)
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -2512,6 +2518,28 @@ object EntryOps {
            b.match_id, b.cosine
          FROM arr a LEFT JOIN best b ON b.vec_id = a.vec_id
          ORDER BY a.vec_id""",
+    "d18_duplicated_spans" -> {
+      val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                 FROM documents),
+          g AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
+                 i -> CASE WHEN i + 4 <= len(l) THEN $gram END),
+                 x -> x IS NOT NULL) AS gs FROM w),
+          p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
+                 unnest(gs) AS gram FROM g),
+          d AS (SELECT gram FROM p GROUP BY gram
+                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
+          h AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gram)),
+          r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+                 FROM h),
+          s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+                 ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM r)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+                max(pos) + 4 - min(pos) + 1 AS span_tokens,
+                count(*) AS dup_grams
+         FROM s GROUP BY doc_id, run ORDER BY doc_id, span_start"""
+    },
     "m13_wav_dhash" -> {
       def fw(j: String) =
         s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
@@ -3096,6 +3124,7 @@ object EntryOps {
     "d15_image_dedup_clusters" -> (imageDedupClusters _),
     "d16_semantic_dedup" -> (semanticDedup _),
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
+    "d18_duplicated_spans" -> (duplicatedSpans _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -481,6 +481,69 @@ object Dedup {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Positional word n-gram shingles (1 row per POSITION, 1-based) — the
+    * span-detection form of [[shingles]]: positions are kept (and grams NOT
+    * deduplicated) so adjacent duplicated grams can be merged back into
+    * contiguous spans. The tail positions past `size - n + 1` produce NULL
+    * and are filtered, so element k of the filtered array IS the gram
+    * starting at word k — `posexplode` ordinals stay aligned with word
+    * positions.
+    */
+  def positionalShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.withColumn("words", words(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        s"""filter(transform(sequence(1, size(words)), i ->
+              CASE WHEN i + ${n - 1} <= size(words)
+                   THEN ${(0 until n).map(j => s"element_at(words, i + $j)").mkString("concat_ws(' ', ", ", ", ")")}
+              END), x -> x IS NOT NULL)""")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+
+  /** Exact duplicated-substring SPANS — the ExactSubstr half of the
+    * published dedup recipe (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): find the contiguous word ranges of each
+    * document whose every n-gram also appears in at least one OTHER
+    * document. The paper builds a corpus suffix array; the shuffle-native
+    * equivalent is a positional gram inverted index — a gram occurring in
+    * ≥ 2 distinct docs marks all its positions duplicated, and a run of
+    * adjacent duplicated positions p..q is exactly a shared substring of
+    * q - p + n words. Output: one row per maximal span with its word range,
+    * length, and gram count — the rows a surgical span-removal pass (the
+    * paper's remedy, cutting the span but keeping the document) consumes.
+    *
+    * Scale: the gram index is the one large shuffle (the [[ngramJaccard]]
+    * shape), `maxDocFreq` bounds fan-out on boilerplate mega-grams exactly
+    * like d02 — dropping a gram in thousands of docs loses nothing, such
+    * text is boilerplate handled by [[TextAnalysis]]'s t11 route. The only
+    * windows are per-doc (bounded by document length, never corpus-wide);
+    * run-merging is lag + running-sum, not a self-join. Cross-doc only by
+    * design: within-doc repetition is t10's repetition signal, not dedup.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // the positional index feeds both the df aggregation and the join back
+    val pos = positionalShingles(docs, n).cache()
+    val dup = pos.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select(col("gram"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(dup, "gram").select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("run", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"),
+        col("dup_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * PAIRS into dedup GROUPS (a chain a~b~c must collapse to ONE canonical
     * survivor even when a and c never paired directly). Iterative min-label

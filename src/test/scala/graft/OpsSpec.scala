@@ -454,6 +454,43 @@ class OpsSpec extends GraftSpec {
       }
   }
 
+  test("duplicatedSpans merges adjacent cross-doc grams into maximal spans") {
+    // docs 1/2 share "c d e f g h" (6 words); with n=3 that is 4 adjacent
+    // duplicated grams starting at word 3 of each doc. doc 3 shares nothing
+    // contiguous; doc 4 repeats a gram WITHIN itself only (within-doc
+    // repetition is t10's signal, not a span here).
+    val d = Seq(
+      (1L, "a1 b1 c d e f g h i1 j1"),
+      (2L, "a2 b2 c d e f g h i2 j2"),
+      (3L, "p q r s t u v w"),
+      (4L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, n = 3)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "dup_grams")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 3L, 8L, 6L, 4L), (2L, 3L, 8L, 6L, 4L)))
+    // two SEPARATE shared regions in one doc stay two spans (the run breaks)
+    val d2 = Seq(
+      (1L, "c d e x1 y1 z1 f g h"),
+      (2L, "c d e x2 y2 z2 f g h")
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.duplicatedSpans(d2, n = 3)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect()
+    assert(out2.toSeq === Seq((1L, 1L, 3L), (1L, 7L, 9L),
+      (2L, 1L, 3L), (2L, 7L, 9L)))
+    // the df cap drops boilerplate grams: "c d e" in all three docs vanishes
+    // at maxDocFreq = 2 while the 2-doc "f g h" span survives
+    val d3 = Seq(
+      (1L, "c d e k1 f g h"),
+      (2L, "c d e k2 f g h"),
+      (3L, "c d e k3 q r s")
+    ).toDF("doc_id", "text")
+    val out3 = Dedup.duplicatedSpans(d3, n = 3, maxDocFreq = 2)
+      .select("doc_id", "span_start").as[(Long, Long)].collect()
+    assert(out3.toSeq === Seq((1L, 5L), (2L, 5L)))
+  }
+
   test("clusterComponents collapses chains to min-id groups, keeps singletons") {
     // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
     // singleton 20; edges deliberately listed max-id-first to prove the
