@@ -81,6 +81,13 @@ object EntryOps {
   def duplicatedSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSpans(docs(spark, dir), n = 5, maxDocFreq = 256)
 
+  /** d19 — the ExactSubstr REMEDY over d18's spans: cut every span of
+    * ≥ 10 tokens, keep the documents.
+    */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(docs(spark, dir), n = 5, minSpanTokens = 10,
+      maxDocFreq = 256)
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -1558,6 +1565,31 @@ object EntryOps {
           x -> x IS NOT NULL))) AS gram FROM w)"""
   }
 
+  /** Positional-gram duplicated-span chain (mirror of
+    * Dedup.duplicatedSpans, n=5, df cap 256): CTEs `w` (words), `p`
+    * (positional grams, zipped unnest), `h` (duplicated positions), `s`
+    * (positions with run ids) — d18 aggregates `s` to spans, d19 carries
+    * the chain on through span removal.
+    */
+  private def duckSpanChain: String = {
+    val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM documents),
+        g AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
+            i -> CASE WHEN i + 4 <= len(l) THEN $gram END),
+            x -> x IS NOT NULL) AS gs FROM w),
+        p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
+            unnest(gs) AS gram FROM g),
+        d AS (SELECT gram FROM p GROUP BY gram
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
+        h AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gram)),
+        r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+            PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+            FROM h),
+        s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM r)"""
+  }
+
   /** Sequential-fold dot product (mirror of Similarity.dot). */
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, 65),
@@ -2518,28 +2550,32 @@ object EntryOps {
            b.match_id, b.cosine
          FROM arr a LEFT JOIN best b ON b.vec_id = a.vec_id
          ORDER BY a.vec_id""",
-    "d18_duplicated_spans" -> {
-      val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-                 FROM documents),
-          g AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
-                 i -> CASE WHEN i + 4 <= len(l) THEN $gram END),
-                 x -> x IS NOT NULL) AS gs FROM w),
-          p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
-                 unnest(gs) AS gram FROM g),
-          d AS (SELECT gram FROM p GROUP BY gram
-                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
-          h AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gram)),
-          r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
-                 PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
-                 FROM h),
-          s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-                 ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM r)
+    "d18_duplicated_spans" ->
+      s"""WITH $duckSpanChain
          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
                 max(pos) + 4 - min(pos) + 1 AS span_tokens,
                 count(*) AS dup_grams
-         FROM s GROUP BY doc_id, run ORDER BY doc_id, span_start"""
-    },
+         FROM s GROUP BY doc_id, run ORDER BY doc_id, span_start""",
+    "d19_span_scrub" ->
+      s"""WITH $duckSpanChain,
+          sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b
+                 FROM s GROUP BY doc_id, run
+                 HAVING max(pos) + 4 - min(pos) + 1 >= 10),
+          ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+          cu AS (SELECT doc_id, list(DISTINCT wpos) AS cut FROM
+                 (SELECT doc_id, unnest(range(a, b + 1)) AS wpos FROM sp)
+                 GROUP BY doc_id),
+          rb AS (SELECT w.doc_id, coalesce(ns.n_spans, 0) AS n_spans,
+                 len(l) AS orig_tokens,
+                 list_filter(list_transform(range(1, len(l) + 1), i ->
+                   CASE WHEN cu.cut IS NULL OR NOT list_contains(cu.cut, i)
+                        THEN l[i] END), x -> x IS NOT NULL) AS kept
+                 FROM w LEFT JOIN cu ON cu.doc_id = w.doc_id
+                        LEFT JOIN ns ON ns.doc_id = w.doc_id)
+         SELECT doc_id, n_spans, orig_tokens, len(kept) AS kept_tokens,
+                orig_tokens - len(kept) AS removed_tokens,
+                coalesce(array_to_string(kept, ' '), '') AS text_clean
+         FROM rb ORDER BY doc_id""",
     "m13_wav_dhash" -> {
       def fw(j: String) =
         s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
@@ -3125,6 +3161,7 @@ object EntryOps {
     "d16_semantic_dedup" -> (semanticDedup _),
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
+    "d19_span_scrub" -> (spanScrub _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

@@ -520,7 +520,16 @@ object Dedup {
     * design: within-doc repetition is t10's repetition signal, not dedup.
     */
   def duplicatedSpans(docs: DataFrame, n: Int,
-      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+      maxDocFreq: Long = Long.MaxValue): DataFrame =
+    duplicatedSpansCore(docs, n, maxDocFreq)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** [[duplicatedSpans]] without the presentation sort — the composition
+    * form ([[removeDuplicatedSpans]] re-aggregates by doc_id immediately,
+    * so a range exchange between the two would be pure waste).
+    */
+  private def duplicatedSpansCore(docs: DataFrame, n: Int,
+      maxDocFreq: Long): DataFrame = {
     // the positional index feeds both the df aggregation and the join back
     val pos = positionalShingles(docs, n).cache()
     val dup = pos.groupBy(col("gram"))
@@ -541,7 +550,52 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"),
         col("dup_grams"))
-      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Surgical span removal — the ExactSubstr REMEDY (Lee et al. 2022 cut
+    * the duplicated substring and keep the document, rather than dropping
+    * whole near-dup docs): every word position covered by a
+    * [[duplicatedSpans]] span of ≥ `minSpanTokens` tokens is cut, the rest
+    * of the document survives verbatim in order. Output: one row per doc
+    * with the scrubbed text, span/token accounting, and the original
+    * length — the downstream quality gate then judges the POST-cut length.
+    *
+    * Scale: spans expand to covered word positions via one bounded explode
+    * (Σ span lengths ≤ corpus tokens), collapse to a per-doc position set
+    * (grouped on doc_id — the same key the span aggregation already
+    * shuffled on), and the rebuild is a per-row array filter fused into the
+    * scan: no shuffle beyond [[duplicatedSpans]]' own plus the one doc_id
+    * set aggregation. The rebuilt text is whitespace-normalized (single
+    * spaces) — a fixed point of the tokenization every text op here uses.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int, minSpanTokens: Long,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // ONE aggregation yields both the span count and the covered-position
+    // set (spans expand per row via sequence + flatten — no second explode
+    // branch, so the d18 subtree is evaluated exactly once; spans per doc
+    // are bounded by doc length, so the flattened set is too)
+    val perDoc = duplicatedSpansCore(docs, n, maxDocFreq)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        array_distinct(flatten(collect_list(
+          sequence(col("span_start"), col("span_end"))))).as("cut"))
+    docs.withColumn("words", words(col("text")))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("words"), col("cut"))
+      .withColumn("kept", expr(
+        """filter(transform(sequence(1, size(words)), i ->
+             CASE WHEN cut IS NULL OR NOT array_contains(cut, CAST(i AS BIGINT))
+                  THEN element_at(words, i) END), x -> x IS NOT NULL)"""))
+      .select(col("doc_id"), col("n_spans"),
+        size(col("words")).cast("long").as("orig_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (size(col("words")) - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+      .orderBy(col("doc_id"))
   }
 
   /** Connected components over a near-dup pair list — the step that turns

@@ -491,6 +491,23 @@ class OpsSpec extends GraftSpec {
     assert(out3.toSeq === Seq((1L, 5L), (2L, 5L)))
   }
 
+  test("removeDuplicatedSpans cuts long shared spans, keeps short ones") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-word overlap
+    val d = Seq(
+      (1L, s"u1 $shared v1 w1"),
+      (2L, s"u2 $shared v2 w2"),
+      (3L, "a b c d e x1 y1 z1"), // 5-word overlap → span below threshold
+      (4L, "a b c d e x2 y2 z2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, n = 3, minSpanTokens = 10)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 13L, 3L, 10L, "u1 v1 w1"),
+      (2L, 1L, 13L, 3L, 10L, "u2 v2 w2"),
+      (3L, 0L, 8L, 8L, 0L, "a b c d e x1 y1 z1"),
+      (4L, 0L, 8L, 8L, 0L, "a b c d e x2 y2 z2")))
+  }
+
   test("clusterComponents collapses chains to min-id groups, keeps singletons") {
     // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
     // singleton 20; edges deliberately listed max-id-first to prove the
