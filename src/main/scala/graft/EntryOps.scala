@@ -88,6 +88,20 @@ object EntryOps {
     Dedup.removeDuplicatedSpans(docs(spark, dir), n = 5, minSpanTokens = 10,
       maxDocFreq = 256)
 
+  /** d20 — the incremental substring check demonstrated as a registered
+    * query (the d17 convention: doc_id % 10 == 0 plays the arrival batch,
+    * the rest is the persisted [[graft.ops.Dedup.buildGramIndex]]); the
+    * same operator [[graft.streaming.LogStream.spanCheckArrivals]] runs
+    * per micro-batch.
+    */
+  def spanCheckIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.spanCheckAgainstIndex(
+      d.filter(col("doc_id") % 10 === 0),
+      Dedup.buildGramIndex(d.filter(col("doc_id") % 10 =!= 0), n = 5),
+      n = 5)
+  }
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -1571,24 +1585,36 @@ object EntryOps {
     * (positions with run ids) — d18 aggregates `s` to spans, d19 carries
     * the chain on through span removal.
     */
-  private def duckSpanChain: String = {
+  /** Positional 5-gram CTEs `w`/`g`/`p` (mirror of
+    * Dedup.positionalShingles) over `documents` rows matching `where`.
+    */
+  private def duckPositional(where: String = ""): String = {
     val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
     s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-            FROM documents),
+            FROM documents $where),
         g AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
             i -> CASE WHEN i + 4 <= len(l) THEN $gram END),
             x -> x IS NOT NULL) AS gs FROM w),
         p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
-            unnest(gs) AS gram FROM g),
-        d AS (SELECT gram FROM p GROUP BY gram
-            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
-        h AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gram)),
-        r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+            unnest(gs) AS gram FROM g)"""
+  }
+
+  /** Run-merge CTEs `r`/`s` over duplicated positions `h` (mirror of
+    * Dedup.mergeRuns); span rows aggregate from `s` GROUP BY doc_id, run.
+    */
+  private def duckRunMerge: String =
+    s"""r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
             PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
             FROM h),
         s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
             ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM r)"""
-  }
+
+  private def duckSpanChain: String =
+    s"""${duckPositional()},
+        d AS (SELECT gram FROM p GROUP BY gram
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
+        h AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gram)),
+        $duckRunMerge"""
 
   /** Sequential-fold dot product (mirror of Similarity.dot). */
   private def duckDot(a: String, b: String): String =
@@ -2576,6 +2602,21 @@ object EntryOps {
                 orig_tokens - len(kept) AS removed_tokens,
                 coalesce(array_to_string(kept, ' '), '') AS text_clean
          FROM rb ORDER BY doc_id""",
+    "d20_span_check_incremental" -> {
+      val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
+      s"""WITH ${duckPositional("WHERE doc_id % 10 = 0")},
+          cw AS (SELECT string_split_regex(trim(text), '\\s+') AS l
+                 FROM documents WHERE doc_id % 10 != 0),
+          ci AS (SELECT DISTINCT unnest(list_filter(list_transform(
+                 range(1, len(l) + 1), i -> CASE WHEN i + 4 <= len(l)
+                 THEN $gram END), x -> x IS NOT NULL)) AS gram FROM cw),
+          h AS (SELECT p.doc_id, p.pos FROM p JOIN ci USING (gram)),
+          $duckRunMerge
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+                max(pos) + 4 - min(pos) + 1 AS span_tokens,
+                count(*) AS dup_grams
+         FROM s GROUP BY doc_id, run ORDER BY doc_id, span_start"""
+    },
     "m13_wav_dhash" -> {
       def fw(j: String) =
         s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
@@ -3162,6 +3203,7 @@ object EntryOps {
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
     "d19_span_scrub" -> (spanScrub _),
+    "d20_span_check_incremental" -> (spanCheckIncremental _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

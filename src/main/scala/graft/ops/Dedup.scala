@@ -536,8 +536,18 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDocFreq)
       .select(col("gram"))
+    mergeRuns(pos.join(dup, "gram"), n)
+  }
+
+  /** Run-merge of duplicated gram positions into maximal spans: a run of
+    * adjacent positions (lag + running-sum over the per-doc window, bounded
+    * by doc length) aggregates to one [start, end + n - 1] span row. The
+    * doc_id exchange introduced for the windows is reused by the span
+    * aggregation.
+    */
+  private def mergeRuns(hits: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos.join(dup, "gram").select(col("doc_id"), col("pos"))
+    hits.select(col("doc_id"), col("pos"))
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) === 1, 0L)
           .otherwise(1L))
@@ -551,6 +561,33 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_tokens"),
         col("dup_grams"))
   }
+
+  /** Corpus-side GRAM index for incremental substring dedup — one row per
+    * DISTINCT corpus gram (no positions, no doc ids: membership is the
+    * only question an arrival asks, and a one-row-per-gram index makes the
+    * arrival join fan-out exactly 1 — no `maxDocFreq` cap needed, unlike
+    * [[duplicatedSpans]] where gram df drives a pair explosion). Built at
+    * ingest/compaction cadence and persisted, completing the
+    * incremental-index family ([[buildCorpusIndex]] text hashes,
+    * [[buildMediaIndex]] perceptual, [[buildEmbedIndex]] vectors) with
+    * substring membership.
+    */
+  def buildGramIndex(corpus: DataFrame, n: Int): DataFrame =
+    shingles(corpus, n).select(col("gram")).distinct()
+
+  /** Duplicated-substring spans of an incoming batch AGAINST the persisted
+    * corpus [[buildGramIndex]] — the incremental form of
+    * [[duplicatedSpans]]: an arrival's word range whose every n-gram
+    * already exists somewhere in the corpus is content the corpus already
+    * has (the ExactSubstr contamination check at ingest time, before the
+    * batch is admitted). Same output schema as [[duplicatedSpans]];
+    * arrival-vs-arrival duplication is deliberately out of scope here
+    * ([[dedupAgainst]]'s cross-batch machinery owns that).
+    */
+  def spanCheckAgainstIndex(incoming: DataFrame, index: DataFrame,
+      n: Int): DataFrame =
+    mergeRuns(positionalShingles(incoming, n).join(index, "gram"), n)
+      .orderBy(col("doc_id"), col("span_start"))
 
   /** Surgical span removal — the ExactSubstr REMEDY (Lee et al. 2022 cut
     * the duplicated substring and keep the document, rather than dropping

@@ -196,6 +196,36 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING duplicated-substring check against the warehouse — the
+    * fourth member of the incremental family (text hashes
+    * [[dedupArrivals]], images [[dedupImageArrivals]], embeddings
+    * [[dedupEmbedArrivals]], substrings here): each arriving document's
+    * positional grams join the PERSISTED distinct-gram index
+    * ([[graft.ops.Dedup.buildGramIndex]], re-read per batch so corpus
+    * growth is visible without restart), and runs of corpus-known grams
+    * merge to spans ([[graft.ops.Dedup.spanCheckAgainstIndex]]) — the
+    * ingest-time ExactSubstr gate. Span rows land batch-partitioned for
+    * idempotent replay; zero state-store state.
+    */
+  def spanCheckArrivals(arrivals: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, n: Int = 5): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val spans = graft.ops.Dedup.spanCheckAgainstIndex(
+          batch, spark.read.parquet(indexPath), n)
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try spans.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** STREAMING embedding dedup against the warehouse — the third modality
     * of the incremental family (text [[dedupArrivals]], images
     * [[dedupImageArrivals]], embeddings here): arriving vectors join the

@@ -466,6 +466,42 @@ class StreamingSpec extends GraftSpec {
     assert(byExt("bin").isNullAt(byExt("bin").fieldIndex("sum_r")))
   }
 
+  test("streaming span check: corpus-known substring spans per arrival") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("spancheck-in")
+    val idx = tmp("spancheck-idx").resolve("index").toString
+    val out = tmp("spancheck-out").toString
+    val shared = (1 to 6).map(i => s"c$i").mkString(" ") // 6 corpus words
+    val corpus = Seq((100L, s"pre $shared post tail"), (101L, "other words here"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.buildGramIndex(corpus, n = 3).write.parquet(idx)
+    // arrival 1 embeds the corpus substring mid-doc; arrival 2 is novel
+    Files.writeString(in.resolve("b1.json"), Seq(
+      s"""{"doc_id":1,"text":"a1 b1 $shared y1 z1"}""",
+      """{"doc_id":2,"text":"totally novel content stream"}"""
+    ).mkString("", "\n", "\n"))
+    val arrivals = spark.readStream
+      .schema("doc_id LONG, text STRING").json(in.toString)
+    val q = LogStream.spanCheckArrivals(arrivals, idx, out,
+      tmp("spancheck-ck").toString, n = 3)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // "c1..c6" sits at words 3..8 of arrival 1 — grams at positions 3..6
+    assert(rows === Seq((1L, 3L, 8L, 6L)))
+    // batch parity on the same arrivals
+    val batchIn = Seq((1L, s"a1 b1 $shared y1 z1"),
+      (2L, "totally novel content stream")).toDF("doc_id", "text")
+    val bv = graft.ops.Dedup.spanCheckAgainstIndex(
+      batchIn, spark.read.parquet(idx), n = 3)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bv === rows)
+  }
+
   test("streaming embedding dedup: LSH-bucketed verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
