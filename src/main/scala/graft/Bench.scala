@@ -40,12 +40,16 @@ object Bench {
     *  - e03: e02's sequences + t15's packing arithmetic (its oracle shares
     *    e02's chain verbatim) — benching it re-runs the whole composed
     *    pipeline a second time to measure a per-row cut computation that
-    *    t15 already prices.
+    *    t15 already prices;
+    *  - e04: e02's pipeline with d19's span scrub prepended (its oracle
+    *    shares both chains) — benching it re-runs e02 AND the scrub to
+    *    measure a composition whose stages d19 and e02 each price.
     */
   private def headline: Seq[String] =
     SparkEntry.queries.keys.toSeq
       .filterNot(Set("d05_embed_neardup", "d07_simhash_neardup",
-        "m10_gif_frames", "d12_dedup_clusters_star", "e03_packed_corpus"))
+        "m10_gif_frames", "d12_dedup_clusters_star", "e03_packed_corpus",
+        "e04_training_sequences_scrubbed"))
       .sorted
 
   def main(args: Array[String]): Unit = {

@@ -445,10 +445,41 @@ object EntryOps {
     * fuse into the scan; every shuffle is an equi-join or key-partitioned
     * window of the dedup/budget machinery itself.
     */
-  def trainingSequences(spark: SparkSession, dir: String): DataFrame = {
+  def trainingSequences(spark: SparkSession, dir: String): DataFrame =
+    trainingSequencesFrom(plantedCorpus(docs(spark, dir)))
+
+  /** e04 — e02 with the ExactSubstr stage a production run adds FIRST:
+    * within-train duplicated spans of ≥ 10 tokens are surgically cut
+    * ([[graft.ops.Dedup.removeDuplicatedSpans]]) before decontamination,
+    * near-dup clustering, gating, budgeting, and chunking. Scrub is
+    * train-side only — the eval set is never rewritten, and an
+    * eval-planted snippet occurs once in the train index (df = 1) so the
+    * decontamination stage keeps its job; what the scrub removes is the
+    * corpus's own cross-document boilerplate, which would otherwise
+    * survive doc-level near-dup entirely.
+    */
+  def trainingSequencesScrubbed(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedCorpus(docs(spark, dir))
+    val evalDocs = planted.filter(col("doc_id") % 100 === 0)
+    val train = planted.filter(col("doc_id") % 100 =!= 0)
+    // a fully-scrubbed doc is empty content — drop it here, as a real run
+    // does (downstream quality scoring divides by n_chars)
+    val scrubbed = Dedup
+      .removeDuplicatedSpans(train.select(col("doc_id"), col("text")),
+        n = 5, minSpanTokens = 10, maxDocFreq = 256)
+      .filter(col("text_clean") =!= "")
+      .select(col("doc_id"), col("text_clean"))
+    val train2 = train.drop("text").join(scrubbed, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("text_clean").as("text"))
+    trainingSequencesFrom(
+      evalDocs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .unionByName(train2))
+  }
+
+  private def trainingSequencesFrom(planted: DataFrame): DataFrame = {
     val budget = 4000L
     val saltBuckets = 64
-    val planted = plantedCorpus(docs(spark, dir))
     // stage 1: production-gram-length decontamination
     val contaminatedIds = Dedup
       .contamination(planted.select(col("doc_id"), col("text")),
@@ -1742,9 +1773,14 @@ object EntryOps {
     * e02 emits the sequences directly; e03 wraps them in one more CTE and
     * packs them ([[duckE02Ctes]] keeps the two oracles from drifting).
     */
-  private def duckE02Ctes: String = {
-    import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
-    val gram8 = (0 until 8).map(j => s"l8[i + $j]").mkString(" || ' ' || ")
+  private def duckE02Ctes: String =
+    s"""${duckPlantedCtes},
+          ${duckE02Body("corpus")}"""
+
+  /** Planted-corpus CTEs `ev0`/`corpus` shared by e02/e03/e04 (mirror of
+    * plantedCorpus).
+    */
+  private def duckPlantedCtes: String =
     s"""ev0 AS (SELECT doc_id AS ev_id,
                   array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
                   FROM documents WHERE doc_id % 100 = 0),
@@ -1752,15 +1788,23 @@ object EntryOps {
                   CASE WHEN d.doc_id % 100 != 0 AND d.doc_id % 23 = 1
                             AND ev0.snippet IS NOT NULL
                        THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
-                  FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
-          w8 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l8 FROM corpus),
+                  FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id)"""
+
+  /** The e02 pipeline body (decontaminate → cluster → gate → mask →
+    * budget → chunk prep) over any corpus CTE with (doc_id, lang, source,
+    * text) — e02 runs it on `corpus`, e04 on the span-scrubbed `corpus2`.
+    */
+  private def duckE02Body(corpus: String): String = {
+    import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+    val gram8 = (0 until 8).map(j => s"l8[i + $j]").mkString(" || ' ' || ")
+    s"""w8 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l8 FROM $corpus),
           tri8 AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
                    range(1, len(l8) + 1), i -> CASE WHEN i + 7 <= len(l8) THEN $gram8 END),
                    x -> x IS NOT NULL))) AS gram FROM w8),
           evg AS (SELECT doc_id AS eval_id, gram FROM tri8 WHERE doc_id % 100 = 0),
           contam AS (SELECT DISTINCT t.doc_id FROM tri8 t
                      JOIN evg ON t.gram = evg.gram WHERE t.doc_id % 100 != 0),
-          train AS (SELECT c.* FROM corpus c
+          train AS (SELECT c.* FROM $corpus c
                     WHERE c.doc_id % 100 != 0
                       AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
           ${duckClusterCtes("train")},
@@ -1802,6 +1846,49 @@ object EntryOps {
                  len(string_split_regex(trim(masked), '\\s+')) AS nw FROM kept),
           st AS (SELECT *, unnest(list_filter(range(0, nw, 30),
                    s -> s = 0 OR nw - s > 10)) AS s FROM cw)"""
+  }
+
+  /** Within-train span scrub over `corpus` → `corpus2` (mirror of e04's
+    * stage 0): train-side duplicated spans (n=5, df ≤ 256, ≥ 10 tokens)
+    * are cut, eval rows pass through verbatim. s-prefixed CTE names stay
+    * clear of the e02 body's namespace.
+    */
+  private def duckScrubCtes: String = {
+    val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
+    s"""tr0 AS (SELECT doc_id, lang, source, text FROM corpus
+             WHERE doc_id % 100 != 0),
+        sw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+             FROM tr0),
+        sg AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
+             i -> CASE WHEN i + 4 <= len(l) THEN $gram END),
+             x -> x IS NOT NULL) AS gs FROM sw),
+        sp0 AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
+             unnest(gs) AS gram FROM sg),
+        sd AS (SELECT gram FROM sp0 GROUP BY gram
+             HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
+        sh AS (SELECT sp0.doc_id, sp0.pos FROM sp0 JOIN sd USING (gram)),
+        sr AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+             PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+             FROM sh),
+        ss AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM sr),
+        sn AS (SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b
+             FROM ss GROUP BY doc_id, run
+             HAVING max(pos) + 4 - min(pos) + 1 >= 10),
+        sc AS (SELECT doc_id, list(DISTINCT wpos) AS cut FROM
+             (SELECT doc_id, unnest(range(a, b + 1)) AS wpos FROM sn)
+             GROUP BY doc_id),
+        scr AS (SELECT t.doc_id, t.lang, t.source,
+             coalesce(array_to_string(list_filter(list_transform(
+               range(1, len(sw.l) + 1), i ->
+               CASE WHEN sc.cut IS NULL OR NOT list_contains(sc.cut, i)
+                    THEN sw.l[i] END), x -> x IS NOT NULL), ' '), '') AS text
+             FROM tr0 t JOIN sw ON sw.doc_id = t.doc_id
+                        LEFT JOIN sc ON sc.doc_id = t.doc_id),
+        corpus2 AS (SELECT doc_id, lang, source, text FROM corpus
+                    WHERE doc_id % 100 = 0
+                    UNION ALL SELECT doc_id, lang, source, text FROM scr
+                    WHERE text != '')"""
   }
 
   private val duckE02Select: String =
@@ -3021,6 +3108,11 @@ object EntryOps {
     "e02_training_sequences" ->
       s"""WITH RECURSIVE $duckE02Ctes
          $duckE02Select ORDER BY doc_id, chunk_idx""",
+    "e04_training_sequences_scrubbed" ->
+      s"""WITH RECURSIVE ${duckPlantedCtes},
+          ${duckScrubCtes},
+          ${duckE02Body("corpus2")}
+         $duckE02Select ORDER BY doc_id, chunk_idx""",
     "e03_packed_corpus" ->
       s"""WITH RECURSIVE $duckE02Ctes,
           seqs AS ($duckE02Select),
@@ -3180,6 +3272,7 @@ object EntryOps {
     "q37_mixture_sample" -> (mixtureSample _),
     "e01_training_corpus" -> (trainingCorpus _),
     "e02_training_sequences" -> (trainingSequences _),
+    "e04_training_sequences_scrubbed" -> (trainingSequencesScrubbed _),
     "e03_packed_corpus" -> (packedCorpus _),
     "q36_token_budget_sample" -> (tokenBudgetSample _),
     "m01_multimodal" -> (multimodal _),
