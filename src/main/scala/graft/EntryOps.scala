@@ -372,6 +372,32 @@ object EntryOps {
   def bigramScore(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramScore(docs(spark, dir))
 
+  /** t17 — the classifier runs on a PLANTED corpus (the e02 plantedCorpus
+    * discipline): the synthetic documents' vocabularies are identical
+    * across sources by construction (verified: 31/31 shared words between
+    * any two sources), so raw accuracy is chance and the query would
+    * demonstrate nothing. Docs with doc_id % 3 != 2 get a triple
+    * provenance-marker token appended — tagged docs become learnable
+    * (the marker's smoothed weight dominates), untagged docs stay at
+    * chance, and the output's `correct` column exposes exactly that
+    * split. The oracle plants identically.
+    *
+    * The held-out split is `(doc_id div 20) % 5` — NOT `doc_id % 5`: the
+    * synthetic labels are `src(doc_id % 20)`, so a mod-5 split would put
+    * every doc of the four src{0,5,10,15} sources in the test set and
+    * leave them unlearnable (observed: 0/100 accuracy). Dividing by the
+    * label period first makes the split stratify across all 20 sources.
+    */
+  def sourceClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val tag = concat(lit(" tag_"), col("source"),
+      lit(" tag_"), col("source"), lit(" tag_"), col("source"))
+    TextAnalysis.sourceClassifier(
+      docs(spark, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 =!= 2, concat(col("text"), tag))
+          .otherwise(col("text")).as("text")),
+      isTest = expr("(doc_id div 20) % 5 = 0"))
+  }
+
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusProfile(docs(spark, dir))
 
@@ -3072,6 +3098,51 @@ object EntryOps {
            CAST(max(p.p_ppm) AS BIGINT) AS max_p_ppm
          FROM bg b JOIN probs p USING (bg)
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "t17_source_classifier" ->
+      """WITH pl AS (SELECT doc_id, source,
+                  CASE WHEN doc_id % 3 != 2
+                       THEN text || ' tag_' || source || ' tag_' || source
+                                 || ' tag_' || source
+                       ELSE text END AS text
+                  FROM documents),
+          tr AS (SELECT doc_id, source,
+                  unnest(string_split_regex(trim(text), '\s+')) AS w
+                  FROM pl WHERE (doc_id // 20) % 5 != 0),
+          te AS (SELECT doc_id, source,
+                  unnest(string_split_regex(trim(text), '\s+')) AS w
+                  FROM pl WHERE (doc_id // 20) % 5 = 0),
+          v0 AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tr),
+          m AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+                FROM tr GROUP BY source, w),
+          b AS (SELECT s0.source AS m_source,
+                CAST(1000000 // (s0.cs + v0.v) AS BIGINT) AS base_ppm,
+                s0.cs, v0.v
+                FROM (SELECT source, CAST(sum(csw) AS BIGINT) AS cs
+                      FROM m GROUP BY source) s0, v0),
+          wt AS (SELECT b.m_source, m.w,
+                 CAST((m.csw + 1) * 1000000 // (b.cs + b.v) AS BIGINT) AS w_ppm
+                 FROM m JOIN b ON m.source = b.m_source),
+          pres AS (SELECT te.doc_id, wt.m_source,
+                   CAST(sum(wt.w_ppm) AS BIGINT) AS present_sum,
+                   CAST(count(*) AS BIGINT) AS present_cnt
+                   FROM te JOIN wt ON te.w = wt.w
+                   GROUP BY te.doc_id, wt.m_source),
+          dt AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens
+                 FROM te GROUP BY doc_id, source),
+          sc AS (SELECT dt.doc_id, dt.source, b.m_source, dt.n_tokens,
+                 coalesce(p.present_sum, 0)
+                   + (dt.n_tokens - coalesce(p.present_cnt, 0)) * b.base_ppm
+                   AS score_ppm
+                 FROM dt CROSS JOIN b
+                 LEFT JOIN pres p ON p.doc_id = dt.doc_id
+                                 AND p.m_source = b.m_source),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_ppm DESC, m_source ASC) AS rn FROM sc)
+         SELECT doc_id, source, m_source AS predicted, n_tokens,
+                CAST(score_ppm AS BIGINT) AS score_ppm,
+                CAST(CASE WHEN m_source = source THEN 1 ELSE 0 END AS BIGINT)
+                  AS correct
+         FROM rk WHERE rn = 1 ORDER BY doc_id""",
     "e01_training_corpus" -> {
       import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
       s"""WITH RECURSIVE ${duckClusterCtes()},
@@ -3266,6 +3337,7 @@ object EntryOps {
     "t11_boilerplate" -> (boilerplate _),
     "t12_unigram_lm" -> (unigramScore _),
     "t16_bigram_lm" -> (bigramScore _),
+    "t17_source_classifier" -> (sourceClassifier _),
     "t13_corpus_profile" -> (corpusProfile _),
     "t14_chunking" -> (chunkDocs _),
     "t15_sequence_packing" -> (packSequences _),

@@ -258,6 +258,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Supervised SOURCE classification — the fasttext-style provenance
+    * classifier a training-data pipeline runs to detect mislabeled or
+    * shifted content: an add-1-smoothed multinomial scorer trained on the
+    * corpus's own source labels and applied to the held-out `isTest`
+    * split (injectable, like [[graft.ops.Dedup.contamination]]'s isEval —
+    * the caller must pick a split INDEPENDENT of the label, or held-out
+    * sources are unlearnable by construction). Per word and source the smoothed likelihood
+    * `(c(s,w) + 1) / (c(s) + V)` lives in integer ppm space (floor-div),
+    * so per-doc scores are ORDER-INDEPENDENT long sums — the cross-engine
+    * parity discipline of [[unigramScore]]; the additive-ppm objective
+    * (Σ p rather than Σ log p) is a deliberate trade for that integer
+    * parity, and the argmax resolves ties by (score desc, source asc).
+    * Unseen (source, word) pairs contribute the source's smoothed base
+    * `1 / (c(s) + V)` — accounted in closed form as
+    * `(n_tokens − n_present) · base(s)`, never materialized per token.
+    *
+    * Plan at 100 TB: the model is a map-side-partial (source, word)
+    * groupBy; scoring joins the token stream on the word key
+    * (AQE-skew-joinable); the per-source table (cardinality = number of
+    * provenance buckets) is the ONLY broadcast; the argmax window is per
+    * test doc over that bounded source list, never a corpus-wide key.
+    */
+  def sourceClassifier(docs: DataFrame, isTest: Column): DataFrame = {
+    def toks(d: DataFrame) = d.select(col("doc_id"), col("source"),
+      explode(Dedup.words(col("text"))).as("w"))
+    val tr = toks(docs.filter(!isTest))
+    val te = toks(docs.filter(isTest))
+    val vocab = tr.agg(countDistinct(col("w")).as("v"))
+    val model = tr.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("csw"))
+    val bases = model.groupBy(col("source")).agg(sum(col("csw")).as("cs"))
+      .crossJoin(broadcast(vocab))
+      .select(col("source").as("m_source"),
+        expr("1000000 div (cs + v)").as("base_ppm"),
+        col("cs"), col("v"))
+    val weights = model
+      .join(bases, col("source") === col("m_source"))
+      .select(col("m_source"), col("w"),
+        expr("(csw + 1) * 1000000 div (cs + v)").as("w_ppm"))
+    val present = te.join(weights, "w")
+      .groupBy(col("doc_id"), col("m_source"))
+      .agg(sum(col("w_ppm")).as("present_sum"),
+        count(lit(1)).as("present_cnt"))
+    val docTok = te.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val scores = docTok
+      .crossJoin(broadcast(bases.select(col("m_source"), col("base_ppm"))))
+      .join(present, Seq("doc_id", "m_source"), "left")
+      .select(col("doc_id"), col("source"), col("m_source"), col("n_tokens"),
+        (coalesce(col("present_sum"), lit(0L)) +
+          (col("n_tokens") - coalesce(col("present_cnt"), lit(0L)))
+            * col("base_ppm")).as("score_ppm"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("m_source").asc)
+    scores.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("m_source").as("predicted"),
+        col("n_tokens"), col("score_ppm"),
+        when(col("m_source") === col("source"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus profile — the dataset-card rollup a training-data
     * pipeline publishes per provenance bucket: document/token volumes,
     * exact vocabulary size, integer-mille type-token ratio (lexical

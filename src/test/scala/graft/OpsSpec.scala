@@ -454,6 +454,22 @@ class OpsSpec extends GraftSpec {
       }
   }
 
+  test("sourceClassifier predicts from smoothed token likelihoods") {
+    // train = doc_id % 5 != 0, test = % 5 == 0; sources have disjoint vocab
+    val d = Seq(
+      (1L, "A", "apple apple banana"), (2L, "A", "apple fruit"),
+      (3L, "B", "rust iron metal"), (4L, "B", "iron rust"),
+      (5L, "A", "apple banana"),        // test: clearly A
+      (10L, "B", "iron metal rust"),    // test: clearly B
+      (15L, "B", "zz yy")               // test: all-unseen → tie → min source
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceClassifier(d, isTest = $"doc_id" % 5 === 0)
+      .select("doc_id", "predicted", "correct")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((5L, "A", 1L), (10L, "B", 1L), (15L, "A", 0L)),
+      "unseen-vocab doc must tie-break to the alphabetically first source")
+  }
+
   test("duplicatedSpans merges adjacent cross-doc grams into maximal spans") {
     // docs 1/2 share "c d e f g h" (6 words); with n=3 that is 4 adjacent
     // duplicated grams starting at word 3 of each doc. doc 3 shares nothing
