@@ -69,8 +69,19 @@ object EntryOps {
     */
   def embedDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // two in-plan refusal arrivals exercise the operator's `invalid` tier
+    // (the media path's planted-corrupt-payload discipline — a refusal
+    // route that no fixture row reaches is an unchecked claim): a null
+    // vector and a wrong-dimension vector, mirrored in the oracle
+    val refusals = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                CAST(NULL AS ARRAY<FLOAT>) AS embedding
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT),
+                CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""")
     graft.ops.Dedup.embedDedupAgainstIndex(
-      e.filter(col("vec_id") % 10 === 0),
+      e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding")).unionByName(refusals),
       graft.ops.Dedup.buildEmbedIndex(e.filter(col("vec_id") % 10 =!= 0)),
       minCosine = 0.3)
   }
@@ -474,36 +485,41 @@ object EntryOps {
   def trainingSequences(spark: SparkSession, dir: String): DataFrame =
     trainingSequencesFrom(plantedCorpus(docs(spark, dir)))
 
-  /** e04 — e02 with the ExactSubstr stage a production run adds FIRST:
-    * within-train duplicated spans of ≥ 10 tokens are surgically cut
-    * ([[graft.ops.Dedup.removeDuplicatedSpans]]) before decontamination,
-    * near-dup clustering, gating, budgeting, and chunking. Scrub is
-    * train-side only — the eval set is never rewritten, and an
-    * eval-planted snippet occurs once in the train index (df = 1) so the
-    * decontamination stage keeps its job; what the scrub removes is the
-    * corpus's own cross-document boilerplate, which would otherwise
-    * survive doc-level near-dup entirely.
+  /** e04 — e02 with the ExactSubstr scrub stage composed in, ordered
+    * decontaminate-FIRST: contaminated docs are dropped whole (e02's
+    * stage 1), THEN the surviving train set's duplicated spans of
+    * ≥ 10 tokens are surgically cut
+    * ([[graft.ops.Dedup.removeDuplicatedSpans]]) before near-dup
+    * clustering, gating, budgeting, and chunking. The order is
+    * load-bearing, not stylistic: an eval-planted snippet lands in
+    * SEVERAL train docs per century (df 4-5 — inside the scrub's 2..256
+    * cap), so scrubbing first would cut the overlap out of the train
+    * side and silently disarm the decontamination gate (verified: 21
+    * contaminated docs caught pre-scrub, 0 post-scrub). Decontaminating
+    * first drops those docs entirely — the strictly safer remedy for
+    * eval overlap — and leaves the scrub its real job: the train set's
+    * own cross-document boilerplate, which doc-level near-dup cannot
+    * see. Fully-scrubbed (empty) docs drop before quality scoring
+    * (its char-ratio terms divide by length).
     */
-  def trainingSequencesScrubbed(spark: SparkSession, dir: String): DataFrame = {
-    val planted = plantedCorpus(docs(spark, dir))
-    val evalDocs = planted.filter(col("doc_id") % 100 === 0)
-    val train = planted.filter(col("doc_id") % 100 =!= 0)
-    // a fully-scrubbed doc is empty content — drop it here, as a real run
-    // does (downstream quality scoring divides by n_chars)
-    val scrubbed = Dedup
-      .removeDuplicatedSpans(train.select(col("doc_id"), col("text")),
-        n = 5, minSpanTokens = 10, maxDocFreq = 256)
-      .filter(col("text_clean") =!= "")
-      .select(col("doc_id"), col("text_clean"))
-    val train2 = train.drop("text").join(scrubbed, "doc_id")
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("text_clean").as("text"))
-    trainingSequencesFrom(
-      evalDocs.select(col("doc_id"), col("lang"), col("source"), col("text"))
-        .unionByName(train2))
-  }
+  def trainingSequencesScrubbed(spark: SparkSession, dir: String): DataFrame =
+    trainingSequencesFrom(plantedCorpus(docs(spark, dir)), scrubTrain = { tr =>
+      val scrubbed = Dedup
+        .removeDuplicatedSpans(tr.select(col("doc_id"), col("text")),
+          n = 5, minSpanTokens = 10, maxDocFreq = 256)
+        .filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean"))
+      // cache the post-scrub boundary: it feeds every downstream stage
+      // (edges, components, quality, mask, final join), replacing the
+      // decontaminated boundary as the one a real run materializes
+      tr.drop("text").join(scrubbed, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("text_clean").as("text"))
+        .cache()
+    })
 
-  private def trainingSequencesFrom(planted: DataFrame): DataFrame = {
+  private def trainingSequencesFrom(planted: DataFrame,
+      scrubTrain: DataFrame => DataFrame = identity): DataFrame = {
     val budget = 4000L
     val saltBuckets = 64
     // stage 1: production-gram-length decontamination
@@ -515,9 +531,9 @@ object EntryOps {
     // boundary; without it the 8-gram shingle join above is re-executed by
     // every downstream consumer (edges, components, quality, mask, final
     // join — measured 6× the cached cost at bench scale).
-    val train = planted.filter(col("doc_id") % 100 =!= 0)
+    val train = scrubTrain(planted.filter(col("doc_id") % 100 =!= 0)
       .join(contaminatedIds, Seq("doc_id"), "left_anti")
-      .cache()
+      .cache())
     // stage 2: near-dup dedup over the decontaminated train set
     val survivors = Dedup
       .clusterComponents(train,
@@ -1636,42 +1652,45 @@ object EntryOps {
           x -> x IS NOT NULL))) AS gram FROM w)"""
   }
 
-  /** Positional-gram duplicated-span chain (mirror of
-    * Dedup.duplicatedSpans, n=5, df cap 256): CTEs `w` (words), `p`
-    * (positional grams, zipped unnest), `h` (duplicated positions), `s`
-    * (positions with run ids) — d18 aggregates `s` to spans, d19 carries
-    * the chain on through span removal.
+  /** Positional 5-gram CTEs `{x}w`/`{x}g`/`{x}p` (mirror of
+    * Dedup.positionalShingles) over any `source` relation with
+    * (doc_id, text); the `x` prefix keeps multiple chains in one query
+    * from colliding.
     */
-  /** Positional 5-gram CTEs `w`/`g`/`p` (mirror of
-    * Dedup.positionalShingles) over `documents` rows matching `where`.
-    */
-  private def duckPositional(where: String = ""): String = {
+  private def duckPositional(x: String = "", source: String = "documents"): String = {
     val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
-    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-            FROM documents $where),
-        g AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
+    s"""${x}w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM $source),
+        ${x}g AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
             i -> CASE WHEN i + 4 <= len(l) THEN $gram END),
-            x -> x IS NOT NULL) AS gs FROM w),
-        p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
-            unnest(gs) AS gram FROM g)"""
+            x -> x IS NOT NULL) AS gs FROM ${x}w),
+        ${x}p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
+            unnest(gs) AS gram FROM ${x}g)"""
   }
 
-  /** Run-merge CTEs `r`/`s` over duplicated positions `h` (mirror of
-    * Dedup.mergeRuns); span rows aggregate from `s` GROUP BY doc_id, run.
+  /** Run-merge CTEs `{x}r`/`{x}s` over duplicated positions `{x}h` (mirror
+    * of Dedup.mergeRuns); span rows aggregate from `{x}s` GROUP BY
+    * doc_id, run.
     */
-  private def duckRunMerge: String =
-    s"""r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+  private def duckRunMerge(x: String = ""): String =
+    s"""${x}r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
             PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
-            FROM h),
-        s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-            ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM r)"""
+            FROM ${x}h),
+        ${x}s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM ${x}r)"""
 
-  private def duckSpanChain: String =
-    s"""${duckPositional()},
-        d AS (SELECT gram FROM p GROUP BY gram
+  /** Within-corpus duplicated-position chain `{x}w`..`{x}s` (mirror of
+    * Dedup.duplicatedSpansCore, n=5, df cap 256) over `source`; callers
+    * aggregate `{x}s` to spans (d18) or carry it through removal
+    * (d19/e04).
+    */
+  private def duckSpanChain(x: String = "", source: String = "documents"): String =
+    s"""${duckPositional(x, source)},
+        ${x}d AS (SELECT gram FROM ${x}p GROUP BY gram
             HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
-        h AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gram)),
-        $duckRunMerge"""
+        ${x}h AS (SELECT ${x}p.doc_id, ${x}p.pos FROM ${x}p
+            JOIN ${x}d USING (gram)),
+        ${duckRunMerge(x)}"""
 
   /** Sequential-fold dot product (mirror of Similarity.dot). */
   private def duckDot(a: String, b: String): String =
@@ -1820,8 +1839,14 @@ object EntryOps {
     * budget → chunk prep) over any corpus CTE with (doc_id, lang, source,
     * text) — e02 runs it on `corpus`, e04 on the span-scrubbed `corpus2`.
     */
-  private def duckE02Body(corpus: String): String = {
-    import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+  private def duckE02Body(corpus: String): String =
+    s"""${duckDecontamCtes(corpus)},
+          ${duckPipelineCtes("train")}"""
+
+  /** Stage-1 decontamination CTEs over `corpus` → `train` (n=8 gram
+    * overlap against the % 100 eval split, contaminated docs DROPPED).
+    */
+  private def duckDecontamCtes(corpus: String): String = {
     val gram8 = (0 until 8).map(j => s"l8[i + $j]").mkString(" || ' ' || ")
     s"""w8 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l8 FROM $corpus),
           tri8 AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
@@ -1832,8 +1857,16 @@ object EntryOps {
                      JOIN evg ON t.gram = evg.gram WHERE t.doc_id % 100 != 0),
           train AS (SELECT c.* FROM $corpus c
                     WHERE c.doc_id % 100 != 0
-                      AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
-          ${duckClusterCtes("train")},
+                      AND c.doc_id NOT IN (SELECT doc_id FROM contam))"""
+  }
+
+  /** Stages 2-5 (cluster → gate → mask → budget → chunk prep) over any
+    * decontaminated `train` relation — e02 runs them on `train`, e04 on
+    * the span-scrubbed `train3`.
+    */
+  private def duckPipelineCtes(train: String): String = {
+    import graft.ops.TextAnalysis.{emailRe, ipv4Re, phoneRe}
+    s"""${duckClusterCtes(train)},
           sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
           surv AS (SELECT cl.doc_id, sz.cluster_size
                    FROM cl JOIN sz USING (cluster_id)
@@ -1847,17 +1880,17 @@ object EntryOps {
                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
                   CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS n_stopwords
-                  FROM train)),
+                  FROM $train)),
           p AS (SELECT doc_id,
                 regexp_replace(regexp_replace(regexp_replace(text,
                   '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
                   '$ipv4Re', '<IP>', 'g') AS masked
-                FROM train),
+                FROM $train),
           gated AS (SELECT t.doc_id, t.lang, t.source, surv.cluster_size,
                     CAST(floor(q.score * 1000) AS BIGINT) AS quality_mille,
                     p.masked,
                     CAST(len(string_split_regex(trim(p.masked), '\\s+')) AS BIGINT) AS tokens
-                    FROM train t
+                    FROM $train t
                     JOIN surv ON t.doc_id = surv.doc_id
                     JOIN q ON t.doc_id = q.doc_id
                     JOIN p ON t.doc_id = p.doc_id
@@ -1874,48 +1907,28 @@ object EntryOps {
                    s -> s = 0 OR nw - s > 10)) AS s FROM cw)"""
   }
 
-  /** Within-train span scrub over `corpus` → `corpus2` (mirror of e04's
-    * stage 0): train-side duplicated spans (n=5, df ≤ 256, ≥ 10 tokens)
-    * are cut, eval rows pass through verbatim. s-prefixed CTE names stay
-    * clear of the e02 body's namespace.
+  /** Post-decontamination span scrub over `train` → `train3` (mirror of
+    * e04's stage 2): within-train duplicated spans (n=5, df <= 256,
+    * >= 10 tokens) are cut via the shared `duckSpanChain` with the `s`
+    * prefix (clear of the pipeline body's CTE namespace), fully-scrubbed
+    * (empty) docs are dropped.
     */
-  private def duckScrubCtes: String = {
-    val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
-    s"""tr0 AS (SELECT doc_id, lang, source, text FROM corpus
-             WHERE doc_id % 100 != 0),
-        sw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-             FROM tr0),
-        sg AS (SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1),
-             i -> CASE WHEN i + 4 <= len(l) THEN $gram END),
-             x -> x IS NOT NULL) AS gs FROM sw),
-        sp0 AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
-             unnest(gs) AS gram FROM sg),
-        sd AS (SELECT gram FROM sp0 GROUP BY gram
-             HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256),
-        sh AS (SELECT sp0.doc_id, sp0.pos FROM sp0 JOIN sd USING (gram)),
-        sr AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
-             PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
-             FROM sh),
-        ss AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-             ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM sr),
+  private def duckScrubCtes: String =
+    s"""${duckSpanChain("s", "train")},
         sn AS (SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b
              FROM ss GROUP BY doc_id, run
              HAVING max(pos) + 4 - min(pos) + 1 >= 10),
         sc AS (SELECT doc_id, list(DISTINCT wpos) AS cut FROM
              (SELECT doc_id, unnest(range(a, b + 1)) AS wpos FROM sn)
              GROUP BY doc_id),
-        scr AS (SELECT t.doc_id, t.lang, t.source,
+        train2 AS (SELECT t.doc_id, t.lang, t.source,
              coalesce(array_to_string(list_filter(list_transform(
                range(1, len(sw.l) + 1), i ->
                CASE WHEN sc.cut IS NULL OR NOT list_contains(sc.cut, i)
                     THEN sw.l[i] END), x -> x IS NOT NULL), ' '), '') AS text
-             FROM tr0 t JOIN sw ON sw.doc_id = t.doc_id
+             FROM train t JOIN sw ON sw.doc_id = t.doc_id
                         LEFT JOIN sc ON sc.doc_id = t.doc_id),
-        corpus2 AS (SELECT doc_id, lang, source, text FROM corpus
-                    WHERE doc_id % 100 = 0
-                    UNION ALL SELECT doc_id, lang, source, text FROM scr
-                    WHERE text != '')"""
-  }
+        train3 AS (SELECT * FROM train2 WHERE text != '')"""
 
   private val duckE02Select: String =
     """SELECT doc_id,
@@ -2673,10 +2686,15 @@ object EntryOps {
     "d17_embed_dedup_incremental" ->
       s"""WITH corpus AS (SELECT vec_id AS ex_id, embedding AS ex_e,
                  ${duckHyperplaneBucket("embedding", 4)} AS bucket
-                 FROM embeddings WHERE vec_id % 10 != 0),
-          arr AS (SELECT vec_id, embedding AS e,
-                 ${duckHyperplaneBucket("embedding", 4)} AS bucket
-                 FROM embeddings WHERE vec_id % 10 = 0),
+                 FROM embeddings
+                 WHERE vec_id % 10 != 0 AND embedding IS NOT NULL),
+          arr0 AS (SELECT vec_id, embedding AS e FROM embeddings
+                 WHERE vec_id % 10 = 0
+                 UNION ALL SELECT CAST(-1 AS BIGINT), NULL
+                 UNION ALL SELECT CAST(-2 AS BIGINT),
+                   [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)]),
+          arr AS (SELECT vec_id, e, ${duckHyperplaneBucket("e", 4)} AS bucket
+                 FROM arr0 WHERE e IS NOT NULL AND len(e) = 64),
           scored AS (SELECT a.vec_id, c.ex_id,
                  ${duckCosine("a.e", "c.ex_e")} AS cosine
                  FROM arr a JOIN corpus c ON c.bucket = a.bucket),
@@ -2685,18 +2703,20 @@ object EntryOps {
                    PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
                  FROM scored WHERE cosine >= 0.3) WHERE rn = 1)
          SELECT a.vec_id,
-           CASE WHEN b.match_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+           CASE WHEN a.e IS NULL OR len(a.e) != 64 THEN 'invalid'
+                WHEN b.match_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
            b.match_id, b.cosine
-         FROM arr a LEFT JOIN best b ON b.vec_id = a.vec_id
+         FROM arr0 a LEFT JOIN best b ON b.vec_id = a.vec_id
          ORDER BY a.vec_id""",
     "d18_duplicated_spans" ->
-      s"""WITH $duckSpanChain
+      s"""WITH ${duckSpanChain()}
          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
                 max(pos) + 4 - min(pos) + 1 AS span_tokens,
                 count(*) AS dup_grams
          FROM s GROUP BY doc_id, run ORDER BY doc_id, span_start""",
     "d19_span_scrub" ->
-      s"""WITH $duckSpanChain,
+      s"""WITH ${duckSpanChain()},
           sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b
                  FROM s GROUP BY doc_id, run
                  HAVING max(pos) + 4 - min(pos) + 1 >= 10),
@@ -2717,14 +2737,14 @@ object EntryOps {
          FROM rb ORDER BY doc_id""",
     "d20_span_check_incremental" -> {
       val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
-      s"""WITH ${duckPositional("WHERE doc_id % 10 = 0")},
+      s"""WITH ${duckPositional(source = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)")},
           cw AS (SELECT string_split_regex(trim(text), '\\s+') AS l
                  FROM documents WHERE doc_id % 10 != 0),
           ci AS (SELECT DISTINCT unnest(list_filter(list_transform(
                  range(1, len(l) + 1), i -> CASE WHEN i + 4 <= len(l)
                  THEN $gram END), x -> x IS NOT NULL)) AS gram FROM cw),
           h AS (SELECT p.doc_id, p.pos FROM p JOIN ci USING (gram)),
-          $duckRunMerge
+          ${duckRunMerge()}
          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
                 max(pos) + 4 - min(pos) + 1 AS span_tokens,
                 count(*) AS dup_grams
@@ -3181,8 +3201,9 @@ object EntryOps {
          $duckE02Select ORDER BY doc_id, chunk_idx""",
     "e04_training_sequences_scrubbed" ->
       s"""WITH RECURSIVE ${duckPlantedCtes},
+          ${duckDecontamCtes("corpus")},
           ${duckScrubCtes},
-          ${duckE02Body("corpus2")}
+          ${duckPipelineCtes("train3")}
          $duckE02Select ORDER BY doc_id, chunk_idx""",
     "e03_packed_corpus" ->
       s"""WITH RECURSIVE $duckE02Ctes,
