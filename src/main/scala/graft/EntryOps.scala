@@ -113,6 +113,18 @@ object EntryOps {
       n = 5)
   }
 
+  /** d21 — d20's detection composed with d19's remedy: arrivals are
+    * scrubbed of corpus-known spans (≥ 10 tokens) before admission; only
+    * genuinely novel content enters. Same % 10 split as d17/d20.
+    */
+  def spanScrubIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.spanScrubAgainstIndex(
+      d.filter(col("doc_id") % 10 === 0),
+      Dedup.buildGramIndex(d.filter(col("doc_id") % 10 =!= 0), n = 5),
+      n = 5, minSpanTokens = 10)
+  }
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -1907,6 +1919,34 @@ object EntryOps {
                    s -> s = 0 OR nw - s > 10)) AS s FROM cw)"""
   }
 
+  /** Scrub-tail CTEs `sp`/`ns`/`cu`/`rb` (mirror of Dedup.scrubSpans,
+    * min span 10): read the run CTE `s` and words CTE `w` emitted by the
+    * ""-prefixed chain helpers; the final projection is
+    * [[duckScrubSelect]]. Shared by d19 (within-corpus spans) and d21
+    * (corpus-known spans of arrivals).
+    */
+  private def duckScrubTail: String =
+    s"""sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b
+                 FROM s GROUP BY doc_id, run
+                 HAVING max(pos) + 4 - min(pos) + 1 >= 10),
+          ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+          cu AS (SELECT doc_id, list(DISTINCT wpos) AS cut FROM
+                 (SELECT doc_id, unnest(range(a, b + 1)) AS wpos FROM sp)
+                 GROUP BY doc_id),
+          rb AS (SELECT w.doc_id, coalesce(ns.n_spans, 0) AS n_spans,
+                 len(l) AS orig_tokens,
+                 list_filter(list_transform(range(1, len(l) + 1), i ->
+                   CASE WHEN cu.cut IS NULL OR NOT list_contains(cu.cut, i)
+                        THEN l[i] END), x -> x IS NOT NULL) AS kept
+                 FROM w LEFT JOIN cu ON cu.doc_id = w.doc_id
+                        LEFT JOIN ns ON ns.doc_id = w.doc_id)"""
+
+  private val duckScrubSelect: String =
+    """SELECT doc_id, n_spans, orig_tokens, len(kept) AS kept_tokens,
+                orig_tokens - len(kept) AS removed_tokens,
+                coalesce(array_to_string(kept, ' '), '') AS text_clean
+         FROM rb ORDER BY doc_id"""
+
   /** Post-decontamination span scrub over `train` → `train3` (mirror of
     * e04's stage 2): within-train duplicated spans (n=5, df <= 256,
     * >= 10 tokens) are cut via the shared `duckSpanChain` with the `s`
@@ -2717,24 +2757,21 @@ object EntryOps {
          FROM s GROUP BY doc_id, run ORDER BY doc_id, span_start""",
     "d19_span_scrub" ->
       s"""WITH ${duckSpanChain()},
-          sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b
-                 FROM s GROUP BY doc_id, run
-                 HAVING max(pos) + 4 - min(pos) + 1 >= 10),
-          ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
-          cu AS (SELECT doc_id, list(DISTINCT wpos) AS cut FROM
-                 (SELECT doc_id, unnest(range(a, b + 1)) AS wpos FROM sp)
-                 GROUP BY doc_id),
-          rb AS (SELECT w.doc_id, coalesce(ns.n_spans, 0) AS n_spans,
-                 len(l) AS orig_tokens,
-                 list_filter(list_transform(range(1, len(l) + 1), i ->
-                   CASE WHEN cu.cut IS NULL OR NOT list_contains(cu.cut, i)
-                        THEN l[i] END), x -> x IS NOT NULL) AS kept
-                 FROM w LEFT JOIN cu ON cu.doc_id = w.doc_id
-                        LEFT JOIN ns ON ns.doc_id = w.doc_id)
-         SELECT doc_id, n_spans, orig_tokens, len(kept) AS kept_tokens,
-                orig_tokens - len(kept) AS removed_tokens,
-                coalesce(array_to_string(kept, ' '), '') AS text_clean
-         FROM rb ORDER BY doc_id""",
+          $duckScrubTail
+         $duckScrubSelect""",
+    "d21_span_scrub_incremental" -> {
+      val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
+      s"""WITH ${duckPositional(source = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)")},
+          cw AS (SELECT string_split_regex(trim(text), '\\s+') AS l
+                 FROM documents WHERE doc_id % 10 != 0),
+          ci AS (SELECT DISTINCT unnest(list_filter(list_transform(
+                 range(1, len(l) + 1), i -> CASE WHEN i + 4 <= len(l)
+                 THEN $gram END), x -> x IS NOT NULL)) AS gram FROM cw),
+          h AS (SELECT p.doc_id, p.pos FROM p JOIN ci USING (gram)),
+          ${duckRunMerge()},
+          $duckScrubTail
+         $duckScrubSelect"""
+    },
     "d20_span_check_incremental" -> {
       val gram = (0 until 5).map(j => s"l[i + $j]").mkString(" || ' ' || ")
       s"""WITH ${duckPositional(source = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)")},
@@ -3390,6 +3427,7 @@ object EntryOps {
     "d18_duplicated_spans" -> (duplicatedSpans _),
     "d19_span_scrub" -> (spanScrub _),
     "d20_span_check_incremental" -> (spanCheckIncremental _),
+    "d21_span_scrub_incremental" -> (spanScrubIncremental _),
     "q19_topk_per_group" -> (topkPerGroup _),
     "q20_sessionize" -> (sessionize _),
     "q21_daily_rollup" -> (dailyRollup _),

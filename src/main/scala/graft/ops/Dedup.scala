@@ -606,13 +606,35 @@ object Dedup {
     * spaces) — a fixed point of the tokenization every text op here uses.
     */
   def removeDuplicatedSpans(docs: DataFrame, n: Int, minSpanTokens: Long,
-      maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // ONE aggregation yields both the span count and the covered-position
-    // set (spans expand per row via sequence + flatten — no second explode
-    // branch, so the d18 subtree is evaluated exactly once; spans per doc
-    // are bounded by doc length, so the flattened set is too)
-    val perDoc = duplicatedSpansCore(docs, n, maxDocFreq)
-      .filter(col("span_tokens") >= minSpanTokens)
+      maxDocFreq: Long = Long.MaxValue): DataFrame =
+    scrubSpans(docs,
+      duplicatedSpansCore(docs, n, maxDocFreq)
+        .filter(col("span_tokens") >= minSpanTokens))
+
+  /** Surgical span removal for ARRIVALS against the persisted corpus
+    * [[buildGramIndex]] — [[spanCheckAgainstIndex]]'s detection composed
+    * with [[removeDuplicatedSpans]]' remedy: every word range of an
+    * arriving document whose n-grams are all corpus-known (and spans
+    * ≥ `minSpanTokens`) is cut before admission, so only the arrival's
+    * genuinely novel content enters the corpus. The ingest-time form of
+    * the ExactSubstr remedy; same output schema as the batch scrub.
+    */
+  def spanScrubAgainstIndex(incoming: DataFrame, index: DataFrame, n: Int,
+      minSpanTokens: Long): DataFrame =
+    scrubSpans(incoming,
+      mergeRuns(positionalShingles(incoming, n).join(index, "gram"), n)
+        .filter(col("span_tokens") >= minSpanTokens))
+
+  /** Shared rebuild: cut every word position covered by `spans` from
+    * `docs`. ONE aggregation yields both the span count and the
+    * covered-position set (spans expand per row via sequence + flatten —
+    * no second explode branch, so the span subtree is evaluated exactly
+    * once; spans per doc are bounded by doc length, so the flattened set
+    * is too); the text rebuild is a per-row array filter fused into the
+    * scan, docs without spans stream through the left join untouched.
+    */
+  private def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         array_distinct(flatten(collect_list(

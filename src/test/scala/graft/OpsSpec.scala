@@ -524,6 +524,23 @@ class OpsSpec extends GraftSpec {
       (4L, 0L, 8L, 8L, 0L, "a b c d e x2 y2 z2")))
   }
 
+  test("spanScrubAgainstIndex cuts corpus-known spans from arrivals only") {
+    val known = (1 to 12).map(i => s"k$i").mkString(" ") // 12 corpus words
+    val corpus = Seq((100L, s"pre $known post")).toDF("doc_id", "text")
+    val idx = Dedup.buildGramIndex(corpus, n = 3)
+    val arrivals = Seq(
+      (1L, s"a1 b1 $known y1 z1"),   // embeds the corpus substring
+      (2L, "entirely novel arrival") // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrubAgainstIndex(arrivals, idx, n = 3,
+        minSpanTokens = 10)
+      .select("doc_id", "n_spans", "removed_tokens", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 12L, "a1 b1 y1 z1"),
+      (2L, 0L, 0L, "entirely novel arrival")))
+  }
+
   test("clusterComponents collapses chains to min-id groups, keeps singletons") {
     // chain 1-2, 2-3 (1 and 3 never paired directly), separate pair 10-11,
     // singleton 20; edges deliberately listed max-id-first to prove the
