@@ -88,7 +88,7 @@ object Bench {
     // 20 with zero local JVMs — see docs/BENCH_NOTES.md), and a burst during
     // the run turns the headline into a load-lottery draw. Wait up to
     // SPARK_GRAFT_QUIET_WAIT_SEC (default 10 min) for the 1-minute load to
-    // drop below SPARK_GRAFT_QUIET_LOAD (default 2.0); a permanently-busy
+    // drop below SPARK_GRAFT_QUIET_LOAD (default 1.0); a permanently-busy
     // host still measures after the deadline — the per-query `load` fields
     // then carry the evidence.
     val quietThreshold =

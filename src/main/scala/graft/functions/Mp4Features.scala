@@ -193,8 +193,13 @@ object Mp4Features {
       }
       t = box.end
     }
+    // v1 mvhd duration is an unsigned 64-bit field read into a signed Long:
+    // a high-bit value arrives negative, and anything past Long.MaxValue/1000
+    // would overflow the *1000 — both are refused to null (never a misread)
     val durationMs: Any =
-      if (timescale > 0) duration * 1000L / timescale else null
+      if (timescale > 0 && duration >= 0 && duration <= Long.MaxValue / 1000L)
+        duration * 1000L / timescale
+      else null
     row("mp4", Array[Any](brand, timescale, durationMs, tracks, video, audio))
   }
 

@@ -43,6 +43,13 @@ object Compaction {
   private val DateLeaf = "event_date=(.+)".r
   private val BatchLeaf = "batch_id=(-?\\d+)".r
   private val Marker = "_GRAFT_COMPACTED"
+  // Table-level as-of manifests: `_graft_manifests/v<N>` (underscore dir —
+  // hidden from Spark's file listings). Each manifest is a full point-in-time
+  // read set: one line per date recording the serving generation leaf (or
+  // `-`) and the live positive batch ids AT COMMIT TIME, for EVERY date —
+  // including never-compacted ones. See [[resolveFactPathsAt]].
+  private val ManifestDir = "_graft_manifests"
+  private val ManifestFile = "v(\\d+)".r
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,16 +143,27 @@ object Compaction {
       zorderBy: Option[(String, String)] = None): Unit = {
     val root = new Path(warehouse.path(table))
     val fs = fsOf(spark, root)
+    var committedAny = false
     listDirs(fs, root).foreach { dateSt =>
       dateSt.getPath.getName match {
         case DateLeaf(_) =>
           withDateLock(fs, dateSt.getPath, lockTimeoutMs) {
-            compactDate(spark, fs, dateState(fs, dateSt.getPath),
-              minLeaves, keepLatest, zorderBy)
+            if (compactDate(spark, fs, dateState(fs, dateSt.getPath),
+                minLeaves, keepLatest, zorderBy))
+              committedAny = true
           }
         case _ => ()
       }
     }
+    // Drop manifests whose referenced leaves the per-date GC sweeps above
+    // made unreadable — they would only evict anyway, and pruning them keeps
+    // the "retained versions" eviction message exact.
+    gcManifests(fs, root)
+    // One table-level as-of version per committing run, AFTER every date's
+    // rewrite landed: the manifest snapshots the read set of ALL dates at a
+    // single listing instant, so "as of vN" never mixes per-date generation
+    // states and never leaks post-commit appends through uncompacted dates.
+    if (committedAny) writeManifest(fs, root)
   }
 
   /** Serialize compactors per date via an atomic claim marker. A held lock
@@ -167,9 +185,10 @@ object Compaction {
     if (owned) try body finally fs.delete(lock, false)
   }
 
+  /** Returns true when this date committed a new generation. */
   private def compactDate(spark: SparkSession, fs: FileSystem, s: DateState,
       minLeaves: Int, keepLatest: Int,
-      zorderBy: Option[(String, String)] = None): Unit = {
+      zorderBy: Option[(String, String)] = None): Boolean = {
     val committed = s.generations.collect { case (g, p, Some(c)) => (g, p, c) }
     val currentGen = if (committed.isEmpty) 0L else committed.map(_._1).max
     val coveredNow = if (committed.isEmpty) -1L else committed.maxBy(_._1)._3
@@ -179,9 +198,9 @@ object Compaction {
     // pre-marker state the whole inter-run interval to finish.
     gcDate(fs, s, committed)
     val live = s.positive.filter(_._1 > coveredNow).sortBy(_._1)
-    if (live.size < minLeaves) return
+    if (live.size < minLeaves) return false
     val toCompact = live.dropRight(keepLatest)
-    if (toCompact.isEmpty) return
+    if (toCompact.isEmpty) return false
     val maxCovered = toCompact.map(_._1).max
     val newGen = currentGen + 1
     val target = new Path(s.dateDir, s"batch_id=-$newGen")
@@ -209,8 +228,10 @@ object Compaction {
     // single commit point readers trust
     fs.delete(new Path(target, "_SUCCESS"), false)
     // marker v2: line 1 is the covered horizon (what v1 readers parse),
-    // line 2 records the positive leaves alive at commit time — the exact
-    // read set an as-of view of THIS generation needs ([[resolveFactPathsAt]])
+    // line 2 records the positive leaves alive at commit time (historical —
+    // as-of reads now resolve through the table-level manifest, which also
+    // covers dates this rewrite didn't touch; the line is kept so v2-marker
+    // readers of this table keep parsing)
     val survivors = live.takeRight(keepLatest).map(_._1)
     val out = fs.create(new Path(target, Marker), true)
     try out.write(
@@ -219,82 +240,168 @@ object Compaction {
     // the now-covered sources become garbage for the NEXT run's gcDate —
     // in-flight readers that resolved against them keep scanning immutable
     // files until then
+    true
   }
 
-  /** TIME-TRAVEL path resolution: the table as it stood when compaction
-    * generation `version` committed. Per date (dates compact
-    * independently): the newest committed generation g ≤ version plus the
-    * positive leaves its marker recorded as alive at commit time; a date
-    * with no generations at all reads its current positives (nothing there
-    * has ever been rewritten or GC'd).
+  /** TIME-TRAVEL path resolution: the table exactly as a committing
+    * compaction run's MANIFEST recorded it. A manifest (`_graft_manifests/
+    * v<N>`, written once per committing run AFTER all its dates landed)
+    * snapshots the read set of EVERY date at one listing instant — serving
+    * generation leaf plus live positive batch ids, including the positives
+    * of never-compacted dates. Resolving "as of vN" therefore:
+    *  - never leaks later appends through uncompacted dates (their batch
+    *    ids are simply not in the manifest — the pre-manifest
+    *    implementation read such dates as-current);
+    *  - never mixes per-date generation states (the version is a
+    *    table-level commit event, not a per-date generation number whose
+    *    gen-N commits happened at different wall-clock times).
+    * A requested version between retained versions resolves to the newest
+    * manifest ≤ version (the state that was current at that point).
     *
-    * Retention window: a generation stays reachable until the NEXT
-    * compaction run's GC sweep removes it or its recorded live leaves (the
-    * same lazy-grace discipline in-flight readers rely on). Outside the
-    * window the read FAILS LOUDLY with the retained versions — never a
-    * silent partial state:
-    *  - version predates the oldest retained generation → eviction error;
-    *  - a recorded live leaf was GC'd → eviction error;
-    *  - a v1-marker generation (no live-set record) → explicit error.
+    * Retention window: a manifest stays readable until a later run's GC
+    * sweep removes one of its referenced leaves (the same lazy-grace
+    * discipline in-flight readers rely on); [[compact]] then prunes the
+    * manifest itself. Outside the window the read FAILS LOUDLY with the
+    * retained versions — never a silent partial state:
+    *  - version predates the oldest retained manifest → eviction error;
+    *  - a referenced leaf was GC'd since → eviction error;
+    *  - a table compacted only before manifests existed → explicit error.
+    *
+    * Caveat (documented, inherent to overwrite-by-batchId replay): a live
+    * positive leaf replayed AFTER the manifest committed is re-read with
+    * its replayed content — replay's contract is same-content redelivery,
+    * so this is not a divergence in practice.
     */
   def resolveFactPathsAt(spark: SparkSession, root: String,
       version: Long): Seq[String] = {
     require(version >= 1, s"fact-table versions start at 1, got $version")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val dates = listDirs(fs, rootPath).filter(st =>
-      DateLeaf.pattern.matcher(st.getPath.getName).matches())
-    def evict(dateDir: Path, detail: String): Nothing =
+    def evict(detail: String): Nothing =
       throw new NoSuchElementException(
-        s"$root as-of v$version is not retained for ${dateDir.getName} " +
-          s"($detail); retained versions: " +
-          factVersions(spark, root).mkString(", "))
-    dates.flatMap { st =>
-      val s = dateState(fs, st.getPath)
-      val committed = s.generations
-        .collect { case (g, p, Some(_)) => (g, p) }
-      if (committed.isEmpty) s.positive.map(_._2.toString)
-      else {
-        val eligible = committed.filter(_._1 <= version)
-        if (eligible.isEmpty)
-          evict(st.getPath,
-            s"oldest retained generation is ${committed.map(_._1).min}")
-        val (g, genPath) = eligible.maxBy(_._1)
-        readMarkerFull(fs, genPath).flatMap(_._2) match {
-          case None =>
-            evict(st.getPath,
-              s"generation $g predates as-of support (v1 marker, no live-set record)")
-          case Some(liveIds) =>
-            val leaves = liveIds.map(id => new Path(st.getPath, s"batch_id=$id"))
-            val missing = leaves.filterNot(fs.exists).map(_.getName)
-            if (missing.nonEmpty)
-              evict(st.getPath,
-                s"batches ${missing.mkString(", ")} covered since generation $g were garbage-collected")
-            genPath.toString +: leaves.map(_.toString)
-        }
-      }
+        s"$root as-of v$version is not retained ($detail); " +
+          s"retained versions: ${factVersions(spark, root).mkString(", ")}")
+    val manifests = listManifests(fs, rootPath)
+    if (manifests.isEmpty)
+      evict("no as-of manifests exist — the table was never compacted, or " +
+        "only by a pre-manifest writer")
+    val eligible = manifests.filter(_._1 <= version)
+    if (eligible.isEmpty)
+      evict(s"oldest retained manifest is v${manifests.map(_._1).min}")
+    val (v, mPath) = eligible.maxBy(_._1)
+    val entries = readManifest(fs, mPath).getOrElse(
+      evict(s"manifest v$v is torn/unparseable"))
+    entries.flatMap { case (dateName, gen, liveIds) =>
+      val dateDir = new Path(rootPath, dateName)
+      val leaves = gen.map(g => new Path(dateDir, g)).toSeq ++
+        liveIds.map(id => new Path(dateDir, s"batch_id=$id"))
+      val missing = leaves.filterNot(fs.exists)
+      if (missing.nonEmpty)
+        evict(s"$dateName leaves ${missing.map(_.getName).mkString(", ")} " +
+          s"recorded by manifest v$v were garbage-collected")
+      leaves.map(_.toString)
     }
   }
 
-  /** Still-reachable as-of versions: committed generations whose leaf and
-    * recorded live set both survive, across all dates (ascending).
+  /** Still-reachable as-of versions: manifests all of whose referenced
+    * leaves survive (ascending).
     */
   def factVersions(spark: SparkSession, root: String): Seq[Long] = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
+    listManifests(fs, rootPath).filter { case (_, p) =>
+      readManifest(fs, p).exists(_.forall { case (dateName, gen, liveIds) =>
+        val dateDir = new Path(rootPath, dateName)
+        gen.forall(g => fs.exists(new Path(dateDir, g))) &&
+          liveIds.forall(id => fs.exists(new Path(dateDir, s"batch_id=$id")))
+      })
+    }.map(_._1).sorted
+  }
+
+  private def listManifests(fs: FileSystem, rootPath: Path): Seq[(Long, Path)] = {
+    val dir = new Path(rootPath, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestFile(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+  }
+
+  /** Manifest line grammar (one line per date after the `ts=` header):
+    * `<dateLeaf>\t<genLeaf or ->\t<comma-joined live positive ids>`,
+    * terminated by `end=<date-line count>` — a manifest missing its
+    * terminator (crash mid-write) is torn and treated as absent, never as
+    * a silently-smaller table.
+    */
+  private def readManifest(fs: FileSystem,
+      p: Path): Option[Seq[(String, Option[String], Seq[Long])]] = {
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val dateLines = lines.filter(_.contains("\t"))
+    if (!lines.lastOption.contains(s"end=${dateLines.size}")) None
+    else Some(dateLines.map { l =>
+      val parts = l.split("\t", -1)
+      val gen = if (parts(1) == "-") None else Some(parts(1))
+      val live =
+        if (parts(2).isEmpty) Seq.empty[Long]
+        else parts(2).split(",").map(_.toLong).toSeq
+      (parts(0), gen, live)
+    })
+  }
+
+  private def writeManifest(fs: FileSystem, rootPath: Path): Unit = {
     val dates = listDirs(fs, rootPath).filter(st =>
       DateLeaf.pattern.matcher(st.getPath.getName).matches())
-    dates.flatMap { st =>
+    val lines = dates.map { st =>
       val s = dateState(fs, st.getPath)
-      s.generations.collect { case (g, p, Some(_)) => (g, p) }.filter {
-        case (_, p) => readMarkerFull(fs, p).flatMap(_._2) match {
-          case Some(liveIds) => liveIds.forall(id =>
-            fs.exists(new Path(st.getPath, s"batch_id=$id")))
-          case None => false
-        }
-      }.map(_._1)
-    }.distinct.sorted
+      val committed = s.generations.collect { case (g, p, Some(c)) => (g, p, c) }
+      if (committed.isEmpty)
+        s"${st.getPath.getName}\t-\t${s.positive.map(_._1).sorted.mkString(",")}"
+      else {
+        val (_, genPath, covered) = committed.maxBy(_._1)
+        val live = s.positive.collect { case (id, _) if id > covered => id }.sorted
+        s"${st.getPath.getName}\t${genPath.getName}\t${live.mkString(",")}"
+      }
+    }
+    val content = (s"ts=${System.currentTimeMillis()}" +: lines :+
+      s"end=${lines.size}").mkString("\n")
+    val dir = new Path(rootPath, ManifestDir)
+    fs.mkdirs(dir)
+    // create-if-absent allocation: two committing runs racing the same
+    // version number serialize on the create — the loser retries one up
+    // (its own fresh listing is captured either way)
+    var v = listManifests(fs, rootPath).map(_._1).maxOption.getOrElse(0L) + 1
+    var done = false
+    while (!done) {
+      val target = new Path(dir, s"v$v")
+      if (fs.exists(target)) { v += 1 }
+      else {
+        try {
+          val out = fs.create(target, false)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          done = true
+        } catch { case _: java.io.IOException => v += 1 }
+      }
+    }
   }
+
+  /** Prune manifests made unreadable by leaf GC — called after the per-date
+    * sweeps, so a manifest disappears from the retained list in the same
+    * run that evicted its data.
+    */
+  private def gcManifests(fs: FileSystem, rootPath: Path): Unit =
+    listManifests(fs, rootPath).foreach { case (_, p) =>
+      val ok = readManifest(fs, p).exists(_.forall {
+        case (dateName, gen, liveIds) =>
+          val dateDir = new Path(rootPath, dateName)
+          gen.forall(g => fs.exists(new Path(dateDir, g))) &&
+            liveIds.forall(id => fs.exists(new Path(dateDir, s"batch_id=$id")))
+      })
+      if (!ok) fs.delete(p, false)
+    }
 
   private def gcDate(fs: FileSystem, s: DateState,
       committed: Seq[(Long, Path, Long)]): Unit = {

@@ -53,14 +53,17 @@ final case class Warehouse(root: String) {
   def deadLetters(spark: SparkSession): DataFrame = read(spark, "dead_letters")
 
   /** TIME TRAVEL over a date-partitioned fact table: the table exactly as
-    * it stood when compaction generation `version` committed — so a report
-    * run against yesterday's state is reproducible after today's
-    * compaction rewrote the files. Each date resolves to its newest
-    * committed generation ≤ version plus the batch leaves that
-    * generation's marker recorded as live at commit time; the reachable
-    * window is [[tableVersions]] (a version survives until the next run's
-    * GC sweep — the same lazy-grace discipline as current readers), and an
-    * evicted, never-committed, or pre-as-of version throws with the
+    * the version's compaction-run MANIFEST recorded it — a table-level
+    * snapshot of every date's read set (serving generation + live batch
+    * ids, including never-compacted dates' positives) captured when the
+    * run committed. So a report run against yesterday's state is
+    * reproducible after today's compaction rewrote the files, batches
+    * appended after the commit never leak into the as-of view (their ids
+    * are not in the manifest), and a version never mixes per-date
+    * generation states. The reachable window is [[tableVersions]] (a
+    * version survives until a later run's GC sweep evicts one of its
+    * leaves — the same lazy-grace discipline as current readers), and an
+    * evicted, never-committed, or pre-manifest version throws with the
     * retained list rather than silently reading something else
     * ([[Compaction.resolveFactPathsAt]]).
     */

@@ -349,11 +349,16 @@ object Dedup {
     * family across text, media, and embeddings: one row per vector with its
     * hyperplane-LSH bucket precomputed, so arrivals join a bucket key
     * instead of scoring the corpus. Persisted at ingest/compaction cadence.
+    * The `planes` value is persisted as a column: a bucket key is only
+    * meaningful under the planes that produced it, and a reader bucketing
+    * its arrivals with a different value would silently match nothing —
+    * [[embedDedupAgainstIndex]] validates it at read time instead.
     */
   def buildEmbedIndex(corpus: DataFrame, planes: Int = 4): DataFrame =
     corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("ex_id"), col("embedding").as("ex_e"),
-        Similarity.hyperplaneBucket("embedding", planes).as("bucket"))
+        Similarity.hyperplaneBucket("embedding", planes).as("bucket"),
+        lit(planes).as("planes"))
 
   /** Semantic dedup of incoming vectors against a persisted
     * [[buildEmbedIndex]] table: candidates are same-bucket pairs (the d06
@@ -367,6 +372,17 @@ object Dedup {
     */
   def embedDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
       minCosine: Double, planes: Int = 4, dims: Int = 64): DataFrame = {
+    // Guard against a planes mismatch with the persisted index: buckets from
+    // different hyperplane counts never collide, so every arrival would be
+    // reported `new` with no error. One-row scalar read, same class as the
+    // ingest max-id lookups — not a data-plane collect.
+    if (index.columns.contains("planes"))
+      index.select(col("planes")).head(1).foreach { r =>
+        val ip = r.getInt(0)
+        require(ip == planes,
+          s"embedding index was built with planes=$ip but caller passed planes=$planes; " +
+            "bucket keys would silently never match")
+      }
     val valid = incoming.filter(col("embedding").isNotNull &&
       size(col("embedding")) === dims)
     val inb = valid.select(col("vec_id"), col("embedding").as("e"),

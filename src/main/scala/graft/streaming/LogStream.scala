@@ -233,18 +233,21 @@ object LogStream {
     * re-read per batch) on the bucket key and verify by exact cosine
     * ([[graft.ops.Dedup.embedDedupAgainstIndex]]). near / new / invalid
     * verdicts land batch-partitioned for idempotent replay; zero
-    * state-store state.
+    * state-store state. `planes` must match the value the index was built
+    * with ([[graft.ops.Dedup.buildEmbedIndex]] persists it, and the batch
+    * body validates it per micro-batch — a mismatch fails loudly instead of
+    * silently bucketing every arrival into `new`).
     */
   def dedupEmbedArrivals(arrivals: DataFrame, indexPath: String,
       outPath: String, checkpoint: String,
-      minCosine: Double = 0.9): StreamingQuery =
+      minCosine: Double = 0.9, planes: Int = 4): StreamingQuery =
     arrivals.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val verdicts = graft.ops.Dedup.embedDedupAgainstIndex(
-          batch, spark.read.parquet(indexPath), minCosine)
+          batch, spark.read.parquet(indexPath), minCosine, planes)
           .withColumn("batch_id", lit(batchId))
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -406,6 +406,37 @@ class IngestSpec extends GraftSpec {
       "current generation stays readable after the sweep")
   }
 
+  test("fact-table as-of pins uncompacted dates: no post-commit leak") {
+    import org.apache.spark.sql.functions._
+    val wh = tmpWarehouse()
+    def mkBatch(b: Long, day: String): Unit = {
+      val df = spark.range(0, 10, 1, 1)
+        .selectExpr(s"to_timestamp('$day 00:00:00') AS timestamp",
+          "CAST(id AS STRING) AS username")
+        .withColumn("src_addr", lit("1.2.3.4"))
+      Ingest.appendEvents(df, wh, "authfail", batchId = b)
+    }
+    // date A compactable (4 leaves), date B below threshold (2 leaves)
+    (0L to 3L).foreach(mkBatch(_, "2025-08-10"))
+    (4L to 5L).foreach(mkBatch(_, "2025-08-11"))
+    graft.ingest.Compaction.compact(spark, wh, "authfail",
+      minLeaves = 3, keepLatest = 1) // A: gen 1 covers 0-2, live {3}; B untouched
+    assert(wh.tableVersions(spark, "authfail") === Seq(1L))
+    assert(wh.tableAt(spark, "authfail", 1L).count() === 60)
+    // the pre-manifest resolver read uncompacted dates AS-CURRENT, so a
+    // batch landing on date B after v1 committed leaked into "as of v1" —
+    // the manifest pins B's read set at commit time instead
+    mkBatch(6L, "2025-08-11")
+    assert(wh.authfail(spark).count() === 70)
+    assert(wh.tableAt(spark, "authfail", 1L).count() === 60,
+      "uncompacted dates must be pinned by the manifest, not read as-current")
+    // a brand-new date created after the commit must not appear either
+    mkBatch(7L, "2025-08-12")
+    assert(wh.authfail(spark).count() === 80)
+    assert(wh.tableAt(spark, "authfail", 1L).count() === 60,
+      "dates created after the commit are absent from the manifest")
+  }
+
   test("compaction skips a locked date and steals a stale lock") {
     val wh = tmpWarehouse()
     val base = new org.apache.hadoop.fs.Path(wh.path("authfail"))
