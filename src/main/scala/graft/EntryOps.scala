@@ -1053,6 +1053,78 @@ object EntryOps {
       .orderBy(col("asset_id"))
   }
 
+  /** Audio dedup clusters — d14's perceptual pairs through the same
+    * connected-components machinery as [[imageDedupClusters]]; the audio
+    * half of the e05 multimodal corpus.
+    */
+  def audioDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = audioNearDup(spark, dir)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    graft.ops.Dedup.clusterComponents(ids, pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** e05 — the MULTIMODAL training corpus: the media family composed into
+    * a corpus product the way e02 composes the text family. Each document
+    * owns an image asset ([[dhashAssets]]) and an audio asset
+    * ([[wavDhashAssets]]); the corpus is built in ONE declarative plan:
+    *
+    *   1. perceptual near-dup verdicts per modality — dHash over the real
+    *      decoded rasters / PCM windows, 4×16 banded candidates under the
+    *      band-frequency cap, Hamming ≤ 3 verify (d13/d14 machinery);
+    *   2. connected components per modality → visual and audio clusters
+    *      with a canonical min-id representative (d15 machinery, reused
+    *      unchanged for audio);
+    *   3. keep ONE canonical asset per cluster — a doc survives only when
+    *      it is the canonical of BOTH its visual and its audio cluster
+    *      (the planted dups share content in both modalities, so the
+    *      stricter both-canonical rule prunes exactly the planted rows);
+    *   4. decoded FEATURE columns from the surviving payloads via the
+    *      native scan-stage expressions — image format/width/height
+    *      ([[graft.ops.Multimodal.ppmFeatures]]), audio sample rate /
+    *      frame count / duration ([[graft.ops.Multimodal.wavFeatures]]);
+    *   5. provenance join back to `documents` (lang, source) plus each
+    *      modality's cluster id and size.
+    *
+    * The oracle rebuilds both cluster chains (recursive-CTE components over
+    * the formula-derived hashes) and every feature column from the doc_id
+    * formulas directly, so the COMPOSITION is hash-checked end to end.
+    *
+    * Scale: payload decode and hashing are narrow scan-stage maps (payloads
+    * never shuffle — only 64-bit hashes and scalar features do); candidate
+    * generation is the capped banded equi-join; components iterate over the
+    * active vertex set; the final assembly is 1:1 equi-joins on doc_id.
+    */
+  def multimodalCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val imgCl = imageDedupClusters(spark, dir)
+      .select(col("asset_id").as("doc_id"),
+        col("cluster_id").as("img_cluster_id"),
+        col("cluster_size").as("img_cluster_size"))
+    val audCl = audioDedupClusters(spark, dir)
+      .select(col("asset_id").as("doc_id"),
+        col("cluster_id").as("aud_cluster_id"),
+        col("cluster_size").as("aud_cluster_size"))
+    val imgF = Multimodal.ppmFeatures(dhashAssets(spark, dir))
+      .select(col("asset_id").as("doc_id"), col("format").as("img_format"),
+        col("width").as("img_width"), col("height").as("img_height"))
+    val audF = Multimodal.wavFeatures(wavDhashAssets(spark, dir))
+      .select(col("asset_id").as("doc_id"),
+        col("sample_rate").as("aud_sample_rate"),
+        col("n_frames").as("aud_n_frames"),
+        expr("n_frames * 1000L div sample_rate").as("aud_duration_ms"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(imgCl, Seq("doc_id"))
+      .join(audCl, Seq("doc_id"))
+      .filter(col("img_cluster_id") === col("doc_id") &&
+        col("aud_cluster_id") === col("doc_id"))
+      .join(imgF, Seq("doc_id"))
+      .join(audF, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m11 fixture — spec-valid MPEG audio streams synthesized in-plan from
     * doc_id: version cycles MPEG-1/2/2.5 (doc_id % 3), sample-rate index
     * `(doc_id div 3) % 3`, Layer III bitrate index `doc_id % 14 + 1`,
@@ -2027,6 +2099,47 @@ object EntryOps {
                 WHERE hamming <= 3)"""
   }
 
+  /** Shared CTE chain for the audio-perceptual-hash oracles (d14 pairs,
+    * e05 corpus): formula-derived energy-gradient dHashes → banded
+    * candidates under the df ≤ 64 cap → Hamming-verified pairs, ending in
+    * `aprs(id1, id2, hamming)`. Every name is a-prefixed so the chain
+    * composes with [[duckImagePairCtes]] inside one WITH clause (e05).
+    */
+  private def duckAudioPairCtes: String = {
+    def fw(j: String) =
+      s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
+    val ham = (1 to 64).map(i =>
+      s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""abase AS (SELECT doc_id,
+           (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173 AS seed
+           FROM documents),
+        aen AS (SELECT doc_id, w,
+               abs((${fw("(2 * w)")}) - 128)
+               + abs((${fw("(2 * w + 1)")}) - 128) AS e
+               FROM abase CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
+        abt AS (SELECT a.doc_id, a.w,
+               CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+               FROM aen a JOIN aen b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+               WHERE a.w < 64),
+        ah64 AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS dhash
+                FROM abt GROUP BY doc_id),
+        abd AS (SELECT doc_id, dhash, b AS band,
+               substring(dhash, b * 16 + 1, 16) AS bits
+               FROM ah64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        akeep AS (SELECT band, bits FROM abd GROUP BY 1, 2
+                 HAVING count(*) <= 64),
+        abdk AS (SELECT abd.* FROM abd JOIN akeep USING (band, bits)),
+        acand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
+                 b.doc_id AS id2, b.dhash AS h2
+                 FROM abdk a JOIN abdk b
+                   ON a.band = b.band AND a.bits = b.bits
+                      AND a.doc_id < b.doc_id),
+        aprs AS (SELECT id1, id2, hamming FROM (
+                SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM acand)
+                WHERE hamming <= 3)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
@@ -2804,40 +2917,42 @@ object EntryOps {
          SELECT doc_id AS asset_id, string_agg(bit, '' ORDER BY w) AS dhash
          FROM bt GROUP BY doc_id ORDER BY asset_id"""
     },
-    "d14_audio_neardup" -> {
-      def fw(j: String) =
-        s"((seed + $j) * (seed + $j) * 7 + (seed + $j) * 11 + seed) % 256"
-      val ham = (1 to 64).map(i =>
-        s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH base AS (SELECT doc_id,
-             (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173 AS seed
-             FROM documents),
-          en AS (SELECT doc_id, w,
-                 abs((${fw("(2 * w)")}) - 128)
-                 + abs((${fw("(2 * w + 1)")}) - 128) AS e
-                 FROM base CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
-          bt AS (SELECT a.doc_id, a.w,
-                 CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
-                 FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
-                 WHERE a.w < 64),
-          h64 AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS dhash
-                  FROM bt GROUP BY doc_id),
-          bd AS (SELECT doc_id, dhash, b AS band,
-                 substring(dhash, b * 16 + 1, 16) AS bits
-                 FROM h64 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-          keep AS (SELECT band, bits FROM bd GROUP BY 1, 2
-                   HAVING count(*) <= 64),
-          bdk AS (SELECT bd.* FROM bd JOIN keep USING (band, bits)),
-          cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
-                   b.doc_id AS id2, b.dhash AS h2
-                   FROM bdk a JOIN bdk b
-                     ON a.band = b.band AND a.bits = b.bits
-                        AND a.doc_id < b.doc_id)
-         SELECT id1, id2, hamming FROM (
-           SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM cand)
-         WHERE hamming <= 3 ORDER BY id1, id2"""
-    },
+    "d14_audio_neardup" ->
+      s"""WITH $duckAudioPairCtes
+         SELECT id1, id2, hamming FROM aprs ORDER BY id1, id2""",
+    "e05_multimodal_corpus" ->
+      s"""WITH RECURSIVE $duckImagePairCtes,
+          ed AS (SELECT id1 AS a, id2 AS b FROM prs
+                 UNION SELECT id2, id1 FROM prs),
+          reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
+                    UNION
+                    SELECT ed.b AS doc, reach.r FROM reach JOIN ed ON reach.doc = ed.a),
+          cl AS (SELECT doc AS doc_id, min(r) AS img_cluster_id FROM reach GROUP BY doc),
+          sz AS (SELECT img_cluster_id, CAST(count(*) AS BIGINT) AS img_cluster_size
+                 FROM cl GROUP BY 1),
+          $duckAudioPairCtes,
+          aed AS (SELECT id1 AS a, id2 AS b FROM aprs
+                  UNION SELECT id2, id1 FROM aprs),
+          areach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
+                     UNION
+                     SELECT aed.b AS doc, areach.r FROM areach JOIN aed ON areach.doc = aed.a),
+          acl AS (SELECT doc AS doc_id, min(r) AS aud_cluster_id FROM areach GROUP BY doc),
+          asz AS (SELECT aud_cluster_id, CAST(count(*) AS BIGINT) AS aud_cluster_size
+                  FROM acl GROUP BY 1)
+         SELECT d.doc_id, d.lang, d.source,
+           cl.img_cluster_id, sz.img_cluster_size,
+           acl.aud_cluster_id, asz.aud_cluster_size,
+           CASE WHEN (d.doc_id // 10) % 3 != 0 THEN 'ppm' ELSE 'pgm' END AS img_format,
+           CAST((d.doc_id // 10) % 8 + 2 AS BIGINT) AS img_width,
+           CAST(((d.doc_id // 10) * 3) % 8 + 2 AS BIGINT) AS img_height,
+           CAST(8000 AS BIGINT) AS aud_sample_rate,
+           CAST(130 + d.doc_id % 7 AS BIGINT) AS aud_n_frames,
+           CAST((130 + d.doc_id % 7) * 1000 // 8000 AS BIGINT) AS aud_duration_ms
+         FROM documents d
+         JOIN cl USING (doc_id) JOIN sz USING (img_cluster_id)
+         JOIN acl USING (doc_id) JOIN asz USING (aud_cluster_id)
+         WHERE cl.img_cluster_id = d.doc_id AND acl.aud_cluster_id = d.doc_id
+         ORDER BY d.doc_id""",
     "m05_ppm_pixels" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
                        doc_id % 256 AS start,
@@ -3422,6 +3537,7 @@ object EntryOps {
     "m13_wav_dhash" -> (wavDhash _),
     "d14_audio_neardup" -> (audioNearDup _),
     "d15_image_dedup_clusters" -> (imageDedupClusters _),
+    "e05_multimodal_corpus" -> (multimodalCorpus _),
     "d16_semantic_dedup" -> (semanticDedup _),
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
