@@ -86,6 +86,30 @@ object EntryOps {
       minCosine = 0.3)
   }
 
+  /** d22 — INCREMENTAL SemDeDup demonstrated as a registered query:
+    * vec_id % 10 == 0 plays the arrival batch, the rest builds the
+    * persisted cluster index ([[graft.ops.Similarity.buildSemIndex]]);
+    * the same operator the streaming path runs per micro-batch
+    * ([[graft.streaming.LogStream.dedupSemArrivals]]), here hash-checked
+    * end to end, with d17's planted refusal arrivals (null and
+    * wrong-dimension vectors) exercising the `invalid` tier in-plan.
+    */
+  def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val refusals = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                CAST(NULL AS ARRAY<FLOAT>) AS embedding
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT),
+                CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""")
+    val (centroids, members) =
+      Similarity.buildSemIndex(e.filter(col("vec_id") % 10 =!= 0))
+    Similarity.semDedupAgainstIndex(
+      e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding")).unionByName(refusals),
+      centroids, members, minCosine = 0.3)
+  }
+
   /** d18 — exact duplicated-substring spans (the ExactSubstr recipe); n=5
     * word grams, df cap 256 mirroring d02's discipline.
     */
@@ -1784,17 +1808,17 @@ object EntryOps {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
-  /** Mirror of Similarity.refinedAssignment (s06/d16's shared coarse stage):
-    * CTE chain ending in `asg2(vec_id, embedding, bucket)` and
-    * `ref(cid, ce)` — seed sample, one 2²⁰-quantized Lloyd round, final
-    * assignment, bit-for-bit.
+  /** Mirror of Similarity.refinedAssignment (s06/d16's shared coarse stage,
+    * d22's index build over a filtered corpus): CTE chain ending in
+    * `asg2(vec_id, embedding, bucket)` and `ref(cid, ce)` — seed sample,
+    * one 2²⁰-quantized Lloyd round, final assignment, bit-for-bit.
     */
-  private def duckRefinedAssign: String =
-    s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  private def duckRefinedAssign(source: String = "embeddings"): String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM $source
                         ORDER BY vec_id LIMIT 8),
           sc AS (SELECT e.vec_id, e.embedding, c.cid,
                  ${duckDot("e.embedding", "c.ce")} AS score
-                 FROM embeddings e CROSS JOIN cent c),
+                 FROM $source e CROSS JOIN cent c),
           asg AS (SELECT vec_id, embedding, cid AS bucket FROM (
                   SELECT vec_id, embedding, cid, row_number() OVER (
                     PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
@@ -1810,7 +1834,7 @@ object EntryOps {
           sc2 AS (SELECT e.vec_id, e.embedding, r.cid,
                   list_reduce(list_transform(range(1, 65),
                     k -> CAST(e.embedding[k] AS DOUBLE) * r.ce[k]), (x, y) -> x + y) AS score
-                  FROM embeddings e CROSS JOIN ref r),
+                  FROM $source e CROSS JOIN ref r),
           asg2 AS (SELECT vec_id, embedding, cid AS bucket FROM (
                    SELECT vec_id, embedding, cid, row_number() OVER (
                      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
@@ -2439,7 +2463,7 @@ object EntryOps {
            CAST(len(substring(hx, CAST(frame_idx * (n_bytes // 4) * 2 + 1 AS INT), 32)) // 2 AS BIGINT) AS frame_bytes
          FROM f ORDER BY asset_id, frame_idx""",
     "s06_topk_ivf_centroids" ->
-      s"""WITH $duckRefinedAssign,
+      s"""WITH ${duckRefinedAssign()},
           s AS (SELECT q.vec_id AS query_id, CAST(q.bucket AS BIGINT) AS bucket,
                 c.vec_id AS cand_id,
                 ${duckCosine("q.embedding", "c.embedding")} AS cosine
@@ -2805,7 +2829,7 @@ object EntryOps {
          SELECT cl.asset_id, cl.cluster_id, sz.cluster_size
          FROM cl JOIN sz USING (cluster_id) ORDER BY cl.asset_id""",
     "d16_semantic_dedup" ->
-      s"""WITH $duckRefinedAssign,
+      s"""WITH ${duckRefinedAssign()},
           cn AS (SELECT cid, ce,
                  sqrt(list_reduce(list_transform(range(1, 65),
                    k -> ce[k] * ce[k]), (x, y) -> x + y)) AS cnorm
@@ -2861,6 +2885,41 @@ object EntryOps {
                 ELSE 'new' END AS verdict,
            b.match_id, b.cosine
          FROM arr0 a LEFT JOIN best b ON b.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
+    "d22_semdedup_incremental" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 10 != 0),
+          ${duckRefinedAssign("corpus")},
+          arr0 AS (SELECT vec_id, embedding AS e FROM embeddings
+                 WHERE vec_id % 10 = 0
+                 UNION ALL SELECT CAST(-1 AS BIGINT), NULL
+                 UNION ALL SELECT CAST(-2 AS BIGINT),
+                   [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)]),
+          arrv AS (SELECT vec_id, e FROM arr0
+                 WHERE e IS NOT NULL AND len(e) = 64),
+          sc3 AS (SELECT a.vec_id, a.e, r.cid,
+                 list_reduce(list_transform(range(1, 65),
+                   k -> CAST(a.e[k] AS DOUBLE) * r.ce[k]), (x, y) -> x + y) AS score
+                 FROM arrv a CROSS JOIN ref r),
+          acell AS (SELECT vec_id, e, cid AS cell FROM (
+                 SELECT vec_id, e, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                 FROM sc3) WHERE rn = 1),
+          scored AS (SELECT a.vec_id, m.vec_id AS ex_id,
+                 ${duckCosine("a.e", "m.embedding")} AS cosine
+                 FROM acell a JOIN asg2 m ON m.bucket = a.cell),
+          best AS (SELECT vec_id, ex_id AS match_id, cosine FROM (
+                 SELECT vec_id, ex_id, cosine, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                 FROM scored WHERE cosine >= 0.3) WHERE rn = 1)
+         SELECT a.vec_id,
+           CASE WHEN a.e IS NULL OR len(a.e) != 64 THEN 'invalid'
+                WHEN b.match_id IS NOT NULL THEN 'prune'
+                ELSE 'keep' END AS verdict,
+           CAST(c.cell AS BIGINT) AS cell,
+           b.match_id, b.cosine
+         FROM arr0 a LEFT JOIN acell c ON c.vec_id = a.vec_id
+                     LEFT JOIN best b ON b.vec_id = a.vec_id
          ORDER BY a.vec_id""",
     "d18_duplicated_spans" ->
       s"""WITH ${duckSpanChain()}
@@ -3540,6 +3599,7 @@ object EntryOps {
     "e05_multimodal_corpus" -> (multimodalCorpus _),
     "d16_semantic_dedup" -> (semanticDedup _),
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
+    "d22_semdedup_incremental" -> (semDedupIncremental _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
     "d19_span_scrub" -> (spanScrub _),
     "d20_span_check_incremental" -> (spanCheckIncremental _),

@@ -661,4 +661,78 @@ object Similarity {
         col("dom.b_id").as("removed_by"))
       .orderBy(col("vec_id"))
   }
+
+  /** Persistable index for INCREMENTAL SemDeDup ([[semDedupAgainstIndex]]):
+    * the cluster structure [[semanticDedup]] derives, split into its two
+    * natural tables — `centroids` (cid, centroid: the K-row assignment
+    * table, broadcast at read time) and `members` (ex_id, cell, ex_e: each
+    * corpus vector with its cell precomputed, so arrivals compare only
+    * within their assigned cell). The same ingest/compaction-cadence
+    * persistence contract as the text/media/embedding indexes
+    * ([[graft.ops.Dedup.buildCorpusIndex]] family). Determinism: the cells
+    * are [[refinedAssignment]]'s — seed sample, one 2²⁰-quantized Lloyd
+    * round, final assignment — so a rebuilt index is bit-identical and the
+    * oracle reproduces it.
+    */
+  def buildSemIndex(corpus: DataFrame,
+      nCentroids: Int = 8): (DataFrame, DataFrame) = {
+    val (assigned, refined) = refinedAssignment(corpus, nCentroids)
+    (refined.select(col("cid"), col("centroid")),
+      assigned.select(col("vec_id").as("ex_id"),
+        col("bucket").as("cell"), col("embedding").as("ex_e")))
+  }
+
+  /** INCREMENTAL SemDeDup — the d16 batch recipe run against a persisted
+    * [[buildSemIndex]], completing the incremental-against-the-warehouse
+    * family (text d11, media, embedding d17, span d20) for semantic
+    * pruning: each arrival is assigned to its maximum-inner-product
+    * centroid (a broadcast of the K-row centroid table — never a corpus
+    * scan), compared by exact cosine ONLY against the persisted members of
+    * that cell (equi-join on the cell id — SemDeDup's cluster blocking,
+    * O(cell) candidates per arrival instead of O(corpus)), and receives one
+    * verdict: `prune` (some member already covers it semantically — cosine
+    * ≥ `minCosine`; the best match by (cosine desc, ex_id asc) is
+    * reported), `keep`, or `invalid` for a null/wrong-dimension embedding
+    * (which must not pass as novel content — the media path's `unhashable`
+    * discipline). Zero driver/state-store state: the streaming entry
+    * ([[graft.streaming.LogStream.dedupSemArrivals]]) re-reads the
+    * persisted index per micro-batch, the scale-correct stream-static
+    * shape.
+    */
+  def semDedupAgainstIndex(incoming: DataFrame, centroids: DataFrame,
+      members: DataFrame, minCosine: Double, dims: Int = 64): DataFrame = {
+    val valid = incoming.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === dims)
+    // same float·double fold as refinedAssignment's final assignment, so an
+    // arrival lands in exactly the cell a rebuild would put it in
+    val refScore = expr("aggregate(zip_with(embedding, centroid, " +
+      "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    val assigned = valid.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        refScore.as("score"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
+          .as("cell"),
+        first(col("embedding")).as("e"))
+    val best = assigned.join(members, Seq("cell"))
+      .withColumn("cosine", dot("e", "ex_e")
+        / (sqrt(dot("e", "e")) * sqrt(dot("ex_e", "ex_e"))))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("cosine")).as("nc"), col("ex_id"))).as("m"))
+      .select(col("vec_id"), col("m.ex_id").as("match_id"),
+        negate(col("m.nc")).as("cosine"))
+    incoming.select(col("vec_id"), col("embedding"))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"), "left")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("embedding").isNull || size(col("embedding")) =!= dims,
+          "invalid")
+          .when(col("match_id").isNotNull, "prune")
+          .otherwise("keep").as("verdict"),
+        col("cell").cast("long").as("cell"),
+        col("match_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -258,6 +258,40 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING incremental SemDeDup against the warehouse — the semantic
+    * member of the incremental family (text [[dedupArrivals]], images
+    * [[dedupImageArrivals]], embeddings [[dedupEmbedArrivals]], substrings
+    * [[spanCheckArrivals]]): the PERSISTED cluster index
+    * ([[graft.ops.Similarity.buildSemIndex]] — `centroids/` and `members/`
+    * under one root, re-read per batch so a re-clustered corpus is visible
+    * without restart); each arriving vector assigns to its nearest
+    * centroid (a broadcast of the K-row table) and compares by exact
+    * cosine only within that cell
+    * ([[graft.ops.Similarity.semDedupAgainstIndex]]). prune / keep /
+    * invalid verdicts land batch-partitioned for idempotent replay; zero
+    * state-store state.
+    */
+  def dedupSemArrivals(arrivals: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String,
+      minCosine: Double = 0.9): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = graft.ops.Similarity.semDedupAgainstIndex(
+          batch, spark.read.parquet(s"$indexPath/centroids"),
+          spark.read.parquet(s"$indexPath/members"), minCosine)
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try verdicts.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
     *

@@ -548,6 +548,57 @@ class StreamingSpec extends GraftSpec {
     assert(bv === v.map { case (k, (vd, _)) => k -> vd })
   }
 
+  test("streaming incremental SemDeDup: cluster-blocked verdicts vs persisted index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val base = vec(i => math.sin(i * 0.7) + 0.1)
+    val other = vec(i => math.cos(i * 1.3) - 0.2)
+    val in = tmp("semdedup-in")
+    val idx = tmp("semdedup-idx").resolve("index").toString
+    val out = tmp("semdedup-out").toString
+    val corpus = Seq((100L, base), (101L, other)).toDF("vec_id", "embedding")
+    val (centroids, members) =
+      graft.ops.Similarity.buildSemIndex(corpus, nCentroids = 2)
+    centroids.write.parquet(s"$idx/centroids")
+    members.write.parquet(s"$idx/members")
+    // arrivals: a scaled copy of 100 (scaling preserves the max-inner-
+    // product argmax => same cell, cosine ~1), a novel direction (assigned
+    // to SOME cell but below the cosine bar => keep), and a
+    // wrong-dimension vector (must not pass as novel content)
+    val dup = vec(i => (math.sin(i * 0.7) + 0.1) * 2.5)
+    val novel = vec(i => if (i % 2 == 0) 1.0 else -1.0)
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    Files.writeString(in.resolve("b1.json"),
+      Seq(js(1, dup), js(2, novel),
+        """{"vec_id":3,"embedding":[1.0,2.0]}""").mkString("", "\n", "\n"))
+    val arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+    val q = LogStream.dedupSemArrivals(arrivals, idx, out,
+      tmp("semdedup-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    val v = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("verdict"), Option(r.getAs[Any]("match_id")))))
+      .toMap
+    assert(v(1L) === (("prune", Some(100L))), s"got $v")
+    assert(v(2L)._1 === "keep")
+    assert(v(3L)._1 === "invalid",
+      "wrong-dimension vectors must not be admitted as novel content")
+    // verdicts equal the batch operator on the same arrivals
+    val batchIn = Seq((1L, dup), (2L, novel), (3L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val bv = graft.ops.Similarity.semDedupAgainstIndex(
+      batchIn, spark.read.parquet(s"$idx/centroids"),
+      spark.read.parquet(s"$idx/members"), minCosine = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[String]("verdict")).toMap
+    assert(bv === v.map { case (k, (vd, _)) => k -> vd })
+  }
+
   test("streaming image dedup: hash-in-scan verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
