@@ -930,6 +930,42 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("ANN recall floors: every approximate route vs exact top-k on the shared fixture") {
+    // r8 recall audit: the approximate routes trade recall for bounded probe
+    // shapes, and nothing upstream of this test would notice an
+    // "optimization" that silently gutted recall — the oracles mirror each
+    // route's own blocking, so they stay green while the route returns
+    // garbage neighbors. These floors pin recall@3 vs exact brute force on
+    // the deterministic sf0.001 fixture (queries vec_id % 40 == 0) just
+    // below the measured values. Measured (r8): s02 .128, s03 .128,
+    // s04 .256, s05 .513, s06 .410, s07 .436, s08 .513. The knob
+    // sensitivity curve (nprobe / codebookSize / subspaces) is documented
+    // in docs/PLANS.md §ANN recall.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 40 === 0
+    val k = 3
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.topkBruteForce(emb, pred, k))
+    assert(exact.nonEmpty)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      (pairs(df) & exact).size.toDouble / exact.size
+    val floors = Seq(
+      ("s02_ivf", Similarity.topkIvf(emb, pred, k), 0.10),
+      ("s03_lsh", Similarity.topkLsh(emb, pred, k), 0.10),
+      ("s04_lsh_bands", Similarity.topkLshBands(emb, pred, k), 0.20),
+      ("s05_ivf_multiprobe", Similarity.topkIvfMultiProbe(emb, pred, k), 0.45),
+      ("s06_ivf_centroids", Similarity.topkIvfCentroids(emb, pred, k), 0.35),
+      ("s07_pq", Similarity.topkPq(emb, pred, k), 0.40),
+      ("s08_ivfpq", Similarity.topkIvfPq(emb, pred, k), 0.45))
+    val failures = floors.flatMap { case (name, df, floor) =>
+      val r = recallOf(df)
+      if (r < floor) Some(f"$name recall@3 $r%.3f < floor $floor") else None
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
   implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
