@@ -1005,6 +1005,125 @@ object EntryOps {
   def wavPcm(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFeatures(wavAssets(spark, dir))
 
+  /** m15 fixture — VALID baseline JPEGs synthesized in-plan from doc_id,
+    * Huffman entropy stream and all. Four variants by `doc_id % 4`:
+    * 0 = grayscale (quant 8), 1 = YCbCr 4:4:4 (luma table 0 = 8s, chroma
+    * table 1 = 16s — exercises two-table DQT + per-component Tq),
+    * 2 = YCbCr 4:2:0 (2×2 luma sampling: 4 Y blocks per MCU in the spec's
+    * left-right/top-bottom order, partial-MCU cropping on non-16-multiple
+    * dims), 3 = grayscale with quant 4 (same pixels via a different
+    * dequant path). Every 8×8 block holds the CONSTANT value
+    * `(doc_id·7 + bx·13 + by·29) % 256`: a flat block round-trips the
+    * DCT/quant/IDCT chain bit-exactly (only the DC coefficient is nonzero,
+    * and 8·(v−128) is divisible by every quant step used), so the oracle
+    * can predict the decoded sums in closed form while the decoder still
+    * runs REAL Huffman/dequant/IDCT arithmetic on real entropy-coded bytes.
+    * Chroma planes are the constant 128 (zero chroma), which also makes the
+    * sums invariant to the decoder's upsampling filter — R=G=B=Y exactly.
+    * The DC Huffman table is a spec-valid canonical table with all twelve
+    * categories at code length 4 (code = the category in 4 bits); the AC
+    * table holds the single symbol EOB at length 1 — the SQL encoder stays
+    * closed-form, while ImageIO-written JPEGs in FunctionsSpec cover the
+    * standard multi-length tables, AC coefficients and restart markers.
+    * Refusal branches ride in-plan: every 13th doc is marked progressive
+    * (SOF2) and every 17th truncates the entropy stream — both must yield
+    * header dims with null sums, never a misread. Amplitude bits follow
+    * F.2.2.1: positives verbatim, negatives offset by 2^cat − 1; the byte
+    * stream is padded with 1-bits and 0xFF bytes are stuffed with 0x00.
+    */
+  def jpegAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 4).as("mode"),
+        (col("doc_id") % 21 + 4).as("w"),
+        ((col("doc_id") * 5) % 19 + 4).as("h"),
+        (col("doc_id") % 13 === 5).as("prog"),
+        (col("doc_id") % 17 === 3).as("trunc"))
+      .withColumn("wb", expr("(w + 7) div 8"))
+      .withColumn("hb", expr("(h + 7) div 8"))
+      .withColumn("wb2", expr("(w + 15) div 16"))
+      .withColumn("hb2", expr("(h + 15) div 16"))
+      .withColumn("scale", expr("IF(mode = 3, 2L, 1L)"))
+      // scan units: one per Y block (chroma blocks are a constant suffix)
+      .withColumn("n_units", expr("IF(mode = 2, wb2 * hb2 * 4, wb * hb)"))
+    // Closed-form block coordinates for scan-order unit k. 4:2:0 MCUs carry
+    // four Y blocks (k div 4 = MCU, k % 4 = position: left-right then
+    // top-bottom); the 8-grid modes are plain row-major.
+    def bx(k: String) =
+      s"IF(mode = 2, 2 * ((($k) div 4) % wb2) + ($k) % 4 % 2, ($k) % wb)"
+    def by(k: String) =
+      s"IF(mode = 2, 2 * ((($k) div 4) div wb2) + ($k) % 4 div 2, ($k) div wb)"
+    // quantized DC of unit k: (v − 128) · (8 / quantStep)
+    def dval(k: String) =
+      s"(((doc_id * 7 + (${bx(k)}) * 13 + (${by(k)}) * 29) % 256 - 128) * scale)"
+    val withBits = d
+      .withColumn("dvals", expr(s"transform(sequence(0L, n_units - 1), k -> ${dval("k")})"))
+      .withColumn("diffs", expr(
+        """transform(sequence(0L, n_units - 1), k ->
+             element_at(dvals, CAST(k AS INT) + 1)
+               - IF(k = 0, 0L, element_at(dvals, CAST(k AS INT))))"""))
+      .withColumn("cats", expr(
+        "transform(diffs, d -> IF(d = 0, 0L, CAST(length(conv(abs(d), 10, 2)) AS BIGINT)))"))
+      // per-unit bits: DC code (category in 4 bits) + amplitude + EOB('0')
+      // + the constant chroma suffix (two blocks of cat-0 + EOB = '00000')
+      // after every 4:4:4 MCU / every 4th 4:2:0 Y block
+      .withColumn("ubits", expr(
+        """transform(sequence(0L, n_units - 1), k ->
+             concat(
+               lpad(conv(element_at(cats, CAST(k AS INT) + 1), 10, 2), 4, '0'),
+               IF(element_at(diffs, CAST(k AS INT) + 1) = 0, '',
+                  lpad(conv(IF(element_at(diffs, CAST(k AS INT) + 1) > 0,
+                               element_at(diffs, CAST(k AS INT) + 1),
+                               element_at(diffs, CAST(k AS INT) + 1)
+                                 + shiftleft(1L, CAST(element_at(cats, CAST(k AS INT) + 1) AS INT)) - 1),
+                            10, 2),
+                       CAST(element_at(cats, CAST(k AS INT) + 1) AS INT), '0')),
+               '0',
+               CASE WHEN mode = 1 OR (mode = 2 AND k % 4 = 3)
+                    THEN '0000000000' ELSE '' END))"""))
+      .withColumn("allbits", expr("array_join(ubits, '')"))
+      .withColumn("padbits", expr(
+        "concat(allbits, repeat('1', (8 - length(allbits) % 8) % 8))"))
+      .withColumn("entropy_hex", expr(
+        """array_join(transform(sequence(0L, length(padbits) div 8 - 1), i ->
+             CASE WHEN substring(padbits, CAST(i * 8 + 1 AS INT), 8) = '11111111'
+                  THEN 'FF00'
+                  ELSE lpad(conv(substring(padbits, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0') END),
+           '')"""))
+    val dqtHex = concat(lit("FFDB004300"),
+      expr("IF(mode = 3, repeat('04', 64), repeat('08', 64))"),
+      when(col("mode") === 1, lit("FFDB004301" + "10" * 64)).otherwise(lit("")))
+    val sofMarker = when(col("prog"), lit("FFC2")).otherwise(lit("FFC0"))
+    val dimsHex = concat(lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"))
+    val sofHex = when(col("mode") % 3 === 0, // grayscale modes 0 and 3
+        concat(sofMarker, lit("000B08"), dimsHex, lit("0101"), lit("1100")))
+      .otherwise(concat(sofMarker, lit("001108"), dimsHex, lit("03"),
+        lit("01"), when(col("mode") === 2, lit("22")).otherwise(lit("11")), lit("00"),
+        lit("0211"), when(col("mode") === 1, lit("01")).otherwise(lit("00")),
+        lit("0311"), when(col("mode") === 1, lit("01")).otherwise(lit("00"))))
+    val dhtHex = lit("FFC40031" +
+      "00" + "0000000C" + "00" * 12 + "000102030405060708090A0B" + // DC: 12 cats at len 4
+      "10" + "01" + "00" * 15 + "00") // AC: EOB alone at len 1
+    val sosHex = when(col("mode") % 3 === 0, lit("FFDA0008010100003F00"))
+      .otherwise(lit("FFDA000C03010002000300003F00"))
+    val payloadHex = concat(
+      lit("FFD8"), lit("FFE000104A46494600010100000100010000"), // SOI + JFIF APP0
+      dqtHex, sofHex, dhtHex, sosHex,
+      when(col("trunc"), lit("")).otherwise(col("entropy_hex")),
+      lit("FFD9"))
+    withBits.select(col("doc_id").as("asset_id"), unhex(payloadHex).as("payload"))
+  }
+
+  /** m15 — REAL entropy-coded pixel decode: [[jpegAssets]] payloads through
+    * the native `jpeg_features` expression (T.81 baseline: Huffman + DC
+    * prediction + dequant + IDCT + color convert). The oracle computes the
+    * expected sums from the doc_id block formulas directly — it never sees
+    * a JPEG byte — and mirrors the progressive/truncation refusals as
+    * null-sum rows with header dims.
+    */
+  def jpegPixels(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegFeatures(jpegAssets(spark, dir))
+
   /** m13/d14 fixture — mono 8-bit PCM WAVs whose SAMPLE CONTENT is a
     * nonlinear function of a pattern seed (quadratic, like [[dhashAssets]]
     * and for the same reason: a linear ramp's energy-gradient hash is
@@ -3053,6 +3172,23 @@ object EntryOps {
                 p.s0 AS sum_r, COALESCE(p.s1, p.s0) AS sum_g,
                 COALESCE(p.s2, p.s0) AS sum_b
          FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
+    "m15_jpeg_pixels" ->
+      """WITH base AS (SELECT doc_id, doc_id % 21 + 4 AS w, (doc_id * 5) % 19 + 4 AS h,
+                       CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 3 END AS comps,
+                       (doc_id % 13 = 5 OR doc_id % 17 = 3) AS refused
+                       FROM documents),
+          px AS (SELECT doc_id,
+                 (doc_id * 7 + ((j % w) // 8) * 13 + ((j // w) // 8) * 29) % 256 AS v
+                 FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS j FROM base)),
+          s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sy FROM px GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'jpeg' AS format,
+                CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                CAST(b.comps AS BIGINT) AS components,
+                CAST(b.w * b.h AS BIGINT) AS n_pixels,
+                CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_r,
+                CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_g,
+                CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_b
+         FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
     "m10_gif_frames" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
                        doc_id % 4 + 1 AS nf FROM documents),
@@ -3585,6 +3721,7 @@ object EntryOps {
     "m04_media_dims" -> (mediaDims _),
     "m05_ppm_pixels" -> (ppmPixels _),
     "m06_png_pixels" -> (pngPixels _),
+    "m15_jpeg_pixels" -> (jpegPixels _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

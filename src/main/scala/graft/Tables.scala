@@ -14,15 +14,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
-  /** events.ts is written as Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos long and convert to a micros timestamp
-    * (floor, matching DuckDB's flooring renders of the same values).
+  /** events.ts has been written two ways across driver testdata refreshes:
+    * Parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as a nanos long and floor to micros, matching DuckDB's flooring
+    * renders) and plain TIMESTAMP(MICROS) (read natively). Normalize both
+    * to a session-TZ micros timestamp so downstream plans and the oracle
+    * see identical values regardless of the generator's vintage.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs as a batch-shaped function over the binary
   * payload.
   *
-  * IMAGE decode is REAL: [[mediaDims]] parses PNG/GIF/BMP/JPEG container
-  * headers, [[ppmFeatures]] decodes uncompressed netpbm rasters, and
-  * [[pngFeatures]] decodes DEFLATE-compressed PNG pixel data — all from
-  * actual bytes with zero codec libraries. AUDIO decode is REAL for the
-  * raw-sample family: [[wavFeatures]] walks RIFF/WAVE chunks and sums the
-  * actual PCM samples. Only compressed AUDIO/VIDEO codecs (which genuinely
-  * don't exist in this container) remain stubbed: `fakeDecode`
+  * IMAGE decode is REAL across the board: [[mediaDims]] parses PNG/GIF/BMP/
+  * JPEG container headers, [[ppmFeatures]] decodes uncompressed netpbm
+  * rasters, [[pngFeatures]] decodes DEFLATE-compressed PNG pixel data,
+  * GIF's LZW and JPEG's baseline Huffman+IDCT ([[jpegFeatures]]) are
+  * implemented from their public specs — all from actual bytes with zero
+  * codec libraries. AUDIO decode is REAL for the raw-sample family:
+  * [[wavFeatures]] walks RIFF/WAVE chunks and sums the actual PCM samples.
+  * Only compressed AUDIO/VIDEO sample codecs (which genuinely don't exist
+  * in this container) remain stubbed: `fakeDecode`
   * produces deterministic features from the raw bytes — length,
   * leading-bytes digest, and a 4-bin byte histogram standing in for
   * decoded-sample statistics. The Spark-side plumbing is real: schema,
@@ -29,12 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Deterministic stand-in for full audio/video SAMPLE decode ONLY — the
-    * DCT/entropy codecs this container genuinely lacks (MP3/AAC synthesis,
-    * H.26x). Everything short of that is real: image pixel decode
-    * ([[pngFeatures]], [[ppmFeatures]], GIF LZW, [[mediaDims]]), raw-PCM
-    * audio decode ([[wavFeatures]]), and MPEG-audio container metadata
-    * (frame-header walk, [[graft.functions.MpegFeatures]]).
+  /** Deterministic stand-in for full AUDIO/VIDEO SAMPLE decode ONLY — the
+    * subband/entropy audio codecs and motion-compensated video codecs this
+    * container genuinely lacks (MP3/AAC sample synthesis, H.26x). Every
+    * image format is now decoded for real ([[pngFeatures]],
+    * [[ppmFeatures]], GIF LZW, baseline JPEG via [[jpegFeatures]],
+    * [[mediaDims]]), as are raw-PCM audio ([[wavFeatures]]) and the
+    * MPEG-audio/MP4 container metadata walks
+    * ([[graft.functions.MpegFeatures]], [[graft.functions.Mp4Features]]).
     * Output: (n_bytes, digest16, histogram[4]).
     */
   def fakeDecode(bytes: Array[Byte]): (Long, String, Array[Long]) = {
@@ -207,6 +211,27 @@ object Multimodal {
         col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
         col("f.sum_b").as("sum_b"))
       .orderBy(col("asset_id"), col("frame_idx"))
+
+  /** REAL pixel-level decode for ENTROPY-CODED JPEG payloads — marker walk,
+    * canonical Huffman tables (T.81 Annex C), baseline DC/AC coefficient
+    * decode (Annex F), dequantization, double-precision IDCT, chroma
+    * upsampling and JFIF YCbCr→RGB, all from the actual bytes by the native
+    * codegen'd [[graft.functions.JpegFeatures]] expression (zero codec
+    * libraries — JPEG baseline is reachable from the public spec the same
+    * way the GIF LZW decoder was). Progressive/arithmetic/12-bit payloads
+    * refuse with header dims intact. Same scan-stage shape as
+    * [[pngFeatures]]: one narrow per-row map, only the per-asset stats
+    * struct ever leaves the scan.
+    */
+  def jpegFeatures(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"), graft.functions.JpegFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format").as("format"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.components").as("components"), col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"))
+      .orderBy(col("asset_id"))
 
   /** REAL sample-level decode for RIFF/WAVE PCM payloads — chunk walk,
     * fmt parse, and exact per-channel integer sums of the decoded samples

@@ -434,6 +434,223 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  // ---------------------------------------------------------------- JPEG
+
+  /** Baseline JPEG bytes from the JDK's own writer (real libjpeg-lineage
+    * encoder: standard Annex K Huffman tables, real AC coefficients, real
+    * quantization at the given quality).
+    */
+  private def imageIoJpeg(img: java.awt.image.BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  private def grayImage(w: Int, h: Int)(f: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+    img
+  }
+
+  private def rgbImage(w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  /** Per-pixel max abs diff between our decode and ImageIO's own reader. */
+  private def jpegMaxDiff(bytes: Array[Byte]): Int = {
+    val ours = graft.functions.JpegFeatures.decodePixels(bytes)
+    assert(ours != null, "decoder refused a baseline JPEG it must accept")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected the JPEG")
+    assert((img.getWidth, img.getHeight) === ((ours.width, ours.height)))
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    var worst = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth; c <- 0 until 3) {
+      val ref = raster.getSample(x, y, if (bands >= 3) c else 0)
+      val got = ours.rgb((y * ours.width + x) * 3 + c) & 0xff
+      worst = math.max(worst, math.abs(ref - got))
+    }
+    worst
+  }
+
+  test("jpeg_features decodes JDK-written baseline JPEGs (Annex K tables, real AC)") {
+    import spark.implicits._
+    // grayscale gradient: single component, partial right/bottom MCUs
+    val gray = imageIoJpeg(grayImage(21, 13)((x, y) => x * 9 + y * 5), 0.9f)
+    // near-gray RGB ramp: 3 components (typically subsampled by the JDK
+    // writer), chroma ~constant so the upsampling filter choice cannot
+    // dominate the comparison
+    val rgb = imageIoJpeg(rgbImage(24, 17) { (x, y) =>
+      val v = (x * 7 + y * 3) % 200 + 20; (v, v, v) }, 0.85f)
+    // gently colored smooth ramps: exercises real chroma planes
+    val colored = imageIoJpeg(rgbImage(32, 16) { (x, y) =>
+      (120 + 2 * x, 100 + 3 * y, 140) }, 0.85f)
+    assert(jpegMaxDiff(gray) <= 2, "gray decode drifted from ImageIO")
+    assert(jpegMaxDiff(rgb) <= 4, "near-gray RGB decode drifted from ImageIO")
+    assert(jpegMaxDiff(colored) <= 16,
+      "smooth color decode drifted from ImageIO (upsampling filters differ)")
+    // expression + SQL registration round-trip on the gray fixture
+    GraftExtensions.registerAll(spark)
+    val viaSql = Seq(Tuple1(gray)).toDF("p")
+      .selectExpr("jpeg_features(p).format AS f", "jpeg_features(p).width AS w",
+        "jpeg_features(p).n_pixels AS np", "jpeg_features(p).sum_r AS sr").head()
+    assert((viaSql.getString(0), viaSql.getLong(1), viaSql.getLong(2)) ===
+      (("jpeg", 21L, 21L * 13)))
+    val oursSum = {
+      val d = graft.functions.JpegFeatures.decodePixels(gray)
+      d.rgb.indices.filter(_ % 3 == 0).map(d.rgb(_) & 0xff).map(_.toLong).sum
+    }
+    assert(viaSql.getLong(3) === oursSum)
+  }
+
+  /** Minimal from-scratch baseline encoder with restart markers — constant
+    * 8×8 blocks through the m15 fixture's custom canonical tables (DC: all
+    * twelve categories at length 4; AC: EOB alone at length 1), DRI/RSTn
+    * between MCUs. Exercises the decoder's restart path, which neither the
+    * JDK writer (no DRI knob) nor the in-plan fixture emits.
+    */
+  private def jpegEncodeGrayRestart(w: Int, h: Int, vAt: (Int, Int) => Int,
+      dri: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def bytes(hex: String): Unit =
+      out.write(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    bytes("FFD8")
+    bytes("FFDB004300" + "08" * 64)
+    out.write(Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8,
+      (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte, 1, 1, 0x11, 0))
+    bytes("FFC40031" + "00" + "0000000C" + "00" * 12 +
+      "000102030405060708090A0B" + "10" + "01" + "00" * 15 + "00")
+    out.write(Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4,
+      (dri >> 8).toByte, dri.toByte)) // DRI
+    bytes("FFDA0008010100003F00")
+    val wb = w / 8
+    var acc = 0; var cnt = 0
+    def putBit(b: Int): Unit = {
+      acc = (acc << 1) | b; cnt += 1
+      if (cnt == 8) {
+        out.write(acc)
+        if (acc == 0xff) out.write(0) // byte stuffing
+        acc = 0; cnt = 0
+      }
+    }
+    def putBits(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => putBit((v >> i) & 1))
+    def flush(): Unit = while (cnt != 0) putBit(1)
+    var pred = 0
+    var rst = 0
+    for (m <- 0 until wb * (h / 8)) {
+      if (dri > 0 && m > 0 && m % dri == 0) {
+        flush()
+        out.write(0xff); out.write(0xd0 + rst)
+        rst = (rst + 1) % 8
+        pred = 0
+      }
+      val t = (vAt(m % wb, m / wb) & 0xff) - 128
+      val diff = t - pred
+      pred = t
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4) // DC category at fixed length 4
+      if (s > 0) putBits(if (diff > 0) diff else diff + (1 << s) - 1, s)
+      putBit(0) // EOB
+    }
+    flush()
+    bytes("FFD9")
+    out.toByteArray
+  }
+
+  test("jpeg_features honors restart markers (DRI/RSTn, predictor reset)") {
+    val vAt = (bx: Int, by: Int) => (37 + bx * 51 + by * 87) % 256
+    val bytes = jpegEncodeGrayRestart(24, 16, vAt, dri = 2)
+    val d = graft.functions.JpegFeatures.decode(bytes)
+    assert(d.getUTF8String(0).toString === "jpeg")
+    assert((d.getLong(1), d.getLong(2), d.getLong(3)) === ((24L, 16L, 1L)))
+    val expected = (for (by <- 0 until 2; bx <- 0 until 3)
+      yield 64L * vAt(bx, by)).sum
+    assert(d.getLong(5) === expected, "restart-separated DC chain mis-decoded")
+    // ImageIO agrees on the same bytes
+    val (sr, _, _) = imageIoSums(bytes)
+    assert(sr === expected, "ImageIO disagrees — the restart fixture is wrong")
+  }
+
+  test("jpeg_features refuses what it cannot decode — never misreads") {
+    import spark.implicits._
+    val base = imageIoJpeg(grayImage(20, 12)((x, y) => x * 11 + y * 7), 0.9f)
+    val progressive = imageIoJpeg(grayImage(20, 12)((x, y) => x * 11 + y * 7),
+      0.9f, progressive = true)
+    // patch the SOF0 precision byte to 12
+    val deep = base.clone()
+    val sof = (0 until deep.length - 1).find(i =>
+      (deep(i) & 0xff) == 0xff && (deep(i + 1) & 0xff) == 0xc0).get
+    deep(sof + 4) = 12
+    val truncated = base.dropRight(math.max(10, base.length / 4))
+    val eoiOnly = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
+    val garbage = "JFIFnope".getBytes("US-ASCII")
+    val rows = Seq((1L, progressive), (2L, deep), (3L, truncated),
+      (4L, eoiOnly), (5L, garbage))
+      .toDF("id", "payload")
+      .select(col("id"), graft.functions.JpegFeatures(col("payload")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.height"),
+        col("f.sum_r"))
+      .orderBy("id").collect()
+    def g(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.get(i)
+    assert((rows(0).getString(1), g(rows(0), 2), g(rows(0), 3), g(rows(0), 4)) ===
+      (("jpeg", 20L, 12L, null)), "progressive (SOF2) must refuse with dims")
+    assert((rows(1).getString(1), g(rows(1), 2), g(rows(1), 4)) ===
+      (("jpeg", 20L, null)), "12-bit precision must refuse with dims")
+    assert((rows(2).getString(1), g(rows(2), 4)) === (("jpeg", null)),
+      "truncated entropy stream must refuse")
+    assert((rows(3).getString(1), g(rows(3), 2), g(rows(3), 4)) ===
+      (("jpeg", null, null)), "EOI before SOS must refuse")
+    assert(rows(4).getString(1) === "unknown")
+  }
+
+  test("m15 fixture payloads are spec-valid JPEGs (ImageIO parity on real bytes)") {
+    // guard against a matched construct/parse bug: the in-plan fixture's
+    // entropy-coded bytes must decode identically under the JDK's own JPEG
+    // reader. Constant 8×8 blocks and zero chroma make the decode exact
+    // under ANY conformant IDCT/upsampling, so the parity is equality.
+    val assets = EntryOps.jpegAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") < 40).orderBy("asset_id").collect()
+    assert(assets.length === 40)
+    var checked = 0
+    assets.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val decoded = graft.functions.JpegFeatures.decode(bytes)
+      assert(decoded.getUTF8String(0).toString === "jpeg")
+      if (id % 13 != 5 && id % 17 != 3) { // not a planted refusal row
+        val (sr, sg, sb) = imageIoSums(bytes)
+        assert((decoded.getLong(5), decoded.getLong(6), decoded.getLong(7)) ===
+          ((sr, sg, sb)), s"asset $id: native decode disagrees with ImageIO")
+        checked += 1
+      } else {
+        assert(decoded.isNullAt(5), s"asset $id: refusal row must null its sums")
+      }
+    }
+    assert(checked >= 30, "fixture slice lost its non-refusal coverage")
+  }
+
   /** Real COMPRESSED GIF bytes from the JDK's own encoder: an indexed
     * image with the m08 palette formula, written via ImageIO — genuine
     * variable-width LZW (the in-plan fixture covers the byte-aligned
