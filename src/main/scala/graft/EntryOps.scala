@@ -1196,19 +1196,6 @@ object EntryOps {
       .orderBy(col("asset_id"))
   }
 
-  /** Audio dedup clusters — d14's perceptual pairs through the same
-    * connected-components machinery as [[imageDedupClusters]]; the audio
-    * half of the e05 multimodal corpus.
-    */
-  def audioDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = audioNearDup(spark, dir)
-      .select(col("id1").as("doc1"), col("id2").as("doc2"))
-    val ids = Tables.documents(spark, dir).select(col("doc_id"))
-    graft.ops.Dedup.clusterComponents(ids, pairs)
-      .select(col("doc_id").as("asset_id"), col("cluster_id"),
-        col("cluster_size"))
-  }
-
   /** e05 — the MULTIMODAL training corpus: the media family composed into
     * a corpus product the way e02 composes the text family. Each document
     * owns an image asset ([[dhashAssets]]) and an audio asset
@@ -1241,13 +1228,30 @@ object EntryOps {
     * active vertex set; the final assembly is 1:1 equi-joins on doc_id.
     */
   def multimodalCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val imgCl = imageDedupClusters(spark, dir)
-      .select(col("asset_id").as("doc_id"),
+    // ONE components run over BOTH modality graphs: audio vertices are
+    // offset into a disjoint id namespace, the union graph converges in
+    // max(rounds_img, rounds_aud) iterations instead of their SUM, and the
+    // per-round fixed cost (join + min-agg + fixpoint check) is paid once.
+    // Audio components contain only offset vertices, so their min-label
+    // cluster ids are `min doc_id + OFF` — subtracting OFF restores exactly
+    // what a standalone audio run would emit; the output is value-identical
+    // to two separate clusterComponents calls (the oracle is unchanged).
+    val OFF = 1L << 40
+    val imgPairs = imageNearDup(spark, dir)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val audPairs = audioNearDup(spark, dir)
+      .select((col("id1") + OFF).as("doc1"), (col("id2") + OFF).as("doc2"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val both = graft.ops.Dedup.clusterComponents(
+      ids.union(ids.select((col("doc_id") + OFF).as("doc_id"))),
+      imgPairs.union(audPairs))
+    val imgCl = both.filter(col("doc_id") < OFF)
+      .select(col("doc_id"),
         col("cluster_id").as("img_cluster_id"),
         col("cluster_size").as("img_cluster_size"))
-    val audCl = audioDedupClusters(spark, dir)
-      .select(col("asset_id").as("doc_id"),
-        col("cluster_id").as("aud_cluster_id"),
+    val audCl = both.filter(col("doc_id") >= OFF)
+      .select((col("doc_id") - OFF).as("doc_id"),
+        (col("cluster_id") - OFF).as("aud_cluster_id"),
         col("cluster_size").as("aud_cluster_size"))
     val imgF = Multimodal.ppmFeatures(dhashAssets(spark, dir))
       .select(col("asset_id").as("doc_id"), col("format").as("img_format"),
