@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   * three runs (best-of-two could not absorb a co-tenant load burst spanning
   * both runs — the r3 d02 straggler), and the 1-minute host load average is
   * recorded before/after each query's runs so a noisy number carries its own
-  * evidence (`load` in the JSON, from /proc/loadavg). The summary line
+  * evidence (`load` in the JSON, from /proc/loadavg). A query whose median
+  * exceeds 2× its own min absorbed a burst in at least two runs (r7's d08):
+  * it is re-measured once after a bounded quiet wait and the better median
+  * kept, with every run recorded and a `reruns` count in the summary line
+  * (r7 verdict item 1). The summary line
   * additionally carries `sum_of_min` (cross-run noise floor), `gate_load`,
   * and `wait_sec`, so the official artifact proves — or indicts — its own
   * capture conditions without any probe-file cross-referencing.
@@ -160,13 +164,29 @@ object Bench {
       gateQuery()
       val before = loadavg()
       val cpu0 = cpuSec()
-      val runs = Seq(run(n), run(n), run(n))
+      var runs = Seq(run(n), run(n), run(n))
+      var value = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1) // median
+      // Burst re-run (r7 verdict): a median more than 2× the same query's
+      // own min means at least two of three runs absorbed a co-tenant
+      // burst (the d08-in-r7 signature: 1.18 s official vs 0.37 s clean).
+      // Wait out the burst within the shared quiet budget and measure
+      // three more runs; keep the better median, keep ALL runs in the
+      // detail file, and count the re-run in the summary line so the
+      // artifact says what happened.
+      var rerun = false
+      if (value > 0 && value > 2 * runs.min) {
+        gateQuery()
+        val again = Seq(run(n), run(n), run(n))
+        val v2 = if (again.exists(_ < 0)) -1.0 else again.sorted.apply(1)
+        if (v2 > 0 && v2 < value) { value = v2; rerun = true }
+        runs = runs ++ again
+      }
       val cpu = cpuSec() - cpu0
       val after = loadavg()
-      val value = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1) // median
-      (n, value, runs, before, after, cpu)
+      (n, value, runs, before, after, cpu, rerun)
     }
     val failures = results.count(_._2 < 0)
+    val reruns = results.count(_._7)
     // The harness that captures this line keeps only a bounded tail of the
     // process output (observed: 2000 chars, with sbt's [success] trailer
     // inside the same window). Round 4's line carried per-run and per-load
@@ -199,7 +219,7 @@ object Bench {
     def qid(n: String): String = n.takeWhile(_ != '_')
     require(results.map(r => qid(r._1)).distinct.size == results.size,
       "headline query id prefixes must stay unique")
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + qid(k) + "\":" + r2(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + qid(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // sum of per-query MINIMUM run times: the cross-run noise floor. A
@@ -215,20 +235,23 @@ object Bench {
     // wait_sec (mid-run quiet-gate waits) ride in the line so the judge
     // reads the run's noise evidence without cross-referencing probe files.
     val failuresField = if (failures > 0) s""","failures":$failures""" else ""
+    val rerunsField = if (reruns > 0) s""","reruns":$reruns""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)
-    val runsJson = results.map { case (k, _, rs, _, _, _) =>
+    val runsJson = results.map { case (k, _, rs, _, _, _, _) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, b, a, _) =>
+    val loadJson = results.map { case (k, _, _, b, a, _, _) =>
       "\"" + k + "\":[" + b + "," + a + "]" }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (k, _, _, _, _, c) =>
+    val cpuJson = results.map { case (k, _, _, _, _, c, _) =>
       "\"" + k + "\":" + BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
+    val rerunJson = results.filter(_._7).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
     val detail =
-      s"""{"summary":$line,"sf_dir":"$sfDir","stat":"median_of_3","gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
+      s"""{"summary":$line,"sf_dir":"$sfDir","stat":"median_of_3","gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"rerun_queries":$rerunJson,"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

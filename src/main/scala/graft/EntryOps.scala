@@ -1124,6 +1124,22 @@ object EntryOps {
   def jpegPixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.jpegFeatures(jpegAssets(spark, dir))
 
+  /** m16 — perceptual hash over ENTROPY-CODED assets: [[PpmDHash]]'s dHash
+    * construction with the raster produced by the from-spec baseline JPEG
+    * decoder, over the [[jpegAssets]] fixture. Constant-block payloads make
+    * the decoded luma closed-form, so the oracle rebuilds the 9×8 sampled
+    * grid and its 64 gradient signs directly from the doc_id block formula;
+    * the planted progressive/truncation rows must surface as SQL NULL (a
+    * refused payload never hashes). The hash feeds the same 4×16 banded
+    * machinery as d13/d14 unchanged — compressed formats are first-class
+    * citizens of the perceptual dedup family.
+    */
+  def jpegDhash(spark: SparkSession, dir: String): DataFrame =
+    jpegAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.JpegDHash(col("payload")).as("dhash"))
+      .orderBy(col("asset_id"))
+
   /** m13/d14 fixture — mono 8-bit PCM WAVs whose SAMPLE CONTENT is a
     * nonlinear function of a pattern seed (quadratic, like [[dhashAssets]]
     * and for the same reason: a linear ramp's energy-gradient hash is
@@ -3193,6 +3209,23 @@ object EntryOps {
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_g,
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_b
          FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
+    "m16_jpeg_dhash" ->
+      """WITH base AS (SELECT doc_id, doc_id % 21 + 4 AS w, (doc_id * 5) % 19 + 4 AS h,
+                       (doc_id % 13 = 5 OR doc_id % 17 = 3) AS refused
+                       FROM documents),
+          bits AS (SELECT doc_id, k,
+                   CASE WHEN (doc_id * 7 + ((((k % 8) + 1) * w // 9) // 8) * 13
+                              + (((k // 8) * h // 8) // 8) * 29) % 256
+                           > (doc_id * 7 + (((k % 8) * w // 9) // 8) * 13
+                              + (((k // 8) * h // 8) // 8) * 29) % 256
+                        THEN '1' ELSE '0' END AS bit
+                   FROM (SELECT doc_id, w, h, unnest(range(0, 64)) AS k
+                         FROM base WHERE NOT refused)),
+          hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY k) AS dhash
+                 FROM bits GROUP BY doc_id)
+         SELECT b.doc_id AS asset_id, hs.dhash AS dhash
+         FROM base b LEFT JOIN hs ON b.doc_id = hs.doc_id
+         ORDER BY asset_id""",
     "m10_gif_frames" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,
                        doc_id % 4 + 1 AS nf FROM documents),
@@ -3726,6 +3759,7 @@ object EntryOps {
     "m05_ppm_pixels" -> (ppmPixels _),
     "m06_png_pixels" -> (pngPixels _),
     "m15_jpeg_pixels" -> (jpegPixels _),
+    "m16_jpeg_dhash" -> (jpegDhash _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

@@ -35,7 +35,7 @@ object GraftExtensions {
     "minhash_band_sigs" -> 3, "inet_sort_key" -> 1, "parse_str_array" -> 1,
     "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1, "ppm_dhash" -> 1,
     "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
-    "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "mp4_features" -> 1, "jpeg_features" -> 1, "zorder_key" -> 2,
+    "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "mp4_features" -> 1, "jpeg_features" -> 1, "jpeg_dhash" -> 1, "zorder_key" -> 2,
     "hyperplane_bucket" -> 3)
 
   private def checkArity(name: String, n: Int)(
@@ -131,6 +131,10 @@ object GraftExtensions {
         info("jpeg_features",
           "jpeg_features(payload) - struct(format, width, height, components, n_pixels, sum_r, sum_g, sum_b) decoded from baseline JPEG bytes (from-spec T.81 Huffman + IDCT, honest refusal on progressive/arithmetic/12-bit)"),
         (args: Seq[Expression]) => graft.functions.JpegFeatures(args.head)),
+      (FunctionIdentifier("jpeg_dhash"),
+        info("jpeg_dhash",
+          "jpeg_dhash(payload) - 64-char difference-hash bitstring of a decoded baseline JPEG (9x8 grayscale gradient signs, PpmDHash's construction); NULL on refusal"),
+        (args: Seq[Expression]) => graft.functions.JpegDHash(args.head)),
       (FunctionIdentifier("zorder_key"),
         info("zorder_key",
           "zorder_key(a, b) - 64-bit Morton interleave of two longs (multi-column clustering key)"),

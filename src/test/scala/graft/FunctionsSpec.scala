@@ -625,6 +625,44 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(4).getString(1) === "unknown")
   }
 
+  test("jpeg_dhash matches the closed-form grid on fixture bytes; equals ppm_dhash cross-format") {
+    import spark.implicits._
+    // fixture parity: the decoded luma of a constant-block payload is the
+    // block formula, so the expected bitstring is computable directly
+    val rows = EntryOps.jpegDhash(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") < 30).orderBy("asset_id").collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = (id % 21 + 4).toInt
+      val h = (id * 5 % 19 + 4).toInt
+      if (id % 13 == 5 || id % 17 == 3) {
+        assert(r.isNullAt(1), s"asset $id: refusal row must hash to NULL")
+      } else {
+        def v(px: Int, py: Int): Long = (id * 7 + (px / 8) * 13 + (py / 8) * 29) % 256
+        val expected = (for (y <- 0 until 8; x <- 0 until 8) yield {
+          val py = y * h / 8
+          if (v((x + 1) * w / 9, py) > v(x * w / 9, py)) '1' else '0'
+        }).mkString
+        assert(r.getString(1) === expected, s"asset $id: dhash drifted from formula")
+      }
+    }
+    // cross-format: a JPEG and a netpbm P5 encoding of the SAME blocky image
+    // hash identically (the property that lets mixed-format corpora dedup)
+    val vAt = (bx: Int, by: Int) => (29 + bx * 41 + by * 67) % 256
+    val jpeg = jpegEncodeGrayRestart(24, 16, vAt, dri = 0)
+    val pgm = ("P5\n24 16\n255\n").getBytes("US-ASCII") ++
+      Array.tabulate(24 * 16)(j => vAt((j % 24) / 8, (j / 24) / 8).toByte)
+    val jh = graft.functions.JpegDHash.hash(jpeg)
+    val ph = graft.functions.PpmDHash.hash(pgm)
+    assert(jh != null && jh.toString === ph.toString,
+      "same image, two containers, different perceptual hash")
+    // SQL registration round-trip
+    GraftExtensions.registerAll(spark)
+    assert(Seq(Tuple1(jpeg)).toDF("p").selectExpr("jpeg_dhash(p) AS h")
+      .head().getString(0) === jh.toString)
+  }
+
   test("m15 fixture payloads are spec-valid JPEGs (ImageIO parity on real bytes)") {
     // guard against a matched construct/parse bug: the in-plan fixture's
     // entropy-coded bytes must decode identically under the JDK's own JPEG
