@@ -77,7 +77,8 @@ object LogStream {
 
   /** Media asset directory stream → decoded-feature table: the streaming
     * MULTIMODAL ingest path. Every native decoder (container sniff, GIF
-    * still/animation, WAV PCM) runs per-row inside the micro-batch's scan
+    * still/animation, baseline JPEG, WAV PCM) runs per-row inside the
+    * micro-batch's scan
     * stage — payloads never leave the stage; the parquet sink receives only
     * the small per-asset feature rows. One format-dispatch projection:
     * `format` reports which decoder claimed the payload, and the
@@ -97,18 +98,20 @@ object LogStream {
       .select(col("path"), col("length").as("n_bytes"),
         graft.functions.MediaDims(col("content")).as("dims"),
         graft.functions.GifAnimFeatures(col("content")).as("gif"),
+        graft.functions.JpegFeatures(col("content")).as("jpg"),
         graft.functions.WavFeatures(col("content")).as("wav"))
     decoded.select(
         col("path"), col("n_bytes"),
         when(col("wav.format") === "wav", lit("wav"))
           .when(col("gif.format") === "gif", lit("gif"))
+          .when(col("jpg.format") === "jpeg", lit("jpeg"))
           .otherwise(col("dims.format")).as("format"),
-        coalesce(col("gif.width"), col("dims.width")).as("width"),
-        coalesce(col("gif.height"), col("dims.height")).as("height"),
+        coalesce(col("gif.width"), col("jpg.width"), col("dims.width")).as("width"),
+        coalesce(col("gif.height"), col("jpg.height"), col("dims.height")).as("height"),
         col("gif.n_frames").as("n_frames"),
-        col("gif.sum_r").as("sum_r"),
-        col("gif.sum_g").as("sum_g"),
-        col("gif.sum_b").as("sum_b"),
+        coalesce(col("gif.sum_r"), col("jpg.sum_r")).as("sum_r"),
+        coalesce(col("gif.sum_g"), col("jpg.sum_g")).as("sum_g"),
+        coalesce(col("gif.sum_b"), col("jpg.sum_b")).as("sum_b"),
         col("wav.channels").as("channels"),
         col("wav.n_frames").as("audio_frames"),
         col("wav.sum_ch0").as("sum_ch0"),

@@ -439,15 +439,18 @@ class StreamingSpec extends GraftSpec {
       .filter(col("asset_id") === 3L).head().getAs[Array[Byte]]("payload")
     val wavBytes = EntryOps.wavAssets(spark, "/root/testdata/sf0.001")
       .filter(col("asset_id") === 4L).head().getAs[Array[Byte]]("payload")
+    val jpegBytes = EntryOps.jpegAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") === 6L).head().getAs[Array[Byte]]("payload")
     Files.write(in.resolve("a.gif"), gifBytes)
     Files.write(in.resolve("b.wav"), wavBytes)
     Files.write(in.resolve("c.bin"), "no media here".getBytes(UTF_8))
+    Files.write(in.resolve("d.jpg"), jpegBytes)
     val q = LogStream.mediaAssets(spark, in.toString, outDir,
       tmp("media-ck").toString)
     q.awaitTermination()
 
     val out = spark.read.parquet(outDir).orderBy("path").collect()
-    assert(out.length === 3)
+    assert(out.length === 4)
     val byExt = out.map(r => r.getAs[String]("path").split('.').last -> r).toMap
     // the GIF row carries the SAME stats the batch expression computes
     val g = graft.functions.GifAnimFeatures.decode(gifBytes)
@@ -464,6 +467,14 @@ class StreamingSpec extends GraftSpec {
     assert(byExt("wav").isNullAt(byExt("wav").fieldIndex("n_frames")))
     assert(byExt("bin").getAs[String]("format") === "unknown")
     assert(byExt("bin").isNullAt(byExt("bin").fieldIndex("sum_r")))
+    // the JPEG row carries the SAME stats the batch expression computes —
+    // the full baseline decode runs inside the micro-batch scan stage
+    val j = graft.functions.JpegFeatures.decode(jpegBytes)
+    assert(byExt("jpg").getAs[String]("format") === "jpeg")
+    assert((byExt("jpg").getAs[Long]("width"),
+      byExt("jpg").getAs[Long]("height"),
+      byExt("jpg").getAs[Long]("sum_r")) ===
+      ((j.getLong(1), j.getLong(2), j.getLong(5))))
   }
 
   test("streaming span check: corpus-known substring spans per arrival") {
