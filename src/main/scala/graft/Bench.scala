@@ -97,8 +97,10 @@ object Bench {
     // then carry the evidence.
     val quietThreshold =
       sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "1.0").toDouble
+    // default raised 600 → 900 s (r8 verdict item 2): the official capture
+    // is worth a longer up-front wait than an iteration probe
     val quietDeadline = System.currentTimeMillis() +
-      sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "600").toLong * 1000L
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "900").toLong * 1000L
     while (loadavg() > quietThreshold &&
         System.currentTimeMillis() < quietDeadline)
       Thread.sleep(15000L)
@@ -134,8 +136,9 @@ object Bench {
     // cpus=4, and a zero allowance makes the gate trip on our OWN load,
     // burning the whole budget on a quiet host and leaving a later real
     // burst unprotected.
+    // default raised 300 → 600 s (r8 verdict item 2)
     val quietBudgetMs =
-      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_SEC", "300").toLong * 1000L
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_SEC", "600").toLong * 1000L
     val ownLoadAllowance =
       sys.env.getOrElse("SPARK_GRAFT_OWN_LOAD", (cpus.toDouble / 5.0).toString).toDouble
     var remainingBudgetMs = quietBudgetMs
@@ -158,32 +161,75 @@ object Bench {
       case _ => -1.0
     }
 
-    // any failed run fails the query outright (-1, counted) — a crash must
-    // never improve the headline total or hide behind another run's time
-    val results = headline.map { n =>
+    // One measured triple: three runs, their median, and the CPU seconds of
+    // THIS triple alone (r8 advice: measuring cpu across rerun-inflated six
+    // runs roughly doubled cpu_sec relative to the kept median's wall time,
+    // making the cpu/wall starvation signal uninterpretable).
+    def triple(n: String): (Seq[Double], Double, Double) = {
+      val cpu0 = cpuSec()
+      val rs = Seq(run(n), run(n), run(n))
+      val c = cpuSec() - cpu0
+      // any failed run fails the query outright (-1, counted) — a crash must
+      // never improve the headline total or hide behind another run's time
+      val med = if (rs.exists(_ < 0)) -1.0 else rs.sorted.apply(1)
+      (rs, med, c)
+    }
+    var results = headline.map { n =>
       gateQuery()
       val before = loadavg()
-      val cpu0 = cpuSec()
-      var runs = Seq(run(n), run(n), run(n))
-      var value = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1) // median
+      val (rs1, v1, c1) = triple(n)
+      var runs = rs1
+      var value = v1
+      var cpu = c1
       // Burst re-run (r7 verdict): a median more than 2× the same query's
       // own min means at least two of three runs absorbed a co-tenant
       // burst (the d08-in-r7 signature: 1.18 s official vs 0.37 s clean).
       // Wait out the burst within the shared quiet budget and measure
-      // three more runs; keep the better median, keep ALL runs in the
-      // detail file, and count the re-run in the summary line so the
-      // artifact says what happened.
+      // three more runs; keep the better median AND ITS triple's cpu, keep
+      // ALL runs in the detail file, and count the re-run in the summary
+      // line so the artifact says what happened.
       var rerun = false
       if (value > 0 && value > 2 * runs.min) {
         gateQuery()
-        val again = Seq(run(n), run(n), run(n))
-        val v2 = if (again.exists(_ < 0)) -1.0 else again.sorted.apply(1)
-        if (v2 > 0 && v2 < value) { value = v2; rerun = true }
-        runs = runs ++ again
+        val (rs2, v2, c2) = triple(n)
+        if (v2 > 0 && v2 < value) { value = v2; cpu = c2; rerun = true }
+        runs = runs ++ rs2
       }
-      val cpu = cpuSec() - cpu0
       val after = loadavg()
       (n, value, runs, before, after, cpu, rerun)
+    }
+    // Whole-suite burst guard (r8 verdict): the per-query policy can still
+    // ship a polluted headline when a burst outlasts both triples (r8's t06:
+    // six runs all at load 9.9-15.4). If the finished suite's total exceeds
+    // 1.3× its own sum_of_min, the capture is dirty by its own evidence:
+    // after a longer cooldown, give every still-suspect query (median > 2×
+    // its own min across ALL its recorded runs) one more gated triple and
+    // keep the better median. Bounded: one sweep, small query set.
+    var suiteReruns = 0
+    locally {
+      val ok = results.filter(_._2 >= 0)
+      val totalNow = ok.map(_._2).sum
+      val floorNow = ok.map(_._3.filter(_ >= 0).min).sum
+      if (ok.nonEmpty && totalNow > 1.3 * floorNow) {
+        val cooldownMs =
+          sys.env.getOrElse("SPARK_GRAFT_SUITE_COOLDOWN_SEC", "120").toLong * 1000L
+        System.err.println(
+          f"[bench] suite guard: total $totalNow%.1f > 1.3x floor $floorNow%.1f; cooling down")
+        Thread.sleep(cooldownMs)
+        remainingBudgetMs = remainingBudgetMs.max(quietBudgetMs / 2)
+        results = results.map { case r @ (n, value, runs, before, _, cpu, _) =>
+          val valid = runs.filter(_ >= 0)
+          if (value > 0 && valid.nonEmpty && value > 2 * valid.min) {
+            gateQuery()
+            val (rs3, v3, c3) = triple(n)
+            suiteReruns += 1
+            val after3 = loadavg()
+            if (v3 > 0 && v3 < value)
+              (n, v3, runs ++ rs3, before, after3, c3, true)
+            else (n, value, runs ++ rs3, before, after3, cpu, true)
+          } else r
+        }
+      }
     }
     val failures = results.count(_._2 < 0)
     val reruns = results.count(_._7)
@@ -236,8 +282,9 @@ object Bench {
     // reads the run's noise evidence without cross-referencing probe files.
     val failuresField = if (failures > 0) s""","failures":$failures""" else ""
     val rerunsField = if (reruns > 0) s""","reruns":$reruns""" else ""
+    val suiteField = if (suiteReruns > 0) s""","suite_rerun":$suiteReruns""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)

@@ -1140,6 +1140,116 @@ object EntryOps {
         graft.functions.JpegDHash(col("payload")).as("dhash"))
       .orderBy(col("asset_id"))
 
+  /** m17 fixture — VALID PROGRESSIVE (SOF2) JPEGs synthesized in-plan from
+    * doc_id, with a real Annex G three-scan script:
+    *   scan 1 = DC first (Ss=0, Se=0, Ah=0, Al=1): diff-coded point-
+    *     transformed DC values `D >> 1` through the same 4-bit-category
+    *     canonical DC table as [[jpegAssets]];
+    *   scan 2 = DC refinement (Ah=1, Al=0): one raw bit per block, the low
+    *     bit of D — the decoder must reconstruct `(D >> 1) << 1 | (D & 1)
+    *     = D` exactly, including for negative D (two's complement);
+    *   scan 3 = AC first (Ss=1, Se=63, Ah=0, Al=0): one EOB symbol per
+    *     block through the single-entry AC table (constant blocks carry no
+    *     AC energy).
+    * Grayscale only, two dequant paths by `doc_id % 2` (quant 8 vs quant 4
+    * with doubled coefficients — same pixels). Every 8×8 block holds the
+    * same constant `(doc_id·7 + bx·13 + by·29) % 256` as [[jpegAssets]],
+    * so the oracle's closed-form crop-summed pixel formula carries over
+    * verbatim. Refusal branches ride in-plan: every 13th doc swaps SOF2
+    * for SOF10 (arithmetic progressive — no arithmetic decoder) and every
+    * 17th omits the AC scan entirely (an incomplete scan script, refused
+    * by the coverage mask at EOI) — both must yield header dims with null
+    * sums, never a partial decode.
+    */
+  def jpegProgressiveAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 2).as("mode"),
+        (col("doc_id") % 21 + 4).as("w"),
+        ((col("doc_id") * 5) % 19 + 4).as("h"),
+        (col("doc_id") % 13 === 5).as("arith"),
+        (col("doc_id") % 17 === 3).as("trunc"))
+      .withColumn("wb", expr("(w + 7) div 8"))
+      .withColumn("hb", expr("(h + 7) div 8"))
+      .withColumn("scale", expr("IF(mode = 1, 2L, 1L)"))
+      .withColumn("n_units", expr("wb * hb"))
+    // quantized DC of block k (row-major): (v − 128) · (8 / quantStep)
+    def dval(k: String) =
+      s"(((doc_id * 7 + (($k) % wb) * 13 + (($k) div wb) * 29) % 256 - 128) * scale)"
+    // bit-plane split per G.1.2.1: first scan codes D >> 1 (arithmetic
+    // shift = the spec's point transform), refinement sends D & 1
+    val withBits = d
+      .withColumn("dvals", expr(
+        s"""transform(sequence(0L, n_units - 1), k -> ${dval("k")})"""))
+      .withColumn("d1vals", expr("transform(dvals, v -> shiftright(v, 1))"))
+      .withColumn("diffs", expr(
+        """transform(sequence(0L, n_units - 1), k ->
+             element_at(d1vals, CAST(k AS INT) + 1)
+               - IF(k = 0, 0L, element_at(d1vals, CAST(k AS INT)))"""
+          + ")"))
+      .withColumn("cats", expr(
+        "transform(diffs, d -> IF(d = 0, 0L, CAST(length(conv(abs(d), 10, 2)) AS BIGINT)))"))
+      .withColumn("s1bits", expr(
+        """array_join(transform(sequence(0L, n_units - 1), k ->
+             concat(
+               lpad(conv(element_at(cats, CAST(k AS INT) + 1), 10, 2), 4, '0'),
+               IF(element_at(diffs, CAST(k AS INT) + 1) = 0, '',
+                  lpad(conv(IF(element_at(diffs, CAST(k AS INT) + 1) > 0,
+                               element_at(diffs, CAST(k AS INT) + 1),
+                               element_at(diffs, CAST(k AS INT) + 1)
+                                 + shiftleft(1L, CAST(element_at(cats, CAST(k AS INT) + 1) AS INT)) - 1),
+                            10, 2),
+                       CAST(element_at(cats, CAST(k AS INT) + 1) AS INT), '0')))), '')"""))
+      .withColumn("s2bits", expr(
+        "array_join(transform(dvals, v -> CAST(pmod(v, 2) AS STRING)), '')"))
+      .withColumn("s3bits", expr("repeat('0', CAST(n_units AS INT))"))
+    // per-scan byte stream: pad with 1-bits, stuff 0xFF with 0x00
+    def pad(bits: String) =
+      s"concat($bits, repeat('1', (8 - length($bits) % 8) % 8))"
+    def entropyHex(pb: String) =
+      s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
+           CASE WHEN substring($pb, CAST(i * 8 + 1 AS INT), 8) = '11111111'
+                THEN 'FF00'
+                ELSE lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0') END),
+         '')"""
+    val withHex = withBits
+      .withColumn("p1", expr(pad("s1bits")))
+      .withColumn("p2", expr(pad("s2bits")))
+      .withColumn("p3", expr(pad("s3bits")))
+      .withColumn("e1", expr(entropyHex("p1")))
+      .withColumn("e2", expr(entropyHex("p2")))
+      .withColumn("e3", expr(entropyHex("p3")))
+    val dqtHex = concat(lit("FFDB004300"),
+      expr("IF(mode = 1, repeat('04', 64), repeat('08', 64))"))
+    val sofMarker = when(col("arith"), lit("FFCA")).otherwise(lit("FFC2"))
+    val dimsHex = concat(lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"))
+    val sofHex = concat(sofMarker, lit("000B08"), dimsHex, lit("0101"), lit("1100"))
+    val dhtHex = lit("FFC40031" +
+      "00" + "0000000C" + "00" * 12 + "000102030405060708090A0B" + // DC: 12 cats at len 4
+      "10" + "01" + "00" * 15 + "00") // AC: EOB alone at len 1
+    val payloadHex = concat(
+      lit("FFD8"), lit("FFE000104A46494600010100000100010000"), // SOI + JFIF APP0
+      dqtHex, sofHex, dhtHex,
+      lit("FFDA0008010100000001"), col("e1"), // DC first,  Ah=0 Al=1
+      lit("FFDA0008010100000010"), col("e2"), // DC refine, Ah=1 Al=0
+      when(col("trunc"), lit(""))
+        .otherwise(concat(lit("FFDA0008010100013F00"), col("e3"))), // AC 1..63
+      lit("FFD9"))
+    withHex.select(col("doc_id").as("asset_id"), unhex(payloadHex).as("payload"))
+  }
+
+  /** m17 — REAL multi-scan PROGRESSIVE pixel decode: [[jpegProgressiveAssets]]
+    * payloads through the native `jpeg_features` expression (T.81 Annex G:
+    * spectral selection + successive approximation, DC first/refine, AC
+    * first with EOB runs, coverage-masked completion). The oracle computes
+    * the expected sums from the doc_id block formulas directly — it never
+    * sees a JPEG byte — and mirrors the arithmetic-coding/truncated-script
+    * refusals as null-sum rows with header dims. Same scan-stage scale
+    * shape as m15: one codegen'd call per asset, payloads never shuffle.
+    */
+  def jpegProgressivePixels(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegFeatures(jpegProgressiveAssets(spark, dir))
+
   /** m13/d14 fixture — mono 8-bit PCM WAVs whose SAMPLE CONTENT is a
     * nonlinear function of a pattern seed (quadratic, like [[dhashAssets]]
     * and for the same reason: a linear ramp's energy-gradient hash is
@@ -3209,6 +3319,22 @@ object EntryOps {
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_g,
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_b
          FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
+    "m17_jpeg_progressive" ->
+      """WITH base AS (SELECT doc_id, doc_id % 21 + 4 AS w, (doc_id * 5) % 19 + 4 AS h,
+                       (doc_id % 13 = 5 OR doc_id % 17 = 3) AS refused
+                       FROM documents),
+          px AS (SELECT doc_id,
+                 (doc_id * 7 + ((j % w) // 8) * 13 + ((j // w) // 8) * 29) % 256 AS v
+                 FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS j FROM base)),
+          s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sy FROM px GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'jpeg' AS format,
+                CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                CAST(1 AS BIGINT) AS components,
+                CAST(b.w * b.h AS BIGINT) AS n_pixels,
+                CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_r,
+                CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_g,
+                CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_b
+         FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
     "m16_jpeg_dhash" ->
       """WITH base AS (SELECT doc_id, doc_id % 21 + 4 AS w, (doc_id * 5) % 19 + 4 AS h,
                        (doc_id % 13 = 5 OR doc_id % 17 = 3) AS refused
@@ -3760,6 +3886,7 @@ object EntryOps {
     "m06_png_pixels" -> (pngPixels _),
     "m15_jpeg_pixels" -> (jpegPixels _),
     "m16_jpeg_dhash" -> (jpegDhash _),
+    "m17_jpeg_progressive" -> (jpegProgressivePixels _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

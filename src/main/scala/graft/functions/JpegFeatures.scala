@@ -18,13 +18,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * replication → JFIF YCbCr→RGB → exact per-channel integer sums.
   *
   * Scope (honest-refusal pattern, like [[PngFeatures]]'s): baseline/extended
-  * sequential Huffman (SOF0/SOF1), 8-bit precision, 1 or 3 components,
-  * sampling factors 1..4, single interleaved scan, restart markers honored.
-  * Anything else a conformant reader could meet — progressive (SOF2),
-  * lossless, arithmetic coding, 12-bit precision, CMYK, hierarchical,
-  * multi-scan — yields format "jpeg" with the SOF header dims and null
-  * pixel stats, never a misread. A truncated or marker-interrupted entropy
-  * stream likewise refuses: partial decodes are never summed.
+  * sequential Huffman (SOF0/SOF1) with a single interleaved scan, AND — new
+  * in r9 — progressive Huffman (SOF2) per Annex G: spectral-selection +
+  * successive-approximation scans (DC first/refine, AC first/refine with
+  * EOB-run state), multiple DHT/DQT/DRI segments between scans, restart
+  * markers inside every scan. 8-bit precision, 1 or 3 components, sampling
+  * factors 1..4. Anything else a conformant reader could meet — lossless,
+  * arithmetic coding, 12-bit precision, CMYK, hierarchical — yields format
+  * "jpeg" with the SOF header dims and null pixel stats, never a misread.
+  * A truncated or marker-interrupted entropy stream likewise refuses, and a
+  * progressive file whose scans do not cover every coefficient of every
+  * component (a truncated scan script) refuses too: partial decodes are
+  * never summed. Scan headers that violate G.1's progression rules (Ss=0
+  * with Se≠0, interleaved AC, Ah ≠ Al+1 on refinement, double-covered or
+  * refined-before-first bands) refuse rather than guess.
   *
   * Output: `struct<format, width, height, components, n_pixels, sum_r,
   * sum_g, sum_b>` — integer channel sums (grayscale reports its one channel
@@ -152,13 +159,19 @@ object JpegFeatures {
       (acc >>> cnt) & 1
     }
 
-    /** Discard partial-byte padding and consume the expected RSTn marker. */
+    /** Discard partial-byte padding and consume the expected RSTn marker.
+      * T.81 B.1.1.3 permits any number of 0xFF fill bytes before the marker
+      * code, so skip runs of 0xFF down to the last one before matching.
+      */
     def consumeRst(n: Int): Boolean = {
       cnt = 0
       stopped = false
-      if (pos + 1 >= end || (b(pos) & 0xff) != 0xff ||
-          (b(pos + 1) & 0xff) != (0xd0 + n)) return false
-      pos += 2
+      var p = pos
+      while (p + 1 < end && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xff)
+        p += 1
+      if (p + 1 >= end || (b(p) & 0xff) != 0xff ||
+          (b(p + 1) & 0xff) != (0xd0 + n)) return false
+      pos = p + 2
       true
     }
   }
@@ -234,6 +247,8 @@ object JpegFeatures {
     var comps: Array[Component] = null
     var dri = 0
     var refusal: Refusal = null
+    var progressive = false
+    var prog: ProgState = null
 
     var i = 2
     while (true) {
@@ -246,7 +261,20 @@ object JpegFeatures {
       m match {
         case 0x01 => // TEM, standalone
         case x if x >= 0xd0 && x <= 0xd7 => // stray RSTn outside a scan
-        case 0xd9 => // EOI before SOS: no image data
+        case 0xd9 => // EOI: progressive completion point, else no image data
+          if (prog != null) {
+            // a complete progressive file covered DC and all of AC 1..63
+            // for every component (bit k of acMask = coefficient k saw an
+            // Ah=0 scan); anything less is a truncated scan script
+            var x = 0
+            while (x < prog.comps.length) {
+              if (!prog.dcSeen(x) || prog.acMask(x) != -1L)
+                return new Refusal(w, h, comps.length)
+              x += 1
+            }
+            val fin = finishProgressive(prog, qt, w, h)
+            return if (fin != null) fin else new Refusal(w, h, comps.length)
+          }
           return if (refusal != null) refusal
             else if (comps != null) new Refusal(w, h, comps.length) else NoDims
         case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -260,8 +288,9 @@ object JpegFeatures {
           h = be16(i + 3)
           w = be16(i + 5)
           val nc = u(i + 7)
-          if (m != 0xc0 && m != 0xc1) // progressive/lossless/arithmetic
+          if (m != 0xc0 && m != 0xc1 && m != 0xc2) // lossless/arithmetic/hier.
             return new Refusal(w, h, nc)
+          progressive = m == 0xc2
           if (comps != null) return new Refusal(w, h, nc) // second frame
           if (precision != 8 || (nc != 1 && nc != 3) || w <= 0 || h <= 0 ||
               len != 8 + 3 * nc)
@@ -329,10 +358,17 @@ object JpegFeatures {
             return refusalOr(refusal, comps, w, h)
           dri = be16(i + 2)
           i += 4
-        case 0xda => // SOS: the one interleaved scan this decoder supports
+        case 0xda => // SOS
           if (comps == null || i + 2 > n) return refusalOr(refusal, comps, w, h)
           val len = be16(i)
           if (i + len > n) return new Refusal(w, h, comps.length)
+          if (progressive) {
+            if (prog == null) prog = ProgState.alloc(comps, w, h)
+            if (prog == null) return new Refusal(w, h, comps.length)
+            val nxt = progressiveScan(b, i, len, n, prog, dcHuff, acHuff, dri)
+            if (nxt < 0) return new Refusal(w, h, comps.length)
+            i = nxt
+          } else {
           val ns = u(i + 2)
           if (ns != comps.length || len != 6 + 2 * ns)
             return new Refusal(w, h, comps.length) // partial scan = multi-scan file
@@ -342,6 +378,11 @@ object JpegFeatures {
             val tabs = u(i + 4 + 2 * c)
             val comp = comps.find(_.id == cid).orNull
             if (comp == null) return new Refusal(w, h, comps.length)
+            // Td/Ta are 4-bit fields but only tables 0-3 exist (T.81 B.2.3);
+            // an out-of-range selector refuses here rather than indexing
+            // past dcHuff/acHuff in decodeScan
+            if ((tabs >> 4) > 3 || (tabs & 0x0f) > 3)
+              return new Refusal(w, h, comps.length)
             comp.dcTab = tabs >> 4
             comp.acTab = tabs & 0x0f
             c += 1
@@ -351,6 +392,7 @@ object JpegFeatures {
               u(i + 5 + 2 * ns) != 0)
             return new Refusal(w, h, comps.length)
           return decodeScan(b, i + len, n, w, h, comps, qt, dcHuff, acHuff, dri)
+          }
         case _ => // APPn, COM, DNL, anything else with a length: skip
           if (i + 2 > n) return refusalOr(refusal, comps, w, h)
           val len = be16(i)
@@ -461,6 +503,371 @@ object JpegFeatures {
       m += 1
     }
     new Parsed(w, h, comps, hmax, vmax)
+  }
+
+  /** Progressive-mode state (T.81 Annex G): per-component full-MCU-grid
+    * coefficient stores accumulated across scans, plus the coverage
+    * bookkeeping that makes refusals honest. `bw` = padded width in blocks
+    * (interleaved-scan geometry); `nbw`/`nbh` = the component's own block
+    * grid (non-interleaved-scan geometry, G.1: ceil(compDim/8)).
+    */
+  private final class ProgState(val comps: Array[Component], val mcusX: Int,
+      val mcusY: Int, val hmax: Int, val vmax: Int,
+      val coefs: Array[Array[Int]], val bw: Array[Int],
+      val nbw: Array[Int], val nbh: Array[Int]) {
+    val dcSeen = new Array[Boolean](comps.length)
+    /** Bit k set = zigzag coefficient k received its Ah=0 (first) scan. */
+    val acMask = new Array[Long](comps.length)
+  }
+
+  private object ProgState {
+    /** null on geometry/size refusal. */
+    def alloc(comps: Array[Component], w: Int, h: Int): ProgState = {
+      // single-component files are non-interleaved throughout: sampling
+      // factors do not apply (same normalization as the baseline path)
+      if (comps.length == 1) { comps(0).h = 1; comps(0).v = 1 }
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      if (comps.map(c => c.h * c.v).sum > 10) return null // T.81 B.2.3 bound
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      val nc = comps.length
+      val bw = new Array[Int](nc)
+      val nbw = new Array[Int](nc)
+      val nbh = new Array[Int](nc)
+      var coefBytes = 0L
+      var x = 0
+      while (x < nc) {
+        val c = comps(x)
+        bw(x) = mcusX * c.h
+        nbw(x) = (w * c.h + 8 * hmax - 1) / (8 * hmax)
+        nbh(x) = (h * c.v + 8 * vmax - 1) / (8 * vmax)
+        coefBytes += bw(x).toLong * (mcusY * c.v).toLong * 64L * 4L
+        x += 1
+      }
+      if (coefBytes > MaxPlaneBytes) return null // same operational ceiling
+      val coefs = Array.tabulate(nc)(x =>
+        new Array[Int](bw(x) * mcusY * comps(x).v * 64))
+      new ProgState(comps, mcusX, mcusY, hmax, vmax, coefs, bw, nbw, nbh)
+    }
+  }
+
+  /** AC first scan for one block (G.1.2.2): run/size coding with EOB runs.
+    * Returns the updated EOB-run count, or Int.MinValue on failure.
+    */
+  private def acFirstBlock(br: BitReader, h: Huff, coef: Array[Int], off: Int,
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    if (eobrunIn > 0) return eobrunIn - 1 // block is entirely inside the run
+    var eobrun = 0
+    var k = ss
+    while (k <= se) {
+      val rs = decodeSym(br, h)
+      if (rs < 0) return Int.MinValue
+      val r = rs >> 4
+      val s = rs & 0x0f
+      if (s == 0) {
+        if (r < 15) { // EOBn: run of (1<<r)+ext blocks including this one
+          eobrun = (1 << r) - 1
+          if (r > 0) {
+            val e = receive(br, r)
+            if (e == Int.MinValue) return Int.MinValue
+            eobrun += e
+          }
+          return eobrun
+        }
+        k += 16 // ZRL
+      } else {
+        k += r
+        if (k > se) return Int.MinValue
+        val v = receive(br, s)
+        if (v == Int.MinValue) return Int.MinValue
+        coef(off + Zigzag(k)) = extend(v, s) << al
+        k += 1
+      }
+    }
+    eobrun
+  }
+
+  /** AC refinement scan for one block (G.1.2.3): one correction bit per
+    * already-nonzero coefficient, newly-significant coefficients at ±2^Al.
+    * Returns the updated EOB-run count, or Int.MinValue on failure.
+    */
+  private def acRefineBlock(br: BitReader, h: Huff, coef: Array[Int], off: Int,
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = eobrunIn
+    var k = ss
+
+    // correction bits for every nonzero-history coefficient in k..se
+    def sweep(): Boolean = {
+      while (k <= se) {
+        val pos = off + Zigzag(k)
+        if (coef(pos) != 0) {
+          val bit = br.next()
+          if (bit < 0) return false
+          if (bit == 1 && (coef(pos) & p1) == 0)
+            coef(pos) += (if (coef(pos) >= 0) p1 else m1)
+        }
+        k += 1
+      }
+      true
+    }
+
+    if (eobrun > 0) {
+      eobrun -= 1
+      if (!sweep()) return Int.MinValue
+      return eobrun
+    }
+    var eob = false
+    while (k <= se && !eob) {
+      val rs = decodeSym(br, h)
+      if (rs < 0) return Int.MinValue
+      var r = rs >> 4
+      val s = rs & 0x0f
+      var newVal = 0
+      if (s == 0) {
+        if (r < 15) {
+          eobrun = (1 << r) - 1
+          if (r > 0) {
+            val e = receive(br, r)
+            if (e == Int.MinValue) return Int.MinValue
+            eobrun += e
+          }
+          eob = true
+        }
+        // r == 15 (ZRL): skip 16 zero-history coefficients via the walk
+      } else {
+        if (s != 1) return Int.MinValue // refinement sends 1-bit magnitudes
+        val bit = br.next()
+        if (bit < 0) return Int.MinValue
+        newVal = if (bit == 1) p1 else m1
+      }
+      if (!eob) {
+        // walk: correct nonzero history, count r zero-history slots, place
+        var placed = false
+        while (k <= se && !placed) {
+          val pos = off + Zigzag(k)
+          if (coef(pos) != 0) {
+            val bit = br.next()
+            if (bit < 0) return Int.MinValue
+            if (bit == 1 && (coef(pos) & p1) == 0)
+              coef(pos) += (if (coef(pos) >= 0) p1 else m1)
+          } else {
+            if (r == 0) { if (newVal != 0) coef(pos) = newVal; placed = true }
+            else r -= 1
+          }
+          k += 1
+        }
+        if (!placed && newVal != 0) return Int.MinValue // ran off the band
+      }
+    }
+    if (eob && !sweep()) return Int.MinValue
+    eobrun
+  }
+
+  /** Parse + entropy-decode one progressive scan starting at the SOS length
+    * field. Returns the offset of the next marker's 0xFF byte, or -1 on any
+    * violation (the caller refuses the image).
+    */
+  private def progressiveScan(b: Array[Byte], i: Int, len: Int, n: Int,
+      st: ProgState, dcHuff: Array[Huff], acHuff: Array[Huff],
+      dri: Int): Int = {
+    def u(x: Int): Int = b(x) & 0xff
+    val ns = u(i + 2)
+    if (ns < 1 || ns > st.comps.length || len != 6 + 2 * ns) return -1
+    val sidx = new Array[Int](ns)
+    var c = 0
+    while (c < ns) {
+      val cid = u(i + 3 + 2 * c)
+      val tabs = u(i + 4 + 2 * c)
+      val idx = st.comps.indexWhere(_.id == cid)
+      if (idx < 0 || (tabs >> 4) > 3 || (tabs & 0x0f) > 3) return -1
+      st.comps(idx).dcTab = tabs >> 4
+      st.comps(idx).acTab = tabs & 0x0f
+      sidx(c) = idx
+      c += 1
+    }
+    if (sidx.distinct.length != ns) return -1
+    val ss = u(i + 3 + 2 * ns)
+    val se = u(i + 4 + 2 * ns)
+    val ah = u(i + 5 + 2 * ns) >> 4
+    val al = u(i + 5 + 2 * ns) & 0x0f
+    if (ah > 13 || al > 13) return -1
+    if (ah != 0 && ah != al + 1) return -1 // refinement moves one bit
+    val isDC = ss == 0
+    if (isDC && se != 0) return -1 // G.1: a DC scan carries only DC
+    if (!isDC && (ns != 1 || ss > se || se > 63)) return -1
+    // coverage/progression bookkeeping — refuse double-first and
+    // refine-before-first rather than decode garbage
+    if (isDC) {
+      var x = 0
+      while (x < ns) {
+        val ci = sidx(x)
+        if (ah == 0) {
+          if (st.dcSeen(ci)) return -1
+          if (dcHuff(st.comps(ci).dcTab) == null) return -1
+          st.dcSeen(ci) = true
+          st.acMask(ci) |= 1L
+        } else if (!st.dcSeen(ci)) return -1
+        x += 1
+      }
+    } else {
+      val ci = sidx(0)
+      val hi = if (se == 63) -1L else (1L << (se + 1)) - 1L
+      val band = hi & ~((1L << ss) - 1L)
+      if (ah == 0) {
+        if ((st.acMask(ci) & band) != 0L) return -1
+        st.acMask(ci) |= band
+      } else if ((st.acMask(ci) & band) != band) return -1
+      if (acHuff(st.comps(ci).acTab) == null) return -1
+    }
+
+    val br = new BitReader(b, i + len, n)
+    var eobrun = 0
+    var rst = 0
+    if (isDC && ns > 1) { // interleaved DC scan over the MCU grid
+      var x = 0
+      while (x < ns) { st.comps(sidx(x)).dcPred = 0; x += 1 }
+      val nM = st.mcusX * st.mcusY
+      var m = 0
+      while (m < nM) {
+        if (dri > 0 && m > 0 && m % dri == 0) {
+          if (!br.consumeRst(rst)) return -1
+          rst = (rst + 1) % 8
+          var y = 0
+          while (y < ns) { st.comps(sidx(y)).dcPred = 0; y += 1 }
+        }
+        val mx = m % st.mcusX
+        val my = m / st.mcusX
+        var cc = 0
+        while (cc < ns) {
+          val ci = sidx(cc)
+          val comp = st.comps(ci)
+          val coef = st.coefs(ci)
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              val off = ((my * comp.v + by) * st.bw(ci) +
+                (mx * comp.h + bx)) * 64
+              if (ah == 0) {
+                val t = decodeSym(br, dcHuff(comp.dcTab))
+                if (t < 0 || t > 11) return -1
+                val dv = receive(br, t)
+                if (dv == Int.MinValue) return -1
+                comp.dcPred += extend(dv, t)
+                coef(off) = comp.dcPred << al
+              } else {
+                val bit = br.next()
+                if (bit < 0) return -1
+                if (bit == 1) coef(off) |= (1 << al)
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          cc += 1
+        }
+        m += 1
+      }
+    } else { // non-interleaved: one component's own block grid
+      val ci = sidx(0)
+      val comp = st.comps(ci)
+      val coef = st.coefs(ci)
+      comp.dcPred = 0
+      val dcT = if (isDC && ah == 0) dcHuff(comp.dcTab) else null
+      val acT = if (!isDC) acHuff(comp.acTab) else null
+      val gw = st.nbw(ci)
+      val nb = gw * st.nbh(ci)
+      var m = 0
+      while (m < nb) {
+        if (dri > 0 && m > 0 && m % dri == 0) {
+          if (!br.consumeRst(rst)) return -1
+          rst = (rst + 1) % 8
+          comp.dcPred = 0
+          eobrun = 0
+        }
+        val off = ((m / gw) * st.bw(ci) + m % gw) * 64
+        if (isDC) {
+          if (ah == 0) {
+            val t = decodeSym(br, dcT)
+            if (t < 0 || t > 11) return -1
+            val dv = receive(br, t)
+            if (dv == Int.MinValue) return -1
+            comp.dcPred += extend(dv, t)
+            coef(off) = comp.dcPred << al
+          } else {
+            val bit = br.next()
+            if (bit < 0) return -1
+            if (bit == 1) coef(off) |= (1 << al)
+          }
+        } else {
+          eobrun =
+            if (ah == 0) acFirstBlock(br, acT, coef, off, ss, se, al, eobrun)
+            else acRefineBlock(br, acT, coef, off, ss, se, al, eobrun)
+          if (eobrun == Int.MinValue) return -1
+        }
+        m += 1
+      }
+    }
+    // realign: pad bits then the next marker (skip stuffed FF00 and fills)
+    var p = br.pos
+    while (p + 1 < n && !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0x00 &&
+        (b(p + 1) & 0xff) != 0xff))
+      p += 1
+    if (p + 1 >= n) return -1
+    p
+  }
+
+  /** Dequantize + IDCT every accumulated block into sample planes; null on
+    * a missing quantization table or an over-budget plane.
+    */
+  private def finishProgressive(st: ProgState, qt: Array[Array[Int]],
+      w: Int, h: Int): Parsed = {
+    var planeBytes = 0L
+    for (c <- st.comps) {
+      if (qt(c.tq) == null) return null
+      c.stride = st.mcusX * c.h * 8
+      planeBytes += c.stride.toLong * (st.mcusY * c.v * 8).toLong
+    }
+    if (planeBytes > MaxPlaneBytes) return null
+    val nat = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var ci = 0
+    while (ci < st.comps.length) {
+      val c = st.comps(ci)
+      c.plane = new Array[Byte](c.stride * st.mcusY * c.v * 8)
+      val q = qt(c.tq)
+      val coef = st.coefs(ci)
+      val bwF = st.bw(ci)
+      val bhF = st.mcusY * c.v
+      var by = 0
+      while (by < bhF) {
+        var bx = 0
+        while (bx < bwF) {
+          val off = (by * bwF + bx) * 64
+          var k = 0
+          while (k < 64) { // q is in zigzag (transmission) order
+            val pos = Zigzag(k)
+            nat(pos) = coef(off + pos) * q(k)
+            k += 1
+          }
+          idct(nat, pix)
+          var y = 0
+          while (y < 8) {
+            val po = (by * 8 + y) * c.stride + bx * 8
+            var x = 0
+            while (x < 8) { c.plane(po + x) = pix(y * 8 + x).toByte; x += 1 }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    new Parsed(w, h, st.comps, st.hmax, st.vmax)
   }
 
   /** Separable double-precision inverse DCT (T.81 A.3.3) + level shift +

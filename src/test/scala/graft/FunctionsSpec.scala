@@ -529,7 +529,7 @@ class FunctionsSpec extends GraftSpec {
     * JDK writer (no DRI knob) nor the in-plan fixture emits.
     */
   private def jpegEncodeGrayRestart(w: Int, h: Int, vAt: (Int, Int) => Int,
-      dri: Int): Array[Byte] = {
+      dri: Int, rstFill: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0)
     val out = new java.io.ByteArrayOutputStream()
     def bytes(hex: String): Unit =
@@ -561,6 +561,9 @@ class FunctionsSpec extends GraftSpec {
     for (m <- 0 until wb * (h / 8)) {
       if (dri > 0 && m > 0 && m % dri == 0) {
         flush()
+        // T.81 B.1.1.3: markers may be preceded by any number of 0xFF fill
+        // bytes — rstFill > 0 exercises the decoder's tolerance for them
+        (0 until rstFill).foreach(_ => out.write(0xff))
         out.write(0xff); out.write(0xd0 + rst)
         rst = (rst + 1) % 8
         pred = 0
@@ -592,20 +595,94 @@ class FunctionsSpec extends GraftSpec {
     assert(sr === expected, "ImageIO disagrees — the restart fixture is wrong")
   }
 
+  test("jpeg_features tolerates 0xFF fill bytes before restart markers (T.81 B.1.1.3)") {
+    val vAt = (bx: Int, by: Int) => (91 + bx * 43 + by * 29) % 256
+    val bytes = jpegEncodeGrayRestart(24, 16, vAt, dri = 2, rstFill = 3)
+    val d = graft.functions.JpegFeatures.decode(bytes)
+    assert(d.getUTF8String(0).toString === "jpeg")
+    val expected = (for (by <- 0 until 2; bx <- 0 until 3)
+      yield 64L * vAt(bx, by)).sum
+    assert(d.getLong(5) === expected,
+      "fill bytes ahead of RSTn must not refuse a conformant stream")
+    // the fixture itself is conformant: ImageIO decodes it to the same sums
+    val (sr, _, _) = imageIoSums(bytes)
+    assert(sr === expected, "ImageIO disagrees — the fill-byte fixture is wrong")
+  }
+
+  test("jpeg_features refuses out-of-range SOS table selectors (Td/Ta > 3)") {
+    val base = imageIoJpeg(grayImage(20, 12)((x, y) => x * 5 + y * 3), 0.9f)
+    val patched = base.clone()
+    val sos = (0 until patched.length - 1).find(i =>
+      (patched(i) & 0xff) == 0xff && (patched(i + 1) & 0xff) == 0xda).get
+    // SOS layout: FF DA len2 ns (cid tabs)*ns ss se ahAl — tabs at sos+6
+    patched(sos + 6) = 0x44.toByte // Td=4, Ta=4: tables 4-15 cannot exist
+    val d = graft.functions.JpegFeatures.decode(patched) // must not throw
+    assert(d.getUTF8String(0).toString === "jpeg")
+    assert((d.getLong(1), d.getLong(2)) === ((20L, 12L)),
+      "refusal must still carry the SOF dims")
+    assert(d.isNullAt(5), "a selector past the 4-table space must refuse, not decode")
+  }
+
+  test("jpeg_features decodes JDK-written PROGRESSIVE JPEGs (Annex G scans)") {
+    // the JDK progressive writer emits a real multi-scan script: spectral
+    // selection bands plus successive-approximation first/refinement scans
+    // for both DC and AC — the full Annex G surface
+    val gray = imageIoJpeg(grayImage(21, 13)((x, y) => x * 9 + y * 5), 0.9f,
+      progressive = true)
+    val rgb = imageIoJpeg(rgbImage(24, 17) { (x, y) =>
+      val v = (x * 7 + y * 3) % 200 + 20; (v, v, v) }, 0.85f,
+      progressive = true)
+    val colored = imageIoJpeg(rgbImage(32, 16) { (x, y) =>
+      (120 + 2 * x, 100 + 3 * y, 140) }, 0.85f, progressive = true)
+    assert(jpegMaxDiff(gray) <= 2, "progressive gray drifted from ImageIO")
+    assert(jpegMaxDiff(rgb) <= 4, "progressive near-gray RGB drifted from ImageIO")
+    assert(jpegMaxDiff(colored) <= 16,
+      "progressive color drifted from ImageIO (upsampling filters differ)")
+    // sequential and progressive encodings of the same pixels agree closely
+    val seq = graft.functions.JpegFeatures.decode(
+      imageIoJpeg(grayImage(21, 13)((x, y) => x * 9 + y * 5), 0.9f))
+    val prg = graft.functions.JpegFeatures.decode(gray)
+    assert(prg.getUTF8String(0).toString === "jpeg" && !prg.isNullAt(5))
+    assert(math.abs(seq.getLong(5) - prg.getLong(5)) <= 3L * 21 * 13,
+      "sequential vs progressive sums diverged beyond quantization noise")
+  }
+
+  test("jpeg_features refuses truncated progressive scan scripts — never partial sums") {
+    val prog = imageIoJpeg(grayImage(20, 12)((x, y) => x * 11 + y * 7), 0.9f,
+      progressive = true)
+    // cut after the FIRST SOS's entropy data: find the second FFDA (or EOI)
+    // and truncate there, then re-terminate — coefficients 1..63 never get a
+    // first scan, so the coverage mask must force a refusal with dims
+    val sosAt = (0 until prog.length - 1).filter(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
+    assert(sosAt.length >= 2, "JDK progressive output should be multi-scan")
+    val cut = prog.take(sosAt(1)) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val d = graft.functions.JpegFeatures.decode(cut)
+    assert(d.getUTF8String(0).toString === "jpeg")
+    assert((d.getLong(1), d.getLong(2)) === ((20L, 12L)))
+    assert(d.isNullAt(5), "an incomplete scan script must refuse, not sum")
+  }
+
   test("jpeg_features refuses what it cannot decode — never misreads") {
     import spark.implicits._
     val base = imageIoJpeg(grayImage(20, 12)((x, y) => x * 11 + y * 7), 0.9f)
-    val progressive = imageIoJpeg(grayImage(20, 12)((x, y) => x * 11 + y * 7),
-      0.9f, progressive = true)
     // patch the SOF0 precision byte to 12
     val deep = base.clone()
     val sof = (0 until deep.length - 1).find(i =>
       (deep(i) & 0xff) == 0xff && (deep(i + 1) & 0xff) == 0xc0).get
     deep(sof + 4) = 12
+    // arithmetic-coded progressive (SOF10): patch SOF2 to SOFA — same header
+    // layout, still a refusal (no arithmetic decoder)
+    val arith = imageIoJpeg(grayImage(20, 12)((x, y) => x * 11 + y * 7), 0.9f,
+      progressive = true).clone()
+    val sof2 = (0 until arith.length - 1).find(i =>
+      (arith(i) & 0xff) == 0xff && (arith(i + 1) & 0xff) == 0xc2).get
+    arith(sof2 + 1) = 0xca.toByte
     val truncated = base.dropRight(math.max(10, base.length / 4))
     val eoiOnly = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
     val garbage = "JFIFnope".getBytes("US-ASCII")
-    val rows = Seq((1L, progressive), (2L, deep), (3L, truncated),
+    val rows = Seq((1L, arith), (2L, deep), (3L, truncated),
       (4L, eoiOnly), (5L, garbage))
       .toDF("id", "payload")
       .select(col("id"), graft.functions.JpegFeatures(col("payload")).as("f"))
@@ -615,7 +692,7 @@ class FunctionsSpec extends GraftSpec {
     def g(r: org.apache.spark.sql.Row, i: Int): Any =
       if (r.isNullAt(i)) null else r.get(i)
     assert((rows(0).getString(1), g(rows(0), 2), g(rows(0), 3), g(rows(0), 4)) ===
-      (("jpeg", 20L, 12L, null)), "progressive (SOF2) must refuse with dims")
+      (("jpeg", 20L, 12L, null)), "arithmetic (SOF10) must refuse with dims")
     assert((rows(1).getString(1), g(rows(1), 2), g(rows(1), 4)) ===
       (("jpeg", 20L, null)), "12-bit precision must refuse with dims")
     assert((rows(2).getString(1), g(rows(2), 4)) === (("jpeg", null)),
