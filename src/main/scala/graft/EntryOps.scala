@@ -1451,6 +1451,98 @@ object EntryOps {
       .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
   }
 
+  /** m18 fixture — VALID MPEG-1 Audio LAYER I frames synthesized in-plan
+    * from doc_id with REAL entropy content: bit allocation (subbands 0-3
+    * allocated at 2-4 bits, the rest silent), scalefactor indices (always
+    * multiples of 3, so the Table 3-B.1 value is an exact power of two and
+    * the oracle's double arithmetic reproduces the decoder's bit-exactly),
+    * and 12 granules of quantized subband sample codes per frame, padded
+    * with 0xAB filler to the spec's computed frame length — a decoder that
+    * hops by anything but the spec length desyncs. Even docs are mono at
+    * 64 kbps (96-byte frames), odd docs stereo at 96 kbps (144-byte
+    * frames), 1-3 frames each, all at 32 kHz. Refusal branches ride
+    * in-plan: doc_id % 13 == 5 swaps the payload for a Layer II frame (the
+    * honest tabulated-allocation refusal), doc_id % 17 == 3 plants the
+    * forbidden allocation code 15 in subband 0, doc_id % 29 == 9 truncates
+    * the final frame by 3 bytes — each must yield the first header's facts
+    * with null counts and sums, never a partial decode.
+    */
+  def mpegL1Assets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("nch", expr("IF(doc_id % 2 = 1, 2, 1)"))
+      .withColumn("nf", expr("doc_id % 3 + 1"))
+    // per-(sb,ch) formulas shared by fixture and oracle: allocation code
+    // 1..3 -> nb 2..4; scalefactor index = 3*((doc_id + 2 sb + ch) % 21)
+    def nbExpr(sb: String, ch: String) =
+      s"IF(($sb) = 0 AND ($ch) = 0 AND doc_id % 17 = 3, 16, (doc_id + ($sb) + ($ch)) % 3 + 2)"
+    def allocBits(nch: Int) = {
+      val items = for (sb <- 0 until 32; ch <- 0 until nch) yield
+        if (sb >= 4) "'0000'"
+        else s"lpad(conv(${nbExpr(sb.toString, ch.toString)} - 1, 10, 2), 4, '0')"
+      items.mkString("concat(", ", ", ")")
+    }
+    def sfBits(nch: Int) = {
+      val items = for (sb <- 0 until 4; ch <- 0 until nch) yield
+        s"lpad(conv(3 * ((doc_id + ${2 * sb} + $ch) % 21), 10, 2), 6, '0')"
+      items.mkString("concat(", ", ", ")")
+    }
+    // granule-major sample codes, matching the spec's s { sb { ch } } order;
+    // code = (doc_id + 7f + 5g + 11sb + 13ch) % (2^nb − 1), never all-ones
+    def sampleBits(nch: Int, f: Int) = {
+      val sb = s"((k div $nch) % 4)"
+      val ch = s"(k % $nch)"
+      s"""array_join(transform(sequence(0L, ${12 * 4 * nch - 1}), k ->
+            lpad(conv(
+              (doc_id + ${7 * f} + 5 * (k div ${4 * nch}) + 11 * $sb + 13 * $ch)
+                % (shiftleft(1L, CAST(${nbExpr(sb, ch)} AS INT)) - 1),
+              10, 2),
+            CAST(${nbExpr(sb, ch)} AS INT), '0')), '')"""
+    }
+    def toHex(pb: String) =
+      s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
+            lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0')), '')"""
+    // header: FFFF = MPEG-1 Layer I no-CRC; mono 64 kbps / stereo 96 kbps
+    // at 32 kHz -> frame lengths 96 / 144 bytes per §2.4.3.1
+    def frameHex(nch: Int, f: Int): String = {
+      val hdr = if (nch == 1) "'FFFF28C0'" else "'FFFF3800'"
+      val bodyBytes = (if (nch == 1) 96 else 144) - 4
+      val bits = s"concat(${allocBits(nch)}, ${sfBits(nch)}, ${sampleBits(nch, f)})"
+      val padded = s"concat($bits, repeat('1', (8 - length($bits) % 8) % 8))"
+      s"concat($hdr, rpad(${toHex(padded)}, ${bodyBytes * 2}, 'ab'))"
+    }
+    def streamHex(nch: Int) =
+      s"""concat(${frameHex(nch, 0)},
+            IF(nf > 1, ${frameHex(nch, 1)}, ''),
+            IF(nf > 2, ${frameHex(nch, 2)}, ''))"""
+    // Layer II plant: header FFFD (layer bits 10) + filler; refused on the
+    // header alone, so the body need not be a full frame
+    val l2Hex = "concat('FFFD28C0', repeat('ab', 16))"
+    d.withColumn("full_hex", expr(
+        s"IF(doc_id % 13 = 5, $l2Hex, IF(nch = 1, ${streamHex(1)}, ${streamHex(2)}))"))
+      .withColumn("payload_hex", expr(
+        "IF(doc_id % 29 = 9, substring(full_hex, 1, CAST(length(full_hex) - 6 AS INT)), full_hex)"))
+      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m18 — REAL compressed-audio SAMPLE decode: [[mpegL1Assets]] payloads
+    * through the native `mpeg_l1_samples` expression (ISO 11172-3 Layer I:
+    * bit allocation → scalefactors → 12-granule sample codes →
+    * requantization, summed as order-independent Σ floor(s'·2^24)). The
+    * oracle recomputes the sum from the doc_id formulas directly — one
+    * correctly-rounded IEEE division per sample, every other factor an
+    * exact power of two — and mirrors the Layer-II / forbidden-allocation /
+    * truncation refusals as null rows with header facts. Retires
+    * `fakeDecode` for the MPEG-audio family it last covered.
+    */
+  def mpegL1Pcm(spark: SparkSession, dir: String): DataFrame =
+    mpegL1Assets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.MpegL1Samples(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format"), col("f.layer"),
+        col("f.sample_rate"), col("f.channels"), col("f.n_frames"),
+        col("f.n_samples"), col("f.sum_q24"))
+      .orderBy(col("asset_id"))
+
   /** m11 — MPEG audio frame-header walk over [[mpegAssets]] through the
     * native `mpeg_features` expression. The oracle computes every expected
     * field (version, rate, frame count, duration, bitrate — and which docs
@@ -3319,6 +3411,34 @@ object EntryOps {
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_g,
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_b
          FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
+    "m18_mpeg_l1_samples" ->
+      """WITH base AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS nch,
+                       doc_id % 3 + 1 AS nf,
+                       (doc_id % 13 = 5) AS l2,
+                       (doc_id % 17 = 3 OR doc_id % 29 = 9) AS bad
+                       FROM documents),
+          fr AS (SELECT doc_id, nch, unnest(range(0, nf)) AS f
+                 FROM base WHERE NOT l2 AND NOT bad),
+          gr AS (SELECT doc_id, nch, f, unnest(range(0, 12)) AS g FROM fr),
+          sbs AS (SELECT doc_id, nch, f, g, unnest(range(0, 4)) AS sb FROM gr),
+          u AS (SELECT doc_id, f, g, sb, unnest(range(0, nch)) AS ch FROM sbs),
+          vals AS (SELECT doc_id,
+                   FLOOR((2.0 * (((doc_id + 7*f + 5*g + 11*sb + 13*ch)
+                                  % ((CAST(1 AS BIGINT) << ((doc_id + sb + ch) % 3 + 2)) - 1))
+                                 + 1 - (CAST(1 AS BIGINT) << ((doc_id + sb + ch) % 3 + 1))))
+                         / ((CAST(1 AS BIGINT) << ((doc_id + sb + ch) % 3 + 2)) - 1)
+                         * power(2.0, 25 - (doc_id + 2*sb + ch) % 21)) AS v
+                   FROM u),
+          s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sq FROM vals GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'mpeg' AS format,
+                CAST(CASE WHEN b.l2 THEN 2 ELSE 1 END AS BIGINT) AS layer,
+                CAST(32000 AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN b.l2 THEN 1 ELSE b.nch END AS BIGINT) AS channels,
+                CASE WHEN b.l2 OR b.bad THEN NULL ELSE CAST(b.nf AS BIGINT) END AS n_frames,
+                CASE WHEN b.l2 OR b.bad THEN NULL ELSE CAST(384 * b.nf AS BIGINT) END AS n_samples,
+                CASE WHEN b.l2 OR b.bad THEN NULL ELSE s.sq END AS sum_q24
+         FROM base b LEFT JOIN s USING (doc_id) ORDER BY asset_id""",
     "m17_jpeg_progressive" ->
       """WITH base AS (SELECT doc_id, doc_id % 21 + 4 AS w, (doc_id * 5) % 19 + 4 AS h,
                        (doc_id % 13 = 5 OR doc_id % 17 = 3) AS refused
@@ -3887,6 +4007,7 @@ object EntryOps {
     "m15_jpeg_pixels" -> (jpegPixels _),
     "m16_jpeg_dhash" -> (jpegDhash _),
     "m17_jpeg_progressive" -> (jpegProgressivePixels _),
+    "m18_mpeg_l1_samples" -> (mpegL1Pcm _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

@@ -100,7 +100,7 @@ object MpegFeatures {
     * a syntactically valid header (sync + non-reserved fields). `brIdx` may
     * be 0 (free format) — callers decide how to treat it.
     */
-  private final class Header(
+  private[functions] final class Header(
       val verBits: Int, // 0 = 2.5, 2 = 2, 3 = 1
       val layer: Int, // 1, 2, 3
       val brIdx: Int,
@@ -108,7 +108,7 @@ object MpegFeatures {
       val pad: Int,
       val mono: Boolean)
 
-  private def parseHeader(b: Array[Byte], i: Int): Header = {
+  private[functions] def parseHeader(b: Array[Byte], i: Int): Header = {
     if (i + 4 > b.length) return null
     if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return null
     val verBits = (b(i + 1) >> 3) & 3
@@ -131,7 +131,7 @@ object MpegFeatures {
     new Header(verBits, layer, brIdx, rate, pad, mono)
   }
 
-  private def bitrateKbps(h: Header): Int = {
+  private[functions] def bitrateKbps(h: Header): Int = {
     val table =
       if (h.verBits == 3) h.layer match {
         case 1 => brV1L1; case 2 => brV1L2; case _ => brV1L3
@@ -140,17 +140,17 @@ object MpegFeatures {
     table(h.brIdx)
   }
 
-  private def frameBytes(h: Header, br: Int): Int =
+  private[functions] def frameBytes(h: Header, br: Int): Int =
     if (h.layer == 1) (12000 * br / h.rate + h.pad) * 4
     else if (h.layer == 3 && h.verBits != 3) 72000 * br / h.rate + h.pad
     else 144000 * br / h.rate + h.pad
 
-  private def samplesPerFrame(h: Header): Int =
+  private[functions] def samplesPerFrame(h: Header): Int =
     if (h.layer == 1) 384
     else if (h.layer == 3 && h.verBits != 3) 576
     else 1152
 
-  private def versionName(verBits: Int): String =
+  private[functions] def versionName(verBits: Int): String =
     if (verBits == 3) "1" else if (verBits == 2) "2" else "2.5"
 
   /** Static entry point shared by interpreted eval and generated code. */

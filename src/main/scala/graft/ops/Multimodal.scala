@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL across the board: [[mediaDims]] parses PNG/GIF/BMP/
   * JPEG container headers, [[ppmFeatures]] decodes uncompressed netpbm
   * rasters, [[pngFeatures]] decodes DEFLATE-compressed PNG pixel data,
-  * GIF's LZW and JPEG's baseline Huffman+IDCT ([[jpegFeatures]]) are
-  * implemented from their public specs — all from actual bytes with zero
-  * codec libraries. AUDIO decode is REAL for the raw-sample family:
-  * [[wavFeatures]] walks RIFF/WAVE chunks and sums the actual PCM samples.
-  * Only compressed AUDIO/VIDEO sample codecs (which genuinely don't exist
-  * in this container) remain stubbed: `fakeDecode`
+  * GIF's LZW and JPEG's baseline AND progressive Huffman+IDCT
+  * ([[jpegFeatures]]) are implemented from their public specs — all from
+  * actual bytes with zero codec libraries. AUDIO decode is REAL for raw
+  * PCM ([[wavFeatures]] walks RIFF/WAVE chunks and sums actual samples)
+  * and for compressed MPEG-1 Layer I subband samples
+  * ([[graft.functions.MpegL1Samples]]). Only motion-compensated VIDEO
+  * sample codecs (H.26x) remain stubbed: `fakeDecode`
   * produces deterministic features from the raw bytes — length,
   * leading-bytes digest, and a 4-bin byte histogram standing in for
   * decoded-sample statistics. The Spark-side plumbing is real: schema,
@@ -31,14 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Deterministic stand-in for full AUDIO/VIDEO SAMPLE decode ONLY — the
-    * subband/entropy audio codecs and motion-compensated video codecs this
-    * container genuinely lacks (MP3/AAC sample synthesis, H.26x). Every
-    * image format is now decoded for real ([[pngFeatures]],
-    * [[ppmFeatures]], GIF LZW, baseline JPEG via [[jpegFeatures]],
-    * [[mediaDims]]), as are raw-PCM audio ([[wavFeatures]]) and the
-    * MPEG-audio/MP4 container metadata walks
-    * ([[graft.functions.MpegFeatures]], [[graft.functions.Mp4Features]]).
+  /** Deterministic stand-in for motion-compensated VIDEO sample decode
+    * ONLY (H.26x) — the one codec family left without a from-spec decoder
+    * here. Every image format is decoded for real ([[pngFeatures]],
+    * [[ppmFeatures]], GIF LZW, baseline AND progressive JPEG via
+    * [[jpegFeatures]], [[mediaDims]]); audio is decoded for real across
+    * raw PCM ([[wavFeatures]]) and compressed MPEG-1 Layer I subband
+    * samples ([[graft.functions.MpegL1Samples]] — Layers II/III refuse
+    * honestly, their bit-allocation classes and the synthesis window being
+    * pure tabulated data); the MPEG-audio/MP4 container metadata walks are
+    * real too ([[graft.functions.MpegFeatures]],
+    * [[graft.functions.Mp4Features]]).
     * Output: (n_bytes, digest16, histogram[4]).
     */
   def fakeDecode(bytes: Array[Byte]): (Long, String, Array[Long]) = {

@@ -1476,4 +1476,103 @@ class FunctionsSpec extends GraftSpec {
         s"asset $id: native decode disagrees with javax.sound")
     }
   }
+
+  // ---------------------------------------------------------- MPEG-1 Layer I
+
+  /** Spec-side Layer I frame builder: MPEG-1 @ 32 kHz, mono 64 kbps
+    * (96-byte frames) or stereo 96 kbps (144 bytes), with explicit
+    * allocation codes / scalefactor indices / sample codes. `mode` is the
+    * 2-bit channel mode (0 stereo, 1 joint, 3 single); joint uses
+    * mode_ext 0 (bound = 4). Samples are `sampleAt(g, sb, ch)`; for joint
+    * subbands >= bound one code is read per granule (ch passed as 0).
+    */
+  private def l1Frame(mode: Int, alloc: (Int, Int) => Int,
+      sfIdx: (Int, Int) => Int, sampleAt: (Int, Int, Int) => Int,
+      crc: Boolean = false): Array[Byte] = {
+    val nch = if (mode == 3) 1 else 2
+    val bound = if (mode == 1) 4 else 32
+    val len = if (nch == 1) 96 else 144
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit =
+      bits.append(String.format("%" + n + "s", v.toBinaryString).replace(' ', '0'))
+    for (sb <- 0 until 32)
+      for (ch <- 0 until (if (sb >= bound) 1 else nch)) put(alloc(sb, ch), 4)
+    for (sb <- 0 until 32; ch <- 0 until nch)
+      if (alloc(sb, if (sb >= bound) 0 else ch) != 0) put(sfIdx(sb, ch), 6)
+    for (g <- 0 until 12; sb <- 0 until 32)
+      if (sb >= bound) { if (alloc(sb, 0) != 0) put(sampleAt(g, sb, 0), alloc(sb, 0) + 1) }
+      else for (ch <- 0 until nch)
+        if (alloc(sb, ch) != 0) put(sampleAt(g, sb, ch), alloc(sb, ch) + 1)
+    while (bits.length % 8 != 0) bits.append('1')
+    val body = bits.toString.grouped(8).map(Integer.parseInt(_, 2).toByte).toArray
+    val out = Array.fill[Byte](len)(0xab.toByte)
+    out(0) = 0xff.toByte
+    out(1) = (if (crc) 0xfe else 0xff).toByte
+    out(2) = (if (nch == 1) 0x28 else 0x38).toByte
+    out(3) = (mode << 6).toByte
+    val off = if (crc) 6 else 4 // 16-bit CRC word skipped, not verified
+    System.arraycopy(body, 0, out, off, body.length)
+    out
+  }
+
+  test("mpeg_l1_samples requantizes Layer I subband samples per ISO 11172-3") {
+    import graft.functions.MpegL1Samples
+    def fields(b: Array[Byte]) = {
+      val r = MpegL1Samples.decode(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4), // n_frames
+        if (r.isNullAt(6)) Long.MinValue else r.getLong(6)) // sum_q24
+    }
+    // mono: only subband 0 allocated, nb=2 (code space {0,1,2}), sf idx 0
+    // (sf=2). code 2 -> s'' = 2/3, s' = 4/3, floor(4/3 * 2^24) = floor(2^26/3)
+    val q = (67108864L - 1) / 3 // 2^26/3 floor = 22369621, double stays below
+    val mono = l1Frame(3, (sb, _) => if (sb == 0) 1 else 0, (_, _) => 0,
+      (_, _, _) => 2)
+    assert(fields(mono) === (("mpeg", 1L, 1L, 12L * q)))
+    // code 1 is the quantizer zero; code 0 is -2/3
+    val zero = l1Frame(3, (sb, _) => if (sb == 0) 1 else 0, (_, _) => 0,
+      (_, _, _) => 1)
+    assert(fields(zero)._4 === 0L)
+    val neg = l1Frame(3, (sb, _) => if (sb == 0) 1 else 0, (_, _) => 0,
+      (_, _, _) => 0)
+    assert(fields(neg)._4 === -12L * (q + 1)) // floor(-2^26/3) = -(q+1)
+    // scalefactor halves per +3 index steps: idx 3 -> sf 1 -> half the sum
+    val half = l1Frame(3, (sb, _) => if (sb == 0) 1 else 0, (_, _) => 3,
+      (_, _, _) => 2)
+    assert(fields(half)._4 === 12L * ((67108864L / 2 - 1) / 3))
+    // stereo doubles; per-channel scalefactors apply independently
+    val st = l1Frame(0, (sb, _) => if (sb == 0) 1 else 0,
+      (_, ch) => if (ch == 0) 0 else 3, (_, _, _) => 2)
+    assert(fields(st) === (("mpeg", 1L, 1L,
+      12L * q + 12L * ((67108864L / 2 - 1) / 3))))
+    // joint stereo: shared subband >= bound reads ONE code, scales per channel
+    val js = l1Frame(1, (sb, _) => if (sb == 4) 1 else 0,
+      (_, ch) => if (ch == 0) 0 else 3, (_, _, _) => 2)
+    assert(fields(js)._4 === 12L * q + 12L * ((67108864L / 2 - 1) / 3))
+    // CRC-protected frames skip the CRC word and decode identically
+    val crc = l1Frame(3, (sb, _) => if (sb == 0) 1 else 0, (_, _) => 0,
+      (_, _, _) => 2, crc = true)
+    assert(fields(crc) === fields(mono))
+    // two frames accumulate
+    assert(fields(mono ++ mono) === (("mpeg", 1L, 2L, 24L * q)))
+    // refusals: Layer II/III report the layer with null sums; forbidden
+    // allocation 15, scalefactor 63, the unused all-ones sample code, and
+    // truncation refuse with nulls
+    assert(fields(mpegFrame(3, 2, 4, 1)) === (("mpeg", 2L, -1L, Long.MinValue)))
+    assert(fields(mpegFrame(3, 3, 9, 0)) === (("mpeg", 3L, -1L, Long.MinValue)))
+    val alloc15 = l1Frame(3, (sb, _) => if (sb == 0) 15 else 0, (_, _) => 0,
+      (_, _, _) => 0)
+    assert(fields(alloc15) === (("mpeg", 1L, -1L, Long.MinValue)))
+    val sf63 = l1Frame(3, (sb, _) => if (sb == 0) 1 else 0, (_, _) => 63,
+      (_, _, _) => 2)
+    assert(fields(sf63) === (("mpeg", 1L, -1L, Long.MinValue)))
+    val allOnes = l1Frame(3, (sb, _) => if (sb == 0) 1 else 0, (_, _) => 0,
+      (_, _, _) => 3)
+    assert(fields(allOnes) === (("mpeg", 1L, -1L, Long.MinValue)))
+    assert(fields(mono.dropRight(3)) === (("mpeg", 1L, -1L, Long.MinValue)))
+    // ID3v2 skip and ID3v1 trailer tolerance match mpeg_features
+    val tag = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    assert(fields(mono ++ tag) === fields(mono))
+  }
 }
