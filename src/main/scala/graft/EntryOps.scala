@@ -1250,6 +1250,145 @@ object EntryOps {
   def jpegProgressivePixels(spark: SparkSession, dir: String): DataFrame =
     Multimodal.jpegFeatures(jpegProgressiveAssets(spark, dir))
 
+  /** e06 fixture — a JPEG corpus where the SAME grayscale content ships
+    * under BOTH entropy codings the decoder family supports: baseline
+    * (SOF0, single scan) for `doc_id % 3 != 2`, PROGRESSIVE (SOF2,
+    * [[jpegProgressiveAssets]]'s three-scan script at quant 8) otherwise.
+    * Content and dims derive from a SEED `sd = doc_id − (doc_id%10==1 ?
+    * 1 : 0)`: every 10th doc re-ships its predecessor's exact pixels —
+    * possibly under the OTHER coding — so the perceptual pipeline must
+    * treat a baseline and a progressive encoding of one image as
+    * duplicates, which is precisely what decoding (rather than byte
+    * hashing) buys. Every 17th doc is undecodable (baseline: entropy
+    * stream dropped; progressive: AC scan omitted — the coverage-mask
+    * refusal) and must be QUARANTINED by the composed pipeline, never
+    * clustered and never decorated.
+    */
+  def jpegCorpusAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("IF(doc_id % 10 = 1, doc_id - 1, doc_id)").as("sd"),
+        (col("doc_id") % 3 === 2).as("prog"),
+        (col("doc_id") % 17 === 3).as("trunc"))
+      .withColumn("w", expr("sd % 21 + 4"))
+      .withColumn("h", expr("(sd * 5) % 19 + 4"))
+      .withColumn("wb", expr("(w + 7) div 8"))
+      .withColumn("hb", expr("(h + 7) div 8"))
+      .withColumn("n_units", expr("wb * hb"))
+    // quantized DC of block k at quant 8: v − 128 (scale 1)
+    def dval(k: String) =
+      s"((sd * 7 + (($k) % wb) * 13 + (($k) div wb) * 29) % 256 - 128)"
+    def catAmp(diffArr: String, k: String) =
+      s"""concat(
+            lpad(conv(IF(element_at($diffArr, CAST($k AS INT) + 1) = 0, 0L,
+                 CAST(length(conv(abs(element_at($diffArr, CAST($k AS INT) + 1)), 10, 2)) AS BIGINT)),
+              10, 2), 4, '0'),
+            IF(element_at($diffArr, CAST($k AS INT) + 1) = 0, '',
+               lpad(conv(IF(element_at($diffArr, CAST($k AS INT) + 1) > 0,
+                            element_at($diffArr, CAST($k AS INT) + 1),
+                            element_at($diffArr, CAST($k AS INT) + 1)
+                              + shiftleft(1L, CAST(length(conv(abs(element_at($diffArr, CAST($k AS INT) + 1)), 10, 2)) AS INT)) - 1),
+                         10, 2),
+                    CAST(length(conv(abs(element_at($diffArr, CAST($k AS INT) + 1)), 10, 2)) AS INT), '0')))"""
+    def pad(bits: String) =
+      s"concat($bits, repeat('1', (8 - length($bits) % 8) % 8))"
+    def entropyHex(pb: String) =
+      s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
+           CASE WHEN substring($pb, CAST(i * 8 + 1 AS INT), 8) = '11111111'
+                THEN 'FF00'
+                ELSE lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0') END),
+         '')"""
+    val withBits = d
+      .withColumn("dvals", expr(
+        s"""transform(sequence(0L, n_units - 1), k -> ${dval("k")})"""))
+      // baseline: diff chain over D; one unit = cat+amp+EOB
+      .withColumn("bdiffs", expr(
+        """transform(sequence(0L, n_units - 1), k ->
+             element_at(dvals, CAST(k AS INT) + 1)
+               - IF(k = 0, 0L, element_at(dvals, CAST(k AS INT))))"""))
+      .withColumn("bbits", expr(
+        s"""array_join(transform(sequence(0L, n_units - 1), k ->
+              concat(${catAmp("bdiffs", "k")}, '0')), '')"""))
+      // progressive: diff chain over D >> 1 (scan 1), low bits (scan 2),
+      // EOB-per-block AC scan (scan 3)
+      .withColumn("d1vals", expr("transform(dvals, v -> shiftright(v, 1))"))
+      .withColumn("pdiffs", expr(
+        """transform(sequence(0L, n_units - 1), k ->
+             element_at(d1vals, CAST(k AS INT) + 1)
+               - IF(k = 0, 0L, element_at(d1vals, CAST(k AS INT))))"""))
+      .withColumn("s1bits", expr(
+        s"""array_join(transform(sequence(0L, n_units - 1), k ->
+              ${catAmp("pdiffs", "k")}), '')"""))
+      .withColumn("s2bits", expr(
+        "array_join(transform(dvals, v -> CAST(pmod(v, 2) AS STRING)), '')"))
+      .withColumn("s3bits", expr("repeat('0', CAST(n_units AS INT))"))
+      .withColumn("be", expr(entropyHex(pad("bbits"))))
+      .withColumn("e1", expr(entropyHex(pad("s1bits"))))
+      .withColumn("e2", expr(entropyHex(pad("s2bits"))))
+      .withColumn("e3", expr(entropyHex(pad("s3bits"))))
+    val dimsHex = concat(lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"))
+    val dhtHex = lit("FFC40031" +
+      "00" + "0000000C" + "00" * 12 + "000102030405060708090A0B" +
+      "10" + "01" + "00" * 15 + "00")
+    val common = concat(
+      lit("FFD8"), lit("FFE000104A46494600010100000100010000"),
+      lit("FFDB004300" + "08" * 64))
+    val basePayload = concat(common,
+      lit("FFC0000B08"), dimsHex, lit("01011100"), dhtHex,
+      lit("FFDA0008010100003F00"),
+      when(col("trunc"), lit("")).otherwise(col("be")), lit("FFD9"))
+    val progPayload = concat(common,
+      lit("FFC2000B08"), dimsHex, lit("01011100"), dhtHex,
+      lit("FFDA0008010100000001"), col("e1"),
+      lit("FFDA0008010100000010"), col("e2"),
+      when(col("trunc"), lit(""))
+        .otherwise(concat(lit("FFDA0008010100013F00"), col("e3"))),
+      lit("FFD9"))
+    withBits.select(col("doc_id").as("asset_id"),
+      unhex(when(col("prog"), progPayload).otherwise(basePayload)).as("payload"))
+  }
+
+  /** e06 — the COMPOSED JPEG corpus: the round-8/9 entropy-coded decoders
+    * doing end-to-end training-data work rather than isolated feature
+    * extraction. Pipeline: (1) perceptual dHash over the REAL decoded
+    * rasters of [[jpegCorpusAssets]] — baseline and progressive payloads
+    * land in one hash space because both decode through `jpeg_dhash`;
+    * (2) banded candidates under the band-frequency cap + Hamming ≤ 3
+    * verify (d13 machinery, [[perceptualNearDup]]); (3) connected
+    * components over the DECODABLE assets only — refused payloads are
+    * quarantined, never clustered; (4) one canonical survivor per cluster
+    * (min id), decorated with the `jpeg_features` decode columns
+    * (width/height/n_pixels/sum_r) and provenance from `documents`.
+    * The planted cross-encoding duplicates (a progressive re-ship of a
+    * baseline image) MUST collapse into one cluster — the property that
+    * distinguishes content-level dedup from byte-level dedup, and the
+    * reason the decoders had to be real.
+    *
+    * Scale: identical shape to e05's image half — hashing and decode are
+    * scan-stage maps (payloads never shuffle), candidates are the capped
+    * banded equi-join, components iterate on the active vertex set, and
+    * the final assembly is 1:1 equi-joins on doc_id.
+    */
+  def jpegCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = jpegCorpusAssets(spark, dir)
+      .select(col("asset_id"), graft.functions.JpegDHash(col("payload")).as("dhash"))
+    val pairs = perceptualNearDup(hashes)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val valid = hashes.filter(col("dhash").isNotNull)
+      .select(col("asset_id").as("doc_id"))
+    val cl = graft.ops.Dedup.clusterComponents(valid, pairs)
+    val feats = Multimodal.jpegFeatures(jpegCorpusAssets(spark, dir))
+      .select(col("asset_id").as("doc_id"),
+        col("width").as("img_width"), col("height").as("img_height"),
+        col("n_pixels"), col("sum_r"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(cl, Seq("doc_id"))
+      .filter(col("cluster_id") === col("doc_id"))
+      .join(feats, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m13/d14 fixture — mono 8-bit PCM WAVs whose SAMPLE CONTENT is a
     * nonlinear function of a pattern seed (quadratic, like [[dhashAssets]]
     * and for the same reason: a linear ramp's energy-gradient hash is
@@ -3411,6 +3550,61 @@ object EntryOps {
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_g,
                 CASE WHEN b.refused THEN NULL ELSE s.sy END AS sum_b
          FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
+    "e06_jpeg_corpus" -> {
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE
+          jd AS (SELECT doc_id, sd, refused, sd % 21 + 4 AS w, (sd * 5) % 19 + 4 AS h
+                 FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS sd,
+                       (doc_id % 17 = 3) AS refused
+                       FROM documents)),
+          jg AS (SELECT doc_id, k,
+                 CASE WHEN (sd * 7 + ((((k % 8) + 1) * w // 9) // 8) * 13
+                            + (((k // 8) * h // 8) // 8) * 29) % 256
+                         > (sd * 7 + (((k % 8) * w // 9) // 8) * 13
+                            + (((k // 8) * h // 8) // 8) * 29) % 256
+                      THEN '1' ELSE '0' END AS bit
+                 FROM (SELECT doc_id, sd, w, h, unnest(range(0, 64)) AS k
+                       FROM jd WHERE NOT refused)),
+          jh AS (SELECT doc_id, string_agg(bit, '' ORDER BY k) AS dhash
+                 FROM jg GROUP BY doc_id),
+          jbd AS (SELECT doc_id, dhash, b AS band,
+                 substring(dhash, b * 16 + 1, 16) AS bits
+                 FROM jh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          jkeep AS (SELECT band, bits FROM jbd GROUP BY 1, 2
+                    HAVING count(*) <= 64),
+          jbdk AS (SELECT jbd.* FROM jbd JOIN jkeep USING (band, bits)),
+          jcand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
+                    b.doc_id AS id2, b.dhash AS h2
+                    FROM jbdk a JOIN jbdk b
+                      ON a.band = b.band AND a.bits = b.bits
+                         AND a.doc_id < b.doc_id),
+          jprs AS (SELECT id1, id2 FROM (
+                   SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM jcand)
+                   WHERE hamming <= 3),
+          jed AS (SELECT id1 AS a, id2 AS b FROM jprs
+                  UNION SELECT id2, id1 FROM jprs),
+          jreach AS (SELECT doc_id AS doc, doc_id AS r FROM jd WHERE NOT refused
+                     UNION
+                     SELECT jed.b AS doc, jreach.r FROM jreach JOIN jed ON jreach.doc = jed.a),
+          jcl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM jreach GROUP BY doc),
+          jsz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM jcl GROUP BY 1),
+          jpx AS (SELECT doc_id, (sd * 7 + ((j % w) // 8) * 13 + ((j // w) // 8) * 29) % 256 AS v
+                  FROM (SELECT doc_id, sd, w, h, unnest(range(0, w * h)) AS j FROM jd)),
+          jsum AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_r FROM jpx GROUP BY 1)
+         SELECT d.doc_id, doc.lang, doc.source, jcl.cluster_id, jsz.cluster_size,
+                CAST(d.w AS BIGINT) AS img_width, CAST(d.h AS BIGINT) AS img_height,
+                CAST(d.w * d.h AS BIGINT) AS n_pixels, jsum.sum_r
+         FROM jd d
+         JOIN documents doc ON d.doc_id = doc.doc_id
+         JOIN jcl ON jcl.doc_id = d.doc_id AND jcl.cluster_id = d.doc_id
+         JOIN jsz USING (cluster_id)
+         JOIN jsum ON jsum.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
     "m18_mpeg_l1_samples" ->
       """WITH base AS (SELECT doc_id,
                        CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS nch,
@@ -4008,6 +4202,7 @@ object EntryOps {
     "m16_jpeg_dhash" -> (jpegDhash _),
     "m17_jpeg_progressive" -> (jpegProgressivePixels _),
     "m18_mpeg_l1_samples" -> (mpegL1Pcm _),
+    "e06_jpeg_corpus" -> (jpegCorpus _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

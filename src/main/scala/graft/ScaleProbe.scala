@@ -36,13 +36,21 @@ object ScaleProbe {
 
   /** Representatives per family: exact-hash, gram inverted index, MinHash
     * bands, SimHash bands, connected components; LSH-band / IVF / IVF-PQ
-    * ANN; per-row text scans and the chunking explode.
+    * ANN; per-row text scans and the chunking explode; and (r9, verdict
+    * item 6) the composed/semantic routes — e05's two perceptual near-dup
+    * joins + single fused components run, and d22's broadcast-assign +
+    * within-cell equi-join. Under replica salting e05's planted duplicate
+    * pairs land on sibling replicas (doc_id·R + r keeps the doc_id%10
+    * plant relation within each original document's replica group), so the
+    * pair count grows R× while per-band load stays bounded — the corpus
+    * growth a real ingest sees.
     */
   private val probes = Seq(
     "d01_dedup_exact", "d02_ngram_jaccard", "d03_minhash_lsh",
     "d08_simhash64_neardup", "d09_dedup_clusters",
     "s04_topk_lsh_bands", "s06_topk_ivf_centroids", "s08_topk_ivfpq",
-    "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking")
+    "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking",
+    "e05_multimodal_corpus", "d22_semdedup_incremental")
 
   private def loadavg(): Double =
     try java.nio.file.Files.readString(Paths.get("/proc/loadavg"))
@@ -60,7 +68,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench/scale_probe_r8.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench/scale_probe_r9.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

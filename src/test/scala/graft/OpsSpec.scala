@@ -970,4 +970,35 @@ class OpsSpec extends GraftSpec {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
+
+  test("e06: baseline and progressive encodings of one image collapse to one cluster") {
+    val dir = "/root/testdata/sf0.001"
+    // doc 41 re-ships doc 40's pixels (41 % 10 = 1) but 41 % 3 = 2 encodes
+    // PROGRESSIVE while 40 encodes baseline — the payload BYTES differ, the
+    // decoded rasters must not
+    val assets = EntryOps.jpegCorpusAssets(spark, dir)
+      .filter(col("asset_id").isin(40L, 41L, 3L)).orderBy("asset_id").collect()
+    val p3 = assets(0).getAs[Array[Byte]]("payload")
+    val p40 = assets(1).getAs[Array[Byte]]("payload")
+    val p41 = assets(2).getAs[Array[Byte]]("payload")
+    assert(!java.util.Arrays.equals(p40, p41), "plant must differ at byte level")
+    // encodings really differ: 40 carries SOF0, 41 carries SOF2
+    def hasMarker(b: Array[Byte], m: Int): Boolean =
+      (0 until b.length - 1).exists(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)
+    assert(hasMarker(p40, 0xc0) && !hasMarker(p40, 0xc2))
+    assert(hasMarker(p41, 0xc2) && !hasMarker(p41, 0xc0))
+    val h40 = graft.functions.JpegDHash.hash(p40)
+    val h41 = graft.functions.JpegDHash.hash(p41)
+    assert(h40 != null && h40 == h41,
+      "same pixels under different entropy codings must hash identically")
+    // doc 3 (3 % 17 = 3) is undecodable and must be quarantined
+    assert(graft.functions.JpegDHash.hash(p3) == null)
+    val out = EntryOps.jpegCorpus(spark, dir)
+      .select("doc_id", "cluster_size").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(41L), "the re-shipped copy must not survive")
+    assert(!out.contains(3L), "a refused payload must never be a survivor")
+    out.get(40L).foreach(sz =>
+      assert(sz >= 2, "40's cluster must contain at least its planted dup"))
+  }
 }
