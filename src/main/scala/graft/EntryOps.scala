@@ -825,14 +825,26 @@ object EntryOps {
     // per-PAIR Hamming is codegen'd bit_count(xor) — a 64-iteration
     // substring lambda here ran interpreted per candidate and was the
     // whole cost of the query at sf0.1 (measured 12-19 s → sub-second)
-    // cache the hash table: it is tiny (one 64-char string + 2 longs per
-    // asset) and its upstream — payload decode, or at bench scale payload
-    // SYNTHESIS — would otherwise re-execute for the frequency count and
-    // BOTH sides of the candidate join
-    val hashed = hashes.filter(col("dhash").isNotNull)
+    // localCheckpoint the hash table: it is tiny (one 64-char string + 2
+    // longs per asset) and its upstream — payload decode, or at bench
+    // scale payload SYNTHESIS — would otherwise re-execute for the
+    // frequency count and BOTH sides of the candidate join. A cache()
+    // dedups the execution but keeps the decode's full expression tree in
+    // the logical plan, where the keep/a/b branches re-ANALYZE it per
+    // action — for the fixture-synthesized corpora (e06) that driver-side
+    // cost was the bulk of the query; truncating the lineage removes it
+    // (the clusterComponents discipline).
+    // the Staged fence pins the hash to ONE evaluation: without it,
+    // CollapseProject inlines the decode (and at bench scale the payload
+    // synthesis) into dhash AND hi AND lo AND the not-null filter — four
+    // per-row evaluations of the heaviest expression in the plan
+    // (measured: e06's candidate stage 22 s → 2.5 s at sf0.001)
+    val hashed = hashes
+      .select(col("asset_id"), graft.functions.Staged(col("dhash")).as("dhash"))
+      .filter(col("dhash").isNotNull)
       .withColumn("hi", expr("CAST(conv(substring(dhash, 1, 32), 2, 10) AS BIGINT)"))
       .withColumn("lo", expr("CAST(conv(substring(dhash, 33, 32), 2, 10) AS BIGINT)"))
-      .cache()
+      .localCheckpoint()
     val bands = hashed.select(col("asset_id"), col("hi"), col("lo"),
       posexplode(array((0 until 4).map(bd =>
         substring(col("dhash"), bd * 16 + 1, 16)): _*))
@@ -1369,9 +1381,22 @@ object EntryOps {
     * banded equi-join, components iterate on the active vertex set, and
     * the final assembly is 1:1 equi-joins on doc_id.
     */
+  /** Dev probe surface: e06's candidate-pair stage alone. */
+  def jpegCorpusPairsProbe(spark: SparkSession, dir: String): DataFrame =
+    perceptualNearDup(jpegCorpusAssets(spark, dir)
+      .select(col("asset_id"), graft.functions.JpegDHash(col("payload")).as("dhash")))
+
   def jpegCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // Staged fence: the decode (and the in-plan payload synthesis beneath
+    // it) must stay a single projection stage — unfenced, the not-null
+    // quarantine filter below inlines the whole tree into its predicate
+    // and the driver spends ~15 s per action re-deriving it (measured;
+    // data-size independent). Same fence perceptualNearDup applies
+    // internally.
     val hashes = jpegCorpusAssets(spark, dir)
-      .select(col("asset_id"), graft.functions.JpegDHash(col("payload")).as("dhash"))
+      .select(col("asset_id"),
+        graft.functions.Staged(
+          graft.functions.JpegDHash(col("payload"))).as("dhash"))
     val pairs = perceptualNearDup(hashes)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
     val valid = hashes.filter(col("dhash").isNotNull)
@@ -1680,6 +1705,100 @@ object EntryOps {
       .select(col("asset_id"), col("f.format"), col("f.layer"),
         col("f.sample_rate"), col("f.channels"), col("f.n_frames"),
         col("f.n_samples"), col("f.sum_q24"))
+      .orderBy(col("asset_id"))
+
+  /** m19 fixture — spec-valid FLAC streams (RFC 9639) synthesized in-plan
+    * from doc_id with REAL entropy content: one fixed-blocking frame of
+    * `bs = 68 + doc_id % 40` 16-bit samples at 32 kHz. Even docs are MONO
+    * with a FIXED order-1 subframe whose residuals are genuinely
+    * Rice-coded (k = 4, zigzag, unary quotients — a decoder that does not
+    * implement Annex-free Rice partitions desyncs immediately); odd docs
+    * are MID/SIDE STEREO: the mid channel fixed order-1 Rice k = 5, the
+    * side channel a 17-bit VERBATIM subframe (the +1 side bit), so the
+    * decorrelation arithmetic (m = mid·2 | side&1; L,R = (m ± side)/2) is
+    * exercised with bit-exact expectations. Refusal branches ride in-plan:
+    * doc_id % 23 = 7 declares THREE channels in STREAMINFO (the > 2-slot
+    * contract refusal), % 13 = 5 sets the variable-blocking bit the
+    * decoder honestly refuses, % 17 = 3 truncates the final 2 bytes so
+    * the decoded total cannot match STREAMINFO — each must yield the
+    * header facts with null stats, never a partial decode.
+    */
+  def flacAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("nch", expr("IF(doc_id % 2 = 1, 2, 1)"))
+      .withColumn("bs", expr("68 + doc_id % 40"))
+    // sample formulas shared with the oracle (l doubles as the mono signal)
+    def lS(i: String) = s"(((doc_id * 13 + ($i) * 7) % 256) - 128)"
+    def rS(i: String) = s"(((doc_id * 11 + ($i) * 5) % 200) - 100)"
+    def midS(i: String) = s"shiftright(${lS(i)} + ${rS(i)}, 1)"
+    def sideS(i: String) = s"(${lS(i)} - ${rS(i)})"
+    // two's-complement binary at width n
+    def tc(e: String, n: Int) = s"lpad(conv(pmod($e, ${1L << n}), 10, 2), $n, '0')"
+    // Rice code at parameter k: zigzag -> unary quotient, k remainder bits
+    def rice(e: String, k: Int) =
+      s"""concat(repeat('0', CAST(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1)
+            div ${1 << k} AS INT)), '1',
+          lpad(conv(pmod(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1), ${1 << k}),
+            10, 2), $k, '0'))"""
+    // FIXED order-1 subframe over sample expr f(i): header, warmup,
+    // method 00 + partition order 0 + parameter, Rice residuals
+    def fixed1(f: String => String, k: Int) =
+      s"""concat('00010010', ${tc(f("0"), 16)}, '000000',
+            lpad(conv($k, 10, 2), 4, '0'),
+            array_join(transform(sequence(1L, bs - 1), i ->
+              ${rice(s"${f("i")} - ${f("(i - 1)")}", k)}), ''))"""
+    val monoBits = expr(fixed1(lS, 4))
+    val sideBits = expr(
+      s"""concat('00000010', array_join(transform(sequence(0L, bs - 1), i ->
+            ${tc(sideS("i"), 17)}), ''))""")
+    val stereoBits = concat(expr(fixed1(midS, 5)), sideBits)
+    def toHex(pb: String) =
+      s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
+            lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0')), '')"""
+    val withBits = d
+      .withColumn("sub_bits", when(col("nch") === 1, monoBits).otherwise(stereoBits))
+      .withColumn("frame_bits", expr(
+        // byte-align the subframes, then the (unverified) 16-bit CRC word
+        """concat(sub_bits, repeat('0', (8 - length(sub_bits) % 8) % 8),
+           repeat('0', 16))"""))
+    // STREAMINFO: min/max block, unknown frame sizes, then the packed
+    // rate(20) | channels-1(3) | bps-1(5) | total(36) word; md5 zeros
+    val infoHex = expr(
+      """concat('664C6143', '80', '000022',
+         lpad(hex(bs), 4, '0'), lpad(hex(bs), 4, '0'), '000000000000',
+         lpad(hex(shiftleft(32000L, 44)
+                  + shiftleft(IF(doc_id % 23 = 7, 3L, nch) - 1, 41)
+                  + shiftleft(15L, 36) + bs), 16, '0'),
+         repeat('00', 16))""")
+    val frameHex = expr(
+      s"""concat(IF(doc_id % 13 = 5, 'FFF9', 'FFF8'), '60',
+          IF(nch = 1, '00', 'A0'), '00', lpad(hex(bs - 1), 2, '0'), '00',
+          ${toHex("frame_bits")})""")
+    withBits
+      .withColumn("full_hex", concat(infoHex, frameHex))
+      .withColumn("payload_hex", expr(
+        "IF(doc_id % 17 = 3, substring(full_hex, 1, CAST(length(full_hex) - 4 AS INT)), full_hex)"))
+      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m19 — REAL compressed-audio LOSSLESS decode: [[flacAssets]] payloads
+    * through the native `flac_features` expression (RFC 9639: STREAMINFO
+    * walk, Rice residual decode, fixed-predictor reconstruction, mid/side
+    * decorrelation — exact PCM back out). The oracle recomputes every
+    * field from the doc_id sample formulas directly — lossless means the
+    * expected sums are the PLANTED sums, no codec arithmetic needed — and
+    * mirrors the three refusal branches as null rows with header facts.
+    * With [[mpegL1Pcm]] this completes the audio story: raw PCM (m07),
+    * perceptual (m13), subband (m18), and entropy-coded lossless (m19).
+    */
+  def flacPcm(spark: SparkSession, dir: String): DataFrame =
+    flacAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.FlacFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format"), col("f.sample_rate"),
+        col("f.channels"), col("f.bits"), col("f.n_blocks"),
+        col("f.n_samples"), col("f.sum_ch0"), col("f.sum_ch1"),
+        col("f.peak_abs"))
       .orderBy(col("asset_id"))
 
   /** m11 — MPEG audio frame-header walk over [[mpegAssets]] through the
@@ -3605,6 +3724,33 @@ object EntryOps {
          JOIN jsum ON jsum.doc_id = d.doc_id
          ORDER BY d.doc_id"""
     },
+    "m19_flac_samples" ->
+      """WITH base AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS nch,
+                       68 + doc_id % 40 AS bs,
+                       (doc_id % 23 = 7 OR doc_id % 13 = 5 OR doc_id % 17 = 3) AS bad
+                       FROM documents),
+          samp AS (SELECT doc_id, i,
+                   ((doc_id * 13 + i * 7) % 256) - 128 AS l,
+                   ((doc_id * 11 + i * 5) % 200) - 100 AS r
+                   FROM (SELECT doc_id, unnest(range(0, bs)) AS i FROM base)),
+          agg AS (SELECT doc_id,
+                  CAST(sum(l) AS BIGINT) AS sl, CAST(sum(r) AS BIGINT) AS sr,
+                  CAST(max(abs(l)) AS BIGINT) AS pl,
+                  CAST(max(greatest(abs(l), abs(r))) AS BIGINT) AS plr
+                  FROM samp GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'flac' AS format,
+                CAST(32000 AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN b.doc_id % 23 = 7 THEN 3 ELSE b.nch END AS BIGINT) AS channels,
+                CAST(16 AS BIGINT) AS bits,
+                CASE WHEN b.bad THEN NULL ELSE CAST(1 AS BIGINT) END AS n_blocks,
+                CASE WHEN b.bad THEN NULL ELSE CAST(b.bs AS BIGINT) END AS n_samples,
+                CASE WHEN b.bad THEN NULL ELSE a.sl END AS sum_ch0,
+                CASE WHEN b.bad THEN NULL
+                     WHEN b.nch = 1 THEN a.sl ELSE a.sr END AS sum_ch1,
+                CASE WHEN b.bad THEN NULL
+                     WHEN b.nch = 1 THEN a.pl ELSE a.plr END AS peak_abs
+         FROM base b JOIN agg a USING (doc_id) ORDER BY asset_id""",
     "m18_mpeg_l1_samples" ->
       """WITH base AS (SELECT doc_id,
                        CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS nch,
@@ -4202,6 +4348,7 @@ object EntryOps {
     "m16_jpeg_dhash" -> (jpegDhash _),
     "m17_jpeg_progressive" -> (jpegProgressivePixels _),
     "m18_mpeg_l1_samples" -> (mpegL1Pcm _),
+    "m19_flac_samples" -> (flacPcm _),
     "e06_jpeg_corpus" -> (jpegCorpus _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),

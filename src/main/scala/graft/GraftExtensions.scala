@@ -36,6 +36,7 @@ object GraftExtensions {
     "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1, "ppm_dhash" -> 1,
     "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
     "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "mp4_features" -> 1, "jpeg_features" -> 1, "jpeg_dhash" -> 1, "zorder_key" -> 2,
+    "mpeg_l1_samples" -> 1, "flac_features" -> 1, "flac_dhash" -> 1,
     "hyperplane_bucket" -> 3)
 
   private def checkArity(name: String, n: Int)(
@@ -135,6 +136,18 @@ object GraftExtensions {
         info("jpeg_dhash",
           "jpeg_dhash(payload) - 64-char difference-hash bitstring of a decoded baseline JPEG (9x8 grayscale gradient signs, PpmDHash's construction); NULL on refusal"),
         (args: Seq[Expression]) => graft.functions.JpegDHash(args.head)),
+      (FunctionIdentifier("mpeg_l1_samples"),
+        info("mpeg_l1_samples",
+          "mpeg_l1_samples(payload) - struct(format, layer, sample_rate, channels, n_frames, n_samples, sum_q24) decoded from MPEG-1 Audio Layer I bytes (from-spec ISO 11172-3 subband requantization; Layer II/III refuse honestly)"),
+        (args: Seq[Expression]) => graft.functions.MpegL1Samples(args.head)),
+      (FunctionIdentifier("flac_features"),
+        info("flac_features",
+          "flac_features(payload) - struct(format, sample_rate, channels, bits, n_blocks, n_samples, sum_ch0, sum_ch1, peak_abs) decoded from FLAC bytes (from-spec RFC 9639: Rice residuals, fixed/LPC predictors, stereo decorrelation; lossless exact PCM)"),
+        (args: Seq[Expression]) => graft.functions.FlacFeatures(args.head)),
+      (FunctionIdentifier("flac_dhash"),
+        info("flac_dhash",
+          "flac_dhash(payload) - 64-char energy-gradient difference-hash bitstring over FLAC-decoded PCM (WavDHash's construction; lossless, so a WAV of the same recording hashes identically); NULL on refusal"),
+        (args: Seq[Expression]) => graft.functions.FlacDHash(args.head)),
       (FunctionIdentifier("zorder_key"),
         info("zorder_key",
           "zorder_key(a, b) - 64-bit Morton interleave of two longs (multi-column clustering key)"),

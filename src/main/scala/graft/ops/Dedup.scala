@@ -704,10 +704,18 @@ object Dedup {
     */
   def clusterComponents(docs: DataFrame, edges: DataFrame,
       maxIters: Int = 25, fallbackToStar: Boolean = true): DataFrame = {
+    // localCheckpoint, not cache: a cache dedups EXECUTION but leaves the
+    // edge list's full logical tree in every downstream plan, and each of
+    // the iteration's 2+ actions per round re-ANALYZES it — for composed
+    // callers whose edges embed a large expression tree (e05/e06's
+    // fixture-synthesized corpora) that driver-side re-analysis dominated
+    // the whole query (measured: e06 38 s → 6 s at sf0.001). Truncating
+    // the lineage here is the same discipline the per-round labels below
+    // already follow; the star fallback does it too.
     val und = edges.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(edges.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     // Iterate ONLY over the ACTIVE vertex set — docs that appear in an edge.
     // Near-dup pairs are a vanishing fraction of a deduplicated corpus, so
     // per-round state is proportional to the near-dup GRAPH, not the corpus;
@@ -733,7 +741,6 @@ object Dedup {
       prevSum = nextSum
       it += 1
     }
-    und.unpersist(false)
     // A graph whose diameter defeats the round bound (adversarial chains —
     // near-dup clusters are dense in practice) hands off to the O(log n)
     // large-star/small-star contraction rather than burning more linear

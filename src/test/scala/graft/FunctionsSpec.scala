@@ -1575,4 +1575,313 @@ class FunctionsSpec extends GraftSpec {
     val tag = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
     assert(fields(mono ++ tag) === fields(mono))
   }
+
+  // ----------------------------------------------------------------- FLAC
+
+  /** Test-side bit writer (MSB-first, like the format). */
+  private final class FW {
+    private val sb = new StringBuilder
+    def put(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { sb.append(if (((v >> i) & 1) != 0) '1' else '0'); i -= 1 }
+    }
+    def putSigned(v: Long, n: Int): Unit = put(v & ((1L << n) - 1), n)
+    def rice(r: Long, k: Int): Unit = {
+      val u = (r << 1) ^ (r >> 63) // zigzag encode
+      val q = u >>> k
+      var i = 0L
+      while (i < q) { sb.append('0'); i += 1 }
+      sb.append('1')
+      if (k > 0) put(u & ((1L << k) - 1), k)
+    }
+    def align(): Unit = while (sb.length % 8 != 0) sb.append('0')
+    def bytes: Array[Byte] =
+      sb.toString.grouped(8).map(Integer.parseInt(_, 2).toByte).toArray
+  }
+
+  /** Subframe recipe for [[flacFrame]]: samples are the SUBFRAME-domain
+    * values (for side modes the test pre-computes mid/side).
+    */
+  private case class FSub(kind: String, samples: Array[Long], order: Int = 0,
+    k: Int = 4, partOrd: Int = 0, method: Int = 0, wasted: Int = 0,
+    lpcCoefs: Seq[Long] = Nil, lpcShift: Int = 0, escRaw: Int = -1)
+
+  /** One fixed-blocking FLAC frame: 0xFF 0xF8 header, explicit 8/16-bit
+    * block size (code 0110/0111), rate/size codes 0000/000 (STREAMINFO
+    * authoritative), sequential frame index, unverified CRC bytes.
+    */
+  private def flacFrame(fi: Int, bs: Int, chAsg: Int, bps: Int,
+      subs: Seq[FSub], srCodeOverride: Int = 0,
+      srExtra: Array[Byte] = Array.empty,
+      fiOverride: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xf8)
+    val bsCode = if (bs <= 256) 6 else 7
+    out.write((bsCode << 4) | srCodeOverride)
+    out.write((chAsg << 4)) // sample-size code 000 + reserved 0
+    out.write(if (fiOverride >= 0) fiOverride else fi) // coded number < 128
+    if (bsCode == 6) out.write(bs - 1)
+    else { out.write((bs - 1) >> 8); out.write((bs - 1) & 0xff) }
+    srExtra.foreach(b => out.write(b & 0xff))
+    out.write(0x00) // CRC-8, unverified
+    val w = new FW
+    val sideIdx = if (chAsg == 9) 0 else if (chAsg == 8 || chAsg == 10) 1 else -1
+    subs.zipWithIndex.foreach { case (s, si) =>
+      val ebps0 = bps + (if (si == sideIdx) 1 else 0)
+      w.put(0, 1) // pad bit
+      val x = s.samples.map(v => v >> s.wasted)
+      val ebps = ebps0 - s.wasted
+      def writeWasted(): Unit =
+        if (s.wasted == 0) w.put(0, 1)
+        else { w.put(1, 1); var i = 0; while (i < s.wasted - 1) { w.put(0, 1); i += 1 }; w.put(1, 1) }
+      def writeResiduals(res: Array[Long], order: Int): Unit = {
+        w.put(s.method, 2)
+        w.put(s.partOrd, 4)
+        val parts = 1 << s.partOrd
+        val pbits = if (s.method == 0) 4 else 5
+        var idx = 0
+        for (part <- 0 until parts) {
+          val cnt = (bs >> s.partOrd) - (if (part == 0) order else 0)
+          if (s.escRaw >= 0 && part == 0) {
+            w.put((1 << pbits) - 1, pbits) // escape
+            w.put(s.escRaw, 5)
+            for (_ <- 0 until cnt) {
+              if (s.escRaw > 0) w.putSigned(res(idx), s.escRaw)
+              idx += 1
+            }
+          } else {
+            w.put(s.k, pbits)
+            for (_ <- 0 until cnt) { w.rice(res(idx), s.k); idx += 1 }
+          }
+        }
+      }
+      s.kind match {
+        case "constant" =>
+          w.put(0, 6); writeWasted(); w.putSigned(x(0), ebps)
+        case "verbatim" =>
+          w.put(1, 6); writeWasted(); x.foreach(v => w.putSigned(v, ebps))
+        case "fixed" =>
+          w.put(8 | s.order, 6); writeWasted()
+          (0 until s.order).foreach(i => w.putSigned(x(i), ebps))
+          val res = (s.order until bs).map { i =>
+            s.order match {
+              case 0 => x(i)
+              case 1 => x(i) - x(i - 1)
+              case 2 => x(i) - 2 * x(i - 1) + x(i - 2)
+              case 3 => x(i) - 3 * x(i - 1) + 3 * x(i - 2) - x(i - 3)
+              case _ => x(i) - 4 * x(i - 1) + 6 * x(i - 2) - 4 * x(i - 3) + x(i - 4)
+            }
+          }.toArray
+          writeResiduals(res, s.order)
+        case "lpc" =>
+          val o = s.lpcCoefs.length
+          w.put(32 | (o - 1), 6); writeWasted()
+          (0 until o).foreach(i => w.putSigned(x(i), ebps))
+          val prec = math.max(2,
+            s.lpcCoefs.map(c => 64 - java.lang.Long.numberOfLeadingZeros(math.abs(c))).max + 2).toInt
+          w.put(prec - 1, 4)
+          w.putSigned(s.lpcShift, 5)
+          s.lpcCoefs.foreach(c => w.putSigned(c, prec))
+          val res = (o until bs).map { i =>
+            var acc = 0L
+            for (j <- 0 until o) acc += s.lpcCoefs(j) * x(i - 1 - j)
+            x(i) - (acc >> s.lpcShift)
+          }.toArray
+          writeResiduals(res, o)
+        case "reserved" =>
+          w.put(2, 6); writeWasted()
+      }
+    }
+    w.align()
+    w.put(0, 16) // CRC-16, unverified
+    out.write(w.bytes)
+    out.toByteArray
+  }
+
+  /** Magic + STREAMINFO (+ optional padding block) + frames. */
+  private def flacStream(rate: Int, nch: Int, bps: Int, total: Long,
+      frames: Seq[Array[Byte]], extraMeta: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(if (extraMeta) 0x00 else 0x80) // STREAMINFO, last unless padding
+    out.write(0); out.write(0); out.write(34)
+    val w = new FW
+    w.put(4096, 16); w.put(4096, 16) // min/max block size (not validated)
+    w.put(0, 24); w.put(0, 24) // min/max frame size unknown
+    w.put(rate, 20); w.put(nch - 1, 3); w.put(bps - 1, 5); w.put(total, 36)
+    out.write(w.bytes)
+    out.write(new Array[Byte](16)) // md5 (unverified)
+    if (extraMeta) {
+      out.write(0x81); out.write(0); out.write(0); out.write(4) // PADDING, last
+      out.write(new Array[Byte](4))
+    }
+    frames.foreach(f => out.write(f))
+    out.toByteArray
+  }
+
+  private def flacFields(b: Array[Byte]) = {
+    val r = graft.functions.FlacFeatures.decode(b)
+    def g(i: Int): Long = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+    (r.getUTF8String(0).toString, g(1), g(2), g(3), g(4), g(5), g(6), g(7), g(8))
+  }
+
+  test("flac_features reconstructs exact PCM across all subframe types (RFC 9639)") {
+    val xs = Array.tabulate(80)(i => ((i * 37 + 11) % 256 - 128).toLong)
+    def sums(a: Array[Long]) = (a.sum, a.map(math.abs).max)
+    val (s, pk) = sums(xs)
+    for (kind <- Seq("verbatim", "fixed")) {
+      for (order <- if (kind == "fixed") 0 to 4 else Seq(0)) {
+        val fr = flacFrame(0, 80, 0, 16, Seq(FSub(kind, xs, order = order)))
+        val st = flacStream(44100, 1, 16, 80, Seq(fr))
+        assert(flacFields(st) === (("flac", 44100L, 1L, 16L, 1L, 80L, s, s, pk)),
+          s"$kind order $order")
+      }
+    }
+    // constant
+    val cst = flacStream(8000, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("constant", Array.fill(80)(-7L))))))
+    assert(flacFields(cst) === (("flac", 8000L, 1L, 16L, 1L, 80L, -560L, -560L, 7L)))
+    // LPC: coef 1 (shift 0) == fixed order 1
+    val lpc = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16,
+        Seq(FSub("lpc", xs, lpcCoefs = Seq(2L), lpcShift = 1, k = 5)))))
+    assert(flacFields(lpc) === (("flac", 44100L, 1L, 16L, 1L, 80L, s, s, pk)))
+    // multi-frame walk with a short last frame (fixed blocking allows it)
+    val f0 = flacFrame(0, 80, 0, 16, Seq(FSub("fixed", xs, order = 2)))
+    val f1 = flacFrame(1, 48, 0, 16, Seq(FSub("fixed", xs.take(48), order = 1)))
+    val two = flacStream(44100, 1, 16, 128, Seq(f0, f1))
+    val (s48, _) = sums(xs.take(48))
+    assert(flacFields(two) === (("flac", 44100L, 1L, 16L, 2L, 128L,
+      s + s48, s + s48, pk)))
+    // wasted bits: samples share 2 low zero bits
+    val wx = xs.map(_ * 4)
+    val wst = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("fixed", wx, order = 1, wasted = 2)))))
+    assert(flacFields(wst) === (("flac", 44100L, 1L, 16L, 1L, 80L, s * 4, s * 4, pk * 4)))
+    // Rice2 method + partitioned residuals + escape partition
+    val pr = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16,
+        Seq(FSub("fixed", xs, order = 1, k = 6, partOrd = 2, method = 1)))))
+    assert(flacFields(pr) === (("flac", 44100L, 1L, 16L, 1L, 80L, s, s, pk)))
+    val esc = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16,
+        Seq(FSub("fixed", xs, order = 0, escRaw = 9, partOrd = 1)))))
+    assert(flacFields(esc) === (("flac", 44100L, 1L, 16L, 1L, 80L, s, s, pk)))
+    // a skipped metadata block before the frames
+    val pad = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("fixed", xs, order = 1)))),
+      extraMeta = true)
+    assert(flacFields(pad) === (("flac", 44100L, 1L, 16L, 1L, 80L, s, s, pk)))
+  }
+
+  test("flac_features undoes all three stereo decorrelation modes exactly") {
+    val l = Array.tabulate(66)(i => ((i * 31 + 3) % 200 - 100).toLong)
+    val r = Array.tabulate(66)(i => ((i * 17 + 7) % 180 - 90).toLong)
+    val sl = l.sum; val sr = r.sum
+    val pk = math.max(l.map(math.abs).max, r.map(math.abs).max)
+    val exp = ("flac", 32000L, 2L, 16L, 1L, 66L, sl, sr, pk)
+    // independent stereo (assignment 1)
+    val ind = flacStream(32000, 2, 16, 66, Seq(flacFrame(0, 66, 1, 16,
+      Seq(FSub("verbatim", l), FSub("verbatim", r)))))
+    assert(flacFields(ind) === exp)
+    // left/side (8): ch1 = side = L − R, +1 bit
+    val side = l.indices.map(i => l(i) - r(i)).toArray
+    val ls = flacStream(32000, 2, 16, 66, Seq(flacFrame(0, 66, 8, 16,
+      Seq(FSub("verbatim", l), FSub("fixed", side, order = 1)))))
+    assert(flacFields(ls) === exp)
+    // right/side (9): ch0 = side (+1 bit), ch1 = right
+    val rs = flacStream(32000, 2, 16, 66, Seq(flacFrame(0, 66, 9, 16,
+      Seq(FSub("verbatim", side), FSub("verbatim", r)))))
+    assert(flacFields(rs) === exp)
+    // mid/side (10): mid = (L+R)>>1 floor, side carries the dropped bit
+    val mid = l.indices.map(i => (l(i) + r(i)) >> 1).toArray
+    val ms = flacStream(32000, 2, 16, 66, Seq(flacFrame(0, 66, 10, 16,
+      Seq(FSub("verbatim", mid), FSub("verbatim", side, k = 5)))))
+    assert(flacFields(ms) === exp)
+  }
+
+  test("flac_features refuses dishonest or unsupported streams, header facts kept") {
+    val xs = Array.tabulate(80)(i => (i % 64 - 32).toLong)
+    def frame(chAsg: Int = 0) = flacFrame(0, 80, chAsg, 16, Seq(FSub("verbatim", xs)))
+    val good = flacStream(44100, 1, 16, 80, Seq(frame()))
+    assert(flacFields(good)._1 === "flac")
+    // not flac at all
+    assert(flacFields("OggS1234".getBytes("US-ASCII"))._1 === "unknown")
+    // truncation: streaminfo total ≠ decoded
+    assert(flacFields(flacStream(44100, 1, 16, 160, Seq(frame()))) ===
+      (("flac", 44100L, 1L, 16L, Long.MinValue, Long.MinValue, Long.MinValue,
+        Long.MinValue, Long.MinValue)))
+    // trailing garbage after the last frame
+    assert(flacFields(good ++ Array[Byte](0x00, 0x01))._5 === Long.MinValue)
+    // variable blocking strategy
+    val vb = good.clone()
+    val fStart = good.length - frame().length
+    vb(fStart + 1) = 0xf9.toByte
+    assert(flacFields(vb)._5 === Long.MinValue)
+    // non-sequential frame number
+    val badFi = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("verbatim", xs)), fiOverride = 3)))
+    assert(flacFields(badFi)._5 === Long.MinValue)
+    // reserved subframe type
+    val rsv = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("reserved", xs)))))
+    assert(flacFields(rsv)._5 === Long.MinValue)
+    // > 2 channels: refuse with header facts
+    assert(flacFields(flacStream(44100, 3, 16, 0, Seq.empty)) ===
+      (("flac", 44100L, 3L, 16L, Long.MinValue, Long.MinValue, Long.MinValue,
+        Long.MinValue, Long.MinValue)))
+    // enumerated frame rate code must AGREE with streaminfo (8 = 32000)
+    val agree = flacStream(32000, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("verbatim", xs)), srCodeOverride = 8)))
+    assert(flacFields(agree)._5 === 1L)
+    val drift = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("verbatim", xs)), srCodeOverride = 8)))
+    assert(flacFields(drift)._5 === Long.MinValue)
+    // explicit 16-bit Hz form (code 13) agrees / disagrees
+    val hz = Array[Byte](((44100 >> 8) & 0xff).toByte, (44100 & 0xff).toByte)
+    val okHz = flacStream(44100, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("verbatim", xs)),
+        srCodeOverride = 13, srExtra = hz)))
+    assert(flacFields(okHz)._5 === 1L)
+    val badHz = flacStream(48000, 1, 16, 80,
+      Seq(flacFrame(0, 80, 0, 16, Seq(FSub("verbatim", xs)),
+        srCodeOverride = 13, srExtra = hz)))
+    assert(flacFields(badHz)._5 === Long.MinValue)
+  }
+
+  test("flac_dhash equals wav_dhash on the same recording (lossless cross-codec)") {
+    // 130 frames: wsize = 2, tail excluded — same construction both sides
+    val pcm = Array.tabulate(130)(i =>
+      (math.sin(i * 0.37) * 900 + ((i * 53) % 101 - 50)).toInt)
+    val wav = wavEncode(1, 16, 8000, pcm)
+    val wHash = graft.functions.WavDHash.hash(wav)
+    assert(wHash != null)
+    val fr0 = flacFrame(0, 80, 0, 16, Seq(FSub("fixed", pcm.take(80).map(_.toLong), order = 2)))
+    val fr1 = flacFrame(1, 50, 0, 16, Seq(FSub("fixed", pcm.drop(80).map(_.toLong), order = 1)))
+    val flac = flacStream(8000, 1, 16, 130, Seq(fr0, fr1))
+    val fHash = graft.functions.FlacDHash.hash(flac)
+    assert(fHash != null)
+    assert(fHash.toString === wHash.toString,
+      "lossless decode must make WAV and FLAC of one recording hash identically")
+    // stereo parity too: interleaved wav vs mid/side flac
+    val l = pcm.map(v => v / 2); val r = pcm.map(v => -v / 3)
+    val inter = new Array[Int](260)
+    pcm.indices.foreach { i => inter(2 * i) = l(i); inter(2 * i + 1) = r(i) }
+    val wav2 = wavEncode(2, 16, 8000, inter)
+    val mid = pcm.indices.map(i => (l(i).toLong + r(i)) >> 1).toArray
+    val sideA = pcm.indices.map(i => l(i).toLong - r(i)).toArray
+    val flac2 = flacStream(8000, 2, 16, 130, Seq(flacFrame(0, 130, 10, 16,
+      Seq(FSub("verbatim", mid), FSub("verbatim", sideA, k = 5)))))
+    assert(graft.functions.FlacDHash.hash(flac2).toString ===
+      graft.functions.WavDHash.hash(wav2).toString)
+    // unknown total (0) cannot window: features fine, dhash refuses
+    val unk = flacStream(8000, 1, 16, 0, Seq(fr0, fr1))
+    assert(flacFields(unk)._5 === 2L)
+    assert(graft.functions.FlacDHash.hash(unk) === null)
+    // < 65 frames refuses (a window may not be empty), matching wav_dhash
+    val short = flacStream(8000, 1, 16, 50,
+      Seq(flacFrame(0, 50, 0, 16, Seq(FSub("verbatim", pcm.take(50).map(_.toLong))))))
+    assert(flacFields(short)._5 === 1L)
+    assert(graft.functions.FlacDHash.hash(short) === null)
+  }
 }
