@@ -1651,38 +1651,72 @@ object EntryOps {
       items.mkString("concat(", ", ", ")")
     }
     // granule-major sample codes, matching the spec's s { sb { ch } } order;
-    // code = (doc_id + 7f + 5g + 11sb + 13ch) % (2^nb − 1), never all-ones
+    // code = (doc_id + 7f + 5g + 11sb + 13ch) % (2^nb − 1), never all-ones.
+    // All of one granule's codes PACK into a single BIGINT (≤ 44 bits even
+    // with the 16-bit plant) so the lambda runs one conv/lpad per GRANULE,
+    // not per code — higher-order-function lambdas evaluate interpreted,
+    // and the per-code string build made this fixture the most expensive
+    // scan in the bench (measured 8× reduction).
     def sampleBits(nch: Int, f: Int) = {
-      val sb = s"((k div $nch) % 4)"
-      val ch = s"(k % $nch)"
-      s"""array_join(transform(sequence(0L, ${12 * 4 * nch - 1}), k ->
-            lpad(conv(
-              (doc_id + ${7 * f} + 5 * (k div ${4 * nch}) + 11 * $sb + 13 * $ch)
-                % (shiftleft(1L, CAST(${nbExpr(sb, ch)} AS INT)) - 1),
-              10, 2),
-            CAST(${nbExpr(sb, ch)} AS INT), '0')), '')"""
+      val pairs = for (sb <- 0 until 4; ch <- 0 until nch) yield (sb, ch)
+      def nbE(sb: Int, ch: Int) =
+        if (sb == 0 && ch == 0) "IF(doc_id % 17 = 3, 16, doc_id % 3 + 2)"
+        else s"((doc_id + ${sb + ch}) % 3 + 2)"
+      val acc = pairs.foldLeft("CAST(0 AS BIGINT)") { case (a, (sb, ch)) =>
+        val nb = nbE(sb, ch)
+        val code = s"((doc_id + ${7 * f} + 5 * k + ${11 * sb + 13 * ch})" +
+          s" % (shiftleft(1L, CAST($nb AS INT)) - 1))"
+        s"(($a) * shiftleft(1L, CAST($nb AS INT)) + $code)"
+      }
+      val width = pairs.map(p => s"(${nbE(p._1, p._2)})").mkString(" + ")
+      s"""array_join(transform(sequence(0L, 11), k ->
+            lpad(conv($acc, 10, 2), CAST($width AS INT), '0')), '')"""
     }
     def toHex(pb: String) =
       s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
             lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0')), '')"""
     // header: FFFF = MPEG-1 Layer I no-CRC; mono 64 kbps / stereo 96 kbps
-    // at 32 kHz -> frame lengths 96 / 144 bytes per §2.4.3.1
-    def frameHex(nch: Int, f: Int): String = {
-      val hdr = if (nch == 1) "'FFFF28C0'" else "'FFFF3800'"
-      val bodyBytes = (if (nch == 1) 96 else 144) - 4
-      val bits = s"concat(${allocBits(nch)}, ${sfBits(nch)}, ${sampleBits(nch, f)})"
-      val padded = s"concat($bits, repeat('1', (8 - length($bits) % 8) % 8))"
-      s"concat($hdr, rpad(${toHex(padded)}, ${bodyBytes * 2}, 'ab'))"
+    // at 32 kHz -> frame lengths 96 / 144 bytes per §2.4.3.1.
+    // Assembly is STAGED through fenced columns (the perceptualNearDup
+    // discipline), and the staging here is load-bearing twice over: the
+    // allocation+scalefactor area is frame-invariant (`asf` computes once
+    // per row, not once per frame), and each frame's BIT STRING must be a
+    // materialized column BEFORE the hex transform walks it — a lambda
+    // body re-evaluates its free sub-expressions per element, so an
+    // inlined generator tree would re-run once per output byte (the whole
+    // fixture cost at bench scale: measured ~100× on this scan).
+    def fbitsCol(f: Int): Column = {
+      def body(nch: Int) = {
+        val bits = s"concat(asf, ${sampleBits(nch, f)})"
+        s"concat($bits, repeat('1', (8 - length($bits) % 8) % 8))"
+      }
+      val inner = s"IF(nch = 1, ${body(1)}, ${body(2)})"
+      graft.functions.Staged(
+        expr(if (f == 0) inner else s"IF(nf > $f, $inner, '')"))
     }
-    def streamHex(nch: Int) =
-      s"""concat(${frameHex(nch, 0)},
-            IF(nf > 1, ${frameHex(nch, 1)}, ''),
-            IF(nf > 2, ${frameHex(nch, 2)}, ''))"""
+    def frameCol(f: Int): Column = {
+      def hx(nch: Int) = {
+        val hdr = if (nch == 1) "'FFFF28C0'" else "'FFFF3800'"
+        s"concat($hdr, rpad(${toHex(s"fb$f")}, ${((if (nch == 1) 96 else 144) - 4) * 2}, 'ab'))"
+      }
+      val inner = s"IF(nch = 1, ${hx(1)}, ${hx(2)})"
+      graft.functions.Staged(
+        expr(if (f == 0) inner else s"IF(nf > $f, $inner, '')"))
+    }
     // Layer II plant: header FFFD (layer bits 10) + filler; refused on the
     // header alone, so the body need not be a full frame
     val l2Hex = "concat('FFFD28C0', repeat('ab', 16))"
-    d.withColumn("full_hex", expr(
-        s"IF(doc_id % 13 = 5, $l2Hex, IF(nch = 1, ${streamHex(1)}, ${streamHex(2)}))"))
+    d.withColumn("asf", graft.functions.Staged(expr(
+        s"""IF(nch = 1, concat(${allocBits(1)}, ${sfBits(1)}),
+            concat(${allocBits(2)}, ${sfBits(2)}))""")))
+      .withColumn("fb0", fbitsCol(0))
+      .withColumn("fb1", fbitsCol(1))
+      .withColumn("fb2", fbitsCol(2))
+      .withColumn("fr0", frameCol(0))
+      .withColumn("fr1", frameCol(1))
+      .withColumn("fr2", frameCol(2))
+      .withColumn("full_hex", expr(
+        s"IF(doc_id % 13 = 5, $l2Hex, concat(fr0, fr1, fr2))"))
       .withColumn("payload_hex", expr(
         "IF(doc_id % 29 = 9, substring(full_hex, 1, CAST(length(full_hex) - 6 AS INT)), full_hex)"))
       .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
@@ -1701,7 +1735,8 @@ object EntryOps {
   def mpegL1Pcm(spark: SparkSession, dir: String): DataFrame =
     mpegL1Assets(spark, dir)
       .select(col("asset_id"),
-        graft.functions.MpegL1Samples(col("payload")).as("f"))
+        graft.functions.Staged(
+          graft.functions.MpegL1Samples(col("payload"))).as("f"))
       .select(col("asset_id"), col("f.format"), col("f.layer"),
         col("f.sample_rate"), col("f.channels"), col("f.n_frames"),
         col("f.n_samples"), col("f.sum_q24"))
@@ -1755,12 +1790,17 @@ object EntryOps {
     def toHex(pb: String) =
       s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
             lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0')), '')"""
+    // the bit string is FENCED before the hex transform walks it — a
+    // lambda body re-evaluates its free sub-expressions per element, so an
+    // inlined Rice-coder tree would re-run once per output byte (the m18
+    // lesson)
     val withBits = d
-      .withColumn("sub_bits", when(col("nch") === 1, monoBits).otherwise(stereoBits))
-      .withColumn("frame_bits", expr(
+      .withColumn("sub_bits", graft.functions.Staged(
+        when(col("nch") === 1, monoBits).otherwise(stereoBits)))
+      .withColumn("frame_bits", graft.functions.Staged(expr(
         // byte-align the subframes, then the (unverified) 16-bit CRC word
         """concat(sub_bits, repeat('0', (8 - length(sub_bits) % 8) % 8),
-           repeat('0', 16))"""))
+           repeat('0', 16))""")))
     // STREAMINFO: min/max block, unknown frame sizes, then the packed
     // rate(20) | channels-1(3) | bps-1(5) | total(36) word; md5 zeros
     val infoHex = expr(
@@ -1794,7 +1834,8 @@ object EntryOps {
   def flacPcm(spark: SparkSession, dir: String): DataFrame =
     flacAssets(spark, dir)
       .select(col("asset_id"),
-        graft.functions.FlacFeatures(col("payload")).as("f"))
+        graft.functions.Staged(
+          graft.functions.FlacFeatures(col("payload"))).as("f"))
       .select(col("asset_id"), col("f.format"), col("f.sample_rate"),
         col("f.channels"), col("f.bits"), col("f.n_blocks"),
         col("f.n_samples"), col("f.sum_ch0"), col("f.sum_ch1"),
