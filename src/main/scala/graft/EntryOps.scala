@@ -1842,6 +1842,130 @@ object EntryOps {
         col("f.peak_abs"))
       .orderBy(col("asset_id"))
 
+  /** e07 fixture — a cross-CODEC audio corpus: the SAME recording ships as
+    * RIFF/WAVE PCM (`doc_id % 3 != 2`) or FLAC (`doc_id % 3 = 2`, 8-bit
+    * mono, one fixed-order-1 frame with genuinely Rice-coded residuals).
+    * Sample content is [[wavDhashAssets]]' quadratic formula over a seed
+    * that collapses every `doc_id % 10 = 1` onto its predecessor — so the
+    * planted duplicate recordings frequently land under DIFFERENT codecs,
+    * which is precisely what decoding (rather than byte hashing) buys:
+    * FLAC is lossless, so both encodings decode to identical samples and
+    * identical energy-gradient hashes. Frame counts still differ per doc
+    * (130 + doc_id % 7); the excluded sub-window tail absorbs that, the
+    * d14 property. Every 17th doc is truncated by 2 bytes — the WAV data
+    * chunk goes ragged, the FLAC total stops matching STREAMINFO — and
+    * must be QUARANTINED by the composed pipeline.
+    */
+  def audioCorpusAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("seed", expr(
+        "IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173"))
+      .withColumn("f", expr("130 + doc_id % 7"))
+    def fw(j: String) =
+      s"(((seed + ($j)) * (seed + ($j)) * 7 + (seed + ($j)) * 11 + seed) % 256)"
+    // --- WAV branch: wavDhashAssets' layout at 32768 Hz, 8-bit mono PCM
+    def le16hex(e: String) =
+      s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) div 256), 2, '0'))"
+    def le32hex(e: String) =
+      s"concat(${le16hex(s"($e) % 65536")}, ${le16hex(s"($e) div 65536")})"
+    val wavHex =
+      s"""concat('52494646', ${le32hex("36 + f + f % 2")}, '57415645',
+          '666D7420', '10000000', '0100', '0100',
+          ${le32hex("32768")}, ${le32hex("32768")}, '0100', '0800',
+          '64617461', ${le32hex("f")},
+          array_join(transform(sequence(0L, f - 1), j ->
+            lpad(hex(${fw("j")}), 2, '0')), ''),
+          IF(f % 2 = 1, '00', ''))"""
+    // --- FLAC branch: STREAMINFO (rate 32768, mono, bps 8, total f) + one
+    // fixed-blocking frame, FIXED order-1 subframe, Rice k = 6 residuals
+    def tc(e: String, n: Int) =
+      s"lpad(conv(pmod($e, ${1L << n}), 10, 2), $n, '0')"
+    def rice(e: String, k: Int) =
+      s"""concat(repeat('0', CAST(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1)
+            div ${1 << k} AS INT)), '1',
+          lpad(conv(pmod(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1), ${1 << k}),
+            10, 2), $k, '0'))"""
+    def s8(j: String) = s"(${fw(j)} - 128)"
+    val subBits =
+      s"""concat('00010010', ${tc(s8("0"), 8)}, '000000', '0110',
+          array_join(transform(sequence(1L, f - 1), i ->
+            ${rice(s"${s8("i")} - ${s8("(i - 1)")}", 6)}), ''))"""
+    def toHex(pb: String) =
+      s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
+            lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0')), '')"""
+    val flacInfoHex =
+      """concat('664C6143', '80', '000022',
+         lpad(hex(f), 4, '0'), lpad(hex(f), 4, '0'), '000000000000',
+         lpad(hex(shiftleft(32768L, 44) + shiftleft(7L, 36) + f), 16, '0'),
+         repeat('00', 16))"""
+    val staged = d
+      // fenced: the hex transform must walk a materialized column, never
+      // an inlined Rice-coder tree (the m18 lesson)
+      .withColumn("fbits", graft.functions.Staged(expr(
+        s"""concat($subBits,
+            repeat('0', (8 - length($subBits) % 8) % 8), repeat('0', 16))""")))
+      .withColumn("flac_hex", expr(
+        s"""concat($flacInfoHex, 'FFF8', '60', '00', '00',
+            lpad(hex(f - 1), 2, '0'), '00', ${toHex("fbits")})"""))
+    staged
+      .withColumn("full_hex", expr(
+        s"IF(doc_id % 3 = 2, flac_hex, $wavHex)"))
+      .withColumn("payload_hex", expr(
+        "IF(doc_id % 17 = 3, substring(full_hex, 1, CAST(length(full_hex) - 4 AS INT)), full_hex)"))
+      .select(col("doc_id").as("asset_id"),
+        graft.functions.Staged(unhex(col("payload_hex"))).as("payload"))
+  }
+
+  /** e07 — the CROSS-CODEC audio corpus: [[audioCorpusAssets]] composed
+    * exactly like [[jpegCorpus]] composes the two JPEG entropy codings.
+    * One declarative plan: (1) one perceptual hash space across codecs —
+    * `coalesce(wav_dhash, flac_dhash)` sniffs each payload (a wrong-magic
+    * decode refuses in O(1)), and losslessness makes a WAV and a FLAC of
+    * one recording hash IDENTICALLY (FunctionsSpec proves the equality);
+    * (2) banded candidates + Hamming verify (d14 machinery); (3) connected
+    * components over decodable assets only — truncated payloads are
+    * quarantined, never clustered; (4) one canonical survivor per cluster,
+    * decorated with unified decode columns (codec, n_samples, sum_amp,
+    * peak_abs — whichever decoder accepted) and provenance. The oracle
+    * rebuilds hashes, clusters, and features from the sample formulas
+    * alone — codec-INDEPENDENT by construction, which is itself the
+    * property under test.
+    *
+    * Scale: identical shape to e06 — hashing/decode in the scan stage
+    * (payloads never shuffle), capped banded equi-join candidates,
+    * active-vertex components, 1:1 equi-join assembly.
+    */
+  def audioCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val assets = audioCorpusAssets(spark, dir)
+    val hashes = assets.select(col("asset_id"),
+      graft.functions.Staged(coalesce(
+        graft.functions.WavDHash(col("payload")),
+        graft.functions.FlacDHash(col("payload")))).as("dhash"))
+    val pairs = perceptualNearDup(hashes)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val valid = hashes.filter(col("dhash").isNotNull)
+      .select(col("asset_id").as("doc_id"))
+    val cl = graft.ops.Dedup.clusterComponents(valid, pairs)
+    val feats = assets
+      .select(col("asset_id").as("doc_id"),
+        graft.functions.Staged(
+          graft.functions.WavFeatures(col("payload"))).as("wf"),
+        graft.functions.Staged(
+          graft.functions.FlacFeatures(col("payload"))).as("ff"))
+      .select(col("doc_id"),
+        when(col("wf.n_frames").isNotNull, lit("wav"))
+          .otherwise(lit("flac")).as("codec"),
+        coalesce(col("wf.n_frames"), col("ff.n_samples")).as("n_samples"),
+        coalesce(col("wf.sum_ch0"), col("ff.sum_ch0")).as("sum_amp"),
+        coalesce(col("wf.peak_abs"), col("ff.peak_abs")).as("peak_abs"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(cl, Seq("doc_id"))
+      .filter(col("cluster_id") === col("doc_id"))
+      .join(feats, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m11 — MPEG audio frame-header walk over [[mpegAssets]] through the
     * native `mpeg_features` expression. The oracle computes every expected
     * field (version, rate, frame count, duration, bitrate — and which docs
@@ -3765,6 +3889,69 @@ object EntryOps {
          JOIN jsum ON jsum.doc_id = d.doc_id
          ORDER BY d.doc_id"""
     },
+    "e07_audio_corpus" -> {
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def fw(x: String) =
+        s"((seed + ($x)) * (seed + ($x)) * 7 + (seed + ($x)) * 11 + seed) % 256"
+      s"""WITH RECURSIVE
+          e7b AS (SELECT doc_id,
+                  (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173 AS seed,
+                  130 + doc_id % 7 AS f,
+                  (doc_id % 17 = 3) AS bad,
+                  CASE WHEN doc_id % 3 = 2 THEN 'flac' ELSE 'wav' END AS codec
+                  FROM documents),
+          e7en AS (SELECT doc_id, w,
+                   abs((${fw("2 * w")}) - 128) + abs((${fw("2 * w + 1")}) - 128) AS e
+                   FROM (SELECT * FROM e7b WHERE NOT bad)
+                   CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
+          e7bt AS (SELECT a.doc_id, a.w,
+                   CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+                   FROM e7en a JOIN e7en b
+                     ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                   WHERE a.w < 64),
+          e7h AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS dhash
+                  FROM e7bt GROUP BY doc_id),
+          e7bd AS (SELECT doc_id, dhash, b AS band,
+                   substring(dhash, b * 16 + 1, 16) AS bits
+                   FROM e7h CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          e7keep AS (SELECT band, bits FROM e7bd GROUP BY 1, 2
+                     HAVING count(*) <= 64),
+          e7bdk AS (SELECT e7bd.* FROM e7bd JOIN e7keep USING (band, bits)),
+          e7cand AS (SELECT DISTINCT a.doc_id AS id1, a.dhash AS h1,
+                     b.doc_id AS id2, b.dhash AS h2
+                     FROM e7bdk a JOIN e7bdk b
+                       ON a.band = b.band AND a.bits = b.bits
+                          AND a.doc_id < b.doc_id),
+          e7prs AS (SELECT id1, id2 FROM (
+                    SELECT id1, id2, CAST($ham AS BIGINT) AS hamming FROM e7cand)
+                    WHERE hamming <= 3),
+          e7ed AS (SELECT id1 AS a, id2 AS b FROM e7prs
+                   UNION SELECT id2, id1 FROM e7prs),
+          e7reach AS (SELECT doc_id AS doc, doc_id AS r FROM e7b WHERE NOT bad
+                      UNION
+                      SELECT e7ed.b AS doc, e7reach.r
+                      FROM e7reach JOIN e7ed ON e7reach.doc = e7ed.a),
+          e7cl AS (SELECT doc AS doc_id, min(r) AS cluster_id
+                   FROM e7reach GROUP BY doc),
+          e7sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM e7cl GROUP BY 1),
+          e7sm AS (SELECT doc_id,
+                   CAST(sum((${fw("j")}) - 128) AS BIGINT) AS sum_amp,
+                   CAST(max(abs((${fw("j")}) - 128)) AS BIGINT) AS peak_abs
+                   FROM (SELECT doc_id, seed, unnest(range(0, f)) AS j FROM e7b)
+                   GROUP BY doc_id)
+         SELECT b.doc_id, doc.lang, doc.source, cl.cluster_id, sz.cluster_size,
+                b.codec, CAST(b.f AS BIGINT) AS n_samples,
+                sm.sum_amp, sm.peak_abs
+         FROM e7b b
+         JOIN documents doc ON doc.doc_id = b.doc_id
+         JOIN e7cl cl ON cl.doc_id = b.doc_id AND cl.cluster_id = b.doc_id
+         JOIN e7sz sz USING (cluster_id)
+         JOIN e7sm sm ON sm.doc_id = b.doc_id
+         ORDER BY b.doc_id"""
+    },
     "m19_flac_samples" ->
       """WITH base AS (SELECT doc_id,
                        CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS nch,
@@ -4391,6 +4578,7 @@ object EntryOps {
     "m18_mpeg_l1_samples" -> (mpegL1Pcm _),
     "m19_flac_samples" -> (flacPcm _),
     "e06_jpeg_corpus" -> (jpegCorpus _),
+    "e07_audio_corpus" -> (audioCorpus _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

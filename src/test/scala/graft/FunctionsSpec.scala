@@ -1884,4 +1884,34 @@ class FunctionsSpec extends GraftSpec {
     assert(flacFields(short)._5 === 1L)
     assert(graft.functions.FlacDHash.hash(short) === null)
   }
+
+  test("e07 fixture re-ships a recording under the OTHER codec with an equal hash") {
+    // doc 11 re-ships doc 10's samples (seed collapse) but 10 is WAV and
+    // 11 is FLAC (doc_id % 3); 51 re-ships 50's the other way around —
+    // the cross-codec pairs the composed corpus must collapse. (20/21 is
+    // the same shape but 20 is the % 17 truncation plant — quarantined.)
+    val byId = EntryOps.audioCorpusAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id").isin(10L, 11L, 20L, 50L, 51L))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def codec(b: Array[Byte]) = if (b(0) == 'R') "wav" else "flac"
+    def hash(b: Array[Byte]) = {
+      val w = graft.functions.WavDHash.hash(b)
+      (if (w != null) w else graft.functions.FlacDHash.hash(b)).toString
+    }
+    assert(codec(byId(10L)) === "wav")
+    assert(codec(byId(11L)) === "flac")
+    assert(hash(byId(10L)) === hash(byId(11L)),
+      "a WAV and a FLAC of one recording must hash identically (lossless)")
+    assert(codec(byId(50L)) === "flac")
+    assert(codec(byId(51L)) === "wav")
+    assert(hash(byId(50L)) === hash(byId(51L)))
+    // the truncation plant refuses under BOTH hashers -> quarantine route
+    assert(graft.functions.FlacDHash.hash(byId(20L)) === null)
+    assert(graft.functions.WavDHash.hash(byId(20L)) === null)
+    // and the FLAC payloads are REAL decodable streams, not wrappers
+    val f = graft.functions.FlacFeatures.decode(byId(11L))
+    assert(f.getUTF8String(0).toString === "flac")
+    assert(f.getLong(5) === 134L) // 130 + 11 % 7 samples decoded
+  }
 }
