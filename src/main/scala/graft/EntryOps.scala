@@ -1758,10 +1758,39 @@ object EntryOps {
     * the decoded total cannot match STREAMINFO — each must yield the
     * header facts with null stats, never a partial decode.
     */
+  /** SQL literal array of Rice codes (spec zigzag → unary quotient + k
+    * remainder bits) for residuals −255..255. Constant-folds to ONE
+    * Literal, so a fixture's per-residual encode is a table lookup
+    * instead of an interpreted per-sample string build — HOF lambdas run
+    * interpreted, and the string build was the dominant scan cost of the
+    * m19/e07 bench entries.
+    */
+  private def riceArr(k: Int): String =
+    (-255 to 255).map { r =>
+      val u = if (r >= 0) 2L * r else -2L * r - 1
+      val q = (u >> k).toInt
+      val low = {
+        val s = (u & ((1L << k) - 1)).toBinaryString
+        "0" * (k - s.length) + s
+      }
+      "'" + "0" * q + "1" + low + "'"
+    }.mkString("array(", ", ", ")")
+
+  /** SQL literal array of n-bit two's-complement strings for −255..255. */
+  private def tcArr(n: Int): String =
+    (-255 to 255).map { v =>
+      val s = java.lang.Long.toBinaryString(
+        ((v.toLong % (1L << n)) + (1L << n)) % (1L << n))
+      "'" + "0" * (n - s.length) + s + "'"
+    }.mkString("array(", ", ", ")")
+
   def flacAssets(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"))
       .withColumn("nch", expr("IF(doc_id % 2 = 1, 2, 1)"))
       .withColumn("bs", expr("68 + doc_id % 40"))
+      .withColumn("rice4", expr(riceArr(4)))
+      .withColumn("rice5", expr(riceArr(5)))
+      .withColumn("tc17", expr(tcArr(17)))
     // sample formulas shared with the oracle (l doubles as the mono signal)
     def lS(i: String) = s"(((doc_id * 13 + ($i) * 7) % 256) - 128)"
     def rS(i: String) = s"(((doc_id * 11 + ($i) * 5) % 200) - 100)"
@@ -1769,24 +1798,24 @@ object EntryOps {
     def sideS(i: String) = s"(${lS(i)} - ${rS(i)})"
     // two's-complement binary at width n
     def tc(e: String, n: Int) = s"lpad(conv(pmod($e, ${1L << n}), 10, 2), $n, '0')"
-    // Rice code at parameter k: zigzag -> unary quotient, k remainder bits
-    def rice(e: String, k: Int) =
-      s"""concat(repeat('0', CAST(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1)
-            div ${1 << k} AS INT)), '1',
-          lpad(conv(pmod(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1), ${1 << k}),
-            10, 2), $k, '0'))"""
+    // Per-residual Rice encode runs as ONE element_at against a
+    // constant-folded literal code table (residual range is bounded by
+    // the sample formula): an interpreted per-sample string build here
+    // was the single most expensive scan of the sf0.1 bench (12 s).
+    def riceAt(e: String, table: String) =
+      s"element_at($table, CAST(($e) + 256 AS INT))"
     // FIXED order-1 subframe over sample expr f(i): header, warmup,
     // method 00 + partition order 0 + parameter, Rice residuals
-    def fixed1(f: String => String, k: Int) =
+    def fixed1(f: String => String, k: Int, table: String) =
       s"""concat('00010010', ${tc(f("0"), 16)}, '000000',
             lpad(conv($k, 10, 2), 4, '0'),
             array_join(transform(sequence(1L, bs - 1), i ->
-              ${rice(s"${f("i")} - ${f("(i - 1)")}", k)}), ''))"""
-    val monoBits = expr(fixed1(lS, 4))
+              ${riceAt(s"${f("i")} - ${f("(i - 1)")}", table)}), ''))"""
+    val monoBits = expr(fixed1(lS, 4, "rice4"))
     val sideBits = expr(
       s"""concat('00000010', array_join(transform(sequence(0L, bs - 1), i ->
-            ${tc(sideS("i"), 17)}), ''))""")
-    val stereoBits = concat(expr(fixed1(midS, 5)), sideBits)
+            element_at(tc17, CAST(${sideS("i")} + 256 AS INT))), ''))""")
+    val stereoBits = concat(expr(fixed1(midS, 5, "rice5")), sideBits)
     def toHex(pb: String) =
       s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
             lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0')), '')"""
@@ -1861,6 +1890,9 @@ object EntryOps {
       .withColumn("seed", expr(
         "IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173"))
       .withColumn("f", expr("130 + doc_id % 7"))
+      .withColumn("rice6", expr(riceArr(6)))
+      .withColumn("hx2", expr((0 until 256).map(b =>
+        f"'$b%02x'").mkString("array(", ", ", ")")))
     def fw(j: String) =
       s"(((seed + ($j)) * (seed + ($j)) * 7 + (seed + ($j)) * 11 + seed) % 256)"
     // --- WAV branch: wavDhashAssets' layout at 32768 Hz, 8-bit mono PCM
@@ -1874,22 +1906,19 @@ object EntryOps {
           ${le32hex("32768")}, ${le32hex("32768")}, '0100', '0800',
           '64617461', ${le32hex("f")},
           array_join(transform(sequence(0L, f - 1), j ->
-            lpad(hex(${fw("j")}), 2, '0')), ''),
+            element_at(hx2, CAST(${fw("j")} + 1 AS INT))), ''),
           IF(f % 2 = 1, '00', ''))"""
     // --- FLAC branch: STREAMINFO (rate 32768, mono, bps 8, total f) + one
     // fixed-blocking frame, FIXED order-1 subframe, Rice k = 6 residuals
     def tc(e: String, n: Int) =
       s"lpad(conv(pmod($e, ${1L << n}), 10, 2), $n, '0')"
-    def rice(e: String, k: Int) =
-      s"""concat(repeat('0', CAST(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1)
-            div ${1 << k} AS INT)), '1',
-          lpad(conv(pmod(IF(($e) >= 0, 2 * ($e), -2 * ($e) - 1), ${1 << k}),
-            10, 2), $k, '0'))"""
     def s8(j: String) = s"(${fw(j)} - 128)"
+    // per-residual Rice encode = one element_at against the rice6 code
+    // table (constant-folded literal; the m19 discipline)
     val subBits =
       s"""concat('00010010', ${tc(s8("0"), 8)}, '000000', '0110',
           array_join(transform(sequence(1L, f - 1), i ->
-            ${rice(s"${s8("i")} - ${s8("(i - 1)")}", 6)}), ''))"""
+            element_at(rice6, CAST((${s8("i")} - ${s8("(i - 1)")}) + 256 AS INT))), ''))"""
     def toHex(pb: String) =
       s"""array_join(transform(sequence(0L, length($pb) div 8 - 1), i ->
             lpad(conv(substring($pb, CAST(i * 8 + 1 AS INT), 8), 2, 16), 2, '0')), '')"""

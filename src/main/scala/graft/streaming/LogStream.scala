@@ -99,10 +99,12 @@ object LogStream {
         graft.functions.MediaDims(col("content")).as("dims"),
         graft.functions.GifAnimFeatures(col("content")).as("gif"),
         graft.functions.JpegFeatures(col("content")).as("jpg"),
-        graft.functions.WavFeatures(col("content")).as("wav"))
+        graft.functions.WavFeatures(col("content")).as("wav"),
+        graft.functions.FlacFeatures(col("content")).as("flac"))
     decoded.select(
         col("path"), col("n_bytes"),
         when(col("wav.format") === "wav", lit("wav"))
+          .when(col("flac.format") === "flac", lit("flac"))
           .when(col("gif.format") === "gif", lit("gif"))
           .when(col("jpg.format") === "jpeg", lit("jpeg"))
           .otherwise(col("dims.format")).as("format"),
@@ -112,10 +114,10 @@ object LogStream {
         coalesce(col("gif.sum_r"), col("jpg.sum_r")).as("sum_r"),
         coalesce(col("gif.sum_g"), col("jpg.sum_g")).as("sum_g"),
         coalesce(col("gif.sum_b"), col("jpg.sum_b")).as("sum_b"),
-        col("wav.channels").as("channels"),
-        col("wav.n_frames").as("audio_frames"),
-        col("wav.sum_ch0").as("sum_ch0"),
-        col("wav.peak_abs").as("peak_abs"))
+        coalesce(col("wav.channels"), col("flac.channels")).as("channels"),
+        coalesce(col("wav.n_frames"), col("flac.n_samples")).as("audio_frames"),
+        coalesce(col("wav.sum_ch0"), col("flac.sum_ch0")).as("sum_ch0"),
+        coalesce(col("wav.peak_abs"), col("flac.peak_abs")).as("peak_abs"))
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -441,16 +441,20 @@ class StreamingSpec extends GraftSpec {
       .filter(col("asset_id") === 4L).head().getAs[Array[Byte]]("payload")
     val jpegBytes = EntryOps.jpegAssets(spark, "/root/testdata/sf0.001")
       .filter(col("asset_id") === 6L).head().getAs[Array[Byte]]("payload")
+    // asset 5 of the e07 corpus is a FLAC encoding (5 % 3 = 2)
+    val flacBytes = EntryOps.audioCorpusAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") === 5L).head().getAs[Array[Byte]]("payload")
     Files.write(in.resolve("a.gif"), gifBytes)
     Files.write(in.resolve("b.wav"), wavBytes)
     Files.write(in.resolve("c.bin"), "no media here".getBytes(UTF_8))
     Files.write(in.resolve("d.jpg"), jpegBytes)
+    Files.write(in.resolve("e.flac"), flacBytes)
     val q = LogStream.mediaAssets(spark, in.toString, outDir,
       tmp("media-ck").toString)
     q.awaitTermination()
 
     val out = spark.read.parquet(outDir).orderBy("path").collect()
-    assert(out.length === 4)
+    assert(out.length === 5)
     val byExt = out.map(r => r.getAs[String]("path").split('.').last -> r).toMap
     // the GIF row carries the SAME stats the batch expression computes
     val g = graft.functions.GifAnimFeatures.decode(gifBytes)
@@ -475,6 +479,15 @@ class StreamingSpec extends GraftSpec {
       byExt("jpg").getAs[Long]("height"),
       byExt("jpg").getAs[Long]("sum_r")) ===
       ((j.getLong(1), j.getLong(2), j.getLong(5))))
+    // the FLAC row decodes through the same scan stage into the unified
+    // audio columns (n_samples lands in audio_frames, sums/peak shared)
+    val fl = graft.functions.FlacFeatures.decode(flacBytes)
+    assert(byExt("flac").getAs[String]("format") === "flac")
+    assert((byExt("flac").getAs[Long]("channels"),
+      byExt("flac").getAs[Long]("audio_frames"),
+      byExt("flac").getAs[Long]("sum_ch0"),
+      byExt("flac").getAs[Long]("peak_abs")) ===
+      ((fl.getLong(2), fl.getLong(5), fl.getLong(6), fl.getLong(8))))
   }
 
   test("streaming span check: corpus-known substring spans per arrival") {
