@@ -1411,6 +1411,10 @@ object EntryOps {
       .join(cl, Seq("doc_id"))
       .filter(col("cluster_id") === col("doc_id"))
       .join(feats, Seq("doc_id"))
+      // survivors materialized pre-sort (range partitioning samples =
+      // executes the child twice; here that re-runs the feature decode
+      // over the synthesized corpus)
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 
@@ -1740,6 +1744,10 @@ object EntryOps {
       .select(col("asset_id"), col("f.format"), col("f.layer"),
         col("f.sample_rate"), col("f.channels"), col("f.n_frames"),
         col("f.n_samples"), col("f.sum_q24"))
+      // materialize the small stats table before the presentation sort:
+      // range partitioning SAMPLES its child, i.e. executes it twice —
+      // a 2× multiplier on the synthesized-fixture scan above
+      .localCheckpoint()
       .orderBy(col("asset_id"))
 
   /** m19 fixture — spec-valid FLAC streams (RFC 9639) synthesized in-plan
@@ -1758,39 +1766,41 @@ object EntryOps {
     * the decoded total cannot match STREAMINFO — each must yield the
     * header facts with null stats, never a partial decode.
     */
-  /** SQL literal array of Rice codes (spec zigzag → unary quotient + k
-    * remainder bits) for residuals −255..255. Constant-folds to ONE
-    * Literal, so a fixture's per-residual encode is a table lookup
-    * instead of an interpreted per-sample string build — HOF lambdas run
-    * interpreted, and the string build was the dominant scan cost of the
-    * m19/e07 bench entries.
+  /** Literal lookup table (ONE pre-built `Literal` via `typedlit` — a SQL
+    * `array('…', …)` of 511 strings is NOT reliably constant-folded
+    * inside a lambda body, where it would be rebuilt per element) of Rice
+    * codes (spec zigzag → unary quotient + k remainder bits) for
+    * residuals −255..255. A fixture's per-residual encode becomes a table
+    * lookup instead of an interpreted per-sample string build — HOF
+    * lambdas run interpreted, and the string build was the dominant scan
+    * cost of the m19/e07 bench entries.
     */
-  private def riceArr(k: Int): String =
-    (-255 to 255).map { r =>
+  private def riceLit(k: Int): Column =
+    typedlit((-255 to 255).map { r =>
       val u = if (r >= 0) 2L * r else -2L * r - 1
       val q = (u >> k).toInt
       val low = {
         val s = (u & ((1L << k) - 1)).toBinaryString
         "0" * (k - s.length) + s
       }
-      "'" + "0" * q + "1" + low + "'"
-    }.mkString("array(", ", ", ")")
+      "0" * q + "1" + low
+    })
 
-  /** SQL literal array of n-bit two's-complement strings for −255..255. */
-  private def tcArr(n: Int): String =
-    (-255 to 255).map { v =>
+  /** Literal table of n-bit two's-complement strings for −255..255. */
+  private def tcLit(n: Int): Column =
+    typedlit((-255 to 255).map { v =>
       val s = java.lang.Long.toBinaryString(
         ((v.toLong % (1L << n)) + (1L << n)) % (1L << n))
-      "'" + "0" * (n - s.length) + s + "'"
-    }.mkString("array(", ", ", ")")
+      "0" * (n - s.length) + s
+    })
 
   def flacAssets(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"))
       .withColumn("nch", expr("IF(doc_id % 2 = 1, 2, 1)"))
       .withColumn("bs", expr("68 + doc_id % 40"))
-      .withColumn("rice4", expr(riceArr(4)))
-      .withColumn("rice5", expr(riceArr(5)))
-      .withColumn("tc17", expr(tcArr(17)))
+      .withColumn("rice4", riceLit(4))
+      .withColumn("rice5", riceLit(5))
+      .withColumn("tc17", tcLit(17))
     // sample formulas shared with the oracle (l doubles as the mono signal)
     def lS(i: String) = s"(((doc_id * 13 + ($i) * 7) % 256) - 128)"
     def rS(i: String) = s"(((doc_id * 11 + ($i) * 5) % 200) - 100)"
@@ -1869,6 +1879,9 @@ object EntryOps {
         col("f.channels"), col("f.bits"), col("f.n_blocks"),
         col("f.n_samples"), col("f.sum_ch0"), col("f.sum_ch1"),
         col("f.peak_abs"))
+      // stats table materialized pre-sort (range partitioning samples =
+      // executes the child twice; the mpegL1Pcm note)
+      .localCheckpoint()
       .orderBy(col("asset_id"))
 
   /** e07 fixture — a cross-CODEC audio corpus: the SAME recording ships as
@@ -1890,9 +1903,8 @@ object EntryOps {
       .withColumn("seed", expr(
         "IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173"))
       .withColumn("f", expr("130 + doc_id % 7"))
-      .withColumn("rice6", expr(riceArr(6)))
-      .withColumn("hx2", expr((0 until 256).map(b =>
-        f"'$b%02x'").mkString("array(", ", ", ")")))
+      .withColumn("rice6", riceLit(6))
+      .withColumn("hx2", typedlit((0 until 256).map(b => f"$b%02x")))
     def fw(j: String) =
       s"(((seed + ($j)) * (seed + ($j)) * 7 + (seed + ($j)) * 11 + seed) % 256)"
     // --- WAV branch: wavDhashAssets' layout at 32768 Hz, 8-bit mono PCM
@@ -1992,6 +2004,10 @@ object EntryOps {
       .join(cl, Seq("doc_id"))
       .filter(col("cluster_id") === col("doc_id"))
       .join(feats, Seq("doc_id"))
+      // survivors materialized pre-sort (range partitioning samples =
+      // executes the child twice; the mpegL1Pcm note — here the child
+      // re-runs both decoders over the synthesized corpus)
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 

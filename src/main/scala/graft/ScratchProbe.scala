@@ -44,9 +44,35 @@ object ScratchProbe {
       EntryOps.jpegProgressivePixels(spark, sfDir).write.mode("overwrite")
         .format("noop").save()
     }
+    time("m19 assets materialize") {
+      EntryOps.flacAssets(spark, sfDir).write.mode("overwrite")
+        .format("noop").save()
+    }
     time("m19 full") {
       EntryOps.flacPcm(spark, sfDir).write.mode("overwrite")
         .format("noop").save()
+    }
+    var ck: org.apache.spark.sql.DataFrame = null
+    time("m19 assets -> localCheckpoint") {
+      ck = EntryOps.flacAssets(spark, sfDir).localCheckpoint()
+    }
+    time("m19 decode from checkpoint") {
+      ck.select(col("asset_id"),
+          graft.functions.Staged(
+            graft.functions.FlacFeatures(col("payload"))).as("f"))
+        .select(col("asset_id"), col("f.format"), col("f.sample_rate"),
+          col("f.channels"), col("f.bits"), col("f.n_blocks"),
+          col("f.n_samples"), col("f.sum_ch0"), col("f.sum_ch1"),
+          col("f.peak_abs"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("m19 decode+sort from checkpoint") {
+      ck.select(col("asset_id"),
+          graft.functions.Staged(
+            graft.functions.FlacFeatures(col("payload"))).as("f"))
+        .select(col("asset_id"), col("f.format"), col("f.n_samples"))
+        .orderBy(col("asset_id"))
+        .write.mode("overwrite").format("noop").save()
     }
     time("e05 full") {
       EntryOps.multimodalCorpus(spark, sfDir).write.mode("overwrite")
