@@ -1563,6 +1563,10 @@ object EntryOps {
         col("aud_cluster_id") === col("doc_id"))
       .join(imgF, Seq("doc_id"))
       .join(audF, Seq("doc_id"))
+      // survivors materialized pre-sort (range partitioning samples =
+      // executes the child twice; here that re-runs BOTH modality
+      // feature decoders over the synthesized corpus)
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 
@@ -2009,6 +2013,30 @@ object EntryOps {
       // re-runs both decoders over the synthesized corpus)
       .localCheckpoint()
       .orderBy(col("doc_id"))
+  }
+
+  /** d23 — INCREMENTAL cross-codec AUDIO dedup: `asset_id % 10 = 1` (the
+    * re-shipped recordings of [[audioCorpusAssets]], frequently under the
+    * OTHER codec than the corpus copy) plays the arrival batch, the rest
+    * builds the persisted perceptual index ([[graft.ops.Dedup
+    * .buildMediaIndex]] over `coalesce(wav_dhash, flac_dhash)` — one hash
+    * space across codecs); verdicts are exact / near / new / `unhashable`
+    * (the truncated docs ride along as arrivals the hashers refuse).
+    * Completes the incremental-against-the-warehouse family across text
+    * hashes, images, embeddings, substrings, semantics — and now AUDIO,
+    * with codec independence for free because FLAC decode is lossless.
+    * Streaming shape: [[graft.streaming.LogStream.dedupAudioArrivals]].
+    */
+  def audioDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val assets = audioCorpusAssets(spark, dir)
+    def hash = graft.functions.Staged(coalesce(
+      graft.functions.WavDHash(col("payload")),
+      graft.functions.FlacDHash(col("payload"))))
+    val arrivals = assets.filter(col("asset_id") % 10 === 1)
+      .select(col("asset_id"), hash.as("dhash"))
+    val index = graft.ops.Dedup.buildMediaIndex(
+      assets.filter(col("asset_id") % 10 =!= 1), hash)
+    graft.ops.Dedup.mediaDedupAgainstIndex(arrivals, index)
   }
 
   /** m11 — MPEG audio frame-header walk over [[mpegAssets]] through the
@@ -3934,6 +3962,58 @@ object EntryOps {
          JOIN jsum ON jsum.doc_id = d.doc_id
          ORDER BY d.doc_id"""
     },
+    "d23_audio_dedup_incremental" -> {
+      val ham = (1 to 64).map(i =>
+        s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def fw(x: String) =
+        s"((seed + ($x)) * (seed + ($x)) * 7 + (seed + ($x)) * 11 + seed) % 256"
+      s"""WITH ab AS (SELECT doc_id,
+                  (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173 AS seed,
+                  (doc_id % 17 = 3) AS bad
+                  FROM documents),
+          aen AS (SELECT doc_id, w,
+                  abs((${fw("2 * w")}) - 128) + abs((${fw("2 * w + 1")}) - 128) AS e
+                  FROM (SELECT * FROM ab WHERE NOT bad)
+                  CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
+          abt AS (SELECT a.doc_id, a.w,
+                  CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+                  FROM aen a JOIN aen b
+                    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                  WHERE a.w < 64),
+          ah AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS dhash
+                 FROM abt GROUP BY doc_id),
+          ibd AS (SELECT doc_id AS ex_id, dhash, b AS band,
+                  substring(dhash, b * 16 + 1, 16) AS bits
+                  FROM ah CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+                  WHERE doc_id % 10 != 1),
+          ikeep AS (SELECT band, bits FROM ibd GROUP BY 1, 2
+                    HAVING count(*) <= 64),
+          ibdk AS (SELECT ibd.* FROM ibd JOIN ikeep USING (band, bits)),
+          abd AS (SELECT doc_id, dhash, b AS band,
+                  substring(dhash, b * 16 + 1, 16) AS bits
+                  FROM ah CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+                  WHERE doc_id % 10 = 1),
+          cand AS (SELECT DISTINCT a.doc_id AS asset_id, a.dhash AS h1,
+                   i.ex_id, i.dhash AS h2
+                   FROM abd a JOIN ibdk i USING (band, bits)),
+          hm AS (SELECT asset_id, ex_id, CAST($ham AS BIGINT) AS hamming
+                 FROM cand),
+          best AS (SELECT asset_id, ex_id AS match_id, hamming FROM (
+                   SELECT asset_id, ex_id, hamming, row_number() OVER (
+                     PARTITION BY asset_id ORDER BY hamming, ex_id) AS rn
+                   FROM hm WHERE hamming <= 3) WHERE rn = 1)
+         SELECT b.doc_id AS asset_id,
+                CASE WHEN b.bad THEN 'unhashable'
+                     WHEN best.hamming = 0 THEN 'exact'
+                     WHEN best.hamming IS NOT NULL THEN 'near'
+                     ELSE 'new' END AS verdict,
+                best.match_id, best.hamming
+         FROM ab b
+         LEFT JOIN best ON best.asset_id = b.doc_id
+         WHERE b.doc_id % 10 = 1
+         ORDER BY asset_id"""
+    },
     "e07_audio_corpus" -> {
       val ham = (1 to 64).map(i =>
         s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
@@ -4624,6 +4704,7 @@ object EntryOps {
     "m19_flac_samples" -> (flacPcm _),
     "e06_jpeg_corpus" -> (jpegCorpus _),
     "e07_audio_corpus" -> (audioCorpus _),
+    "d23_audio_dedup_incremental" -> (audioDedupIncremental _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

@@ -39,7 +39,11 @@ object ScaleProbe {
     * ANN; per-row text scans and the chunking explode; and (r9, verdict
     * item 6) the composed/semantic routes — e05's two perceptual near-dup
     * joins + single fused components run, and d22's broadcast-assign +
-    * within-cell equi-join. Under replica salting e05's planted duplicate
+    * within-cell equi-join — plus (r9 cont.) the cross-codec audio corpus
+    * e07 and the incremental audio-dedup route d23, whose asset tables
+    * derive 1:1 from the replicated documents so the planted codec/dup/
+    * truncation branches redistribute but stay valid at any doc_id.
+    * Under replica salting e05's planted duplicate
     * pairs land on sibling replicas (doc_id·R + r keeps the doc_id%10
     * plant relation within each original document's replica group), so the
     * pair count grows R× while per-band load stays bounded — the corpus
@@ -50,7 +54,8 @@ object ScaleProbe {
     "d08_simhash64_neardup", "d09_dedup_clusters",
     "s04_topk_lsh_bands", "s06_topk_ivf_centroids", "s08_topk_ivfpq",
     "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking",
-    "e05_multimodal_corpus", "d22_semdedup_incremental")
+    "e05_multimodal_corpus", "d22_semdedup_incremental",
+    "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =
     try java.nio.file.Files.readString(Paths.get("/proc/loadavg"))

@@ -201,6 +201,40 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING cross-codec AUDIO dedup against the warehouse —
+    * [[dedupImageArrivals]]' shape for recordings: arriving payloads hash
+    * in the micro-batch scan stage through ONE perceptual space
+    * (`coalesce(wav_dhash, flac_dhash)` — a wrong-magic decode refuses in
+    * O(1), and FLAC's losslessness makes a WAV and a FLAC of the same
+    * recording hash identically, so the codec an uploader chose cannot
+    * hide a duplicate), then join the PERSISTED index (re-read per batch)
+    * for exact / near / new / `unhashable` verdicts. Zero state-store
+    * state; verdicts land batch-partitioned for idempotent replay.
+    */
+  def dedupAudioArrivals(arrivals: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String,
+      maxHamming: Int = 3): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.select(col("path").as("asset_id"),
+          coalesce(
+            graft.functions.WavDHash(col("content")),
+            graft.functions.FlacDHash(col("content"))).as("dhash"))
+        val verdicts = graft.ops.Dedup.mediaDedupAgainstIndex(
+          hashed, spark.read.parquet(indexPath), maxHamming)
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try verdicts.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** STREAMING duplicated-substring check against the warehouse — the
     * fourth member of the incremental family (text hashes
     * [[dedupArrivals]], images [[dedupImageArrivals]], embeddings

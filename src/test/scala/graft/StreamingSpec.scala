@@ -673,6 +673,45 @@ class StreamingSpec extends GraftSpec {
     assert(batchV === v.map { case (k, (vd, _)) => k -> vd })
   }
 
+  test("streaming audio dedup: cross-codec verdicts vs persisted index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val byId = EntryOps.audioCorpusAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id").isin(7L, 10L, 11L))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val in = tmp("auddedup-in")
+    val idx = tmp("auddedup-idx").resolve("index").toString
+    val out = tmp("auddedup-out").toString
+    // corpus: asset 10, a WAV recording
+    val corpus = Seq((10L, byId(10L))).toDF("asset_id", "payload")
+    graft.ops.Dedup.buildMediaIndex(corpus, coalesce(
+      graft.functions.WavDHash(col("payload")),
+      graft.functions.FlacDHash(col("payload")))).write.parquet(idx)
+    // arrivals: asset 11 — the SAME recording re-shipped as FLAC (the
+    // cross-codec duplicate the index must catch), asset 7 — a different
+    // recording, junk bytes — unhashable
+    Files.write(in.resolve("a_dup.flac"), byId(11L))
+    Files.write(in.resolve("b_new.wav"), byId(7L))
+    Files.write(in.resolve("c_junk.bin"), "not audio".getBytes(UTF_8))
+    val arrivals = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(in.toString)
+    val q = LogStream.dedupAudioArrivals(arrivals, idx, out,
+      tmp("auddedup-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    val v = spark.read.parquet(out)
+      .collect().map(r => {
+        val name = r.getAs[String]("asset_id").split('/').last
+        name -> ((r.getAs[String]("verdict"),
+          Option(r.getAs[Any]("match_id")).map(_.toString)))
+      }).toMap
+    assert(v("a_dup.flac") === (("exact", Some("10"))),
+      s"a FLAC re-encode of an indexed WAV recording must dedup exactly; got $v")
+    assert(v("b_new.wav")._1 === "new")
+    assert(v("c_junk.bin")._1 === "unhashable")
+  }
+
   test("streaming dedup against the warehouse: verdicts match batch, index refreshes, zero state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
