@@ -458,6 +458,10 @@ object Dedup {
           .when(col("hamming").isNotNull, "near")
           .otherwise("new").as("verdict"),
         col("match_id"), col("hamming"))
+      // verdicts are batch-sized: materialize before the presentation
+      // sort, whose range-partitioning SAMPLING would otherwise execute
+      // the candidate join — and the payload hashing beneath it — twice
+      .localCheckpoint()
       .orderBy(col("asset_id"))
   }
 
