@@ -2015,6 +2015,88 @@ object EntryOps {
       .orderBy(col("doc_id"))
   }
 
+  /** m20 fixture — spec-valid uncompressed BMPs synthesized in-plan from
+    * doc_id: even docs 24-bit BGR with per-channel formulas, odd docs
+    * 8-bit indices into a 16-entry BGRA color table, rows padded to
+    * 4-byte boundaries, `doc_id % 11 = 4` declaring the NEGATIVE
+    * (top-down) height the decoder must accept. Refusal branches ride
+    * in-plan: % 17 = 3 declares RLE8 compression, % 13 = 5 truncates the
+    * pixel array — header dims kept, stats null, never a partial sum.
+    */
+  def bmpAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("w", expr("doc_id % 9 + 2"))
+      .withColumn("h", expr("(doc_id * 3) % 7 + 2"))
+      .withColumn("pal", expr("doc_id % 2 = 1"))
+      .withColumn("hx2", typedlit((0 until 256).map(b => f"$b%02x")))
+    def le32h(e: String) =
+      s"""concat(element_at(hx2, CAST(($e) % 256 + 1 AS INT)),
+          element_at(hx2, CAST(($e) div 256 % 256 + 1 AS INT)),
+          element_at(hx2, CAST(($e) div 65536 % 256 + 1 AS INT)),
+          element_at(hx2, CAST(($e) div 16777216 % 256 + 1 AS INT)))"""
+    def hx(e: String) = s"element_at(hx2, CAST(($e) + 1 AS INT))"
+    // image-coordinate channel formulas (storage row order cannot change
+    // a sum, so rows are written 0..h-1 regardless of the top-down flag)
+    def rC(p: String) = s"((doc_id * 7 + ($p) * 3) % 256)"
+    def gC(p: String) = s"((doc_id + ($p) * 2) % 256)"
+    def bC(p: String) = s"((doc_id * 5 + ($p)) % 256)"
+    val rgbRows = expr(
+      s"""array_join(transform(sequence(0L, h - 1), y -> concat(
+            array_join(transform(sequence(0L, w - 1), x ->
+              concat(${hx(bC("y * w + x"))}, ${hx(gC("y * w + x"))},
+                ${hx(rC("y * w + x"))})), ''),
+            repeat('00', CAST((4 - (w * 3) % 4) % 4 AS INT)))), '')""")
+    val palHex = expr(
+      """array_join(transform(sequence(0L, 15), c -> concat(
+           element_at(hx2, CAST((c * 5) % 256 + 1 AS INT)),
+           element_at(hx2, CAST((c * 7) % 256 + 1 AS INT)),
+           element_at(hx2, CAST((c * 11) % 256 + 1 AS INT)), '00')), '')""")
+    val idxRows = expr(
+      s"""array_join(transform(sequence(0L, h - 1), y -> concat(
+            array_join(transform(sequence(0L, w - 1), x ->
+              ${hx("(doc_id + x + 3 * y) % 16")}), ''),
+            repeat('00', CAST((4 - w % 4) % 4 AS INT)))), '')""")
+    val staged = d
+      .withColumn("pix_hex", graft.functions.Staged(
+        when(col("pal"), idxRows).otherwise(rgbRows)))
+      .withColumn("row_bytes", expr(
+        "IF(pal, (w + 3) div 4 * 4, (w * 3 + 3) div 4 * 4)"))
+      .withColumn("pix_off", expr("IF(pal, 118, 54)"))
+    val hdr = expr(
+      s"""concat('424D', ${le32h("pix_off + row_bytes * h")}, '00000000',
+          ${le32h("pix_off")}, '28000000', ${le32h("w")},
+          ${le32h("IF(doc_id % 11 = 4, 4294967296 - h, h)")},
+          '0100', IF(pal, '0800', '1800'),
+          ${le32h("IF(doc_id % 17 = 3, 1, 0)")},
+          '000000000000000000000000',
+          ${le32h("IF(pal, 16, 0)")}, '00000000')""")
+    staged
+      .withColumn("full_hex", concat(hdr,
+        when(col("pal"), palHex).otherwise(lit("")), col("pix_hex")))
+      .withColumn("payload_hex", expr(
+        "IF(doc_id % 13 = 5, substring(full_hex, 1, CAST(length(full_hex) - 4 AS INT)), full_hex)"))
+      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m20 — REAL pixel decode for uncompressed BMP: [[bmpAssets]] payloads
+    * through the native `bmp_features` expression (file + info header
+    * walk, palette resolution, padded-row traversal — every channel sum
+    * from the actual bytes; FunctionsSpec cross-checks the decoder
+    * against the JDK's own ImageIO BMP reader). Closes the last gap
+    * between [[graft.functions.MediaDims]]' sniff list and the pixel
+    * decoders: netpbm, PNG, GIF, JPEG and BMP all decode for real now.
+    */
+  def bmpPixels(spark: SparkSession, dir: String): DataFrame =
+    bmpAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Staged(
+          graft.functions.BmpFeatures(col("payload"))).as("f"))
+      .select(col("asset_id"), col("f.format"), col("f.width"),
+        col("f.height"), col("f.maxval"), col("f.n_pixels"),
+        col("f.sum_r"), col("f.sum_g"), col("f.sum_b"))
+      .localCheckpoint()
+      .orderBy(col("asset_id"))
+
   /** d23 — INCREMENTAL cross-codec AUDIO dedup: `asset_id % 10 = 1` (the
     * re-shipped recordings of [[audioCorpusAssets]], frequently under the
     * OTHER codec than the corpus copy) plays the arrival batch, the rest
@@ -3962,6 +4044,31 @@ object EntryOps {
          JOIN jsum ON jsum.doc_id = d.doc_id
          ORDER BY d.doc_id"""
     },
+    "m20_bmp_pixels" ->
+      """WITH base AS (SELECT doc_id, doc_id % 9 + 2 AS w, (doc_id * 3) % 7 + 2 AS h,
+                       (doc_id % 2 = 1) AS pal,
+                       (doc_id % 17 = 3 OR doc_id % 13 = 5) AS bad
+                       FROM documents),
+          px AS (SELECT doc_id, pal,
+                 (doc_id * 7 + p * 3) % 256 AS r,
+                 (doc_id + p * 2) % 256 AS g,
+                 (doc_id * 5 + p) % 256 AS b,
+                 (doc_id + (p % w) + 3 * (p // w)) % 16 AS c
+                 FROM (SELECT doc_id, pal, w, unnest(range(0, w * h)) AS p
+                       FROM base)),
+          s AS (SELECT doc_id,
+                CAST(sum(CASE WHEN pal THEN (c * 11) % 256 ELSE r END) AS BIGINT) AS sr,
+                CAST(sum(CASE WHEN pal THEN (c * 7) % 256 ELSE g END) AS BIGINT) AS sg,
+                CAST(sum(CASE WHEN pal THEN (c * 5) % 256 ELSE b END) AS BIGINT) AS sb
+                FROM px GROUP BY 1)
+         SELECT b.doc_id AS asset_id, 'bmp' AS format,
+                CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                CASE WHEN b.bad THEN NULL ELSE CAST(255 AS BIGINT) END AS maxval,
+                CASE WHEN b.bad THEN NULL ELSE CAST(b.w * b.h AS BIGINT) END AS n_pixels,
+                CASE WHEN b.bad THEN NULL ELSE s.sr END AS sum_r,
+                CASE WHEN b.bad THEN NULL ELSE s.sg END AS sum_g,
+                CASE WHEN b.bad THEN NULL ELSE s.sb END AS sum_b
+         FROM base b JOIN s USING (doc_id) ORDER BY asset_id""",
     "d23_audio_dedup_incremental" -> {
       val ham = (1 to 64).map(i =>
         s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
@@ -4705,6 +4812,7 @@ object EntryOps {
     "e06_jpeg_corpus" -> (jpegCorpus _),
     "e07_audio_corpus" -> (audioCorpus _),
     "d23_audio_dedup_incremental" -> (audioDedupIncremental _),
+    "m20_bmp_pixels" -> (bmpPixels _),
     "m07_wav_pcm" -> (wavPcm _),
     "m08_gif_pixels" -> (gifPixels _),
     "m09_gif_anim" -> (gifAnim _),

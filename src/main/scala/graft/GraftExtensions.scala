@@ -37,6 +37,7 @@ object GraftExtensions {
     "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
     "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "mp4_features" -> 1, "jpeg_features" -> 1, "jpeg_dhash" -> 1, "zorder_key" -> 2,
     "mpeg_l1_samples" -> 1, "flac_features" -> 1, "flac_dhash" -> 1,
+    "bmp_features" -> 1,
     "hyperplane_bucket" -> 3)
 
   private def checkArity(name: String, n: Int)(
@@ -148,6 +149,10 @@ object GraftExtensions {
         info("flac_dhash",
           "flac_dhash(payload) - 64-char energy-gradient difference-hash bitstring over FLAC-decoded PCM (WavDHash's construction; lossless, so a WAV of the same recording hashes identically); NULL on refusal"),
         (args: Seq[Expression]) => graft.functions.FlacDHash(args.head)),
+      (FunctionIdentifier("bmp_features"),
+        info("bmp_features",
+          "bmp_features(payload) - struct(format, width, height, maxval, n_pixels, sum_r, sum_g, sum_b) decoded from uncompressed BMP bytes (BI_RGB 24-bit and 8-bit palette; honest refusal on RLE/bitfields/other DIB headers)"),
+        (args: Seq[Expression]) => graft.functions.BmpFeatures(args.head)),
       (FunctionIdentifier("zorder_key"),
         info("zorder_key",
           "zorder_key(a, b) - 64-bit Morton interleave of two longs (multi-column clustering key)"),

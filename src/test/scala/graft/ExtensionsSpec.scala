@@ -53,7 +53,7 @@ class ExtensionsSpec extends GraftSpec {
         "inet_sort_key", "parse_str_array", "simhash64", "media_dims",
         "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
         "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "jpeg_features", "jpeg_dhash", "zorder_key",
-        "mpeg_l1_samples", "flac_features", "flac_dhash",
+        "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
         "hyperplane_bucket"))
   }
 

@@ -1885,6 +1885,119 @@ class FunctionsSpec extends GraftSpec {
     assert(graft.functions.FlacDHash.hash(short) === null)
   }
 
+  // ------------------------------------------------------------------ BMP
+
+  /** Test-side BMP builder (BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER). */
+  private def bmpEncode(w: Int, h: Int, bpp: Int, px: (Int, Int) => (Int, Int, Int),
+      palette: Array[(Int, Int, Int)] = null, topDown: Boolean = false,
+      compression: Int = 0, dibSize: Int = 40): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt) }
+    val palBytes = if (palette == null) 0 else palette.length * 4
+    val pixOff = 14 + dibSize + palBytes
+    val rowBytes = ((w * bpp / 8 + 3) / 4) * 4
+    out.write('B'); out.write('M')
+    le32(pixOff + rowBytes.toLong * h); le32(0); le32(pixOff)
+    le32(dibSize); le32(w); le32(if (topDown) -h else h)
+    le16(1); le16(bpp); le32(compression); le32(0)
+    le32(0); le32(0); le32(if (palette == null) 0 else palette.length); le32(0)
+    if (palette != null) palette.foreach { case (r, g, b) =>
+      out.write(b); out.write(g); out.write(r); out.write(0) }
+    val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+    // rows are stored bottom-up unless height is negative; px(x, y) is in
+    // IMAGE coordinates (y = 0 is the top row)
+    for (y <- ys) {
+      var written = 0
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        if (bpp == 24) { out.write(b); out.write(g); out.write(r); written += 3 }
+        else { out.write(r); written += 1 } // 8-bit: r carries the index
+      }
+      while (written % 4 != 0) { out.write(0); written += 1 }
+    }
+    out.toByteArray
+  }
+
+  private def bmpFields(b: Array[Byte]) = {
+    val r = graft.functions.BmpFeatures.decode(b)
+    def g(i: Int): Long = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+    (r.getUTF8String(0).toString, g(1), g(2), g(4), g(5), g(6), g(7))
+  }
+
+  test("bmp_features sums real pixels (24-bit, palette, top-down) and refuses the rest") {
+    def rgb(x: Int, y: Int) = ((x * 7 + y) % 256, (x + y * 5) % 256, (x * 3 + y * 11) % 256)
+    val w = 5; val h = 4
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (x <- 0 until w; y <- 0 until h) {
+      val (r, g, b) = rgb(x, y); sr += r; sg += g; sb += b
+    }
+    // 24-bit, bottom-up (w=5 -> 15-byte rows pad to 16)
+    assert(bmpFields(bmpEncode(w, h, 24, rgb)) ===
+      (("bmp", 5L, 4L, 20L, sr, sg, sb)))
+    // top-down (negative height): identical sums
+    assert(bmpFields(bmpEncode(w, h, 24, rgb, topDown = true)) ===
+      (("bmp", 5L, 4L, 20L, sr, sg, sb)))
+    // 8-bit palette
+    val pal = Array.tabulate(16)(c => ((c * 11) % 256, (c * 7) % 256, (c * 5) % 256))
+    def idx(x: Int, y: Int) = ((x + y * 3) % 16, 0, 0)
+    var pr = 0L; var pg = 0L; var pb = 0L
+    for (x <- 0 until w; y <- 0 until h) {
+      val (r, g, b) = pal((x + y * 3) % 16); pr += r; pg += g; pb += b
+    }
+    assert(bmpFields(bmpEncode(w, h, 8, idx, palette = pal)) ===
+      (("bmp", 5L, 4L, 20L, pr, pg, pb)))
+    // cross-check against the JDK's own BMP reader on both depths
+    for (bytes <- Seq(bmpEncode(w, h, 24, rgb), bmpEncode(w, h, 8, idx, palette = pal))) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO must accept the fixture bytes")
+      var jr = 0L; var jg = 0L; var jb = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val argb = img.getRGB(x, y)
+        jr += (argb >> 16) & 0xff; jg += (argb >> 8) & 0xff; jb += argb & 0xff
+      }
+      val f = graft.functions.BmpFeatures.decode(bytes)
+      assert((f.getLong(5), f.getLong(6), f.getLong(7)) === ((jr, jg, jb)),
+        "native decode disagrees with ImageIO")
+    }
+    // refusals: RLE8 compression, OS/2 core header, palette index out of
+    // range, truncation, not BMP at all
+    assert(bmpFields(bmpEncode(w, h, 8, idx, palette = pal, compression = 1))._4
+      === Long.MinValue)
+    assert(bmpFields(bmpEncode(w, h, 24, rgb, dibSize = 12))._2 === Long.MinValue)
+    val shortPal = Array.tabulate(4)(c => (c, c, c))
+    assert(bmpFields(bmpEncode(w, h, 8, (x, y) => (9, 0, 0), palette = shortPal))._4
+      === Long.MinValue, "index past the declared color table must refuse")
+    val whole = bmpEncode(w, h, 24, rgb)
+    assert(bmpFields(whole.dropRight(3))._4 === Long.MinValue)
+    assert(bmpFields("GIF89a??".getBytes("US-ASCII"))._1 === "unknown")
+  }
+
+  test("m20 fixture payloads are spec-valid BMPs (ImageIO parity on real bytes)") {
+    // guard against a matched construct/parse bug: the in-plan fixture's
+    // bytes must decode identically under the JDK's own BMP reader
+    val assets = EntryOps.bmpAssets(spark, "/root/testdata/sf0.001")
+      .filter(col("asset_id") < 12 && col("asset_id") % 17 =!= 3 &&
+        col("asset_id") % 13 =!= 5)
+      .orderBy("asset_id").collect()
+    assert(assets.nonEmpty)
+    assets.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"asset $id: ImageIO refused the fixture bytes")
+      var jr = 0L; var jg = 0L; var jb = 0L
+      for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) {
+        val argb = img.getRGB(x, y)
+        jr += (argb >> 16) & 0xff; jg += (argb >> 8) & 0xff; jb += argb & 0xff
+      }
+      val f = graft.functions.BmpFeatures.decode(bytes)
+      assert((f.getLong(1), f.getLong(2), f.getLong(5), f.getLong(6), f.getLong(7)) ===
+        ((img.getWidth.toLong, img.getHeight.toLong, jr, jg, jb)),
+        s"asset $id: native decode disagrees with ImageIO")
+    }
+  }
+
   test("e07 fixture re-ships a recording under the OTHER codec with an equal hash") {
     // doc 11 re-ships doc 10's samples (seed collapse) but 10 is WAV and
     // 11 is FLAC (doc_id % 3); 51 re-ships 50's the other way around —
