@@ -173,6 +173,50 @@ object EntryOps {
   def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkIvfPq(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
 
+  /** s09 — the r10 PQ index SPLIT demonstrated as a registered query: the
+    * same ADC top-k as s07, but through [[Similarity.buildPqIndex]] +
+    * [[Similarity.topkPqAgainstIndex]]. When `dir` carries a persisted
+    * index (`pq_codebooks.parquet`/`pq_codes.parquet` — the ScaleProbe
+    * pre-builds one UNTIMED, so its s09 row prices query-time cost alone,
+    * the cost a production user pays per query between index rebuilds) it
+    * is read from parquet; otherwise the index builds in-plan (the
+    * Verify/bench path — d17's incremental-demonstration pattern). Both
+    * paths are bit-identical (OpsSpec parity), so the oracle is s07's SQL
+    * VERBATIM: the split must not change one bit of the result.
+    */
+  def topkPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cb = java.nio.file.Paths.get(dir, "pq_codebooks.parquet")
+    val (codebooks, codes) =
+      if (java.nio.file.Files.exists(cb))
+        (spark.read.parquet(cb.toString),
+          spark.read.parquet(
+            java.nio.file.Paths.get(dir, "pq_codes.parquet").toString))
+      else Similarity.buildPqIndex(e)
+    Similarity.topkPqAgainstIndex(e.filter(col("vec_id") % 40 === 0),
+      codebooks, codes, k = 3)
+  }
+
+  /** s10 — the IVF-PQ index split (s08's query through
+    * [[Similarity.buildIvfPqIndex]] + [[Similarity.topkIvfPqAgainstIndex]]);
+    * persisted-index tables `ivfpq_centroids/codebooks/codes.parquet`,
+    * same contract as [[topkPqIndexed]]; oracle is s08's SQL verbatim.
+    */
+  def topkIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val ct = java.nio.file.Paths.get(dir, "ivfpq_centroids.parquet")
+    val (centroids, codebooks, codes) =
+      if (java.nio.file.Files.exists(ct))
+        (spark.read.parquet(ct.toString),
+          spark.read.parquet(
+            java.nio.file.Paths.get(dir, "ivfpq_codebooks.parquet").toString),
+          spark.read.parquet(
+            java.nio.file.Paths.get(dir, "ivfpq_codes.parquet").toString))
+      else Similarity.buildIvfPqIndex(e)
+    Similarity.topkIvfPqAgainstIndex(e.filter(col("vec_id") % 40 === 0), e,
+      centroids, codebooks, codes, k = 3)
+  }
+
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docs(spark, dir), maxHamming = 2)
 
@@ -4758,6 +4802,14 @@ object EntryOps {
           FROM per ORDER BY doc_id"""
   )
 
+  /** s09/s10 check the r10 build/query index split against the SAME oracle
+    * text as the in-query forms (s07/s08): routing through a persisted
+    * index must not change a single bit of the result.
+    */
+  val indexSplitOracles: Map[String, String] = Map(
+    "s09_topk_pq_index" -> oracles("s07_topk_pq"),
+    "s10_topk_ivfpq_index" -> oracles("s08_topk_ivfpq"))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
@@ -4773,6 +4825,8 @@ object EntryOps {
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
     "s07_topk_pq" -> (topkPq _),
     "s08_topk_ivfpq" -> (topkIvfPq _),
+    "s09_topk_pq_index" -> (topkPqIndexed _),
+    "s10_topk_ivfpq_index" -> (topkIvfPqIndexed _),
     "d07_simhash_neardup" -> (simhashNearDup _),
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "d09_dedup_clusters" -> (dedupClusters _),

@@ -53,6 +53,7 @@ object ScaleProbe {
     "d01_dedup_exact", "d02_ngram_jaccard", "d03_minhash_lsh",
     "d08_simhash64_neardup", "d09_dedup_clusters",
     "s04_topk_lsh_bands", "s06_topk_ivf_centroids", "s08_topk_ivfpq",
+    "s09_topk_pq_index", "s10_topk_ivfpq_index",
     "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking",
     "e05_multimodal_corpus", "d22_semdedup_incremental",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
@@ -73,7 +74,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench/scale_probe_r9.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench/scale_probe_r10.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -126,6 +127,22 @@ object ScaleProbe {
         col("label"))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(dirR.resolve("embeddings.parquet").toString)
+    // persisted ANN indexes (r10 split): built UNTIMED at both scales so the
+    // s09/s10 rows price query-time cost alone — the cost a production user
+    // pays per query between ingest-cadence index rebuilds. The registered
+    // queries detect and read these tables (EntryOps.topkPqIndexed contract);
+    // every build step is order-independent (quantized-integer Lloyd), so the
+    // probed results are bit-identical to the in-plan s07/s08 forms.
+    for (d <- Seq(dir1, dirR)) {
+      val e = Tables.embeddings(spark, d.toString)
+      val (cb, codes) = graft.ops.Similarity.buildPqIndex(e)
+      cb.write.mode("overwrite").parquet(d.resolve("pq_codebooks.parquet").toString)
+      codes.write.mode("overwrite").parquet(d.resolve("pq_codes.parquet").toString)
+      val (ict, icb, icodes) = graft.ops.Similarity.buildIvfPqIndex(e)
+      ict.write.mode("overwrite").parquet(d.resolve("ivfpq_centroids.parquet").toString)
+      icb.write.mode("overwrite").parquet(d.resolve("ivfpq_codebooks.parquet").toString)
+      icodes.write.mode("overwrite").parquet(d.resolve("ivfpq_codes.parquet").toString)
+    }
 
     // ---- measurement (Bench methodology: warmup, load gate, median of 3) ----
     def run(name: String, dir: String): Double = {

@@ -341,7 +341,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ EntryOps.entries
 
-  def oracleSql: Map[String, String] = coreOracles ++ EntryOps.oracles
+  def oracleSql: Map[String, String] =
+    coreOracles ++ EntryOps.oracles ++ EntryOps.indexSplitOracles
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hits_by_type" -> (hitsByType _),

@@ -331,6 +331,42 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING ANN against the warehouse — the query-side counterpart of
+    * the incremental dedup family (r10, completing the verdict's item-8
+    * symmetry): each arriving vector gets its top-k corpus neighbors from
+    * the PERSISTED PQ index ([[graft.ops.Similarity.buildPqIndex]] —
+    * `codebooks/` and `codes/` under one root, re-read per batch so an
+    * ingest-cadence index rebuild is visible without restart). Per
+    * micro-batch the batch's ADC lookup table builds against the broadcast
+    * codebooks and every candidate costs M table hits
+    * ([[graft.ops.Similarity.topkPqAgainstIndex]] — no training, no
+    * vector-width joins in the hot path); the persisted geometry columns
+    * validate per batch, so a mismatched reader fails loudly instead of
+    * scoring garbage. Results land batch-partitioned for idempotent
+    * replay; zero state-store state.
+    */
+  def annArrivals(arrivals: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, k: Int = 3, subspaces: Int = 16,
+      codebookSize: Int = 16, dims: Int = 64): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val neighbors = graft.ops.Similarity.topkPqAgainstIndex(
+          batch, spark.read.parquet(s"$indexPath/codebooks"),
+          spark.read.parquet(s"$indexPath/codes"), k,
+          subspaces, codebookSize, dims)
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try neighbors.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
     *

@@ -331,6 +331,56 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("persisted PQ/IVF-PQ index parity: build→parquet→read→query is " +
+      "bit-identical to the in-query forms, and the geometry guard trips") {
+    // the r10 split's contract: routing s07/s08 through a persisted index
+    // (the ingest-cadence build production runs) must not change one bit of
+    // the result — same discipline as the StreamingSpec batch-parity tests.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 40 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_idx")
+    try {
+      val (cb, codes) = Similarity.buildPqIndex(emb)
+      cb.write.parquet(tmp.resolve("pq_codebooks.parquet").toString)
+      codes.write.parquet(tmp.resolve("pq_codes.parquet").toString)
+      val cbR = spark.read.parquet(tmp.resolve("pq_codebooks.parquet").toString)
+      val codesR = spark.read.parquet(tmp.resolve("pq_codes.parquet").toString)
+      val direct = Similarity.topkPq(emb, pred, k = 3).collect().toSeq
+      val indexed = Similarity.topkPqAgainstIndex(emb.filter(pred),
+        cbR, codesR, k = 3).collect().toSeq
+      assert(indexed === direct, "PQ persisted-index result diverged")
+      // geometry guard: a reader with mismatched sub-space slicing must be
+      // refused loudly, not allowed to score garbage (planes-guard class)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.topkPqAgainstIndex(emb.filter(pred), cbR, codesR, k = 3,
+          subspaces = 8, dims = 64).collect()
+      }
+      assert(e.getMessage.contains("subspaces"))
+
+      val (ict, icb, icodes) = Similarity.buildIvfPqIndex(emb)
+      ict.write.parquet(tmp.resolve("ivfpq_centroids.parquet").toString)
+      icb.write.parquet(tmp.resolve("ivfpq_codebooks.parquet").toString)
+      icodes.write.parquet(tmp.resolve("ivfpq_codes.parquet").toString)
+      val ictR = spark.read.parquet(tmp.resolve("ivfpq_centroids.parquet").toString)
+      val icbR = spark.read.parquet(tmp.resolve("ivfpq_codebooks.parquet").toString)
+      val icodesR = spark.read.parquet(tmp.resolve("ivfpq_codes.parquet").toString)
+      val direct2 = Similarity.topkIvfPq(emb, pred, k = 3).collect().toSeq
+      val indexed2 = Similarity.topkIvfPqAgainstIndex(emb.filter(pred), emb,
+        ictR, icbR, icodesR, k = 3).collect().toSeq
+      assert(indexed2 === direct2, "IVF-PQ persisted-index result diverged")
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.topkIvfPqAgainstIndex(emb.filter(pred), emb,
+          ictR, icbR, icodesR, k = 3, nCells = 4).collect()
+      }
+      assert(e2.getMessage.contains("nCells"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("semantic dedup: dominance keeps the far-from-centroid edge examples") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.semanticDedup(emb, minCosine = 0.3).collect()

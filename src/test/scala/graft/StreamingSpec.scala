@@ -623,6 +623,59 @@ class StreamingSpec extends GraftSpec {
     assert(bv === v.map { case (k, (vd, _)) => k -> vd })
   }
 
+  test("streaming ANN arrivals: top-k from the persisted PQ index, batch parity, zero state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val in = tmp("ann-in")
+    val idx = tmp("ann-idx").resolve("index").toString
+    val out = tmp("ann-out").toString
+    // 6 distinct directions; codebooks train on all 6 (seed limit 16 > 6)
+    val corpus = (0 until 6).map(s =>
+      (100L + s, vec(i => math.sin(i * 0.37 + s * 1.1) + 0.05 * s)))
+      .toDF("vec_id", "embedding")
+    val (cb, codes) = graft.ops.Similarity.buildPqIndex(corpus)
+    cb.write.parquet(s"$idx/codebooks")
+    codes.write.parquet(s"$idx/codes")
+    // arrivals: a scaled copy of corpus vector 100 (ADC ranks by
+    // reconstruction cosine => its nearest neighbor is 100) and a second
+    // query in another direction
+    val nearCopy = vec(i => (math.sin(i * 0.37) ) * 3.0)
+    val probe = vec(i => math.sin(i * 0.37 + 3 * 1.1) + 0.15)
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    Files.writeString(in.resolve("b1.json"),
+      Seq(js(1, nearCopy), js(2, probe)).mkString("", "\n", "\n"))
+    val arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+    val q = LogStream.annArrivals(arrivals, idx, out,
+      tmp("ann-ck").toString, k = 2)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    val rows = spark.read.parquet(out).collect()
+    // every query gets ranks 1..k over corpus candidates
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(1L, 2L))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L))
+      assert(rs.forall(_.getAs[Long]("cand_id") >= 100L))
+    }
+    val top1 = byQ(1L).minBy(_.getAs[Long]("rank")).getAs[Long]("cand_id")
+    assert(top1 === 100L, s"scaled copy of 100 must rank 100 first, got $top1")
+    // results equal the batch operator on the same arrivals (same parity
+    // contract as the dedup family)
+    val batchIn = Seq((1L, nearCopy), (2L, probe)).toDF("vec_id", "embedding")
+    val bv = graft.ops.Similarity.topkPqAgainstIndex(batchIn,
+      spark.read.parquet(s"$idx/codebooks"),
+      spark.read.parquet(s"$idx/codes"), k = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("adc_score"))).toSet
+    assert(bv === rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("rank"), r.getAs[Long]("cand_id"),
+      r.getAs[Double]("adc_score"))).toSet)
+  }
+
   test("streaming image dedup: hash-in-scan verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
