@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.Barrier.BarrierOps
 
 /** Training-data-pipeline operators wired to the test tables, with DuckDB
   * oracles that implement the *same algorithm* — so LSH/IVF approximations are
@@ -888,7 +889,7 @@ object EntryOps {
       .filter(col("dhash").isNotNull)
       .withColumn("hi", expr("CAST(conv(substring(dhash, 1, 32), 2, 10) AS BIGINT)"))
       .withColumn("lo", expr("CAST(conv(substring(dhash, 33, 32), 2, 10) AS BIGINT)"))
-      .localCheckpoint()
+      .barriered
     val bands = hashed.select(col("asset_id"), col("hi"), col("lo"),
       posexplode(array((0 until 4).map(bd =>
         substring(col("dhash"), bd * 16 + 1, 16)): _*))
@@ -1458,7 +1459,7 @@ object EntryOps {
       // survivors materialized pre-sort (range partitioning samples =
       // executes the child twice; here that re-runs the feature decode
       // over the synthesized corpus)
-      .localCheckpoint()
+      .barriered
       .orderBy(col("doc_id"))
   }
 
@@ -1610,7 +1611,7 @@ object EntryOps {
       // survivors materialized pre-sort (range partitioning samples =
       // executes the child twice; here that re-runs BOTH modality
       // feature decoders over the synthesized corpus)
-      .localCheckpoint()
+      .barriered
       .orderBy(col("doc_id"))
   }
 
@@ -1795,7 +1796,7 @@ object EntryOps {
       // materialize the small stats table before the presentation sort:
       // range partitioning SAMPLES its child, i.e. executes it twice —
       // a 2× multiplier on the synthesized-fixture scan above
-      .localCheckpoint()
+      .barriered
       .orderBy(col("asset_id"))
 
   /** m19 fixture — spec-valid FLAC streams (RFC 9639) synthesized in-plan
@@ -1929,7 +1930,7 @@ object EntryOps {
         col("f.peak_abs"))
       // stats table materialized pre-sort (range partitioning samples =
       // executes the child twice; the mpegL1Pcm note)
-      .localCheckpoint()
+      .barriered
       .orderBy(col("asset_id"))
 
   /** e07 fixture — a cross-CODEC audio corpus: the SAME recording ships as
@@ -2055,7 +2056,7 @@ object EntryOps {
       // survivors materialized pre-sort (range partitioning samples =
       // executes the child twice; the mpegL1Pcm note — here the child
       // re-runs both decoders over the synthesized corpus)
-      .localCheckpoint()
+      .barriered
       .orderBy(col("doc_id"))
   }
 
@@ -2138,7 +2139,7 @@ object EntryOps {
       .select(col("asset_id"), col("f.format"), col("f.width"),
         col("f.height"), col("f.maxval"), col("f.n_pixels"),
         col("f.sum_r"), col("f.sum_g"), col("f.sum_b"))
-      .localCheckpoint()
+      .barriered
       .orderBy(col("asset_id"))
 
   /** d23 — INCREMENTAL cross-codec AUDIO dedup: `asset_id % 10 = 1` (the

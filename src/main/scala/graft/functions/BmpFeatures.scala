@@ -89,8 +89,12 @@ object BmpFeatures {
     val w = le32s(b, 18)
     val hRaw = le32s(b, 22)
     val h = if (hRaw < 0) -hRaw else hRaw // top-down order: sums unaffected
+    // header "facts" are only facts when sane: a malformed negative/zero
+    // dimension is reported as NULL, not echoed as a negative value (r9
+    // ADVICE) — positive-but-absurd dims (the 2^20 bound) stay reported
     def partial(): InternalRow =
-      row("bmp", Array[Any](w, h, null, null, null, null, null))
+      row("bmp", Array[Any](if (w > 0) w else null, if (h > 0) h else null,
+        null, null, null, null, null))
     val planes = le16(b, 26)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)

@@ -346,7 +346,10 @@ object FlacFeatures {
         st.total = ((u(13) & 0x0f).toLong << 32) | (u(14).toLong << 24) |
           (u(15).toLong << 16) | (u(16).toLong << 8) | u(17).toLong
         st.haveInfo = true
-        if (st.rate == 0) return 2 // forbidden by spec
+        // rate 0 is forbidden by RFC 9639 §8.2 — but the magic matched and
+        // STREAMINFO parsed, so this is a post-magic REFUSAL (format "flac",
+        // header facts kept), not an unknown format (r9 ADVICE)
+        if (st.rate == 0) return 1
       } else if (typ == 0) return 1 // duplicate STREAMINFO
       firstBlock = false
       i = body + len

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.ops.Barrier.BarrierOps
+
 /** Deduplication operators for large-scale text corpora — the training-data
   * pipeline extensions beyond the reference's surface (SURVEY §7.1-9).
   *
@@ -461,7 +463,7 @@ object Dedup {
       // verdicts are batch-sized: materialize before the presentation
       // sort, whose range-partitioning SAMPLING would otherwise execute
       // the candidate join — and the payload hashing beneath it — twice
-      .localCheckpoint()
+      .barriered
       .orderBy(col("asset_id"))
   }
 
@@ -708,7 +710,8 @@ object Dedup {
     */
   def clusterComponents(docs: DataFrame, edges: DataFrame,
       maxIters: Int = 25, fallbackToStar: Boolean = true): DataFrame = {
-    // localCheckpoint, not cache: a cache dedups EXECUTION but leaves the
+    // barrier (localCheckpoint by default), not cache: a cache dedups
+    // EXECUTION but leaves the
     // edge list's full logical tree in every downstream plan, and each of
     // the iteration's 2+ actions per round re-ANALYZES it — for composed
     // callers whose edges embed a large expression tree (e05/e06's
@@ -719,7 +722,7 @@ object Dedup {
     val und = edges.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(edges.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .barriered
     // Iterate ONLY over the ACTIVE vertex set — docs that appear in an edge.
     // Near-dup pairs are a vanishing fraction of a deduplicated corpus, so
     // per-round state is proportional to the near-dup GRAPH, not the corpus;
@@ -728,7 +731,7 @@ object Dedup {
     var labels = und.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .barriered
     var prevSum = BigDecimal(Option(
       labels.agg(sum(col("label"))).head().get(0)).fold(0L)(_.asInstanceOf[Long]))
     var it = 0
@@ -738,7 +741,7 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("label"))
       val next = labels.select(col("doc_id"), col("label")).union(nbr)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .barriered
       val nextSum = BigDecimal(next.agg(sum(col("label"))).head().getLong(0))
       labels = next
       converged = nextSum == prevSum // labels only decrease; equal sum ⇒ fixpoint
@@ -789,7 +792,7 @@ object Dedup {
       .select(greatest(col("doc1"), col("doc2")).as("hi"),
         least(col("doc1"), col("doc2")).as("lo"))
       .distinct()
-      .localCheckpoint()
+      .barriered
     var eCount = e.count()
     var it = 0
     var converged = eCount == 0L
@@ -811,7 +814,7 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(sMins.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint()
+        .barriered
       val ssCount = ss.count()
       // fixpoint = identical edge set across a full round (counts equal and
       // no edge in ss missing from e); except() is exact, unlike a checksum

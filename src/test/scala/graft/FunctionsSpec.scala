@@ -1830,6 +1830,12 @@ class FunctionsSpec extends GraftSpec {
     assert(flacFields(flacStream(44100, 3, 16, 0, Seq.empty)) ===
       (("flac", 44100L, 3L, 16L, Long.MinValue, Long.MinValue, Long.MinValue,
         Long.MinValue, Long.MinValue)))
+    // rate 0 (forbidden by RFC 9639 §8.2): the magic matched and STREAMINFO
+    // parsed, so this is a post-magic refusal — format "flac" with header
+    // facts kept, not "unknown" (r9 ADVICE)
+    assert(flacFields(flacStream(0, 1, 16, 80, Seq(frame()))) ===
+      (("flac", 0L, 1L, 16L, Long.MinValue, Long.MinValue, Long.MinValue,
+        Long.MinValue, Long.MinValue)))
     // enumerated frame rate code must AGREE with streaminfo (8 = 32000)
     val agree = flacStream(32000, 1, 16, 80,
       Seq(flacFrame(0, 80, 0, 16, Seq(FSub("verbatim", xs)), srCodeOverride = 8)))
@@ -1971,6 +1977,13 @@ class FunctionsSpec extends GraftSpec {
     val whole = bmpEncode(w, h, 24, rgb)
     assert(bmpFields(whole.dropRight(3))._4 === Long.MinValue)
     assert(bmpFields("GIF89a??".getBytes("US-ASCII"))._1 === "unknown")
+    // negative 32-bit width (r9 ADVICE): a malformed dimension is NOT a
+    // header fact — NULL, never the echoed negative; the sane height stays
+    val negW = bmpEncode(w, h, 24, rgb)
+    negW(18) = 0xfb.toByte; negW(19) = 0xff.toByte
+    negW(20) = 0xff.toByte; negW(21) = 0xff.toByte
+    assert(bmpFields(negW) === (("bmp", Long.MinValue, 4L, Long.MinValue,
+      Long.MinValue, Long.MinValue, Long.MinValue)))
   }
 
   test("m20 fixture payloads are spec-valid BMPs (ImageIO parity on real bytes)") {

@@ -381,6 +381,38 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("reliable barrier mode: storage-backed checkpoints, bit-identical results") {
+    // r9 verdict item 3: localCheckpoint blocks die with their executor, so
+    // cluster runs flip spark.graft.reliableBarriers=true and every barrier
+    // becomes a storage-backed checkpoint. Same results either way — the
+    // barrier is an execution fence, never a semantic operator.
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val edges = Dedup.simhashNearDup64(d, maxHamming = 3)
+      .select(col("doc1"), col("doc2"))
+    val local = Dedup.clusterComponents(d, edges).collect().toSeq
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck")
+    val prevCk = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    spark.conf.set(graft.ops.Barrier.ConfKey, "true")
+    try {
+      val reliable = Dedup.clusterComponents(d, edges).collect().toSeq
+      assert(reliable === local,
+        "reliable barriers must not change one bit of the result")
+      // the blocks really went to storage, not executor memory
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(ckDir).iterator().asScala
+        .count(java.nio.file.Files.isRegularFile(_))
+      assert(files > 0, "reliable mode must write checkpoint files")
+    } finally {
+      spark.conf.unset(graft.ops.Barrier.ConfKey)
+      prevCk.foreach(spark.sparkContext.setCheckpointDir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckDir).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("semantic dedup: dominance keeps the far-from-centroid edge examples") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.semanticDedup(emb, minCosine = 0.3).collect()
