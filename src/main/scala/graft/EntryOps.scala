@@ -2495,15 +2495,25 @@ object EntryOps {
   }
 
   /** HLL-sketch distinct estimation (the at-scale form of q22's exact distinct:
-    * mergeable fixed-size state, no distinct shuffle). No SQL oracle — HLL
-    * implementations differ across engines — so the driver applies its
-    * rows-only check; the spec asserts the estimates bracket the exact counts.
+    * mergeable fixed-size state, no distinct shuffle). The SKETCH is
+    * engine-specific (DuckDB cannot reproduce Spark's HLL registers), so the
+    * emitted columns are the exact distinct plus an IN-PLAN BOUNDS VERDICT
+    * `|approx − exact| ≤ ε·exact` with ε = 0.15 ≫ the configured rsd 0.02
+    * (r9 verdict item 5): the oracle asserts the verdict TRUE per group,
+    * which upgrades q28 from rows-only to hash-checked — the HLL estimate
+    * still computes in-plan, and a broken sketch flips the boolean and the
+    * hash. The exact countDistinct exists only to judge the sketch; the
+    * production estimate path carries no distinct shuffle.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("qty"))
+      .select(col("event_type"), col("qty"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.15)).as("within_bounds"))
       .orderBy(col("event_type"))
 
   /** Linear-counting distinct sketch with an ENGINE-PORTABLE hash: the bucket
@@ -4394,6 +4404,15 @@ object EntryOps {
                 p.s0 AS sum_ch0, COALESCE(p.s1, p.s0) AS sum_ch1,
                 p.pk AS peak_abs
          FROM base b JOIN p USING (doc_id) ORDER BY asset_id""",
+    "q28_approx_distinct" ->
+      // the sketch is engine-specific, so the oracle checks the BOUNDS
+      // VERDICT: exact counts computed both sides, and within_bounds
+      // asserted TRUE — if Spark's HLL ever drifts past ε=0.15 the boolean
+      // flips and the hash compare goes red (r9 verdict item 5)
+      """SELECT event_type, count(*) AS qty,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bounds
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q31_linear_count_distinct" ->
       """SELECT event_type, CAST(4096 AS BIGINT) AS m,
            CAST(count(DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS occupied,
@@ -4896,7 +4915,7 @@ object EntryOps {
     "q25_point_lookup" -> (pointLookup _),
     "q26_latest_per_key" -> (latestPerKey _),
     "q27_salted_agg" -> (saltedAgg _),
-    "q28_approx_distinct" -> (approxDistinct _), // rows-only (no oracle): HLL sketches differ across engines
+    "q28_approx_distinct" -> (approxDistinct _), // hash-checked via in-plan bounds verdict (sketches differ across engines; the boolean doesn't)
     "q31_linear_count_distinct" -> (linearCountDistinct _),
     "q29_asof_join" -> (asofJoin _),
     "q30_percentiles" -> (percentiles _),

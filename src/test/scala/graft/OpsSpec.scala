@@ -761,13 +761,19 @@ class OpsSpec extends GraftSpec {
   }
 
   test("approx_count_distinct estimates track exact distinct counts") {
-    val got = graft.EntryOps.approxDistinct(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q28 now emits the bounds verdict itself (hash-checked by the oracle);
+    // this spec keeps the independent cross-check: verdicts all green, and
+    // the in-plan exact column agrees with the standalone exact aggregate
+    val rows = graft.EntryOps.approxDistinct(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bounds"), s"HLL out of bounds: $r")
+    }
     val exact = graft.EntryOps.distinctAgg(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, ex) =>
-      val ap = got(k)
-      assert(math.abs(ap - ex).toDouble / ex < 0.15, s"$k: approx $ap vs exact $ex")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_users") === exact(r.getString(0)))
     }
   }
 
