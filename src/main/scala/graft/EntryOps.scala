@@ -185,17 +185,38 @@ object EntryOps {
     * paths are bit-identical (OpsSpec parity), so the oracle is s07's SQL
     * VERBATIM: the split must not change one bit of the result.
     */
+  /** The s09/s10 query predicate adds a FIXED id bound to s07/s08's
+    * modulus: every real testdata SF has vec_id < 2000, so results are
+    * identical to the unbounded form there (the oracle carries the same
+    * bound) — but under the ScaleProbe's ×R corpus replication the bound
+    * pins the query set to a CONSTANT 50 queries, so the probe rows
+    * measure per-query cost against corpus growth (the production
+    * question: what one query costs between index rebuilds), not the
+    * Q×N compounding a modulus-only predicate measures.
+    */
+  private val pqQueryPred: Column =
+    col("vec_id") % 40 === 0 && col("vec_id") < 2000
+
   def topkPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cb = java.nio.file.Paths.get(dir, "pq_codebooks.parquet")
-    val (codebooks, codes) =
-      if (java.nio.file.Files.exists(cb))
-        (spark.read.parquet(cb.toString),
-          spark.read.parquet(
-            java.nio.file.Paths.get(dir, "pq_codes.parquet").toString))
-      else Similarity.buildPqIndex(e)
-    Similarity.topkPqAgainstIndex(e.filter(col("vec_id") % 40 === 0),
-      codebooks, codes, k = 3)
+    if (java.nio.file.Files.exists(cb)) {
+      // the index is SELF-DESCRIBING: read its persisted geometry (one-row
+      // scalar read, planes-guard class) rather than assuming defaults —
+      // an ingest-cadence rebuild may legitimately re-size the quantizer
+      val codebooks = spark.read.parquet(cb.toString)
+      val codes = spark.read.parquet(
+        java.nio.file.Paths.get(dir, "pq_codes.parquet").toString)
+      val g = codebooks.select(col("subspaces"), col("codebook_size"),
+        col("dims")).head()
+      Similarity.topkPqAgainstIndex(e.filter(pqQueryPred), codebooks, codes,
+        k = 3, subspaces = g.getInt(0), codebookSize = g.getInt(1),
+        dims = g.getInt(2))
+    } else {
+      val (codebooks, codes) = Similarity.buildPqIndex(e)
+      Similarity.topkPqAgainstIndex(e.filter(pqQueryPred), codebooks, codes,
+        k = 3)
+    }
   }
 
   /** s10 — the IVF-PQ index split (s08's query through
@@ -206,16 +227,27 @@ object EntryOps {
   def topkIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val ct = java.nio.file.Paths.get(dir, "ivfpq_centroids.parquet")
-    val (centroids, codebooks, codes) =
-      if (java.nio.file.Files.exists(ct))
-        (spark.read.parquet(ct.toString),
-          spark.read.parquet(
-            java.nio.file.Paths.get(dir, "ivfpq_codebooks.parquet").toString),
-          spark.read.parquet(
-            java.nio.file.Paths.get(dir, "ivfpq_codes.parquet").toString))
-      else Similarity.buildIvfPqIndex(e)
-    Similarity.topkIvfPqAgainstIndex(e.filter(col("vec_id") % 40 === 0), e,
-      centroids, codebooks, codes, k = 3)
+    if (java.nio.file.Files.exists(ct)) {
+      val centroids = spark.read.parquet(ct.toString)
+      val codebooks = spark.read.parquet(
+        java.nio.file.Paths.get(dir, "ivfpq_codebooks.parquet").toString)
+      val codes = spark.read.parquet(
+        java.nio.file.Paths.get(dir, "ivfpq_codes.parquet").toString)
+      // self-describing geometry, as in topkPqIndexed: a production rebuild
+      // GROWS n_cells with the corpus (constant cell size — the IVFADC
+      // deployment regime), and the reader must follow the index, not a
+      // hardcoded default
+      val g = centroids.select(col("n_cells"), col("subspaces"),
+        col("codebook_size"), col("dims")).head()
+      Similarity.topkIvfPqAgainstIndex(e.filter(pqQueryPred), e,
+        centroids, codebooks, codes, k = 3, nCells = g.getInt(0),
+        subspaces = g.getInt(1), codebookSize = g.getInt(2), nprobe = 3,
+        dims = g.getInt(3))
+    } else {
+      val (centroids, codebooks, codes) = Similarity.buildIvfPqIndex(e)
+      Similarity.topkIvfPqAgainstIndex(e.filter(pqQueryPred), e,
+        centroids, codebooks, codes, k = 3)
+    }
   }
 
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -4823,12 +4855,29 @@ object EntryOps {
   )
 
   /** s09/s10 check the r10 build/query index split against the SAME oracle
-    * text as the in-query forms (s07/s08): routing through a persisted
-    * index must not change a single bit of the result.
+    * text as the in-query forms (s07/s08), with ONE visible delta: the
+    * query predicate additionally bounds `vec_id < 2000` (see
+    * [[topkPqIndexed]] — every real testdata SF satisfies it, so the
+    * results are identical to s07/s08's there; the bound only bites under
+    * the ScaleProbe's replicated corpus, where it pins the query count so
+    * the probe isolates per-query cost from corpus growth). The
+    * replacement is asserted to have matched — a silently unmodified
+    * oracle would hash-mismatch the bounded Spark side on replicated data
+    * while PASSING on testdata, the worst kind of latent drift.
     */
-  val indexSplitOracles: Map[String, String] = Map(
-    "s09_topk_pq_index" -> oracles("s07_topk_pq"),
-    "s10_topk_ivfpq_index" -> oracles("s08_topk_ivfpq"))
+  val indexSplitOracles: Map[String, String] = {
+    def bound(sql: String, from: String, to: String): String = {
+      require(sql.contains(from), s"oracle predicate '$from' not found")
+      sql.replace(from, to)
+    }
+    Map(
+      "s09_topk_pq_index" -> bound(oracles("s07_topk_pq"),
+        "WHERE sv.vec_id % 40 = 0",
+        "WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000"),
+      "s10_topk_ivfpq_index" -> bound(oracles("s08_topk_ivfpq"),
+        "WHERE vec_id % 40 = 0",
+        "WHERE vec_id % 40 = 0 AND vec_id < 2000"))
+  }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (dedupExact _),

@@ -133,12 +133,20 @@ object ScaleProbe {
     // queries detect and read these tables (EntryOps.topkPqIndexed contract);
     // every build step is order-independent (quantized-integer Lloyd), so the
     // probed results are bit-identical to the in-plan s07/s08 forms.
-    for (d <- Seq(dir1, dirR)) {
+    // The ×R rebuild GROWS the coarse quantizer with the corpus (n_cells =
+    // 8·R, constant expected cell size) — the IVFADC deployment regime
+    // (Jégou et al. §IV; the SemDeDup scaladoc documents the same
+    // nCentroids ∝ N growth): per-query candidates = nprobe·cellSize stay
+    // CONSTANT as the corpus grows, which is the property the s10 probe
+    // row exists to demonstrate. The readers follow the index's persisted
+    // geometry columns (EntryOps.topkIvfPqIndexed), not a default.
+    for ((d, m) <- Seq((dir1, 1), (dirR, mult))) {
       val e = Tables.embeddings(spark, d.toString)
       val (cb, codes) = graft.ops.Similarity.buildPqIndex(e)
       cb.write.mode("overwrite").parquet(d.resolve("pq_codebooks.parquet").toString)
       codes.write.mode("overwrite").parquet(d.resolve("pq_codes.parquet").toString)
-      val (ict, icb, icodes) = graft.ops.Similarity.buildIvfPqIndex(e)
+      val (ict, icb, icodes) =
+        graft.ops.Similarity.buildIvfPqIndex(e, nCells = 8 * m)
       ict.write.mode("overwrite").parquet(d.resolve("ivfpq_centroids.parquet").toString)
       icb.write.mode("overwrite").parquet(d.resolve("ivfpq_codebooks.parquet").toString)
       icodes.write.mode("overwrite").parquet(d.resolve("ivfpq_codes.parquet").toString)
@@ -170,7 +178,12 @@ object ScaleProbe {
       .write.mode("overwrite").format("noop").save()
 
     val gateLoad = loadavg()
-    val rows = probes.map { name =>
+    // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset during development;
+    // the shipped artifact is always a full run
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(probes)(s => probes.filter(s.contains))
+    val rows = selected.map { name =>
       gate()
       val r1 = Seq(run(name, dir1.toString), run(name, dir1.toString), run(name, dir1.toString))
       gate()
