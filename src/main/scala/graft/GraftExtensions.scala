@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF32, HyperplaneBucket, MinHashBandSigs, ParseStrArray, Reencode, SimHash16}
+import graft.functions.{DotProductF32, DotProductFD, HyperplaneBucket, MinHashBandSigs, ParseStrArray, Reencode, SimHash16}
 
 /** SparkSessionExtensions entry point exposing the engine's native Catalyst
   * expressions to SQL users:
@@ -31,7 +31,7 @@ object GraftExtensions {
     * WRONG_NUM_ARGS message instead of an IndexOutOfBoundsException.
     */
   private val arities: Map[String, Int] = Map(
-    "reencode" -> 1, "simhash16" -> 1, "dot_f32" -> 2,
+    "reencode" -> 1, "simhash16" -> 1, "dot_f32" -> 2, "dot_fd" -> 2,
     "minhash_band_sigs" -> 3, "inet_sort_key" -> 1, "parse_str_array" -> 1,
     "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1, "ppm_dhash" -> 1,
     "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
@@ -66,6 +66,10 @@ object GraftExtensions {
       (FunctionIdentifier("dot_f32"),
         info("dot_f32", "dot_f32(a, b) - double dot product of float arrays"),
         (args: Seq[Expression]) => DotProductF32(args.head, args(1))),
+      (FunctionIdentifier("dot_fd"),
+        info("dot_fd",
+          "dot_fd(a, b) - fixed-fold double dot of float/double arrays"),
+        (args: Seq[Expression]) => DotProductFD(args.head, args(1))),
       (FunctionIdentifier("minhash_band_sigs"),
         info("minhash_band_sigs",
           "minhash_band_sigs(grams, k, bandSize) - banded MinHash signatures"),

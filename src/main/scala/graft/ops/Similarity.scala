@@ -182,9 +182,10 @@ object Similarity {
         .as("centroid"))
       .select(col("bucket").as("cid"), col("centroid"))
     // final assignment against the refined centroids (float·double fold in
-    // fixed component order — the oracle mirrors the same fold)
-    val refScore = expr("aggregate(zip_with(embedding, centroid, " +
-      "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    // fixed component order — the oracle mirrors the same fold; native
+    // DotProductFD since r10, bitwise-identical to the HOF form)
+    val refScore: Column =
+      graft.functions.DotProductFD(col("embedding"), col("centroid"))
     val scored = emb.crossJoin(broadcast(refined))
       .select(col("vec_id"), col("embedding"), col("cid"),
         refScore.as("score"))
@@ -245,10 +246,15 @@ object Similarity {
     * ADC); [[topkPq]] below composes them for the self-contained
     * hash-checked form.
     */
-  private def pqDotFD(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b,
-          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+  /** Mixed float/double fixed-fold dot — native codegen'd expression
+    * (graft.functions.DotProductFD), numerically identical to the former
+    * `aggregate(zip_with(..., CAST·CAST), 0d, +)` HOF form and to the
+    * oracle's list_reduce mirror (r10: the HOF lambda evaluated
+    * interpreted per element — the dominant cost of the quantizer
+    * assignment/ADC stages).
+    */
+  private def pqDotFD(a: String, b: String): Column =
+    graft.functions.DotProductFD(col(a), col(b))
 
   private def pqSubSplit(df: DataFrame, subspaces: Int, sub: Int): DataFrame =
     df.select(col("vec_id"), posexplode(expr(
@@ -755,11 +761,12 @@ object Similarity {
       nCentroids: Int = 8): DataFrame = {
     val (assigned, refined) = refinedAssignment(emb, nCentroids)
     // similarity to own (refined, double-valued) centroid: the same fixed
-    // float·double fold refinedAssignment scores with, normalized
-    val cdot = expr("aggregate(zip_with(embedding, centroid, " +
-      "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    val cnorm = expr("sqrt(aggregate(transform(centroid, x -> x * x), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
+    // float·double fold refinedAssignment scores with, normalized (native
+    // DotProductFD since r10 — x*x over doubles IS the double·double fold)
+    val cdot: Column =
+      graft.functions.DotProductFD(col("embedding"), col("centroid"))
+    val cnorm: Column =
+      sqrt(graft.functions.DotProductFD(col("centroid"), col("centroid")))
     val members = assigned
       .join(broadcast(refined.withColumnRenamed("cid", "bucket")), Seq("bucket"))
       .select(col("vec_id"), col("bucket"), col("embedding"),
@@ -832,9 +839,10 @@ object Similarity {
     val valid = incoming.filter(col("embedding").isNotNull &&
       size(col("embedding")) === dims)
     // same float·double fold as refinedAssignment's final assignment, so an
-    // arrival lands in exactly the cell a rebuild would put it in
-    val refScore = expr("aggregate(zip_with(embedding, centroid, " +
-      "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    // arrival lands in exactly the cell a rebuild would put it in (native
+    // DotProductFD since r10, bitwise-identical)
+    val refScore: Column =
+      graft.functions.DotProductFD(col("embedding"), col("centroid"))
     val assigned = valid.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         refScore.as("score"))

@@ -49,12 +49,48 @@ class ExtensionsSpec extends GraftSpec {
     }
     // declared arities stay in lockstep with the registry
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
-      Set("reencode", "simhash16", "dot_f32", "minhash_band_sigs",
+      Set("reencode", "simhash16", "dot_f32", "dot_fd", "minhash_band_sigs",
         "inet_sort_key", "parse_str_array", "simhash64", "media_dims",
         "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
         "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "jpeg_features", "jpeg_dhash", "zorder_key",
         "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
         "hyperplane_bucket"))
+  }
+
+  test("dot_fd is bitwise-equal to the HOF fold in every float/double combination") {
+    // r10: the quantizer machinery's scoring folds moved from interpreted
+    // aggregate(zip_with(...)) lambdas to the native dot_fd loop; the
+    // oracle contract is BITWISE double equality, so this pins all four
+    // element-type combinations against the HOF formulation on values
+    // whose addition order matters (mixed magnitudes, signs)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val fa = Array.tabulate(64)(i => (math.sin(i * 0.7) * 3 + i * 1e-4).toFloat)
+    val da = Array.tabulate(64)(i => math.cos(i * 1.3) / 7 + i * 1e9 * ((i % 3) - 1))
+    val df = Seq((fa, da)).toDF("f", "d")
+    def hof(a: String, b: String) = expr(
+      s"""aggregate(zip_with($a, $b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    val r = df.select(
+      graft.functions.DotProductFD($"f", $"d").as("fd"), hof("f", "d").as("hfd"),
+      graft.functions.DotProductFD($"d", $"f").as("df"), hof("d", "f").as("hdf"),
+      graft.functions.DotProductFD($"d", $"d").as("dd"), hof("d", "d").as("hdd"),
+      graft.functions.DotProductFD($"f", $"f").as("ff"), hof("f", "f").as("hff"),
+      graft.functions.DotProductF32($"f", $"f").as("f32")).head()
+    def bits(i: Int) = java.lang.Double.doubleToRawLongBits(r.getDouble(i))
+    assert(bits(0) === bits(1), "float x double diverged")
+    assert(bits(2) === bits(3), "double x float diverged")
+    assert(bits(4) === bits(5), "double x double diverged")
+    assert(bits(6) === bits(7), "float x float diverged")
+    assert(bits(6) === bits(8), "dot_fd(f,f) must equal dot_f32(f,f)")
+    // and through the SQL registration
+    GraftExtensions.registerAll(spark)
+    val s = spark.sql(
+      """SELECT dot_fd(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)),
+                       array(CAST(3 AS DOUBLE), CAST(0.5 AS DOUBLE)))""").head()
+    assert(s.getDouble(0) === 5.5)
   }
 
   test("native hyperplane_bucket equals the expression-string formulation") {
