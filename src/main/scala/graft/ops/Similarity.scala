@@ -142,9 +142,11 @@ object Similarity {
     * retrained centroids are identical across cluster layouts. The oracle
     * mirrors the quantization bit-for-bit.
     *
-    * Scale: centroid tables are K rows — broadcast to every task; each
-    * assignment is a map-side cross of N×K followed by a partially-
-    * aggregated `max_by` (the shuffle carries ~N rows, not N×K); the Lloyd
+    * Scale: centroid tables are K rows — collapsed to one cid-sorted
+    * candidate array and broadcast; each assignment is a pure map-side
+    * projection (native `argmax_dot` — no N×K fan-out, NO shuffle; r10,
+    * formerly a crossJoin + max_by aggregate whose exchange carried the
+    * vector payload); the Lloyd
     * sums aggregate N·dim rows into K·dim partial-combined groups; the probe
     * join shuffles (or stays partitioned) by centroid id exactly like the
     * other IVF variants. Deterministic by construction, so the oracle
@@ -159,14 +161,21 @@ object Similarity {
     val quant = 1048576L // 2^20: float mantissa fits a double at this scale
     val seeds = emb.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-    val seedScored = emb.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        dot("embedding", "centroid").as("score"))
-    val seedAssigned = seedScored.groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
-          .as("bucket"),
-        first(col("embedding")).as("embedding"))
+    // MAP-SIDE assignment (r10): the K-row codebook collapses to ONE
+    // cid-sorted candidate array, broadcast, and the native argmax_dot
+    // picks each vector's cell as a pure projection — the former
+    // crossJoin → groupBy(max_by) form fanned out N·K rows and shuffled
+    // them WITH the vector payload (first(embedding)); at corpus scale
+    // that exchange is N·K·vectorBytes for an aggregation whose result
+    // is computable where the vector already sits. Bitwise-identical
+    // (same fold arithmetic, strict-> over cid-ascending = min-cid ties).
+    val seedCands = seeds.groupBy()
+      .agg(expr("array_sort(collect_list(struct(cid, centroid)))").as("cands"))
+    val seedAssigned = emb.crossJoin(broadcast(seedCands))
+      .select(col("vec_id"),
+        graft.functions.ArgmaxDot(col("embedding"), col("cands"),
+          halfNorm = false).as("bucket"),
+        col("embedding"))
     // one Lloyd round: quantized per-(bucket, component) integer sums …
     val compSums = seedAssigned
       .select(col("bucket"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -181,19 +190,16 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
         .as("centroid"))
       .select(col("bucket").as("cid"), col("centroid"))
-    // final assignment against the refined centroids (float·double fold in
-    // fixed component order — the oracle mirrors the same fold; native
-    // DotProductFD since r10, bitwise-identical to the HOF form)
-    val refScore: Column =
-      graft.functions.DotProductFD(col("embedding"), col("centroid"))
-    val scored = emb.crossJoin(broadcast(refined))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        refScore.as("score"))
-    val assigned = scored.groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
-          .as("bucket"),
-        first(col("embedding")).as("embedding"))
+    // final assignment against the refined centroids — same map-side
+    // argmax_dot projection (float vector · double centroid fold, the
+    // arithmetic the oracle mirrors)
+    val refCands = refined.groupBy()
+      .agg(expr("array_sort(collect_list(struct(cid, centroid)))").as("cands"))
+    val assigned = emb.crossJoin(broadcast(refCands))
+      .select(col("vec_id"),
+        graft.functions.ArgmaxDot(col("embedding"), col("cands"),
+          halfNorm = false).as("bucket"),
+        col("embedding"))
     (assigned, refined)
   }
 
@@ -286,14 +292,20 @@ object Similarity {
     val seeds = pqSubSplit(emb.orderBy(col("vec_id").asc).limit(codebookSize),
         subspaces, sub)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cent"))
-    def assign(cents: DataFrame): DataFrame =
-      svecs.join(broadcast(cents), Seq("m"))
-        .withColumn("score",
-          pqDotFD("sv", "cent") - pqDotFD("cent", "cent") / 2)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
-          .as("code"),
-          first(col("sv")).as("sv"))
+    // per-(vec, sub-space) assignment as a map-side argmax_dot projection
+    // (halfNorm: the argmin-L2 monotone form max⟨sv,c⟩ − ½⟨c,c⟩): the M
+    // per-sub-space codebooks collapse to M cid-sorted candidate arrays,
+    // broadcast; no N·M·K fan-out, no shuffle (formerly groupBy(max_by)
+    // carrying first(sv) through the exchange)
+    def assign(cents: DataFrame): DataFrame = {
+      val byM = cents.groupBy(col("m"))
+        .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
+      svecs.join(broadcast(byM), Seq("m"))
+        .select(col("vec_id"), col("m"),
+          graft.functions.ArgmaxDot(col("sv"), col("cands"),
+            halfNorm = true).as("code"),
+          col("sv"))
+    }
     // one Lloyd round per sub-space, in integer space (order-independent)
     val sums = assign(seeds)
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
@@ -449,13 +461,16 @@ object Similarity {
     val rsv = subSplitR(resid)
     val seeds = subSplitR(resid.orderBy(col("vec_id").asc).limit(codebookSize))
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cent"))
-    def assignR(cents: DataFrame): DataFrame =
-      rsv.join(broadcast(cents), Seq("m"))
-        .withColumn("score", dotFD("sv", "cent") - dotFD("cent", "cent") / 2)
-        .groupBy(col("vec_id"), col("bucket"), col("m"))
-        .agg(max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
-          .as("code"),
-          first(col("sv")).as("sv"))
+    // map-side residual assignment, as in buildPqIndex.assign
+    def assignR(cents: DataFrame): DataFrame = {
+      val byM = cents.groupBy(col("m"))
+        .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
+      rsv.join(broadcast(byM), Seq("m"))
+        .select(col("vec_id"), col("bucket"), col("m"),
+          graft.functions.ArgmaxDot(col("sv"), col("cands"),
+            halfNorm = true).as("code"),
+          col("sv"))
+    }
     val sums = assignR(seeds)
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
       .select(col("m"), col("code"), col("i"),
@@ -839,18 +854,15 @@ object Similarity {
     val valid = incoming.filter(col("embedding").isNotNull &&
       size(col("embedding")) === dims)
     // same float·double fold as refinedAssignment's final assignment, so an
-    // arrival lands in exactly the cell a rebuild would put it in (native
-    // DotProductFD since r10, bitwise-identical)
-    val refScore: Column =
-      graft.functions.DotProductFD(col("embedding"), col("centroid"))
-    val assigned = valid.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        refScore.as("score"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cid"), struct(col("score"), (-col("cid")).as("nc")))
-          .as("cell"),
-        first(col("embedding")).as("e"))
+    // arrival lands in exactly the cell a rebuild would put it in — the
+    // same map-side argmax_dot projection (no per-arrival fan-out/shuffle)
+    val cellCands = centroids.groupBy()
+      .agg(expr("array_sort(collect_list(struct(cid, centroid)))").as("cands"))
+    val assigned = valid.crossJoin(broadcast(cellCands))
+      .select(col("vec_id"),
+        graft.functions.ArgmaxDot(col("embedding"), col("cands"),
+          halfNorm = false).as("cell"),
+        col("embedding").as("e"))
     val best = assigned.join(members, Seq("cell"))
       .withColumn("cosine", dot("e", "ex_e")
         / (sqrt(dot("e", "e")) * sqrt(dot("ex_e", "ex_e"))))

@@ -93,6 +93,57 @@ class ExtensionsSpec extends GraftSpec {
     assert(s.getDouble(0) === 5.5)
   }
 
+  test("argmax_dot equals the groupBy(max_by) formulation, min-cid ties, halfNorm form") {
+    // r10: quantizer assignment became a map-side argmax_dot projection;
+    // this pins it against the former crossJoin+max_by(struct(score,-cid))
+    // dataflow on a fixture containing an EXACT score tie (duplicate
+    // centroid under two cids — the tie must resolve to the smaller cid,
+    // as max(-cid) did), in both the plain-dot and halfNorm forms.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = (0L until 40L).map(v =>
+      (v, Array.tabulate(8)(i => (math.sin(v * 0.9 + i) * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    // cids deliberately unsorted; cid 7 duplicates cid 2's centroid
+    val cents = Seq(
+      (7L, Array.tabulate(8)(i => math.cos(i * 0.7) / 3)),
+      (2L, Array.tabulate(8)(i => math.cos(i * 0.7) / 3)),
+      (5L, Array.tabulate(8)(i => math.sin(i * 1.1) / 2)),
+      (1L, Array.tabulate(8)(i => i * 0.05 - 0.2)))
+      .toDF("cid", "centroid")
+    for (half <- Seq(false, true)) {
+      val score =
+        if (half) graft.functions.DotProductFD($"embedding", $"centroid") -
+          graft.functions.DotProductFD($"centroid", $"centroid") / 2
+        else graft.functions.DotProductFD($"embedding", $"centroid")
+      val oldForm = vecs.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", score.as("score"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"score", (-$"cid").as("nc"))).as("bucket"))
+        .orderBy($"vec_id")
+        .as[(Long, Long)].collect().toSeq
+      val cands = cents.groupBy()
+        .agg(expr("array_sort(collect_list(struct(cid, centroid)))").as("cands"))
+      val newForm = vecs.crossJoin(broadcast(cands))
+        .select($"vec_id",
+          graft.functions.ArgmaxDot($"embedding", $"cands", half).as("bucket"))
+        .orderBy($"vec_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(newForm === oldForm, s"halfNorm=$half diverged")
+      // the duplicate-centroid tie is actually exercised (some vector's
+      // best IS the duplicated centroid) and resolves to cid 2, never 7
+      assert(newForm.map(_._2).contains(2L),
+        "fixture regression: no vector picked the duplicated centroid")
+      assert(newForm.map(_._2).forall(_ != 7L),
+        "ties between duplicate centroids must resolve to the smaller cid")
+    }
+    // empty candidate array: loud sentinel, not a silent join-away
+    val empty = vecs.limit(1).select(graft.functions.ArgmaxDot($"embedding",
+      expr("CAST(array() AS ARRAY<STRUCT<cid: BIGINT, centroid: ARRAY<DOUBLE>>>)"),
+      false).as("b")).head().getLong(0)
+    assert(empty === -1L)
+  }
+
   test("native hyperplane_bucket equals the expression-string formulation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
