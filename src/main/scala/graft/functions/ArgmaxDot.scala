@@ -32,8 +32,15 @@ import org.apache.spark.sql.types._
   * Returns -1 for an empty candidate array (the old formulation dropped
   * the row instead — callers guarantee non-empty codebooks, and a loud
   * sentinel beats a silent join-away).
+  *
+  * With `returnIndex = true` the winner's POSITION in the candidate array
+  * is returned instead of its cid — the dense 0..K−1 code the flat-PQ
+  * layout stores so ADC can index a flattened lookup table directly
+  * (position order equals cid order in a cid-sorted array, so tie-break
+  * semantics are unchanged).
   */
-case class ArgmaxDot(left: Expression, right: Expression, halfNorm: Boolean)
+case class ArgmaxDot(left: Expression, right: Expression, halfNorm: Boolean,
+    returnIndex: Boolean = false)
     extends BinaryExpression {
 
   private def vecOk(t: DataType): Boolean = t match {
@@ -66,11 +73,12 @@ case class ArgmaxDot(left: Expression, right: Expression, halfNorm: Boolean)
 
   override protected def nullSafeEval(v: Any, cands: Any): Any =
     ArgmaxDot.argmax(v.asInstanceOf[ArrayData], cands.asInstanceOf[ArrayData],
-      svFloat, centFloat, halfNorm)
+      svFloat, centFloat, halfNorm, returnIndex)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, c) =>
-      s"graft.functions.ArgmaxDot.argmax($v, $c, $svFloat, $centFloat, $halfNorm)")
+      s"graft.functions.ArgmaxDot.argmax($v, $c, $svFloat, $centFloat, " +
+        s"$halfNorm, $returnIndex)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArgmaxDot =
@@ -82,7 +90,8 @@ case class ArgmaxDot(left: Expression, right: Expression, halfNorm: Boolean)
 object ArgmaxDot {
   /** Static entry point shared by interpreted eval and generated code. */
   def argmax(v: ArrayData, cands: ArrayData, svFloat: Boolean,
-      centFloat: Boolean, halfNorm: Boolean): Long = {
+      centFloat: Boolean, halfNorm: Boolean,
+      returnIndex: Boolean = false): Long = {
     var bestCid = -1L
     var best = 0.0d
     var any = false
@@ -90,7 +99,7 @@ object ArgmaxDot {
     val nc = cands.numElements()
     while (k < nc) {
       val c = cands.getStruct(k, 2)
-      val cid = c.getLong(0)
+      val cid = if (returnIndex) k.toLong else c.getLong(0)
       val cent = c.getArray(1)
       val n = math.min(v.numElements(), cent.numElements())
       var acc = 0.0d
@@ -120,6 +129,10 @@ object ArgmaxDot {
   }
 
   def apply(v: Column, cands: Column, halfNorm: Boolean): Column =
+    apply(v, cands, halfNorm, returnIndex = false)
+
+  def apply(v: Column, cands: Column, halfNorm: Boolean,
+      returnIndex: Boolean): Column =
     GraftBridge.column(ArgmaxDot(GraftBridge.expression(v),
-      GraftBridge.expression(cands), halfNorm))
+      GraftBridge.expression(cands), halfNorm, returnIndex))
 }

@@ -280,9 +280,11 @@ object Similarity {
     * [[topkPqAgainstIndex]] validates the triple at read time exactly like
     * `embedDedupAgainstIndex`'s planes guard.
     *
-    * Returns (codebooks: m/cid/cent + geometry, codes: vec_id/m/code) —
-    * M·K tiny rows and N·M one-byte codes: the codes-in-RAM,
-    * vectors-on-disk memory shape PQ exists for.
+    * Returns (codebooks: m/cid/cent + geometry, codes: vec_id/codes) —
+    * M·K tiny rows and one DENSE code array per vector (codes[m] = the
+    * assigned centroid's position in sub-space m's cid-sorted codebook):
+    * the codes-in-RAM, vectors-on-disk memory shape PQ exists for, N×M
+    * small ints total.
     */
   def buildPqIndex(emb: DataFrame, subspaces: Int = 16, codebookSize: Int = 16,
       dims: Int = 64): (DataFrame, DataFrame) = {
@@ -296,14 +298,16 @@ object Similarity {
     // (halfNorm: the argmin-L2 monotone form max⟨sv,c⟩ − ½⟨c,c⟩): the M
     // per-sub-space codebooks collapse to M cid-sorted candidate arrays,
     // broadcast; no N·M·K fan-out, no shuffle (formerly groupBy(max_by)
-    // carrying first(sv) through the exchange)
-    def assign(cents: DataFrame): DataFrame = {
+    // carrying first(sv) through the exchange). returnIndex picks the
+    // dense 0..K−1 position instead of the cid label — same winner, same
+    // ties (position order = cid order in a cid-sorted array).
+    def assign(cents: DataFrame, returnIndex: Boolean = false): DataFrame = {
       val byM = cents.groupBy(col("m"))
         .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
       svecs.join(broadcast(byM), Seq("m"))
         .select(col("vec_id"), col("m"),
           graft.functions.ArgmaxDot(col("sv"), col("cands"),
-            halfNorm = true).as("code"),
+            halfNorm = true, returnIndex = returnIndex).as("code"),
           col("sv"))
     }
     // one Lloyd round per sub-space, in integer space (order-independent)
@@ -320,7 +324,17 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
         .as("cent"))
       .select(col("m"), col("code").as("cid"), col("cent"))
-    val codes = assign(refined).select(col("vec_id"), col("m"), col("code"))
+    // codes in the FLAT-PQ dense layout (r10): one array per vector,
+    // codes[m] = the assigned centroid's POSITION in sub-space m's
+    // cid-sorted codebook — N×M small ints, the paper's actual memory
+    // shape, scored by `pq_adc_score` with zero explode/shuffle at query
+    // time. The build pays ONE narrow groupBy (vec_id, m, code triples)
+    // to pivot, at ingest cadence.
+    val codes = assign(refined, returnIndex = true)
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
     (refined
        .withColumn("subspaces", lit(subspaces))
        .withColumn("codebook_size", lit(codebookSize))
@@ -348,12 +362,14 @@ object Similarity {
 
   /** QUERY-TIME PQ ANN against a persisted [[buildPqIndex]]: the ADC stage
     * of [[topkPq]] alone — per query a (sub-space × code) lookup table
-    * (M·K tiny rows, broadcast) and per candidate M table hits summed in
-    * fixed m-order; the codes-side join is the ONLY corpus-width work and
-    * it carries 3 small integers per row. No training, no vector-width
-    * joins — the bounded per-query cost that lets one index amortize over
-    * every query between rebuilds. Bit-identical to [[topkPq]] on the
-    * corpus the index was built from (OpsSpec parity).
+    * (M·K tiny doubles, flattened per query and broadcast) and per
+    * candidate M dense-code array reads + M adds in fixed m-order (native
+    * `pq_adc_score` over the codes-as-array layout — a pure projection;
+    * the corpus-side codes never explode and nothing shuffles before the
+    * per-query top-k). No training, no vector-width joins — the bounded
+    * per-query cost that lets one index amortize over every query between
+    * rebuilds. Bit-identical to [[topkPq]] on the corpus the index was
+    * built from (OpsSpec parity).
     */
   def topkPqAgainstIndex(queries: DataFrame, codebooks: DataFrame,
       codes: DataFrame, k: Int, subspaces: Int = 16, codebookSize: Int = 16,
@@ -367,20 +383,37 @@ object Similarity {
     // (the exact ranking s01 uses, up to quantization — an unnormalized
     // inner product would just rank high-norm candidates first). ‖q‖ is
     // constant per query and cannot change its own ranking.
-    val lut = pqSubSplit(queries, subspaces, sub)
+    // Tables are built per (query, sub-space) as ARRAYS in the codebook's
+    // cid-sorted candidate order (the same order [[buildPqIndex]]'s dense
+    // codes index), then flattened to one (p, n) pair of array<array<double>>
+    // per query and broadcast. Scoring is then a pure projection over the
+    // dense codes layout — native `pq_adc_score`: M array reads + M adds
+    // per candidate, both sums folded m-ascending (bitwise-identical to
+    // the former row-form join + collect_list/array_sort/fold aggregate,
+    // whose N·M·Q join fan-out and per-group sort dominated this path).
+    val byM = refined
+      .groupBy(col("m"))
+      .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
+    val qm = pqSubSplit(queries, subspaces, sub)
       .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
-      .join(broadcast(refined), Seq("m"))
-      .select(col("query_id"), col("m"), col("cid").as("code"),
-        pqDotFD("qsv", "cent").as("p"), pqDotFD("cent", "cent").as("n"))
-    // fixed m-ascending folds: a bare SUM over doubles would make the
-    // score depend on reduction order and break the bitwise oracle match
-    def mFold(f: String) = expr(
-      s"""aggregate(transform(array_sort(collect_list(struct(m, p, n))),
-            s -> s.$f), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .join(broadcast(byM), Seq("m"))
+      .select(col("query_id"), col("m"),
+        transform(col("cands"), c =>
+          graft.functions.DotProductFD(col("qsv"), c.getField("cent")))
+          .as("parr"),
+        transform(col("cands"), c =>
+          graft.functions.DotProductFD(c.getField("cent"), c.getField("cent")))
+          .as("narr"))
+    val lutQ = qm.groupBy(col("query_id"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(m, parr, narr))), s -> s.parr)")
+          .as("p"),
+        expr("transform(array_sort(collect_list(struct(m, parr, narr))), s -> s.narr)")
+          .as("n"))
+    val scored = codes.crossJoin(broadcast(lutQ))
       .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg((mFold("p") / sqrt(mFold("n"))).as("adc"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.PqAdcScore(col("codes"), col("p"), col("n")).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
