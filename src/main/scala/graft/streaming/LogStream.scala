@@ -341,22 +341,27 @@ object LogStream {
     * codebooks and every candidate costs M table hits
     * ([[graft.ops.Similarity.topkPqAgainstIndex]] — no training, no
     * vector-width joins in the hot path); the persisted geometry columns
-    * validate per batch, so a mismatched reader fails loudly instead of
-    * scoring garbage. Results land batch-partitioned for idempotent
-    * replay; zero state-store state.
+    * The quantizer geometry is read FROM the index per batch (the index
+    * is self-describing — one-row scalar read, planes-guard class), so an
+    * ingest-cadence rebuild that re-sizes the quantizer is honored by the
+    * running stream exactly like corpus growth, instead of tripping a
+    * caller-parameter guard. Results land batch-partitioned for
+    * idempotent replay; zero state-store state.
     */
   def annArrivals(arrivals: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String, k: Int = 3, subspaces: Int = 16,
-      codebookSize: Int = 16, dims: Int = 64): StreamingQuery =
+      checkpoint: String, k: Int = 3): StreamingQuery =
     arrivals.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val codebooks = spark.read.parquet(s"$indexPath/codebooks")
+        val g = codebooks.select(col("subspaces"), col("codebook_size"),
+          col("dims")).head()
         val neighbors = graft.ops.Similarity.topkPqAgainstIndex(
-          batch, spark.read.parquet(s"$indexPath/codebooks"),
+          batch, codebooks,
           spark.read.parquet(s"$indexPath/codes"), k,
-          subspaces, codebookSize, dims)
+          g.getInt(0), g.getInt(1), g.getInt(2))
           .withColumn("batch_id", lit(batchId))
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -635,7 +635,10 @@ class StreamingSpec extends GraftSpec {
     val corpus = (0 until 6).map(s =>
       (100L + s, vec(i => math.sin(i * 0.37 + s * 1.1) + 0.05 * s)))
       .toDF("vec_id", "embedding")
-    val (cb, codes) = graft.ops.Similarity.buildPqIndex(corpus)
+    // NON-default geometry (8 sub-spaces): the stream must follow the
+    // index's persisted geometry columns, not a hardcoded default — an
+    // ingest-cadence rebuild may legitimately re-size the quantizer
+    val (cb, codes) = graft.ops.Similarity.buildPqIndex(corpus, subspaces = 8)
     cb.write.parquet(s"$idx/codebooks")
     codes.write.parquet(s"$idx/codes")
     // arrivals: a scaled copy of corpus vector 100 (ADC ranks by
@@ -668,7 +671,7 @@ class StreamingSpec extends GraftSpec {
     val batchIn = Seq((1L, nearCopy), (2L, probe)).toDF("vec_id", "embedding")
     val bv = graft.ops.Similarity.topkPqAgainstIndex(batchIn,
       spark.read.parquet(s"$idx/codebooks"),
-      spark.read.parquet(s"$idx/codes"), k = 2)
+      spark.read.parquet(s"$idx/codes"), k = 2, subspaces = 8)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
         r.getAs[Long]("cand_id"), r.getAs[Double]("adc_score"))).toSet
     assert(bv === rows.map(r => (r.getAs[Long]("query_id"),
