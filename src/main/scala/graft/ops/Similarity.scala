@@ -467,7 +467,8 @@ object Similarity {
     * ([[refinedAssignment]] coarse cells + residual product quantizer)
     * factored to ingest/compaction cadence, same r10 split as
     * [[buildPqIndex]]. Returns (centroids: cid/centroid + geometry,
-    * codebooks: m/cid/cent residual codebooks, codes: vec_id/bucket/m/code).
+    * codebooks: m/cid/cent residual codebooks, codes: vec_id/bucket/codes
+    * — the dense position-array layout, as in [[buildPqIndex]]).
     * The FULL quantizer geometry — n_cells included, because probe-cell
     * ids are only meaningful under the coarse quantizer that assigned
     * them — rides the centroid table as columns for the read-time guard.
@@ -495,13 +496,13 @@ object Similarity {
     val seeds = subSplitR(resid.orderBy(col("vec_id").asc).limit(codebookSize))
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cent"))
     // map-side residual assignment, as in buildPqIndex.assign
-    def assignR(cents: DataFrame): DataFrame = {
+    def assignR(cents: DataFrame, returnIndex: Boolean = false): DataFrame = {
       val byM = cents.groupBy(col("m"))
         .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
       rsv.join(broadcast(byM), Seq("m"))
         .select(col("vec_id"), col("bucket"), col("m"),
           graft.functions.ArgmaxDot(col("sv"), col("cands"),
-            halfNorm = true).as("code"),
+            halfNorm = true, returnIndex = returnIndex).as("code"),
           col("sv"))
     }
     val sums = assignR(seeds)
@@ -517,8 +518,14 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
         .as("cent"))
       .select(col("m"), col("code").as("cid"), col("cent"))
-    val codes = assignR(refinedCb)
-      .select(col("vec_id"), col("bucket"), col("m"), col("code"))
+    // dense residual codes (r10): one position array per vector, bucket
+    // carried alongside — the same flat layout as buildPqIndex, scored by
+    // pq_table_sum lookups within the probed cells
+    val codes = assignR(refinedCb, returnIndex = true)
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
     (centroids.select(col("cid"), col("centroid"))
        .withColumn("n_cells", lit(nCells))
        .withColumn("subspaces", lit(subspaces))
@@ -529,9 +536,12 @@ object Similarity {
 
   /** QUERY-TIME IVF-PQ ANN against a persisted [[buildIvfPqIndex]]: cell
     * probing, table-driven ADC, shortlist, and the exact re-rank — every
-    * per-query table is ≤ cells·M·K rows and broadcast; the codes join is
-    * the only corpus-touching work (4 small integers per row, pruned to
-    * the probed cells); the re-rank fetches full vectors from `corpus` for
+    * per-query/per-cell table is ≤ cells·M·K doubles, flattened and
+    * broadcast; the dense codes join against the broadcast probes is the
+    * only corpus-touching work (bucket + one M-int array per row, pruned
+    * to the probed cells, scored by two `pq_table_sum` projections — no
+    * M-row fan-out, no per-pair sort/fold aggregate);
+    * the re-rank fetches full vectors from `corpus` for
     * ~shortlist rows per query by id (the vectors-on-disk access pattern
     * IVFADC deploys with). No training in the query path — bit-identical
     * to [[topkIvfPq]] on the corpus the index was built from.
@@ -569,43 +579,59 @@ object Similarity {
     val probes = cellScores.withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("bucket"), col("qc"))
-    // per-(query, m, code) residual lookup: ⟨q_m, r̂⟩
+    // Query/cell lookup TABLES in the dense layout (r10): the per-m
+    // cid-sorted residual codebooks define one shared candidate order for
+    // codes, the per-QUERY p-table p[m][code] = ⟨q_m, r̂⟩, and the
+    // per-CELL w-table w[m][code] = 2⟨c_m, r̂⟩ + ‖r̂‖² (the decomposition
+    // term ‖c+r̂‖² = ‖c‖² + Σ_m w). Scoring is then two pq_table_sum
+    // projections per candidate — the former shape joined (query,m,code)
+    // and (bucket,m,code) row-tables onto an M-row-per-pair fan-out and
+    // paid a collect_list/array_sort/interpreted fold per pair.
+    val byM = refinedCb.groupBy(col("m"))
+      .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
     val lutP = queries
       .select(col("query_id"), posexplode(expr(
         s"""transform(sequence(0, ${subspaces - 1}),
               mm -> slice(qe, mm * $sub + 1, $sub))"""))
         .as(Seq("m", "qsv")))
-      .join(broadcast(refinedCb), Seq("m"))
-      .select(col("query_id"), col("m"), col("cid").as("code"),
-        dotFD("qsv", "cent").as("p"))
-    // per-(cell, m, code): ⟨c_m, r̂⟩; per-(m, code): ‖r̂‖²; per-cell: ‖c‖²
-    val ccnn = centroids.select(col("cid").as("bucket"), col("centroid"))
+      .join(broadcast(byM), Seq("m"))
+      .select(col("query_id"), col("m"),
+        transform(col("cands"), c =>
+          graft.functions.DotProductFD(col("qsv"), c.getField("cent")))
+          .as("parr"))
+      .groupBy(col("query_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, parr))), s -> s.parr)")
+        .as("p"))
+    val wB = centroids.select(col("cid").as("bucket"), col("centroid"))
       .select(col("bucket"), posexplode(expr(
         s"""transform(sequence(0, ${subspaces - 1}),
               mm -> slice(centroid, mm * $sub + 1, $sub))"""))
         .as(Seq("m", "cm")))
-      .join(broadcast(refinedCb), Seq("m"))
-      .select(col("bucket"), col("m"), col("cid").as("code"),
-        dotFD("cm", "cent").as("cc"), dotFD("cent", "cent").as("nn"))
+      .join(broadcast(byM), Seq("m"))
+      .select(col("bucket"), col("m"),
+        transform(col("cands"), c =>
+          graft.functions.DotProductFD(col("cm"), c.getField("cent")) * 2
+            + graft.functions.DotProductFD(c.getField("cent"),
+                c.getField("cent")))
+          .as("warr"))
+      .groupBy(col("bucket"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, warr))), s -> s.warr)")
+        .as("w"))
     val cb2 = centroids.select(col("cid").as("bucket"),
       dotFD("centroid", "centroid").as("c2"))
-    // ----- candidates: only vectors in probed cells -----
-    val cand = codes.join(broadcast(probes), Seq("bucket"))
+    // ----- candidates: only vectors in probed cells, scored by projection
+    val scored = codes.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .join(broadcast(lutP), Seq("query_id", "m", "code"))
-      .join(broadcast(ccnn), Seq("bucket", "m", "code"))
-    def mFold(f: String) = expr(
-      s"""aggregate(transform(array_sort(collect_list(struct(m, p, cc, nn))),
-            s -> s.$f), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-    val scored = cand
-      .groupBy(col("query_id"), col("vec_id"), col("bucket"), col("qc"))
-      .agg(mFold("p").as("sp"), expr(
-        """aggregate(transform(array_sort(collect_list(struct(m, p, cc, nn))),
-             s -> 2 * s.cc + s.nn), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-        .as("sd"))
+      .join(broadcast(lutP), Seq("query_id"))
+      .join(broadcast(wB), Seq("bucket"))
       .join(broadcast(cb2), Seq("bucket"))
       .select(col("query_id"), col("vec_id"),
-        ((col("qc") + col("sp")) / sqrt(col("c2") + col("sd"))).as("adc"))
+        ((col("qc") + graft.functions.PqTableSum(col("codes"), col("p")))
+          / sqrt(col("c2")
+            + graft.functions.PqTableSum(col("codes"), col("w"))))
+          .as("adc"))
     // ADC shortlist, then EXACT re-rank — the standard IVFADC last stage:
     // codes alone cannot separate near-ties, so the top `shortlist` ADC
     // candidates (and ONLY those — a handful of vector fetches per query)
