@@ -250,6 +250,68 @@ object EntryOps {
     }
   }
 
+  /** The s11/s12 train/append SPLIT: codebooks train on 3/4 of the corpus
+    * (`vec_id % 4 != 0` — deterministic, SF-independent), the remaining
+    * 1/4 plays the vectors that ARRIVED after the last index rebuild.
+    * Both cohorts are non-empty at every real testdata SF and under the
+    * ScaleProbe's replicated ids.
+    */
+  private val pqTrainPred: Column = col("vec_id") % 4 =!= 0
+
+  /** s11 — INCREMENTAL index maintenance demonstrated end to end: train
+    * on [[pqTrainPred]], [[Similarity.appendToPqIndex]] the rest under the
+    * frozen codebooks (FAISS's add-without-train cadence), query the
+    * MERGED codes. Appending is assignment-identical to a build's final
+    * pass, so the oracle is s07's SQL with the training CTEs restricted
+    * to the training subset — the merged result must equal coding the
+    * whole corpus under subset-trained codebooks, bit for bit.
+    */
+  def topkPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (codebooks, trainedCodes) =
+      Similarity.buildPqIndex(e.filter(pqTrainPred))
+    val appended =
+      Similarity.appendToPqIndex(e.filter(!pqTrainPred), codebooks)
+    Similarity.topkPqAgainstIndex(e.filter(pqQueryPred), codebooks,
+      trainedCodes.unionByName(appended), k = 3)
+  }
+
+  /** s12 — the REBUILD TRIGGER for the s11 cadence: per-cohort mean
+    * quantization error ([[Similarity.pqIndexDrift]]) of the frozen
+    * quantizer, trained vs appended-since-training. The appended cohort's
+    * mean rising past the trained cohort's is the drift signal that
+    * schedules the next [[Similarity.buildPqIndex]] run.
+    */
+  def pqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (codebooks, trainedCodes) =
+      Similarity.buildPqIndex(e.filter(pqTrainPred))
+    val appended =
+      Similarity.appendToPqIndex(e.filter(!pqTrainPred), codebooks)
+    Similarity.pqIndexDrift(e, codebooks,
+      trainedCodes.unionByName(appended),
+      when(pqTrainPred, lit("trained")).otherwise(lit("appended")))
+  }
+
+  /** s13 — the IVFADC maintenance cadence end to end: coarse centroids
+    * AND residual codebooks train on [[pqTrainPred]],
+    * [[Similarity.appendToIvfPqIndex]] coarse-assigns + residual-codes
+    * the rest under both frozen quantizers, the query probes the merged
+    * codes. Oracle: s08's SQL with every TRAINING CTE (coarse seeds,
+    * coarse Lloyd stats, residual seeds, residual Lloyd assignment)
+    * restricted to the training subset — assignment CTEs stay corpus-wide,
+    * which is exactly what build-on-subset + append-the-rest produces.
+    */
+  def topkIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (ct, cb, trainedCodes) =
+      Similarity.buildIvfPqIndex(e.filter(pqTrainPred))
+    val appended =
+      Similarity.appendToIvfPqIndex(e.filter(!pqTrainPred), ct, cb)
+    Similarity.topkIvfPqAgainstIndex(e.filter(pqQueryPred), e, ct, cb,
+      trainedCodes.unionByName(appended), k = 3)
+  }
+
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docs(spark, dir), maxHamming = 2)
 
@@ -4876,7 +4938,97 @@ object EntryOps {
         "WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000"),
       "s10_topk_ivfpq_index" -> bound(oracles("s08_topk_ivfpq"),
         "WHERE vec_id % 40 = 0",
-        "WHERE vec_id % 40 = 0 AND vec_id < 2000"))
+        "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
+      // s11: s07's SQL with the TRAINING CTEs (seeds sample + Lloyd-round
+      // assignment) restricted to the `vec_id % 4 != 0` training subset —
+      // the `codes` CTE still assigns ALL vectors under the subset-trained
+      // codebooks, which is exactly what build-on-subset + append-the-rest
+      // produces (appendToPqIndex is the build's final pass verbatim).
+      "s11_topk_pq_append" -> bound(bound(bound(oracles("s07_topk_pq"),
+        "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16) s16",
+        "FROM (SELECT * FROM embeddings WHERE vec_id % 4 != 0 " +
+          "ORDER BY vec_id LIMIT 16) s16"),
+        "FROM sv JOIN seeds ON sv.m = seeds.m) WHERE rn = 1),",
+        "FROM sv JOIN seeds ON sv.m = seeds.m " +
+          "WHERE sv.vec_id % 4 != 0) WHERE rn = 1),"),
+        "WHERE sv.vec_id % 40 = 0",
+        "WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000"),
+      // s13: s08's SQL with the four TRAINING CTEs restricted to the
+      // `vec_id % 4 != 0` subset (coarse seeds, coarse Lloyd stats,
+      // residual seeds, residual Lloyd assignment) — assignment and codes
+      // stay corpus-wide, reproducing coarse-train + residual-train on
+      // 3/4 and frozen-quantizer append of the rest.
+      "s13_topk_ivfpq_append" -> bound(bound(bound(bound(bound(
+        oracles("s08_topk_ivfpq"),
+        "AS ce FROM embeddings",
+        "AS ce FROM embeddings WHERE vec_id % 4 != 0"),
+        "FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k)",
+        "FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k) " +
+          "WHERE asg.vec_id % 4 != 0"),
+        "FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16) r16",
+        "FROM (SELECT * FROM resid WHERE vec_id % 4 != 0 " +
+          "ORDER BY vec_id LIMIT 16) r16"),
+        "FROM rsv JOIN rseeds ON rsv.m = rseeds.m) WHERE rn = 1),",
+        "FROM rsv JOIN rseeds ON rsv.m = rseeds.m " +
+          "WHERE rsv.vec_id % 4 != 0) WHERE rn = 1),"),
+        "WHERE vec_id % 40 = 0",
+        "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
+      // s12: the drift metric under the same split — per-(vector,
+      // sub-space) reconstruction-error terms floor-quantized to 2²⁰
+      // integers BEFORE the cohort sum (order-independent, same exactness
+      // argument as the quantized-Lloyd means), cohort = trained/appended.
+      "s12_pq_drift" -> {
+        def sdot(a: String, b: String) =
+          s"""list_reduce(list_transform(range(1, 5),
+              k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
+        s"""WITH mm AS (SELECT unnest(range(0, 16)) AS m),
+            sv AS (SELECT vec_id, m,
+                   embedding[m * 4 + 1 : m * 4 + 4] AS s
+                   FROM embeddings CROSS JOIN mm),
+            seeds AS (SELECT m, s16.vec_id AS cid,
+                      s16.embedding[m * 4 + 1 : m * 4 + 4] AS cent
+                      FROM (SELECT * FROM embeddings WHERE vec_id % 4 != 0
+                            ORDER BY vec_id LIMIT 16) s16
+                      CROSS JOIN mm),
+            a1 AS (SELECT vec_id, m, cid AS code, s FROM (
+                   SELECT sv.vec_id, sv.m, seeds.cid, sv.s,
+                          row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                            ORDER BY ${sdot("sv.s", "seeds.cent")}
+                                     - ${sdot("seeds.cent", "seeds.cent")} / 2 DESC,
+                            seeds.cid ASC) AS rn
+                   FROM sv JOIN seeds ON sv.m = seeds.m
+                   WHERE sv.vec_id % 4 != 0) WHERE rn = 1),
+            qs AS (SELECT m, code, k,
+                   CAST(sum(CAST(floor(CAST(s[k] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sq,
+                   count(*) AS cnt
+                   FROM a1 CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+                   GROUP BY 1, 2, 3),
+            ref AS (SELECT m, code AS cid,
+                    list(CAST(sq AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) ORDER BY k) AS cent
+                    FROM qs GROUP BY 1, 2),
+            codes AS (SELECT vec_id, m, cid AS code FROM (
+                      SELECT sv.vec_id, sv.m, ref.cid,
+                             row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                               ORDER BY ${sdot("sv.s", "ref.cent")}
+                                        - ${sdot("ref.cent", "ref.cent")} / 2 DESC,
+                               ref.cid ASC) AS rn
+                      FROM sv JOIN ref ON sv.m = ref.m) WHERE rn = 1),
+            terms AS (SELECT sv.vec_id,
+                      CAST(floor((${sdot("sv.s", "sv.s")}
+                                  - ${sdot("sv.s", "ref.cent")} * 2
+                                  + ${sdot("ref.cent", "ref.cent")})
+                                 * 1048576) AS BIGINT) AS qterm
+                      FROM sv JOIN codes c
+                        ON sv.vec_id = c.vec_id AND sv.m = c.m
+                      JOIN ref ON ref.m = sv.m AND ref.cid = c.code),
+            coh AS (SELECT CASE WHEN vec_id % 4 != 0 THEN 'trained'
+                           ELSE 'appended' END AS cohort,
+                    CAST(count(*) / 16 AS BIGINT) AS n_vecs,
+                    CAST(sum(qterm) AS DOUBLE)
+                      / (count(*) / 16 * 1048576) AS mean_err
+                    FROM terms GROUP BY 1)
+           SELECT cohort, n_vecs, mean_err FROM coh ORDER BY cohort"""
+      })
   }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4896,6 +5048,9 @@ object EntryOps {
     "s08_topk_ivfpq" -> (topkIvfPq _),
     "s09_topk_pq_index" -> (topkPqIndexed _),
     "s10_topk_ivfpq_index" -> (topkIvfPqIndexed _),
+    "s11_topk_pq_append" -> (topkPqAppend _),
+    "s12_pq_drift" -> (pqDrift _),
+    "s13_topk_ivfpq_append" -> (topkIvfPqAppend _),
     "d07_simhash_neardup" -> (simhashNearDup _),
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "d09_dedup_clusters" -> (dedupClusters _),

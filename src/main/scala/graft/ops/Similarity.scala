@@ -430,6 +430,110 @@ object Similarity {
       subspaces, codebookSize, dims)
   }
 
+  /** INCREMENTAL PQ index APPEND — code new arrivals against the EXISTING
+    * codebooks, no retraining (the production index-maintenance cadence:
+    * codebooks retrain at compaction, arrivals between rebuilds are
+    * assigned under the frozen quantizer — FAISS's `add` vs `train`
+    * split). Geometry is read FROM the codebook table (self-describing
+    * index, one-row scalar read — planes-guard class), so an
+    * ingest-cadence rebuild that re-sizes the quantizer is honored
+    * automatically. The whole append is a map-side projection per vector
+    * (broadcast candidate arrays + native `argmax_dot`) ending in the one
+    * narrow (vec_id, m, code) pivot — cost linear in the BATCH, constant
+    * in the corpus the index already covers.
+    *
+    * Identical assignment math to [[buildPqIndex]]'s final pass: appending
+    * a vector the build already saw reproduces its code array bitwise
+    * (OpsSpec parity), which is what makes the append/rebuild cadence
+    * safe — a rebuild changes codebooks, never the meaning of a code.
+    */
+  def appendToPqIndex(newVecs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val g = codebooks.select(col("subspaces"), col("dims")).head()
+    val (subspaces, dims) = (g.getInt(0), g.getInt(1))
+    val sub = dims / subspaces
+    val byM = codebooks.select(col("m"), col("cid"), col("cent"))
+      .groupBy(col("m"))
+      .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
+    pqSubSplit(newVecs, subspaces, sub)
+      .join(broadcast(byM), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        graft.functions.ArgmaxDot(col("sv"), col("cands"),
+          halfNorm = true, returnIndex = true).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+  }
+
+  /** Read a persisted PQ index root's CODES — base `codes/` plus, when the
+    * streaming append side has run ([[graft.streaming.LogStream
+    * .pqIndexAppendArrivals]]), the batch-partitioned `codes_appended/`
+    * delta (batch_id dropped — it exists for idempotent replay, not for
+    * readers). One union, schema-identical sides: queries against the
+    * index see appended vectors as candidates the moment their batch
+    * commits, with no state anywhere but the parquet tables themselves.
+    */
+  def readPqCodes(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexPath/codes")
+    val delta = java.nio.file.Paths.get(indexPath, "codes_appended")
+    if (java.nio.file.Files.exists(delta))
+      base.unionByName(
+        spark.read.parquet(delta.toString).drop("batch_id"))
+    else base
+  }
+
+  /** PQ index QUANTIZATION-DRIFT metric — the REBUILD TRIGGER for the
+    * train/append cadence: per cohort (caller-labeled, e.g. trained vs
+    * appended-since-training), the mean squared reconstruction error
+    * ‖x − x̂‖² of the frozen quantizer over the vectors it now codes. A
+    * drifting corpus (appended vectors from a different distribution)
+    * shows a rising appended-cohort mean vs the trained cohort's — the
+    * signal that the codebooks no longer fit and a rebuild is due
+    * (Jégou et al.'s quantization-error objective, monitored instead of
+    * minimized).
+    *
+    * Exactly-reproducible aggregation: sub-space decomposition gives
+    * ‖x − x̂‖² = Σ_m ‖x_m − ĉ_m‖², and each per-(vector, sub-space) term
+    * ⟨x_m,x_m⟩ − 2⟨x_m,ĉ_m⟩ + ⟨ĉ_m,ĉ_m⟩ (fixed-fold `dot_fd` products) is
+    * floor-quantized to a 2²⁰ integer BEFORE the cohort sum — integer
+    * addition is order-independent, so the mean needs no per-vector
+    * collect/sort fold and one hash aggregate finishes the job (the same
+    * exactness discipline as the quantized-Lloyd means). Map-side
+    * everywhere: codes join by vec_id, codebooks broadcast.
+    */
+  def pqIndexDrift(emb: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      cohort: Column): DataFrame = {
+    val g = codebooks.select(col("subspaces"), col("dims")).head()
+    val (subspaces, dims) = (g.getInt(0), g.getInt(1))
+    val sub = dims / subspaces
+    val quant = 1048576L // 2^20
+    val byM = codebooks.select(col("m"), col("cid"), col("cent"))
+      .groupBy(col("m"))
+      .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
+    // sub-split inline so the cohort label rides the scan — no self-join
+    val terms = emb.select(col("vec_id"), cohort.as("cohort"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${subspaces - 1}),
+                mm -> slice(embedding, mm * $sub + 1, $sub))"""))
+          .as(Seq("m", "sv")))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(byM), Seq("m"))
+      // ĉ_m = the coded centroid: cands is cid-sorted and codes[m] is the
+      // POSITION in that order (buildPqIndex's dense layout contract)
+      .withColumn("cm", expr("cands[codes[m]].cent"))
+      .select(col("vec_id"), col("cohort"),
+        floor((graft.functions.DotProductFD(col("sv"), col("sv"))
+          - graft.functions.DotProductFD(col("sv"), col("cm")) * 2
+          + graft.functions.DotProductFD(col("cm"), col("cm")))
+          * quant).cast("long").as("qterm"))
+    terms.groupBy(col("cohort"))
+      .agg((count(lit(1)) / subspaces).cast("long").as("n_vecs"),
+        (sum(col("qterm")).cast("double")
+          / ((count(lit(1)) / subspaces) * quant)).as("mean_err"))
+      .orderBy(col("cohort"))
+  }
+
   /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the composition production
     * billion-scale ANN actually deploys: [[refinedAssignment]]'s coarse
     * cells PRUNE the candidate set (each query probes its `nprobe` best
@@ -532,6 +636,61 @@ object Similarity {
        .withColumn("codebook_size", lit(codebookSize))
        .withColumn("dims", lit(dims)),
      refinedCb, codes)
+  }
+
+  /** INCREMENTAL IVF-PQ index APPEND — the IVFADC deployment's
+    * add-without-train path ([[appendToPqIndex]]'s discipline on the
+    * coarse+residual quantizer pair): each arriving vector is
+    * coarse-assigned to its cell under the FROZEN centroids (broadcast
+    * candidate array + `argmax_dot`, plain-dot criterion — exactly
+    * [[refinedAssignment]]'s final pass), its residual x − c[cell] is
+    * coded under the FROZEN residual codebooks (half-norm criterion —
+    * exactly [[buildIvfPqIndex]]'s final pass), and one dense
+    * (vec_id, bucket, codes) row comes out, union-compatible with the
+    * build's codes table. Geometry follows the centroid table's persisted
+    * columns. Map-side end to end; linear in the batch, constant in the
+    * indexed corpus. Appending a vector the build saw reproduces its row
+    * bitwise (OpsSpec parity) — the append/rebuild cadence contract.
+    *
+    * Drift monitoring for this index is [[pqIndexDrift]] over residual
+    * space: feed it the residuals as `embedding` (x − centroid[bucket])
+    * with the residual codebooks — the reconstruction identity
+    * ‖x − (c + r̂)‖² = ‖r − r̂‖² makes the flat metric exact here too.
+    */
+  def appendToIvfPqIndex(newVecs: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame): DataFrame = {
+    val g = centroids.select(col("subspaces"), col("dims")).head()
+    val (subspaces, dims) = (g.getInt(0), g.getInt(1))
+    val sub = dims / subspaces
+    val cents = centroids.select(col("cid"), col("centroid"))
+    val cCands = cents.groupBy()
+      .agg(expr("array_sort(collect_list(struct(cid, centroid)))").as("cands"))
+    val assigned = newVecs.crossJoin(broadcast(cCands))
+      .select(col("vec_id"),
+        graft.functions.ArgmaxDot(col("embedding"), col("cands"),
+          halfNorm = false).as("bucket"),
+        col("embedding"))
+    val resid = assigned.join(
+        broadcast(cents.select(col("cid").as("bucket"), col("centroid"))),
+        Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
+          .as("r"))
+    val rsv = resid.select(col("vec_id"), col("bucket"), posexplode(expr(
+        s"""transform(sequence(0, ${subspaces - 1}),
+              mm -> slice(r, mm * $sub + 1, $sub))"""))
+      .as(Seq("m", "sv")))
+    val byM = codebooks.select(col("m"), col("cid"), col("cent"))
+      .groupBy(col("m"))
+      .agg(expr("array_sort(collect_list(struct(cid, cent)))").as("cands"))
+    rsv.join(broadcast(byM), Seq("m"))
+      .select(col("vec_id"), col("bucket"), col("m"),
+        graft.functions.ArgmaxDot(col("sv"), col("cands"),
+          halfNorm = true, returnIndex = true).as("code"))
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
   }
 
   /** QUERY-TIME IVF-PQ ANN against a persisted [[buildIvfPqIndex]]: cell

@@ -331,6 +331,42 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING PQ-index APPEND — the INGEST side of the ANN index's
+    * maintenance cadence ([[graft.ops.Similarity.appendToPqIndex]] as a
+    * stream): each arriving vector is coded under the index's FROZEN
+    * codebooks (re-read per batch, geometry followed from the index — a
+    * compaction-cadence retrain is honored without restart) and its dense
+    * code row lands batch-partitioned under `codes_appended/` for
+    * idempotent replay. Zero state-store state; the whole batch is one
+    * map-side assignment (broadcast candidate arrays + `argmax_dot`) plus
+    * the narrow per-vector pivot — cost linear in the batch, constant in
+    * the corpus the index covers. Readers
+    * ([[graft.ops.Similarity.readPqCodes]] — [[annArrivals]] uses it) see
+    * appended vectors as candidates from the next micro-batch on; the
+    * DRIFT metric ([[graft.ops.Similarity.pqIndexDrift]]) over the same
+    * tables decides when the append debt forces a retrain. Cross-batch
+    * duplicate vec_ids are the caller's upstream dedup concern, exactly
+    * as in the row-append ingest family.
+    */
+  def pqIndexAppendArrivals(arrivals: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val coded = graft.ops.Similarity.appendToPqIndex(
+          batch, spark.read.parquet(s"$indexPath/codebooks"))
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try coded.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$indexPath/codes_appended")
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** STREAMING ANN against the warehouse — the query-side counterpart of
     * the incremental dedup family (r10, completing the verdict's item-8
     * symmetry): each arriving vector gets its top-k corpus neighbors from
@@ -360,7 +396,7 @@ object LogStream {
           col("dims")).head()
         val neighbors = graft.ops.Similarity.topkPqAgainstIndex(
           batch, codebooks,
-          spark.read.parquet(s"$indexPath/codes"), k,
+          graft.ops.Similarity.readPqCodes(spark, indexPath), k,
           g.getInt(0), g.getInt(1), g.getInt(2))
           .withColumn("batch_id", lit(batchId))
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

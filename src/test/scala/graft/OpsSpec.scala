@@ -381,6 +381,52 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("PQ append/drift: appending codes bitwise like the build; drift " +
+      "separates cohorts") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // 1. append parity — the maintenance contract: coding a subset under
+    //    the SAME codebooks reproduces the build's codes for it bitwise
+    //    (a rebuild changes codebooks, never the meaning of a code)
+    val (cb, codes) = Similarity.buildPqIndex(emb)
+    val some = emb.filter(col("vec_id") % 3 === 1)
+    val appended = Similarity.appendToPqIndex(some, cb)
+      .orderBy(col("vec_id")).collect().toSeq
+    val fromBuild = codes.join(some.select(col("vec_id")), Seq("vec_id"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(appended.nonEmpty && appended === fromBuild,
+      "append under frozen codebooks diverged from the build's coding")
+    // 2. the append follows the INDEX's geometry, not a caller default
+    val (cb8, _) = Similarity.buildPqIndex(emb, subspaces = 8,
+      codebookSize = 8)
+    val app8 = Similarity.appendToPqIndex(some.limit(5), cb8)
+    assert(app8.select(size(col("codes"))).head().getInt(0) === 8,
+      "append must read subspaces from the codebook table")
+    // 3. drift: cohorts partition the corpus; on this corpus the frozen
+    //    quantizer fits its training data better than the appended cohort
+    //    (deterministic for the fixed testdata — the rebuild signal the
+    //    metric exists to expose)
+    val trainPred = col("vec_id") % 4 =!= 0
+    val (cbT, codesT) = Similarity.buildPqIndex(emb.filter(trainPred))
+    val appT = Similarity.appendToPqIndex(emb.filter(!trainPred), cbT)
+    val drift = Similarity.pqIndexDrift(emb, cbT,
+      codesT.unionByName(appT),
+      when(trainPred, lit("trained")).otherwise(lit("appended"))).collect()
+    assert(drift.map(_.getString(0)).toSeq === Seq("appended", "trained"))
+    assert(drift.map(_.getLong(1)).sum === emb.count())
+    val Seq(appErr, trErr) = drift.map(_.getDouble(2)).toSeq
+    assert(trErr > 0 && appErr > trErr,
+      s"expected appended-cohort error above trained ($appErr vs $trErr)")
+    // 4. IVF-PQ append: coarse cell AND residual codes reproduce the
+    //    build's row bitwise under the frozen quantizer pair
+    val (ict, icb, icodes) = Similarity.buildIvfPqIndex(emb)
+    val iApp = Similarity.appendToIvfPqIndex(some, ict, icb)
+      .orderBy(col("vec_id")).collect().toSeq
+    val iBuild = icodes.join(some.select(col("vec_id")), Seq("vec_id"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(iApp.nonEmpty && iApp === iBuild,
+      "IVF-PQ append under frozen quantizers diverged from the build")
+  }
+
   test("indexed registry entries read a persisted index dir, following its geometry") {
     // the exact path ScaleProbe/Bench exercise: a dir carrying symlinked
     // data tables plus pq_*/ivfpq_* parquet indexes. The IVF-PQ index is

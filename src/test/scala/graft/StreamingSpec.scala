@@ -679,6 +679,66 @@ class StreamingSpec extends GraftSpec {
       r.getAs[Double]("adc_score"))).toSet)
   }
 
+  test("streaming PQ index append: frozen-codebook coding, replay-safe, " +
+      "visible to the query stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val in = tmp("pqapp-in")
+    val idx = tmp("pqapp-idx").resolve("index").toString
+    val out = tmp("pqapp-out").toString
+    // corpus + index with NON-default geometry (the append must follow
+    // the index's persisted columns, not a default)
+    val corpus = (0 until 6).map(s =>
+      (100L + s, vec(i => math.sin(i * 0.37 + s * 1.1) + 0.05 * s)))
+      .toDF("vec_id", "embedding")
+    val (cb, codes) = graft.ops.Similarity.buildPqIndex(corpus, subspaces = 8)
+    cb.write.parquet(s"$idx/codebooks")
+    codes.write.parquet(s"$idx/codes")
+    // ingest side: append a NEW direction (200) under the frozen codebooks
+    val newVec = vec(i => math.cos(i * 0.53) * 2.0)
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    Files.writeString(in.resolve("b1.json"), js(200, newVec) + "\n")
+    val arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+    val q = LogStream.pqIndexAppendArrivals(arrivals, idx,
+      tmp("pqapp-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    // coded exactly as the batch operator codes it (frozen-codebook parity)
+    val streamed = spark.read.parquet(s"$idx/codes_appended")
+      .select(col("vec_id"), col("codes")).collect().toSeq
+    val batch = graft.ops.Similarity.appendToPqIndex(
+      Seq((200L, newVec)).toDF("vec_id", "embedding"),
+      spark.read.parquet(s"$idx/codebooks")).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.head.getAs[Seq[Long]]("codes").size === 8,
+      "append must follow the index's 8-sub-space geometry")
+    // replay-safe: a redelivered batch 0 overwrites its own partition
+    val arrivals2 = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+    LogStream.pqIndexAppendArrivals(arrivals2, idx,
+      tmp("pqapp-ck2").toString).awaitTermination()
+    assert(spark.read.parquet(s"$idx/codes_appended").count() === 1)
+    // readers see base ∪ appended
+    assert(graft.ops.Similarity.readPqCodes(spark, idx).count() === 7)
+    // the QUERY stream now ranks the appended vector first for a query in
+    // its direction — the append/query loop closes with zero shared state
+    val qin = tmp("pqapp-qin")
+    Files.writeString(qin.resolve("q1.json"),
+      js(1, vec(i => math.cos(i * 0.53))) + "\n")
+    val queries = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(qin.toString)
+    LogStream.annArrivals(queries, idx, out, tmp("pqapp-qck").toString,
+      k = 2).awaitTermination()
+    val top1 = spark.read.parquet(out).collect()
+      .minBy(_.getAs[Long]("rank")).getAs[Long]("cand_id")
+    assert(top1 === 200L,
+      s"query in the appended direction must rank the appended vector first, got $top1")
+  }
+
   test("streaming image dedup: hash-in-scan verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
