@@ -293,6 +293,21 @@ object EntryOps {
       when(pqTrainPred, lit("trained")).otherwise(lit("appended")))
   }
 
+  /** s14 — IVF-PQ drift under the s13 split: [[Similarity.ivfPqIndexDrift]]
+    * per trained/appended cohort — the rebuild trigger for the deployed
+    * IVFADC route, measured over residual space (‖x − x̂‖² = ‖r − r̂‖²).
+    */
+  def ivfPqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (ct, cb, trainedCodes) =
+      Similarity.buildIvfPqIndex(e.filter(pqTrainPred))
+    val appended =
+      Similarity.appendToIvfPqIndex(e.filter(!pqTrainPred), ct, cb)
+    Similarity.ivfPqIndexDrift(e, ct, cb,
+      trainedCodes.unionByName(appended),
+      when(pqTrainPred, lit("trained")).otherwise(lit("appended")))
+  }
+
   /** s13 — the IVFADC maintenance cadence end to end: coarse centroids
     * AND residual codebooks train on [[pqTrainPred]],
     * [[Similarity.appendToIvfPqIndex]] coarse-assigns + residual-codes
@@ -4932,6 +4947,23 @@ object EntryOps {
       require(sql.contains(from), s"oracle predicate '$from' not found")
       sql.replace(from, to)
     }
+    // s08's SQL with every TRAINING CTE restricted to the `vec_id % 4 != 0`
+    // subset: coarse seeds, coarse Lloyd stats, residual seeds, residual
+    // Lloyd assignment. Assignment/codes CTEs stay corpus-wide — the
+    // build-on-subset + append-the-rest dataflow. Shared by s13 and s14.
+    val s08TrainedOnSubset: String = bound(bound(bound(bound(
+      oracles("s08_topk_ivfpq"),
+      "AS ce FROM embeddings",
+      "AS ce FROM embeddings WHERE vec_id % 4 != 0"),
+      "FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k)",
+      "FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k) " +
+        "WHERE asg.vec_id % 4 != 0"),
+      "FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16) r16",
+      "FROM (SELECT * FROM resid WHERE vec_id % 4 != 0 " +
+        "ORDER BY vec_id LIMIT 16) r16"),
+      "FROM rsv JOIN rseeds ON rsv.m = rseeds.m) WHERE rn = 1),",
+      "FROM rsv JOIN rseeds ON rsv.m = rseeds.m " +
+        "WHERE rsv.vec_id % 4 != 0) WHERE rn = 1),")
     Map(
       "s09_topk_pq_index" -> bound(oracles("s07_topk_pq"),
         "WHERE sv.vec_id % 40 = 0",
@@ -4958,21 +4990,36 @@ object EntryOps {
       // residual seeds, residual Lloyd assignment) — assignment and codes
       // stay corpus-wide, reproducing coarse-train + residual-train on
       // 3/4 and frozen-quantizer append of the rest.
-      "s13_topk_ivfpq_append" -> bound(bound(bound(bound(bound(
-        oracles("s08_topk_ivfpq"),
-        "AS ce FROM embeddings",
-        "AS ce FROM embeddings WHERE vec_id % 4 != 0"),
-        "FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k)",
-        "FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS k) " +
-          "WHERE asg.vec_id % 4 != 0"),
-        "FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16) r16",
-        "FROM (SELECT * FROM resid WHERE vec_id % 4 != 0 " +
-          "ORDER BY vec_id LIMIT 16) r16"),
-        "FROM rsv JOIN rseeds ON rsv.m = rseeds.m) WHERE rn = 1),",
-        "FROM rsv JOIN rseeds ON rsv.m = rseeds.m " +
-          "WHERE rsv.vec_id % 4 != 0) WHERE rn = 1),"),
+      "s13_topk_ivfpq_append" -> bound(s08TrainedOnSubset,
         "WHERE vec_id % 40 = 0",
         "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
+      // s14: IVF-PQ drift — the s13 training prefix up through the codes
+      // CTE, then per-(vector, sub-space) RESIDUAL reconstruction-error
+      // terms (the ‖x − x̂‖² = ‖r − r̂‖² identity), 2²⁰-quantized before
+      // the cohort sum exactly as s12.
+      "s14_ivfpq_drift" -> {
+        val cut = s08TrainedOnSubset.indexOf("q AS (SELECT vec_id AS query_id")
+        require(cut > 0, "s08 oracle query CTE anchor not found")
+        def sdot(a: String, b: String) =
+          s"""list_reduce(list_transform(range(1, 5),
+              k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
+        s08TrainedOnSubset.substring(0, cut) +
+          s"""terms AS (SELECT rsv.vec_id,
+                      CAST(floor((${sdot("rsv.s", "rsv.s")}
+                                  - ${sdot("rsv.s", "ref2.cent")} * 2
+                                  + ${sdot("ref2.cent", "ref2.cent")})
+                                 * 1048576) AS BIGINT) AS qterm
+                      FROM rsv JOIN codes c
+                        ON rsv.vec_id = c.vec_id AND rsv.m = c.m
+                      JOIN ref2 ON ref2.m = rsv.m AND ref2.cid = c.code),
+            coh AS (SELECT CASE WHEN vec_id % 4 != 0 THEN 'trained'
+                           ELSE 'appended' END AS cohort,
+                    CAST(count(*) / 16 AS BIGINT) AS n_vecs,
+                    CAST(sum(qterm) AS DOUBLE)
+                      / (count(*) / 16 * 1048576) AS mean_err
+                    FROM terms GROUP BY 1)
+           SELECT cohort, n_vecs, mean_err FROM coh ORDER BY cohort"""
+      },
       // s12: the drift metric under the same split — per-(vector,
       // sub-space) reconstruction-error terms floor-quantized to 2²⁰
       // integers BEFORE the cohort sum (order-independent, same exactness
@@ -5051,6 +5098,7 @@ object EntryOps {
     "s11_topk_pq_append" -> (topkPqAppend _),
     "s12_pq_drift" -> (pqDrift _),
     "s13_topk_ivfpq_append" -> (topkIvfPqAppend _),
+    "s14_ivfpq_drift" -> (ivfPqDrift _),
     "d07_simhash_neardup" -> (simhashNearDup _),
     "d08_simhash64_neardup" -> (simhashNearDup64 _),
     "d09_dedup_clusters" -> (dedupClusters _),

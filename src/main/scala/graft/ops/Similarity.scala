@@ -534,6 +534,38 @@ object Similarity {
       .orderBy(col("cohort"))
   }
 
+  /** IVF-PQ QUANTIZATION-DRIFT — [[pqIndexDrift]] over RESIDUAL space,
+    * the rebuild trigger for the [[appendToIvfPqIndex]] cadence: since
+    * x̂ = c[bucket] + r̂, the reconstruction identity
+    * ‖x − x̂‖² = ‖r − r̂‖² reduces IVFADC drift to the flat metric on
+    * residuals, so the per-cohort aggregation (2²⁰-quantized terms, one
+    * hash aggregate) is shared verbatim. The bucket comes from the CODES
+    * table, not re-derived — drift must measure the quantizer AS
+    * PERSISTED, including any stale cell assignments an old append made.
+    * The residual projection is Staged-fenced: inlined into the
+    * sub-space transform it would re-evaluate the 64-element zip_with
+    * once per sub-space ([[graft.functions.Staged]]'s lambda-re-eval
+    * class).
+    */
+  def ivfPqIndexDrift(emb: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, cohort: Column): DataFrame = {
+    val g = centroids.select(col("subspaces"), col("dims")).head()
+    val resid = emb.select(col("vec_id"), cohort.as("cohort"),
+        col("embedding"))
+      .join(codes.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .join(broadcast(
+          centroids.select(col("cid").as("bucket"), col("centroid"))),
+        Seq("bucket"))
+      .select(col("vec_id"), col("cohort"),
+        graft.functions.Staged(expr(
+          "zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)"))
+          .as("embedding"))
+    pqIndexDrift(resid,
+      codebooks.withColumn("subspaces", lit(g.getInt(0)))
+        .withColumn("dims", lit(g.getInt(1))),
+      codes.select(col("vec_id"), col("codes")), col("cohort"))
+  }
+
   /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the composition production
     * billion-scale ANN actually deploys: [[refinedAssignment]]'s coarse
     * cells PRUNE the candidate set (each query probes its `nprobe` best

@@ -425,6 +425,21 @@ class OpsSpec extends GraftSpec {
       .orderBy(col("vec_id")).collect().toSeq
     assert(iApp.nonEmpty && iApp === iBuild,
       "IVF-PQ append under frozen quantizers diverged from the build")
+    // 5. IVF-PQ drift over residual space: cohorts partition the corpus,
+    //    and the residual quantizer reconstructs BETTER than the flat one
+    //    on the same corpus (Jégou's IVFADC argument, visible in the
+    //    metric — deterministic for the fixed testdata)
+    val iDrift = Similarity.ivfPqIndexDrift(emb, ict, icb, icodes,
+      when(trainPred, lit("trained")).otherwise(lit("appended"))).collect()
+    assert(iDrift.map(_.getString(0)).toSeq === Seq("appended", "trained"))
+    assert(iDrift.map(_.getLong(1)).sum === emb.count())
+    val flatAll = Similarity.pqIndexDrift(emb, cb, codes, lit("all"))
+      .head().getDouble(2)
+    val residAll = Similarity.ivfPqIndexDrift(emb, ict, icb, icodes,
+      lit("all")).head().getDouble(2)
+    assert(residAll > 0 && residAll < flatAll,
+      s"residual quantization should beat flat at equal bits " +
+        s"($residAll vs $flatAll)")
   }
 
   test("indexed registry entries read a persisted index dir, following its geometry") {
