@@ -465,22 +465,160 @@ object Similarity {
         .as("codes"))
   }
 
-  /** Read a persisted PQ index root's CODES — base `codes/` plus, when the
-    * streaming append side has run ([[graft.streaming.LogStream
-    * .pqIndexAppendArrivals]]), the batch-partitioned `codes_appended/`
-    * delta (batch_id dropped — it exists for idempotent replay, not for
-    * readers). One union, schema-identical sides: queries against the
-    * index see appended vectors as candidates the moment their batch
-    * commits, with no state anywhere but the parquet tables themselves.
+  /** Read a persisted PQ index root's CODES — the highest MARKED
+    * compacted generation (`codes_g<G>/`, [[compactPqIndex]]) or the
+    * build's base `codes/` when none, plus the batch-partitioned
+    * `codes_appended/` delta ([[graft.streaming.LogStream
+    * .pqIndexAppendArrivals]]) ABOVE the generation's recorded horizon
+    * (batch_id pruned at the partition level, then dropped — it exists
+    * for idempotent replay, not for readers). One union,
+    * schema-identical sides: queries against the index see appended
+    * vectors as candidates the moment their batch commits, and a
+    * compaction flip is atomic-by-marker — no state anywhere but the
+    * parquet tables themselves.
     */
   def readPqCodes(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
-    val base = spark.read.parquet(s"$indexPath/codes")
+    val (gen, horizon) = currentCodesGeneration(spark, indexPath)
+    val base = gen match {
+      case Some(g) => spark.read.parquet(s"$indexPath/$GenPrefix$g")
+      case None    => spark.read.parquet(s"$indexPath/codes")
+    }
     val delta = java.nio.file.Paths.get(indexPath, "codes_appended")
-    if (java.nio.file.Files.exists(delta))
-      base.unionByName(
-        spark.read.parquet(delta.toString).drop("batch_id"))
-    else base
+    // a fully-GC'd delta dir has no partitions left — reading it would
+    // fail schema inference, and there is nothing live to union anyway
+    val hasLive = java.nio.file.Files.exists(delta) && {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(delta).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("batch_id="))
+    }
+    if (hasLive) {
+      val app = spark.read.parquet(delta.toString)
+        .filter(col("batch_id") > horizon) // partition-pruned
+        .drop("batch_id")
+      base.unionByName(app)
+    } else base
+  }
+
+  private val GenPrefix = "codes_g"
+  private val GenMarker = "_GRAFT_PQ_GEN"
+
+  /** Highest MARKED codes generation under the index root, with the append
+    * horizon its marker records (−1 when none — base `codes/` serves, all
+    * appended batches are live). An unmarked generation dir (torn
+    * compaction) is invisible, exactly the fact-table commit protocol.
+    */
+  private def currentCodesGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Option[Long], Long) = {
+    val root = java.nio.file.Paths.get(indexPath)
+    if (!java.nio.file.Files.exists(root)) return (None, -1L)
+    val gens = listGenerations(root)
+    gens.lastOption match {
+      case Some((g, h)) => (Some(g), h)
+      case None         => (None, -1L)
+    }
+  }
+
+  /** (generation, horizon) pairs for every MARKED generation, ascending. */
+  private def listGenerations(
+      root: java.nio.file.Path): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val Gen = (GenPrefix + "(\\d+)").r
+    java.nio.file.Files.list(root).iterator().asScala
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case Gen(g) =>
+            val marker = p.resolve(GenMarker)
+            if (java.nio.file.Files.exists(marker))
+              Some(g.toLong ->
+                java.nio.file.Files.readString(marker).trim.toLong)
+            else None
+          case _ => None
+        }
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** COMPACT a PQ index's codes — fold the streaming append delta
+    * ([[graft.streaming.LogStream.pqIndexAppendArrivals]]'s
+    * `codes_appended/batch_id=N/` partitions) into one right-sized codes
+    * GENERATION, so the per-query union stops re-listing an ever-growing
+    * batch tail (the small-file problem, index edition). No retraining —
+    * codes are merged bytes, codebooks untouched; retraining is
+    * [[buildPqIndex]] when [[pqIndexDrift]] says so.
+    *
+    * Commit protocol = the fact-table compaction's marker discipline
+    * (`ingest.Compaction`): the merged codes land in `codes_g<G+1>/`,
+    * then a `_GRAFT_PQ_GEN` marker (recording the highest appended
+    * batch_id absorbed) is written AFTER the data. [[readPqCodes]] serves
+    * the highest MARKED generation plus appended batches ABOVE its
+    * horizon — a torn compaction is invisible, and there is no instant at
+    * which a code row is absent or double-counted. Superseded generations
+    * and absorbed append partitions are GC'd by the NEXT run
+    * (current-plus-previous retention — an in-flight reader that resolved
+    * just before the flip is still scanning them).
+    *
+    * The horizon assumes ONE append-stream lineage (monotone batch ids per
+    * checkpoint — the same assumption the delta's replay idempotence
+    * rests on); a re-checkpointed stream needs a fresh index root or a
+    * rebuild. Returns the committed generation id.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Long = {
+    val root = java.nio.file.Paths.get(indexPath)
+    val gens = listGenerations(root)
+    val (baseDf, prevHorizon) = gens.lastOption match {
+      case Some((g, h)) =>
+        (spark.read.parquet(s"$indexPath/$GenPrefix$g"), h)
+      case None => (spark.read.parquet(s"$indexPath/codes"), -1L)
+    }
+    // horizon = highest appended batch DIRECTORY at merge start: batches
+    // landing during the merge have higher ids and stay live in the delta
+    val delta = root.resolve("codes_appended")
+    val liveBatches: Seq[Long] =
+      if (java.nio.file.Files.exists(delta)) {
+        import scala.jdk.CollectionConverters._
+        val B = "batch_id=(\\d+)".r
+        java.nio.file.Files.list(delta).iterator().asScala
+          .flatMap(_.getFileName.toString match {
+            case B(b) => Some(b.toLong); case _ => None
+          }).toSeq
+      } else Seq.empty
+    val horizon = (liveBatches.filter(_ > prevHorizon) :+ prevHorizon).max
+    val merged =
+      if (horizon > prevHorizon)
+        baseDf.unionByName(spark.read.parquet(delta.toString)
+          .filter(col("batch_id") > prevHorizon &&
+            col("batch_id") <= horizon)
+          .drop("batch_id"))
+      else baseDf
+    val next = gens.lastOption.map(_._1).getOrElse(0L) + 1L
+    val genDir = root.resolve(s"$GenPrefix$next")
+    merged.write.mode("overwrite").parquet(genDir.toString)
+    // marker AFTER the data — the atomic flip readers key on
+    java.nio.file.Files.writeString(genDir.resolve(GenMarker),
+      s"$horizon\n")
+    // GC: everything SUPERSEDED BEFORE this run — generations below the
+    // previous one, and append partitions at or below the PREVIOUS
+    // horizon. This run's predecessors survive one more cycle for
+    // in-flight readers.
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(
+          java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach(java.nio.file.Files.delete)
+    }
+    gens.dropRight(1).foreach { case (g, _) =>
+      rmTree(root.resolve(s"$GenPrefix$g")) }
+    // base `codes/` is the BUILD's artifact and is never GC'd here: a
+    // RETRAIN (new codebooks) must land in a fresh index root (or clear
+    // codes_g*/codes_appended first) — codes are only meaningful under
+    // the codebooks that produced them, and stale generations would
+    // silently shadow a re-written codes/ otherwise.
+    liveBatches.filter(_ <= prevHorizon).foreach { b =>
+      rmTree(delta.resolve(s"batch_id=$b")) }
+    next
   }
 
   /** PQ index QUANTIZATION-DRIFT metric — the REBUILD TRIGGER for the

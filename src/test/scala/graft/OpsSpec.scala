@@ -442,6 +442,73 @@ class OpsSpec extends GraftSpec {
         s"($residAll vs $flatAll)")
   }
 
+  test("PQ codes compaction: marker-committed generations, torn run " +
+      "invisible, GC after one grace cycle") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_compact")
+      .resolve("index").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("vec_id")).collect().toSeq
+    try {
+      // build on a third of the corpus, append two "batches" of the rest
+      val base = emb.filter(col("vec_id") % 3 === 0)
+      val (cb, codes) = Similarity.buildPqIndex(base)
+      cb.write.parquet(s"$idx/codebooks")
+      codes.write.parquet(s"$idx/codes")
+      def appendBatch(b: Long, pred: org.apache.spark.sql.Column): Unit = {
+        val batch = Similarity.appendToPqIndex(emb.filter(pred), cb)
+        assert(batch.count() > 0, s"test batch $b must be non-empty")
+        batch.withColumn("batch_id", lit(b))
+          .write.partitionBy("batch_id").mode("append")
+          .parquet(s"$idx/codes_appended")
+      }
+      appendBatch(0, col("vec_id") % 3 === 1)
+      appendBatch(1, col("vec_id") % 3 === 2)
+      val before = rows(Similarity.readPqCodes(spark, idx))
+      assert(before.size === emb.count())
+      // torn compaction: a generation dir WITHOUT its marker is invisible
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$idx/codes_g99"))
+      assert(rows(Similarity.readPqCodes(spark, idx)) === before)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/codes_g99"))
+      // compact 1: absorbs batches 0-1; content identical; delta retained
+      // for in-flight readers (GC happens NEXT run)
+      val g1 = Similarity.compactPqIndex(spark, idx)
+      assert(g1 === 1L)
+      assert(rows(Similarity.readPqCodes(spark, idx)) === before)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/codes_appended/batch_id=1")))
+      // a post-compaction batch stays live in the delta
+      appendBatch(2, col("vec_id") === 0) // re-coding vec 0 as a new row
+      assert(rows(Similarity.readPqCodes(spark, idx)).size
+        === before.size + 1)
+      // compact 2: absorbs batch 2, GCs gen-0 leftovers = batches <= 1
+      val g2 = Similarity.compactPqIndex(spark, idx)
+      assert(g2 === 2L)
+      assert(rows(Similarity.readPqCodes(spark, idx)).size
+        === before.size + 1)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/codes_appended/batch_id=0")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/codes_appended/batch_id=1")))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/codes_g1")),
+        "previous generation survives one grace cycle")
+      // compact 3 (no new batches): content stable, gen1 now GC'd
+      Similarity.compactPqIndex(spark, idx)
+      assert(rows(Similarity.readPqCodes(spark, idx)).size
+        === before.size + 1)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/codes_g1")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(idx).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("indexed registry entries read a persisted index dir, following its geometry") {
     // the exact path ScaleProbe/Bench exercise: a dir carrying symlinked
     // data tables plus pq_*/ivfpq_* parquet indexes. The IVF-PQ index is
