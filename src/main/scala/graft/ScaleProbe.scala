@@ -54,6 +54,12 @@ object ScaleProbe {
     "d08_simhash64_neardup", "d09_dedup_clusters",
     "s04_topk_lsh_bands", "s06_topk_ivf_centroids", "s08_topk_ivfpq",
     "s09_topk_pq_index", "s10_topk_ivfpq_index",
+    // r10 maintenance family: s11/s13 price subset-training + frozen
+    // append in-plan (the s08 contrast class); s12/s14 are corpus-wide
+    // monitoring aggregates — expected ~linear BY DESIGN (one scan),
+    // probed so the artifact states that rather than implies it
+    "s11_topk_pq_append", "s12_pq_drift", "s13_topk_ivfpq_append",
+    "s14_ivfpq_drift",
     "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking",
     "e05_multimodal_corpus", "d22_semdedup_incremental",
     "e07_audio_corpus", "d23_audio_dedup_incremental")

@@ -487,11 +487,8 @@ object Similarity {
     val delta = java.nio.file.Paths.get(indexPath, "codes_appended")
     // a fully-GC'd delta dir has no partitions left — reading it would
     // fail schema inference, and there is nothing live to union anyway
-    val hasLive = java.nio.file.Files.exists(delta) && {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(delta).iterator().asScala
-        .exists(_.getFileName.toString.startsWith("batch_id="))
-    }
+    val hasLive = java.nio.file.Files.exists(delta) &&
+      listDirNames(delta).exists(_.startsWith("batch_id="))
     if (hasLive) {
       val app = spark.read.parquet(delta.toString)
         .filter(col("batch_id") > horizon) // partition-pruned
@@ -502,6 +499,16 @@ object Similarity {
 
   private val GenPrefix = "codes_g"
   private val GenMarker = "_GRAFT_PQ_GEN"
+
+  /** Child names of a directory, stream CLOSED (a bare `Files.list`
+    * iterator leaks the directory handle until GC).
+    */
+  private def listDirNames(p: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
 
   /** Highest MARKED codes generation under the index root, with the append
     * horizon its marker records (−1 when none — base `codes/` serves, all
@@ -523,20 +530,17 @@ object Similarity {
   /** (generation, horizon) pairs for every MARKED generation, ascending. */
   private def listGenerations(
       root: java.nio.file.Path): Seq[(Long, Long)] = {
-    import scala.jdk.CollectionConverters._
     val Gen = (GenPrefix + "(\\d+)").r
-    java.nio.file.Files.list(root).iterator().asScala
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case Gen(g) =>
-            val marker = p.resolve(GenMarker)
-            if (java.nio.file.Files.exists(marker))
-              Some(g.toLong ->
-                java.nio.file.Files.readString(marker).trim.toLong)
-            else None
-          case _ => None
-        }
-      }.toSeq.sortBy(_._1)
+    listDirNames(root)
+      .flatMap {
+        case Gen(g) =>
+          val marker = root.resolve(GenPrefix + g).resolve(GenMarker)
+          if (java.nio.file.Files.exists(marker))
+            Some(g.toLong ->
+              java.nio.file.Files.readString(marker).trim.toLong)
+          else None
+        case _ => None
+      }.sortBy(_._1)
   }
 
   /** COMPACT a PQ index's codes — fold the streaming append delta
@@ -577,12 +581,10 @@ object Similarity {
     val delta = root.resolve("codes_appended")
     val liveBatches: Seq[Long] =
       if (java.nio.file.Files.exists(delta)) {
-        import scala.jdk.CollectionConverters._
         val B = "batch_id=(\\d+)".r
-        java.nio.file.Files.list(delta).iterator().asScala
-          .flatMap(_.getFileName.toString match {
-            case B(b) => Some(b.toLong); case _ => None
-          }).toSeq
+        listDirNames(delta).flatMap {
+          case B(b) => Some(b.toLong); case _ => None
+        }
       } else Seq.empty
     val horizon = (liveBatches.filter(_ > prevHorizon) :+ prevHorizon).max
     val merged =
@@ -602,13 +604,14 @@ object Similarity {
     // previous one, and append partitions at or below the PREVIOUS
     // horizon. This run's predecessors survive one more cycle for
     // in-flight readers.
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(
-          java.util.Comparator.reverseOrder()).iterator().asScala
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
           .foreach(java.nio.file.Files.delete)
-    }
+        finally s.close()
+      }
     gens.dropRight(1).foreach { case (g, _) =>
       rmTree(root.resolve(s"$GenPrefix$g")) }
     // base `codes/` is the BUILD's artifact and is never GC'd here: a
