@@ -38,7 +38,8 @@ object GraftExtensions {
     "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "mp4_features" -> 1, "jpeg_features" -> 1, "jpeg_dhash" -> 1, "zorder_key" -> 2,
     "mpeg_l1_samples" -> 1, "flac_features" -> 1, "flac_dhash" -> 1,
     "bmp_features" -> 1,
-    "hyperplane_bucket" -> 3)
+    "hyperplane_bucket" -> 3, "pq_table_sum" -> 2, "pq_adc_score" -> 3,
+    "argmax_dot" -> 4)
 
   private def checkArity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
@@ -168,6 +169,24 @@ object GraftExtensions {
           val planes = args(1).eval().asInstanceOf[Int]
           val dims = args(2).eval().asInstanceOf[Int]
           HyperplaneBucket(args.head, planes, dims)
+        }),
+      (FunctionIdentifier("pq_table_sum"),
+        info("pq_table_sum",
+          "pq_table_sum(codes, table) - sum of table[m][codes[m]] over m (dense-code ADC building block; NaN on out-of-range codes)"),
+        (args: Seq[Expression]) =>
+          graft.functions.PqTableSum(args(0), args(1))),
+      (FunctionIdentifier("pq_adc_score"),
+        info("pq_adc_score",
+          "pq_adc_score(codes, p, n) - flat-PQ reconstruction-cosine ADC score over the dense code layout"),
+        (args: Seq[Expression]) =>
+          graft.functions.PqAdcScore(args(0), args(1), args(2))),
+      (FunctionIdentifier("argmax_dot"),
+        info("argmax_dot",
+          "argmax_dot(vec, cands, half_norm, return_index) - cid (or position, with return_index) of the candidate maximizing dot(vec, cent) [- norm2/2 with half_norm]; candidates as array<struct<cid,cent>>, min-cid ties"),
+        (args: Seq[Expression]) => {
+          val halfNorm = args(2).eval().asInstanceOf[Boolean]
+          val returnIndex = args(3).eval().asInstanceOf[Boolean]
+          graft.functions.ArgmaxDot(args(0), args(1), halfNorm, returnIndex)
         }))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -31,6 +31,33 @@ class ExtensionsSpec extends GraftSpec {
     assert(dims === "png")
     val z = spark.sql("SELECT zorder_key(3, 5) AS z").head().getLong(0)
     assert(z === graft.functions.ZOrderKey.morton(3L, 5L))
+    // r10 ADC machinery: dense-code table sum, flat-PQ score, quantizer
+    // assignment — each answering through the SQL path with literal args
+    val ts = spark.sql(
+      """SELECT pq_table_sum(array(1L, 0L),
+           array(array(1.0D, 2.0D), array(3.0D, 4.0D))) AS v
+      """).head().getDouble(0)
+    assert(ts === 5.0) // table[0][1] + table[1][0]
+    val nan = spark.sql(
+      """SELECT pq_table_sum(array(7L),
+           array(array(1.0D))) AS v""").head().getDouble(0)
+    assert(nan.isNaN, "out-of-range code must be a loud NaN")
+    val adc = spark.sql(
+      """SELECT pq_adc_score(array(0L), array(array(3.0D)),
+           array(array(4.0D))) AS v""").head().getDouble(0)
+    assert(adc === 3.0 / math.sqrt(4.0))
+    val am = spark.sql(
+      """SELECT argmax_dot(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+           array(struct(10L AS cid, array(0.0D, 1.0D) AS cent),
+                 struct(20L AS cid, array(1.0D, 0.0D) AS cent)),
+           false, false) AS v""").head().getLong(0)
+    assert(am === 20L)
+    val amIdx = spark.sql(
+      """SELECT argmax_dot(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+           array(struct(10L AS cid, array(0.0D, 1.0D) AS cent),
+                 struct(20L AS cid, array(1.0D, 0.0D) AS cent)),
+           false, true) AS v""").head().getLong(0)
+    assert(amIdx === 1L, "return_index picks the array position")
   }
 
   test("wrong arity fails analysis with WRONG_NUM_ARGS, not an index error") {
@@ -54,7 +81,7 @@ class ExtensionsSpec extends GraftSpec {
         "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
         "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "jpeg_features", "jpeg_dhash", "zorder_key",
         "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
-        "hyperplane_bucket"))
+        "hyperplane_bucket", "pq_table_sum", "pq_adc_score", "argmax_dot"))
   }
 
   test("dot_fd is bitwise-equal to the HOF fold in every float/double combination") {
