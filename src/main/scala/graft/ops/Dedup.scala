@@ -336,6 +336,46 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Combined corpus index for the SELF-LEARNING dedup stream
+    * ([[graft.streaming.LogStream.dedupLearningArrivals]]): the
+    * ingest-built base (`<root>/base`, a [[buildCorpusIndex]] table) plus
+    * the stream's own learned rows (`<root>/learned/batch_id=N` — the
+    * index rows of docs the stream judged `new`), restricted to batches
+    * BELOW `beforeBatch`. The bound is the replay-safety contract: a
+    * redelivered micro-batch must never see its own learned rows (every
+    * doc would match itself as `exact`), so batch b reads strictly
+    * earlier knowledge — bitwise the same verdicts on every replay.
+    */
+  def readCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, rootPath, beforeBatch)
+
+  /** [[readCorpusIndex]]'s shape for the MEDIA hash index
+    * ([[buildMediaIndex]] base + the learning stream's delta) — the
+    * same base ∪ learned-below-b layout and replay contract.
+    */
+  def readMediaIndex(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, rootPath, beforeBatch)
+
+  private def readWithLearned(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long): DataFrame = {
+    val base = spark.read.parquet(s"$rootPath/base")
+    val learned = java.nio.file.Paths.get(rootPath, "learned")
+    val hasLearned = java.nio.file.Files.exists(learned) && {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(learned)
+      try s.iterator().asScala
+        .exists(_.getFileName.toString.startsWith("batch_id="))
+      finally s.close()
+    }
+    if (hasLearned)
+      base.unionByName(spark.read.parquet(learned.toString)
+        .filter(col("batch_id") < beforeBatch) // partition-pruned
+        .drop("batch_id"))
+    else base
+  }
+
   /** Corpus-side MEDIA dedup index: one row per asset with its perceptual
     * hash (a 64-char bitstring from [[graft.functions.PpmDHash]] /
     * [[graft.functions.WavDHash]]) — the media analog of

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -169,6 +169,57 @@ object LogStream {
       }
       .start()
 
+  /** SELF-LEARNING streaming dedup — [[dedupArrivals]] plus the missing
+    * half of the incremental loop: docs judged `new` write their OWN index
+    * rows (`<root>/learned/batch_id=N`, batch-partitioned for idempotent
+    * replay), so a later batch's duplicate of an earlier batch's novel doc
+    * is caught — the static-index stream keeps yielding `keep` for every
+    * copy of content the base corpus has never seen. Knowledge is
+    * per-batch MONOTONE and replay-exact: batch b's verdicts read base +
+    * learned batches STRICTLY BELOW b
+    * ([[graft.ops.Dedup.readCorpusIndex]]), so a redelivered batch never
+    * sees its own rows and reproduces its verdicts bitwise. Within one
+    * micro-batch, arrivals are still only compared against prior
+    * knowledge (two novel duplicates in the SAME batch both read `new` —
+    * intra-batch self-dedup is the batch operators' job, d01/d08 class);
+    * the learned rows carry the same ~24 bytes/doc as the base index, so
+    * the stream's state is still nothing but parquet. Zero state-store
+    * state; a compaction folding `learned/` into `base/` at ingest
+    * cadence follows the [[graft.ops.Similarity.compactPqIndex]] marker
+    * protocol if the batch tail ever dominates listing cost.
+    */
+  def dedupLearningArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String,
+      maxHamming: Int = 3): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // verdicts feed TWO actions (the learned-rows write and the
+        // verdict write) — barrier the tiny verdict table so the
+        // index join runs once (multi-action class, the fence's home turf)
+        val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+          .dedupAgainstIndex(batch,
+            graft.ops.Dedup.readCorpusIndex(spark, indexRoot,
+              beforeBatch = batchId), maxHamming))
+        val learned = graft.ops.Dedup.buildCorpusIndex(
+          batch.join(verdicts.filter(col("verdict") === "new")
+            .select(col("doc_id")), Seq("doc_id")))
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          learned.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexRoot/learned")
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        } finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** STREAMING media dedup against the warehouse — [[dedupArrivals]]' shape
     * for IMAGES: arriving payloads hash in the micro-batch scan stage
     * (native `ppm_dhash`; payloads never leave it), then join the PERSISTED
@@ -197,6 +248,53 @@ object LogStream {
         try verdicts.write.mode("overwrite").partitionBy("batch_id")
           .parquet(outPath)
         finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
+  /** SELF-LEARNING media dedup — [[dedupLearningArrivals]]' contract for
+    * perceptual-hash spaces: arriving payloads hash ONCE in the scan
+    * stage (the `hash` column — `ppm_dhash` for images,
+    * `coalesce(wav_dhash, flac_dhash)` for cross-codec audio; barriered
+    * so decode feeds the verdict join AND the learned rows from one
+    * evaluation), verdicts come from base + learned batches strictly
+    * below this one ([[graft.ops.Dedup.readMediaIndex]] — replay-exact),
+    * and `new` HASHABLE assets write their (ex_id, dhash) row to the
+    * `learned/` delta so the next batch's re-upload of a novel asset is
+    * caught. `unhashable` arrivals are never learned — a refusal is not
+    * knowledge. Zero state-store state. Contract: the base index's
+    * `ex_id` must be STRING-typed (learned rows key on arrival paths,
+    * and the union is by name AND type).
+    */
+  def dedupLearningMediaArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String, hash: Column,
+      maxHamming: Int = 3): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashed = graft.ops.Barrier.barrier(
+          batch.select(col("path").as("asset_id"), hash.as("dhash")))
+        val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+          .mediaDedupAgainstIndex(hashed,
+            graft.ops.Dedup.readMediaIndex(spark, indexRoot,
+              beforeBatch = batchId), maxHamming))
+        val learned = hashed
+          .join(verdicts.filter(col("verdict") === "new")
+            .select(col("asset_id")), Seq("asset_id"))
+          .filter(col("dhash").isNotNull)
+          .select(col("asset_id").as("ex_id"), col("dhash"))
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          learned.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexRoot/learned")
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        } finally prev.foreach(
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
       }
       .start()

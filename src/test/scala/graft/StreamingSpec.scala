@@ -679,6 +679,60 @@ class StreamingSpec extends GraftSpec {
       r.getAs[Double]("adc_score"))).toSet)
   }
 
+  test("self-learning streaming dedup: later batches catch duplicates of " +
+      "earlier novel arrivals, replay-exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("learn-in")
+    val root = tmp("learn-idx").resolve("index").toString
+    val out = tmp("learn-out").toString
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.buildCorpusIndex(corpus).write.parquet(s"$root/base")
+    // batch 1: one base dup, one genuinely novel doc
+    Files.writeString(in.resolve("b1.csv"),
+      "1,alpha beta gamma delta epsilon\n" +
+        "3,unrelated completely novel arrival words\n")
+    // batch 2: an exact and a near (reordered) copy of batch 1's NOVEL doc
+    Files.writeString(in.resolve("b2.csv"),
+      "4,unrelated completely novel arrival words\n" +
+        "5,words arrival novel completely unrelated\n")
+    // the file source orders batches by modification time — same-ms
+    // writes are a coin flip, so pin the intended order explicitly
+    Files.setLastModifiedTime(in.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").csv(in.toString)
+    val q = LogStream.dedupLearningArrivals(arrivals, root, out,
+      tmp("learn-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out)
+      .select("doc_id", "verdict", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    val v = read()
+    assert(v((1L, "exact", Some(100L))))
+    assert(v((3L, "new", None)), s"novel doc must be new, got $v")
+    assert(v((4L, "exact", Some(3L))),
+      s"batch-2 copy of the learned novel doc must be exact vs 3, got $v")
+    assert(v((5L, "near", Some(3L))),
+      s"reordered copy must be near vs 3, got $v")
+    // the STATIC-index stream misses exactly these (the gap this closes)
+    val staticV = graft.ops.Dedup.dedupAgainstIndex(
+      Seq((4L, "unrelated completely novel arrival words")).toDF("doc_id", "text"),
+      spark.read.parquet(s"$root/base"))
+      .select("verdict").head().getString(0)
+    assert(staticV === "new")
+    // replay-exact: a fresh checkpoint reprocesses both files into the
+    // same batch ids; learned and verdict partitions overwrite themselves
+    LogStream.dedupLearningArrivals(arrivals, root, out,
+      tmp("learn-ck2").toString).awaitTermination()
+    assert(read() === v, "replayed run must reproduce verdicts bitwise")
+    assert(spark.read.parquet(out).count() === 4)
+  }
+
   test("streaming PQ index append: frozen-codebook coding, replay-safe, " +
       "visible to the query stream") {
     import org.apache.spark.sql.functions._
@@ -737,6 +791,64 @@ class StreamingSpec extends GraftSpec {
       .minBy(_.getAs[Long]("rank")).getAs[Long]("cand_id")
     assert(top1 === 200L,
       s"query in the appended direction must rank the appended vector first, got $top1")
+  }
+
+  test("self-learning media dedup: a re-upload of a novel asset is caught, " +
+      "refusals never learned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def pgm(seed: Int): Array[Byte] =
+      "P5\n16 8\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate[Byte](128)(j => (((seed + j) * (seed + j) * 5
+          + (seed + j) * 3 + seed) % 256).toByte)
+    val in = tmp("mlearn-in")
+    val root = tmp("mlearn-idx").resolve("index").toString
+    val out = tmp("mlearn-out").toString
+    // string asset ids: the learning stream unions path-keyed learned
+    // rows into this index, so the id type must match across the union
+    val corpus = Seq(("100", pgm(7))).toDF("asset_id", "payload")
+    graft.ops.Dedup.buildMediaIndex(corpus,
+      graft.functions.PpmDHash(col("payload"))).write.parquet(s"$root/base")
+    // batch 1: a novel image + junk; batch 2: a RE-UPLOAD of the novel
+    // image (the static-index stream's blind spot) + a base dup
+    Files.write(in.resolve("b1_new.pgm"), pgm(90))
+    Files.write(in.resolve("b1_junk.bin"), "not an image".getBytes(UTF_8))
+    Files.write(in.resolve("b2_reupload.pgm"), pgm(90))
+    Files.write(in.resolve("b2_basedup.pgm"), pgm(7))
+    for ((f, t) <- Seq("b1_new.pgm" -> 1000L, "b1_junk.bin" -> 1000L,
+        "b2_reupload.pgm" -> 2000L, "b2_basedup.pgm" -> 2000L))
+      Files.setLastModifiedTime(in.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + t))
+    def arrivals = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("maxFilesPerTrigger", "2").load(in.toString)
+    val hash = graft.functions.PpmDHash(col("content"))
+    val q = LogStream.dedupLearningMediaArrivals(arrivals, root, out,
+      tmp("mlearn-ck").toString, hash)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out).collect().map(r => {
+      val name = r.getAs[String]("asset_id").split('/').last
+      name -> ((r.getAs[String]("verdict"),
+        Option(r.getAs[Any]("match_id")).map(_.toString)))
+    }).toMap
+    val v = read()
+    assert(v("b1_new.pgm")._1 === "new")
+    assert(v("b1_junk.bin")._1 === "unhashable")
+    assert(v("b2_basedup.pgm") === (("exact", Some("100"))), s"got $v")
+    val reupload = v("b2_reupload.pgm")
+    assert(reupload._1 === "exact" &&
+      reupload._2.exists(_.endsWith("b1_new.pgm")),
+      s"re-upload must match the LEARNED novel asset, got $v")
+    // refusals are not knowledge: learned rows exist only for b1_new
+    val learnedIds = spark.read.parquet(s"$root/learned")
+      .select("ex_id").as[String].collect().map(_.split('/').last).toSet
+    assert(learnedIds === Set("b1_new.pgm"),
+      s"only the hashable novel asset may be learned, got $learnedIds")
+    // replay-exact
+    LogStream.dedupLearningMediaArrivals(arrivals, root, out,
+      tmp("mlearn-ck2").toString, hash).awaitTermination()
+    assert(read() === v, "replayed run must reproduce verdicts bitwise")
   }
 
   test("streaming image dedup: hash-in-scan verdicts vs persisted index") {
