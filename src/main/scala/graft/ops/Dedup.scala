@@ -358,6 +358,14 @@ object Dedup {
       rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
     readWithLearned(spark, rootPath, beforeBatch)
 
+  /** [[readCorpusIndex]]'s shape for the EMBEDDING index
+    * ([[buildEmbedIndex]] base + the learning stream's delta). The planes
+    * column rides every row, so the combined view stays self-describing.
+    */
+  def readEmbedIndex(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, rootPath, beforeBatch)
+
   private def readWithLearned(spark: org.apache.spark.sql.SparkSession,
       rootPath: String, beforeBatch: Long): DataFrame = {
     val base = spark.read.parquet(s"$rootPath/base")

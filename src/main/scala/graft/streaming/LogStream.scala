@@ -395,6 +395,47 @@ object LogStream {
       }
       .start()
 
+  /** SELF-LEARNING embedding dedup — [[dedupLearningArrivals]]' contract
+    * for the vector modality: verdicts come from base + learned batches
+    * strictly below this one ([[graft.ops.Dedup.readEmbedIndex]] —
+    * replay-exact), and `new` VALID vectors write their own bucketed
+    * index rows to the `learned/` delta (bucketed with the planes value
+    * read FROM the index — self-describing, so an index rebuilt with a
+    * different quantizer re-buckets the stream's learning without a
+    * restart). `invalid` arrivals are never learned. Zero state-store
+    * state.
+    */
+  def dedupLearningEmbedArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String,
+      minCosine: Double = 0.9): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val idx = graft.ops.Dedup.readEmbedIndex(spark, indexRoot,
+          beforeBatch = batchId)
+        // planes from the index (one-row scalar read, planes-guard class)
+        val planes = idx.select(col("planes")).head().getInt(0)
+        val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+          .embedDedupAgainstIndex(batch, idx, minCosine, planes))
+        val learned = graft.ops.Dedup.buildEmbedIndex(
+          batch.join(verdicts.filter(col("verdict") === "new")
+            .select(col("vec_id")), Seq("vec_id")), planes)
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          learned.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexRoot/learned")
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        } finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** STREAMING incremental SemDeDup against the warehouse — the semantic
     * member of the incremental family (text [[dedupArrivals]], images
     * [[dedupImageArrivals]], embeddings [[dedupEmbedArrivals]], substrings

@@ -572,6 +572,62 @@ class StreamingSpec extends GraftSpec {
     assert(bv === v.map { case (k, (vd, _)) => k -> vd })
   }
 
+  test("self-learning embedding dedup: near-copy of a learned novel " +
+      "vector caught, invalid never learned, replay-exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val base = vec(i => math.sin(i * 0.7) + 0.1)
+    val novel = vec(i => math.cos(i * 1.3) - 0.2)
+    val in = tmp("elearn-in")
+    val root = tmp("elearn-idx").resolve("index").toString
+    val out = tmp("elearn-out").toString
+    graft.ops.Dedup.buildEmbedIndex(
+      Seq((100L, base)).toDF("vec_id", "embedding")).write
+      .parquet(s"$root/base")
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    // batch 1: a novel direction + an invalid vector; batch 2: a SCALED
+    // copy of the novel vector (same buckets, cosine 1) + a base near-dup
+    Files.writeString(in.resolve("b1.json"),
+      Seq(js(1, novel),
+        """{"vec_id":3,"embedding":[1.0,2.0]}""").mkString("", "\n", "\n"))
+    Files.writeString(in.resolve("b2.json"),
+      Seq(js(4, novel.map(_ * 2f)), js(5, base.map(_ * 3f)))
+        .mkString("", "\n", "\n"))
+    Files.setLastModifiedTime(in.resolve("b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    val q = LogStream.dedupLearningEmbedArrivals(arrivals, root, out,
+      tmp("elearn-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("verdict"), Option(r.getAs[Any]("match_id")))))
+      .toMap
+    val v = read()
+    assert(v(1L)._1 === "new")
+    assert(v(3L)._1 === "invalid")
+    assert(v(4L) === (("near", Some(1L))),
+      s"scaled copy must match the LEARNED novel vector, got $v")
+    assert(v(5L) === (("near", Some(100L))), s"got $v")
+    // invalid was never learned
+    val learnedIds = spark.read.parquet(s"$root/learned")
+      .select("ex_id").as[Long].collect().toSet
+    assert(learnedIds === Set(1L),
+      s"only the valid novel vector may be learned, got $learnedIds")
+    // replay-exact
+    LogStream.dedupLearningEmbedArrivals(arrivals, root, out,
+      tmp("elearn-ck2").toString).awaitTermination()
+    assert(read() === v)
+  }
+
   test("streaming incremental SemDeDup: cluster-blocked verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
