@@ -366,6 +366,16 @@ object Dedup {
       rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
     readWithLearned(spark, rootPath, beforeBatch)
 
+  /** [[readCorpusIndex]]'s shape for the SEMANTIC index's MEMBERS table
+    * ([[graft.ops.Similarity.buildSemIndex]] members at `<root>/members/base`
+    * + the learning stream's delta) — centroids stay a single table at
+    * `<root>/centroids` (learning adds members to existing cells; new
+    * cells only appear at retrain, which is a rebuild).
+    */
+  def readSemMembers(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, s"$rootPath/members", beforeBatch)
+
   private def readWithLearned(spark: org.apache.spark.sql.SparkSession,
       rootPath: String, beforeBatch: Long): DataFrame = {
     val base = spark.read.parquet(s"$rootPath/base")

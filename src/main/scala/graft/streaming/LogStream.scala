@@ -470,6 +470,51 @@ object LogStream {
       }
       .start()
 
+  /** SELF-LEARNING incremental SemDeDup — [[dedupLearningArrivals]]'
+    * contract for the semantic modality, closing the learning loop on the
+    * LAST member of the incremental family: `keep` arrivals join their
+    * assigned cell's member set (`members/learned/batch_id=N` under the
+    * index root), so a later arrival semantically covered by an earlier
+    * KEPT arrival is pruned against it — the static-members stream keeps
+    * admitting every paraphrase of novel content. Batch b reads
+    * `members/base` + learned batches strictly below b
+    * ([[graft.ops.Dedup.readSemMembers]] — replay-exact); centroids stay
+    * frozen (a cell set only changes at retrain, which is a rebuild), so
+    * learning never re-clusters. `invalid` arrivals are never learned.
+    * Zero state-store state.
+    */
+  def dedupLearningSemArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String,
+      minCosine: Double = 0.9): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = graft.ops.Barrier.barrier(graft.ops.Similarity
+          .semDedupAgainstIndex(batch,
+            spark.read.parquet(s"$indexRoot/centroids"),
+            graft.ops.Dedup.readSemMembers(spark, indexRoot,
+              beforeBatch = batchId), minCosine))
+        val learned = batch
+          .join(verdicts.filter(col("verdict") === "keep")
+            .select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .select(col("vec_id").as("ex_id"), col("cell"),
+            col("embedding").as("ex_e"))
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          learned.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexRoot/members/learned")
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        } finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** STREAMING PQ-index APPEND — the INGEST side of the ANN index's
     * maintenance cadence ([[graft.ops.Similarity.appendToPqIndex]] as a
     * stream): each arriving vector is coded under the index's FROZEN

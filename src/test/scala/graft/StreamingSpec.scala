@@ -789,6 +789,62 @@ class StreamingSpec extends GraftSpec {
     assert(spark.read.parquet(out).count() === 4)
   }
 
+  test("self-learning SemDeDup: a paraphrase of a KEPT arrival is pruned " +
+      "against it, replay-exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val base = vec(i => math.sin(i * 0.7) + 0.1)
+    val other = vec(i => math.cos(i * 1.3) - 0.2)
+    val novel = vec(i => math.sin(i * 2.9) * (if (i % 2 == 0) 1 else -1))
+    val in = tmp("slearn-in")
+    val root = tmp("slearn-idx").resolve("index").toString
+    val out = tmp("slearn-out").toString
+    val corpus = Seq((100L, base), (101L, other)).toDF("vec_id", "embedding")
+    val (centroids, members) =
+      graft.ops.Similarity.buildSemIndex(corpus, nCentroids = 2)
+    centroids.write.parquet(s"$root/centroids")
+    members.write.parquet(s"$root/members/base")
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    // batch 1: a novel direction (keep) + invalid; batch 2: a scaled copy
+    // of the novel direction (same cell, cosine 1 vs the LEARNED member)
+    Files.writeString(in.resolve("b1.json"),
+      Seq(js(1, novel),
+        """{"vec_id":3,"embedding":[1.0,2.0]}""").mkString("", "\n", "\n"))
+    Files.writeString(in.resolve("b2.json"),
+      js(4, novel.map(_ * 2f)) + "\n")
+    Files.setLastModifiedTime(in.resolve("b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    val q = LogStream.dedupLearningSemArrivals(arrivals, root, out,
+      tmp("slearn-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("verdict"), Option(r.getAs[Any]("match_id")))))
+      .toMap
+    val v = read()
+    assert(v(1L)._1 === "keep", s"novel direction must be kept, got $v")
+    assert(v(3L)._1 === "invalid")
+    assert(v(4L) === (("prune", Some(1L))),
+      s"paraphrase must prune against the LEARNED member, got $v")
+    // invalid was never learned
+    val learnedIds = spark.read.parquet(s"$root/members/learned")
+      .select("ex_id").as[Long].collect().toSet
+    assert(learnedIds === Set(1L), s"got $learnedIds")
+    // replay-exact
+    LogStream.dedupLearningSemArrivals(arrivals, root, out,
+      tmp("slearn-ck2").toString).awaitTermination()
+    assert(read() === v)
+  }
+
   test("streaming PQ index append: frozen-codebook coding, replay-safe, " +
       "visible to the query stream") {
     import org.apache.spark.sql.functions._
