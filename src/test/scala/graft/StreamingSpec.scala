@@ -903,6 +903,18 @@ class StreamingSpec extends GraftSpec {
       .minBy(_.getAs[Long]("rank")).getAs[Long]("cand_id")
     assert(top1 === 200L,
       s"query in the appended direction must rank the appended vector first, got $top1")
+    // compaction folds the delta into a marker-committed generation; the
+    // query stream resolves the flip transparently (readPqCodes) and the
+    // appended vector keeps ranking first from the compacted codes
+    graft.ops.Similarity.compactPqIndex(spark, idx)
+    assert(graft.ops.Similarity.readPqCodes(spark, idx).count() === 7)
+    val out2 = tmp("pqapp-out2").toString
+    LogStream.annArrivals(queries, idx, out2, tmp("pqapp-qck2").toString,
+      k = 2).awaitTermination()
+    val top1c = spark.read.parquet(out2).collect()
+      .minBy(_.getAs[Long]("rank")).getAs[Long]("cand_id")
+    assert(top1c === 200L,
+      "post-compaction query stream must serve the generation's codes")
   }
 
   test("self-learning media dedup: a re-upload of a novel asset is caught, " +
