@@ -565,7 +565,11 @@ object Similarity {
     * The horizon assumes ONE append-stream lineage (monotone batch ids per
     * checkpoint — the same assumption the delta's replay idempotence
     * rests on); a re-checkpointed stream needs a fresh index root or a
-    * rebuild. Returns the committed generation id.
+    * rebuild. Compaction itself is SINGLE-WRITER by assumption (one
+    * maintenance job per index root, the ingest-cadence deployment shape);
+    * concurrent runs would race the generation id — the fact tables'
+    * claim-lock (`ingest.Compaction`) is the pattern to add if that
+    * deployment ever changes. Returns the committed generation id.
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Long = {
