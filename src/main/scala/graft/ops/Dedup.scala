@@ -376,6 +376,18 @@ object Dedup {
       rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
     readWithLearned(spark, s"$rootPath/members", beforeBatch)
 
+  /** [[readCorpusIndex]]'s shape for the GRAM index ([[buildGramIndex]]
+    * base + the learning stream's delta). The combined view stays
+    * ONE-ROW-PER-GRAM — the invariant [[spanCheckAgainstIndex]]'s run
+    * merging depends on (duplicate membership rows would split runs and
+    * double-count dup_grams) — because the learning stream writes only
+    * FIRST-SEEN grams (anti-joined against prior knowledge), never
+    * re-learning a gram the base or an earlier batch already holds.
+    */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, rootPath, beforeBatch)
+
   private def readWithLearned(spark: org.apache.spark.sql.SparkSession,
       rootPath: String, beforeBatch: Long): DataFrame = {
     val base = spark.read.parquet(s"$rootPath/base")

@@ -344,6 +344,44 @@ object LogStream {
     * ingest-time ExactSubstr gate. Span rows land batch-partitioned for
     * idempotent replay; zero state-store state.
     */
+  /** SELF-LEARNING substring check — [[dedupLearningArrivals]]' contract
+    * for the gram index, the FIFTH and last member of the learning
+    * family: every arrival's FIRST-SEEN grams (anti-joined against base +
+    * earlier learned batches, so the one-row-per-gram invariant
+    * [[graft.ops.Dedup.spanCheckAgainstIndex]]'s run merging depends on
+    * holds globally, at arrival-bounded cost) land in the `learned/`
+    * delta — a later arrival quoting an earlier arrival's content gets
+    * its span flagged, which the static-index stream cannot see. Batch b
+    * reads base + learned strictly below b
+    * ([[graft.ops.Dedup.readGramIndex]] — replay-exact). Zero
+    * state-store state.
+    */
+  def spanCheckLearningArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String, n: Int = 5): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val idx = graft.ops.Dedup.readGramIndex(spark, indexRoot,
+          beforeBatch = batchId)
+        val spans = graft.ops.Dedup.spanCheckAgainstIndex(batch, idx, n)
+          .withColumn("batch_id", lit(batchId))
+        val novelGrams = graft.ops.Dedup.buildGramIndex(batch, n)
+          .join(idx, Seq("gram"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          novelGrams.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$indexRoot/learned")
+          spans.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        } finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   def spanCheckArrivals(arrivals: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, n: Int = 5): StreamingQuery =
     arrivals.writeStream

@@ -526,6 +526,60 @@ class StreamingSpec extends GraftSpec {
     assert(bv === rows)
   }
 
+  test("self-learning substring check: a later arrival quoting an earlier " +
+      "arrival is flagged, grams learned once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("glearn-in")
+    val root = tmp("glearn-idx").resolve("index").toString
+    val out = tmp("glearn-out").toString
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.buildGramIndex(corpus, n = 3).write
+      .parquet(s"$root/base")
+    val phrase = "m1 m2 m3 m4 m5 m6" // novel 6-word phrase
+    // batch 1 introduces the phrase; batch 2 quotes it mid-document
+    Files.writeString(in.resolve("b1.json"),
+      s"""{"doc_id":1,"text":"$phrase"}""" + "\n")
+    Files.writeString(in.resolve("b2.json"),
+      s"""{"doc_id":2,"text":"x1 x2 $phrase y1 y2"}""" + "\n")
+    Files.setLastModifiedTime(in.resolve("b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    val q = LogStream.spanCheckLearningArrivals(arrivals, root, out,
+      tmp("glearn-ck").toString, n = 3)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val rows = read()
+    // doc 1: no spans (phrase unknown to base); doc 2: the quoted phrase
+    // at words 2..7 — learned from batch 1
+    assert(rows === Seq((2L, 2L, 7L, 6L)),
+      s"quoted phrase must span words 2..7 of doc 2, got $rows")
+    // static-index contrast: against base alone the quote is invisible
+    assert(graft.ops.Dedup.spanCheckAgainstIndex(
+      Seq((2L, s"x1 x2 $phrase y1 y2")).toDF("doc_id", "text"),
+      spark.read.parquet(s"$root/base"), n = 3).count() === 0)
+    // grams learn ONCE: batch 2 re-contains the phrase's grams but they
+    // are already knowledge, so only its genuinely new grams land
+    val learned = spark.read.parquet(s"$root/learned")
+    assert(learned.filter(col("batch_id") === 0).count() === 4) // m-grams
+    val b2grams = learned.filter(col("batch_id") === 1)
+      .select("gram").as[String].collect().toSet
+    assert(!b2grams.exists(_.startsWith("m1 m2")),
+      s"phrase grams must not be re-learned, got $b2grams")
+    // replay-exact
+    LogStream.spanCheckLearningArrivals(arrivals, root, out,
+      tmp("glearn-ck2").toString, n = 3).awaitTermination()
+    assert(read() === rows)
+  }
+
   test("streaming embedding dedup: LSH-bucketed verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
