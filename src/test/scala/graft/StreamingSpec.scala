@@ -559,9 +559,9 @@ class StreamingSpec extends GraftSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     val rows = read()
     // doc 1: no spans (phrase unknown to base); doc 2: the quoted phrase
-    // at words 2..7 — learned from batch 1
-    assert(rows === Seq((2L, 2L, 7L, 6L)),
-      s"quoted phrase must span words 2..7 of doc 2, got $rows")
+    // at 1-based word positions 3..8 — learned from batch 1
+    assert(rows === Seq((2L, 3L, 8L, 6L)),
+      s"quoted phrase must span words 3..8 of doc 2, got $rows")
     // static-index contrast: against base alone the quote is invisible
     assert(graft.ops.Dedup.spanCheckAgainstIndex(
       Seq((2L, s"x1 x2 $phrase y1 y2")).toDF("doc_id", "text"),
