@@ -196,6 +196,28 @@ object Bench {
       case _ => -1.0
     }
 
+    // Recorded same-bytecode FLOORS (r10 verdict item 7): the official
+    // capture repeatedly landed 1.3-1.4× above probe floors with spurious
+    // per-query spikes the own-min burst policy cannot see — a burst
+    // spanning ALL THREE runs inflates the min too, so median ≤ 2×min
+    // passes while the wall sits 5× above the same bytecode's known floor
+    // (r10's d18: 7.38 s official vs 1.18 s probe floor). bench/floors.json
+    // records the min across all probe-capture runs per query; a query
+    // whose median exceeds 2× its recorded floor gets one more gated
+    // triple after the suite, better median kept. Floors are ADVISORY —
+    // they only trigger re-measurement, never replace one — so a stale
+    // floor (a query whose plan legitimately changed) costs one extra
+    // triple, not correctness of the artifact.
+    val floors: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench/floors.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
     // One measured triple: three runs, their median, and the CPU seconds of
     // THIS triple alone (r8 advice: measuring cpu across rerun-inflated six
     // runs roughly doubled cpu_sec relative to the kept median's wall time,
@@ -236,25 +258,35 @@ object Bench {
     // Whole-suite burst guard (r8 verdict): the per-query policy can still
     // ship a polluted headline when a burst outlasts both triples (r8's t06:
     // six runs all at load 9.9-15.4). If the finished suite's total exceeds
-    // 1.3× its own sum_of_min, the capture is dirty by its own evidence:
-    // after a longer cooldown, give every still-suspect query (median > 2×
-    // its own min across ALL its recorded runs) one more gated triple and
-    // keep the better median. Bounded: one sweep, small query set.
+    // 1.15× its own sum_of_min (tightened from 1.3 — r10 verdict item 7
+    // asks the official capture to land within ~1.15× of its floor), the
+    // capture is dirty by its own evidence: after a longer cooldown, give
+    // every still-suspect query one more gated triple and keep the better
+    // median. Suspicion = median > 2× its own min across all recorded runs
+    // OR median > 2× its RECORDED same-bytecode floor (catches the
+    // all-three-runs-inflated case the own-min test is blind to).
+    // Bounded: one sweep, small query set.
     var suiteReruns = 0
+    def suspect(n: String, value: Double, runs: Seq[Double]): Boolean = {
+      val valid = runs.filter(_ >= 0)
+      value > 0 && ((valid.nonEmpty && value > 2 * valid.min) ||
+        floors.get(n).exists(f => value > 2 * f))
+    }
     locally {
       val ok = results.filter(_._2 >= 0)
       val totalNow = ok.map(_._2).sum
       val floorNow = ok.map(_._3.filter(_ >= 0).min).sum
-      if (ok.nonEmpty && totalNow > 1.3 * floorNow) {
+      val anySuspect = results.exists(r => suspect(r._1, r._2, r._3))
+      if (ok.nonEmpty && (totalNow > 1.15 * floorNow || anySuspect)) {
         val cooldownMs =
           sys.env.getOrElse("SPARK_GRAFT_SUITE_COOLDOWN_SEC", "120").toLong * 1000L
         System.err.println(
-          f"[bench] suite guard: total $totalNow%.1f > 1.3x floor $floorNow%.1f; cooling down")
+          f"[bench] suite guard: total $totalNow%.1f vs floor $floorNow%.1f, " +
+            s"suspects ${results.count(r => suspect(r._1, r._2, r._3))}; cooling down")
         Thread.sleep(cooldownMs)
         remainingBudgetMs = remainingBudgetMs.max(quietBudgetMs / 2)
         results = results.map { case r @ (n, value, runs, before, _, cpu, _) =>
-          val valid = runs.filter(_ >= 0)
-          if (value > 0 && valid.nonEmpty && value > 2 * valid.min) {
+          if (suspect(n, value, runs)) {
             gateQuery()
             val (rs3, v3, c3) = triple(n)
             suiteReruns += 1

@@ -47,8 +47,12 @@ object EntryOps {
     Dedup.ngramJaccard(docs(spark, dir), n = 3, minJaccard = 0.1,
       maxDocFreq = 256)
 
+  /** Registered path runs WITH the band-frequency cap (d02's `maxDocFreq`
+    * discipline applied to the band self-join); the oracle mirrors the same
+    * per-(band, sig) HAVING filter so the capped plan is what's verified.
+    */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(docs(spark, dir))
+    Dedup.minhashLsh(docs(spark, dir), maxBandFreq = 64)
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir))
@@ -199,14 +203,14 @@ object EntryOps {
 
   def topkPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cb = java.nio.file.Paths.get(dir, "pq_codebooks.parquet")
-    if (java.nio.file.Files.exists(cb)) {
+    val cb = s"$dir/pq_codebooks.parquet"
+    val fs = graft.ops.IndexFs.fs(spark, dir)
+    if (graft.ops.IndexFs.exists(fs, cb)) {
       // the index is SELF-DESCRIBING: read its persisted geometry (one-row
       // scalar read, planes-guard class) rather than assuming defaults —
       // an ingest-cadence rebuild may legitimately re-size the quantizer
-      val codebooks = spark.read.parquet(cb.toString)
-      val codes = spark.read.parquet(
-        java.nio.file.Paths.get(dir, "pq_codes.parquet").toString)
+      val codebooks = spark.read.parquet(cb)
+      val codes = spark.read.parquet(s"$dir/pq_codes.parquet")
       val g = codebooks.select(col("subspaces"), col("codebook_size"),
         col("dims")).head()
       Similarity.topkPqAgainstIndex(e.filter(pqQueryPred), codebooks, codes,
@@ -226,13 +230,12 @@ object EntryOps {
     */
   def topkIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val ct = java.nio.file.Paths.get(dir, "ivfpq_centroids.parquet")
-    if (java.nio.file.Files.exists(ct)) {
-      val centroids = spark.read.parquet(ct.toString)
-      val codebooks = spark.read.parquet(
-        java.nio.file.Paths.get(dir, "ivfpq_codebooks.parquet").toString)
-      val codes = spark.read.parquet(
-        java.nio.file.Paths.get(dir, "ivfpq_codes.parquet").toString)
+    val ct = s"$dir/ivfpq_centroids.parquet"
+    val fs = graft.ops.IndexFs.fs(spark, dir)
+    if (graft.ops.IndexFs.exists(fs, ct)) {
+      val centroids = spark.read.parquet(ct)
+      val codebooks = spark.read.parquet(s"$dir/ivfpq_codebooks.parquet")
+      val codes = spark.read.parquet(s"$dir/ivfpq_codes.parquet")
       // self-describing geometry, as in topkPqIndexed: a production rebuild
       // GROWS n_cells with the corpus (constant cell size — the IVFADC
       // deployment regime), and the reader must follow the index, not a
@@ -3274,12 +3277,16 @@ object EntryOps {
           sg AS (SELECT doc_id, n,
                  md5(m1 || '|' || m2 || '|' || m3 || '|' || m4) AS sig0,
                  md5(m5 || '|' || m6 || '|' || m7 || '|' || m8) AS sig1 FROM mh),
+          k0 AS (SELECT sig0 AS ks FROM sg GROUP BY 1 HAVING count(*) <= 64),
+          k1 AS (SELECT sig1 AS ks FROM sg GROUP BY 1 HAVING count(*) <= 64),
           cand AS (
             SELECT a.doc_id AS doc1, b.doc_id AS doc2
             FROM sg a JOIN sg b ON a.sig0 = b.sig0 AND a.doc_id < b.doc_id
+            JOIN k0 ON a.sig0 = k0.ks
             UNION
             SELECT a.doc_id AS doc1, b.doc_id AS doc2
-            FROM sg a JOIN sg b ON a.sig1 = b.sig1 AND a.doc_id < b.doc_id),
+            FROM sg a JOIN sg b ON a.sig1 = b.sig1 AND a.doc_id < b.doc_id
+            JOIN k1 ON a.sig1 = k1.ks),
           iv AS (SELECT c.doc1, c.doc2, count(*) AS inter
                  FROM cand c JOIN tri t1 ON t1.doc_id = c.doc1
                  JOIN tri t2 ON t2.doc_id = c.doc2 AND t2.gram = t1.gram

@@ -108,9 +108,22 @@ object Dedup {
     * |grams|·k). Candidate generation is one equi-join per band on its
     * signature; verification touches candidate pairs only. This is the
     * canonical shape of corpus-scale fuzzy dedup.
+    *
+    * `maxBandFreq` caps the band self-join's fan-out: a (band, signature)
+    * bucket holding more than that many docs is DROPPED before candidate
+    * generation — without it, a degenerate hot band (near-constant docs,
+    * boilerplate, adversarial shingles) expands to df²/2 pairs and the
+    * "sublinear by banding" claim dies on exactly the corpora that need
+    * dedup most. The recall trade is the same as [[ngramJaccard]]'s
+    * `maxDocFreq` and the media index's band cap: members of a mega-bucket
+    * lose THAT band's candidacy but remain discoverable through their
+    * other bands (true near-dups agree on many bands; a bucket so hot it
+    * exceeds the cap is dominated by false-positive band collisions or by
+    * an exact-dup cluster better served by [[exact]]).
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
-      bandSize: Int = 4, verifyThreshold: Double = 0.1): DataFrame = {
+      bandSize: Int = 4, verifyThreshold: Double = 0.1,
+      maxBandFreq: Long = 64): DataFrame = {
     require(numHashes % bandSize == 0)
     // exploded shingle index — needed only for exact-Jaccard verification
     val tri = shingles(docs, n).cache()
@@ -126,8 +139,18 @@ object Dedup {
         graft.functions.MinHashBandSigs(col("grams"), numHashes, bandSize)
           .as("sigs"))
       .cache() // tiny (1 row/doc); consumed by both join sides + sizes
-    val bandRows = sg.select(col("doc_id"),
+    val allBandRows = sg.select(col("doc_id"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
+    // band-frequency cap (scaladoc above): one |bands|-wide aggregation +
+    // a semi-join — both shuffle on the same (band, sig) key the candidate
+    // self-join uses, so AQE coalesces them into the existing exchange
+    val bandRows =
+      if (maxBandFreq == Long.MaxValue) allBandRows
+      else allBandRows.join(
+        allBandRows.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("bf")).filter(col("bf") <= maxBandFreq)
+          .select(col("band"), col("sig")),
+        Seq("band", "sig"), "left_semi")
     val a = bandRows.select(col("doc_id").as("doc1"), col("band"), col("sig"))
     val b = bandRows.select(col("doc_id").as("doc2"), col("band"), col("sig"))
     val cand = a.join(b, Seq("band", "sig"))
@@ -391,16 +414,14 @@ object Dedup {
   private def readWithLearned(spark: org.apache.spark.sql.SparkSession,
       rootPath: String, beforeBatch: Long): DataFrame = {
     val base = spark.read.parquet(s"$rootPath/base")
-    val learned = java.nio.file.Paths.get(rootPath, "learned")
-    val hasLearned = java.nio.file.Files.exists(learned) && {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.list(learned)
-      try s.iterator().asScala
-        .exists(_.getFileName.toString.startsWith("batch_id="))
-      finally s.close()
-    }
+    // Hadoop FileSystem listing ([[IndexFs]]) so a learned-delta root on
+    // hdfs://s3a:// works the same as local disk
+    val fs = IndexFs.fs(spark, rootPath)
+    val learned = s"$rootPath/learned"
+    val hasLearned = IndexFs.childNames(fs, learned)
+      .exists(_.startsWith("batch_id="))
     if (hasLearned)
-      base.unionByName(spark.read.parquet(learned.toString)
+      base.unionByName(spark.read.parquet(learned)
         .filter(col("batch_id") < beforeBatch) // partition-pruned
         .drop("batch_id"))
     else base

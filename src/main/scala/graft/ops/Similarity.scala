@@ -479,18 +479,19 @@ object Similarity {
     */
   def readPqCodes(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
-    val (gen, horizon) = currentCodesGeneration(spark, indexPath)
+    val fs = IndexFs.fs(spark, indexPath)
+    val (gen, horizon) = currentCodesGeneration(fs, indexPath)
     val base = gen match {
       case Some(g) => spark.read.parquet(s"$indexPath/$GenPrefix$g")
       case None    => spark.read.parquet(s"$indexPath/codes")
     }
-    val delta = java.nio.file.Paths.get(indexPath, "codes_appended")
+    val delta = s"$indexPath/codes_appended"
     // a fully-GC'd delta dir has no partitions left — reading it would
     // fail schema inference, and there is nothing live to union anyway
-    val hasLive = java.nio.file.Files.exists(delta) &&
-      listDirNames(delta).exists(_.startsWith("batch_id="))
+    val hasLive = IndexFs.childNames(fs, delta)
+      .exists(_.startsWith("batch_id="))
     if (hasLive) {
-      val app = spark.read.parquet(delta.toString)
+      val app = spark.read.parquet(delta)
         .filter(col("batch_id") > horizon) // partition-pruned
         .drop("batch_id")
       base.unionByName(app)
@@ -499,16 +500,7 @@ object Similarity {
 
   private val GenPrefix = "codes_g"
   private val GenMarker = "_GRAFT_PQ_GEN"
-
-  /** Child names of a directory, stream CLOSED (a bare `Files.list`
-    * iterator leaks the directory handle until GC).
-    */
-  private def listDirNames(p: java.nio.file.Path): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.list(p)
-    try s.iterator().asScala.map(_.getFileName.toString).toList
-    finally s.close()
-  }
+  private val CompactLock = "_GRAFT_PQ_COMPACT.lock"
 
   /** Highest MARKED codes generation under the index root, with the append
     * horizon its marker records (−1 when none — base `codes/` serves, all
@@ -516,28 +508,25 @@ object Similarity {
     * compaction) is invisible, exactly the fact-table commit protocol.
     */
   private def currentCodesGeneration(
-      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): (Option[Long], Long) = {
-    val root = java.nio.file.Paths.get(indexPath)
-    if (!java.nio.file.Files.exists(root)) return (None, -1L)
-    val gens = listGenerations(root)
-    gens.lastOption match {
+    listGenerations(fs, indexPath).lastOption match {
       case Some((g, h)) => (Some(g), h)
       case None         => (None, -1L)
     }
   }
 
   /** (generation, horizon) pairs for every MARKED generation, ascending. */
-  private def listGenerations(
-      root: java.nio.file.Path): Seq[(Long, Long)] = {
+  private def listGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Seq[(Long, Long)] = {
     val Gen = (GenPrefix + "(\\d+)").r
-    listDirNames(root)
+    IndexFs.childNames(fs, indexPath)
       .flatMap {
         case Gen(g) =>
-          val marker = root.resolve(GenPrefix + g).resolve(GenMarker)
-          if (java.nio.file.Files.exists(marker))
+          val marker = s"$indexPath/$GenPrefix$g/$GenMarker"
+          if (IndexFs.exists(fs, marker))
             Some(g.toLong ->
-              java.nio.file.Files.readString(marker).trim.toLong)
+              IndexFs.readSmallString(fs, marker).trim.toLong)
           else None
         case _ => None
       }.sortBy(_._1)
@@ -565,67 +554,90 @@ object Similarity {
     * The horizon assumes ONE append-stream lineage (monotone batch ids per
     * checkpoint — the same assumption the delta's replay idempotence
     * rests on); a re-checkpointed stream needs a fresh index root or a
-    * rebuild. Compaction itself is SINGLE-WRITER by assumption (one
-    * maintenance job per index root, the ingest-cadence deployment shape);
-    * concurrent runs would race the generation id — the fact tables'
-    * claim-lock (`ingest.Compaction`) is the pattern to add if that
-    * deployment ever changes. Returns the committed generation id.
+    * rebuild.
+    *
+    * CONCURRENCY: compaction is guarded by an atomic claim-lock at the
+    * index root (`_GRAFT_PQ_COMPACT.lock`, `ingest.Ingest.tryClaim`'s
+    * create-if-absent protocol via [[IndexFs.tryClaim]]), so two
+    * maintenance jobs cannot race the generation id. The LOSER no-ops and
+    * returns the currently committed generation (0 when only base
+    * `codes/` serves) — compaction is idempotent maintenance, the winner
+    * is doing the work. A lock untouched for `lockTimeoutMs` with no
+    * MARKED generation newer than the loser observed is a crashed holder:
+    * its torn (unmarked) generation dir and lock are removed and the
+    * claim retried. All filesystem moves go through the Hadoop
+    * `FileSystem` API ([[IndexFs]]), so the index root may live on
+    * `hdfs://`/`s3a://` as well as local disk.
+    * Returns the committed generation id.
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Long = {
-    val root = java.nio.file.Paths.get(indexPath)
-    val gens = listGenerations(root)
-    val (baseDf, prevHorizon) = gens.lastOption match {
-      case Some((g, h)) =>
-        (spark.read.parquet(s"$indexPath/$GenPrefix$g"), h)
-      case None => (spark.read.parquet(s"$indexPath/codes"), -1L)
+      indexPath: String,
+      lockTimeoutMs: Long = 10 * 60 * 1000L): Long = {
+    val fs = IndexFs.fs(spark, indexPath)
+    val lock = s"$indexPath/$CompactLock"
+    val gensAtEntry = listGenerations(fs, indexPath)
+    if (!IndexFs.tryClaim(fs, lock)) {
+      // lock held: a live concurrent compactor owns the root — no-op —
+      // unless the lock is STALE with no newer marked generation (a
+      // crashed holder), in which case steal: torn dir + lock removed
+      val stale = IndexFs.mtime(fs, lock)
+        .forall(System.currentTimeMillis() - _ > lockTimeoutMs)
+      val progressed =
+        listGenerations(fs, indexPath).lastOption.map(_._1) !=
+          gensAtEntry.lastOption.map(_._1)
+      if (stale && !progressed) {
+        val torn = gensAtEntry.lastOption.map(_._1).getOrElse(0L) + 1L
+        IndexFs.rmTree(fs, s"$indexPath/$GenPrefix$torn")
+        IndexFs.release(fs, lock)
+        if (!IndexFs.tryClaim(fs, lock))
+          return listGenerations(fs, indexPath).lastOption
+            .map(_._1).getOrElse(0L)
+      } else
+        return listGenerations(fs, indexPath).lastOption
+          .map(_._1).getOrElse(0L)
     }
-    // horizon = highest appended batch DIRECTORY at merge start: batches
-    // landing during the merge have higher ids and stay live in the delta
-    val delta = root.resolve("codes_appended")
-    val liveBatches: Seq[Long] =
-      if (java.nio.file.Files.exists(delta)) {
-        val B = "batch_id=(\\d+)".r
-        listDirNames(delta).flatMap {
-          case B(b) => Some(b.toLong); case _ => None
-        }
-      } else Seq.empty
-    val horizon = (liveBatches.filter(_ > prevHorizon) :+ prevHorizon).max
-    val merged =
-      if (horizon > prevHorizon)
-        baseDf.unionByName(spark.read.parquet(delta.toString)
-          .filter(col("batch_id") > prevHorizon &&
-            col("batch_id") <= horizon)
-          .drop("batch_id"))
-      else baseDf
-    val next = gens.lastOption.map(_._1).getOrElse(0L) + 1L
-    val genDir = root.resolve(s"$GenPrefix$next")
-    merged.write.mode("overwrite").parquet(genDir.toString)
-    // marker AFTER the data — the atomic flip readers key on
-    java.nio.file.Files.writeString(genDir.resolve(GenMarker),
-      s"$horizon\n")
-    // GC: everything SUPERSEDED BEFORE this run — generations below the
-    // previous one, and append partitions at or below the PREVIOUS
-    // horizon. This run's predecessors survive one more cycle for
-    // in-flight readers.
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-          .foreach(java.nio.file.Files.delete)
-        finally s.close()
+    try {
+      val gens = listGenerations(fs, indexPath)
+      val (baseDf, prevHorizon) = gens.lastOption match {
+        case Some((g, h)) =>
+          (spark.read.parquet(s"$indexPath/$GenPrefix$g"), h)
+        case None => (spark.read.parquet(s"$indexPath/codes"), -1L)
       }
-    gens.dropRight(1).foreach { case (g, _) =>
-      rmTree(root.resolve(s"$GenPrefix$g")) }
-    // base `codes/` is the BUILD's artifact and is never GC'd here: a
-    // RETRAIN (new codebooks) must land in a fresh index root (or clear
-    // codes_g*/codes_appended first) — codes are only meaningful under
-    // the codebooks that produced them, and stale generations would
-    // silently shadow a re-written codes/ otherwise.
-    liveBatches.filter(_ <= prevHorizon).foreach { b =>
-      rmTree(delta.resolve(s"batch_id=$b")) }
-    next
+      // horizon = highest appended batch DIRECTORY at merge start: batches
+      // landing during the merge have higher ids and stay live in the delta
+      val delta = s"$indexPath/codes_appended"
+      val B = "batch_id=(\\d+)".r
+      val liveBatches: Seq[Long] = IndexFs.childNames(fs, delta).flatMap {
+        case B(b) => Some(b.toLong); case _ => None
+      }
+      val horizon = (liveBatches.filter(_ > prevHorizon) :+ prevHorizon).max
+      val merged =
+        if (horizon > prevHorizon)
+          baseDf.unionByName(spark.read.parquet(delta)
+            .filter(col("batch_id") > prevHorizon &&
+              col("batch_id") <= horizon)
+            .drop("batch_id"))
+        else baseDf
+      val next = gens.lastOption.map(_._1).getOrElse(0L) + 1L
+      val genDir = s"$indexPath/$GenPrefix$next"
+      merged.write.mode("overwrite").parquet(genDir)
+      // marker AFTER the data — the atomic flip readers key on
+      IndexFs.writeSmallString(fs, s"$genDir/$GenMarker", s"$horizon\n")
+      // GC: everything SUPERSEDED BEFORE this run — generations below the
+      // previous one, and append partitions at or below the PREVIOUS
+      // horizon. This run's predecessors survive one more cycle for
+      // in-flight readers.
+      gens.dropRight(1).foreach { case (g, _) =>
+        IndexFs.rmTree(fs, s"$indexPath/$GenPrefix$g") }
+      // base `codes/` is the BUILD's artifact and is never GC'd here: a
+      // RETRAIN (new codebooks) must land in a fresh index root (or clear
+      // codes_g*/codes_appended first) — codes are only meaningful under
+      // the codebooks that produced them, and stale generations would
+      // silently shadow a re-written codes/ otherwise.
+      liveBatches.filter(_ <= prevHorizon).foreach { b =>
+        IndexFs.rmTree(fs, s"$delta/batch_id=$b") }
+      next
+    } finally IndexFs.release(fs, lock)
   }
 
   /** PQ index QUANTIZATION-DRIFT metric — the REBUILD TRIGGER for the
@@ -710,6 +722,135 @@ object Similarity {
         .withColumn("dims", lit(g.getInt(1))),
       codes.select(col("vec_id"), col("codes")), col("cohort"))
   }
+
+  // ---- versioned index ROOTS: the drift→rebuild edge, closed ----------
+
+  private val RootMarker = "_GRAFT_PQ_ROOT"
+  private val RootDirRe = "v-(\\d{8})".r
+
+  /** Resolve a VERSIONED PQ index container: the highest `v-<N>/` child
+    * carrying its `_GRAFT_PQ_ROOT` marker (written AFTER the index data —
+    * the same torn-write-invisible discipline as the codes generations),
+    * or None when the path holds no committed version. Listing goes
+    * through [[IndexFs]], so the container may live on `hdfs://`/`s3a://`.
+    */
+  def currentPqRoot(spark: org.apache.spark.sql.SparkSession,
+      rootsPath: String): Option[String] = {
+    val fs = IndexFs.fs(spark, rootsPath)
+    IndexFs.childNames(fs, rootsPath).flatMap {
+      case RootDirRe(n)
+        if IndexFs.exists(fs, s"$rootsPath/v-$n/$RootMarker") =>
+        Some(n.toLong)
+      case _ => None
+    }.maxOption.map(v => f"$rootsPath/v-$v%08d")
+  }
+
+  /** An index path a READER should scan: the current committed version of
+    * a versioned container, or the path itself when it is a plain index
+    * root (codebooks/codes directly under it — the pre-rebuild layout).
+    * Streams re-resolve per micro-batch, so a rebuild flip routes live
+    * queries to the new quantizer without restart.
+    */
+  def resolvePqIndexPath(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    currentPqRoot(spark, path).getOrElse(path)
+
+  /** BUILD a PQ index into the container's NEXT version and commit it by
+    * marker — the write side of the versioned-root flip. Claim-locked
+    * (`v-<N>.lock`, [[IndexFs.tryClaim]]): a concurrent maintainer
+    * no-ops with None; a stale lock (crashed holder, no marker landed)
+    * is stolen with its torn version dir, the fact-table protocol.
+    * Returns the committed version id.
+    *
+    * `emb` must be the corpus the new index should COVER — including any
+    * vectors appended to the previous version's root (the rebuild retrains
+    * the quantizer on everything it will serve; the old version's append
+    * delta is superseded by the new base, not carried over).
+    */
+  def commitPqRoot(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, rootsPath: String, subspaces: Int = 16,
+      codebookSize: Int = 16, dims: Int = 64,
+      lockTimeoutMs: Long = 10 * 60 * 1000L): Option[Long] = {
+    val fs = IndexFs.fs(spark, rootsPath)
+    val versions = IndexFs.childNames(fs, rootsPath).flatMap {
+      case RootDirRe(n) => Some(n.toLong); case _ => None
+    }
+    val marked = versions.filter(v =>
+      IndexFs.exists(fs, f"$rootsPath/v-$v%08d/$RootMarker"))
+    val next = (marked :+ 0L).max + 1
+    val vdir = f"$rootsPath/v-$next%08d"
+    val lock = s"$vdir.lock"
+    if (!IndexFs.tryClaim(fs, lock)) {
+      val stale = IndexFs.mtime(fs, lock)
+        .forall(System.currentTimeMillis() - _ > lockTimeoutMs)
+      if (!stale || IndexFs.exists(fs, s"$vdir/$RootMarker")) return None
+      IndexFs.rmTree(fs, vdir) // crashed holder's torn version
+      IndexFs.release(fs, lock)
+      if (!IndexFs.tryClaim(fs, lock)) return None
+    }
+    try {
+      if (IndexFs.exists(fs, s"$vdir/$RootMarker")) return None
+      val (cb, codes) = buildPqIndex(emb, subspaces, codebookSize, dims)
+      // Overwrite reclaims a torn dir from a crashed pre-lock attempt
+      cb.write.mode("overwrite").parquet(s"$vdir/codebooks")
+      codes.write.mode("overwrite").parquet(s"$vdir/codes")
+      IndexFs.writeSmallString(fs, s"$vdir/$RootMarker", "1\n")
+      Some(next)
+    } finally IndexFs.release(fs, lock)
+  }
+
+  /** [[pqIndexDrift]] over a PERSISTED root with the cohorts DERIVED from
+    * the root itself: trained = vec_id present in the build's base
+    * `codes/` (never GC'd — it IS the training-time corpus snapshot),
+    * appended = everything else the index now serves (the
+    * `codes_appended/` delta and compacted generations). No side
+    * metadata: the root already records which vectors the quantizer was
+    * fitted to.
+    */
+  def pqRootDrift(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, indexPath: String): DataFrame = {
+    val codebooks = spark.read.parquet(s"$indexPath/codebooks")
+    val trained = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id")).withColumn("is_trained", lit(true))
+    pqIndexDrift(emb.join(trained, Seq("vec_id"), "left"), codebooks,
+      readPqCodes(spark, indexPath),
+      when(col("is_trained"), lit("trained")).otherwise(lit("appended")))
+  }
+
+  /** The MONITOR→REBUILD edge, closed: read the per-cohort drift of the
+    * container's current version ([[pqRootDrift]] — s12's metric over the
+    * persisted tables), and when the appended cohort's mean quantization
+    * error exceeds the trained cohort's by `driftFactor`, retrain into a
+    * fresh version and flip readers by marker ([[commitPqRoot]] — the
+    * FAISS train/add/rebuild cadence with the decision automated).
+    * A container with no committed version cold-starts one (the initial
+    * build IS the degenerate rebuild). Returns the new version id, None
+    * when drift has not tripped (or a concurrent maintainer holds the
+    * claim). Geometry follows the live root — a rebuild re-fits the
+    * codebooks, it does not silently re-shape them.
+    *
+    * The drift read is a ≤2-row driver-side scalar collect (sanctioned
+    * class); everything heavy stays declarative.
+    */
+  def rebuildPqRootIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, rootsPath: String,
+      driftFactor: Double = 1.25): Option[Long] =
+    currentPqRoot(spark, rootsPath) match {
+      case None => commitPqRoot(spark, emb, rootsPath)
+      case Some(root) =>
+        val byCohort = pqRootDrift(spark, emb, root).collect()
+          .map(r => r.getString(0) -> r.getDouble(2)).toMap
+        val tripped = byCohort.get("appended").exists(a =>
+          byCohort.get("trained").exists(t => a > t * driftFactor))
+        if (!tripped) None
+        else {
+          val g = spark.read.parquet(s"$root/codebooks")
+            .select(col("subspaces"), col("codebook_size"), col("dims"))
+            .head()
+          commitPqRoot(spark, emb, rootsPath,
+            g.getInt(0), g.getInt(1), g.getInt(2))
+        }
+    }
 
   /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the composition production
     * billion-scale ANN actually deploys: [[refinedAssignment]]'s coarse

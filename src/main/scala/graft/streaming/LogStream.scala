@@ -577,13 +577,17 @@ object LogStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // per-batch root resolution: under a versioned container a
+        // drift-triggered rebuild flips this stream to the new quantizer
+        // (and its own append delta) without restart
+        val root = graft.ops.Similarity.resolvePqIndexPath(spark, indexPath)
         val coded = graft.ops.Similarity.appendToPqIndex(
-          batch, spark.read.parquet(s"$indexPath/codebooks"))
+          batch, spark.read.parquet(s"$root/codebooks"))
           .withColumn("batch_id", lit(batchId))
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try coded.write.mode("overwrite").partitionBy("batch_id")
-          .parquet(s"$indexPath/codes_appended")
+          .parquet(s"$root/codes_appended")
         finally prev.foreach(
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
       }
@@ -613,12 +617,15 @@ object LogStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val codebooks = spark.read.parquet(s"$indexPath/codebooks")
+        // versioned containers resolve per batch (resolvePqIndexPath): a
+        // drift-triggered rebuild routes queries to the new root next batch
+        val root = graft.ops.Similarity.resolvePqIndexPath(spark, indexPath)
+        val codebooks = spark.read.parquet(s"$root/codebooks")
         val g = codebooks.select(col("subspaces"), col("codebook_size"),
           col("dims")).head()
         val neighbors = graft.ops.Similarity.topkPqAgainstIndex(
           batch, codebooks,
-          graft.ops.Similarity.readPqCodes(spark, indexPath), k,
+          graft.ops.Similarity.readPqCodes(spark, root), k,
           g.getInt(0), g.getInt(1), g.getInt(2))
           .withColumn("batch_id", lit(batchId))
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -509,6 +509,119 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("PQ compaction claim-lock: a held lock no-ops the loser, a stale " +
+      "lock with no progress is stolen") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_lock")
+      .resolve("index").toString
+    try {
+      val (cb, codes) = Similarity.buildPqIndex(
+        emb.filter(col("vec_id") % 2 === 0))
+      cb.write.parquet(s"$idx/codebooks")
+      codes.write.parquet(s"$idx/codes")
+      Similarity.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), cb)
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$idx/codes_appended")
+      // a LIVE concurrent compactor holds the lock: this run must no-op —
+      // no new generation, delta untouched, current gen (0 = base) returned
+      val lock = java.nio.file.Paths.get(s"$idx/_GRAFT_PQ_COMPACT.lock")
+      java.nio.file.Files.createFile(lock)
+      assert(Similarity.compactPqIndex(spark, idx) === 0L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/codes_g1")),
+        "loser must not write a generation")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/codes_appended/batch_id=0")))
+      // a STALE lock (crashed holder — old mtime, no marked progress) is
+      // stolen and the chain continues intact
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600 * 1000L))
+      assert(Similarity.compactPqIndex(spark, idx) === 1L)
+      assert(!java.nio.file.Files.exists(lock), "lock released after commit")
+      assert(Similarity.readPqCodes(spark, idx)
+        .select("vec_id").distinct().count() === emb.count())
+      // sequential runs still chain normally after the steal
+      assert(Similarity.compactPqIndex(spark, idx) === 2L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(idx).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("minhashLsh band-frequency cap bounds a degenerate hot band") {
+    // 80 exact-duplicate docs: every band signature collides on all 80 —
+    // uncapped, the band self-join expands to 80·79/2 pairs per band
+    val hot = (1L to 80L).map(i => (i, "w1 w2 w3 w4 w5 w6")) :+
+      (200L, "totally different content here entirely")
+    val df = hot.toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(df, maxBandFreq = Long.MaxValue)
+    assert(uncapped.count() === 80L * 79 / 2)
+    // capped at 64: the mega-bucket is dropped BEFORE pair expansion
+    assert(Dedup.minhashLsh(df, maxBandFreq = 64).count() === 0)
+    // the cap only drops mega-buckets: a bucket at the cap still pairs
+    val ok = (1L to 64L).map(i => (i, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(ok, maxBandFreq = 64).count() === 64L * 63 / 2)
+  }
+
+  test("drift-triggered rebuild: append drifted vectors, drift trips, " +
+      "readers flip to a root bit-identical to a cold build") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val roots = java.nio.file.Files.createTempDirectory("graft_pq_roots")
+      .resolve("container").toString
+    try {
+      // cold start: a container with no committed version builds v1
+      assert(Similarity.rebuildPqRootIfDrifted(spark, emb, roots)
+        === Some(1L))
+      val v1 = Similarity.resolvePqIndexPath(spark, roots)
+      assert(v1.endsWith("v-00000001"))
+      // arrivals from a DIFFERENT distribution (scaled + shifted) append
+      // under v1's frozen codebooks — the index serves them, badly
+      val drifted = emb.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 10.0 + 5.0 AS FLOAT))")
+            .as("embedding"))
+      val cb1 = spark.read.parquet(s"$v1/codebooks")
+      Similarity.appendToPqIndex(drifted, cb1)
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
+      val corpus = emb.unionByName(drifted)
+      // the monitor sees the appended cohort's error blow past trained ×1.25
+      val d = Similarity.pqRootDrift(spark, corpus, v1).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(d("appended") > d("trained") * 1.25,
+        s"drift fixture must trip: $d")
+      // ... so the maintenance entry rebuilds into v2 and flips readers
+      assert(Similarity.rebuildPqRootIfDrifted(spark, corpus, roots)
+        === Some(2L))
+      val v2 = Similarity.resolvePqIndexPath(spark, roots)
+      assert(v2.endsWith("v-00000002"))
+      // the flipped root is BIT-IDENTICAL to a cold build on the corpus
+      val (coldCb, coldCodes) = Similarity.buildPqIndex(corpus)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("vec_id")).collect().toSeq
+      assert(rows(spark.read.parquet(s"$v2/codes")) === rows(coldCodes))
+      // ... and queries against it reproduce the cold build's neighbors
+      val q = corpus.filter(col("vec_id") % 40 === 0 && col("vec_id") < 2000)
+      assert(rows(Similarity.topkPqAgainstIndex(q,
+          spark.read.parquet(s"$v2/codebooks"),
+          Similarity.readPqCodes(spark, v2), k = 3))
+        === rows(Similarity.topkPqAgainstIndex(q, coldCb, coldCodes, k = 3)))
+      // fresh appends now measure against v2's training snapshot: no trip
+      assert(Similarity.rebuildPqRootIfDrifted(spark, corpus, roots) === None)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(roots).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("indexed registry entries read a persisted index dir, following its geometry") {
     // the exact path ScaleProbe/Bench exercise: a dir carrying symlinked
     // data tables plus pq_*/ivfpq_* parquet indexes. The IVF-PQ index is
