@@ -770,8 +770,23 @@ object Similarity {
   def commitPqRoot(spark: org.apache.spark.sql.SparkSession,
       emb: DataFrame, rootsPath: String, subspaces: Int = 16,
       codebookSize: Int = 16, dims: Int = 64,
-      lockTimeoutMs: Long = 10 * 60 * 1000L): Option[Long] = {
-    val fs = IndexFs.fs(spark, rootsPath)
+      lockTimeoutMs: Long = 10 * 60 * 1000L): Option[Long] =
+    commitNextRoot(IndexFs.fs(spark, rootsPath), rootsPath, lockTimeoutMs) {
+      vdir =>
+        val (cb, codes) = buildPqIndex(emb, subspaces, codebookSize, dims)
+        // Overwrite reclaims a torn dir from a crashed pre-lock attempt
+        cb.write.mode("overwrite").parquet(s"$vdir/codebooks")
+        codes.write.mode("overwrite").parquet(s"$vdir/codes")
+    }
+
+  /** The shared versioned-root commit protocol: claim the next version's
+    * lock, run `write` into the version dir, marker AFTER the data,
+    * release. Stale-lock steal and loser-no-op semantics as documented on
+    * [[commitPqRoot]].
+    */
+  private def commitNextRoot(fs: org.apache.hadoop.fs.FileSystem,
+      rootsPath: String, lockTimeoutMs: Long)(
+      write: String => Unit): Option[Long] = {
     val versions = IndexFs.childNames(fs, rootsPath).flatMap {
       case RootDirRe(n) => Some(n.toLong); case _ => None
     }
@@ -790,14 +805,31 @@ object Similarity {
     }
     try {
       if (IndexFs.exists(fs, s"$vdir/$RootMarker")) return None
-      val (cb, codes) = buildPqIndex(emb, subspaces, codebookSize, dims)
-      // Overwrite reclaims a torn dir from a crashed pre-lock attempt
-      cb.write.mode("overwrite").parquet(s"$vdir/codebooks")
-      codes.write.mode("overwrite").parquet(s"$vdir/codes")
+      write(vdir)
       IndexFs.writeSmallString(fs, s"$vdir/$RootMarker", "1\n")
       Some(next)
     } finally IndexFs.release(fs, lock)
   }
+
+  /** [[commitPqRoot]] for the deployed IVFADC route: coarse centroids,
+    * residual codebooks, and codes land under `v-<N>/` (`centroids/`,
+    * `codebooks/`, `codes/`) and flip by marker. The codes-generation
+    * machinery ([[readPqCodes]], [[compactPqIndex]]) is schema-agnostic —
+    * the bucket column rides the same union/merge paths — so the full
+    * append/compact/monitor cadence applies to an IVF-PQ root unchanged.
+    */
+  def commitIvfPqRoot(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, rootsPath: String, nCells: Int = 8,
+      subspaces: Int = 16, codebookSize: Int = 16, dims: Int = 64,
+      lockTimeoutMs: Long = 10 * 60 * 1000L): Option[Long] =
+    commitNextRoot(IndexFs.fs(spark, rootsPath), rootsPath, lockTimeoutMs) {
+      vdir =>
+        val (ct, cb, codes) =
+          buildIvfPqIndex(emb, nCells, subspaces, codebookSize, dims)
+        ct.write.mode("overwrite").parquet(s"$vdir/centroids")
+        cb.write.mode("overwrite").parquet(s"$vdir/codebooks")
+        codes.write.mode("overwrite").parquet(s"$vdir/codes")
+    }
 
   /** [[pqIndexDrift]] over a PERSISTED root with the cohorts DERIVED from
     * the root itself: trained = vec_id present in the build's base
@@ -849,6 +881,55 @@ object Similarity {
             .head()
           commitPqRoot(spark, emb, rootsPath,
             g.getInt(0), g.getInt(1), g.getInt(2))
+        }
+    }
+
+  /** [[pqRootDrift]] for an IVF-PQ root: residual-space drift
+    * ([[ivfPqIndexDrift]]) with cohorts derived from the root's base
+    * `codes/` snapshot, over base + appended codes ([[readPqCodes]] —
+    * schema-agnostic, the bucket column rides the union).
+    */
+  def ivfPqRootDrift(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, indexPath: String): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val codebooks = spark.read.parquet(s"$indexPath/codebooks")
+    val trained = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id")).withColumn("is_trained", lit(true))
+    ivfPqIndexDrift(emb.join(trained, Seq("vec_id"), "left"), centroids,
+      codebooks, readPqCodes(spark, indexPath),
+      when(col("is_trained"), lit("trained")).otherwise(lit("appended")))
+  }
+
+  /** [[rebuildPqRootIfDrifted]] for the IVFADC route, with the coarse
+    * quantizer GROWN with the corpus on rebuild: n_cells scales to keep
+    * the expected cell size of the PREVIOUS training run (the IVFADC
+    * deployment regime — constant per-query probed candidates as the
+    * corpus grows; Jégou et al. §IV, and the property the s10 scale-probe
+    * row demonstrates). Residual sub-space geometry follows the live root
+    * unchanged. Counts are two driver-side scalars (sanctioned class).
+    */
+  def rebuildIvfPqRootIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, rootsPath: String,
+      driftFactor: Double = 1.25): Option[Long] =
+    currentPqRoot(spark, rootsPath) match {
+      case None => commitIvfPqRoot(spark, emb, rootsPath)
+      case Some(root) =>
+        val byCohort = ivfPqRootDrift(spark, emb, root).collect()
+          .map(r => r.getString(0) -> r.getDouble(2)).toMap
+        val tripped = byCohort.get("appended").exists(a =>
+          byCohort.get("trained").exists(t => a > t * driftFactor))
+        if (!tripped) None
+        else {
+          val g = spark.read.parquet(s"$root/centroids")
+            .select(col("n_cells"), col("subspaces"),
+              col("codebook_size"), col("dims")).head()
+          val nTrained = spark.read.parquet(s"$root/codes").count()
+          val n = emb.count()
+          val cellSize = math.max(1L, nTrained / g.getInt(0))
+          val nCells = math.max(g.getInt(0),
+            math.ceil(n.toDouble / cellSize).toInt)
+          commitIvfPqRoot(spark, emb, rootsPath, nCells,
+            g.getInt(1), g.getInt(2), g.getInt(3))
         }
     }
 

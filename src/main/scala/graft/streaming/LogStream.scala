@@ -637,6 +637,74 @@ object LogStream {
       }
       .start()
 
+  /** [[pqIndexAppendArrivals]] for an IVF-PQ index root: arrivals are
+    * coarse-assigned AND residual-coded under the root's frozen quantizer
+    * pair ([[graft.ops.Similarity.appendToIvfPqIndex]] — the same
+    * map-side broadcast/argmax shape, bucket + dense code array per row)
+    * and land batch-partitioned under `codes_appended/` for idempotent
+    * replay. The generation machinery is schema-agnostic, so compaction
+    * and readers ([[graft.ops.Similarity.readPqCodes]]) serve the merged
+    * view unchanged; versioned containers resolve per batch, so a
+    * drift-triggered rebuild ([[graft.ops.Similarity
+    * .rebuildIvfPqRootIfDrifted]]) flips this stream to the new quantizer
+    * — and its grown coarse geometry — without restart.
+    */
+  def ivfPqIndexAppendArrivals(arrivals: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = graft.ops.Similarity.resolvePqIndexPath(spark, indexPath)
+        val coded = graft.ops.Similarity.appendToIvfPqIndex(batch,
+          spark.read.parquet(s"$root/centroids"),
+          spark.read.parquet(s"$root/codebooks"))
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try coded.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$root/codes_appended")
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
+  /** [[annArrivals]] through the deployed IVFADC route: per micro-batch,
+    * cell probing + table-driven ADC + shortlist against the persisted
+    * index, exact re-rank against `corpusPath`'s full vectors (IVFADC's
+    * vectors-on-disk access pattern — the index stores codes, the corpus
+    * table stores the few full rows the re-rank touches). Geometry follows
+    * the index; versioned containers resolve per batch, so a rebuild —
+    * including a grown coarse quantizer — routes queries next batch.
+    */
+  def annIvfArrivals(arrivals: DataFrame, indexPath: String,
+      corpusPath: String, outPath: String, checkpoint: String,
+      k: Int = 3, nprobe: Int = 3): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = graft.ops.Similarity.resolvePqIndexPath(spark, indexPath)
+        val centroids = spark.read.parquet(s"$root/centroids")
+        val g = centroids.select(col("n_cells"), col("subspaces"),
+          col("codebook_size"), col("dims")).head()
+        val neighbors = graft.ops.Similarity.topkIvfPqAgainstIndex(
+          batch, spark.read.parquet(corpusPath),
+          centroids, spark.read.parquet(s"$root/codebooks"),
+          graft.ops.Similarity.readPqCodes(spark, root), k,
+          g.getInt(0), g.getInt(1), g.getInt(2), nprobe, g.getInt(3))
+          .withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try neighbors.write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outPath)
+        finally prev.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      .start()
+
   /** Batch-shared maillog ingest body. `batch` needs columns
     * (content binary, modificationTime timestamp).
     *

@@ -622,6 +622,59 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("IVF-PQ drift-triggered rebuild grows the coarse quantizer with " +
+      "the corpus and flips readers") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val roots = java.nio.file.Files.createTempDirectory("graft_ivfpq_roots")
+      .resolve("container").toString
+    try {
+      assert(Similarity.rebuildIvfPqRootIfDrifted(spark, emb, roots)
+        === Some(1L))
+      val v1 = Similarity.resolvePqIndexPath(spark, roots)
+      val drifted = emb.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 10.0 + 5.0 AS FLOAT))")
+            .as("embedding"))
+      Similarity.appendToIvfPqIndex(drifted,
+          spark.read.parquet(s"$v1/centroids"),
+          spark.read.parquet(s"$v1/codebooks"))
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
+      val corpus = emb.unionByName(drifted)
+      assert(Similarity.rebuildIvfPqRootIfDrifted(spark, corpus, roots)
+        === Some(2L))
+      val v2 = Similarity.resolvePqIndexPath(spark, roots)
+      assert(v2.endsWith("v-00000002"))
+      // the coarse quantizer GREW: v1 trained 500 vecs in 8 cells
+      // (cell size 62); 700 vecs rebuild to ceil(700/62) = 12 cells
+      val g2 = spark.read.parquet(s"$v2/centroids")
+        .select("n_cells").head().getInt(0)
+      assert(g2 === 12, s"n_cells must grow with the corpus, got $g2")
+      // bit-identical to a cold build at the same grown geometry
+      val (coldCt, coldCb, coldCodes) =
+        Similarity.buildIvfPqIndex(corpus, nCells = g2)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("vec_id")).collect().toSeq
+      assert(rows(spark.read.parquet(s"$v2/codes")) === rows(coldCodes))
+      val q = corpus.filter(col("vec_id") % 40 === 0 && col("vec_id") < 2000)
+      assert(rows(Similarity.topkIvfPqAgainstIndex(q, corpus,
+          spark.read.parquet(s"$v2/centroids"),
+          spark.read.parquet(s"$v2/codebooks"),
+          Similarity.readPqCodes(spark, v2), k = 3, nCells = g2))
+        === rows(Similarity.topkIvfPqAgainstIndex(q, corpus,
+          coldCt, coldCb, coldCodes, k = 3, nCells = g2)))
+      assert(Similarity.rebuildIvfPqRootIfDrifted(spark, corpus, roots)
+        === None)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(roots).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("indexed registry entries read a persisted index dir, following its geometry") {
     // the exact path ScaleProbe/Bench exercise: a dir carrying symlinked
     // data tables plus pq_*/ivfpq_* parquet indexes. The IVF-PQ index is

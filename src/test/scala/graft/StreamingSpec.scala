@@ -971,6 +971,91 @@ class StreamingSpec extends GraftSpec {
       "post-compaction query stream must serve the generation's codes")
   }
 
+  test("streaming IVF-PQ lifecycle: frozen-quantizer append, probed query, " +
+      "rebuild flip routes both streams") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val in = tmp("ivfpqs-in")
+    val roots = tmp("ivfpqs-roots").resolve("container").toString
+    val corpusDir = tmp("ivfpqs-corpus")
+    val out = tmp("ivfpqs-out").toString
+    val corpus = (0 until 6).map(s =>
+      (100L + s, vec(i => math.sin(i * 0.37 + s * 1.1) + 0.05 * s)))
+      .toDF("vec_id", "embedding")
+    corpus.write.parquet(s"$corpusDir/emb")
+    // v1 committed into the versioned container (non-default geometry —
+    // the streams must follow the index, not defaults)
+    assert(graft.ops.Similarity.commitIvfPqRoot(spark, corpus, roots,
+      nCells = 2, subspaces = 8) === Some(1L))
+    val v1 = graft.ops.Similarity.resolvePqIndexPath(spark, roots)
+    assert(v1.endsWith("v-00000001"))
+    // ingest side: append a new direction THROUGH THE CONTAINER PATH
+    val newVec = vec(i => math.cos(i * 0.53) * 2.0)
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    Files.writeString(in.resolve("b1.json"), js(200, newVec) + "\n")
+    def arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+    val appendCk = tmp("ivfpqs-ck").toString
+    val q = LogStream.ivfPqIndexAppendArrivals(arrivals, roots, appendCk)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    // frozen-quantizer parity with the batch operator: bucket AND codes
+    val streamed = spark.read.parquet(s"$v1/codes_appended")
+      .select(col("vec_id"), col("bucket"), col("codes")).collect().toSeq
+    val batch = graft.ops.Similarity.appendToIvfPqIndex(
+      Seq((200L, newVec)).toDF("vec_id", "embedding"),
+      spark.read.parquet(s"$v1/centroids"),
+      spark.read.parquet(s"$v1/codebooks")).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.head.getAs[Seq[Long]]("codes").size === 8,
+      "append must follow the index's 8-sub-space geometry")
+    // corpus table gains the appended vector (IVFADC's vectors-on-disk:
+    // the re-rank reads full rows by id from the corpus table)
+    val corpus2 = corpus.unionByName(
+      Seq((200L, newVec)).toDF("vec_id", "embedding"))
+    corpus2.write.mode("overwrite").parquet(s"$corpusDir/emb")
+    // query stream in the appended direction ranks it first
+    val qin = tmp("ivfpqs-qin")
+    Files.writeString(qin.resolve("q1.json"),
+      js(1, vec(i => math.cos(i * 0.53))) + "\n")
+    def queries = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(qin.toString)
+    LogStream.annIvfArrivals(queries, roots, s"$corpusDir/emb", out,
+      tmp("ivfpqs-qck").toString, k = 2).awaitTermination()
+    val top1 = spark.read.parquet(out).collect()
+      .minBy(_.getAs[Long]("rank")).getAs[Long]("cand_id")
+    assert(top1 === 200L,
+      s"query in the appended direction must rank the appended vector first, got $top1")
+    // REBUILD FLIP: retrain on the full corpus into v2; both streams
+    // re-resolve the container per batch and route to the new root
+    assert(graft.ops.Similarity.commitIvfPqRoot(spark, corpus2, roots,
+      nCells = 2, subspaces = 8) === Some(2L))
+    assert(graft.ops.Similarity.resolvePqIndexPath(spark, roots)
+      .endsWith("v-00000002"))
+    val out2 = tmp("ivfpqs-out2").toString
+    LogStream.annIvfArrivals(queries, roots, s"$corpusDir/emb", out2,
+      tmp("ivfpqs-qck2").toString, k = 2).awaitTermination()
+    val top1b = spark.read.parquet(out2).collect()
+      .minBy(_.getAs[Long]("rank")).getAs[Long]("cand_id")
+    assert(top1b === 200L,
+      "post-rebuild query stream must serve the new root's codes")
+    // the flip also routes the APPEND stream: the SAME logical stream
+    // (same checkpoint) continues, and its next arrival lands in v2's
+    // delta, not v1's
+    Files.writeString(in.resolve("b2.json"),
+      js(201, vec(i => math.cos(i * 0.53) * 1.5)) + "\n")
+    LogStream.ivfPqIndexAppendArrivals(arrivals, roots, appendCk)
+      .awaitTermination()
+    val v2 = graft.ops.Similarity.resolvePqIndexPath(spark, roots)
+    assert(spark.read.parquet(s"$v2/codes_appended")
+      .select("vec_id").as[Long].collect().toSet === Set(201L),
+      "post-flip appends must land in the new root's delta")
+    assert(graft.ops.Similarity.readPqCodes(spark, v2).count() === 8)
+  }
+
   test("self-learning media dedup: a re-upload of a novel asset is caught, " +
       "refusals never learned") {
     import org.apache.spark.sql.functions._
