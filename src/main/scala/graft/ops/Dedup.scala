@@ -417,14 +417,135 @@ object Dedup {
     // Hadoop FileSystem listing ([[IndexFs]]) so a learned-delta root on
     // hdfs://s3a:// works the same as local disk
     val fs = IndexFs.fs(spark, rootPath)
+    val (gen, horizon) = currentLearnedGeneration(fs, rootPath)
+    // a compacted generation serves batches ≤ its horizon with batch_id
+    // kept AS A COLUMN (not a partition): the beforeBatch replay contract
+    // must keep filtering inside the consolidated files (row-group stats
+    // prune), and the small-file problem was the partition count
+    val genSide = gen.map(g =>
+      spark.read.parquet(s"$rootPath/$LearnedGenPrefix$g")
+        .filter(col("batch_id") < beforeBatch).drop("batch_id"))
     val learned = s"$rootPath/learned"
-    val hasLearned = IndexFs.childNames(fs, learned)
+    val hasLive = IndexFs.childNames(fs, learned)
       .exists(_.startsWith("batch_id="))
-    if (hasLearned)
-      base.unionByName(spark.read.parquet(learned)
-        .filter(col("batch_id") < beforeBatch) // partition-pruned
+    val liveSide =
+      if (hasLive) Some(spark.read.parquet(learned)
+        // > horizon: a replayed old batch's re-written partition must be
+        // invisible once its rows live in the generation (same discipline
+        // as readPqCodes); < beforeBatch: the replay-safety contract
+        .filter(col("batch_id") > horizon && col("batch_id") < beforeBatch)
         .drop("batch_id"))
-    else base
+      else None
+    (Seq(base) ++ genSide ++ liveSide).reduce(_ unionByName _)
+  }
+
+  private val LearnedGenPrefix = "learned_g"
+  private val LearnedGenMarker = "_GRAFT_LEARNED_GEN"
+  private val LearnedCompactLock = "_GRAFT_LEARNED_COMPACT.lock"
+
+  /** Highest MARKED learned generation and the batch horizon its marker
+    * records (−1 when none — all learned partitions are live). Unmarked
+    * generation dirs (torn compaction) are invisible.
+    */
+  /** All MARKED learned generations (id → horizon), ascending. */
+  private def listLearnedGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: String): Seq[(Long, Long)] = {
+    val Gen = (LearnedGenPrefix + "(\\d+)").r
+    IndexFs.childNames(fs, rootPath).flatMap {
+      case Gen(g) =>
+        val marker = s"$rootPath/$LearnedGenPrefix$g/$LearnedGenMarker"
+        if (IndexFs.exists(fs, marker))
+          Some(g.toLong -> IndexFs.readSmallString(fs, marker).trim.toLong)
+        else None
+      case _ => None
+    }.sortBy(_._1)
+  }
+
+  private def currentLearnedGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: String): (Option[Long], Long) =
+    listLearnedGenerations(fs, rootPath).lastOption match {
+      case Some((g, h)) => (Some(g), h)
+      case None         => (None, -1L)
+    }
+
+  /** COMPACT a self-learning index root's `learned/` delta — the
+    * batch-per-partition layout every learning stream writes
+    * ([[graft.streaming.LogStream.dedupLearningArrivals]] family) grows
+    * one directory per micro-batch forever; this folds the partitions at
+    * or below the current horizon into one consolidated
+    * `learned_g<G+1>/` GENERATION, `batch_id` retained as a column so the
+    * `beforeBatch` replay contract ([[readCorpusIndex]]) keeps holding
+    * bit-for-bit across the flip — an in-flight stream's redelivered
+    * batch still sees knowledge STRICTLY below itself, compacted or not.
+    *
+    * Commit/GC/locking protocol = [[graft.ops.Similarity.compactPqIndex]]
+    * verbatim: marker after data (torn run invisible), claim-lock with
+    * stale-steal (concurrent maintainers no-op, returning the current
+    * generation), superseded generations and absorbed partitions GC'd by
+    * the NEXT run (one grace cycle for in-flight readers). Works on any
+    * learned root — gram, content-hash, embedding, media, or the sem
+    * members subtree — because the fold never looks at the row schema.
+    * Returns the committed generation id.
+    */
+  def compactLearnedDelta(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, lockTimeoutMs: Long = 10 * 60 * 1000L): Long = {
+    val fs = IndexFs.fs(spark, rootPath)
+    val lock = s"$rootPath/$LearnedCompactLock"
+    val (genAtEntry, _) = currentLearnedGeneration(fs, rootPath)
+    if (!IndexFs.tryClaim(fs, lock)) {
+      val stale = IndexFs.mtime(fs, lock)
+        .forall(System.currentTimeMillis() - _ > lockTimeoutMs)
+      val progressed =
+        currentLearnedGeneration(fs, rootPath)._1 != genAtEntry
+      if (stale && !progressed) {
+        val torn = genAtEntry.getOrElse(0L) + 1L
+        IndexFs.rmTree(fs, s"$rootPath/$LearnedGenPrefix$torn")
+        IndexFs.release(fs, lock)
+        if (!IndexFs.tryClaim(fs, lock))
+          return currentLearnedGeneration(fs, rootPath)._1.getOrElse(0L)
+      } else
+        return currentLearnedGeneration(fs, rootPath)._1.getOrElse(0L)
+    }
+    try {
+      val gens = listLearnedGenerations(fs, rootPath)
+      val (gen, prevHorizon) = gens.lastOption match {
+        case Some((g, h)) => (Some(g), h)
+        case None         => (None, -1L)
+      }
+      val learned = s"$rootPath/learned"
+      val B = "batch_id=(\\d+)".r
+      val liveBatches: Seq[Long] = IndexFs.childNames(fs, learned).flatMap {
+        case B(b) => Some(b.toLong); case _ => None
+      }
+      val horizon = (liveBatches.filter(_ > prevHorizon) :+ prevHorizon).max
+      val prevGen = gen.map(g =>
+        spark.read.parquet(s"$rootPath/$LearnedGenPrefix$g"))
+      val fresh =
+        if (horizon > prevHorizon)
+          Some(spark.read.parquet(learned)
+            .filter(col("batch_id") > prevHorizon &&
+              col("batch_id") <= horizon)
+            .withColumn("batch_id", col("batch_id").cast("long")))
+        else None
+      val next = gen.getOrElse(0L) + 1L
+      val genDir = s"$rootPath/$LearnedGenPrefix$next"
+      (prevGen.toSeq ++ fresh.toSeq) match {
+        case Nil => return 0L // nothing learned yet: compaction is a no-op
+        case dfs => dfs.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(genDir)
+      }
+      IndexFs.writeSmallString(fs, s"$genDir/$LearnedGenMarker",
+        s"$horizon\n")
+      // GC superseded state BEFORE this run: generations below the
+      // previous one, and absorbed partitions at or below the PREVIOUS
+      // horizon — this run's predecessors survive one grace cycle for
+      // in-flight readers
+      gens.dropRight(1).foreach { case (g, _) =>
+        IndexFs.rmTree(fs, s"$rootPath/$LearnedGenPrefix$g") }
+      liveBatches.filter(_ <= prevHorizon).foreach { b =>
+        IndexFs.rmTree(fs, s"$learned/batch_id=$b") }
+      next
+    } finally IndexFs.release(fs, lock)
   }
 
   /** Corpus-side MEDIA dedup index: one row per asset with its perceptual

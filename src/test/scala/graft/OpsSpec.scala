@@ -658,11 +658,13 @@ class OpsSpec extends GraftSpec {
         df.orderBy(col("vec_id")).collect().toSeq
       assert(rows(spark.read.parquet(s"$v2/codes")) === rows(coldCodes))
       val q = corpus.filter(col("vec_id") % 40 === 0 && col("vec_id") < 2000)
-      assert(rows(Similarity.topkIvfPqAgainstIndex(q, corpus,
+      def qrows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("query_id"), col("rank")).collect().toSeq
+      assert(qrows(Similarity.topkIvfPqAgainstIndex(q, corpus,
           spark.read.parquet(s"$v2/centroids"),
           spark.read.parquet(s"$v2/codebooks"),
           Similarity.readPqCodes(spark, v2), k = 3, nCells = g2))
-        === rows(Similarity.topkIvfPqAgainstIndex(q, corpus,
+        === qrows(Similarity.topkIvfPqAgainstIndex(q, corpus,
           coldCt, coldCb, coldCodes, k = 3, nCells = g2)))
       assert(Similarity.rebuildIvfPqRootIfDrifted(spark, corpus, roots)
         === None)

@@ -580,6 +580,79 @@ class StreamingSpec extends GraftSpec {
     assert(read() === rows)
   }
 
+  test("learned-delta compaction: consolidated generation serves the same " +
+      "knowledge, replay contract survives the flip, grace-cycle GC") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("lcomp-in")
+    val root = tmp("lcomp-idx").resolve("index").toString
+    val out = tmp("lcomp-out").toString
+    graft.ops.Dedup.buildGramIndex(
+        Seq((100L, "alpha beta gamma delta epsilon zeta"))
+          .toDF("doc_id", "text"), n = 3)
+      .write.parquet(s"$root/base")
+    val phrase = "m1 m2 m3 m4 m5 m6"
+    Files.writeString(in.resolve("b1.json"),
+      s"""{"doc_id":1,"text":"$phrase"}""" + "\n")
+    Files.writeString(in.resolve("b2.json"),
+      s"""{"doc_id":2,"text":"x1 x2 $phrase y1 y2"}""" + "\n")
+    Files.setLastModifiedTime(in.resolve("b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    LogStream.spanCheckLearningArrivals(arrivals, root, out,
+      tmp("lcomp-ck").toString, n = 3).awaitTermination()
+    def gramView(beforeBatch: Long = Long.MaxValue) =
+      graft.ops.Dedup.readGramIndex(spark, root, beforeBatch)
+        .orderBy("gram").collect().toSeq
+    val full = gramView()
+    val below1 = gramView(beforeBatch = 1)
+    assert(full.size > below1.size, "fixture must learn in both batches")
+    // compact: two batch partitions fold into one marked generation
+    assert(graft.ops.Dedup.compactLearnedDelta(spark, root) === 1L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/learned_g1")))
+    // the combined view AND the replay-bounded view are bit-identical
+    // across the flip — batch_id survives as a column in the generation
+    assert(gramView() === full)
+    assert(gramView(beforeBatch = 1) === below1)
+    assert(gramView(beforeBatch = 0) ===
+      spark.read.parquet(s"$root/base").orderBy("gram").collect().toSeq)
+    // a full stream REPLAY (fresh checkpoint) after compaction reproduces
+    // the original spans: each replayed batch still reads knowledge
+    // strictly below itself through the generation, and its re-written
+    // live partitions (≤ horizon) stay invisible to readers
+    def spans() = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val spansBefore = spans()
+    LogStream.spanCheckLearningArrivals(arrivals, root, out,
+      tmp("lcomp-ck2").toString, n = 3).awaitTermination()
+    assert(spans() === spansBefore)
+    assert(gramView() === full, "replayed live partitions must not " +
+      "double-count against the generation")
+    // second compaction: no new knowledge → content stable; the absorbed
+    // partitions (re-written by the replay, ≤ horizon) GC after the grace
+    // cycle; generation 1 superseded next run
+    assert(graft.ops.Dedup.compactLearnedDelta(spark, root) === 2L)
+    assert(gramView() === full)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/learned/batch_id=0")))
+    assert(graft.ops.Dedup.compactLearnedDelta(spark, root) === 3L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/learned_g1")))
+    assert(gramView() === full)
+    // claim-lock: a held lock no-ops the loser at the current generation
+    val lock = java.nio.file.Paths.get(s"$root/_GRAFT_LEARNED_COMPACT.lock")
+    java.nio.file.Files.createFile(lock)
+    assert(graft.ops.Dedup.compactLearnedDelta(spark, root) === 3L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/learned_g4")))
+  }
+
   test("streaming embedding dedup: LSH-bucketed verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
