@@ -674,7 +674,9 @@ object LogStream {
     * cell probing + table-driven ADC + shortlist against the persisted
     * index, exact re-rank against `corpusPath`'s full vectors (IVFADC's
     * vectors-on-disk access pattern — the index stores codes, the corpus
-    * table stores the few full rows the re-rank touches). Geometry follows
+    * table stores the few full rows the re-rank touches; appended vectors
+    * are re-rankable once their full rows land in the corpus table, the
+    * same ingest step that feeds the append stream). Geometry follows
     * the index; versioned containers resolve per batch, so a rebuild —
     * including a grown coarse quantizer — routes queries next batch.
     */
