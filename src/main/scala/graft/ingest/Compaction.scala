@@ -88,7 +88,7 @@ object Compaction {
   private def readMarkerFull(fs: FileSystem, leaf: Path): Option[(Long, Option[Seq[Long]])] = {
     val m = new Path(leaf, Marker)
     if (!fs.exists(m)) None
-    else {
+    else try {
       val in = fs.open(m)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val lines = text.trim.split("\n")
@@ -98,6 +98,12 @@ object Compaction {
         if (ids.isEmpty) Seq.empty[Long] else ids.split(",").map(_.toLong).toSeq
       }
       Some((covered, live))
+    } catch {
+      // torn/garbled marker (non-atomic create+write on HDFS/object
+      // stores): the generation reads as UNCOMMITTED rather than crashing
+      // the resolve path — identical to the ANN-index marker discipline
+      // (IndexFs.readMarkerLong)
+      case _: NumberFormatException | _: java.io.IOException => None
     }
   }
 

@@ -453,10 +453,11 @@ object Dedup {
     val Gen = (LearnedGenPrefix + "(\\d+)").r
     IndexFs.childNames(fs, rootPath).flatMap {
       case Gen(g) =>
-        val marker = s"$rootPath/$LearnedGenPrefix$g/$LearnedGenMarker"
-        if (IndexFs.exists(fs, marker))
-          Some(g.toLong -> IndexFs.readSmallString(fs, marker).trim.toLong)
-        else None
+        // torn/garbled marker → None: the generation stays uncommitted
+        // instead of crashing the read path (IndexFs.readMarkerLong)
+        IndexFs.readMarkerLong(fs,
+          s"$rootPath/$LearnedGenPrefix$g/$LearnedGenMarker")
+          .map(g.toLong -> _)
       case _ => None
     }.sortBy(_._1)
   }
@@ -479,34 +480,45 @@ object Dedup {
     * batch still sees knowledge STRICTLY below itself, compacted or not.
     *
     * Commit/GC/locking protocol = [[graft.ops.Similarity.compactPqIndex]]
-    * verbatim: marker after data (torn run invisible), claim-lock with
-    * stale-steal (concurrent maintainers no-op, returning the current
-    * generation), superseded generations and absorbed partitions GC'd by
-    * the NEXT run (one grace cycle for in-flight readers). Works on any
-    * learned root — gram, content-hash, embedding, media, or the sem
-    * members subtree — because the fold never looks at the row schema.
+    * verbatim: marker after data by tmp+rename (torn run invisible,
+    * readers never see a partial marker), holder-token claim-lock with
+    * heartbeat (a live holder is never classified stale) and stale-steal
+    * (concurrent maintainers no-op, returning the current generation),
+    * token-suffixed staging dir renamed into place only after re-verifying
+    * ownership (a stolen claim aborts instead of interleaving files),
+    * superseded generations and absorbed partitions GC'd by the NEXT run
+    * (one grace cycle for in-flight readers). Works on any learned root —
+    * gram, content-hash, embedding, media, or the sem members subtree —
+    * because the fold never looks at the row schema.
     * Returns the committed generation id.
     */
   def compactLearnedDelta(spark: org.apache.spark.sql.SparkSession,
       rootPath: String, lockTimeoutMs: Long = 10 * 60 * 1000L): Long = {
     val fs = IndexFs.fs(spark, rootPath)
     val lock = s"$rootPath/$LearnedCompactLock"
+    val token = java.util.UUID.randomUUID().toString
     val (genAtEntry, _) = currentLearnedGeneration(fs, rootPath)
-    if (!IndexFs.tryClaim(fs, lock)) {
+    def current(): Long =
+      currentLearnedGeneration(fs, rootPath)._1.getOrElse(0L)
+    if (!IndexFs.tryClaim(fs, lock, token)) {
       val stale = IndexFs.mtime(fs, lock)
         .forall(System.currentTimeMillis() - _ > lockTimeoutMs)
       val progressed =
         currentLearnedGeneration(fs, rootPath)._1 != genAtEntry
       if (stale && !progressed) {
         val torn = genAtEntry.getOrElse(0L) + 1L
-        IndexFs.rmTree(fs, s"$rootPath/$LearnedGenPrefix$torn")
+        // marker re-checked at deletion time (see compactPqIndex)
+        val tornDir = s"$rootPath/$LearnedGenPrefix$torn"
+        if (!IndexFs.exists(fs, s"$tornDir/$LearnedGenMarker"))
+          IndexFs.rmTree(fs, tornDir)
+        IndexFs.childNames(fs, rootPath)
+          .filter(_.startsWith(s"$LearnedGenPrefix$torn${Similarity.StageSep}"))
+          .foreach(n => IndexFs.rmTree(fs, s"$rootPath/$n"))
         IndexFs.release(fs, lock)
-        if (!IndexFs.tryClaim(fs, lock))
-          return currentLearnedGeneration(fs, rootPath)._1.getOrElse(0L)
-      } else
-        return currentLearnedGeneration(fs, rootPath)._1.getOrElse(0L)
+        if (!IndexFs.tryClaim(fs, lock, token)) return current()
+      } else return current()
     }
-    try {
+    try IndexFs.withHeartbeat(fs, lock, token, lockTimeoutMs / 4) {
       val gens = listLearnedGenerations(fs, rootPath)
       val (gen, prevHorizon) = gens.lastOption match {
         case Some((g, h)) => (Some(g), h)
@@ -529,23 +541,36 @@ object Dedup {
         else None
       val next = gen.getOrElse(0L) + 1L
       val genDir = s"$rootPath/$LearnedGenPrefix$next"
+      val stage = s"$genDir${Similarity.StageSep}$token"
       (prevGen.toSeq ++ fresh.toSeq) match {
-        case Nil => return 0L // nothing learned yet: compaction is a no-op
-        case dfs => dfs.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(genDir)
+        case Nil => 0L // nothing learned yet: compaction is a no-op
+        case dfs =>
+          dfs.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(stage)
+          // ownership verified FIRST; only the live holder reclaims a torn
+          // predecessor's unmarked genDir (in `gens` if marked) and renames
+          val published = IndexFs.ownsClaim(fs, lock, token) && {
+            IndexFs.rmTree(fs, genDir)
+            IndexFs.rename(fs, stage, genDir)
+          }
+          if (!published) {
+            IndexFs.rmTree(fs, stage)
+            current()
+          } else {
+            IndexFs.commitSmallString(fs, s"$genDir/$LearnedGenMarker",
+              s"$horizon\n")
+            // GC superseded state BEFORE this run: generations below the
+            // previous one, and absorbed partitions at or below the
+            // PREVIOUS horizon — this run's predecessors survive one grace
+            // cycle for in-flight readers
+            gens.dropRight(1).foreach { case (g, _) =>
+              IndexFs.rmTree(fs, s"$rootPath/$LearnedGenPrefix$g") }
+            liveBatches.filter(_ <= prevHorizon).foreach { b =>
+              IndexFs.rmTree(fs, s"$learned/batch_id=$b") }
+            next
+          }
       }
-      IndexFs.writeSmallString(fs, s"$genDir/$LearnedGenMarker",
-        s"$horizon\n")
-      // GC superseded state BEFORE this run: generations below the
-      // previous one, and absorbed partitions at or below the PREVIOUS
-      // horizon — this run's predecessors survive one grace cycle for
-      // in-flight readers
-      gens.dropRight(1).foreach { case (g, _) =>
-        IndexFs.rmTree(fs, s"$rootPath/$LearnedGenPrefix$g") }
-      liveBatches.filter(_ <= prevHorizon).foreach { b =>
-        IndexFs.rmTree(fs, s"$learned/batch_id=$b") }
-      next
-    } finally IndexFs.release(fs, lock)
+    } finally IndexFs.releaseIfOwner(fs, lock, token)
   }
 
   /** Corpus-side MEDIA dedup index: one row per asset with its perceptual

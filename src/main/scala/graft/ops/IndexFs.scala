@@ -62,6 +62,46 @@ private[graft] object IndexFs {
     finally out.close()
   }
 
+  /** ATOMICALLY publish a small marker: write to a dot-tmp sibling, then
+    * rename into place. A bare create+write+close is not atomic on
+    * HDFS/object stores — a reader passing the `exists(marker)` gate could
+    * read an empty or partial marker and crash parsing it on the query hot
+    * path; rename is atomic on HDFS and the local FS, so readers observe
+    * either no marker or the whole marker. Only the claim holder calls
+    * this, so removing a torn predecessor's marker first is safe. The tmp
+    * sibling starts with `_` like the marker itself, keeping it invisible
+    * to Spark's parquet file listing.
+    */
+  def commitSmallString(fs: FileSystem, p: String, content: String): Unit = {
+    val tmp = p + ".tmp"
+    writeSmallString(fs, tmp, content)
+    val dst = new Path(p)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(new Path(tmp), dst))
+      throw new java.io.IOException(s"marker rename failed: $tmp -> $p")
+  }
+
+  /** Read a marker holding one long, tolerating absence and torn/garbled
+    * content (None) — a generation whose marker cannot be parsed is
+    * treated as UNCOMMITTED rather than crashing the read path. Pairs with
+    * [[commitSmallString]]: on stores where even the rename discipline is
+    * unavailable, a torn marker degrades to invisibility, never to a
+    * reader exception.
+    */
+  def readMarkerLong(fs: FileSystem, p: String): Option[Long] =
+    try {
+      val s = readSmallString(fs, p).trim
+      if (s.isEmpty) None else Some(s.toLong)
+    } catch { case _: Exception => None }
+
+  /** Rename, false on failure (dest exists, concurrent move, store without
+    * the op). Callers treat failure as "a racer won" and abort their own
+    * commit.
+    */
+  def rename(fs: FileSystem, src: String, dst: String): Boolean =
+    try fs.rename(new Path(src), new Path(dst))
+    catch { case _: java.io.IOException => false }
+
   /** Recursive delete; no-op when absent. */
   def rmTree(fs: FileSystem, p: String): Unit = {
     val path = new Path(p)
@@ -78,8 +118,14 @@ private[graft] object IndexFs {
   /** Atomic create-if-absent claim marker — `ingest.Ingest.tryClaim`'s
     * protocol verbatim: `java.io.File.createNewFile` is the atomic
     * primitive on the local FS; elsewhere `create(overwrite=false)` is
-    * atomic on HDFS (namenode-arbitrated). Object stores without atomic
-    * create keep the single-writer deployment assumption.
+    * atomic on HDFS (namenode-arbitrated). On object stores WITHOUT atomic
+    * create-if-absent (s3a without S3 conditional writes) the claim is
+    * ADVISORY ONLY — creation can race — so the claim-locked maintenance
+    * entries ([[Similarity.compactPqIndex]], [[Dedup.compactLearnedDelta]],
+    * the versioned-root commits) additionally verify the holder TOKEN
+    * ([[ownsClaim]]) immediately before publishing, and stage data under
+    * token-suffixed dirs renamed into place — a lost race then aborts a
+    * commit instead of mixing files.
     */
   def tryClaim(fs: FileSystem, lock: String): Boolean = {
     val p = new Path(lock)
@@ -91,6 +137,73 @@ private[graft] object IndexFs {
       catch { case _: java.io.IOException => false }
   }
 
+  /** [[tryClaim]] with a HOLDER TOKEN: the atomic create wins the claim,
+    * then the winner's unique token is written into the lock file — the
+    * ownership witness [[ownsClaim]] re-checks before every destructive
+    * or publishing step, and the write refreshes the lock mtime the
+    * stale-steal policy keys on.
+    */
+  def tryClaim(fs: FileSystem, lock: String, token: String): Boolean =
+    tryClaim(fs, lock) && {
+      writeSmallString(fs, lock, token + "\n")
+      true
+    }
+
+  /** The token in the lock file; None when absent, empty (a pre-token
+    * claimant or a claim torn mid-write), or unreadable.
+    */
+  def claimHolder(fs: FileSystem, lock: String): Option[String] =
+    try {
+      val s = readSmallString(fs, lock).trim
+      if (s.isEmpty) None else Some(s)
+    } catch { case _: Exception => None }
+
+  /** True iff the lock still exists and carries `token` — the commit-time
+    * ownership re-verification: a holder paused past the stale timeout
+    * (GC pause, long build) whose claim was stolen MUST abort rather than
+    * publish over the stealer's work.
+    */
+  def ownsClaim(fs: FileSystem, lock: String, token: String): Boolean =
+    claimHolder(fs, lock).contains(token)
+
+  /** Run `body` while a daemon thread HEARTBEATS the claim — TOUCHES the
+    * lock's mtime every `intervalMs` (minimum 500 ms), so a LIVE holder is
+    * never classified stale by a concurrent maintainer however long its
+    * build runs (the r11 steal policy keyed on a creation-time mtime the
+    * holder never refreshed). The touch is `setTimes` — pure metadata,
+    * never a content rewrite — so the holder's own commit-time
+    * [[ownsClaim]] read can never race a truncating write of its own
+    * heartbeat; the token content is written exactly once, at claim time.
+    * The heartbeat re-checks ownership before each touch: once stolen, it
+    * stops touching — it must not resurrect a stolen lock's freshness.
+    */
+  def withHeartbeat[T](fs: FileSystem, lock: String, token: String,
+      intervalMs: Long)(body: => T): T = {
+    val interval = math.max(intervalMs, 500L)
+    @volatile var live = true
+    val t = new Thread(() => {
+      while (live) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => () }
+        if (live)
+          try {
+            if (ownsClaim(fs, lock, token))
+              fs.setTimes(new Path(lock), System.currentTimeMillis(), -1L)
+          } catch { case _: Exception => () }
+      }
+    }, s"graft-claim-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    try body
+    finally { live = false; t.interrupt() }
+  }
+
   def release(fs: FileSystem, lock: String): Unit =
     fs.delete(new Path(lock), false)
+
+  /** Release only while still the holder — a stolen lock now belongs to
+    * the stealer and must not be deleted out from under it.
+    */
+  def releaseIfOwner(fs: FileSystem, lock: String, token: String): Unit =
+    if (ownsClaim(fs, lock, token)) release(fs, lock)
 }

@@ -502,6 +502,13 @@ object Similarity {
   private val GenMarker = "_GRAFT_PQ_GEN"
   private val CompactLock = "_GRAFT_PQ_COMPACT.lock"
 
+  /** Separator for token-suffixed STAGING dirs (`codes_g3__<token>`,
+    * `v-00000002__<token>`): anchored \d+ name regexes never match a
+    * staged name, so staging is invisible to every reader until the
+    * holder-verified rename publishes it under the committed name.
+    */
+  private[ops] val StageSep = "__"
+
   /** Highest MARKED codes generation under the index root, with the append
     * horizon its marker records (−1 when none — base `codes/` serves, all
     * appended batches are live). An unmarked generation dir (torn
@@ -516,18 +523,18 @@ object Similarity {
     }
   }
 
-  /** (generation, horizon) pairs for every MARKED generation, ascending. */
+  /** (generation, horizon) pairs for every MARKED generation, ascending.
+    * A torn/garbled marker reads as None ([[IndexFs.readMarkerLong]]) —
+    * the generation stays invisible rather than crashing the read path.
+    */
   private def listGenerations(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Seq[(Long, Long)] = {
     val Gen = (GenPrefix + "(\\d+)").r
     IndexFs.childNames(fs, indexPath)
       .flatMap {
         case Gen(g) =>
-          val marker = s"$indexPath/$GenPrefix$g/$GenMarker"
-          if (IndexFs.exists(fs, marker))
-            Some(g.toLong ->
-              IndexFs.readSmallString(fs, marker).trim.toLong)
-          else None
+          IndexFs.readMarkerLong(fs, s"$indexPath/$GenPrefix$g/$GenMarker")
+            .map(g.toLong -> _)
         case _ => None
       }.sortBy(_._1)
   }
@@ -558,16 +565,27 @@ object Similarity {
     *
     * CONCURRENCY: compaction is guarded by an atomic claim-lock at the
     * index root (`_GRAFT_PQ_COMPACT.lock`, `ingest.Ingest.tryClaim`'s
-    * create-if-absent protocol via [[IndexFs.tryClaim]]), so two
-    * maintenance jobs cannot race the generation id. The LOSER no-ops and
-    * returns the currently committed generation (0 when only base
-    * `codes/` serves) — compaction is idempotent maintenance, the winner
-    * is doing the work. A lock untouched for `lockTimeoutMs` with no
-    * MARKED generation newer than the loser observed is a crashed holder:
-    * its torn (unmarked) generation dir and lock are removed and the
-    * claim retried. All filesystem moves go through the Hadoop
-    * `FileSystem` API ([[IndexFs]]), so the index root may live on
-    * `hdfs://`/`s3a://` as well as local disk.
+    * create-if-absent protocol via [[IndexFs.tryClaim]]) carrying a unique
+    * HOLDER TOKEN, so two maintenance jobs cannot race the generation id.
+    * The LOSER no-ops and returns the currently committed generation (0
+    * when only base `codes/` serves) — compaction is idempotent
+    * maintenance, the winner is doing the work. While the holder works, a
+    * daemon HEARTBEAT refreshes the lock, so a live holder is never
+    * classified stale no matter how long the merge runs; a lock untouched
+    * for `lockTimeoutMs` with no MARKED generation newer than the loser
+    * observed is therefore a genuinely crashed holder: its torn staging
+    * dirs and lock are removed and the claim retried. The merged codes are
+    * staged under a token-suffixed dir and RENAMED into the generation dir
+    * only after re-verifying ownership — a holder that lost its claim
+    * (paused past the timeout, then stolen) aborts cleanly instead of
+    * interleaving files with the stealer's write — and the marker is
+    * published by tmp+rename ([[IndexFs.commitSmallString]]), so readers
+    * never observe a torn marker. All filesystem moves go through the
+    * Hadoop `FileSystem` API ([[IndexFs]]), so the index root may live on
+    * `hdfs://`/`s3a://` as well as local disk; on object stores without
+    * atomic create-if-absent the claim itself is advisory, but the
+    * token-verify + staged-rename still prevents a lost race from
+    * committing mixed data (see [[IndexFs.tryClaim]]).
     * Returns the committed generation id.
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -575,11 +593,15 @@ object Similarity {
       lockTimeoutMs: Long = 10 * 60 * 1000L): Long = {
     val fs = IndexFs.fs(spark, indexPath)
     val lock = s"$indexPath/$CompactLock"
+    val token = java.util.UUID.randomUUID().toString
     val gensAtEntry = listGenerations(fs, indexPath)
-    if (!IndexFs.tryClaim(fs, lock)) {
+    def current(): Long =
+      listGenerations(fs, indexPath).lastOption.map(_._1).getOrElse(0L)
+    if (!IndexFs.tryClaim(fs, lock, token)) {
       // lock held: a live concurrent compactor owns the root — no-op —
       // unless the lock is STALE with no newer marked generation (a
-      // crashed holder), in which case steal: torn dir + lock removed
+      // crashed holder; live holders heartbeat), in which case steal:
+      // torn dirs (committed-name and staging) + lock removed
       val stale = IndexFs.mtime(fs, lock)
         .forall(System.currentTimeMillis() - _ > lockTimeoutMs)
       val progressed =
@@ -587,16 +609,19 @@ object Similarity {
           gensAtEntry.lastOption.map(_._1)
       if (stale && !progressed) {
         val torn = gensAtEntry.lastOption.map(_._1).getOrElse(0L) + 1L
-        IndexFs.rmTree(fs, s"$indexPath/$GenPrefix$torn")
+        // marker re-checked at deletion time: a generation the holder
+        // committed between our progress check and here is NOT torn
+        val tornDir = s"$indexPath/$GenPrefix$torn"
+        if (!IndexFs.exists(fs, s"$tornDir/$GenMarker"))
+          IndexFs.rmTree(fs, tornDir)
+        IndexFs.childNames(fs, indexPath)
+          .filter(_.startsWith(s"$GenPrefix$torn$StageSep"))
+          .foreach(n => IndexFs.rmTree(fs, s"$indexPath/$n"))
         IndexFs.release(fs, lock)
-        if (!IndexFs.tryClaim(fs, lock))
-          return listGenerations(fs, indexPath).lastOption
-            .map(_._1).getOrElse(0L)
-      } else
-        return listGenerations(fs, indexPath).lastOption
-          .map(_._1).getOrElse(0L)
+        if (!IndexFs.tryClaim(fs, lock, token)) return current()
+      } else return current()
     }
-    try {
+    try IndexFs.withHeartbeat(fs, lock, token, lockTimeoutMs / 4) {
       val gens = listGenerations(fs, indexPath)
       val (baseDf, prevHorizon) = gens.lastOption match {
         case Some((g, h)) =>
@@ -620,24 +645,44 @@ object Similarity {
         else baseDf
       val next = gens.lastOption.map(_._1).getOrElse(0L) + 1L
       val genDir = s"$indexPath/$GenPrefix$next"
-      merged.write.mode("overwrite").parquet(genDir)
-      // marker AFTER the data — the atomic flip readers key on
-      IndexFs.writeSmallString(fs, s"$genDir/$GenMarker", s"$horizon\n")
-      // GC: everything SUPERSEDED BEFORE this run — generations below the
-      // previous one, and append partitions at or below the PREVIOUS
-      // horizon. This run's predecessors survive one more cycle for
-      // in-flight readers.
-      gens.dropRight(1).foreach { case (g, _) =>
-        IndexFs.rmTree(fs, s"$indexPath/$GenPrefix$g") }
-      // base `codes/` is the BUILD's artifact and is never GC'd here: a
-      // RETRAIN (new codebooks) must land in a fresh index root (or clear
-      // codes_g*/codes_appended first) — codes are only meaningful under
-      // the codebooks that produced them, and stale generations would
-      // silently shadow a re-written codes/ otherwise.
-      liveBatches.filter(_ <= prevHorizon).foreach { b =>
-        IndexFs.rmTree(fs, s"$delta/batch_id=$b") }
-      next
-    } finally IndexFs.release(fs, lock)
+      // stage under a token-suffixed name (invisible to the generation
+      // regex), then verify ownership and rename — two writers can never
+      // interleave files in one committed dir
+      val stage = s"$genDir$StageSep$token"
+      merged.write.mode("overwrite").parquet(stage)
+      // ownership verified FIRST: only the live holder may reclaim an
+      // unmarked genDir (a torn predecessor's garbage — it would be in
+      // `gens` if marked) so the publishing rename cannot be blocked;
+      // a stolen claim must not touch the stealer's in-progress dir
+      val published = IndexFs.ownsClaim(fs, lock, token) && {
+        IndexFs.rmTree(fs, genDir)
+        IndexFs.rename(fs, stage, genDir)
+      }
+      if (!published) {
+        // claim stolen mid-merge (or a racer committed first): abort —
+        // our staging dir is ours to discard, the committed state is
+        // whatever the current holder published
+        IndexFs.rmTree(fs, stage)
+        current()
+      } else {
+        // marker AFTER the data — the atomic flip readers key on
+        IndexFs.commitSmallString(fs, s"$genDir/$GenMarker", s"$horizon\n")
+        // GC: everything SUPERSEDED BEFORE this run — generations below the
+        // previous one, and append partitions at or below the PREVIOUS
+        // horizon. This run's predecessors survive one more cycle for
+        // in-flight readers.
+        gens.dropRight(1).foreach { case (g, _) =>
+          IndexFs.rmTree(fs, s"$indexPath/$GenPrefix$g") }
+        // base `codes/` is the BUILD's artifact and is never GC'd here: a
+        // RETRAIN (new codebooks) must land in a fresh index root (or clear
+        // codes_g*/codes_appended first) — codes are only meaningful under
+        // the codebooks that produced them, and stale generations would
+        // silently shadow a re-written codes/ otherwise.
+        liveBatches.filter(_ <= prevHorizon).foreach { b =>
+          IndexFs.rmTree(fs, s"$delta/batch_id=$b") }
+        next
+      }
+    } finally IndexFs.releaseIfOwner(fs, lock, token)
   }
 
   /** PQ index QUANTIZATION-DRIFT metric — the REBUILD TRIGGER for the
@@ -764,8 +809,10 @@ object Similarity {
     *
     * `emb` must be the corpus the new index should COVER — including any
     * vectors appended to the previous version's root (the rebuild retrains
-    * the quantizer on everything it will serve; the old version's append
-    * delta is superseded by the new base, not carried over).
+    * the quantizer on everything it will serve). Vectors a live stream
+    * appends to the OLD root between the snapshot and the flip are closed
+    * separately by [[carryOverAppended]], which the drift-rebuild entries
+    * invoke after the commit.
     */
   def commitPqRoot(spark: org.apache.spark.sql.SparkSession,
       emb: DataFrame, rootsPath: String, subspaces: Int = 16,
@@ -780,9 +827,14 @@ object Similarity {
     }
 
   /** The shared versioned-root commit protocol: claim the next version's
-    * lock, run `write` into the version dir, marker AFTER the data,
-    * release. Stale-lock steal and loser-no-op semantics as documented on
-    * [[commitPqRoot]].
+    * lock with a holder token, heartbeat it while `write` runs into a
+    * token-suffixed STAGING dir, re-verify ownership, rename into the
+    * version dir, marker AFTER the data (tmp+rename —
+    * [[IndexFs.commitSmallString]]), release-if-owner. Stale-lock steal
+    * (now reliable: live holders heartbeat, so stale ⇒ crashed) and
+    * loser-no-op semantics as documented on [[commitPqRoot]]; a holder
+    * whose claim was stolen mid-build aborts with None and discards its
+    * own staging dir — two builders can never interleave one version dir.
     */
   private def commitNextRoot(fs: org.apache.hadoop.fs.FileSystem,
       rootsPath: String, lockTimeoutMs: Long)(
@@ -794,21 +846,41 @@ object Similarity {
       IndexFs.exists(fs, f"$rootsPath/v-$v%08d/$RootMarker"))
     val next = (marked :+ 0L).max + 1
     val vdir = f"$rootsPath/v-$next%08d"
+    val vname = f"v-$next%08d"
     val lock = s"$vdir.lock"
-    if (!IndexFs.tryClaim(fs, lock)) {
+    val token = java.util.UUID.randomUUID().toString
+    if (!IndexFs.tryClaim(fs, lock, token)) {
       val stale = IndexFs.mtime(fs, lock)
         .forall(System.currentTimeMillis() - _ > lockTimeoutMs)
       if (!stale || IndexFs.exists(fs, s"$vdir/$RootMarker")) return None
       IndexFs.rmTree(fs, vdir) // crashed holder's torn version
+      IndexFs.childNames(fs, rootsPath)
+        .filter(_.startsWith(s"$vname$StageSep"))
+        .foreach(n => IndexFs.rmTree(fs, s"$rootsPath/$n"))
       IndexFs.release(fs, lock)
-      if (!IndexFs.tryClaim(fs, lock)) return None
+      if (!IndexFs.tryClaim(fs, lock, token)) return None
     }
-    try {
-      if (IndexFs.exists(fs, s"$vdir/$RootMarker")) return None
-      write(vdir)
-      IndexFs.writeSmallString(fs, s"$vdir/$RootMarker", "1\n")
-      Some(next)
-    } finally IndexFs.release(fs, lock)
+    try IndexFs.withHeartbeat(fs, lock, token, lockTimeoutMs / 4) {
+      if (IndexFs.exists(fs, s"$vdir/$RootMarker")) None
+      else {
+        val stage = s"$vdir$StageSep$token"
+        write(stage)
+        // ownership verified FIRST; only the live holder reclaims an
+        // unmarked vdir (a torn predecessor's garbage — a marked one
+        // short-circuited above) and renames its staging into place
+        val published = IndexFs.ownsClaim(fs, lock, token) && {
+          IndexFs.rmTree(fs, vdir)
+          IndexFs.rename(fs, stage, vdir)
+        }
+        if (!published) {
+          IndexFs.rmTree(fs, stage)
+          None
+        } else {
+          IndexFs.commitSmallString(fs, s"$vdir/$RootMarker", "1\n")
+          Some(next)
+        }
+      }
+    } finally IndexFs.releaseIfOwner(fs, lock, token)
   }
 
   /** [[commitPqRoot]] for the deployed IVFADC route: coarse centroids,
@@ -859,7 +931,10 @@ object Similarity {
     * build IS the degenerate rebuild). Returns the new version id, None
     * when drift has not tripped (or a concurrent maintainer holds the
     * claim). Geometry follows the live root — a rebuild re-fits the
-    * codebooks, it does not silently re-shape them.
+    * codebooks, it does not silently re-shape them. After the flip,
+    * [[carryOverAppended]] re-codes any vectors a live append stream wrote
+    * to the OLD root's delta that the new base missed (the in-flight
+    * window), so nothing the old version served vanishes from the new one.
     *
     * The drift read is a ≤2-row driver-side scalar collect (sanctioned
     * class); everything heavy stays declarative.
@@ -879,10 +954,68 @@ object Similarity {
           val g = spark.read.parquet(s"$root/codebooks")
             .select(col("subspaces"), col("codebook_size"), col("dims"))
             .head()
-          commitPqRoot(spark, emb, rootsPath,
+          val v = commitPqRoot(spark, emb, rootsPath,
             g.getInt(0), g.getInt(1), g.getInt(2))
+          v.foreach(n =>
+            carryOverAppended(spark, emb, root, f"$rootsPath/v-$n%08d"))
+          v
         }
     }
+
+  /** Close the REBUILD's in-flight append window: vectors the OLD
+    * version's `codes_appended/` delta serves that the NEW version's base
+    * `codes/` does NOT cover (appended by a live stream between the
+    * rebuild's corpus snapshot and the marker flip) are RE-CODED under the
+    * new version's quantizer — coarse re-assignment included when the new
+    * root is IVF-PQ — and written into the new version's `codes_appended/`
+    * with their ORIGINAL batch ids preserved. Preserving ids keeps the
+    * append stream's idempotent-replay contract intact across the flip: a
+    * redelivered batch re-codes the same vectors under the same (new)
+    * codebooks deterministically, so its overwrite is bit-identical to the
+    * carried partition.
+    *
+    * `embCurrent` is the embedding source for the re-code — pass the live
+    * corpus table (the same table the drift monitors join against
+    * appended codes, so the architecture already guarantees appended
+    * vectors land there). A vector in the old delta but absent from
+    * `embCurrent` cannot be re-coded and is dropped (left-semi) — with a
+    * snapshot-frozen `embCurrent`, either call this again with a fresh
+    * read after the flip, or quiesce append streams during rebuild.
+    *
+    * Cost ∝ the in-flight window (a few micro-batches), not the corpus:
+    * the anti-join's build side is the delta, the re-code is
+    * [[appendToPqIndex]]'s map-side projection.
+    */
+  def carryOverAppended(spark: org.apache.spark.sql.SparkSession,
+      embCurrent: DataFrame, oldRoot: String, newRoot: String): Unit = {
+    val fs = IndexFs.fs(spark, oldRoot)
+    val delta = s"$oldRoot/codes_appended"
+    val hasLive = IndexFs.childNames(fs, delta)
+      .exists(_.startsWith("batch_id="))
+    if (!hasLive) return
+    // anti-join against everything the new root SERVES (base + compacted
+    // generations + already-carried/streamed appends — readPqCodes), not
+    // just the build's base: a second carry pass is then a no-op instead
+    // of duplicating rows
+    val newServed = readPqCodes(spark, newRoot).select(col("vec_id"))
+    // one row per missed vector, first batch that carried it (an append
+    // stream writes each arrival once; min is the deterministic tiebreak)
+    val missing = spark.read.parquet(delta)
+      .groupBy(col("vec_id"))
+      .agg(min(col("batch_id")).cast("long").as("batch_id"))
+      .join(newServed, Seq("vec_id"), "left_anti")
+    val vecs = embCurrent.join(missing.select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val codebooks = spark.read.parquet(s"$newRoot/codebooks")
+    val recoded =
+      if (IndexFs.exists(fs, s"$newRoot/centroids"))
+        appendToIvfPqIndex(vecs,
+          spark.read.parquet(s"$newRoot/centroids"), codebooks)
+      else appendToPqIndex(vecs, codebooks)
+    recoded.join(missing, Seq("vec_id"))
+      .write.partitionBy("batch_id").mode("append")
+      .parquet(s"$newRoot/codes_appended")
+  }
 
   /** [[pqRootDrift]] for an IVF-PQ root: residual-space drift
     * ([[ivfPqIndexDrift]]) with cohorts derived from the root's base
@@ -928,8 +1061,11 @@ object Similarity {
           val cellSize = math.max(1L, nTrained / g.getInt(0))
           val nCells = math.max(g.getInt(0),
             math.ceil(n.toDouble / cellSize).toInt)
-          commitIvfPqRoot(spark, emb, rootsPath, nCells,
+          val v = commitIvfPqRoot(spark, emb, rootsPath, nCells,
             g.getInt(1), g.getInt(2), g.getInt(3))
+          v.foreach(n2 =>
+            carryOverAppended(spark, emb, root, f"$rootsPath/v-$n2%08d"))
+          v
         }
     }
 

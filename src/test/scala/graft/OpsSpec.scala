@@ -1432,4 +1432,182 @@ class OpsSpec extends GraftSpec {
     out.get(40L).foreach(sz =>
       assert(sz >= 2, "40's cluster must contain at least its planted dup"))
   }
+
+  test("rebuild carry-over: in-flight appends to the old root survive " +
+      "the flip, re-coded under the new quantizer, idempotently") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val roots = java.nio.file.Files.createTempDirectory("graft_carry")
+      .resolve("container").toString
+    try {
+      assert(Similarity.commitPqRoot(spark, emb, roots) === Some(1L))
+      val v1 = Similarity.resolvePqIndexPath(spark, roots)
+      // LATE arrivals: appended to v1's delta AFTER the rebuild snapshot
+      // was taken (the in-flight window the r11 advice flagged) — their
+      // embeddings land in the live corpus table as usual, but the
+      // rebuild's training snapshot missed them
+      val late = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      Similarity.appendToPqIndex(late,
+          spark.read.parquet(s"$v1/codebooks"))
+        .withColumn("batch_id", lit(7L))
+        .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
+      // snapshot-built v2 (misses `late` by construction)
+      assert(Similarity.commitPqRoot(spark, emb, roots) === Some(2L))
+      val v2 = Similarity.resolvePqIndexPath(spark, roots)
+      assert(Similarity.readPqCodes(spark, v2)
+        .filter(col("vec_id") >= 500000).count() === 0L,
+        "fixture: the rebuild must have missed the in-flight appends")
+      // carry-over from the LIVE corpus view closes the window
+      val corpusAll = emb.unionByName(late)
+      Similarity.carryOverAppended(spark, corpusAll, v1, v2)
+      val served = Similarity.readPqCodes(spark, v2)
+      assert(served.filter(col("vec_id") >= 500000).count() === late.count())
+      // original batch id preserved — the replay contract's key
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$v2/codes_appended/batch_id=7")))
+      // codes are the NEW quantizer's assignment, bit-for-bit
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("vec_id")).collect().toSeq
+      assert(rows(served.filter(col("vec_id") >= 500000))
+        === rows(Similarity.appendToPqIndex(late,
+          spark.read.parquet(s"$v2/codebooks"))))
+      // a second carry pass is a no-op (anti-join against what v2 SERVES)
+      Similarity.carryOverAppended(spark, corpusAll, v1, v2)
+      assert(Similarity.readPqCodes(spark, v2)
+        .filter(col("vec_id") >= 500000).count() === late.count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(roots).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("compaction claim race: concurrent maintainers with a zero stale " +
+      "timeout commit exactly one clean generation (token verify)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_race")
+      .resolve("index").toString
+    try {
+      val (cb, codes) = Similarity.buildPqIndex(
+        emb.filter(col("vec_id") % 2 === 0))
+      cb.write.parquet(s"$idx/codebooks")
+      codes.write.parquet(s"$idx/codes")
+      Similarity.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), cb)
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$idx/codes_appended")
+      // lockTimeoutMs = 0: every contender classifies any held lock stale
+      // and steals — the worst case the holder-token protocol must survive.
+      // Pre-token, this interleaving could commit MIXED parquet; now the
+      // loser's commit-time ownership verify aborts it.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val attempts = Await.result(
+        Future.sequence(Seq(
+          Future(Similarity.compactPqIndex(spark, idx, lockTimeoutMs = 0L)),
+          Future(Similarity.compactPqIndex(spark, idx, lockTimeoutMs = 0L)))),
+        5.minutes)
+      // guaranteed invariants under arbitrary interleaving (the schedule
+      // itself is nondeterministic — a steal can land before or after the
+      // first holder's commit, so 1 or 2 generations may exist):
+      //  - at least one contender committed;
+      //  - every row of the corpus is served exactly once (no loss from a
+      //    mid-commit steal, no mixed/duplicated files in any generation);
+      //  - no token-suffixed staging dirs leak.
+      assert(attempts.max >= 1L, s"someone must have committed: $attempts")
+      val names = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+        .map[String](_.getFileName.toString).toArray.map(_.toString).toSeq
+      assert(!names.exists(_.contains("__")),
+        s"staging dirs must be cleaned up: $names")
+      val served = Similarity.readPqCodes(spark, idx)
+      assert(served.count() === emb.count(), "no duplicated rows")
+      assert(served.select("vec_id").distinct().count() === emb.count(),
+        "no lost rows")
+      // the chain continues normally afterwards
+      val g = Similarity.compactPqIndex(spark, idx)
+      assert(g === attempts.max + 1,
+        s"chain continues from the committed generation ($attempts -> $g)")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(idx).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("claim-token primitives: ownership verify, steal leaves the " +
+      "zombie unable to release, heartbeat refreshes the lock mtime") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim").toString
+    val fs = graft.ops.IndexFs.fs(spark, dir)
+    val lock = s"$dir/x.lock"
+    try {
+      assert(graft.ops.IndexFs.tryClaim(fs, lock, "tokA"))
+      assert(graft.ops.IndexFs.ownsClaim(fs, lock, "tokA"))
+      assert(!graft.ops.IndexFs.tryClaim(fs, lock, "tokB"), "held lock")
+      // simulated steal (what a concurrent maintainer does to a stale
+      // lock): the zombie's ownership verify now fails, and its
+      // release-if-owner must NOT delete the stealer's lock
+      graft.ops.IndexFs.release(fs, lock)
+      assert(graft.ops.IndexFs.tryClaim(fs, lock, "tokB"))
+      assert(!graft.ops.IndexFs.ownsClaim(fs, lock, "tokA"))
+      graft.ops.IndexFs.releaseIfOwner(fs, lock, "tokA")
+      assert(graft.ops.IndexFs.claimHolder(fs, lock) === Some("tokB"),
+        "zombie release must be a no-op on a stolen lock")
+      // heartbeat: the holder's daemon touch advances mtime, so a LIVE
+      // holder is never classified stale however long its build runs
+      val m0 = graft.ops.IndexFs.mtime(fs, lock).get
+      // sleep > 1 s so the assertion survives second-granularity mtimes
+      graft.ops.IndexFs.withHeartbeat(fs, lock, "tokB", intervalMs = 100L) {
+        Thread.sleep(1200L)
+      }
+      assert(graft.ops.IndexFs.mtime(fs, lock).get > m0,
+        "heartbeat must refresh the lock mtime")
+      // atomic marker publish + tolerant parse round-trip
+      graft.ops.IndexFs.commitSmallString(fs, s"$dir/_M", "42\n")
+      assert(graft.ops.IndexFs.readMarkerLong(fs, s"$dir/_M") === Some(42L))
+      graft.ops.IndexFs.writeSmallString(fs, s"$dir/_M", "torn garb")
+      assert(graft.ops.IndexFs.readMarkerLong(fs, s"$dir/_M") === None)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("torn generation marker: unparseable content reads as uncommitted, " +
+      "never as a reader crash") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_torn")
+      .resolve("index").toString
+    try {
+      val (cb, codes) = Similarity.buildPqIndex(
+        emb.filter(col("vec_id") % 2 === 0))
+      cb.write.parquet(s"$idx/codebooks")
+      codes.write.parquet(s"$idx/codes")
+      val before = Similarity.readPqCodes(spark, idx).count()
+      // a generation whose marker is EMPTY or GARBLED (the torn
+      // create+write+close window on stores without atomic create) must
+      // stay invisible — the pre-r12 read path threw NumberFormatException
+      // on the query hot path
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$idx/codes_g1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$idx/codes_g1/_GRAFT_PQ_GEN"), "")
+      assert(Similarity.readPqCodes(spark, idx).count() === before)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$idx/codes_g1/_GRAFT_PQ_GEN"), "garb le")
+      assert(Similarity.readPqCodes(spark, idx).count() === before)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(idx).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
 }

@@ -653,6 +653,132 @@ class StreamingSpec extends GraftSpec {
       java.nio.file.Paths.get(s"$root/learned_g4")))
   }
 
+  test("learned-delta compaction on the EMBED root: the schema-agnostic " +
+      "fold serves identical views and replay survives the flip") {
+    // the compaction scaladoc claims root-schema agnosticism ("works on any
+    // learned root"); the gram-root test above proves one schema — this
+    // proves a second (ex_id/plane-bucket/embedding rows) so the claim is
+    // evidence, not argument (r11 verdict item 4)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val base = vec(i => math.sin(i * 0.7) + 0.1)
+    val novel1 = vec(i => math.cos(i * 1.3) - 0.2)
+    val novel2 = vec(i => math.sin(i * 2.9) * 1.5 + 0.4)
+    val in = tmp("ecomp-in")
+    val root = tmp("ecomp-idx").resolve("index").toString
+    val out = tmp("ecomp-out").toString
+    graft.ops.Dedup.buildEmbedIndex(
+      Seq((100L, base)).toDF("vec_id", "embedding")).write
+      .parquet(s"$root/base")
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    // batch 0 learns novel1; batch 1 learns novel2 (and catches a scaled
+    // copy of novel1) — learning in BOTH batches so the beforeBatch
+    // replay contract has something to distinguish
+    Files.writeString(in.resolve("b1.json"), js(1, novel1) + "\n")
+    Files.writeString(in.resolve("b2.json"),
+      Seq(js(4, novel1.map(_ * 2f)), js(6, novel2)).mkString("", "\n", "\n"))
+    Files.setLastModifiedTime(in.resolve("b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    LogStream.dedupLearningEmbedArrivals(arrivals, root, out,
+      tmp("ecomp-ck").toString).awaitTermination()
+    def view(beforeBatch: Long = Long.MaxValue) =
+      graft.ops.Dedup.readEmbedIndex(spark, root, beforeBatch)
+        .orderBy("ex_id").collect().toSeq
+    val full = view()
+    val below1 = view(beforeBatch = 1)
+    assert(full.size > below1.size, "fixture must learn in both batches")
+    def verdicts() = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    val v = verdicts()
+    assert(v(4L) === "near" && v(6L) === "new", s"fixture verdicts: $v")
+    // compact, then every view is bit-identical across the flip
+    assert(graft.ops.Dedup.compactLearnedDelta(spark, root) === 1L)
+    assert(view() === full)
+    assert(view(beforeBatch = 1) === below1)
+    assert(view(beforeBatch = 0) ===
+      spark.read.parquet(s"$root/base").orderBy("ex_id").collect().toSeq)
+    // replay through the compacted root: verdicts identical (each replayed
+    // batch reads knowledge strictly below itself through the generation)
+    LogStream.dedupLearningEmbedArrivals(arrivals, root, out,
+      tmp("ecomp-ck2").toString).awaitTermination()
+    assert(verdicts() === v)
+    assert(view() === full)
+  }
+
+  test("learned-delta compaction interleaved with a LIVE stream lineage: " +
+      "the in-flight batch's strictly-below-b view is identical across " +
+      "the flip") {
+    // r11 verdict item 5: the compaction test above runs sequential phases
+    // (stream done, then compact). Here the compaction lands BETWEEN
+    // micro-batches of ONE stream lineage — batch 0 commits, the flip
+    // folds it into learned_g1, then batch 1 resumes from the SAME
+    // checkpoint and must read knowledge strictly below itself THROUGH THE
+    // GENERATION, producing spans bit-identical to an uncompacted twin.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val phrase = "m1 m2 m3 m4 m5 m6"
+    def mkIn(name: String): java.nio.file.Path = tmp(name)
+    def writeB1(in: java.nio.file.Path): Unit = {
+      Files.writeString(in.resolve("b1.json"),
+        s"""{"doc_id":1,"text":"$phrase"}""" + "\n")
+      Files.setLastModifiedTime(in.resolve("b1.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    }
+    def writeB2(in: java.nio.file.Path): Unit = {
+      Files.writeString(in.resolve("b2.json"),
+        s"""{"doc_id":2,"text":"x1 x2 $phrase y1 y2"}""" + "\n")
+      Files.setLastModifiedTime(in.resolve("b2.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    }
+    def arrivals(in: java.nio.file.Path) = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    def spans(out: String) = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // interleaved lineage: batch 0 → compact → batch 1 (same checkpoint)
+    val in1 = mkIn("icomp-in1")
+    val root1 = tmp("icomp-idx1").resolve("index").toString
+    val out1 = tmp("icomp-out1").toString
+    val ck1 = tmp("icomp-ck1").toString
+    graft.ops.Dedup.buildGramIndex(corpus, n = 3).write.parquet(s"$root1/base")
+    writeB1(in1)
+    LogStream.spanCheckLearningArrivals(arrivals(in1), root1, out1, ck1,
+      n = 3).awaitTermination()
+    assert(graft.ops.Dedup.compactLearnedDelta(spark, root1) === 1L,
+      "the flip lands mid-lineage, after batch 0's commit")
+    writeB2(in1)
+    LogStream.spanCheckLearningArrivals(arrivals(in1), root1, out1, ck1,
+      n = 3).awaitTermination() // resumes the SAME lineage: this is batch 1
+    // uncompacted twin: identical input, no flip
+    val in2 = mkIn("icomp-in2")
+    val root2 = tmp("icomp-idx2").resolve("index").toString
+    val out2 = tmp("icomp-out2").toString
+    graft.ops.Dedup.buildGramIndex(corpus, n = 3).write.parquet(s"$root2/base")
+    writeB1(in2); writeB2(in2)
+    LogStream.spanCheckLearningArrivals(arrivals(in2), root2, out2,
+      tmp("icomp-ck2").toString, n = 3).awaitTermination()
+    assert(spans(out1) === Seq((2L, 3L, 8L, 6L)),
+      s"the in-flight batch must see batch 0's knowledge through the " +
+        s"compacted generation, got ${spans(out1)}")
+    assert(spans(out1) === spans(out2), "bit-identical to the twin")
+    def gramView(root: String) =
+      graft.ops.Dedup.readGramIndex(spark, root).orderBy("gram")
+        .collect().toSeq
+    assert(gramView(root1) === gramView(root2),
+      "post-flip knowledge must equal the uncompacted twin's")
+  }
+
   test("streaming embedding dedup: LSH-bucketed verdicts vs persisted index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
