@@ -253,6 +253,73 @@ object EntryOps {
     }
   }
 
+  /** s15 — the PRODUCTION ANN route end to end, under the hard correctness
+    * signal (r11 verdict item 1): a VERSIONED index container
+    * ([[Similarity.commitPqRoot]]'s `v-NNNNNNNN/` layout, marker-committed)
+    * resolved through [[Similarity.resolvePqIndexPath]] — the per-query
+    * re-resolution that lets a drift rebuild flip live readers — with
+    * codes served by [[Similarity.readPqCodes]] (base + compacted
+    * generations + appended delta). When `dir` carries a pre-committed
+    * container at `pq_roots/` (the Bench/ScaleProbe overlays build one
+    * UNTIMED), the entry prices pure query-time cost: resolve + read +
+    * ADC top-k. Otherwise (the Verify path) it commits v1 into a scratch
+    * container and queries through the same resolver — build cost
+    * in-plan, the s09 fallback pattern. Every lifecycle step is
+    * deterministic, so the oracle is s09's SQL VERBATIM (s07 bounded):
+    * the container, resolver, and generation read must not change one bit
+    * of the result.
+    */
+  def topkPqRooted(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val roots = s"$dir/pq_roots"
+    val resolved = Similarity.currentPqRoot(spark, roots) match {
+      case Some(r) => r
+      case None =>
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_pq_root").resolve("container").toString
+        Similarity.commitPqRoot(spark, e, scratch)
+        Similarity.resolvePqIndexPath(spark, scratch)
+    }
+    // self-describing geometry, as in topkPqIndexed: readers follow the
+    // committed version's quantizer, never a hardcoded default
+    val codebooks = spark.read.parquet(s"$resolved/codebooks")
+    val g = codebooks.select(col("subspaces"), col("codebook_size"),
+      col("dims")).head()
+    Similarity.topkPqAgainstIndex(e.filter(pqQueryPred), codebooks,
+      Similarity.readPqCodes(spark, resolved), k = 3,
+      subspaces = g.getInt(0), codebookSize = g.getInt(1),
+      dims = g.getInt(2))
+  }
+
+  /** s16 — [[topkPqRooted]] for the deployed IVFADC route: a committed
+    * `v-NNNNNNNN/` container ([[Similarity.commitIvfPqRoot]]) resolved per
+    * query, coarse probe + residual ADC + exact re-rank against
+    * [[Similarity.readPqCodes]]'s generation view. Pre-committed container
+    * at `ivfpq_roots/` when the overlay built one; scratch-committed v1
+    * otherwise. Oracle: s10's SQL verbatim (s08 bounded).
+    */
+  def topkIvfPqRooted(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val roots = s"$dir/ivfpq_roots"
+    val resolved = Similarity.currentPqRoot(spark, roots) match {
+      case Some(r) => r
+      case None =>
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_root").resolve("container")
+          .toString
+        Similarity.commitIvfPqRoot(spark, e, scratch)
+        Similarity.resolvePqIndexPath(spark, scratch)
+    }
+    val centroids = spark.read.parquet(s"$resolved/centroids")
+    val codebooks = spark.read.parquet(s"$resolved/codebooks")
+    val g = centroids.select(col("n_cells"), col("subspaces"),
+      col("codebook_size"), col("dims")).head()
+    Similarity.topkIvfPqAgainstIndex(e.filter(pqQueryPred), e,
+      centroids, codebooks, Similarity.readPqCodes(spark, resolved),
+      k = 3, nCells = g.getInt(0), subspaces = g.getInt(1),
+      codebookSize = g.getInt(2), nprobe = 3, dims = g.getInt(3))
+  }
+
   /** The s11/s12 train/append SPLIT: codebooks train on 3/4 of the corpus
     * (`vec_id % 4 != 0` — deterministic, SF-independent), the remaining
     * 1/4 plays the vectors that ARRIVED after the last index rebuild.
@@ -4978,6 +5045,17 @@ object EntryOps {
       "s10_topk_ivfpq_index" -> bound(oracles("s08_topk_ivfpq"),
         "WHERE vec_id % 40 = 0",
         "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
+      // s15/s16: the versioned-root lifecycle route must be bit-identical
+      // to the flat-index route — same oracle text as s09/s10 (i.e. the
+      // in-query s07/s08 forms, query-bounded). Any drift introduced by
+      // the container, resolver, marker flip, or generation read
+      // hash-mismatches here.
+      "s15_topk_pq_root" -> bound(oracles("s07_topk_pq"),
+        "WHERE sv.vec_id % 40 = 0",
+        "WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000"),
+      "s16_topk_ivfpq_root" -> bound(oracles("s08_topk_ivfpq"),
+        "WHERE vec_id % 40 = 0",
+        "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
       // s11: s07's SQL with the TRAINING CTEs (seeds sample + Lloyd-round
       // assignment) restricted to the `vec_id % 4 != 0` training subset —
       // the `codes` CTE still assigns ALL vectors under the subset-trained
@@ -5102,6 +5180,8 @@ object EntryOps {
     "s08_topk_ivfpq" -> (topkIvfPq _),
     "s09_topk_pq_index" -> (topkPqIndexed _),
     "s10_topk_ivfpq_index" -> (topkIvfPqIndexed _),
+    "s15_topk_pq_root" -> (topkPqRooted _),
+    "s16_topk_ivfpq_root" -> (topkIvfPqRooted _),
     "s11_topk_pq_append" -> (topkPqAppend _),
     "s12_pq_drift" -> (pqDrift _),
     "s13_topk_ivfpq_append" -> (topkIvfPqAppend _),

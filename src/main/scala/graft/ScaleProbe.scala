@@ -60,6 +60,13 @@ object ScaleProbe {
     // probed so the artifact states that rather than implies it
     "s11_topk_pq_append", "s12_pq_drift", "s13_topk_ivfpq_append",
     "s14_ivfpq_drift",
+    // r12: the versioned-root production route (resolver + generation
+    // read), probed against the pre-committed containers
+    "s15_topk_pq_root", "s16_topk_ivfpq_root",
+    // r12: d18's one-gram-shuffle substring spans, probed at ×R alongside
+    // the other dedup representatives (the r11 ×100 run covered s09-s14
+    // only; the verdict asked for the dedup families' exponents too)
+    "d18_duplicated_spans",
     "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking",
     "e05_multimodal_corpus", "d22_semdedup_incremental",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
@@ -156,6 +163,13 @@ object ScaleProbe {
       ict.write.mode("overwrite").parquet(d.resolve("ivfpq_centroids.parquet").toString)
       icb.write.mode("overwrite").parquet(d.resolve("ivfpq_codebooks.parquet").toString)
       icodes.write.mode("overwrite").parquet(d.resolve("ivfpq_codes.parquet").toString)
+      // versioned containers for the s15/s16 production-route entries —
+      // committed UNTIMED at both scales, IVF geometry grown with the
+      // corpus exactly as the flat overlay above
+      graft.ops.Similarity.commitPqRoot(spark, e,
+        d.resolve("pq_roots").toString)
+      graft.ops.Similarity.commitIvfPqRoot(spark, e,
+        d.resolve("ivfpq_roots").toString, nCells = 8 * m)
     }
 
     // ---- measurement (Bench methodology: warmup, load gate, median of 3) ----

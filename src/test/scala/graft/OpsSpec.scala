@@ -1539,6 +1539,36 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("s15/s16 overlay path: a pre-committed versioned container serves " +
+      "rows identical to the scratch-committed path") {
+    // the registry entries take the resolver path when $dir/pq_roots /
+    // $dir/ivfpq_roots carry a committed version (the Bench/ScaleProbe
+    // overlay shape) and self-commit a scratch container otherwise (the
+    // Verify path the oracle hash-checks); both must be bit-identical
+    val sfDir = "/root/testdata/sf0.001"
+    val ovl = java.nio.file.Files.createTempDirectory("graft_s15_ovl")
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        ovl.resolve("embeddings.parquet"),
+        java.nio.file.Paths.get(sfDir, "embeddings.parquet"))
+      val e = Tables.embeddings(spark, ovl.toString)
+      assert(Similarity.commitPqRoot(spark, e,
+        ovl.resolve("pq_roots").toString) === Some(1L))
+      assert(Similarity.commitIvfPqRoot(spark, e,
+        ovl.resolve("ivfpq_roots").toString) === Some(1L))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      assert(rows(EntryOps.topkPqRooted(spark, ovl.toString))
+        === rows(EntryOps.topkPqRooted(spark, sfDir)))
+      assert(rows(EntryOps.topkIvfPqRooted(spark, ovl.toString))
+        === rows(EntryOps.topkIvfPqRooted(spark, sfDir)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ovl).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("claim-token primitives: ownership verify, steal leaves the " +
       "zombie unable to release, heartbeat refreshes the lock mtime") {
     val dir = java.nio.file.Files.createTempDirectory("graft_claim").toString
