@@ -31,9 +31,19 @@ class PlansSpec extends GraftSpec {
     *  - builds whose row count is PROVABLY bounded: a single aggregated row
     *    (scalar cutoffs) or a literal LIMIT (e.g. the K-row centroid sample
     *    in s06) — "nested loop" over a constant-size build is a constant
-    *    probe, not an all-pairs blowup.
+    *    probe, not an all-pairs blowup;
+    *  - s15/s16: the ADC scoring `crossJoin(broadcast(lutQ))` against a
+    *    PERSISTED index — the build side is the per-query lookup table,
+    *    whose cardinality is the pinned query set (`vec_id % 40 = 0 AND
+    *    vec_id < 2000` → ≤ 50 rows at any SF, the same pinning the scale
+    *    probes key on). The identical join in s07-s11/s13 passes the
+    *    bounded-build heuristic only because their IN-PLAN training
+    *    subtree happens to contain a seed LIMIT; the persisted-root plans
+    *    read parquet instead, so the bound is structural (the query
+    *    filter), not visible to collectFirst.
     */
-  private val allowedBnlj = Set("s01_topk_brute", "d05_embed_neardup")
+  private val allowedBnlj = Set("s01_topk_brute", "d05_embed_neardup",
+    "s15_topk_pq_root", "s16_topk_ivfpq_root")
   private def isBoundedBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = j.buildSide match {
       case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
