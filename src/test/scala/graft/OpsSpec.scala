@@ -1485,6 +1485,44 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("rebuild carry-over on an IVF-PQ root: missed appends re-coded " +
+      "with coarse re-assignment under the new quantizer") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val roots = java.nio.file.Files.createTempDirectory("graft_carry_ivf")
+      .resolve("container").toString
+    try {
+      assert(Similarity.commitIvfPqRoot(spark, emb, roots) === Some(1L))
+      val v1 = Similarity.resolvePqIndexPath(spark, roots)
+      val late = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfPqIndex(late,
+          spark.read.parquet(s"$v1/centroids"),
+          spark.read.parquet(s"$v1/codebooks"))
+        .withColumn("batch_id", lit(3L))
+        .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
+      assert(Similarity.commitIvfPqRoot(spark, emb, roots) === Some(2L))
+      val v2 = Similarity.resolvePqIndexPath(spark, roots)
+      Similarity.carryOverAppended(spark, emb.unionByName(late), v1, v2)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("vec_id")).collect().toSeq
+      // bucket column rides the carried rows (the IVF detection branch),
+      // and the assignment is the NEW quantizer's, bit-for-bit
+      assert(rows(Similarity.readPqCodes(spark, v2)
+          .filter(col("vec_id") >= 500000)
+          .select(col("vec_id"), col("bucket"), col("codes")))
+        === rows(Similarity.appendToIvfPqIndex(late,
+          spark.read.parquet(s"$v2/centroids"),
+          spark.read.parquet(s"$v2/codebooks"))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(roots).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("compaction claim race: concurrent maintainers with a zero stale " +
       "timeout commit exactly one clean generation (token verify)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
