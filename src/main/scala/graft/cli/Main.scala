@@ -12,13 +12,17 @@ import graft.sources.HostSources
 import graft.streaming.LogStream
 
 /** CLI entry points mirroring the reference's four subcommands
-  * (`__main__.py:36-74`):
+  * (`__main__.py:36-74`), plus the index-maintenance verbs a deployment
+  * schedules at ingest cadence:
   *
   * {{{
   * graft.cli.Main -c config.toml apache-access <inputDir>
   * graft.cli.Main -c config.toml authfail      <inputDir>
   * graft.cli.Main -c config.toml maillog       <inputDir>
   * graft.cli.Main -c config.toml dailyreport
+  * graft.cli.Main -c config.toml compact-index   <indexRoot>
+  * graft.cli.Main -c config.toml compact-learned <learnedRoot>
+  * graft.cli.Main -c config.toml rebuild-if-drifted {pq|ivfpq} <embParquet> <rootsPath> [driftFactor]
   * }}}
   *
   * The reference ingests from stdin pipes; the Spark-native equivalent ingests a
@@ -26,14 +30,52 @@ import graft.streaming.LogStream
   * `Trigger.AvailableNow` (catch-up-then-exit — the batch-equivalent run; leave
   * the query running with a processing-time trigger for continuous tailing).
   * The `[database]` config section names the warehouse directory.
+  *
+  * The maintenance verbs are idempotent and claim-locked (see
+  * `docs/PLANS.md` "Claim protocol"): running them from cron/Airflow next
+  * to live streams is safe — a concurrent maintainer no-ops, a crashed one
+  * is stolen from, and live readers flip by marker without restart. Paths
+  * may be local, `hdfs://`, or `s3a://`.
   */
 object Main {
 
   private def usage(): Nothing = {
     System.err.println(
       "usage: graft.cli.Main -c <config.toml> [-l <logfile>] " +
-        "{apache-access|authfail|maillog} <inputDir> | dailyreport")
+        "{apache-access|authfail|maillog} <inputDir> | dailyreport | " +
+        "compact-index <indexRoot> | compact-learned <learnedRoot> | " +
+        "rebuild-if-drifted {pq|ivfpq} <embParquet> <rootsPath> [driftFactor]")
     sys.exit(2)
+  }
+
+  /** Maintenance dispatch, factored from `main` so specs can drive it on a
+    * shared session (main's getOrCreate+stop would tear the test session
+    * down). Returns a one-line human summary; throws on unknown verbs.
+    */
+  private[graft] def runMaintenance(spark: SparkSession,
+      cmd: List[String]): Option[String] = cmd match {
+    case List("compact-index", root) =>
+      val g = graft.ops.Similarity.compactPqIndex(spark, root)
+      Some(s"compact-index $root -> generation $g")
+    case List("compact-learned", root) =>
+      val g = graft.ops.Dedup.compactLearnedDelta(spark, root)
+      Some(s"compact-learned $root -> generation $g")
+    case "rebuild-if-drifted" :: kind :: emb :: roots :: restArgs
+        if (kind == "pq" || kind == "ivfpq") && restArgs.size <= 1 =>
+      val factor = restArgs.headOption.map(_.toDouble).getOrElse(1.25)
+      val embDf = spark.read.parquet(emb)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      val v =
+        if (kind == "pq")
+          graft.ops.Similarity.rebuildPqRootIfDrifted(spark, embDf, roots, factor)
+        else
+          graft.ops.Similarity.rebuildIvfPqRootIfDrifted(spark, embDf, roots, factor)
+      Some(v match {
+        case Some(n) => s"rebuild-if-drifted $kind $roots -> committed v$n"
+        case None => s"rebuild-if-drifted $kind $roots -> no drift (or lost claim), no-op"
+      })
+    case _ => None
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,7 +124,11 @@ object Main {
           println(Email.pagerForm(report.subject, report.body))
         else
           print(Email.render(report.subject, cfg.dailyreport.recipient, report.body))
-      case _ => usage()
+      case cmd =>
+        runMaintenance(spark, cmd) match {
+          case Some(summary) => System.err.println(s"[graft] $summary")
+          case None => usage()
+        }
     } finally spark.stop()
   }
 }

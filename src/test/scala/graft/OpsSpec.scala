@@ -1647,6 +1647,40 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("CLI maintenance verbs dispatch to the claim-locked lifecycle ops") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_cli_maint")
+    try {
+      // rebuild-if-drifted on an empty container cold-starts v1, and a
+      // second run reports the no-drift no-op
+      val roots = base.resolve("roots").toString
+      emb.write.parquet(base.resolve("emb.parquet").toString)
+      val embPath = base.resolve("emb.parquet").toString
+      assert(graft.cli.Main.runMaintenance(spark,
+        List("rebuild-if-drifted", "pq", embPath, roots))
+        .exists(_.contains("committed v1")))
+      assert(graft.cli.Main.runMaintenance(spark,
+        List("rebuild-if-drifted", "pq", embPath, roots))
+        .exists(_.contains("no-op")))
+      // compact-index against the committed version's root
+      val v1 = Similarity.resolvePqIndexPath(spark, roots)
+      Similarity.appendToPqIndex(emb.limit(10),
+          spark.read.parquet(s"$v1/codebooks"))
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
+      assert(graft.cli.Main.runMaintenance(spark,
+        List("compact-index", v1)).exists(_.contains("generation 1")))
+      // unknown verbs fall through to usage (None)
+      assert(graft.cli.Main.runMaintenance(spark, List("bogus")).isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("torn generation marker: unparseable content reads as uncommitted, " +
       "never as a reader crash") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
