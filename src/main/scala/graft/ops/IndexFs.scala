@@ -142,11 +142,20 @@ private[graft] object IndexFs {
     * ownership witness [[ownsClaim]] re-checks before every destructive
     * or publishing step, and the write refreshes the lock mtime the
     * stale-steal policy keys on.
+    *
+    * The token write itself can fail when a concurrent maintainer STEALS
+    * the just-created lock before the token lands (observed on the
+    * checksummed local FS as a chmod-on-missing-.crc shell exception
+    * under a zero stale timeout). That is a lost race, not an error:
+    * report the claim as lost (false) and let the ownership verify /
+    * stale-steal machinery converge — if the failed write left a token-
+    * less lock behind, it reads as held-by-nobody and is stolen after the
+    * timeout like any crashed holder's.
     */
   def tryClaim(fs: FileSystem, lock: String, token: String): Boolean =
     tryClaim(fs, lock) && {
-      writeSmallString(fs, lock, token + "\n")
-      true
+      try { writeSmallString(fs, lock, token + "\n"); true }
+      catch { case _: Exception => false }
     }
 
   /** The token in the lock file; None when absent, empty (a pre-token

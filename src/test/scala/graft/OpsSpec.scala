@@ -1607,6 +1607,105 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("versioned-root commit race: concurrent committers with a zero " +
+      "stale timeout publish whole versions only") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val roots = java.nio.file.Files.createTempDirectory("graft_root_race")
+      .resolve("container").toString
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val attempts = Await.result(
+        Future.sequence(Seq(
+          Future(Similarity.commitPqRoot(spark, emb, roots,
+            lockTimeoutMs = 0L)),
+          Future(Similarity.commitPqRoot(spark, emb, roots,
+            lockTimeoutMs = 0L)))),
+        5.minutes)
+      // under arbitrary steal interleavings 1 or 2 versions may commit and
+      // a loser returns None; the invariants are: at least one committed,
+      // every committed version is WHOLE (codebooks + codes + marker), the
+      // resolver sees the highest one, and no staging dirs leak
+      assert(attempts.flatten.nonEmpty, s"someone must commit: $attempts")
+      val names = java.nio.file.Files.list(java.nio.file.Paths.get(roots))
+        .map[String](_.getFileName.toString).toArray.map(_.toString).toSeq
+      assert(!names.exists(_.contains("__")),
+        s"staging dirs must be cleaned up: $names")
+      val resolved = Similarity.resolvePqIndexPath(spark, roots)
+      val top = attempts.flatten.max
+      assert(resolved.endsWith(f"v-$top%08d"))
+      for (n <- names if n.matches("v-\\d{8}")) {
+        val vdir = s"$roots/$n"
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$vdir/_GRAFT_PQ_ROOT")),
+          s"$n must be marker-committed (torn versions were stolen+GC'd)")
+        assert(spark.read.parquet(s"$vdir/codes").count() === emb.count(),
+          s"$n must be a WHOLE version")
+      }
+      // queries through the resolved root reproduce a cold build exactly
+      val (coldCb, coldCodes) = Similarity.buildPqIndex(emb)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("vec_id")).collect().toSeq
+      assert(rows(Similarity.readPqCodes(spark, resolved)) === rows(coldCodes))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(roots).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("learned-delta compaction race: concurrent maintainers with a zero " +
+      "stale timeout serve every learned row exactly once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_learn_race")
+      .resolve("index").toString
+    try {
+      graft.ops.Dedup.buildGramIndex(
+        Seq((100L, "alpha beta gamma delta epsilon zeta"))
+          .toDF("doc_id", "text"), n = 3).write.parquet(s"$root/base")
+      // two learned batch partitions, disjoint grams
+      graft.ops.Dedup.buildGramIndex(
+          Seq((1L, "m1 m2 m3 m4 m5 m6")).toDF("doc_id", "text"), n = 3)
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$root/learned")
+      graft.ops.Dedup.buildGramIndex(
+          Seq((2L, "p1 p2 p3 p4 p5 p6")).toDF("doc_id", "text"), n = 3)
+        .withColumn("batch_id", lit(1L))
+        .write.partitionBy("batch_id").mode("append")
+        .parquet(s"$root/learned")
+      val full = graft.ops.Dedup.readGramIndex(spark, root)
+        .orderBy("gram").collect().toSeq
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val attempts = Await.result(
+        Future.sequence(Seq(
+          Future(graft.ops.Dedup.compactLearnedDelta(spark, root,
+            lockTimeoutMs = 0L)),
+          Future(graft.ops.Dedup.compactLearnedDelta(spark, root,
+            lockTimeoutMs = 0L)))),
+        5.minutes)
+      assert(attempts.max >= 1L, s"someone must commit: $attempts")
+      val names = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .map[String](_.getFileName.toString).toArray.map(_.toString).toSeq
+      assert(!names.exists(_.contains("__")),
+        s"staging dirs must be cleaned up: $names")
+      assert(graft.ops.Dedup.readGramIndex(spark, root)
+        .orderBy("gram").collect().toSeq === full,
+        "no lost or duplicated learned rows across the race")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val r = java.nio.file.Paths.get(root).getParent
+      java.nio.file.Files.walk(r).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("claim-token primitives: ownership verify, steal leaves the " +
       "zombie unable to release, heartbeat refreshes the lock mtime") {
     val dir = java.nio.file.Files.createTempDirectory("graft_claim").toString
