@@ -62,15 +62,24 @@ object Main {
       Some(s"compact-learned $root -> generation $g")
     case "rebuild-if-drifted" :: kind :: emb :: roots :: restArgs
         if (kind == "pq" || kind == "ivfpq") && restArgs.size <= 1 =>
+      import org.apache.spark.sql.functions.col
       val factor = restArgs.headOption.map(_.toDouble).getOrElse(1.25)
-      val embDf = spark.read.parquet(emb)
-        .select(org.apache.spark.sql.functions.col("vec_id"),
-          org.apache.spark.sql.functions.col("embedding"))
+      def readEmb() = // each call lists the parquet afresh — see below
+        spark.read.parquet(emb).select(col("vec_id"), col("embedding"))
+      val oldRoot = graft.ops.Similarity.currentPqRoot(spark, roots)
       val v =
         if (kind == "pq")
-          graft.ops.Similarity.rebuildPqRootIfDrifted(spark, embDf, roots, factor)
+          graft.ops.Similarity.rebuildPqRootIfDrifted(spark, readEmb(), roots, factor)
         else
-          graft.ops.Similarity.rebuildIvfPqRootIfDrifted(spark, embDf, roots, factor)
+          graft.ops.Similarity.rebuildIvfPqRootIfDrifted(spark, readEmb(), roots, factor)
+      // second carry pass from a FRESH read (fresh file listing): vectors
+      // that streamed into the corpus + old root's delta DURING the
+      // rebuild are invisible to the build's snapshot-frozen DataFrame;
+      // carryOverAppended is idempotent, so re-carrying what the rebuild
+      // already carried is a no-op and only the mid-build window lands
+      for (_ <- v; old <- oldRoot)
+        graft.ops.Similarity.carryOverAppended(spark, readEmb(), old,
+          graft.ops.Similarity.resolvePqIndexPath(spark, roots))
       Some(v match {
         case Some(n) => s"rebuild-if-drifted $kind $roots -> committed v$n"
         case None => s"rebuild-if-drifted $kind $roots -> no drift (or lost claim), no-op"

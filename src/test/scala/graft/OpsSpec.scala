@@ -1770,6 +1770,27 @@ class OpsSpec extends GraftSpec {
         .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
       assert(graft.cli.Main.runMaintenance(spark,
         List("compact-index", v1)).exists(_.contains("generation 1")))
+      // drift-tripped rebuild through the CLI: drifted arrivals appended
+      // under v1's frozen codebooks + present in the emb table → the verb
+      // rebuilds into v2 and runs the post-flip carry pass (idempotent
+      // no-op here — v2's base covers everything the fresh read holds)
+      val drifted = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 900000).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 10.0 + 5.0 AS FLOAT))")
+            .as("embedding"))
+      Similarity.appendToPqIndex(drifted,
+          spark.read.parquet(s"$v1/codebooks"))
+        .withColumn("batch_id", lit(9L))
+        .write.partitionBy("batch_id").mode("append")
+        .parquet(s"$v1/codes_appended")
+      emb.unionByName(drifted).write.mode("overwrite")
+        .parquet(base.resolve("emb2.parquet").toString)
+      assert(graft.cli.Main.runMaintenance(spark,
+        List("rebuild-if-drifted", "pq",
+          base.resolve("emb2.parquet").toString, roots))
+        .exists(_.contains("committed v2")))
+      assert(Similarity.resolvePqIndexPath(spark, roots)
+        .endsWith("v-00000002"))
       // unknown verbs fall through to usage (None)
       assert(graft.cli.Main.runMaintenance(spark, List("bogus")).isEmpty)
     } finally {
