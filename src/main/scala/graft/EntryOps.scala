@@ -278,7 +278,13 @@ object EntryOps {
         val scratch = java.nio.file.Files
           .createTempDirectory("graft_pq_root").resolve("container").toString
         Similarity.commitPqRoot(spark, e, scratch)
-        Similarity.resolvePqIndexPath(spark, scratch)
+        val v = Similarity.resolvePqIndexPath(spark, scratch)
+        // fold the (empty) delta into a marker-committed generation, so
+        // the oracle-hash-checked route reads codes_g1 through the
+        // generation resolver — compaction's read path joins the hard
+        // correctness signal; a zero-batch fold is content-identical
+        Similarity.compactPqIndex(spark, v)
+        v
     }
     // self-describing geometry, as in topkPqIndexed: readers follow the
     // committed version's quantizer, never a hardcoded default
@@ -308,7 +314,11 @@ object EntryOps {
           .createTempDirectory("graft_ivfpq_root").resolve("container")
           .toString
         Similarity.commitIvfPqRoot(spark, e, scratch)
-        Similarity.resolvePqIndexPath(spark, scratch)
+        val v = Similarity.resolvePqIndexPath(spark, scratch)
+        // generation-read route under the oracle, as in topkPqRooted —
+        // the codes compaction is schema-agnostic (bucket rides the fold)
+        Similarity.compactPqIndex(spark, v)
+        v
     }
     val centroids = spark.read.parquet(s"$resolved/centroids")
     val codebooks = spark.read.parquet(s"$resolved/codebooks")
