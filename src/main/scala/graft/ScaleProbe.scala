@@ -153,7 +153,13 @@ object ScaleProbe {
     // CONSTANT as the corpus grows, which is the property the s10 probe
     // row exists to demonstrate. The readers follow the index's persisted
     // geometry columns (EntryOps.topkIvfPqIndexed), not a default.
-    for ((d, m) <- Seq((dir1, 1), (dirR, mult))) {
+    // Index prebuild is only needed when an s-family route is selected —
+    // a dev-loop or family-focused run (SPARK_GRAFT_SCALE_ONLY without
+    // s-queries) skips four quantizer trainings per scale
+    val selectedSet = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val needsIndexes = selectedSet.forall(_.exists(_.startsWith("s")))
+    for ((d, m) <- Seq((dir1, 1), (dirR, mult)) if needsIndexes) {
       val e = Tables.embeddings(spark, d.toString)
       val (cb, codes) = graft.ops.Similarity.buildPqIndex(e)
       cb.write.mode("overwrite").parquet(d.resolve("pq_codebooks.parquet").toString)
