@@ -23,6 +23,7 @@ import graft.streaming.LogStream
   * graft.cli.Main -c config.toml compact-index   <indexRoot>
   * graft.cli.Main -c config.toml compact-learned <learnedRoot>
   * graft.cli.Main -c config.toml rebuild-if-drifted {pq|ivfpq} <embParquet> <rootsPath> [driftFactor]
+  * graft.cli.Main -c config.toml gc-roots <rootsPath> [keep]
   * }}}
   *
   * The reference ingests from stdin pipes; the Spark-native equivalent ingests a
@@ -44,7 +45,8 @@ object Main {
       "usage: graft.cli.Main -c <config.toml> [-l <logfile>] " +
         "{apache-access|authfail|maillog} <inputDir> | dailyreport | " +
         "compact-index <indexRoot> | compact-learned <learnedRoot> | " +
-        "rebuild-if-drifted {pq|ivfpq} <embParquet> <rootsPath> [driftFactor]")
+        "rebuild-if-drifted {pq|ivfpq} <embParquet> <rootsPath> [driftFactor] | " +
+        "gc-roots <rootsPath> [keep]")
     sys.exit(2)
   }
 
@@ -80,10 +82,17 @@ object Main {
       for (_ <- v; old <- oldRoot)
         graft.ops.Similarity.carryOverAppended(spark, readEmb(), old,
           graft.ops.Similarity.resolvePqIndexPath(spark, roots))
+      // keep current + one grace predecessor; older versions are one full
+      // index copy each and no in-flight reader can still hold them
+      if (v.isDefined) graft.ops.Similarity.gcPqRootVersions(spark, roots)
       Some(v match {
         case Some(n) => s"rebuild-if-drifted $kind $roots -> committed v$n"
         case None => s"rebuild-if-drifted $kind $roots -> no drift (or lost claim), no-op"
       })
+    case "gc-roots" :: roots :: restArgs if restArgs.size <= 1 =>
+      val keep = restArgs.headOption.map(_.toInt).getOrElse(2)
+      val n = graft.ops.Similarity.gcPqRootVersions(spark, roots, keep)
+      Some(s"gc-roots $roots -> removed $n superseded versions (kept $keep)")
     case _ => None
   }
 

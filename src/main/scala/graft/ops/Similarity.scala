@@ -883,6 +883,33 @@ object Similarity {
     } finally IndexFs.releaseIfOwner(fs, lock, token)
   }
 
+  /** GC superseded container VERSIONS, keeping the newest `keep` MARKED
+    * versions — default 2: the current one plus one grace predecessor, so
+    * an in-flight reader that resolved just before a flip finishes its
+    * scan (the same one-grace-cycle discipline as the codes-generation and
+    * learned-delta GC). Without this a long-lived container accumulates
+    * one full index copy per rebuild. Unmarked dirs are never touched
+    * (they are a committer's staging/torn state — the claim protocol owns
+    * them), and deletion of versions strictly below the kept window cannot
+    * affect the resolver (it picks the highest marked version). Deleting
+    * is idempotent, so concurrent GCs need no lock. Returns the number of
+    * versions removed.
+    */
+  def gcPqRootVersions(spark: org.apache.spark.sql.SparkSession,
+      rootsPath: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the current version")
+    val fs = IndexFs.fs(spark, rootsPath)
+    val marked = IndexFs.childNames(fs, rootsPath).flatMap {
+      case RootDirRe(n)
+        if IndexFs.exists(fs, s"$rootsPath/v-$n/$RootMarker") =>
+        Some(n.toLong)
+      case _ => None
+    }.sorted
+    val doomed = marked.dropRight(keep)
+    doomed.foreach(v => IndexFs.rmTree(fs, f"$rootsPath/v-$v%08d"))
+    doomed.size
+  }
+
   /** [[commitPqRoot]] for the deployed IVFADC route: coarse centroids,
     * residual codebooks, and codes land under `v-<N>/` (`centroids/`,
     * `codebooks/`, `codes/`) and flip by marker. The codes-generation

@@ -1791,6 +1791,23 @@ class OpsSpec extends GraftSpec {
         .exists(_.contains("committed v2")))
       assert(Similarity.resolvePqIndexPath(spark, roots)
         .endsWith("v-00000002"))
+      // version GC: keep=2 retains v1 (grace) + v2 after the rebuild's
+      // auto-GC; forcing keep=1 removes the grace predecessor, and an
+      // unmarked (torn) dir is never touched
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$roots/v-00000001")),
+        "auto-GC keeps one grace predecessor")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$roots/v-00000007")) // torn, unmarked
+      assert(graft.cli.Main.runMaintenance(spark,
+        List("gc-roots", roots, "1")).exists(_.contains("removed 1")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$roots/v-00000001")))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$roots/v-00000007")),
+        "unmarked dirs belong to the claim protocol, GC must not touch them")
+      assert(Similarity.resolvePqIndexPath(spark, roots)
+        .endsWith("v-00000002"), "resolver unaffected by GC")
       // unknown verbs fall through to usage (None)
       assert(graft.cli.Main.runMaintenance(spark, List("bogus")).isEmpty)
     } finally {
