@@ -57,8 +57,12 @@ object Main {
   private[graft] def runMaintenance(spark: SparkSession,
       cmd: List[String]): Option[String] = cmd match {
     case List("compact-index", root) =>
-      val g = graft.ops.Similarity.compactPqIndex(spark, root)
-      Some(s"compact-index $root -> generation $g")
+      // accept either a plain index root or a versioned container — the
+      // resolver returns the current committed version for a container
+      // and the path itself otherwise
+      val resolved = graft.ops.Similarity.resolvePqIndexPath(spark, root)
+      val g = graft.ops.Similarity.compactPqIndex(spark, resolved)
+      Some(s"compact-index $resolved -> generation $g")
     case List("compact-learned", root) =>
       val g = graft.ops.Dedup.compactLearnedDelta(spark, root)
       Some(s"compact-learned $root -> generation $g")

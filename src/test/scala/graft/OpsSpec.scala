@@ -1762,14 +1762,16 @@ class OpsSpec extends GraftSpec {
       assert(graft.cli.Main.runMaintenance(spark,
         List("rebuild-if-drifted", "pq", embPath, roots))
         .exists(_.contains("no-op")))
-      // compact-index against the committed version's root
+      // compact-index accepts the CONTAINER path and resolves the current
+      // version (a plain index root passes through unchanged)
       val v1 = Similarity.resolvePqIndexPath(spark, roots)
       Similarity.appendToPqIndex(emb.limit(10),
           spark.read.parquet(s"$v1/codebooks"))
         .withColumn("batch_id", lit(0L))
         .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
       assert(graft.cli.Main.runMaintenance(spark,
-        List("compact-index", v1)).exists(_.contains("generation 1")))
+        List("compact-index", roots))
+        .exists(s => s.contains("generation 1") && s.contains(v1)))
       // drift-tripped rebuild through the CLI: drifted arrivals appended
       // under v1's frozen codebooks + present in the emb table → the verb
       // rebuilds into v2 and runs the post-flip carry pass (idempotent
