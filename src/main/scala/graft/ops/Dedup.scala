@@ -548,10 +548,15 @@ object Dedup {
           dfs.reduce(_ unionByName _)
             .write.mode("overwrite").parquet(stage)
           // ownership verified FIRST; only the live holder reclaims a torn
-          // predecessor's unmarked genDir (in `gens` if marked) and renames
+          // predecessor's unmarked genDir (in `gens` if marked) and renames.
+          // Re-verified around the rename and before the marker (r12
+          // advice — see Similarity.compactPqIndex's publish block for the
+          // race and residual analysis)
           val published = IndexFs.ownsClaim(fs, lock, token) && {
             IndexFs.rmTree(fs, genDir)
-            IndexFs.rename(fs, stage, genDir)
+            IndexFs.ownsClaim(fs, lock, token) &&
+            IndexFs.rename(fs, stage, genDir) &&
+            IndexFs.ownsClaim(fs, lock, token)
           }
           if (!published) {
             IndexFs.rmTree(fs, stage)

@@ -653,15 +653,29 @@ object Similarity {
       // ownership verified FIRST: only the live holder may reclaim an
       // unmarked genDir (a torn predecessor's garbage — it would be in
       // `gens` if marked) so the publishing rename cannot be blocked;
-      // a stolen claim must not touch the stealer's in-progress dir
+      // a stolen claim must not touch the stealer's in-progress dir.
+      // Re-verified BETWEEN the destructive rmTree and the rename, and
+      // again before the marker commit (r12 advice): a holder paused past
+      // the stale timeout right after the first check could otherwise
+      // delete a stealer's freshly renamed (not-yet-marked) generation
+      // and publish its stale merge over it. The checks shrink that
+      // window to single-operation width; the residual (a pause INSIDE
+      // the rmTree→rename pair) is documented with the advisory-claim
+      // caveat in docs/PLANS.md — it can discard a stealer's newer fold
+      // (re-foldable, idempotent), never mix files or lose source data.
       val published = IndexFs.ownsClaim(fs, lock, token) && {
         IndexFs.rmTree(fs, genDir)
-        IndexFs.rename(fs, stage, genDir)
+        IndexFs.ownsClaim(fs, lock, token) &&
+        IndexFs.rename(fs, stage, genDir) &&
+        IndexFs.ownsClaim(fs, lock, token)
       }
       if (!published) {
         // claim stolen mid-merge (or a racer committed first): abort —
         // our staging dir is ours to discard, the committed state is
-        // whatever the current holder published
+        // whatever the current holder published. (If the rename itself
+        // landed but the post-rename ownership check failed, genDir is
+        // left UNMARKED — invisible to readers, reclaimed as torn garbage
+        // by the next holder.)
         IndexFs.rmTree(fs, stage)
         current()
       } else {
@@ -867,10 +881,16 @@ object Similarity {
         write(stage)
         // ownership verified FIRST; only the live holder reclaims an
         // unmarked vdir (a torn predecessor's garbage — a marked one
-        // short-circuited above) and renames its staging into place
+        // short-circuited above) and renames its staging into place.
+        // Re-verified around the rename and before the marker (r12
+        // advice — see compactPqIndex's publish block for the race and
+        // residual analysis); a failed late check leaves vdir unmarked,
+        // which the next holder reclaims as torn garbage.
         val published = IndexFs.ownsClaim(fs, lock, token) && {
           IndexFs.rmTree(fs, vdir)
-          IndexFs.rename(fs, stage, vdir)
+          IndexFs.ownsClaim(fs, lock, token) &&
+          IndexFs.rename(fs, stage, vdir) &&
+          IndexFs.ownsClaim(fs, lock, token)
         }
         if (!published) {
           IndexFs.rmTree(fs, stage)
