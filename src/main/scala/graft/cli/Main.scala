@@ -24,6 +24,7 @@ import graft.streaming.LogStream
   * graft.cli.Main -c config.toml compact-learned <learnedRoot>
   * graft.cli.Main -c config.toml rebuild-if-drifted {pq|ivfpq} <embParquet> <rootsPath> [driftFactor]
   * graft.cli.Main -c config.toml gc-roots <rootsPath> [keep]
+  * graft.cli.Main -c config.toml maintain <warehouseDir>
   * }}}
   *
   * The reference ingests from stdin pipes; the Spark-native equivalent ingests a
@@ -46,7 +47,7 @@ object Main {
         "{apache-access|authfail|maillog} <inputDir> | dailyreport | " +
         "compact-index <indexRoot> | compact-learned <learnedRoot> | " +
         "rebuild-if-drifted {pq|ivfpq} <embParquet> <rootsPath> [driftFactor] | " +
-        "gc-roots <rootsPath> [keep]")
+        "gc-roots <rootsPath> [keep] | maintain <warehouseDir>")
     sys.exit(2)
   }
 
@@ -67,7 +68,11 @@ object Main {
       val g = graft.ops.Dedup.compactLearnedDelta(spark, root)
       Some(s"compact-learned $root -> generation $g")
     case "rebuild-if-drifted" :: kind :: emb :: roots :: restArgs
-        if (kind == "pq" || kind == "ivfpq") && restArgs.size <= 1 =>
+        if (kind == "pq" || kind == "ivfpq") && restArgs.size <= 1 &&
+          // numeric args parse INSIDE the guard (r12 advice): a typo'd
+          // driftFactor falls through to usage instead of an uncaught
+          // NumberFormatException
+          restArgs.forall(a => scala.util.Try(a.toDouble).isSuccess) =>
       import org.apache.spark.sql.functions.col
       val factor = restArgs.headOption.map(_.toDouble).getOrElse(1.25)
       def readEmb() = // each call lists the parquet afresh — see below
@@ -93,10 +98,51 @@ object Main {
         case Some(n) => s"rebuild-if-drifted $kind $roots -> committed v$n"
         case None => s"rebuild-if-drifted $kind $roots -> no drift (or lost claim), no-op"
       })
-    case "gc-roots" :: roots :: restArgs if restArgs.size <= 1 =>
+    case "gc-roots" :: roots :: restArgs if restArgs.size <= 1 &&
+        restArgs.forall(a => scala.util.Try(a.toInt).isSuccess) =>
       val keep = restArgs.headOption.map(_.toInt).getOrElse(2)
       val n = graft.ops.Similarity.gcPqRootVersions(spark, roots, keep)
       Some(s"gc-roots $roots -> removed $n superseded versions (kept $keep)")
+    // ONE idempotent pass over every index root under a warehouse — the
+    // single cron line a deployment schedules instead of four
+    // (r12 verdict stretch item 7). Discovery is structural, one listing
+    // level deep: a child with a marker-committed `v-N` version is a
+    // versioned container (compact its current version, GC superseded
+    // versions); a child carrying a `learned/` delta or a committed
+    // learned generation is a self-learning index root (fold the delta);
+    // a sem root's `members/` subtree gets the same fold; a child with
+    // `codebooks` + `codes` is a plain PQ/IVF-PQ index root (fold its
+    // appended codes). Every verb called is claim-locked and idempotent,
+    // so overlapping cron fires or a concurrent live stream are safe.
+    case List("maintain", warehouse) =>
+      val fs = graft.ops.IndexFs.fs(spark, warehouse)
+      def learnedish(names: Seq[String]): Boolean =
+        names.contains("learned") || names.exists(_.startsWith("learned_g"))
+      val actions = graft.ops.IndexFs.childNames(fs, warehouse).sorted.flatMap { name =>
+        val child = s"$warehouse/$name"
+        if (graft.ops.Similarity.currentPqRoot(spark, child).isDefined) {
+          val resolved = graft.ops.Similarity.resolvePqIndexPath(spark, child)
+          val g = graft.ops.Similarity.compactPqIndex(spark, resolved)
+          val n = graft.ops.Similarity.gcPqRootVersions(spark, child)
+          Some(s"$name: container -> generation $g, gc'd $n versions")
+        } else {
+          val kids = graft.ops.IndexFs.childNames(fs, child)
+          if (learnedish(kids)) {
+            val g = graft.ops.Dedup.compactLearnedDelta(spark, child)
+            Some(s"$name: learned root -> generation $g")
+          } else if (kids.contains("members") &&
+              learnedish(graft.ops.IndexFs.childNames(fs, s"$child/members"))) {
+            val g = graft.ops.Dedup.compactLearnedDelta(spark, s"$child/members")
+            Some(s"$name/members: learned root -> generation $g")
+          } else if (kids.contains("codebooks") && kids.contains("codes")) {
+            val g = graft.ops.Similarity.compactPqIndex(spark, child)
+            Some(s"$name: index root -> generation $g")
+          } else None
+        }
+      }
+      Some(
+        if (actions.isEmpty) s"maintain $warehouse -> no index roots found"
+        else s"maintain $warehouse -> ${actions.size} roots: " + actions.mkString("; "))
     case _ => None
   }
 

@@ -207,6 +207,40 @@ private[graft] object IndexFs {
     finally { live = false; t.interrupt() }
   }
 
+  /** Path-capability names that advertise an ATOMIC create-if-absent on
+    * object stores: S3 conditional writes (HTTP `If-None-Match: *`) were
+    * wired into s3a's `create(overwrite=false)` by HADOOP-19256 and
+    * surface through the public `PathCapabilities` probe on hadoop-aws
+    * builds new enough to carry them. Probed, not assumed — the connector
+    * in THIS build (see docs/PLANS.md capability matrix) advertises
+    * neither, so the claim there stays advisory and the token-verify path
+    * stays load-bearing.
+    */
+  val ConditionalCreateCapabilities: Seq[String] = Seq(
+    "fs.option.create.conditional.overwrite",
+    "fs.s3a.create.conditional.enabled")
+
+  /** True when [[tryClaim]]'s create-if-absent is ATOMIC on the store
+    * serving `path` — the capability probe behind the PLANS.md claim
+    * matrix: local (`O_EXCL`) and HDFS (namenode-arbitrated) always are;
+    * an object store is atomic exactly when it advertises a conditional-
+    * create path capability ([[ConditionalCreateCapabilities]]). On a
+    * capable store the claim upgrades from advisory to atomic with NO
+    * protocol change (`create(overwrite=false)` is already what tryClaim
+    * issues — the store now arbitrates it); the token-verify /
+    * staged-rename defense-in-depth is kept regardless, because publish
+    * safety must not depend on a probe. Probe failures (a pre-
+    * PathCapabilities filesystem) read as not-capable, never as an error.
+    */
+  def atomicClaimSupported(fs: FileSystem, path: String): Boolean =
+    fs.getScheme match {
+      case "file" | "hdfs" | "viewfs" => true
+      case _ => ConditionalCreateCapabilities.exists { c =>
+        try fs.hasPathCapability(new Path(path), c)
+        catch { case _: Throwable => false }
+      }
+    }
+
   def release(fs: FileSystem, lock: String): Unit =
     fs.delete(new Path(lock), false)
 

@@ -1812,9 +1812,120 @@ class OpsSpec extends GraftSpec {
         .endsWith("v-00000002"), "resolver unaffected by GC")
       // unknown verbs fall through to usage (None)
       assert(graft.cli.Main.runMaintenance(spark, List("bogus")).isEmpty)
+      // malformed NUMERIC args fall through to usage instead of an
+      // uncaught NumberFormatException (r12 advice)
+      assert(graft.cli.Main.runMaintenance(spark,
+        List("gc-roots", roots, "two")).isEmpty)
+      assert(graft.cli.Main.runMaintenance(spark,
+        List("rebuild-if-drifted", "pq", embPath, roots, "fast")).isEmpty)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("CLI maintain: one idempotent pass discovers and services every " +
+      "index-root shape under a warehouse") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_maintain")
+    val wh = base.resolve("warehouse").toString
+    try {
+      // 1. versioned container with an appended delta on its current version
+      val container = s"$wh/ann_container"
+      assert(Similarity.commitPqRoot(spark, emb, container) === Some(1L))
+      val v1 = Similarity.resolvePqIndexPath(spark, container)
+      Similarity.appendToPqIndex(emb.limit(10),
+          spark.read.parquet(s"$v1/codebooks"))
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$v1/codes_appended")
+      // 2. self-learning text root with a live learned delta
+      val learnRoot = s"$wh/text_dedup_idx"
+      graft.ops.Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 10 =!= 0))
+        .write.parquet(s"$learnRoot/base")
+      graft.ops.Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 10 === 0))
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$learnRoot/learned")
+      // 3. sem root: members/ subtree carries the learned delta
+      val semRoot = s"$wh/sem_idx"
+      val (ct, members) = Similarity.buildSemIndex(
+        emb.filter(col("vec_id") % 10 =!= 0))
+      ct.write.parquet(s"$semRoot/centroids")
+      members.write.parquet(s"$semRoot/members/base")
+      members.limit(5).withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$semRoot/members/learned")
+      // 4. plain (un-versioned) PQ index root with an appended delta
+      val plain = s"$wh/plain_idx"
+      val (cb, codes) = Similarity.buildPqIndex(emb)
+      cb.write.parquet(s"$plain/codebooks")
+      codes.write.parquet(s"$plain/codes")
+      Similarity.appendToPqIndex(emb.limit(5), cb)
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(s"$plain/codes_appended")
+      val summary = graft.cli.Main.runMaintenance(spark, List("maintain", wh))
+      assert(summary.exists(_.contains("4 roots")), s"got $summary")
+      assert(summary.exists(s => s.contains("ann_container: container") &&
+        s.contains("text_dedup_idx: learned root") &&
+        s.contains("sem_idx/members: learned root") &&
+        s.contains("plain_idx: index root")), s"got $summary")
+      // the pass actually serviced them: compacted generations exist and
+      // serve the same rows
+      assert(graft.ops.IndexFs.exists(graft.ops.IndexFs.fs(spark, wh),
+        s"$v1/codes_g1"))
+      assert(graft.ops.IndexFs.exists(graft.ops.IndexFs.fs(spark, wh),
+        s"$learnRoot/learned_g1"))
+      assert(Similarity.readPqCodes(spark, v1).count()
+        === codes.count() + 10L)
+      // idempotent second pass: same discovery, claim-locked no-ops inside
+      val again = graft.cli.Main.runMaintenance(spark, List("maintain", wh))
+      assert(again.exists(_.contains("4 roots")), s"got $again")
+      assert(Similarity.readPqCodes(spark, v1).count()
+        === codes.count() + 10L)
+      // empty warehouse: honest no-op summary
+      val none = graft.cli.Main.runMaintenance(spark,
+        List("maintain", base.resolve("empty").toString))
+      assert(none.exists(_.contains("no index roots")), s"got $none")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("conditional-create capability probe: local atomic by scheme, an " +
+      "object store follows its advertised path capability, probe failure " +
+      "reads as advisory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    try {
+      val local = graft.ops.IndexFs.fs(spark, dir)
+      assert(graft.ops.IndexFs.atomicClaimSupported(local, dir),
+        "local FS create-if-absent is O_EXCL-atomic")
+      class FakeStore(caps: Set[String])
+          extends org.apache.hadoop.fs.RawLocalFileSystem {
+        override def getScheme: String = "mocks3"
+        override def hasPathCapability(p: org.apache.hadoop.fs.Path,
+            c: String): Boolean = caps.contains(c)
+      }
+      assert(!graft.ops.IndexFs.atomicClaimSupported(
+        new FakeStore(Set.empty), dir),
+        "no conditional-create capability -> the claim stays advisory")
+      assert(graft.ops.IndexFs.atomicClaimSupported(
+        new FakeStore(graft.ops.IndexFs.ConditionalCreateCapabilities.toSet), dir),
+        "advertised conditional create upgrades the claim to atomic")
+      val throwing = new FakeStore(Set.empty) {
+        override def hasPathCapability(p: org.apache.hadoop.fs.Path,
+            c: String): Boolean =
+          throw new UnsupportedOperationException("pre-PathCapabilities store")
+      }
+      assert(!graft.ops.IndexFs.atomicClaimSupported(throwing, dir),
+        "a probe failure must degrade to advisory, never crash maintenance")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).sorted(
         java.util.Comparator.reverseOrder()).iterator().asScala
         .foreach(java.nio.file.Files.delete)
     }
