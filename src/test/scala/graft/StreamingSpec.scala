@@ -1255,6 +1255,93 @@ class StreamingSpec extends GraftSpec {
     assert(graft.ops.Similarity.readPqCodes(spark, v2).count() === 8)
   }
 
+  test("concurrent-stream carry-over: a batch the append stream commits " +
+      "between the rebuild's snapshot and the CLI's second carry pass is " +
+      "caught by the fresh read (r12 verdict item 6)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val in = tmp("carry-in")
+    val roots = tmp("carry-roots").resolve("container").toString
+    val corpusDir = tmp("carry-corpus").resolve("emb").toString
+    val corpus = (0 until 6).map(s =>
+      (100L + s, vec(i => math.sin(i * 0.37 + s * 1.1) + 0.05 * s)))
+      .toDF("vec_id", "embedding")
+    corpus.write.parquet(corpusDir)
+    assert(graft.ops.Similarity.commitPqRoot(spark, corpus, roots)
+      === Some(1L))
+    val v1 = graft.ops.Similarity.resolvePqIndexPath(spark, roots)
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    def arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+    val ck = tmp("carry-ck").toString
+    // a drifted arrival through the REAL append stream → v1's delta; the
+    // corpus table gains it (the architecture's invariant: appended
+    // vectors land in the corpus the drift monitor joins)
+    val drift1 = vec(i => math.cos(i * 0.53) * 10.0 + 5.0)
+    Files.writeString(in.resolve("b1.json"), js(200, drift1) + "\n")
+    LogStream.pqIndexAppendArrivals(arrivals, roots, ck).awaitTermination()
+    val corpus2 = corpus.unionByName(
+      Seq((200L, drift1)).toDF("vec_id", "embedding"))
+    corpus2.write.mode("overwrite").parquet(corpusDir)
+    // the REBUILD'S SNAPSHOT: the maintenance job's frozen view of the
+    // corpus, captured before its build starts
+    val snapshot = spark.read.parquet(corpusDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // …and the LIVE STREAM commits another batch between that snapshot
+    // and the flip: vec 201 lands in v1's delta (the container still
+    // resolves to v1) and in the corpus table — invisible to the snapshot
+    val drift2 = vec(i => math.cos(i * 0.53) * 9.0 + 4.0)
+    Files.writeString(in.resolve("b2.json"), js(201, drift2) + "\n")
+    LogStream.pqIndexAppendArrivals(arrivals, roots, ck).awaitTermination()
+    assert(spark.read.parquet(s"$v1/codes_appended")
+      .select("vec_id").as[Long].collect().toSet === Set(200L, 201L))
+    corpus2.unionByName(Seq((201L, drift2)).toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(corpusDir)
+    // drift-tripped rebuild FROM THE SNAPSHOT → v2; the rebuild's own
+    // carry pass runs with the frozen view, so 201 (absent from it) is
+    // dropped — exactly the residual documented at carryOverAppended
+    assert(graft.ops.Similarity.rebuildPqRootIfDrifted(spark, snapshot, roots)
+      === Some(2L))
+    val v2 = graft.ops.Similarity.resolvePqIndexPath(spark, roots)
+    val afterInternal = graft.ops.Similarity.readPqCodes(spark, v2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterInternal.contains(200L),
+      "snapshot-visible in-flight vector carried by the rebuild itself")
+    assert(!afterInternal.contains(201L),
+      "the mid-rebuild batch IS the residual the second pass exists for")
+    // the CLI's second carry pass from a FRESH read closes the window
+    def freshRead = spark.read.parquet(corpusDir)
+      .select(col("vec_id"), col("embedding"))
+    graft.ops.Similarity.carryOverAppended(spark, freshRead, v1, v2)
+    val servedIds = graft.ops.Similarity.readPqCodes(spark, v2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(servedIds.toSet.contains(201L),
+      "fresh-read carry must catch the mid-rebuild batch")
+    assert(servedIds.size === servedIds.toSet.size, "no duplicated rows")
+    // ORIGINAL batch id preserved (the stream's replay contract) and the
+    // codes are the NEW quantizer's coding, bit-for-bit
+    val carried = spark.read.parquet(s"$v2/codes_appended")
+      .filter(col("vec_id") === 201L)
+      .select(col("vec_id"), col("codes"), col("batch_id")).collect().toSeq
+    // partition-directory type inference may read batch_id back as Int
+    assert(carried.map(_.getAs[Number]("batch_id").longValue) === Seq(1L),
+      "carried row keeps the batch id the stream wrote it under")
+    val expected = graft.ops.Similarity.appendToPqIndex(
+      Seq((201L, drift2)).toDF("vec_id", "embedding"),
+      spark.read.parquet(s"$v2/codebooks"))
+      .select(col("vec_id"), col("codes")).collect().toSeq
+    assert(carried.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Seq[Any]]("codes"))) ===
+      expected.map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Any]]("codes"))))
+    // idempotent: a repeated fresh-read carry adds nothing
+    graft.ops.Similarity.carryOverAppended(spark, freshRead, v1, v2)
+    assert(graft.ops.Similarity.readPqCodes(spark, v2).count()
+      === servedIds.size.toLong)
+  }
+
   test("self-learning media dedup: a re-upload of a novel asset is caught, " +
       "refusals never learned") {
     import org.apache.spark.sql.functions._
