@@ -27,7 +27,7 @@ object Dedup {
     * Built with transform/filter over an index sequence so the identical
     * expression is expressible in the DuckDB oracle.
     */
-  private def shingleArray(n: Int): Column = expr(
+  private[ops] def shingleArray(n: Int): Column = expr(
     s"""array_distinct(filter(transform(sequence(1, size(words)), i ->
           CASE WHEN i + ${n - 1} <= size(words)
                THEN ${(0 until n).map(j => s"element_at(words, i + $j)").mkString("concat_ws(' ', ", ", ", ")")}

@@ -434,13 +434,28 @@ object TextAnalysis {
     * sorted comma-joined string. Equal fingerprints ⇒ near-dup candidates.
     */
   def fingerprint(docs: DataFrame, n: Int = 5, k: Int = 4): DataFrame = {
-    val grams = Dedup.shingles(docs, n)
-      .select(col("doc_id"), md5(col("gram")).as("h"))
-    // bottom-k via array slice of the sorted distinct hash set — one aggregation,
-    // no per-doc sort shuffle (collect_set dedups; array_sort orders).
-    grams.groupBy(col("doc_id"))
-      .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, k), ",")
-        .as("fingerprint"))
+    // r13 (the t04 ×100-exponent audit): the former shingle EXPLODE +
+    // groupBy(doc_id) collect_set carried every doc's FULL distinct-hash
+    // set through a doc_id exchange before the bottom-k slice — N·L gram
+    // hashes shuffled to keep k of them, the route's superlinear term.
+    // The bottom-k sketch is a pure PER-ROW projection over the in-plan
+    // shingle array (the MinHashBandSigs discipline — same bits, computed
+    // where the text already sits): hash, sort, slice, join, all in the
+    // scan stage; the grams are already distinct, so sorted hashes are the
+    // distinct set. The filter reproduces the exploded form's row
+    // universe (a doc under n words has no gram, hence no row) off the
+    // words array alone, so the gram pipeline is inlined exactly once.
+    // The only remaining exchange is the bucket_size window over the
+    // ~130-byte fingerprint rows — linear, and skew-free outside genuine
+    // duplicate piles.
+    docs
+      .withColumn("words", Dedup.words(col("text")))
+      .filter(size(col("words")) >= n)
+      .withColumn("grams", Dedup.shingleArray(n))
+      .select(col("doc_id"),
+        array_join(slice(array_sort(
+          expr("transform(grams, g -> md5(g))")), 1, k), ",")
+          .as("fingerprint"))
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .orderBy(col("doc_id"))
