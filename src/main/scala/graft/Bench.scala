@@ -105,6 +105,18 @@ object Bench {
         base.resolve("pq_roots").toString)
       graft.ops.Similarity.commitIvfPqRoot(spark, e,
         base.resolve("ivfpq_roots").toString)
+      // d26's grown-geometry sem index (r13): built untimed with the SAME
+      // corpus + K formula as the entry's in-plan fallback and the oracle
+      // (max(8, ceil(N/48))), so the benched row prices the per-batch
+      // query cost a deployment pays between retrains
+      locally {
+        import org.apache.spark.sql.functions.col
+        val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        val k = math.max(8L, (corpus.count() + 47L) / 48L).toInt
+        val (ct, mm) = graft.ops.Similarity.buildSemIndex(corpus, k)
+        ct.write.parquet(base.resolve("sem_centroids.parquet").toString)
+        mm.write.parquet(base.resolve("sem_members.parquet").toString)
+      }
       System.err.println(s"[bench] ANN index overlay built (untimed) at $base")
       base.toString
     } catch { case e: Throwable =>

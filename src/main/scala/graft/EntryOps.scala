@@ -154,6 +154,158 @@ object EntryOps {
       n = 5, minSpanTokens = 10)
   }
 
+  /** The d24/d25 planted arrival: a document/vector NOVEL to the whole
+    * corpus, injected into batch 0, whose byte-identical copy in batch 1
+    * can only be caught through the learning stream's own learned rows —
+    * the planted-refusal discipline (d17) applied to the learning loop:
+    * a code path no fixture row reaches is an unchecked claim.
+    */
+  private val plantedLearnText =
+    "graft planted novel arrival zebra oscillator quarantine lattice"
+
+  /** d24 — the SELF-LEARNING text-dedup stream under the hard correctness
+    * signal (r12 verdict item 1, closing the last major family verified by
+    * spec alone): three arrival batches replay through the stream's OWN
+    * micro-batch body ([[graft.streaming.LogStream.dedupLearningTextBatch]]
+    * — shared code with [[graft.streaming.LogStream.dedupLearningArrivals]],
+    * so the streamed route cannot drift from the hash-checked one) against
+    * a scratch index root: doc_id % 10 ≤ 6 plays the ingest-built base
+    * ([[graft.ops.Dedup.buildCorpusIndex]]), cohorts 7/8/9 play batches
+    * 0/1/2. Batch b's verdicts read base + learned batches STRICTLY BELOW
+    * b ([[graft.ops.Dedup.readCorpusIndex]]) — the oracle mirrors the
+    * knowledge window with unrolled batch-chained CTEs (k0 → v0 → k1 → …).
+    * Two PLANTED arrivals prove the learning loop itself under the oracle:
+    * doc −100 (batch 0, [[plantedLearnText]] — unseen by the corpus) must
+    * come back `new` and be learned, and its byte-identical copy −101
+    * (batch 1) must come back `exact` with match_id −100 — knowledge only
+    * a learned row can supply. The java.nio scratch root is the
+    * Verify/bench harness's stand-in for the warehouse index root a
+    * deployment passes to the stream (s15's harness-only exemption); cost
+    * at bench scale honestly prices the full replay lifecycle: one base
+    * index build + three batch bodies.
+    */
+  def dedupLearningReplay(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_text").resolve("root").toString
+    Dedup.buildCorpusIndex(d.filter(col("doc_id") % 10 <= 6))
+      .write.parquet(s"$root/base")
+    def planted(id: Long): DataFrame = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$plantedLearnText' AS text")
+    val verdicts = (0 to 2).map { b =>
+      val cohort = d.filter(col("doc_id") % 10 === 7 + b)
+      val arr = b match {
+        case 0 => cohort.unionByName(planted(-100L))
+        case 1 => cohort.unionByName(planted(-101L))
+        case _ => cohort
+      }
+      graft.streaming.LogStream.dedupLearningTextBatch(arr, root, b.toLong)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("doc_id"), col("verdict"), col("match_id"))
+      .orderBy(col("batch_id"), col("doc_id"))
+  }
+
+  /** The d25 planted vector: 64 fixed floats (1, −1, ½ repeating) — exact
+    * in FLOAT, uncorrelated with the synthetic embeddings, rendered
+    * literally into both the Spark plan and the oracle SQL.
+    */
+  private val plantedLearnVec: Seq[Float] =
+    (0 until 64).map(j => if (j % 3 == 0) 1.0f else if (j % 3 == 1) -1.0f else 0.5f)
+
+  /** d25 — [[dedupLearningReplay]]'s contract for the VECTOR modality: the
+    * self-learning embedding-dedup stream's batch body
+    * ([[graft.streaming.LogStream.dedupLearningEmbedBatch]], shared with
+    * [[graft.streaming.LogStream.dedupLearningEmbedArrivals]]) replayed
+    * over three batches (vec_id % 10 = 7/8/9) against a scratch
+    * [[graft.ops.Dedup.buildEmbedIndex]] root (% 10 ≤ 6 plays the base),
+    * knowledge strictly below each batch, planes followed FROM the index.
+    * Planted arrivals: d17's refusal pair (null / wrong-dimension — the
+    * `invalid` tier, never learned) in batch 0, plus [[plantedLearnVec]]
+    * as vec −100 (batch 0) and its copy −101 (batch 1) — at minCosine 0.9
+    * the copy is caught (cosine 1.0) through the learned row alone when
+    * −100 was novel. Oracle: unrolled batch-chained CTEs over the same
+    * hyperplane buckets and cosine fold as d17.
+    */
+  def dedupLearningEmbedReplay(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_embed").resolve("root").toString
+    Dedup.buildEmbedIndex(e.filter(col("vec_id") % 10 <= 6))
+      .write.parquet(s"$root/base")
+    val pvSql = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    def planted(id: Long): DataFrame = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS vec_id, $pvSql AS embedding")
+    val refusals = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                CAST(NULL AS ARRAY<FLOAT>) AS embedding
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT),
+                CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""")
+    val verdicts = (0 to 2).map { b =>
+      val cohort = e.filter(col("vec_id") % 10 === 7 + b)
+        .select(col("vec_id"), col("embedding"))
+      val arr = b match {
+        case 0 => cohort.unionByName(refusals).unionByName(planted(-100L))
+        case 1 => cohort.unionByName(planted(-101L))
+        case _ => cohort
+      }
+      graft.streaming.LogStream
+        .dedupLearningEmbedBatch(arr, root, b.toLong, minCosine = 0.9)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("vec_id"), col("verdict"),
+        col("match_id"), col("cosine"))
+      .orderBy(col("batch_id"), col("vec_id"))
+  }
+
+  /** d26 — d22 ([[semDedupIncremental]]) re-registered at the DEPLOYMENT
+    * geometry (r12 verdict item 2): nCentroids derives from the corpus
+    * size at build time — `max(8, ⌈N/48⌉)`, the constant-expected-cell-size
+    * rule [[graft.ops.Similarity.rebuildIvfPqRootIfDrifted]] applies at
+    * rebuild — so members-per-cell stays ~48 as the corpus grows instead
+    * of growing with it (d22-as-registered's fixed 8 cells made the
+    * benched plan's per-arrival candidate set grow ∝ N; ×100 exponent
+    * 0.56). The corpus count is a driver-side scalar (the same sanctioned
+    * class as the rebuild rule's geometry read). When `dir` carries a
+    * pre-built index (`sem_centroids/sem_members.parquet` — the
+    * Bench/ScaleProbe overlays build one UNTIMED with the same formula
+    * over the same corpus), the entry prices pure query-time cost —
+    * broadcast-assign + within-cell equi-join, the per-batch cost a
+    * deployment pays between retrains; otherwise (the Verify path) the
+    * index builds in-plan. The oracle derives K from the same
+    * `greatest(8, ⌈count/48⌉)` over the same corpus, so both paths
+    * hash-match.
+    */
+  def semDedupIncrementalGrown(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val refusals = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                CAST(NULL AS ARRAY<FLOAT>) AS embedding
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT),
+                CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""")
+    val arrivals = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding")).unionByName(refusals)
+    val ct = s"$dir/sem_centroids.parquet"
+    val fs = graft.ops.IndexFs.fs(spark, dir)
+    val (centroids, members) =
+      if (graft.ops.IndexFs.exists(fs, ct))
+        (spark.read.parquet(ct),
+          spark.read.parquet(s"$dir/sem_members.parquet"))
+      else {
+        val n = corpus.count()
+        Similarity.buildSemIndex(corpus,
+          nCentroids = math.max(8L, (n + 47L) / 48L).toInt)
+      }
+    Similarity.semDedupAgainstIndex(arrivals, centroids, members,
+      minCosine = 0.3)
+  }
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -2979,7 +3131,30 @@ object EntryOps {
   private def duckRefinedAssign(source: String = "embeddings"): String =
     s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM $source
                         ORDER BY vec_id LIMIT 8),
-          sc AS (SELECT e.vec_id, e.embedding, c.cid,
+          ${duckRefinedAssignTail(source)}"""
+
+  /** [[duckRefinedAssign]] with the centroid count DERIVED FROM THE CORPUS
+    * SIZE — the deployment regime (constant expected cell size; the
+    * rebuild rule `Similarity.rebuildIvfPqRootIfDrifted` mirrored):
+    * K = greatest(8, ⌈count/targetCell⌉), seeds = the K smallest vec_ids
+    * (the same deterministic sample `refinedAssignment` takes). Integer
+    * arithmetic only, so the Spark side's `max(8L, (n + tc−1) / tc)`
+    * matches bit-for-bit.
+    */
+  private def duckRefinedAssignGrown(source: String, targetCell: Int): String =
+    s"""nk AS (SELECT greatest(8, (count(*) + ${targetCell - 1}) // $targetCell) AS k
+               FROM $source),
+          cent AS (SELECT vec_id AS cid, embedding AS ce FROM (
+                   SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id ASC) AS rn
+                   FROM $source) WHERE rn <= (SELECT k FROM nk)),
+          ${duckRefinedAssignTail(source)}"""
+
+  /** Shared tail of [[duckRefinedAssign]]/[[duckRefinedAssignGrown]]: seed
+    * assignment → one 2²⁰-quantized Lloyd round → final assignment, ending
+    * in `asg2(vec_id, embedding, bucket)` and `ref(cid, ce)`.
+    */
+  private def duckRefinedAssignTail(source: String): String =
+    s"""sc AS (SELECT e.vec_id, e.embedding, c.cid,
                  ${duckDot("e.embedding", "c.ce")} AS score
                  FROM $source e CROSS JOIN cent c),
           asg AS (SELECT vec_id, embedding, cid AS bucket FROM (
@@ -3002,6 +3177,117 @@ object EntryOps {
                    SELECT vec_id, embedding, cid, row_number() OVER (
                      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
                    FROM sc2) WHERE rn = 1)"""
+
+  /** d24 oracle: the self-learning text-dedup replay as UNROLLED
+    * batch-chained CTEs — knowledge set k0 (the base cohort) advances
+    * through k1/k2 by appending each batch's `new` ids, so batch b's
+    * exact/near joins see base + learned STRICTLY BELOW b, the
+    * [[graft.ops.Dedup.readCorpusIndex]] replay contract in SQL. Exact =
+    * md5 equality, near = d11's 4×16-char banded SimHash-64 + Hamming ≤ 3,
+    * both min-ex_id. The planted pair (−100/−101, [[plantedLearnText]])
+    * rides the `src` union.
+    */
+  private def duckLearnTextOracle: String = {
+    val ham = (1 to 64).map(i =>
+      s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def batch(n: Int): String = s"""
+          ext$n AS (SELECT a.doc_id, min(k.doc_id) AS exact_id
+                    FROM hsh a JOIN b$n USING (doc_id)
+                    JOIN hsh k ON k.h = a.h
+                    JOIN k$n kk ON kk.doc_id = k.doc_id
+                    GROUP BY 1),
+          cand$n AS (SELECT DISTINCT a.doc_id, a.simhash AS s1,
+                     e.doc_id AS ex_id, e.simhash AS s2
+                     FROM bd a JOIN b$n USING (doc_id)
+                     JOIN bd e ON a.band = e.band AND a.bits = e.bits
+                     JOIN k$n kk ON e.doc_id = kk.doc_id),
+          near$n AS (SELECT doc_id, min(ex_id) AS near_id FROM (
+                     SELECT doc_id, ex_id, CAST($ham AS BIGINT) AS hamming
+                     FROM cand$n)
+                     WHERE hamming <= 3 GROUP BY 1),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id, i.doc_id,
+                  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                       WHEN nr.near_id IS NOT NULL THEN 'near'
+                       ELSE 'new' END AS verdict,
+                  COALESCE(e.exact_id, nr.near_id) AS match_id
+                  FROM b$n i LEFT JOIN ext$n e USING (doc_id)
+                  LEFT JOIN near$n nr USING (doc_id)),
+          k${n + 1} AS (SELECT doc_id FROM k$n
+                        UNION ALL SELECT doc_id FROM v$n WHERE verdict = 'new')"""
+    s"""WITH src AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT CAST(-100 AS BIGINT), '$plantedLearnText'
+                     UNION ALL SELECT CAST(-101 AS BIGINT), '$plantedLearnText'),
+          ${duckSimhash64Sig(source = "src")},
+          hsh AS (SELECT doc_id, md5(text) AS h FROM src),
+          bd AS (SELECT doc_id, simhash, b AS band,
+                 substring(simhash, b * 16 + 1, 16) AS bits
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          k0 AS (SELECT doc_id FROM src WHERE doc_id >= 0 AND doc_id % 10 <= 6),
+          b0 AS (SELECT doc_id FROM src
+                 WHERE (doc_id >= 0 AND doc_id % 10 = 7) OR doc_id = -100),
+          b1 AS (SELECT doc_id FROM src
+                 WHERE (doc_id >= 0 AND doc_id % 10 = 8) OR doc_id = -101),
+          b2 AS (SELECT doc_id FROM src WHERE doc_id >= 0 AND doc_id % 10 = 9),
+          ${batch(0)}, ${batch(1)}, ${batch(2)}
+         SELECT batch_id, doc_id, verdict, match_id FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, doc_id"""
+  }
+
+  /** d25 oracle: [[duckLearnTextOracle]]'s unrolled knowledge chain for
+    * the embedding modality — d17's hyperplane buckets + exact-cosine
+    * verify, knowledge strictly below each batch, `new` valid vectors
+    * joining the next batch's knowledge. Refusal arrivals (−1 null,
+    * −2 wrong-dim) surface `invalid` and are never learned; the planted
+    * vector pair (−100/−101) proves the learned route at cosine 1.0.
+    */
+  private def duckLearnEmbedOracle: String = {
+    val pv = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString("[", ", ", "]")
+    def batch(n: Int): String = s"""
+          val$n AS (SELECT vec_id, e, ${duckHyperplaneBucket("e", 4)} AS bucket
+                    FROM a$n WHERE e IS NOT NULL AND len(e) = 64),
+          sc$n AS (SELECT a.vec_id, c.ex_id, ${duckCosine("a.e", "c.ex_e")} AS cosine
+                   FROM val$n a JOIN kidx c ON c.bucket = a.bucket
+                   JOIN k$n USING (ex_id)),
+          best$n AS (SELECT vec_id, ex_id AS match_id, cosine FROM (
+                     SELECT vec_id, ex_id, cosine, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                     FROM sc$n WHERE cosine >= 0.9) WHERE rn = 1),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id, a.vec_id,
+                  CASE WHEN a.e IS NULL OR len(a.e) != 64 THEN 'invalid'
+                       WHEN b.match_id IS NOT NULL THEN 'near'
+                       ELSE 'new' END AS verdict,
+                  b.match_id, b.cosine
+                  FROM a$n a LEFT JOIN best$n b USING (vec_id)),
+          k${n + 1} AS (SELECT ex_id FROM k$n
+                        UNION ALL SELECT vec_id AS ex_id FROM v$n
+                        WHERE verdict = 'new')"""
+    s"""WITH esrc AS (SELECT vec_id, embedding FROM embeddings
+                      UNION ALL SELECT CAST(-100 AS BIGINT), $pv
+                      UNION ALL SELECT CAST(-101 AS BIGINT), $pv),
+          kidx AS (SELECT vec_id AS ex_id, embedding AS ex_e,
+                   ${duckHyperplaneBucket("embedding", 4)} AS bucket
+                   FROM esrc WHERE embedding IS NOT NULL),
+          k0 AS (SELECT vec_id AS ex_id FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 <= 6),
+          a0 AS (SELECT vec_id, embedding AS e FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 = 7
+                 UNION ALL SELECT CAST(-1 AS BIGINT), NULL
+                 UNION ALL SELECT CAST(-2 AS BIGINT),
+                   [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)]
+                 UNION ALL SELECT vec_id, embedding FROM esrc WHERE vec_id = -100),
+          a1 AS (SELECT vec_id, embedding AS e FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 = 8
+                 UNION ALL SELECT vec_id, embedding FROM esrc WHERE vec_id = -101),
+          a2 AS (SELECT vec_id, embedding AS e FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 = 9),
+          ${batch(0)}, ${batch(1)}, ${batch(2)}
+         SELECT batch_id, vec_id, verdict, match_id, cosine FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, vec_id"""
+  }
 
   /** Mirror of Dedup's SimHash16 fingerprint: CTE chain ending in
     * `sig(doc_id, simhash)` (same arithmetic as the d04 oracle).
@@ -4052,6 +4338,47 @@ object EntryOps {
                 ELSE 'new' END AS verdict,
            b.match_id, b.cosine
          FROM arr0 a LEFT JOIN best b ON b.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
+    "d24_learning_dedup" -> duckLearnTextOracle,
+    "d25_learning_embed_dedup" -> duckLearnEmbedOracle,
+    // d26 — d22's exact body, the ONLY delta being the grown centroid
+    // count (greatest(8, ceil(count/48)) — the deployment geometry): the
+    // benched incremental-SemDeDup plan is thereby the constant-cell-size
+    // regime, not d22's fixed 8 cells
+    "d26_semdedup_grown" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 10 != 0),
+          ${duckRefinedAssignGrown("corpus", 48)},
+          arr0 AS (SELECT vec_id, embedding AS e FROM embeddings
+                 WHERE vec_id % 10 = 0
+                 UNION ALL SELECT CAST(-1 AS BIGINT), NULL
+                 UNION ALL SELECT CAST(-2 AS BIGINT),
+                   [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)]),
+          arrv AS (SELECT vec_id, e FROM arr0
+                 WHERE e IS NOT NULL AND len(e) = 64),
+          sc3 AS (SELECT a.vec_id, a.e, r.cid,
+                 list_reduce(list_transform(range(1, 65),
+                   k -> CAST(a.e[k] AS DOUBLE) * r.ce[k]), (x, y) -> x + y) AS score
+                 FROM arrv a CROSS JOIN ref r),
+          acell AS (SELECT vec_id, e, cid AS cell FROM (
+                 SELECT vec_id, e, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                 FROM sc3) WHERE rn = 1),
+          scored AS (SELECT a.vec_id, m.vec_id AS ex_id,
+                 ${duckCosine("a.e", "m.embedding")} AS cosine
+                 FROM acell a JOIN asg2 m ON m.bucket = a.cell),
+          best AS (SELECT vec_id, ex_id AS match_id, cosine FROM (
+                 SELECT vec_id, ex_id, cosine, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                 FROM scored WHERE cosine >= 0.3) WHERE rn = 1)
+         SELECT a.vec_id,
+           CASE WHEN a.e IS NULL OR len(a.e) != 64 THEN 'invalid'
+                WHEN b.match_id IS NOT NULL THEN 'prune'
+                ELSE 'keep' END AS verdict,
+           CAST(c.cell AS BIGINT) AS cell,
+           b.match_id, b.cosine
+         FROM arr0 a LEFT JOIN acell c ON c.vec_id = a.vec_id
+                     LEFT JOIN best b ON b.vec_id = a.vec_id
          ORDER BY a.vec_id""",
     "d22_semdedup_incremental" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
@@ -5251,6 +5578,9 @@ object EntryOps {
     "d16_semantic_dedup" -> (semanticDedup _),
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
     "d22_semdedup_incremental" -> (semDedupIncremental _),
+    "d24_learning_dedup" -> (dedupLearningReplay _),
+    "d25_learning_embed_dedup" -> (dedupLearningEmbedReplay _),
+    "d26_semdedup_grown" -> (semDedupIncrementalGrown _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
     "d19_span_scrub" -> (spanScrub _),
     "d20_span_check_incremental" -> (spanCheckIncremental _),

@@ -69,6 +69,11 @@ object ScaleProbe {
     "d18_duplicated_spans",
     "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking",
     "e05_multimodal_corpus", "d22_semdedup_incremental",
+    // r13: d26 is d22 at the DEPLOYMENT geometry (nCentroids ∝ corpus,
+    // constant cell size) — probed against a pre-built sem index at both
+    // scales, so its row prices the per-batch incremental cost between
+    // retrains (the d22 row keeps pricing the fixed-8-cell contrast)
+    "d26_semdedup_grown",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =
@@ -176,6 +181,22 @@ object ScaleProbe {
         d.resolve("pq_roots").toString)
       graft.ops.Similarity.commitIvfPqRoot(spark, e,
         d.resolve("ivfpq_roots").toString, nCells = 8 * m)
+    }
+    // d26's grown-geometry sem index (r13): same corpus + K formula as the
+    // entry's fallback and the oracle — max(8, ceil(N/48)), the
+    // constant-cell-size deployment regime — built UNTIMED at both scales
+    // so the probe row measures the per-batch incremental cost alone (a
+    // retrain is a rebuild operation, priced by its own lifecycle, not by
+    // every query between rebuilds)
+    val needsSem = selectedSet.forall(_.contains("d26_semdedup_grown"))
+    for (d <- Seq(dir1, dirR) if needsSem) {
+      val corpus = Tables.embeddings(spark, d.toString)
+        .filter(col("vec_id") % 10 =!= 0)
+      val k = math.max(8L, (corpus.count() + 47L) / 48L).toInt
+      val (ct, mm) = graft.ops.Similarity.buildSemIndex(corpus, k)
+      ct.write.mode("overwrite").parquet(d.resolve("sem_centroids.parquet").toString)
+      mm.write.mode("overwrite").parquet(d.resolve("sem_members.parquet").toString)
+      System.err.println(s"[scale-probe] sem index prebuilt (untimed) at $d with K=$k")
     }
 
     // ---- measurement (Bench methodology: warmup, load gate, median of 3) ----

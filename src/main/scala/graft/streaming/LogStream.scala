@@ -169,6 +169,50 @@ object LogStream {
       }
       .start()
 
+  /** Dynamic-partition-overwrite scope: a replayed micro-batch must rewrite
+    * only its OWN `batch_id=N` partition, never truncate siblings.
+    */
+  private def withDynamicOverwrite[A](spark: SparkSession)(f: => A): A = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try f
+    finally prev.foreach(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
+  /** The SELF-LEARNING text-dedup micro-batch BODY — the single
+    * implementation [[dedupLearningArrivals]] runs per trigger and the
+    * registered batch-replay query (d24, `EntryOps.dedupLearningReplay`)
+    * drives under the oracle, so the stream's verdicts and the
+    * hash-checked ones cannot drift: verdicts come from base + learned
+    * batches STRICTLY BELOW `batchId`
+    * ([[graft.ops.Dedup.readCorpusIndex]] — the replay-exactness
+    * contract), and docs judged `new` write their own index rows to
+    * `<root>/learned/batch_id=N` (dynamic partition overwrite —
+    * idempotent on redelivery). Returns the barriered verdict table;
+    * the learned-rows write has already happened when it returns.
+    */
+  def dedupLearningTextBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, maxHamming: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    // verdicts feed TWO actions (the learned-rows write and the caller's
+    // verdict write) — barrier the tiny verdict table so the index join
+    // runs once (multi-action class, the fence's home turf)
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+      .dedupAgainstIndex(batch,
+        graft.ops.Dedup.readCorpusIndex(spark, indexRoot,
+          beforeBatch = batchId), maxHamming))
+    val learned = graft.ops.Dedup.buildCorpusIndex(
+      batch.join(verdicts.filter(col("verdict") === "new")
+        .select(col("doc_id")), Seq("doc_id")))
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/learned")
+    }
+    verdicts
+  }
+
   /** SELF-LEARNING streaming dedup — [[dedupArrivals]] plus the missing
     * half of the incremental loop: docs judged `new` write their OWN index
     * rows (`<root>/learned/batch_id=N`, batch-partitioned for idempotent
@@ -186,7 +230,9 @@ object LogStream {
     * the stream's state is still nothing but parquet. Zero state-store
     * state; a compaction folding `learned/` into `base/` at ingest
     * cadence follows the [[graft.ops.Similarity.compactPqIndex]] marker
-    * protocol if the batch tail ever dominates listing cost.
+    * protocol if the batch tail ever dominates listing cost. The per-batch
+    * body is [[dedupLearningTextBatch]] — shared with the d24 registered
+    * replay, so the streamed route is itself oracle-hash-checked.
     */
   def dedupLearningArrivals(arrivals: DataFrame, indexRoot: String,
       outPath: String, checkpoint: String,
@@ -196,27 +242,13 @@ object LogStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // verdicts feed TWO actions (the learned-rows write and the
-        // verdict write) — barrier the tiny verdict table so the
-        // index join runs once (multi-action class, the fence's home turf)
-        val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
-          .dedupAgainstIndex(batch,
-            graft.ops.Dedup.readCorpusIndex(spark, indexRoot,
-              beforeBatch = batchId), maxHamming))
-        val learned = graft.ops.Dedup.buildCorpusIndex(
-          batch.join(verdicts.filter(col("verdict") === "new")
-            .select(col("doc_id")), Seq("doc_id")))
-          .withColumn("batch_id", lit(batchId))
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          learned.write.mode("overwrite").partitionBy("batch_id")
-            .parquet(s"$indexRoot/learned")
+        val verdicts =
+          dedupLearningTextBatch(batch, indexRoot, batchId, maxHamming)
+        withDynamicOverwrite(spark) {
           verdicts.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(outPath)
-        } finally prev.foreach(
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
       }
       .start()
 
@@ -451,28 +483,43 @@ object LogStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val idx = graft.ops.Dedup.readEmbedIndex(spark, indexRoot,
-          beforeBatch = batchId)
-        // planes from the index (one-row scalar read, planes-guard class)
-        val planes = idx.select(col("planes")).head().getInt(0)
-        val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
-          .embedDedupAgainstIndex(batch, idx, minCosine, planes))
-        val learned = graft.ops.Dedup.buildEmbedIndex(
-          batch.join(verdicts.filter(col("verdict") === "new")
-            .select(col("vec_id")), Seq("vec_id")), planes)
-          .withColumn("batch_id", lit(batchId))
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          learned.write.mode("overwrite").partitionBy("batch_id")
-            .parquet(s"$indexRoot/learned")
+        val verdicts =
+          dedupLearningEmbedBatch(batch, indexRoot, batchId, minCosine)
+        withDynamicOverwrite(spark) {
           verdicts.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(outPath)
-        } finally prev.foreach(
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
       }
       .start()
+
+  /** The SELF-LEARNING embedding-dedup micro-batch BODY —
+    * [[dedupLearningTextBatch]]'s contract for the vector modality, shared
+    * between [[dedupLearningEmbedArrivals]] and the d25 registered replay
+    * (`EntryOps.dedupLearningEmbedReplay`): knowledge strictly below
+    * `batchId` ([[graft.ops.Dedup.readEmbedIndex]]), planes followed FROM
+    * the index (one-row scalar read, planes-guard class), `new` VALID
+    * vectors learned into `<root>/learned/batch_id=N`. Returns the
+    * barriered verdict table; the learned write has already happened.
+    */
+  def dedupLearningEmbedBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, minCosine: Double = 0.9): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = graft.ops.Dedup.readEmbedIndex(spark, indexRoot,
+      beforeBatch = batchId)
+    val planes = idx.select(col("planes")).head().getInt(0)
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+      .embedDedupAgainstIndex(batch, idx, minCosine, planes))
+    val learned = graft.ops.Dedup.buildEmbedIndex(
+      batch.join(verdicts.filter(col("verdict") === "new")
+        .select(col("vec_id")), Seq("vec_id")), planes)
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/learned")
+    }
+    verdicts
+  }
 
   /** STREAMING incremental SemDeDup against the warehouse — the semantic
     * member of the incremental family (text [[dedupArrivals]], images
