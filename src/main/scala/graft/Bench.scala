@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** All registered queries except the two intentionally-degenerate
+  /** All registered queries except the intentionally-degenerate
     * demonstrations, whose cost at bench scale measures the test-data size,
     * not the engine:
     *  - d05: the labeled all-pairs O(N²·dim) embedding baseline (bounded
@@ -32,7 +32,16 @@ object Bench {
     *    blocking buckets, which on a self-similar corpus degrades toward
     *    all-pairs/64 (measured: ≥ 14 s at sf0.1 vs 0.8 s for the 64-bit
     *    form). Its corpus-scale form is d08 (4×16-bit bands);
-    * and two measured-elsewhere duplicates (summary-line bytes are a hard
+    *  - d02 (r12 verdict item 3): the EXACT n-gram-Jaccard baseline — its
+    *    verify stage compares every surviving candidate pair by full
+    *    shingle-set intersection, so cost grows with the corpus's true
+    *    duplicate density (×100 median exponent 0.81; at another decade
+    *    the route is minutes). It exists deliberately as the exactness
+    *    floor the banded forms are priced against (d03 exp 0.44, d08
+    *    0.34 — those stay in the headline), the same role d05 plays for
+    *    the embedding family, and moves to the same excluded list.
+    *    Correctness row and ×100 probe row remain;
+    * and measured-elsewhere duplicates (summary-line bytes are a hard
     * budget — see docs/BENCH_NOTES.md):
     *  - m10: the per-frame TABLE view of the same assets m09 decodes with
     *    the same walker — benching both measures the decoder twice;
@@ -52,6 +61,7 @@ object Bench {
   private def headline: Seq[String] =
     SparkEntry.queries.keys.toSeq
       .filterNot(Set("d05_embed_neardup", "d07_simhash_neardup",
+        "d02_ngram_jaccard",
         "m10_gif_frames", "d12_dedup_clusters_star", "e03_packed_corpus",
         "e04_training_sequences_scrubbed"))
       .sorted
@@ -349,6 +359,42 @@ object Bench {
         case _ => r
       }
     }
+    // Override-STREAK guard (r12 verdict item 5): the load-override is
+    // evidence-gated per capture, but a query overridden in every capture
+    // would let a slow-but-occasionally-fast plan permanently report its
+    // min. Persist per-query consecutive-override counts across official
+    // captures (bench/override_history.json — overridden queries
+    // increment, everything else resets to 0) and flag any query at ≥ 3
+    // consecutive officials as a suspect regression: its name lands in
+    // "override_streak" in BOTH artifacts so repeated overrides are
+    // structurally impossible to hide. History-file failures degrade to
+    // an empty history (a probe run from a scratch cwd must not crash the
+    // capture); the guard only ever ADDS evidence, never changes a number.
+    val histPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OVERRIDE_HISTORY", "bench/override_history.json"))
+    val prevStreaks: Map[String, Int] = try {
+      if (java.nio.file.Files.exists(histPath))
+        "\"([^\"]+)\"\\s*:\\s*([0-9]+)".r
+          .findAllMatchIn(java.nio.file.Files.readString(histPath))
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+      else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val newStreaks: Map[String, Int] = results.map(_._1)
+      .map(n => n -> (if (overridden.contains(n)) prevStreaks.getOrElse(n, 0) + 1 else 0))
+      .toMap
+    val streakFlagged = newStreaks.filter(_._2 >= 3).keys.toSeq.sorted
+    if (streakFlagged.nonEmpty)
+      System.err.println("[bench] override-streak SUSPECTS (overridden in >= 3 " +
+        s"consecutive officials — treat as a regression, not load): ${streakFlagged.mkString(", ")}")
+    try {
+      if (histPath.getParent != null) java.nio.file.Files.createDirectories(histPath.getParent)
+      java.nio.file.Files.writeString(histPath,
+        newStreaks.filter(_._2 > 0).toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}\n"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist override history: ${e.getMessage}")
+    }
     val failures = results.count(_._2 < 0)
     val reruns = results.count(_._7)
     // The harness that captures this line keeps only a bounded tail of the
@@ -403,8 +449,10 @@ object Bench {
     val suiteField = if (suiteReruns > 0) s""","suite_rerun":$suiteReruns""" else ""
     val overrideField =
       if (overridden.nonEmpty) s""","overrides":${overridden.size}""" else ""
+    val streakField =
+      if (streakFlagged.nonEmpty) s""","override_streak":${streakFlagged.size}""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$overrideField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$overrideField$streakField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)
@@ -418,8 +466,17 @@ object Bench {
     val rerunJson = results.filter(_._7).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val overrideJson = overridden.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val streakJson = streakFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The stat field must describe the statistic actually reported (r12
+    // advice): an overridden query's value is its capture MIN, not a
+    // median — say so globally and per query instead of labeling mins as
+    // medians.
+    val statField =
+      if (overridden.isEmpty) "\"stat\":\"median_of_3\""
+      else "\"stat\":\"median_of_3_except_overrides\",\"stat_by_query\":" +
+        overridden.map("\"" + _ + "\":\"capture_min\"").mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"sf_dir":"$sfDir","stat":"median_of_3","gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"rerun_queries":$rerunJson,"override_queries":$overrideJson,"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
+      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"rerun_queries":$rerunJson,"override_queries":$overrideJson,"override_streak":$streakJson,"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
