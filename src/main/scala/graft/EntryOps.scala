@@ -219,8 +219,11 @@ object EntryOps {
     * ([[graft.streaming.LogStream.dedupLearningEmbedBatch]], shared with
     * [[graft.streaming.LogStream.dedupLearningEmbedArrivals]]) replayed
     * over three batches (vec_id % 10 = 7/8/9) against a scratch
-    * [[graft.ops.Dedup.buildEmbedIndex]] root (% 10 ≤ 6 plays the base),
-    * knowledge strictly below each batch, planes followed FROM the index.
+    * [[graft.ops.Dedup.buildEmbedIndex]] root (% 10 ≤ 6 plays the base)
+    * built at GROWN geometry (planes = smallest p ≥ 4 with 2^p · 48 ≥ N —
+    * the d26 constant-cell-size rule for the hyperplane space, so the
+    * registered plan is the deployment regime), knowledge strictly below
+    * each batch, planes followed FROM the index by the batch body.
     * Planted arrivals: d17's refusal pair (null / wrong-dimension — the
     * `invalid` tier, never learned) in batch 0, plus [[plantedLearnVec]]
     * as vec −100 (batch 0) and its copy −101 (batch 1) — at minCosine 0.9
@@ -232,7 +235,20 @@ object EntryOps {
     val e = emb(spark, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_learn_embed").resolve("root").toString
-    Dedup.buildEmbedIndex(e.filter(col("vec_id") % 10 <= 6))
+    val corpus = e.filter(col("vec_id") % 10 <= 6)
+    // GROWN plane count (the d26 constant-cell-size rule for the
+    // hyperplane space): smallest p ≥ 4 with 2^p · 48 ≥ N, so expected
+    // bucket size stays ~48 as the corpus grows — a fixed plane count
+    // (d17's registered geometry) makes every bucket join grow ∝ N²/2^p.
+    // Driver-side integer scalar, mirrored exactly by the oracle's `pl`
+    // CTE; the batch body follows `planes` FROM the index, so the stream
+    // needs no parameter at all. (Known LSH tradeoff, documented in
+    // BENCH_NOTES: single-table collision probability at a given cosine
+    // falls as planes grow — the recall-preserving scale paths are the
+    // banded text forms and the sem/ANN index routes.)
+    val n = corpus.count()
+    val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
+    Dedup.buildEmbedIndex(corpus, planes)
       .write.parquet(s"$root/base")
     val pvSql = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
       .mkString("array(", ", ", ")")
@@ -304,6 +320,154 @@ object EntryOps {
       }
     Similarity.semDedupAgainstIndex(arrivals, centroids, members,
       minCosine = 0.3)
+  }
+
+  /** The d27 planted recording — a complete RIFF/WAVE payload (the corpus
+    * synthesis's exact 32768 Hz 8-bit-mono layout, f = 130 samples) whose
+    * samples come from a DIFFERENT deterministic formula,
+    * `p(j) = (31·j² + 17·j + 5) mod 256`: the corpus's energy-gradient
+    * dhash depends only on `seed mod 256` (every term of its sample
+    * formula is mod-256), so the base index covers ALL 256 possible
+    * corpus hashes at any realistic scale and no corpus-formula asset can
+    * ever be novel — this payload's dhash measures Hamming ≥ 18 from all
+    * 256 (scale-INDEPENDENT novelty). Rendered once as a hex literal;
+    * the oracle re-derives its dhash from the same p(j) arithmetic.
+    */
+  private val plantedWavHex: String = {
+    def p(j: Int): Int = (j * j * 31 + j * 17 + 5) % 256
+    def le16(v: Int) = f"${v % 256}%02X${v / 256}%02X"
+    def le32(v: Int) = le16(v % 65536) + le16(v / 65536)
+    val f = 130
+    "52494646" + le32(36 + f) + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + le32(32768) + le32(32768) + "0100" + "0800" +
+      "64617461" + le32(f) + (0 until f).map(j => f"${p(j)}%02X").mkString
+  }
+
+  /** d27's planted asset ids: above any corpus doc_id at every driver
+    * scale (≤ ~5·10⁵ at the ×100 probe) and clear of the `% 17 = 3`
+    * truncation class (mod-17 residues 14/15). The oracle carries them
+    * through the knowledge chain but keeps them OUT of the corpus-formula
+    * hash CTE (their seed² would overflow int64 there — their hash comes
+    * from the [[plantedWavHex]] derivation instead).
+    */
+  private val plantedMediaIds: (Long, Long) = (9000001L, 9000002L)
+
+  /** d27 — the SELF-LEARNING media-dedup stream under the hard correctness
+    * signal: [[dedupLearningReplay]]'s three-batch replay discipline for
+    * the perceptual-hash modality, through the stream's own micro-batch
+    * body ([[graft.streaming.LogStream.dedupLearningMediaBatch]] — shared
+    * with [[graft.streaming.LogStream.dedupLearningMediaArrivals]]) over
+    * the cross-codec audio corpus ([[audioCorpusAssetsOf]]): asset_id
+    * % 10 ≤ 6 builds the base index ([[graft.ops.Dedup.buildMediaIndex]]
+    * over `coalesce(wav_dhash, flac_dhash)` — one hash space across
+    * codecs, ex_id string per the learning contract), cohorts 7/8/9 play
+    * batches 0/1/2. Batch b's verdicts read base + learned strictly below
+    * b; `new` hashable assets learn their row; truncated payloads
+    * (`% 17 = 3`) surface `unhashable` and are never learned. The planted
+    * pair ([[plantedWavHex]] under ids [[plantedMediaIds]]) proves the
+    * loop with scale-independent novelty (the corpus's mod-256 hash space
+    * is fully covered by the base — see [[plantedWavHex]]): the custom
+    * recording in batch 0 must come back `new` and be learned, and its
+    * byte-identical re-upload in batch 1 must come back `exact` with
+    * match_id 9000001 — knowledge only a learned row can supply.
+    * (Cross-codec hash identity is d23/e07's proven property; d27's
+    * planted pair exercises the learning chain itself.) Oracle: the d23
+    * analytic-dhash derivation with unrolled batch-chained knowledge
+    * CTEs, the band-frequency cap recomputed per batch over that batch's
+    * knowledge set exactly as
+    * [[graft.ops.Dedup.mediaDedupAgainstIndex]] sees it.
+    */
+  def dedupLearningMediaReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_media").resolve("root").toString
+    def hashOf(c: Column): Column = graft.functions.Staged(coalesce(
+      graft.functions.WavDHash(c), graft.functions.FlacDHash(c)))
+    graft.ops.Dedup.buildMediaIndex(
+      audioCorpusAssetsOf(ids.filter(col("doc_id") % 10 <= 6))
+        .select(col("asset_id").cast("string").as("asset_id"),
+          col("payload")),
+      hashOf(col("payload")))
+      .write.parquet(s"$root/base")
+    def planted(id: Long): DataFrame = spark.sql(
+      s"SELECT CAST($id AS STRING) AS path, unhex('$plantedWavHex') AS content")
+    val verdicts = (0 to 2).map { b =>
+      val cohort = ids.filter(col("doc_id") % 10 === 7 + b)
+      val arr0 = audioCorpusAssetsOf(cohort)
+        .select(col("asset_id").cast("string").as("path"),
+          col("payload").as("content"))
+      val arr = b match {
+        case 0 => arr0.unionByName(planted(plantedMediaIds._1))
+        case 1 => arr0.unionByName(planted(plantedMediaIds._2))
+        case _ => arr0
+      }
+      graft.streaming.LogStream.dedupLearningMediaBatch(
+        arr, root, b.toLong, hashOf(col("content")))
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("asset_id"), col("verdict"),
+        col("match_id"), col("hamming"))
+      .orderBy(col("batch_id"), col("asset_id"))
+  }
+
+  /** d28 — the SELF-LEARNING incremental-SemDeDup stream under the hard
+    * correctness signal, completing the replay family across all four
+    * learning modalities (text d24, embedding d25, media d27, semantic
+    * here): the stream's micro-batch body
+    * ([[graft.streaming.LogStream.dedupLearningSemBatch]] — shared with
+    * [[graft.streaming.LogStream.dedupLearningSemArrivals]]) replayed
+    * over three batches (vec_id % 10 = 7/8/9) against a scratch index
+    * root whose FROZEN centroids and base members come from
+    * [[graft.ops.Similarity.buildSemIndex]] over the % 10 ≤ 6 corpus at
+    * the deployment geometry (nCentroids = max(8, ⌈N/48⌉) — d26's
+    * constant-cell-size rule). `keep` arrivals join their cell's member
+    * set for every LATER batch — the semantic learning property the
+    * static-members stream (d22/d26) lacks: a paraphrase of novel kept
+    * content is pruned against it. Planted arrivals prove it: d25's
+    * refusal pair (batch 0) surfaces `invalid` and is never learned;
+    * [[plantedLearnVec]] as vec −100 (batch 0, semantically novel ⇒
+    * `keep`, learned) and its byte-identical copy −101 (batch 1) must be
+    * pruned at cosine 1.0 with match_id −100 — a member row only
+    * learning can supply. Oracle: the d26 grown-geometry centroid CTEs
+    * plus unrolled batch-chained member sets.
+    */
+  def dedupLearningSemReplay(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val corpus = e.filter(col("vec_id") % 10 <= 6)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_sem").resolve("root").toString
+    val n = corpus.count()
+    val (centroids, members) = Similarity.buildSemIndex(corpus,
+      nCentroids = math.max(8L, (n + 47L) / 48L).toInt)
+    centroids.write.parquet(s"$root/centroids")
+    members.write.parquet(s"$root/members/base")
+    val pvSql = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    def planted(id: Long): DataFrame = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS vec_id, $pvSql AS embedding")
+    val refusals = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                CAST(NULL AS ARRAY<FLOAT>) AS embedding
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT),
+                CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""")
+    val verdicts = (0 to 2).map { b =>
+      val cohort = e.filter(col("vec_id") % 10 === 7 + b)
+        .select(col("vec_id"), col("embedding"))
+      val arr = b match {
+        case 0 => cohort.unionByName(refusals).unionByName(planted(-100L))
+        case 1 => cohort.unionByName(planted(-101L))
+        case _ => cohort
+      }
+      graft.streaming.LogStream
+        .dedupLearningSemBatch(arr, root, b.toLong, minCosine = 0.9)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("vec_id"), col("verdict"), col("cell"),
+        col("match_id"), col("cosine"))
+      .orderBy(col("batch_id"), col("vec_id"))
   }
 
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
@@ -2288,8 +2452,20 @@ object EntryOps {
     * chunk goes ragged, the FLAC total stops matching STREAMINFO — and
     * must be QUARANTINED by the composed pipeline.
     */
-  def audioCorpusAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+  def audioCorpusAssets(spark: SparkSession, dir: String): DataFrame =
+    audioCorpusAssetsOf(
+      Tables.documents(spark, dir).select(col("doc_id")))
+
+  /** [[audioCorpusAssets]] over an arbitrary doc_id frame — the synthesis
+    * body, parameterized so a replay fixture (d27) can inject PLANTED
+    * recordings beyond the corpus: every formula below is a pure function
+    * of doc_id, so an injected id yields a well-formed payload whose
+    * expected hash the oracle derives from the same arithmetic. Injected
+    * ids must keep `seed² · 7` inside int64 (id ≲ 6.6e6) — the sample
+    * formula squares the seed.
+    */
+  def audioCorpusAssetsOf(ids: DataFrame): DataFrame = {
+    val d = ids
       .withColumn("seed", expr(
         "IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173"))
       .withColumn("f", expr("130 + doc_id % 7"))
@@ -3123,6 +3299,22 @@ object EntryOps {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** [[duckHyperplaneBucket]] with the plane count read AT QUERY TIME from
+    * a `pl(p)` CTE the caller provides — the grown-geometry mirror of the
+    * native `hyperplane_bucket` with a corpus-derived `planes` argument.
+    * Same integer-derived coefficients (((i·37 + j·101) mod 17 − 8)/8 —
+    * exact in binary, denominator 2³) and the same left-to-right double
+    * folds (list_reduce ≡ the native's accumulation loop), so buckets are
+    * bit-identical at every plane count.
+    */
+  private def duckHyperplaneBucketDyn(e: String): String =
+    s"""list_reduce(list_transform(range(0, (SELECT p FROM pl)), i ->
+        CASE WHEN list_reduce(list_transform(range(1, 65), j ->
+          CAST($e[j] AS DOUBLE) *
+            (CAST((i * 37 + j * 101) % 17 - 8 AS DOUBLE) / CAST(8 AS DOUBLE))),
+          (x, y) -> x + y) > CAST(0 AS DOUBLE)
+        THEN 1 << i ELSE 0 END), (x, y) -> x + y)"""
+
   /** Mirror of Similarity.refinedAssignment (s06/d16's shared coarse stage,
     * d22's index build over a filtered corpus): CTE chain ending in
     * `asg2(vec_id, embedding, bucket)` and `ref(cid, ce)` — seed sample,
@@ -3246,7 +3438,7 @@ object EntryOps {
     val pv = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
       .mkString("[", ", ", "]")
     def batch(n: Int): String = s"""
-          val$n AS (SELECT vec_id, e, ${duckHyperplaneBucket("e", 4)} AS bucket
+          val$n AS (SELECT vec_id, e, ${duckHyperplaneBucketDyn("e")} AS bucket
                     FROM a$n WHERE e IS NOT NULL AND len(e) = 64),
           sc$n AS (SELECT a.vec_id, c.ex_id, ${duckCosine("a.e", "c.ex_e")} AS cosine
                    FROM val$n a JOIN kidx c ON c.bucket = a.bucket
@@ -3267,8 +3459,12 @@ object EntryOps {
     s"""WITH esrc AS (SELECT vec_id, embedding FROM embeddings
                       UNION ALL SELECT CAST(-100 AS BIGINT), $pv
                       UNION ALL SELECT CAST(-101 AS BIGINT), $pv),
+          pl AS (SELECT min(p) AS p
+                 FROM (SELECT unnest(range(4, 31)) AS p)
+                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM esrc
+                   WHERE vec_id >= 0 AND vec_id % 10 <= 6)),
           kidx AS (SELECT vec_id AS ex_id, embedding AS ex_e,
-                   ${duckHyperplaneBucket("embedding", 4)} AS bucket
+                   ${duckHyperplaneBucketDyn("embedding")} AS bucket
                    FROM esrc WHERE embedding IS NOT NULL),
           k0 AS (SELECT vec_id AS ex_id FROM esrc
                  WHERE vec_id >= 0 AND vec_id % 10 <= 6),
@@ -3285,6 +3481,169 @@ object EntryOps {
                  WHERE vec_id >= 0 AND vec_id % 10 = 9),
           ${batch(0)}, ${batch(1)}, ${batch(2)}
          SELECT batch_id, vec_id, verdict, match_id, cosine FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, vec_id"""
+  }
+
+  /** d27 oracle: the self-learning MEDIA-dedup replay — the d23
+    * analytic-dhash derivation (sample formulas from doc_id, never
+    * touching a byte, so WAV/FLAC codec choice is invisible by
+    * construction) with [[duckLearnTextOracle]]'s unrolled knowledge
+    * chain. The band-frequency cap (`HAVING count(*) <= 64`) recomputes
+    * per batch over that batch's knowledge set, exactly as
+    * `mediaDedupAgainstIndex` sees the combined base+learned view; ex_id
+    * is VARCHAR throughout (the learning contract keys on arrival paths),
+    * so the (hamming, ex_id) tie-break is string-ordered on both sides.
+    * The planted pair ([[plantedMediaIds]]) rides the id union with its
+    * dhash derived in the `pah` CTE from [[plantedWavHex]]'s own sample
+    * formula `p(j) = (31·j² + 17·j + 5) mod 256` — outside the corpus's
+    * fully-covered mod-256 hash space, so the batch-1 `exact` verdict can
+    * only come THROUGH the batch-0 learned row.
+    */
+  private def duckLearnMediaOracle: String = {
+    val (p1, p2) = plantedMediaIds
+    val ham = (1 to 64).map(i =>
+      s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def fw(x: String) =
+      s"((seed + ($x)) * (seed + ($x)) * 7 + (seed + ($x)) * 11 + seed) % 256"
+    def batch(n: Int): String = s"""
+          idx$n AS (SELECT CAST(k.doc_id AS VARCHAR) AS ex_id, h.dhash
+                    FROM k$n k JOIN ah2 h ON h.doc_id = k.doc_id),
+          ibd$n AS (SELECT ex_id, dhash, b AS band,
+                    substring(dhash, b * 16 + 1, 16) AS bits
+                    FROM idx$n CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          ikeep$n AS (SELECT band, bits FROM ibd$n GROUP BY 1, 2
+                      HAVING count(*) <= 64),
+          ibdk$n AS (SELECT ibd$n.* FROM ibd$n JOIN ikeep$n USING (band, bits)),
+          abd$n AS (SELECT a.doc_id, h.dhash, b AS band,
+                    substring(h.dhash, b * 16 + 1, 16) AS bits
+                    FROM b$n a JOIN ah2 h ON h.doc_id = a.doc_id
+                    CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          cand$n AS (SELECT DISTINCT a.doc_id, a.dhash AS h1,
+                     i.ex_id, i.dhash AS h2
+                     FROM abd$n a JOIN ibdk$n i USING (band, bits)),
+          bst$n AS (SELECT doc_id, ex_id AS match_id, hamming FROM (
+                    SELECT doc_id, ex_id, CAST($ham AS BIGINT) AS hamming,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY CAST($ham AS BIGINT), ex_id) AS rn
+                    FROM cand$n) WHERE hamming <= 3 AND rn = 1),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id,
+                  CAST(i.doc_id AS VARCHAR) AS asset_id,
+                  CASE WHEN bb.bad THEN 'unhashable'
+                       WHEN t.hamming = 0 THEN 'exact'
+                       WHEN t.hamming IS NOT NULL THEN 'near'
+                       ELSE 'new' END AS verdict,
+                  t.match_id, t.hamming,
+                  (NOT bb.bad AND t.match_id IS NULL) AS learnme,
+                  i.doc_id AS raw_id
+                  FROM b$n i JOIN ab bb ON bb.doc_id = i.doc_id
+                  LEFT JOIN bst$n t ON t.doc_id = i.doc_id),
+          k${n + 1} AS (SELECT doc_id FROM k$n
+                        UNION ALL SELECT raw_id FROM v$n WHERE learnme)"""
+    s"""WITH corp AS (SELECT doc_id FROM documents),
+          aids AS (SELECT doc_id FROM corp
+                   UNION ALL SELECT CAST($p1 AS BIGINT)
+                   UNION ALL SELECT CAST($p2 AS BIGINT)),
+          ab AS (SELECT doc_id,
+                 (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END) * 173 AS seed,
+                 (doc_id % 17 = 3) AS bad
+                 FROM aids),
+          aen AS (SELECT doc_id, w,
+                  abs((${fw("2 * w")}) - 128) + abs((${fw("2 * w + 1")}) - 128) AS e
+                  FROM (SELECT * FROM ab WHERE NOT bad AND doc_id < $p1)
+                  CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
+          abt AS (SELECT a.doc_id, a.w,
+                  CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+                  FROM aen a JOIN aen b
+                    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                  WHERE a.w < 64),
+          ah AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS dhash
+                 FROM abt GROUP BY doc_id),
+          ppen AS (SELECT w,
+                   abs(((2*w) * (2*w) * 31 + (2*w) * 17 + 5) % 256 - 128)
+                 + abs(((2*w+1) * (2*w+1) * 31 + (2*w+1) * 17 + 5) % 256 - 128) AS e
+                   FROM (SELECT unnest(range(0, 65)) AS w)),
+          pah AS (SELECT string_agg(
+                    CASE WHEN b.e > a.e THEN '1' ELSE '0' END, ''
+                    ORDER BY a.w) AS dhash
+                  FROM ppen a JOIN ppen b ON b.w = a.w + 1 WHERE a.w < 64),
+          ah2 AS (SELECT doc_id, dhash FROM ah
+                  UNION ALL SELECT CAST($p1 AS BIGINT), dhash FROM pah
+                  UNION ALL SELECT CAST($p2 AS BIGINT), dhash FROM pah),
+          k0 AS (SELECT doc_id FROM corp
+                 WHERE doc_id % 10 <= 6 AND doc_id % 17 != 3),
+          b0 AS (SELECT doc_id FROM corp WHERE doc_id % 10 = 7
+                 UNION ALL SELECT CAST($p1 AS BIGINT)),
+          b1 AS (SELECT doc_id FROM corp WHERE doc_id % 10 = 8
+                 UNION ALL SELECT CAST($p2 AS BIGINT)),
+          b2 AS (SELECT doc_id FROM corp WHERE doc_id % 10 = 9),
+          ${batch(0)}, ${batch(1)}, ${batch(2)}
+         SELECT batch_id, asset_id, verdict, match_id, hamming FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, asset_id"""
+  }
+
+  /** d28 oracle: the self-learning SEMANTIC-dedup replay — the d26
+    * grown-geometry centroid CTEs ([[duckRefinedAssignGrown]], frozen
+    * across batches exactly as the stream freezes them between retrains)
+    * plus [[duckLearnTextOracle]]'s unrolled knowledge chain over the
+    * MEMBER sets: m0 = the corpus assignment (`asg2`), each batch's
+    * `keep` arrivals appending (ex_id, cell, ex_e) rows with the cell the
+    * ARRIVAL was assigned. The planted vector pair (−100/−101,
+    * [[plantedLearnVec]]) proves the learned-member route at cosine 1.0;
+    * the refusal pair surfaces `invalid` and never joins a member set.
+    */
+  private def duckLearnSemOracle: String = {
+    val pv = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString("[", ", ", "]")
+    def batch(n: Int): String = s"""
+          ascr$n AS (SELECT a.vec_id, a.e, r.cid,
+                 list_reduce(list_transform(range(1, 65),
+                   k -> CAST(a.e[k] AS DOUBLE) * r.ce[k]), (x, y) -> x + y) AS score
+                 FROM (SELECT vec_id, e FROM a$n
+                       WHERE e IS NOT NULL AND len(e) = 64) a
+                 CROSS JOIN ref r),
+          acel$n AS (SELECT vec_id, e, cid AS cell FROM (
+                 SELECT vec_id, e, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+                 FROM ascr$n) WHERE rn = 1),
+          msc$n AS (SELECT a.vec_id, m.ex_id,
+                 ${duckCosine("a.e", "m.ex_e")} AS cosine
+                 FROM acel$n a JOIN m$n m ON m.cell = a.cell),
+          bst$n AS (SELECT vec_id, ex_id AS match_id, cosine FROM (
+                 SELECT vec_id, ex_id, cosine, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                 FROM msc$n WHERE cosine >= 0.9) WHERE rn = 1),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id, a.vec_id,
+                 CASE WHEN a.e IS NULL OR len(a.e) != 64 THEN 'invalid'
+                      WHEN t.match_id IS NOT NULL THEN 'prune'
+                      ELSE 'keep' END AS verdict,
+                 CAST(c.cell AS BIGINT) AS cell, t.match_id, t.cosine,
+                 a.e AS raw_e
+                 FROM a$n a LEFT JOIN acel$n c ON c.vec_id = a.vec_id
+                            LEFT JOIN bst$n t ON t.vec_id = a.vec_id),
+          m${n + 1} AS (SELECT * FROM m$n
+                 UNION ALL SELECT vec_id AS ex_id, cell, raw_e AS ex_e
+                 FROM v$n WHERE verdict = 'keep')"""
+    s"""WITH scorpus AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 10 <= 6),
+          ${duckRefinedAssignGrown("scorpus", 48)},
+          m0 AS (SELECT vec_id AS ex_id, bucket AS cell,
+                 embedding AS ex_e FROM asg2),
+          a0 AS (SELECT vec_id, embedding AS e FROM embeddings
+                 WHERE vec_id % 10 = 7
+                 UNION ALL SELECT CAST(-1 AS BIGINT), NULL
+                 UNION ALL SELECT CAST(-2 AS BIGINT),
+                   [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)]
+                 UNION ALL SELECT CAST(-100 AS BIGINT), $pv),
+          a1 AS (SELECT vec_id, embedding AS e FROM embeddings
+                 WHERE vec_id % 10 = 8
+                 UNION ALL SELECT CAST(-101 AS BIGINT), $pv),
+          a2 AS (SELECT vec_id, embedding AS e FROM embeddings
+                 WHERE vec_id % 10 = 9),
+          ${batch(0)}, ${batch(1)}, ${batch(2)}
+         SELECT batch_id, vec_id, verdict, cell, match_id, cosine FROM
            (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
          ORDER BY batch_id, vec_id"""
   }
@@ -4341,6 +4700,8 @@ object EntryOps {
          ORDER BY a.vec_id""",
     "d24_learning_dedup" -> duckLearnTextOracle,
     "d25_learning_embed_dedup" -> duckLearnEmbedOracle,
+    "d27_learning_media_dedup" -> duckLearnMediaOracle,
+    "d28_learning_sem_dedup" -> duckLearnSemOracle,
     // d26 — d22's exact body, the ONLY delta being the grown centroid
     // count (greatest(8, ceil(count/48)) — the deployment geometry): the
     // benched incremental-SemDeDup plan is thereby the constant-cell-size
@@ -5581,6 +5942,8 @@ object EntryOps {
     "d24_learning_dedup" -> (dedupLearningReplay _),
     "d25_learning_embed_dedup" -> (dedupLearningEmbedReplay _),
     "d26_semdedup_grown" -> (semDedupIncrementalGrown _),
+    "d27_learning_media_dedup" -> (dedupLearningMediaReplay _),
+    "d28_learning_sem_dedup" -> (dedupLearningSemReplay _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
     "d19_span_scrub" -> (spanScrub _),
     "d20_span_check_incremental" -> (spanCheckIncremental _),

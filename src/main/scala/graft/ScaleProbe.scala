@@ -74,6 +74,11 @@ object ScaleProbe {
     // scales, so its row prices the per-batch incremental cost between
     // retrains (the d22 row keeps pricing the fixed-8-cell contrast)
     "d26_semdedup_grown",
+    // r13: the self-learning replay entries — each row prices one full
+    // replay lifecycle (base index build + three learning batch bodies),
+    // the cost shape of the ingest gate itself rather than a single query
+    "d24_learning_dedup", "d25_learning_embed_dedup",
+    "d27_learning_media_dedup", "d28_learning_sem_dedup",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =

@@ -306,30 +306,49 @@ object LogStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val hashed = graft.ops.Barrier.barrier(
-          batch.select(col("path").as("asset_id"), hash.as("dhash")))
-        val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
-          .mediaDedupAgainstIndex(hashed,
-            graft.ops.Dedup.readMediaIndex(spark, indexRoot,
-              beforeBatch = batchId), maxHamming))
-        val learned = hashed
-          .join(verdicts.filter(col("verdict") === "new")
-            .select(col("asset_id")), Seq("asset_id"))
-          .filter(col("dhash").isNotNull)
-          .select(col("asset_id").as("ex_id"), col("dhash"))
-          .withColumn("batch_id", lit(batchId))
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          learned.write.mode("overwrite").partitionBy("batch_id")
-            .parquet(s"$indexRoot/learned")
+        val verdicts =
+          dedupLearningMediaBatch(batch, indexRoot, batchId, hash, maxHamming)
+        withDynamicOverwrite(spark) {
           verdicts.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(outPath)
-        } finally prev.foreach(
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
       }
       .start()
+
+  /** The SELF-LEARNING media-dedup micro-batch BODY —
+    * [[dedupLearningTextBatch]]'s contract for perceptual-hash spaces,
+    * shared between [[dedupLearningMediaArrivals]] and the d27 registered
+    * replay (`EntryOps.dedupLearningMediaReplay`): payloads hash ONCE in
+    * the scan stage (barriered — decode feeds the verdict join AND the
+    * learned rows from one evaluation), verdicts come from base + learned
+    * batches strictly below `batchId`
+    * ([[graft.ops.Dedup.readMediaIndex]]), and `new` HASHABLE assets
+    * learn their (ex_id, dhash) row; `unhashable` arrivals never do — a
+    * refusal is not knowledge. Returns the barriered verdict table; the
+    * learned write has already happened.
+    */
+  def dedupLearningMediaBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, hash: Column, maxHamming: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val hashed = graft.ops.Barrier.barrier(
+      batch.select(col("path").as("asset_id"), hash.as("dhash")))
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+      .mediaDedupAgainstIndex(hashed,
+        graft.ops.Dedup.readMediaIndex(spark, indexRoot,
+          beforeBatch = batchId), maxHamming))
+    val learned = hashed
+      .join(verdicts.filter(col("verdict") === "new")
+        .select(col("asset_id")), Seq("asset_id"))
+      .filter(col("dhash").isNotNull)
+      .select(col("asset_id").as("ex_id"), col("dhash"))
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/learned")
+    }
+    verdicts
+  }
 
   /** STREAMING cross-codec AUDIO dedup against the warehouse —
     * [[dedupImageArrivals]]' shape for recordings: arriving payloads hash
@@ -576,29 +595,47 @@ object LogStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val verdicts = graft.ops.Barrier.barrier(graft.ops.Similarity
-          .semDedupAgainstIndex(batch,
-            spark.read.parquet(s"$indexRoot/centroids"),
-            graft.ops.Dedup.readSemMembers(spark, indexRoot,
-              beforeBatch = batchId), minCosine))
-        val learned = batch
-          .join(verdicts.filter(col("verdict") === "keep")
-            .select(col("vec_id"), col("cell")), Seq("vec_id"))
-          .select(col("vec_id").as("ex_id"), col("cell"),
-            col("embedding").as("ex_e"))
-          .withColumn("batch_id", lit(batchId))
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          learned.write.mode("overwrite").partitionBy("batch_id")
-            .parquet(s"$indexRoot/members/learned")
+        val verdicts =
+          dedupLearningSemBatch(batch, indexRoot, batchId, minCosine)
+        withDynamicOverwrite(spark) {
           verdicts.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(outPath)
-        } finally prev.foreach(
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
       }
       .start()
+
+  /** The SELF-LEARNING semantic-dedup micro-batch BODY —
+    * [[dedupLearningTextBatch]]'s contract for the semantic modality,
+    * shared between [[dedupLearningSemArrivals]] and the d28 registered
+    * replay (`EntryOps.dedupLearningSemReplay`): verdicts come from the
+    * frozen centroid table plus members/base + learned batches strictly
+    * below `batchId` ([[graft.ops.Dedup.readSemMembers]] — replay-exact),
+    * and `keep` arrivals learn their (ex_id, cell, ex_e) member row so a
+    * later paraphrase is pruned against them; `invalid` arrivals never
+    * do. Returns the barriered verdict table; the learned write has
+    * already happened.
+    */
+  def dedupLearningSemBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, minCosine: Double = 0.9): DataFrame = {
+    val spark = batch.sparkSession
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Similarity
+      .semDedupAgainstIndex(batch,
+        spark.read.parquet(s"$indexRoot/centroids"),
+        graft.ops.Dedup.readSemMembers(spark, indexRoot,
+          beforeBatch = batchId), minCosine))
+    val learned = batch
+      .join(verdicts.filter(col("verdict") === "keep")
+        .select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("ex_id"), col("cell"),
+        col("embedding").as("ex_e"))
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/members/learned")
+    }
+    verdicts
+  }
 
   /** STREAMING PQ-index APPEND — the INGEST side of the ANN index's
     * maintenance cadence ([[graft.ops.Similarity.appendToPqIndex]] as a
