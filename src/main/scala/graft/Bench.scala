@@ -372,29 +372,13 @@ object Bench {
     // capture); the guard only ever ADDS evidence, never changes a number.
     val histPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OVERRIDE_HISTORY", "bench/override_history.json"))
-    val prevStreaks: Map[String, Int] = try {
-      if (java.nio.file.Files.exists(histPath))
-        "\"([^\"]+)\"\\s*:\\s*([0-9]+)".r
-          .findAllMatchIn(java.nio.file.Files.readString(histPath))
-          .map(m => m.group(1) -> m.group(2).toInt).toMap
-      else Map.empty
-    } catch { case _: Throwable => Map.empty }
-    val newStreaks: Map[String, Int] = results.map(_._1)
-      .map(n => n -> (if (overridden.contains(n)) prevStreaks.getOrElse(n, 0) + 1 else 0))
-      .toMap
-    val streakFlagged = newStreaks.filter(_._2 >= 3).keys.toSeq.sorted
+    val prevStreaks = OverrideHistory.read(histPath)
+    val (newStreaks, streakFlagged) =
+      OverrideHistory.advance(prevStreaks, results.map(_._1), overridden.toSet)
     if (streakFlagged.nonEmpty)
       System.err.println("[bench] override-streak SUSPECTS (overridden in >= 3 " +
         s"consecutive officials — treat as a regression, not load): ${streakFlagged.mkString(", ")}")
-    try {
-      if (histPath.getParent != null) java.nio.file.Files.createDirectories(histPath.getParent)
-      java.nio.file.Files.writeString(histPath,
-        newStreaks.filter(_._2 > 0).toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}\n"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not persist override history: ${e.getMessage}")
-    }
+    OverrideHistory.write(histPath, newStreaks)
     val failures = results.count(_._2 < 0)
     val reruns = results.count(_._7)
     // The harness that captures this line keeps only a bounded tail of the
