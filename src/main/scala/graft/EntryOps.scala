@@ -470,6 +470,61 @@ object EntryOps {
       .orderBy(col("batch_id"), col("vec_id"))
   }
 
+  /** The d29 planted arrival: [[plantedLearnVec]] shifted by +1.0 at every
+    * j ≡ 5 (mod 11) — cosine 0.9454 to the base vector, chosen (with the
+    * real coefficient formula) so a SINGLE 16-plane table separates the
+    * pair while table 2 of the 4×4 banded index catches it: the
+    * deterministic witness that banding buys recall at equal total bits.
+    */
+  private val plantedBandedNear: Seq[Float] =
+    plantedLearnVec.zipWithIndex.map { case (v, j) =>
+      if (j % 11 == 5) v + 1.0f else v
+    }
+
+  /** d29 — MULTI-TABLE (banded) embedding dedup, the recall-preserving
+    * grown-geometry route for the hyperplane space
+    * ([[graft.ops.Dedup.buildEmbedIndexBanded]] /
+    * [[graft.ops.Dedup.embedDedupAgainstIndexBanded]]): d25's plane
+    * growth bounds cost but lowers single-table recall (collision
+    * probability (1 − θ/π)^p per table — measured 0.56 → 0.20 at cosine
+    * 0.9 from p=4 to p=12); T = 4 independent tables of p grown planes
+    * each (p = smallest ≥ 4 with 2^p · 48 ≥ N) recover 1 − (1 − r)⁴ of
+    * it for a 4× join cost, the d03/SimHash banding discipline applied
+    * to vectors. Corpus = vec_id % 10 ≠ 0 plus the planted base vector
+    * −50 ([[plantedLearnVec]]); arrivals = % 10 = 0, the d17 refusal
+    * pair, and the planted near arrival −100 ([[plantedBandedNear]],
+    * cosine 0.9454) that a single table at the same 16 total bits
+    * provably misses while band 2 catches it (OpsSpec pins the witness).
+    * Geometry reads FROM the index; candidates are (band, key)
+    * equi-joins under the per-key frequency cap; verdicts near / new /
+    * `invalid`.
+    */
+  def embedDedupBanded(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    def lits(id: Long, v: Seq[Float]): DataFrame = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS vec_id, " +
+        v.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")") +
+        " AS embedding")
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(lits(-50L, plantedLearnVec))
+    val n = corpus.count()
+    val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
+    val index = graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes)
+    val refusals = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                CAST(NULL AS ARRAY<FLOAT>) AS embedding
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT),
+                CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""")
+    val arrivals = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(refusals)
+      .unionByName(lits(-100L, plantedBandedNear))
+    graft.ops.Dedup.embedDedupAgainstIndexBanded(arrivals, index,
+      minCosine = 0.9)
+  }
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -3308,10 +3363,22 @@ object EntryOps {
     * bit-identical at every plane count.
     */
   private def duckHyperplaneBucketDyn(e: String): String =
-    s"""list_reduce(list_transform(range(0, (SELECT p FROM pl)), i ->
+    duckHyperplaneBucketDynOff(e, "(SELECT p FROM pl)", "0")
+
+  /** [[duckHyperplaneBucketDyn]] with the plane count and plane-index
+    * OFFSET as SQL expressions — the mirror of the native's `offset`
+    * argument: table t of a banded index keys on plane indices
+    * [t·p, (t+1)·p) of the same coefficient family, bit positions staying
+    * 0..p−1. `p`/`off` must be plain columns or literals when they appear
+    * inside the lambda (DuckDB bans subqueries in lambda bodies — CROSS
+    * JOIN the `pl` CTE and reference its column instead).
+    */
+  private def duckHyperplaneBucketDynOff(e: String, p: String,
+      off: String): String =
+    s"""list_reduce(list_transform(range(0, $p), i ->
         CASE WHEN list_reduce(list_transform(range(1, 65), j ->
           CAST($e[j] AS DOUBLE) *
-            (CAST((i * 37 + j * 101) % 17 - 8 AS DOUBLE) / CAST(8 AS DOUBLE))),
+            (CAST(((i + ($off)) * 37 + j * 101) % 17 - 8 AS DOUBLE) / CAST(8 AS DOUBLE))),
           (x, y) -> x + y) > CAST(0 AS DOUBLE)
         THEN 1 << i ELSE 0 END), (x, y) -> x + y)"""
 
@@ -3646,6 +3713,63 @@ object EntryOps {
          SELECT batch_id, vec_id, verdict, cell, match_id, cosine FROM
            (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
          ORDER BY batch_id, vec_id"""
+  }
+
+  /** d29 oracle: the banded embedding-dedup route — T = 4 tables keyed by
+    * [[duckHyperplaneBucketDynOff]] at offsets t·p (p from the grown `pl`
+    * CTE over the SAME corpus count), per-(band, key) frequency cap 64 on
+    * the index side, DISTINCT over the deterministic (vec_id, ex_id,
+    * cosine) triple collapsing band multiplicity, best match by
+    * (cosine desc, ex_id asc) at minCosine 0.9, verdict tiers
+    * near / new / invalid. Planted rows: base −50 in the corpus, near
+    * arrival −100 (cosine 0.9454), the d17 refusal pair.
+    */
+  private def duckEmbedBandedOracle: String = {
+    val pvA = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString("[", ", ", "]")
+    val pvB = plantedBandedNear.map(v => s"CAST($v AS FLOAT)")
+      .mkString("[", ", ", "]")
+    val off = "tt.t * pl.p"
+    s"""WITH bcorp AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 10 != 0
+                 UNION ALL SELECT CAST(-50 AS BIGINT), $pvA),
+          pl AS (SELECT min(p) AS p
+                 FROM (SELECT unnest(range(4, 31)) AS p)
+                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM bcorp)),
+          kb AS (SELECT c.vec_id AS ex_id, c.embedding AS ex_e, tt.t AS band,
+                 ${duckHyperplaneBucketDynOff("c.embedding", "pl.p", off)} AS key
+                 FROM bcorp c CROSS JOIN pl
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt
+                 WHERE c.embedding IS NOT NULL),
+          kcap AS (SELECT band, key FROM kb GROUP BY 1, 2
+                   HAVING count(*) <= 64),
+          kbk AS (SELECT kb.* FROM kb JOIN kcap USING (band, key)),
+          barr AS (SELECT vec_id, embedding AS e FROM embeddings
+                 WHERE vec_id % 10 = 0
+                 UNION ALL SELECT CAST(-1 AS BIGINT), NULL
+                 UNION ALL SELECT CAST(-2 AS BIGINT),
+                   [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)]
+                 UNION ALL SELECT CAST(-100 AS BIGINT), $pvB),
+          abnd AS (SELECT a.vec_id, a.e, tt.t AS band,
+                 ${duckHyperplaneBucketDynOff("a.e", "pl.p", off)} AS key
+                 FROM (SELECT vec_id, e FROM barr
+                       WHERE e IS NOT NULL AND len(e) = 64) a
+                 CROSS JOIN pl
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt),
+          cnd AS (SELECT DISTINCT a.vec_id, k.ex_id,
+                 ${duckCosine("a.e", "k.ex_e")} AS cosine
+                 FROM abnd a JOIN kbk k USING (band, key)),
+          bst AS (SELECT vec_id, ex_id AS match_id, cosine FROM (
+                 SELECT vec_id, ex_id, cosine, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                 FROM cnd WHERE cosine >= 0.9) WHERE rn = 1)
+         SELECT a.vec_id,
+           CASE WHEN a.e IS NULL OR len(a.e) != 64 THEN 'invalid'
+                WHEN b.match_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
+           b.match_id, b.cosine
+         FROM barr a LEFT JOIN bst b ON b.vec_id = a.vec_id
+         ORDER BY a.vec_id"""
   }
 
   /** Mirror of Dedup's SimHash16 fingerprint: CTE chain ending in
@@ -4702,6 +4826,7 @@ object EntryOps {
     "d25_learning_embed_dedup" -> duckLearnEmbedOracle,
     "d27_learning_media_dedup" -> duckLearnMediaOracle,
     "d28_learning_sem_dedup" -> duckLearnSemOracle,
+    "d29_embed_dedup_banded" -> duckEmbedBandedOracle,
     // d26 — d22's exact body, the ONLY delta being the grown centroid
     // count (greatest(8, ceil(count/48)) — the deployment geometry): the
     // benched incremental-SemDeDup plan is thereby the constant-cell-size
@@ -5944,6 +6069,7 @@ object EntryOps {
     "d26_semdedup_grown" -> (semDedupIncrementalGrown _),
     "d27_learning_media_dedup" -> (dedupLearningMediaReplay _),
     "d28_learning_sem_dedup" -> (dedupLearningSemReplay _),
+    "d29_embed_dedup_banded" -> (embedDedupBanded _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
     "d19_span_scrub" -> (spanScrub _),
     "d20_span_check_incremental" -> (spanCheckIncremental _),

@@ -168,7 +168,7 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           val planes = args(1).eval().asInstanceOf[Int]
           val dims = args(2).eval().asInstanceOf[Int]
-          HyperplaneBucket(args.head, planes, dims)
+          HyperplaneBucket(args.head, planes, dims, 0)
         }),
       (FunctionIdentifier("pq_table_sum"),
         info("pq_table_sum",

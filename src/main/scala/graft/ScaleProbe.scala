@@ -79,6 +79,13 @@ object ScaleProbe {
     // the cost shape of the ingest gate itself rather than a single query
     "d24_learning_dedup", "d25_learning_embed_dedup",
     "d27_learning_media_dedup", "d28_learning_sem_dedup",
+    // r13: the static embed-incremental route at its REGISTERED fixed
+    // 4-plane geometry — the oracle-pinned contrast the grown-plane d25
+    // row is priced against (the d22-vs-d26 pairing for the hyperplane
+    // space)
+    "d17_embed_dedup_incremental",
+    // r13: the recall-preserving grown route — 4 tables of grown planes
+    "d29_embed_dedup_banded",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * left-associative) and the same float→double widening, so buckets are
   * bit-identical to the DuckDB oracle mirror (EntryOps.duckHyperplaneBucket).
   */
-case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
+case class HyperplaneBucket(child: Expression, planes: Int, dims: Int,
+    offset: Int)
     extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
 
@@ -27,11 +28,11 @@ case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
   override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(ArrayType(FloatType))
 
   override protected def nullSafeEval(input: Any): Any =
-    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], planes, dims)
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], planes, dims, offset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneBucket.compute($c, $planes, $dims)")
+      s"graft.functions.HyperplaneBucket.compute($c, $planes, $dims, $offset)")
 
   override protected def withNewChildInternal(
       newChild: Expression): HyperplaneBucket = copy(child = newChild)
@@ -46,7 +47,16 @@ object HyperplaneBucket {
     * element NULL-propagates through the projection sum, every sign CASE
     * yields 0), so buckets stay bit-identical to the oracle on ragged input.
     */
-  def compute(e: ArrayData, planes: Int, dims: Int): Int = {
+  def compute(e: ArrayData, planes: Int, dims: Int): Int =
+    compute(e, planes, dims, 0)
+
+  /** `offset` shifts which hyperplanes are used (plane index i + offset in
+    * the coefficient formula) while bit positions stay 0..planes-1 — the
+    * multi-TABLE LSH primitive: table t of a banded index keys on
+    * compute(e, p, dims, t·p), i.e. bit-slice t of one wide bucket,
+    * without the wide bucket ever exceeding Int range.
+    */
+  def compute(e: ArrayData, planes: Int, dims: Int, offset: Int): Int = {
     if (e.numElements() < dims) return 0
     var j = 0
     while (j < dims) {
@@ -60,7 +70,7 @@ object HyperplaneBucket {
       var k = 1
       while (k <= dims) {
         // hyperplane component: exact dyadic rational in [-1, 1]
-        val c = ((i * 37 + k * 101) % 17 - 8).toDouble / 8.0d
+        val c = (((i + offset) * 37 + k * 101) % 17 - 8).toDouble / 8.0d
         acc += e.getFloat(k - 1).toDouble * c
         k += 1
       }
@@ -70,7 +80,7 @@ object HyperplaneBucket {
     bucket
   }
 
-  def apply(c: Column, planes: Int, dims: Int = 64): Column =
+  def apply(c: Column, planes: Int, dims: Int = 64, offset: Int = 0): Column =
     GraftBridge.column(
-      HyperplaneBucket(GraftBridge.expression(c), planes, dims))
+      HyperplaneBucket(GraftBridge.expression(c), planes, dims, offset))
 }

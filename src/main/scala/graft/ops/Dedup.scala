@@ -650,6 +650,84 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** MULTI-TABLE (banded) embedding dedup index — the d03/SimHash banding
+    * discipline applied to the hyperplane space, closing the recall gap a
+    * SINGLE grown-plane table opens: collision probability for a pair at
+    * cosine c is (1 − θ/π)^p per table, so growing p with the corpus
+    * (constant bucket size — the cost fix) drives single-table recall down
+    * (measured: 0.56 → 0.20 at cos 0.9 from p=4 to p=12); `tables`
+    * INDEPENDENT tables of p planes each recover 1 − (1 − r)^T of it for
+    * a T× index/join cost. Table t keys on plane indices [t·p, (t+1)·p)
+    * of the same deterministic coefficient family (the native's `offset`
+    * argument — bit positions stay 0..p−1, so no wide bucket ever
+    * overflows Int). One row per (vector, table): ex_id, ex_e, band, key,
+    * with the geometry persisted on every row ([[buildEmbedIndex]]'s
+    * planes-column discipline) so readers follow the index, never a
+    * default.
+    */
+  def buildEmbedIndexBanded(corpus: DataFrame, planes: Int = 4,
+      tables: Int = 4, dims: Int = 64): DataFrame = {
+    val base = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("ex_id"), col("embedding").as("ex_e"))
+    base.select(base.columns.map(col) :+
+      posexplode(array((0 until tables).map(t =>
+        graft.functions.HyperplaneBucket(col("ex_e"), planes, dims,
+          t * planes)): _*)).as(Seq("band", "key")): _*)
+      .withColumn("planes", lit(planes))
+      .withColumn("tables", lit(tables))
+  }
+
+  /** Semantic dedup of incoming vectors against a persisted
+    * [[buildEmbedIndexBanded]] table: candidates collide in ANY of the T
+    * tables (equi-join on (band, key) — never all-pairs), mega-buckets
+    * from low-entropy regions are dropped per (band, key) on the index
+    * side (`maxBandFreq`, the [[mediaDedupAgainstIndex]] cap), band
+    * multiplicity collapses through a distinct on the deterministic
+    * (vec_id, ex_id, cosine) triple exactly as the media route collapses
+    * its band-duplicate Hamming rows, and the verdict tiers are
+    * [[embedDedupAgainstIndex]]'s (near / new / `invalid`; best match by
+    * (cosine desc, ex_id asc)). Geometry (planes per table, table count)
+    * is read FROM the index — a one-row scalar read, the planes-guard
+    * class — so a retrained index re-bands queries without a code change.
+    */
+  def embedDedupAgainstIndexBanded(incoming: DataFrame, index: DataFrame,
+      minCosine: Double, dims: Int = 64,
+      maxBandFreq: Int = 64): DataFrame = {
+    val geo = index.select(col("planes"), col("tables")).head(1)
+    require(geo.nonEmpty, "banded embedding index is empty")
+    val (planes, tables) = (geo(0).getInt(0), geo(0).getInt(1))
+    val valid = incoming.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === dims)
+    val vsel = valid.select(col("vec_id"), col("embedding").as("e"))
+    val inb = vsel.select(vsel.columns.map(col) :+
+      posexplode(array((0 until tables).map(t =>
+        graft.functions.HyperplaneBucket(col("e"), planes, dims,
+          t * planes)): _*)).as(Seq("band", "key")): _*)
+    val keep = index.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxBandFreq)
+      .select(col("band"), col("key"))
+    val exb = index.join(keep, Seq("band", "key"))
+    val best = inb.join(exb, Seq("band", "key"))
+      .withColumn("cosine", Similarity.dot("e", "ex_e")
+        / (sqrt(Similarity.dot("e", "e")) * sqrt(Similarity.dot("ex_e", "ex_e"))))
+      .select(col("vec_id"), col("ex_id"), col("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("cosine")).as("nc"), col("ex_id"))).as("m"))
+      .select(col("vec_id"), col("m.ex_id").as("match_id"),
+        negate(col("m.nc")).as("cosine"))
+    incoming.select(col("vec_id"), col("embedding"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("embedding").isNull || size(col("embedding")) =!= dims,
+          "invalid")
+          .when(col("match_id").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        col("match_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Perceptual dedup of incoming media against a persisted
     * [[buildMediaIndex]] table: banded candidate generation (4×16-char
     * bands, df ≤ `maxBandFreq` cap on the index side — mega-buckets from

@@ -1962,4 +1962,53 @@ class OpsSpec extends GraftSpec {
         .foreach(java.nio.file.Files.delete)
     }
   }
+  test("banded embed dedup: 4x4 tables catch the planted cos-0.945 pair a " +
+      "single 16-plane table misses; refusals invalid; geometry follows " +
+      "the index") {
+    import org.apache.spark.sql.functions._
+    val vecA = (0 until 64).map(j =>
+      if (j % 3 == 0) 1.0f else if (j % 3 == 1) -1.0f else 0.5f)
+    val vecB = vecA.zipWithIndex.map { case (v, j) =>
+      if (j % 11 == 5) v + 1.0f else v }
+    def lits(id: Long, v: Seq[Float]) = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS vec_id, " +
+        v.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")") +
+        " AS embedding")
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 =!= 0)
+      .unionByName(lits(-50L, vecA))
+    val arrivals = lits(-100L, vecB)
+      .unionByName(spark.sql(
+        """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                  CAST(NULL AS ARRAY<FLOAT>) AS embedding
+           UNION ALL SELECT CAST(-2 AS BIGINT),
+                  CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)"""))
+    // a SINGLE table at the same 16 total bits separates the pair
+    val single = graft.ops.Dedup.embedDedupAgainstIndex(arrivals,
+      graft.ops.Dedup.buildEmbedIndex(corpus, planes = 16),
+      minCosine = 0.9, planes = 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    assert(single(-100L) === "new",
+      "the planted pair must hash apart in one 16-plane table")
+    // ...while table 2 of the 4x4 banded index catches it
+    val banded = graft.ops.Dedup.embedDedupAgainstIndexBanded(arrivals,
+      graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes = 4, tables = 4),
+      minCosine = 0.9).collect()
+    val byId = banded.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(-100L).getAs[String]("verdict") === "near")
+    assert(byId(-100L).getAs[Long]("match_id") === -50L)
+    assert(math.abs(byId(-100L).getAs[Double]("cosine") - 0.9454) < 5e-4)
+    assert(byId(-1L).getAs[String]("verdict") === "invalid" &&
+      byId(-2L).getAs[String]("verdict") === "invalid",
+      "refusals surface invalid through the banded route too")
+    // geometry follows the index: a p=5 build re-bands the query side
+    // without any caller parameter (the witness pair still collides in
+    // table 2 at p=5)
+    val banded5 = graft.ops.Dedup.embedDedupAgainstIndexBanded(arrivals,
+      graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes = 5, tables = 4),
+      minCosine = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    assert(banded5(-100L) === "near")
+  }
 }
