@@ -525,6 +525,63 @@ object EntryOps {
       minCosine = 0.9)
   }
 
+  /** d30 — the BANDED route as the SELF-LEARNING ingest gate, composing
+    * the round's two threads: d29's recall-preserving grown geometry
+    * (4 tables of p grown planes) run through the learning replay
+    * discipline (d24/d25/d27/d28), via the stream's own micro-batch body
+    * ([[graft.streaming.LogStream.dedupLearningBandedBatch]] — shared
+    * with [[graft.streaming.LogStream.dedupLearningBandedArrivals]]).
+    * Base = banded index over the % 10 ≤ 6 corpus at grown p; batches
+    * 7/8/9; knowledge strictly below each batch; `new` valid vectors
+    * learn their T banded rows under the INDEX's geometry. The planted
+    * pair is scale-INDEPENDENT here: [[plantedLearnVec]] as −100
+    * (batch 0, novel ⇒ `new`, learned) and its byte-identical copy −101
+    * (batch 1) collide in EVERY band at ANY plane count (identical
+    * vectors), so the `near`-at-cosine-1.0 verdict through the learned
+    * banded rows holds at every scale — unlike a perturbed pair, whose
+    * collision is geometry-dependent (d29's witness demonstrates that
+    * side). Refusals surface `invalid`, never learned. Oracle: d29's
+    * banded CTEs with d25's unrolled batch-chained knowledge window, the
+    * per-(band, key) cap recomputed per batch over that batch's
+    * knowledge.
+    */
+  def dedupLearningBandedReplay(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_banded").resolve("root").toString
+    val corpus = e.filter(col("vec_id") % 10 <= 6)
+    val n = corpus.count()
+    val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
+    graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes)
+      .write.parquet(s"$root/base")
+    val pvSql = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    def planted(id: Long): DataFrame = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS vec_id, $pvSql AS embedding")
+    val refusals = spark.sql(
+      """SELECT CAST(-1 AS BIGINT) AS vec_id,
+                CAST(NULL AS ARRAY<FLOAT>) AS embedding
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT),
+                CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)""")
+    val verdicts = (0 to 2).map { b =>
+      val cohort = e.filter(col("vec_id") % 10 === 7 + b)
+        .select(col("vec_id"), col("embedding"))
+      val arr = b match {
+        case 0 => cohort.unionByName(refusals).unionByName(planted(-100L))
+        case 1 => cohort.unionByName(planted(-101L))
+        case _ => cohort
+      }
+      graft.streaming.LogStream
+        .dedupLearningBandedBatch(arr, root, b.toLong, minCosine = 0.9)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("vec_id"), col("verdict"),
+        col("match_id"), col("cosine"))
+      .orderBy(col("batch_id"), col("vec_id"))
+  }
+
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
 
@@ -3772,6 +3829,81 @@ object EntryOps {
          ORDER BY a.vec_id"""
   }
 
+  /** d30 oracle: [[duckEmbedBandedOracle]]'s banded machinery under
+    * [[duckLearnEmbedOracle]]'s unrolled batch-chained knowledge window —
+    * kidx holds banded rows for every valid vector, each batch restricts
+    * it to its knowledge set k$n and recomputes the per-(band, key)
+    * frequency cap over THAT set (exactly what
+    * `embedDedupAgainstIndexBanded` sees through `readEmbedIndex`), and
+    * `new` valid arrivals join the next batch's knowledge. The planted
+    * byte-identical pair (−100/−101) collides in every band at any plane
+    * count, so its learned-row `near` at cosine 1.0 is scale-independent.
+    */
+  private def duckLearnBandedOracle: String = {
+    val pv = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString("[", ", ", "]")
+    val off = "tt.t * pl.p"
+    def batch(n: Int): String = s"""
+          kcap$n AS (SELECT band, key FROM kidx
+                     JOIN k$n USING (ex_id) GROUP BY 1, 2
+                     HAVING count(*) <= 64),
+          kbk$n AS (SELECT kidx.* FROM kidx
+                    JOIN k$n USING (ex_id)
+                    JOIN kcap$n USING (band, key)),
+          abnd$n AS (SELECT a.vec_id, a.e, tt.t AS band,
+                     ${duckHyperplaneBucketDynOff("a.e", "pl.p", off)} AS key
+                     FROM (SELECT vec_id, e FROM a$n
+                           WHERE e IS NOT NULL AND len(e) = 64) a
+                     CROSS JOIN pl
+                     CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt),
+          cnd$n AS (SELECT DISTINCT a.vec_id, k.ex_id,
+                    ${duckCosine("a.e", "k.ex_e")} AS cosine
+                    FROM abnd$n a JOIN kbk$n k USING (band, key)),
+          bst$n AS (SELECT vec_id, ex_id AS match_id, cosine FROM (
+                    SELECT vec_id, ex_id, cosine, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                    FROM cnd$n WHERE cosine >= 0.9) WHERE rn = 1),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id, a.vec_id,
+                  CASE WHEN a.e IS NULL OR len(a.e) != 64 THEN 'invalid'
+                       WHEN b.match_id IS NOT NULL THEN 'near'
+                       ELSE 'new' END AS verdict,
+                  b.match_id, b.cosine
+                  FROM a$n a LEFT JOIN bst$n b USING (vec_id)),
+          k${n + 1} AS (SELECT ex_id FROM k$n
+                        UNION ALL SELECT vec_id AS ex_id FROM v$n
+                        WHERE verdict = 'new')"""
+    s"""WITH esrc AS (SELECT vec_id, embedding FROM embeddings
+                      UNION ALL SELECT CAST(-100 AS BIGINT), $pv
+                      UNION ALL SELECT CAST(-101 AS BIGINT), $pv),
+          pl AS (SELECT min(p) AS p
+                 FROM (SELECT unnest(range(4, 31)) AS p)
+                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM esrc
+                   WHERE vec_id >= 0 AND vec_id % 10 <= 6)),
+          kidx AS (SELECT c.vec_id AS ex_id, c.embedding AS ex_e,
+                   tt.t AS band,
+                   ${duckHyperplaneBucketDynOff("c.embedding", "pl.p", off)} AS key
+                   FROM esrc c CROSS JOIN pl
+                   CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt
+                   WHERE c.embedding IS NOT NULL),
+          k0 AS (SELECT vec_id AS ex_id FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 <= 6),
+          a0 AS (SELECT vec_id, embedding AS e FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 = 7
+                 UNION ALL SELECT CAST(-1 AS BIGINT), NULL
+                 UNION ALL SELECT CAST(-2 AS BIGINT),
+                   [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)]
+                 UNION ALL SELECT vec_id, embedding FROM esrc WHERE vec_id = -100),
+          a1 AS (SELECT vec_id, embedding AS e FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 = 8
+                 UNION ALL SELECT vec_id, embedding FROM esrc WHERE vec_id = -101),
+          a2 AS (SELECT vec_id, embedding AS e FROM esrc
+                 WHERE vec_id >= 0 AND vec_id % 10 = 9),
+          ${batch(0)}, ${batch(1)}, ${batch(2)}
+         SELECT batch_id, vec_id, verdict, match_id, cosine FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, vec_id"""
+  }
+
   /** Mirror of Dedup's SimHash16 fingerprint: CTE chain ending in
     * `sig(doc_id, simhash)` (same arithmetic as the d04 oracle).
     */
@@ -4827,6 +4959,7 @@ object EntryOps {
     "d27_learning_media_dedup" -> duckLearnMediaOracle,
     "d28_learning_sem_dedup" -> duckLearnSemOracle,
     "d29_embed_dedup_banded" -> duckEmbedBandedOracle,
+    "d30_learning_banded_dedup" -> duckLearnBandedOracle,
     // d26 — d22's exact body, the ONLY delta being the grown centroid
     // count (greatest(8, ceil(count/48)) — the deployment geometry): the
     // benched incremental-SemDeDup plan is thereby the constant-cell-size
@@ -6070,6 +6203,7 @@ object EntryOps {
     "d27_learning_media_dedup" -> (dedupLearningMediaReplay _),
     "d28_learning_sem_dedup" -> (dedupLearningSemReplay _),
     "d29_embed_dedup_banded" -> (embedDedupBanded _),
+    "d30_learning_banded_dedup" -> (dedupLearningBandedReplay _),
     "d18_duplicated_spans" -> (duplicatedSpans _),
     "d19_span_scrub" -> (spanScrub _),
     "d20_span_check_incremental" -> (spanCheckIncremental _),

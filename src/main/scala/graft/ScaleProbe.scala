@@ -84,8 +84,9 @@ object ScaleProbe {
     // row is priced against (the d22-vs-d26 pairing for the hyperplane
     // space)
     "d17_embed_dedup_incremental",
-    // r13: the recall-preserving grown route — 4 tables of grown planes
-    "d29_embed_dedup_banded",
+    // r13: the recall-preserving grown route — 4 tables of grown planes —
+    // and the same route as the self-learning ingest gate
+    "d29_embed_dedup_banded", "d30_learning_banded_dedup",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =

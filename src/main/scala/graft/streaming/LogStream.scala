@@ -512,6 +512,63 @@ object LogStream {
       }
       .start()
 
+  /** SELF-LEARNING BANDED embedding dedup — [[dedupLearningEmbedArrivals]]
+    * with [[graft.ops.Dedup.embedDedupAgainstIndexBanded]] as the verdict
+    * join: the recall-preserving grown-geometry route (4 tables of grown
+    * planes, d29) run as the ingest gate, with `new` VALID vectors
+    * learning their T banded rows into `<root>/learned/batch_id=N`.
+    * Geometry follows the index on BOTH sides (the verdict join and the
+    * learned-row banding), so a retrained index re-bands the stream
+    * without restart. Zero state-store state; replay-exact.
+    */
+  def dedupLearningBandedArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String,
+      minCosine: Double = 0.9): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts =
+          dedupLearningBandedBatch(batch, indexRoot, batchId, minCosine)
+        withDynamicOverwrite(spark) {
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
+  /** The SELF-LEARNING BANDED embedding-dedup micro-batch BODY — shared
+    * between [[dedupLearningBandedArrivals]] and the d30 registered
+    * replay (`EntryOps.dedupLearningBandedReplay`): knowledge strictly
+    * below `batchId` ([[graft.ops.Dedup.readEmbedIndex]] — the banded
+    * schema rides the same base ∪ learned-below-b layout), verdicts from
+    * the banded join, `new` valid vectors banded under the INDEX's
+    * geometry (planes/tables columns — the one-row scalar read class)
+    * into the learned delta. Returns the barriered verdict table; the
+    * learned write has already happened.
+    */
+  def dedupLearningBandedBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, minCosine: Double = 0.9): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = graft.ops.Dedup.readEmbedIndex(spark, indexRoot,
+      beforeBatch = batchId)
+    val geo = idx.select(col("planes"), col("tables")).head()
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+      .embedDedupAgainstIndexBanded(batch, idx, minCosine))
+    val learned = graft.ops.Dedup.buildEmbedIndexBanded(
+      batch.join(verdicts.filter(col("verdict") === "new")
+        .select(col("vec_id")), Seq("vec_id")),
+      planes = geo.getInt(0), tables = geo.getInt(1))
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/learned")
+    }
+    verdicts
+  }
+
   /** The SELF-LEARNING embedding-dedup micro-batch BODY —
     * [[dedupLearningTextBatch]]'s contract for the vector modality, shared
     * between [[dedupLearningEmbedArrivals]] and the d25 registered replay

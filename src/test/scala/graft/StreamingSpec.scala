@@ -1548,4 +1548,59 @@ class StreamingSpec extends GraftSpec {
     assert(v2 === batch1 ++ batch2,
       "every batch's verdicts must equal the batch operator against the corpus as of that batch")
   }
+  test("self-learning BANDED embedding dedup: the 4-table stream learns a " +
+      "novel vector's banded rows under the index's geometry and catches " +
+      "its re-upload; refusals never learned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val base = vec(i => math.sin(i * 0.7) + 0.1)
+    val novel = vec(i => math.cos(i * 1.3) - 0.2)
+    val in = tmp("blearn-in")
+    val root = tmp("blearn-idx").resolve("index").toString
+    val out = tmp("blearn-out").toString
+    // non-default geometry: the stream must FOLLOW it (planes=5), both in
+    // the verdict join and in the banded rows it learns
+    graft.ops.Dedup.buildEmbedIndexBanded(
+      Seq((100L, base)).toDF("vec_id", "embedding"), planes = 5, tables = 4)
+      .write.parquet(s"$root/base")
+    def js(id: Long, e: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+    Files.writeString(in.resolve("b1.json"),
+      Seq(js(1, novel), """{"vec_id":2,"embedding":[1.0,2.0]}""")
+        .mkString("", "\n", "\n"))
+    Files.writeString(in.resolve("b2.json"), js(4, novel) + "\n")
+    Files.setLastModifiedTime(in.resolve("b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    LogStream.dedupLearningBandedArrivals(arrivals, root, out,
+      tmp("blearn-ck").toString).awaitTermination()
+    val v = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[String]("verdict"), r.getAs[Long]("match_id")))).toMap
+    assert(v(1L)._1 === "new", s"novel arrival: $v")
+    assert(v(2L)._1 === "invalid", "wrong-dimension refusal")
+    assert(v(4L) === ("near", 1L),
+      "byte-identical re-upload collides in EVERY band, caught through " +
+        "the learned rows alone")
+    // the learned delta holds exactly the novel vector's 4 banded rows at
+    // the INDEX's plane count — the refusal learned nothing
+    val learned = spark.read.parquet(s"$root/learned")
+    assert(learned.filter(col("ex_id") === 1L).count() === 4L)
+    assert(learned.filter(col("ex_id") === 2L).count() === 0L)
+    assert(learned.select("planes").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(5), "geometry followed from the index")
+    // replay-exact: a fresh checkpoint reproduces the verdicts bitwise
+    LogStream.dedupLearningBandedArrivals(arrivals, root, out,
+      tmp("blearn-ck2").toString).awaitTermination()
+    val v2 = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[String]("verdict"), r.getAs[Long]("match_id")))).toMap
+    assert(v2 === v)
+  }
 }
