@@ -1016,6 +1016,29 @@ object EntryOps {
       plantedCorpus(docs(spark, dir)).select(col("doc_id"), col("text")),
       col("doc_id") % 100 === 0, n = 8)
 
+  /** t18 — decontamination as the INGEST GATE: the incremental form of
+    * t07/t08 ([[graft.ops.Dedup.contaminationGateAgainstIndex]] against a
+    * persisted [[graft.ops.Dedup.buildEvalGramIndex]]), the
+    * admit/quarantine decision a pipeline runs on each arriving batch
+    * BEFORE it enters the corpus — the batch forms audit the corpus after
+    * the fact. Same planted fixture as t08 (production gram length n=8;
+    * `% 23 = 1` train docs carry 12 words of their century's eval doc);
+    * eval = `% 100 = 0` builds the index, the `% 10 = 3` cohort plays the
+    * arrival batch — so arrivals 93, 323, … (≡ 93 mod 230) must come back
+    * `contaminated` with their century eval doc as the worst offender and
+    * everything else `clean`. Verdict evidence columns (eval_id,
+    * shared/eval gram counts, containment) are t07's measures; streaming
+    * shape: [[graft.streaming.LogStream.contaminationArrivals]].
+    */
+  def contaminationIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(docs(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val index = Dedup.buildEvalGramIndex(
+      corpus.filter(col("doc_id") % 100 === 0), n = 8)
+    Dedup.contaminationGateAgainstIndex(
+      corpus.filter(col("doc_id") % 10 === 3), index, n = 8)
+  }
+
   /** The t08/e02 fixture corpus: every train doc with doc_id % 23 == 1 gets
     * the first 12 words of its "century" eval doc appended, so production
     * gram-length (n=8) decontamination has verified overlap to find in a
@@ -5656,6 +5679,39 @@ object EntryOps {
           SELECT train_id, eval_id, shared_grams, eval_grams,
                  CAST(shared_grams AS DOUBLE) / CAST(eval_grams AS DOUBLE) AS containment
           FROM ov JOIN evs USING (eval_id) ORDER BY train_id, eval_id""",
+    // t18 — t08's planted corpus and gram length, gated per ARRIVAL: the
+    // % 10 = 3 cohort scored against the % 100 = 0 eval-gram index, one
+    // contaminated/clean verdict each with the worst offender by
+    // (containment desc, eval_id asc)
+    "t18_contamination_incremental" ->
+      s"""WITH ev0 AS (SELECT doc_id AS ev_id,
+                array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
+              FROM documents WHERE doc_id % 100 = 0),
+          corpus AS (SELECT d.doc_id,
+                CASE WHEN d.doc_id % 100 != 0 AND d.doc_id % 23 = 1
+                          AND ev0.snippet IS NOT NULL
+                     THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
+              FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
+          ${duckShingles(8, "corpus")},
+          ev AS (SELECT doc_id AS eval_id, gram FROM tri WHERE doc_id % 100 = 0),
+          evs AS (SELECT eval_id, count(*) AS eval_grams FROM ev GROUP BY 1),
+          ar AS (SELECT doc_id, gram FROM tri WHERE doc_id % 10 = 3),
+          ov AS (SELECT a.doc_id, e.eval_id, count(*) AS shared_grams
+                 FROM ar a JOIN ev e USING (gram) GROUP BY 1, 2),
+          ovc AS (SELECT ov.*, evs.eval_grams,
+                 CAST(shared_grams AS DOUBLE) / CAST(eval_grams AS DOUBLE) AS containment
+                 FROM ov JOIN evs USING (eval_id) WHERE shared_grams >= 1),
+          best AS (SELECT doc_id, eval_id, shared_grams, eval_grams, containment
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY containment DESC, eval_id ASC) AS rn FROM ovc)
+                 WHERE rn = 1)
+         SELECT c.doc_id,
+           CASE WHEN b.eval_id IS NOT NULL THEN 'contaminated'
+                ELSE 'clean' END AS verdict,
+           b.eval_id, b.shared_grams, b.eval_grams, b.containment
+         FROM (SELECT doc_id FROM corpus WHERE doc_id % 10 = 3) c
+         LEFT JOIN best b USING (doc_id)
+         ORDER BY c.doc_id""",
     "t07_contamination" ->
       s"""WITH ${duckShingles(3)},
           ev AS (SELECT doc_id AS eval_id, gram FROM tri WHERE doc_id % 100 = 0),
@@ -6225,6 +6281,7 @@ object EntryOps {
     "t06_salient_terms" -> (salientTerms _),
     "t07_contamination" -> (contamination _),
     "t08_contamination_n8" -> (contamination8 _),
+    "t18_contamination_incremental" -> (contaminationIncremental _),
     "q32_range_join" -> (rangeJoinCount _),
     "q33_stratified_sample" -> (stratifiedSample _),
     "q34_histogram_quantiles" -> (histogramQuantiles _),

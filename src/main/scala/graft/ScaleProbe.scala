@@ -87,6 +87,10 @@ object ScaleProbe {
     // r13: the recall-preserving grown route — 4 tables of grown planes —
     // and the same route as the self-learning ingest gate
     "d29_embed_dedup_banded", "d30_learning_banded_dedup",
+    // r13: the decontamination ingest gate — arrival shingles + one
+    // gram equi-join against the persisted eval index; the eval side is
+    // FIXED under corpus replication, so the row prices arrival growth
+    "t18_contamination_incremental",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =

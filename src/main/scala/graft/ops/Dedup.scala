@@ -823,6 +823,63 @@ object Dedup {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Persisted EVAL-side gram index for incremental decontamination
+    * ([[contaminationGateAgainstIndex]]): one row per (eval doc, distinct
+    * n-gram) — the held-out benchmark side of [[contamination]]'s join,
+    * built ONCE when the eval set is frozen (eval sets change by release,
+    * not by ingest batch) so arriving training documents are scored
+    * against a parquet table instead of re-shingling the benchmark corpus
+    * every batch. Per-eval gram totals are derivable from the index by a
+    * groupBy (no second table to keep consistent).
+    */
+  def buildEvalGramIndex(evalDocs: DataFrame, n: Int = 8): DataFrame =
+    shingles(evalDocs, n)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+
+  /** Decontamination as an INGEST GATE — the incremental form of
+    * [[contamination]]: each arriving training document is shingled in its
+    * own batch, joined against the persisted [[buildEvalGramIndex]] table
+    * on the gram key, and receives ONE verdict: `contaminated` (shares ≥
+    * `minShared` distinct n-grams with some eval doc; the worst offender
+    * by (containment desc, eval_id asc) is reported with its evidence
+    * columns) or `clean`. This is the admit/quarantine decision a
+    * training pipeline runs BEFORE a batch enters the corpus — t07/t08
+    * run the same algorithm corpus-wide after the fact.
+    *
+    * Scale: the index shuffles once by gram at build time (amortized over
+    * every batch); per batch the arrival side is batch-sized, the join is
+    * a gram equi-join (AQE broadcasts small batches at runtime), and the
+    * per-arrival aggregation is bounded by the eval set, never the
+    * corpus. Zero state beyond the parquet index.
+    */
+  def contaminationGateAgainstIndex(arrivals: DataFrame, index: DataFrame,
+      n: Int = 8, minShared: Long = 1): DataFrame = {
+    val evalSizes = index.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("eval_grams"))
+    val ov = shingles(arrivals, n).join(index, "gram")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .join(evalSizes, "eval_id")
+      .withColumn("containment",
+        col("shared_grams").cast("double") / col("eval_grams").cast("double"))
+    val best = ov.groupBy(col("doc_id"))
+      .agg(min(struct(negate(col("containment")).as("nc"), col("eval_id"),
+        col("shared_grams"), col("eval_grams"))).as("m"))
+      .select(col("doc_id"), col("m.eval_id").as("eval_id"),
+        col("m.shared_grams").as("shared_grams"),
+        col("m.eval_grams").as("eval_grams"),
+        negate(col("m.nc")).as("containment"))
+    arrivals.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("eval_id").isNotNull, "contaminated")
+          .otherwise("clean").as("verdict"),
+        col("eval_id"), col("shared_grams"), col("eval_grams"),
+        col("containment"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Positional word n-gram shingles (1 row per POSITION, 1-based) — the
     * span-detection form of [[shingles]]: positions are kept (and grams NOT
     * deduplicated) so adjacent duplicated grams can be merged back into

@@ -169,6 +169,36 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING decontamination gate — [[dedupArrivals]]' shape for the
+    * train/eval contamination check ([[graft.ops.Dedup
+    * .contaminationGateAgainstIndex]]): arriving training documents
+    * shingle in their own micro-batch and join the PERSISTED eval-gram
+    * index ([[graft.ops.Dedup.buildEvalGramIndex]], re-read per batch —
+    * an eval-set release is picked up without restart) for
+    * `contaminated` / `clean` verdicts with the worst-offender evidence
+    * columns. No learning loop by design: the knowledge side is the
+    * FROZEN benchmark set, which changes by release, never by ingest.
+    * Zero state-store state; verdicts land batch-partitioned for
+    * idempotent replay.
+    */
+  def contaminationArrivals(arrivals: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, n: Int = 8,
+      minShared: Long = 1): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = graft.ops.Dedup.contaminationGateAgainstIndex(
+          batch, spark.read.parquet(indexPath), n, minShared)
+          .withColumn("batch_id", lit(batchId))
+        withDynamicOverwrite(spark) {
+          verdicts.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
   /** Dynamic-partition-overwrite scope: a replayed micro-batch must rewrite
     * only its OWN `batch_id=N` partition, never truncate siblings.
     */

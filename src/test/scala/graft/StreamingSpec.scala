@@ -1603,4 +1603,61 @@ class StreamingSpec extends GraftSpec {
         (r.getAs[String]("verdict"), r.getAs[Long]("match_id")))).toMap
     assert(v2 === v)
   }
+  test("streaming decontamination gate: arrivals carrying an eval snippet " +
+      "are quarantined against the persisted eval-gram index, zero state, " +
+      "replay-exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2000L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val idxPath = tmp("contam-idx").resolve("eval_grams").toString
+    graft.ops.Dedup.buildEvalGramIndex(evalDocs, n = 8)
+      .write.parquet(idxPath)
+    val in = tmp("contam-in")
+    val out = tmp("contam-out").toString
+    def js(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    // batch 0: doc 1 embeds 9 words of eval 1000 (two shared 8-grams),
+    // doc 2 is clean; batch 1: doc 3 embeds 8 words of eval 2000
+    Files.writeString(in.resolve("b1.json"), Seq(
+      js(1, "intro alpha beta gamma delta epsilon zeta eta theta iota outro"),
+      js(2, "totally unrelated words that share nothing with the benchmark set"))
+      .mkString("", "\n", "\n"))
+    Files.writeString(in.resolve("b2.json"),
+      js(3, "one two three four five six seven eight padding padding") + "\n")
+    Files.setLastModifiedTime(in.resolve("b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    val q = LogStream.contaminationArrivals(arrivals, idxPath, out,
+      tmp("contam-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "zero state-store state")
+    def verdicts() = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("eval_id"),
+          r.getAs[Long]("shared_grams"))).toMap
+    val v = verdicts()
+    assert(v(1L)._1 === "contaminated" && v(1L)._2 === 1000L &&
+      v(1L)._3 === 2L, s"snippet carrier quarantined: $v")
+    assert(v(2L)._1 === "clean")
+    assert(v(3L) === ("contaminated", 2000L, 1L),
+      "the batch-1 arrival checks against the same frozen index")
+    // verdicts equal the batch operator batch-for-batch (shared body)
+    val batchV = graft.ops.Dedup.contaminationGateAgainstIndex(
+      Seq((1L, "intro alpha beta gamma delta epsilon zeta eta theta iota outro"))
+        .toDF("doc_id", "text"),
+      spark.read.parquet(idxPath)).collect()
+    assert(batchV.head.getAs[String]("verdict") === "contaminated" &&
+      batchV.head.getAs[Long]("shared_grams") === 2L)
+    // replay from a fresh checkpoint reproduces verdicts bitwise
+    LogStream.contaminationArrivals(arrivals, idxPath, out,
+      tmp("contam-ck2").toString).awaitTermination()
+    assert(verdicts() === v)
+  }
 }
