@@ -88,8 +88,10 @@ object ScaleProbe {
     // and the same route as the self-learning ingest gate
     "d29_embed_dedup_banded", "d30_learning_banded_dedup",
     // r13: the decontamination ingest gate — arrival shingles + one
-    // gram equi-join against the persisted eval index; the eval side is
-    // FIXED under corpus replication, so the row prices arrival growth
+    // gram equi-join against the eval-gram index; under replica salting
+    // both sides grow ∝ R at constant eval FRACTION (replica 0 of every
+    // doc lands in the % 100 = 0 class), so the row prices the full
+    // gate at a growing benchmark set, not just arrival growth
     "t18_contamination_incremental",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
