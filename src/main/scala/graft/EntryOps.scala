@@ -1039,6 +1039,76 @@ object EntryOps {
       corpus.filter(col("doc_id") % 10 === 3), index, n = 8)
   }
 
+  /** e08 — the ADMISSION PIPELINE: every per-arrival ingest gate composed
+    * into ONE declarative pass, the decision table a production ingest
+    * computes for each arriving batch before it touches the corpus. An
+    * arrival (document + its embedding, inner-joined on id — a real
+    * pipeline embeds at ingest) runs three gates against three persisted
+    * indexes:
+    *   1. TEXT duplicate ([[graft.ops.Dedup.dedupAgainstIndex]] vs the
+    *      d11 corpus index) — exact (content hash) / near (banded
+    *      SimHash-64);
+    *   2. SEMANTIC duplicate
+    *      ([[graft.ops.Dedup.embedDedupAgainstIndexBanded]] vs the d29
+    *      grown-geometry banded index — the recall-preserving route);
+    *   3. CONTAMINATION ([[graft.ops.Dedup.contaminationGateAgainstIndex]]
+    *      vs the t18 eval-gram index at production n=8).
+    * One decision per arrival by severity precedence — contamination
+    * outranks dedup (a contaminated doc must be QUARANTINED for audit,
+    * not silently dropped as a duplicate; an eval leak that is also a
+    * duplicate is still an eval leak), duplicates outrank admission —
+    * with every gate's evidence columns carried for audit. Fixture: the
+    * t08 planted corpus, `% 10 = 7` cohort as arrivals (planted
+    * contamination lands on ≡ 47 mod 230), the rest as corpus; all three
+    * index builds share the arrivals' scan lineage, and Catalyst plans
+    * the three gates as parallel join subtrees over one arrival scan.
+    *
+    * Scale: each gate is the already-probed index shape (d11 text ×100
+    * family ~0.2-0.4, d29 banded 0.08, t18 gate 0.17); composition adds
+    * three batch-sized equi-joins on doc_id, no new corpus-scale term.
+    */
+  def admissionPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = plantedCorpus(docs(spark, dir)).select(col("doc_id"), col("text"))
+    val e = emb(spark, dir)
+    val corpusD = d.filter(col("doc_id") % 10 =!= 7)
+    val corpusE = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("embedding"))
+    val nE = corpusE.count()
+    val planes = (4 to 30).find(p => (1L << p) * 48L >= nE).get
+    val textIdx = Dedup.buildCorpusIndex(corpusD)
+    val embIdx = Dedup.buildEmbedIndexBanded(corpusE, planes)
+    val evalIdx = Dedup.buildEvalGramIndex(
+      d.filter(col("doc_id") % 100 === 0), n = 8)
+    val arrD = d.filter(col("doc_id") % 10 === 7)
+      .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val arrE = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding"))
+    val tv = Dedup.dedupAgainstIndex(arrD, textIdx)
+      .select(col("doc_id"), col("verdict").as("text_verdict"),
+        col("match_id").as("text_match"))
+    val bv = Dedup.embedDedupAgainstIndexBanded(arrE, embIdx, minCosine = 0.9)
+      .select(col("vec_id").as("doc_id"),
+        col("verdict").as("embed_verdict"),
+        col("match_id").as("embed_match"), col("cosine").as("embed_cosine"))
+    val cv = Dedup.contaminationGateAgainstIndex(arrD, evalIdx, n = 8)
+      .select(col("doc_id"), col("verdict").as("contam_verdict"),
+        col("eval_id"), col("containment"))
+    arrD.select(col("doc_id"))
+      .join(tv, Seq("doc_id"))
+      .join(bv, Seq("doc_id"))
+      .join(cv, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("contam_verdict") === "contaminated",
+          "quarantine_contaminated")
+          .when(col("text_verdict") =!= "new", "drop_duplicate")
+          .when(col("embed_verdict") === "near", "drop_semantic_duplicate")
+          .otherwise("admit").as("decision"),
+        col("text_verdict"), col("text_match"),
+        col("embed_verdict"), col("embed_match"), col("embed_cosine"),
+        col("eval_id"), col("containment"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The t08/e02 fixture corpus: every train doc with doc_id % 23 == 1 gets
     * the first 12 words of its "century" eval doc appended, so production
     * gram-length (n=8) decontamination has verified overlap to find in a
@@ -3927,6 +3997,126 @@ object EntryOps {
          ORDER BY batch_id, vec_id"""
   }
 
+  /** e08 oracle: the three ingest gates composed — d11's text-dedup CTEs
+    * (over the planted corpus), d29's banded-embed CTEs (grown geometry
+    * over the `% 10 ≠ 7` vector corpus), and t18's contamination CTEs
+    * (prefixed `c…` shingle chain — [[duckShingles]] and
+    * [[duckSimhash64Sig]] both define a CTE `w`, so the contamination
+    * side inlines its own) — joined on the arrival set and folded through
+    * the severity-precedence CASE (contamination > duplicate > admit).
+    */
+  private def duckAdmissionOracle: String = {
+    val ham = (1 to 64).map(i =>
+      s"(CASE WHEN substring(s1, $i, 1) != substring(s2, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val gram8 = (0 until 8).map(j => s"l[i + $j]").mkString(" || ' ' || ")
+    val off = "tt.t * pl.p"
+    s"""WITH ev0 AS (SELECT doc_id AS ev_id,
+                array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
+              FROM documents WHERE doc_id % 100 = 0),
+          corpus AS (SELECT d.doc_id,
+                CASE WHEN d.doc_id % 100 != 0 AND d.doc_id % 23 = 1
+                          AND ev0.snippet IS NOT NULL
+                     THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
+              FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
+          arr AS (SELECT c.doc_id FROM corpus c
+                  JOIN embeddings ae ON ae.vec_id = c.doc_id
+                  WHERE c.doc_id % 10 = 7),
+          ${duckSimhash64Sig(source = "corpus")},
+          texi AS (SELECT doc_id FROM corpus WHERE doc_id % 10 != 7),
+          texh AS (SELECT md5(c.text) AS h, c.doc_id AS ex_id
+                   FROM corpus c JOIN texi USING (doc_id)),
+          text_ AS (SELECT c.doc_id, min(t.ex_id) AS exact_id
+                    FROM corpus c JOIN arr USING (doc_id)
+                    JOIN texh t ON md5(c.text) = t.h GROUP BY 1),
+          tbd AS (SELECT doc_id, simhash, b AS band,
+                  substring(simhash, b * 16 + 1, 16) AS bits
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          tcand AS (SELECT DISTINCT a.doc_id, a.simhash AS s1,
+                    e.doc_id AS ex_id, e.simhash AS s2
+                    FROM tbd a JOIN arr ON a.doc_id = arr.doc_id
+                    JOIN tbd e ON a.band = e.band AND a.bits = e.bits
+                    JOIN texi ON e.doc_id = texi.doc_id),
+          tnear AS (SELECT doc_id, min(ex_id) AS near_id FROM (
+                    SELECT doc_id, ex_id, CAST($ham AS BIGINT) AS hamming
+                    FROM tcand) WHERE hamming <= 3 GROUP BY 1),
+          tver AS (SELECT a.doc_id,
+                   CASE WHEN tx.exact_id IS NOT NULL THEN 'exact'
+                        WHEN tn.near_id IS NOT NULL THEN 'near'
+                        ELSE 'new' END AS text_verdict,
+                   COALESCE(tx.exact_id, tn.near_id) AS text_match
+                   FROM arr a LEFT JOIN text_ tx ON tx.doc_id = a.doc_id
+                   LEFT JOIN tnear tn ON tn.doc_id = a.doc_id),
+          bcorp AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % 10 != 7),
+          pl AS (SELECT min(p) AS p
+                 FROM (SELECT unnest(range(4, 31)) AS p)
+                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM bcorp)),
+          kb AS (SELECT c.vec_id AS ex_id, c.embedding AS ex_e, tt.t AS band,
+                 ${duckHyperplaneBucketDynOff("c.embedding", "pl.p", off)} AS key
+                 FROM bcorp c CROSS JOIN pl
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt
+                 WHERE c.embedding IS NOT NULL),
+          kcap AS (SELECT band, key FROM kb GROUP BY 1, 2
+                   HAVING count(*) <= 64),
+          kbk AS (SELECT kb.* FROM kb JOIN kcap USING (band, key)),
+          babnd AS (SELECT a.doc_id, ae.embedding AS e, tt.t AS band,
+                 ${duckHyperplaneBucketDynOff("ae.embedding", "pl.p", off)} AS key
+                 FROM arr a JOIN embeddings ae ON ae.vec_id = a.doc_id
+                 CROSS JOIN pl
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt),
+          bcnd AS (SELECT DISTINCT a.doc_id, k.ex_id,
+                 ${duckCosine("a.e", "k.ex_e")} AS cosine
+                 FROM babnd a JOIN kbk k USING (band, key)),
+          bbst AS (SELECT doc_id, ex_id AS embed_match, cosine FROM (
+                 SELECT doc_id, ex_id, cosine, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cosine DESC, ex_id ASC) AS rn
+                 FROM bcnd WHERE cosine >= 0.9) WHERE rn = 1),
+          bver AS (SELECT a.doc_id,
+                   CASE WHEN b.embed_match IS NOT NULL THEN 'near'
+                        ELSE 'new' END AS embed_verdict,
+                   b.embed_match, b.cosine AS embed_cosine
+                   FROM arr a LEFT JOIN bbst b ON b.doc_id = a.doc_id),
+          cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                 FROM corpus),
+          ctri AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                   list_transform(range(1, len(l) + 1),
+                     i -> CASE WHEN i + 7 <= len(l) THEN $gram8 END),
+                   x -> x IS NOT NULL))) AS gram FROM cw),
+          cev AS (SELECT doc_id AS eval_id, gram FROM ctri
+                  WHERE doc_id % 100 = 0),
+          cevs AS (SELECT eval_id, count(*) AS eval_grams FROM cev GROUP BY 1),
+          car AS (SELECT t.doc_id, t.gram FROM ctri t JOIN arr USING (doc_id)),
+          cov AS (SELECT a.doc_id, e.eval_id, count(*) AS shared_grams
+                  FROM car a JOIN cev e USING (gram) GROUP BY 1, 2),
+          covc AS (SELECT cov.*, cevs.eval_grams,
+                  CAST(shared_grams AS DOUBLE) / CAST(eval_grams AS DOUBLE) AS containment
+                  FROM cov JOIN cevs USING (eval_id) WHERE shared_grams >= 1),
+          cbest AS (SELECT doc_id, eval_id, containment FROM (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY containment DESC, eval_id ASC) AS rn FROM covc)
+                  WHERE rn = 1),
+          cver AS (SELECT a.doc_id,
+                   CASE WHEN b.eval_id IS NOT NULL THEN 'contaminated'
+                        ELSE 'clean' END AS contam_verdict,
+                   b.eval_id, b.containment
+                   FROM arr a LEFT JOIN cbest b USING (doc_id))
+         SELECT a.doc_id,
+           CASE WHEN c.contam_verdict = 'contaminated'
+                  THEN 'quarantine_contaminated'
+                WHEN t.text_verdict != 'new' THEN 'drop_duplicate'
+                WHEN b.embed_verdict = 'near' THEN 'drop_semantic_duplicate'
+                ELSE 'admit' END AS decision,
+           t.text_verdict, t.text_match,
+           b.embed_verdict, b.embed_match, b.embed_cosine,
+           c.eval_id, c.containment
+         FROM arr a
+         JOIN tver t USING (doc_id)
+         JOIN bver b USING (doc_id)
+         JOIN cver c USING (doc_id)
+         ORDER BY a.doc_id"""
+  }
+
   /** Mirror of Dedup's SimHash16 fingerprint: CTE chain ending in
     * `sig(doc_id, simhash)` (same arithmetic as the d04 oracle).
     */
@@ -5338,6 +5528,7 @@ object EntryOps {
          WHERE b.doc_id % 10 = 1
          ORDER BY asset_id"""
     },
+    "e08_admission_pipeline" -> duckAdmissionOracle,
     "e07_audio_corpus" -> {
       val ham = (1 to 64).map(i =>
         s"(CASE WHEN substring(h1, $i, 1) != substring(h2, $i, 1) THEN 1 ELSE 0 END)")
@@ -6236,6 +6427,7 @@ object EntryOps {
     "m19_flac_samples" -> (flacPcm _),
     "e06_jpeg_corpus" -> (jpegCorpus _),
     "e07_audio_corpus" -> (audioCorpus _),
+    "e08_admission_pipeline" -> (admissionPipeline _),
     "d23_audio_dedup_incremental" -> (audioDedupIncremental _),
     "m20_bmp_pixels" -> (bmpPixels _),
     "m07_wav_pcm" -> (wavPcm _),

@@ -93,6 +93,9 @@ object ScaleProbe {
     // doc lands in the % 100 = 0 class), so the row prices the full
     // gate at a growing benchmark set, not just arrival growth
     "t18_contamination_incremental",
+    // r13: the composed admission pipeline — all three per-arrival gates
+    // (text dedup, banded embed dedup, contamination) in one pass
+    "e08_admission_pipeline",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =
