@@ -1053,11 +1053,17 @@ object EntryOps {
     *      grown-geometry banded index — the recall-preserving route);
     *   3. CONTAMINATION ([[graft.ops.Dedup.contaminationGateAgainstIndex]]
     *      vs the t18 eval-gram index at production n=8).
-    * One decision per arrival by severity precedence — contamination
+    * One decision per arrival by severity precedence
+    * ([[graft.ops.Dedup.admitAgainstIndexes]] — shared verbatim with the
+    * streaming form
+    * [[graft.streaming.LogStream.admissionArrivals]]): contamination
     * outranks dedup (a contaminated doc must be QUARANTINED for audit,
     * not silently dropped as a duplicate; an eval leak that is also a
-    * duplicate is still an eval leak), duplicates outrank admission —
-    * with every gate's evidence columns carried for audit. Fixture: the
+    * duplicate is still an eval leak), duplicates outrank admission, and
+    * an arrival whose embedding the semantic gate REFUSES is
+    * `quarantine_unverifiable`, never admitted (this fixture's arrivals
+    * all carry valid embeddings — the tier is driven by the stream spec)
+    * — with every gate's evidence columns carried for audit. Fixture: the
     * t08 planted corpus, `% 10 = 7` cohort as arrivals (planted
     * contamination lands on ≡ 47 mod 230), the rest as corpus; all three
     * index builds share the arrivals' scan lineage, and Catalyst plans
@@ -1079,34 +1085,10 @@ object EntryOps {
     val embIdx = Dedup.buildEmbedIndexBanded(corpusE, planes)
     val evalIdx = Dedup.buildEvalGramIndex(
       d.filter(col("doc_id") % 100 === 0), n = 8)
-    val arrD = d.filter(col("doc_id") % 10 === 7)
-      .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"))
-    val arrE = e.filter(col("vec_id") % 10 === 7)
-      .select(col("vec_id"), col("embedding"))
-    val tv = Dedup.dedupAgainstIndex(arrD, textIdx)
-      .select(col("doc_id"), col("verdict").as("text_verdict"),
-        col("match_id").as("text_match"))
-    val bv = Dedup.embedDedupAgainstIndexBanded(arrE, embIdx, minCosine = 0.9)
-      .select(col("vec_id").as("doc_id"),
-        col("verdict").as("embed_verdict"),
-        col("match_id").as("embed_match"), col("cosine").as("embed_cosine"))
-    val cv = Dedup.contaminationGateAgainstIndex(arrD, evalIdx, n = 8)
-      .select(col("doc_id"), col("verdict").as("contam_verdict"),
-        col("eval_id"), col("containment"))
-    arrD.select(col("doc_id"))
-      .join(tv, Seq("doc_id"))
-      .join(bv, Seq("doc_id"))
-      .join(cv, Seq("doc_id"))
-      .select(col("doc_id"),
-        when(col("contam_verdict") === "contaminated",
-          "quarantine_contaminated")
-          .when(col("text_verdict") =!= "new", "drop_duplicate")
-          .when(col("embed_verdict") === "near", "drop_semantic_duplicate")
-          .otherwise("admit").as("decision"),
-        col("text_verdict"), col("text_match"),
-        col("embed_verdict"), col("embed_match"), col("embed_cosine"),
-        col("eval_id"), col("containment"))
-      .orderBy(col("doc_id"))
+    val arrivals = d.filter(col("doc_id") % 10 === 7)
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    Dedup.admitAgainstIndexes(arrivals, textIdx, embIdx, evalIdx)
   }
 
   /** The t08/e02 fixture corpus: every train doc with doc_id % 23 == 1 gets
@@ -4106,6 +4088,8 @@ object EntryOps {
                   THEN 'quarantine_contaminated'
                 WHEN t.text_verdict != 'new' THEN 'drop_duplicate'
                 WHEN b.embed_verdict = 'near' THEN 'drop_semantic_duplicate'
+                WHEN b.embed_verdict = 'invalid'
+                  THEN 'quarantine_unverifiable'
                 ELSE 'admit' END AS decision,
            t.text_verdict, t.text_match,
            b.embed_verdict, b.embed_match, b.embed_cosine,

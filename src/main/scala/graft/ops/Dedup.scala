@@ -880,6 +880,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The ADMISSION decision for one arriving batch — every per-arrival
+    * ingest gate composed into one declarative pass over `(doc_id, text,
+    * embedding)` arrivals: text duplicate ([[dedupAgainstIndex]]),
+    * semantic duplicate ([[embedDedupAgainstIndexBanded]] — the
+    * recall-preserving grown-geometry route), contamination
+    * ([[contaminationGateAgainstIndex]]), folded through a severity
+    * precedence: `quarantine_contaminated` (an eval leak must be
+    * quarantined for audit, not silently dropped, even when it is also a
+    * duplicate) > `drop_duplicate` (text exact/near) >
+    * `drop_semantic_duplicate` > `quarantine_unverifiable` (a
+    * null/wrong-dimension embedding means the semantic gate COULD NOT
+    * run — a refusal is not admission, the unhashable-media discipline) >
+    * `admit`. Every gate's evidence columns ride along for audit. The
+    * three gates are parallel join subtrees over one arrival scan;
+    * composition adds only batch-sized doc_id equi-joins.
+    */
+  def admitAgainstIndexes(arrivals: DataFrame, textIndex: DataFrame,
+      embIndexBanded: DataFrame, evalGramIndex: DataFrame,
+      maxHamming: Int = 3, minCosine: Double = 0.9, n: Int = 8,
+      minShared: Long = 1): DataFrame = {
+    val tv = dedupAgainstIndex(
+      arrivals.select(col("doc_id"), col("text")), textIndex, maxHamming)
+      .select(col("doc_id"), col("verdict").as("text_verdict"),
+        col("match_id").as("text_match"))
+    val bv = embedDedupAgainstIndexBanded(
+      arrivals.select(col("doc_id").as("vec_id"), col("embedding")),
+      embIndexBanded, minCosine)
+      .select(col("vec_id").as("doc_id"),
+        col("verdict").as("embed_verdict"),
+        col("match_id").as("embed_match"), col("cosine").as("embed_cosine"))
+    val cv = contaminationGateAgainstIndex(
+      arrivals.select(col("doc_id"), col("text")), evalGramIndex, n,
+      minShared)
+      .select(col("doc_id"), col("verdict").as("contam_verdict"),
+        col("eval_id"), col("containment"))
+    arrivals.select(col("doc_id"))
+      .join(tv, Seq("doc_id"))
+      .join(bv, Seq("doc_id"))
+      .join(cv, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("contam_verdict") === "contaminated",
+          "quarantine_contaminated")
+          .when(col("text_verdict") =!= "new", "drop_duplicate")
+          .when(col("embed_verdict") === "near", "drop_semantic_duplicate")
+          .when(col("embed_verdict") === "invalid", "quarantine_unverifiable")
+          .otherwise("admit").as("decision"),
+        col("text_verdict"), col("text_match"),
+        col("embed_verdict"), col("embed_match"), col("embed_cosine"),
+        col("eval_id"), col("containment"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Positional word n-gram shingles (1 row per POSITION, 1-based) — the
     * span-detection form of [[shingles]]: positions are kept (and grams NOT
     * deduplicated) so adjacent duplicated grams can be merged back into

@@ -199,6 +199,40 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING admission pipeline — the e08 decision table as the ingest
+    * gate it exists to be ([[graft.ops.Dedup.admitAgainstIndexes]], shared
+    * verbatim with the registered batch form): each arriving
+    * `(doc_id, text, embedding)` micro-batch runs all three gates against
+    * the three PERSISTED indexes (corpus text index, banded embed index,
+    * eval-gram index — each re-read per batch, so ingest-cadence index
+    * refreshes and eval-set releases land without restart) and its
+    * severity-precedence decisions land batch-partitioned for idempotent
+    * replay. The batch is barriered ONCE: it feeds three gate subtrees in
+    * one action (the multi-reference class). Zero state-store state.
+    */
+  def admissionArrivals(arrivals: DataFrame, textIndexPath: String,
+      embIndexPath: String, evalIndexPath: String, outPath: String,
+      checkpoint: String, maxHamming: Int = 3, minCosine: Double = 0.9,
+      n: Int = 8): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val decisions = graft.ops.Dedup.admitAgainstIndexes(
+          graft.ops.Barrier.barrier(batch),
+          spark.read.parquet(textIndexPath),
+          spark.read.parquet(embIndexPath),
+          spark.read.parquet(evalIndexPath),
+          maxHamming, minCosine, n)
+          .withColumn("batch_id", lit(batchId))
+        withDynamicOverwrite(spark) {
+          decisions.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
   /** Dynamic-partition-overwrite scope: a replayed micro-batch must rewrite
     * only its OWN `batch_id=N` partition, never truncate siblings.
     */

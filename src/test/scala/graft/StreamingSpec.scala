@@ -1660,4 +1660,76 @@ class StreamingSpec extends GraftSpec {
       tmp("contam-ck2").toString).awaitTermination()
     assert(verdicts() === v)
   }
+  test("streaming admission pipeline: one micro-batch through all three " +
+      "gates against persisted indexes - contamination quarantined over a " +
+      "duplicate, refused embedding never admitted, zero state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(i => f(i).toFloat)
+    val corpusText = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (200L, "entirely different corpus content about storage engines"))
+      .toDF("doc_id", "text")
+    val corpusVecs = Seq(
+      (100L, vec(i => math.sin(i * 0.7) + 0.1)),
+      (200L, vec(i => math.cos(i * 1.3) - 0.2)))
+      .toDF("vec_id", "embedding")
+    val evalDocs = Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val base = tmp("admit-idx")
+    val (textIdx, embIdx, evalIdx) = (base.resolve("text").toString,
+      base.resolve("emb").toString, base.resolve("eval").toString)
+    graft.ops.Dedup.buildCorpusIndex(corpusText).write.parquet(textIdx)
+    graft.ops.Dedup.buildEmbedIndexBanded(corpusVecs, planes = 5)
+      .write.parquet(embIdx)
+    graft.ops.Dedup.buildEvalGramIndex(evalDocs, n = 8).write.parquet(evalIdx)
+    val in = tmp("admit-in")
+    val out = tmp("admit-out").toString
+    def js(id: Long, text: String, e: Array[Float]) =
+      s"""{"doc_id":$id,"text":"$text","embedding":[${e.mkString(",")}]}"""
+    val fresh = vec(i => math.sin(i * 2.9) * 1.5 + 0.4)
+    Files.writeString(in.resolve("b1.json"), Seq(
+      // byte-identical to corpus doc 100 AND carrying an eval snippet:
+      // contamination must outrank the duplicate
+      js(1, "the quick brown fox jumps over the lazy dog tonight" +
+        " alpha beta gamma delta epsilon zeta eta theta iota", fresh),
+      // plain duplicate of corpus doc 100 (exact content hash)
+      js(2, "the quick brown fox jumps over the lazy dog tonight", fresh),
+      // semantic duplicate: novel text, embedding identical to corpus 200
+      js(3, "completely novel words nowhere else in any corpus table",
+        vec(i => math.cos(i * 1.3) - 0.2)),
+      // refused embedding: novel text, wrong-dimension vector
+      s"""{"doc_id":4,"text":"novel but unverifiable semantic content here","embedding":[1.0,2.0]}""",
+      // clean admit
+      js(5, "some perfectly ordinary admissible new document text", fresh))
+      .mkString("", "\n", "\n"))
+    val q = LogStream.admissionArrivals(arrivalsOf(in), textIdx, embIdx,
+      evalIdx, out, tmp("admit-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "zero state-store state")
+    def decisions() = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    val d = decisions()
+    assert(d === Map(1L -> "quarantine_contaminated", 2L -> "drop_duplicate",
+      3L -> "drop_semantic_duplicate", 4L -> "quarantine_unverifiable",
+      5L -> "admit"), s"got $d")
+    // evidence columns ride along: the quarantined doc records WHICH eval
+    // doc it leaked, and the dropped duplicate records its exact match
+    val r1 = spark.read.parquet(out).filter(col("doc_id") === 1L).head()
+    assert(r1.getAs[Long]("eval_id") === 9000L)
+    val r2 = spark.read.parquet(out).filter(col("doc_id") === 2L).head()
+    assert(r2.getAs[String]("text_verdict") === "exact" &&
+      r2.getAs[Long]("text_match") === 100L)
+    // replay-exact from a fresh checkpoint
+    LogStream.admissionArrivals(arrivalsOf(in), textIdx, embIdx, evalIdx,
+      out, tmp("admit-ck2").toString).awaitTermination()
+    assert(decisions() === d)
+  }
+
+  private def arrivalsOf(in: java.nio.file.Path) =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+      .json(in.toString)
 }
