@@ -370,15 +370,28 @@ object Bench {
     // structurally impossible to hide. History-file failures degrade to
     // an empty history (a probe run from a scratch cwd must not crash the
     // capture); the guard only ever ADDS evidence, never changes a number.
+    // PROBE runs (SPARK_GRAFT_BENCH_PROBE set — tools/probe_bench.sh)
+    // read the history for flag display but never advance it: the streak
+    // is defined over consecutive OFFICIALS (r13 advice).
     val histPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OVERRIDE_HISTORY", "bench/override_history.json"))
     val prevStreaks = OverrideHistory.read(histPath)
-    val (newStreaks, streakFlagged) =
+    val (newStreaks, advFlagged) =
       OverrideHistory.advance(prevStreaks, results.map(_._1), overridden.toSet)
+    // a probe's flags reflect the persisted OFFICIAL streaks only — its
+    // own overrides must not count toward (or reset) an official streak
+    val streakFlagged =
+      if (OverrideHistory.shouldAdvance(sys.env)) advFlagged
+      else prevStreaks.filter(_._2 >= OverrideHistory.FlagAt)
+        .keys.toSeq.sorted
     if (streakFlagged.nonEmpty)
       System.err.println("[bench] override-streak SUSPECTS (overridden in >= 3 " +
         s"consecutive officials — treat as a regression, not load): ${streakFlagged.mkString(", ")}")
-    OverrideHistory.write(histPath, newStreaks)
+    if (OverrideHistory.shouldAdvance(sys.env))
+      OverrideHistory.write(histPath, newStreaks)
+    else
+      System.err.println("[bench] probe capture (SPARK_GRAFT_BENCH_PROBE): " +
+        "override-streak state left untouched")
     val failures = results.count(_._2 < 0)
     val reruns = results.count(_._7)
     // The harness that captures this line keeps only a bounded tail of the

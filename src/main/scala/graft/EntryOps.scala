@@ -207,6 +207,19 @@ object EntryOps {
       .orderBy(col("batch_id"), col("doc_id"))
   }
 
+  /** EXACT float literal: the float's precise decimal expansion (finite,
+    * ≤ ~28 digits), so ANY standards-compliant parse path — decimal →
+    * float directly, or decimal → double → float — recovers the
+    * bit-identical float. Rendering via Float.toString (shortest
+    * round-trip form) is NOT parse-path-safe: the shortest repr only
+    * guarantees decimal→float round-trip, and a parser that goes through
+    * double first (DuckDB) can double-round to a neighboring float —
+    * observed on d29's perturbed witness components (cosine drifting at
+    * the 9th decimal between the Spark plan and the oracle).
+    */
+  private def floatLit(f: Float): String =
+    new java.math.BigDecimal(f.toDouble).toPlainString
+
   /** The d25 planted vector: 64 fixed floats (1, −1, ½ repeating) — exact
     * in FLOAT, uncorrelated with the synthetic embeddings, rendered
     * literally into both the Spark plan and the oracle SQL.
@@ -250,7 +263,7 @@ object EntryOps {
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     Dedup.buildEmbedIndex(corpus, planes)
       .write.parquet(s"$root/base")
-    val pvSql = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+    val pvSql = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("array(", ", ", ")")
     def planted(id: Long): DataFrame = spark.sql(
       s"SELECT CAST($id AS BIGINT) AS vec_id, $pvSql AS embedding")
@@ -442,7 +455,7 @@ object EntryOps {
       nCentroids = math.max(8L, (n + 47L) / 48L).toInt)
     centroids.write.parquet(s"$root/centroids")
     members.write.parquet(s"$root/members/base")
-    val pvSql = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+    val pvSql = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("array(", ", ", ")")
     def planted(id: Long): DataFrame = spark.sql(
       s"SELECT CAST($id AS BIGINT) AS vec_id, $pvSql AS embedding")
@@ -470,15 +483,18 @@ object EntryOps {
       .orderBy(col("batch_id"), col("vec_id"))
   }
 
-  /** The d29 planted arrival: [[plantedLearnVec]] shifted by +1.0 at every
-    * j ≡ 5 (mod 11) — cosine 0.9454 to the base vector, chosen (with the
-    * real coefficient formula) so a SINGLE 16-plane table separates the
-    * pair while table 2 of the 4×4 banded index catches it: the
-    * deterministic witness that banding buys recall at equal total bits.
+  /** The d29 planted arrival: [[plantedLearnVec]] shifted by +0.8 at every
+    * j ≡ 1 (mod 5) — cosine 0.92585 to the base vector, chosen (with the
+    * real r14 coefficient formula — the distinct-plane family) so a
+    * SINGLE 16-plane table separates the pair while exactly one table of
+    * the 4×4 banded index catches it (table 3 at p=4, table 2 at p=5,
+    * table 3 at the sf0.1 grown p=6 — every colliding bucket under the
+    * df cap): the deterministic witness that banding buys recall at
+    * equal total bits.
     */
   private val plantedBandedNear: Seq[Float] =
     plantedLearnVec.zipWithIndex.map { case (v, j) =>
-      if (j % 11 == 5) v + 1.0f else v
+      if (j % 5 == 1) v + 0.8f else v
     }
 
   /** d29 — MULTI-TABLE (banded) embedding dedup, the recall-preserving
@@ -493,8 +509,9 @@ object EntryOps {
     * to vectors. Corpus = vec_id % 10 ≠ 0 plus the planted base vector
     * −50 ([[plantedLearnVec]]); arrivals = % 10 = 0, the d17 refusal
     * pair, and the planted near arrival −100 ([[plantedBandedNear]],
-    * cosine 0.9454) that a single table at the same 16 total bits
-    * provably misses while band 2 catches it (OpsSpec pins the witness).
+    * cosine 0.92585) that a single table at the same 16 total bits
+    * provably misses while exactly one band catches it (OpsSpec pins the
+    * witness).
     * Geometry reads FROM the index; candidates are (band, key)
     * equi-joins under the per-key frequency cap; verdicts near / new /
     * `invalid`.
@@ -503,7 +520,7 @@ object EntryOps {
     val e = emb(spark, dir)
     def lits(id: Long, v: Seq[Float]): DataFrame = spark.sql(
       s"SELECT CAST($id AS BIGINT) AS vec_id, " +
-        v.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")") +
+        v.map(f => s"CAST(${floatLit(f)} AS FLOAT)").mkString("array(", ", ", ")") +
         " AS embedding")
     val corpus = e.filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id"), col("embedding"))
@@ -554,7 +571,7 @@ object EntryOps {
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes)
       .write.parquet(s"$root/base")
-    val pvSql = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+    val pvSql = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("array(", ", ", ")")
     def planted(id: Long): DataFrame = spark.sql(
       s"SELECT CAST($id AS BIGINT) AS vec_id, $pvSql AS embedding")
@@ -1060,9 +1077,11 @@ object EntryOps {
     * outranks dedup (a contaminated doc must be QUARANTINED for audit,
     * not silently dropped as a duplicate; an eval leak that is also a
     * duplicate is still an eval leak), duplicates outrank admission, and
-    * an arrival whose embedding the semantic gate REFUSES is
+    * an arrival a gate REFUSES — a null/wrong-dimension embedding, or a
+    * null/empty text whose hash and shingle gates produce no rows — is
     * `quarantine_unverifiable`, never admitted (this fixture's arrivals
-    * all carry valid embeddings — the tier is driven by the stream spec)
+    * all carry valid text and embeddings — the tier is driven by the
+    * stream and ops specs)
     * — with every gate's evidence columns carried for audit. Fixture: the
     * t08 planted corpus, `% 10 = 7` cohort as arrivals (planted
     * contamination lands on ≡ 47 mod 230), the rest as corpus; all three
@@ -3489,8 +3508,11 @@ object EntryOps {
   /** [[duckHyperplaneBucket]] with the plane count read AT QUERY TIME from
     * a `pl(p)` CTE the caller provides — the grown-geometry mirror of the
     * native `hyperplane_bucket` with a corpus-derived `planes` argument.
-    * Same integer-derived coefficients (((i·37 + j·101) mod 17 − 8)/8 —
-    * exact in binary, denominator 2³) and the same left-to-right double
+    * Same integer-derived coefficients ((((i·37 + j·101 + i·j·53)
+    * mod 1009) mod 17 − 8)/8 — exact in binary, denominator 2³; the
+    * i·j cross-term plus the intermediate prime modulus keep every
+    * plane index a genuinely distinct hyperplane, see
+    * [[graft.functions.HyperplaneBucket]]) and the same left-to-right double
     * folds (list_reduce ≡ the native's accumulation loop), so buckets are
     * bit-identical at every plane count.
     */
@@ -3510,7 +3532,7 @@ object EntryOps {
     s"""list_reduce(list_transform(range(0, $p), i ->
         CASE WHEN list_reduce(list_transform(range(1, 65), j ->
           CAST($e[j] AS DOUBLE) *
-            (CAST(((i + ($off)) * 37 + j * 101) % 17 - 8 AS DOUBLE) / CAST(8 AS DOUBLE))),
+            (CAST(((i + ($off)) * 37 + j * 101 + (i + ($off)) * j * 53) % 1009 % 17 - 8 AS DOUBLE) / CAST(8 AS DOUBLE))),
           (x, y) -> x + y) > CAST(0 AS DOUBLE)
         THEN 1 << i ELSE 0 END), (x, y) -> x + y)"""
 
@@ -3634,7 +3656,7 @@ object EntryOps {
     * vector pair (−100/−101) proves the learned route at cosine 1.0.
     */
   private def duckLearnEmbedOracle: String = {
-    val pv = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+    val pv = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("[", ", ", "]")
     def batch(n: Int): String = s"""
           val$n AS (SELECT vec_id, e, ${duckHyperplaneBucketDyn("e")} AS bucket
@@ -3794,7 +3816,7 @@ object EntryOps {
     * the refusal pair surfaces `invalid` and never joins a member set.
     */
   private def duckLearnSemOracle: String = {
-    val pv = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+    val pv = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("[", ", ", "]")
     def batch(n: Int): String = s"""
           ascr$n AS (SELECT a.vec_id, a.e, r.cid,
@@ -3854,12 +3876,12 @@ object EntryOps {
     * cosine) triple collapsing band multiplicity, best match by
     * (cosine desc, ex_id asc) at minCosine 0.9, verdict tiers
     * near / new / invalid. Planted rows: base −50 in the corpus, near
-    * arrival −100 (cosine 0.9454), the d17 refusal pair.
+    * arrival −100 (cosine 0.92585), the d17 refusal pair.
     */
   private def duckEmbedBandedOracle: String = {
-    val pvA = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+    val pvA = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("[", ", ", "]")
-    val pvB = plantedBandedNear.map(v => s"CAST($v AS FLOAT)")
+    val pvB = plantedBandedNear.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("[", ", ", "]")
     val off = "tt.t * pl.p"
     s"""WITH bcorp AS (SELECT vec_id, embedding FROM embeddings
@@ -3915,7 +3937,7 @@ object EntryOps {
     * count, so its learned-row `near` at cosine 1.0 is scale-independent.
     */
   private def duckLearnBandedOracle: String = {
-    val pv = plantedLearnVec.map(v => s"CAST($v AS FLOAT)")
+    val pv = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
       .mkString("[", ", ", "]")
     val off = "tt.t * pl.p"
     def batch(n: Int): String = s"""
@@ -4023,11 +4045,14 @@ object EntryOps {
                     SELECT doc_id, ex_id, CAST($ham AS BIGINT) AS hamming
                     FROM tcand) WHERE hamming <= 3 GROUP BY 1),
           tver AS (SELECT a.doc_id,
-                   CASE WHEN tx.exact_id IS NOT NULL THEN 'exact'
+                   CASE WHEN c.text IS NULL OR length(c.text) = 0
+                          THEN 'invalid'
+                        WHEN tx.exact_id IS NOT NULL THEN 'exact'
                         WHEN tn.near_id IS NOT NULL THEN 'near'
                         ELSE 'new' END AS text_verdict,
                    COALESCE(tx.exact_id, tn.near_id) AS text_match
-                   FROM arr a LEFT JOIN text_ tx ON tx.doc_id = a.doc_id
+                   FROM arr a JOIN corpus c USING (doc_id)
+                   LEFT JOIN text_ tx ON tx.doc_id = a.doc_id
                    LEFT JOIN tnear tn ON tn.doc_id = a.doc_id),
           bcorp AS (SELECT vec_id, embedding FROM embeddings
                     WHERE vec_id % 10 != 7),
@@ -4086,9 +4111,10 @@ object EntryOps {
          SELECT a.doc_id,
            CASE WHEN c.contam_verdict = 'contaminated'
                   THEN 'quarantine_contaminated'
-                WHEN t.text_verdict != 'new' THEN 'drop_duplicate'
+                WHEN t.text_verdict IN ('exact', 'near')
+                  THEN 'drop_duplicate'
                 WHEN b.embed_verdict = 'near' THEN 'drop_semantic_duplicate'
-                WHEN b.embed_verdict = 'invalid'
+                WHEN b.embed_verdict = 'invalid' OR t.text_verdict = 'invalid'
                   THEN 'quarantine_unverifiable'
                 ELSE 'admit' END AS decision,
            t.text_verdict, t.text_match,
@@ -4147,7 +4173,7 @@ object EntryOps {
   private def duckHyperplaneBucket(e: String, planes: Int, dims: Int = 64): String =
     (0 until planes).map { i =>
       val proj = (1 to dims).map { j =>
-        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0
+        val c = ((i * 37 + j * 101 + i * j * 53) % 1009 % 17 - 8).toDouble / 8.0
         s"CAST($e[$j] AS DOUBLE) * CAST($c AS DOUBLE)"
       }.mkString("(", " + ", ")")
       s"(CASE WHEN $proj > CAST(0 AS DOUBLE) THEN ${1 << i} ELSE 0 END)"

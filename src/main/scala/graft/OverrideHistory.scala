@@ -22,6 +22,19 @@ object OverrideHistory {
     */
   val FlagAt = 3
 
+  /** Whether this capture may ADVANCE (and persist) the streak state.
+    * The streak semantics are defined over consecutive OFFICIAL captures,
+    * but the official is driver-invoked with a bare environment — it
+    * cannot carry an opt-in flag — so the gate is opt-OUT: builder-driven
+    * probe/candidate runs set `SPARK_GRAFT_BENCH_PROBE` (any value; the
+    * `tools/probe_bench.sh` wrapper does) and then only READ the history
+    * for flag display, never mutating it. Without the gate, six probe
+    * captures in a round advance/reset streaks through the same default
+    * path and dilute the ≥ 3-consecutive-officials signal (r13 advice).
+    */
+  def shouldAdvance(env: Map[String, String]): Boolean =
+    !env.contains("SPARK_GRAFT_BENCH_PROBE")
+
   /** One capture's advance, pure: overridden queries increment their
     * streak, every other MEASURED query resets to 0 (a query absent from
     * this capture keeps no entry — its history is meaningless across a

@@ -9,7 +9,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 /** Native random-hyperplane LSH bucket over an `array<float>` embedding:
   * bit i of the bucket is the sign of ⟨v, h_i⟩ for `planes` fixed
   * pseudo-random hyperplanes whose components are exact integer-derived
-  * doubles (((i·37 + j·101) mod 17 − 8) / 8).
+  * doubles ((((i·37 + j·101 + i·j·53) mod 1009) mod 17 − 8) / 8; i the
+  * offset-shifted plane index, j the 1-based dimension).
+  *
+  * The j-slope of plane i's residue sequence, (101 + 53·i) mod 1009, is
+  * distinct for every plane index below 1009 (53 is invertible mod the
+  * prime 1009), so every plane of every table is a genuinely distinct
+  * hyperplane. A single-modulus family — ((i·37 + j·101) mod 17), the
+  * pre-r14 form — is periodic with period 17 in i REGARDLESS of the
+  * constants: every term is a polynomial in (i mod 17), so at most 17
+  * distinct hyperplanes exist and multi-table banding silently reuses
+  * them (at planes=17 all table offsets t·17 ≡ 0 mod 17, making the
+  * tables bit-identical — 4× the join cost for zero recall gain). The
+  * intermediate mod by the prime 1009 breaks that period while keeping
+  * the components exact dyadic rationals (denominator 2³).
   *
   * Replaces a generated SQL string of planes × dims CASE/CAST terms (an
   * expression tree that grows O(planes·dims) and dominated s03's runtime)
@@ -63,15 +76,15 @@ object HyperplaneBucket {
       if (e.isNullAt(j)) return 0
       j += 1
     }
+    val planeCoefs = coefs(planes, dims, offset)
     var bucket = 0
     var i = 0
     while (i < planes) {
+      val c = planeCoefs(i)
       var acc = 0.0d
-      var k = 1
-      while (k <= dims) {
-        // hyperplane component: exact dyadic rational in [-1, 1]
-        val c = (((i + offset) * 37 + k * 101) % 17 - 8).toDouble / 8.0d
-        acc += e.getFloat(k - 1).toDouble * c
+      var k = 0
+      while (k < dims) {
+        acc += e.getFloat(k).toDouble * c(k)
         k += 1
       }
       if (acc > 0.0d) bucket |= 1 << i
@@ -79,6 +92,30 @@ object HyperplaneBucket {
     }
     bucket
   }
+
+  /** Memoized coefficient matrix for a geometry: the integer derivation
+    * runs once per (planes, dims, offset) per JVM — the hot per-row loop
+    * is then a pure dot product. A handful of geometries exist per job,
+    * so the map stays tiny; computeIfAbsent keeps racing executor threads
+    * consistent.
+    */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def coefs(planes: Int, dims: Int, offset: Int): Array[Array[Double]] =
+    coefCache.computeIfAbsent((planes, dims, offset), { key =>
+      val (p, d, off) = key
+      Array.tabulate(p) { i =>
+        // long arithmetic (the oracle's BIGINT) so huge offsets can't
+        // overflow; each component an exact dyadic rational in [-1, 1]
+        val x = (i + off).toLong
+        Array.tabulate(d) { k0 =>
+          val k = k0 + 1
+          (((x * 37 + k * 101 + x * k * 53) % 1009 % 17).toInt - 8)
+            .toDouble / 8.0d
+        }
+      }
+    })
 
   def apply(c: Column, planes: Int, dims: Int = 64, offset: Int = 0): Column =
     GraftBridge.column(

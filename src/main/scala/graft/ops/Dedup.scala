@@ -662,7 +662,9 @@ object Dedup {
     * argument — bit positions stay 0..p−1, so no wide bucket ever
     * overflows Int). One row per (vector, table): ex_id, ex_e, band, key,
     * with the geometry persisted on every row ([[buildEmbedIndex]]'s
-    * planes-column discipline) so readers follow the index, never a
+    * planes-column discipline — planes, tables AND dims, so a reader can
+    * never band or validate queries under a different vector width than
+    * the index was built at) so readers follow the index, never a
     * default.
     */
   def buildEmbedIndexBanded(corpus: DataFrame, planes: Int = 4,
@@ -675,6 +677,7 @@ object Dedup {
           t * planes)): _*)).as(Seq("band", "key")): _*)
       .withColumn("planes", lit(planes))
       .withColumn("tables", lit(tables))
+      .withColumn("dims", lit(dims))
   }
 
   /** Semantic dedup of incoming vectors against a persisted
@@ -686,22 +689,28 @@ object Dedup {
     * (vec_id, ex_id, cosine) triple exactly as the media route collapses
     * its band-duplicate Hamming rows, and the verdict tiers are
     * [[embedDedupAgainstIndex]]'s (near / new / `invalid`; best match by
-    * (cosine desc, ex_id asc)). Geometry (planes per table, table count)
-    * is read FROM the index — a one-row scalar read, the planes-guard
-    * class — so a retrained index re-bands queries without a code change.
+    * (cosine desc, ex_id asc)). Geometry (planes per table, table count,
+    * vector width) is read FROM the index — a one-row scalar read, the
+    * planes-guard class — so a retrained index re-bands queries without a
+    * code change; the `dims` parameter is only the fallback for a legacy
+    * index persisted before the dims column existed (an index built at a
+    * different width would otherwise silently mis-band every query).
     */
   def embedDedupAgainstIndexBanded(incoming: DataFrame, index: DataFrame,
       minCosine: Double, dims: Int = 64,
       maxBandFreq: Int = 64): DataFrame = {
-    val geo = index.select(col("planes"), col("tables")).head(1)
+    val hasDims = index.columns.contains("dims")
+    val geo = index.select(col("planes") +: col("tables") +:
+      (if (hasDims) Seq(col("dims")) else Nil): _*).head(1)
     require(geo.nonEmpty, "banded embedding index is empty")
     val (planes, tables) = (geo(0).getInt(0), geo(0).getInt(1))
+    val idims = if (hasDims) geo(0).getInt(2) else dims
     val valid = incoming.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === dims)
+      size(col("embedding")) === idims)
     val vsel = valid.select(col("vec_id"), col("embedding").as("e"))
     val inb = vsel.select(vsel.columns.map(col) :+
       posexplode(array((0 until tables).map(t =>
-        graft.functions.HyperplaneBucket(col("e"), planes, dims,
+        graft.functions.HyperplaneBucket(col("e"), planes, idims,
           t * planes)): _*)).as(Seq("band", "key")): _*)
     val keep = index.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxBandFreq)
@@ -720,7 +729,7 @@ object Dedup {
     incoming.select(col("vec_id"), col("embedding"))
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"),
-        when(col("embedding").isNull || size(col("embedding")) =!= dims,
+        when(col("embedding").isNull || size(col("embedding")) =!= idims,
           "invalid")
           .when(col("match_id").isNotNull, "near")
           .otherwise("new").as("verdict"),
@@ -895,14 +904,23 @@ object Dedup {
     * `admit`. Every gate's evidence columns ride along for audit. The
     * three gates are parallel join subtrees over one arrival scan;
     * composition adds only batch-sized doc_id equi-joins.
+    *
+    * Refusals are SYMMETRIC across gates: a null/empty-text arrival is
+    * one whose text gate AND contamination gate could not run (md5(null)
+    * and shingles over null produce no rows — such a document would
+    * otherwise sail through as `new`/`clean`), so its text_verdict is
+    * `invalid` and — unless the embedding gate found a semantic duplicate
+    * to drop it as — its decision is `quarantine_unverifiable`, exactly
+    * like an arrival whose embedding the semantic gate refuses.
     */
   def admitAgainstIndexes(arrivals: DataFrame, textIndex: DataFrame,
       embIndexBanded: DataFrame, evalGramIndex: DataFrame,
       maxHamming: Int = 3, minCosine: Double = 0.9, n: Int = 8,
       minShared: Long = 1): DataFrame = {
+    val textInvalid = col("text").isNull || length(col("text")) === 0
     val tv = dedupAgainstIndex(
       arrivals.select(col("doc_id"), col("text")), textIndex, maxHamming)
-      .select(col("doc_id"), col("verdict").as("text_verdict"),
+      .select(col("doc_id"), col("verdict").as("raw_text_verdict"),
         col("match_id").as("text_match"))
     val bv = embedDedupAgainstIndexBanded(
       arrivals.select(col("doc_id").as("vec_id"), col("embedding")),
@@ -915,16 +933,24 @@ object Dedup {
       minShared)
       .select(col("doc_id"), col("verdict").as("contam_verdict"),
         col("eval_id"), col("containment"))
-    arrivals.select(col("doc_id"))
+    // the text-refusal override rides the base-table scan (no extra join):
+    // a null/empty text can never have matched the hash or shingle gates,
+    // so overriding its raw `new` to `invalid` loses no evidence
+    arrivals.select(col("doc_id"), textInvalid.as("text_invalid"))
       .join(tv, Seq("doc_id"))
       .join(bv, Seq("doc_id"))
       .join(cv, Seq("doc_id"))
+      .withColumn("text_verdict",
+        when(col("text_invalid"), "invalid")
+          .otherwise(col("raw_text_verdict")))
       .select(col("doc_id"),
         when(col("contam_verdict") === "contaminated",
           "quarantine_contaminated")
-          .when(col("text_verdict") =!= "new", "drop_duplicate")
+          .when(col("text_verdict") === "exact" ||
+            col("text_verdict") === "near", "drop_duplicate")
           .when(col("embed_verdict") === "near", "drop_semantic_duplicate")
-          .when(col("embed_verdict") === "invalid", "quarantine_unverifiable")
+          .when(col("embed_verdict") === "invalid" ||
+            col("text_verdict") === "invalid", "quarantine_unverifiable")
           .otherwise("admit").as("decision"),
         col("text_verdict"), col("text_match"),
         col("embed_verdict"), col("embed_match"), col("embed_cosine"),

@@ -1412,8 +1412,10 @@ object Similarity {
   /** Random-hyperplane LSH bucketing: bit i of the bucket is the sign of
     * ⟨v, h_i⟩ for `planes` fixed pseudo-random hyperplanes. Hyperplane
     * components are exact integer-derived doubles
-    * (((i·37 + j·101) mod 17 − 8) / 8), so the projection folds are bitwise
-    * reproducible in the oracle. Complements [[bucketOf]] (IVF coarse
+    * ((((i·37 + j·101 + i·j·53) mod 1009) mod 17 − 8) / 8 — every plane
+    * index a genuinely distinct hyperplane, see
+    * [[graft.functions.HyperplaneBucket]]), so the projection folds are
+    * bitwise reproducible in the oracle. Complements [[bucketOf]] (IVF coarse
     * quantizer): angular buckets instead of axis-aligned sign buckets.
     *
     * A native codegen'd expression ([[graft.functions.HyperplaneBucket]]):

@@ -618,13 +618,16 @@ object LogStream {
     val spark = batch.sparkSession
     val idx = graft.ops.Dedup.readEmbedIndex(spark, indexRoot,
       beforeBatch = batchId)
-    val geo = idx.select(col("planes"), col("tables")).head()
+    val hasDims = idx.columns.contains("dims")
+    val geo = idx.select(col("planes") +: col("tables") +:
+      (if (hasDims) Seq(col("dims")) else Nil): _*).head()
     val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
       .embedDedupAgainstIndexBanded(batch, idx, minCosine))
     val learned = graft.ops.Dedup.buildEmbedIndexBanded(
       batch.join(verdicts.filter(col("verdict") === "new")
         .select(col("vec_id")), Seq("vec_id")),
-      planes = geo.getInt(0), tables = geo.getInt(1))
+      planes = geo.getInt(0), tables = geo.getInt(1),
+      dims = if (hasDims) geo.getInt(2) else 64)
       .withColumn("batch_id", lit(batchId))
     withDynamicOverwrite(spark) {
       learned.write.mode("overwrite").partitionBy("batch_id")

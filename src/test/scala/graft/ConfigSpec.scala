@@ -75,6 +75,17 @@ class OverrideHistorySpec extends GraftSpec {
     assert(s4("q1") === 4 && f4 === Seq("q1"))
   }
 
+  test("probe captures (SPARK_GRAFT_BENCH_PROBE) must not advance the streak state") {
+    // the streak is defined over consecutive OFFICIALS; the official is
+    // driver-invoked with a bare environment, so the gate is opt-out
+    assert(OverrideHistory.shouldAdvance(Map.empty))
+    assert(OverrideHistory.shouldAdvance(
+      Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.1")))
+    assert(!OverrideHistory.shouldAdvance(Map("SPARK_GRAFT_BENCH_PROBE" -> "1")))
+    assert(!OverrideHistory.shouldAdvance(Map("SPARK_GRAFT_BENCH_PROBE" -> "")),
+      "any value marks a probe — presence, not truthiness")
+  }
+
   test("a query absent from the capture keeps no entry (registry change drops stale history)") {
     val (s, f) = OverrideHistory.advance(Map("gone" -> 2, "q1" -> 1),
       Seq("q1"), Set("q1"))

@@ -186,7 +186,7 @@ class ExtensionsSpec extends GraftSpec {
     val planes = 4
     val terms = (0 until planes).map { i =>
       val proj = (1 to 64).map { j =>
-        val c = ((i * 37 + j * 101) % 17 - 8).toDouble / 8.0
+        val c = ((i * 37 + j * 101 + i * j * 53) % 1009 % 17 - 8).toDouble / 8.0
         s"CAST(element_at(embedding, $j) AS DOUBLE) * CAST($c AS DOUBLE)"
       }.mkString("(", " + ", ")")
       s"(CASE WHEN $proj > CAST(0 AS DOUBLE) THEN ${1 << i} ELSE 0 END)"

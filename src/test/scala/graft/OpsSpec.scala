@@ -1368,10 +1368,17 @@ class OpsSpec extends GraftSpec {
     // route's own blocking, so they stay green while the route returns
     // garbage neighbors. These floors pin recall@3 vs exact brute force on
     // the deterministic sf0.001 fixture (queries vec_id % 40 == 0) just
-    // below the measured values. Measured (r8): s02 .128, s03 .128,
-    // s04 .256, s05 .513, s06 .410, s07 .436, s08 .513. The knob
-    // sensitivity curve (nprobe / codebookSize / subspaces) is documented
-    // in docs/PLANS.md §ANN recall.
+    // below the measured values. Measured (r14, after the distinct-plane
+    // coefficient fix re-drew the hyperplane family — RecallAudit
+    // regenerates these): s02 .128, s03 .077, s04 .154, s05 .513,
+    // s06 .410, s07 .436, s08 .513. The s03/s04 deltas vs r8's .128/.256
+    // are draw noise on this 39-pair fixture (3 vs 5 of 39 hits), not a
+    // quality change: the synthetic-pair collision rates in RecallAudit
+    // are the statistically meaningful recall measure, and there the new
+    // family's banded rate MATCHES the iid 1-(1-r)^T prediction the old
+    // shared-plane family silently violated. The knob sensitivity curve
+    // (nprobe / codebookSize / subspaces) is documented in docs/PLANS.md
+    // §ANN recall.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pred = col("vec_id") % 40 === 0
     val k = 3
@@ -1384,8 +1391,8 @@ class OpsSpec extends GraftSpec {
       (pairs(df) & exact).size.toDouble / exact.size
     val floors = Seq(
       ("s02_ivf", Similarity.topkIvf(emb, pred, k), 0.10),
-      ("s03_lsh", Similarity.topkLsh(emb, pred, k), 0.10),
-      ("s04_lsh_bands", Similarity.topkLshBands(emb, pred, k), 0.20),
+      ("s03_lsh", Similarity.topkLsh(emb, pred, k), 0.06),
+      ("s04_lsh_bands", Similarity.topkLshBands(emb, pred, k), 0.12),
       ("s05_ivf_multiprobe", Similarity.topkIvfMultiProbe(emb, pred, k), 0.45),
       ("s06_ivf_centroids", Similarity.topkIvfCentroids(emb, pred, k), 0.35),
       ("s07_pq", Similarity.topkPq(emb, pred, k), 0.40),
@@ -1998,14 +2005,14 @@ class OpsSpec extends GraftSpec {
         .foreach(java.nio.file.Files.delete)
     }
   }
-  test("banded embed dedup: 4x4 tables catch the planted cos-0.945 pair a " +
+  test("banded embed dedup: 4x4 tables catch the planted cos-0.926 pair a " +
       "single 16-plane table misses; refusals invalid; geometry follows " +
       "the index") {
     import org.apache.spark.sql.functions._
     val vecA = (0 until 64).map(j =>
       if (j % 3 == 0) 1.0f else if (j % 3 == 1) -1.0f else 0.5f)
     val vecB = vecA.zipWithIndex.map { case (v, j) =>
-      if (j % 11 == 5) v + 1.0f else v }
+      if (j % 5 == 1) v + 0.8f else v }
     def lits(id: Long, v: Seq[Float]) = spark.sql(
       s"SELECT CAST($id AS BIGINT) AS vec_id, " +
         v.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")") +
@@ -2027,19 +2034,19 @@ class OpsSpec extends GraftSpec {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
     assert(single(-100L) === "new",
       "the planted pair must hash apart in one 16-plane table")
-    // ...while table 2 of the 4x4 banded index catches it
+    // ...while table 3 of the 4x4 banded index catches it
     val banded = graft.ops.Dedup.embedDedupAgainstIndexBanded(arrivals,
       graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes = 4, tables = 4),
       minCosine = 0.9).collect()
     val byId = banded.map(r => r.getAs[Long]("vec_id") -> r).toMap
     assert(byId(-100L).getAs[String]("verdict") === "near")
     assert(byId(-100L).getAs[Long]("match_id") === -50L)
-    assert(math.abs(byId(-100L).getAs[Double]("cosine") - 0.9454) < 5e-4)
+    assert(math.abs(byId(-100L).getAs[Double]("cosine") - 0.92585) < 5e-4)
     assert(byId(-1L).getAs[String]("verdict") === "invalid" &&
       byId(-2L).getAs[String]("verdict") === "invalid",
       "refusals surface invalid through the banded route too")
     // geometry follows the index: a p=5 build re-bands the query side
-    // without any caller parameter (the witness pair still collides in
+    // without any caller parameter (the witness pair collides in
     // table 2 at p=5)
     val banded5 = graft.ops.Dedup.embedDedupAgainstIndexBanded(arrivals,
       graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes = 5, tables = 4),

@@ -1703,7 +1703,13 @@ class StreamingSpec extends GraftSpec {
       // refused embedding: novel text, wrong-dimension vector
       s"""{"doc_id":4,"text":"novel but unverifiable semantic content here","embedding":[1.0,2.0]}""",
       // clean admit
-      js(5, "some perfectly ordinary admissible new document text", fresh))
+      js(5, "some perfectly ordinary admissible new document text", fresh),
+      // refused TEXT: null text means the hash and shingle gates produce
+      // no rows — the doc must be quarantined, not silently admitted
+      s"""{"doc_id":6,"text":null,"embedding":[${fresh.mkString(",")}]}""",
+      // empty text but a semantic duplicate: the embed gate's positive
+      // evidence outranks the text refusal
+      s"""{"doc_id":7,"text":"","embedding":[${vec(i => math.cos(i * 1.3) - 0.2).mkString(",")}]}""")
       .mkString("", "\n", "\n"))
     val q = LogStream.admissionArrivals(arrivalsOf(in), textIdx, embIdx,
       evalIdx, out, tmp("admit-ck").toString)
@@ -1714,7 +1720,11 @@ class StreamingSpec extends GraftSpec {
     val d = decisions()
     assert(d === Map(1L -> "quarantine_contaminated", 2L -> "drop_duplicate",
       3L -> "drop_semantic_duplicate", 4L -> "quarantine_unverifiable",
-      5L -> "admit"), s"got $d")
+      5L -> "admit", 6L -> "quarantine_unverifiable",
+      7L -> "drop_semantic_duplicate"), s"got $d")
+    // the text refusal is recorded as its own verdict tier, for audit
+    val r6 = spark.read.parquet(out).filter(col("doc_id") === 6L).head()
+    assert(r6.getAs[String]("text_verdict") === "invalid")
     // evidence columns ride along: the quarantined doc records WHICH eval
     // doc it leaked, and the dropped duplicate records its exact match
     val r1 = spark.read.parquet(out).filter(col("doc_id") === 1L).head()
