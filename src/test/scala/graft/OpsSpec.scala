@@ -94,6 +94,58 @@ class OpsSpec extends GraftSpec {
       (2L, "6566", 2L), (3L, "6768", 2L)))
   }
 
+  test("hyperplane family: distinct planes across tables and past index 17 " +
+      "(the r13-advice degeneracy), plane-prefix invariant preserved") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def bucket(v: Array[Float], p: Int, off: Int): Int =
+      graft.functions.HyperplaneBucket.compute(new GenericArrayData(v), p, 64, off)
+    val rng = new java.util.Random(42)
+    val vs = Array.fill(200)(Array.fill(64)(rng.nextGaussian().toFloat))
+    // p=17 is the geometry where the OLD single-modulus family made all
+    // four table offsets t*17 ≡ 0 mod 17 — the tables were bit-identical
+    // for EVERY input. The fixed family must separate each table pair.
+    for (t <- 1 to 3)
+      assert(vs.exists(v => bucket(v, 17, 0) != bucket(v, 17, 17 * t)),
+        s"table $t at p=17 is bit-identical to table 0 — the degenerate family is back")
+    // within one table past plane 17: old planes i and i+17 were the SAME
+    // hyperplane (period 17), so bits i and i+17 always agreed
+    for (i <- 0 until 3)
+      assert(vs.exists { v =>
+        val b = bucket(v, 20, 0)
+        ((b >> i) & 1) != ((b >> (i + 17)) & 1)
+      }, s"planes $i and ${i + 17} are the same hyperplane — period 17 is back")
+    // contract the banded routes build on: coefficients depend only on the
+    // offset-shifted plane index, never on the plane COUNT, so the p-plane
+    // bucket is the low-p-bit prefix of any wider bucket at the same offset
+    vs.foreach { v =>
+      assert((bucket(v, 12, 0) & 0xF) === bucket(v, 4, 0))
+      assert((bucket(v, 12, 5) & 0xFF) === bucket(v, 8, 5))
+    }
+  }
+
+  test("banded embed index persists dims; readers band and validate at the " +
+      "INDEX's width, not a caller default") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 32-dim corpus: an index built at dims=32 must validate 32-dim
+    // arrivals (the 64 default would mark them all invalid) and refuse a
+    // 64-dim arrival (which the default would have admitted to banding)
+    val v32 = Array.tabulate(32)(i => (math.sin(i * 0.9) + 0.2).toFloat)
+    val corpus = Seq((10L, v32)).toDF("vec_id", "embedding")
+    val idx = graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes = 4,
+      tables = 4, dims = 32)
+    assert(idx.select("dims").distinct().as[Int].collect().toSeq === Seq(32))
+    val arrivals = Seq(
+      (1L, v32),                                  // identical -> near
+      (2L, Array.tabulate(64)(_.toFloat))         // wrong width -> invalid
+    ).toDF("vec_id", "embedding")
+    val v = graft.ops.Dedup.embedDedupAgainstIndexBanded(arrivals, idx,
+      minCosine = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    assert(v === Map(1L -> "near", 2L -> "invalid"),
+      s"geometry must follow the index's persisted dims, got $v")
+  }
+
   test("multi-band LSH recalls at least the single-band candidate set") {
     // band 0 of the 8-plane bucket IS the 4-plane bucket (the plane
     // coefficients depend only on (plane, dim)), so every single-band
