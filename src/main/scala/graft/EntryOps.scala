@@ -502,11 +502,13 @@ object EntryOps {
     * ([[graft.ops.Dedup.buildEmbedIndexBanded]] /
     * [[graft.ops.Dedup.embedDedupAgainstIndexBanded]]): d25's plane
     * growth bounds cost but lowers single-table recall (collision
-    * probability (1 − θ/π)^p per table — measured 0.56 → 0.20 at cosine
-    * 0.9 from p=4 to p=12); T = 4 independent tables of p grown planes
-    * each (p = smallest ≥ 4 with 2^p · 48 ≥ N) recover 1 − (1 − r)⁴ of
-    * it for a 4× join cost, the d03/SimHash banding discipline applied
-    * to vectors. Corpus = vec_id % 10 ≠ 0 plus the planted base vector
+    * probability (1 − θ/π)^p per table — measured 0.52 → 0.16 at cosine
+    * 0.9 from p=4 to p=12, RecallAudit); T = 4 independent tables of p
+    * grown planes each (p = smallest ≥ 4 with 2^p · 48 ≥ N) recover
+    * 1 − (1 − r)⁴ of it for a 4× join cost — measured AT the iid
+    * prediction since the r14 distinct-plane fix (RecallAudit /
+    * docs/BENCH_NOTES.md r14) — the d03/SimHash banding discipline
+    * applied to vectors. Corpus = vec_id % 10 ≠ 0 plus the planted base vector
     * −50 ([[plantedLearnVec]]); arrivals = % 10 = 0, the d17 refusal
     * pair, and the planted near arrival −100 ([[plantedBandedNear]],
     * cosine 0.92585) that a single table at the same 16 total bits
@@ -600,28 +602,28 @@ object EntryOps {
   }
 
   def topkBrute(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkBruteForce(emb(spark, dir), col("vec_id") % 40 === 0, k = 5)
+    Similarity.topkBruteForce(emb(spark, dir), pqQueryPred, k = 5)
 
   def topkIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkIvf(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkIvf(emb(spark, dir), pqQueryPred, k = 3)
 
   def topkLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkLsh(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkLsh(emb(spark, dir), pqQueryPred, k = 3)
 
   def topkLshBands(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkLshBands(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkLshBands(emb(spark, dir), pqQueryPred, k = 3)
 
   def topkIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkIvfMultiProbe(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkIvfMultiProbe(emb(spark, dir), pqQueryPred, k = 3)
 
   def topkIvfCentroids(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkIvfCentroids(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkIvfCentroids(emb(spark, dir), pqQueryPred, k = 3)
 
   def topkPq(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkPq(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkPq(emb(spark, dir), pqQueryPred, k = 3)
 
   def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
-    Similarity.topkIvfPq(emb(spark, dir), col("vec_id") % 40 === 0, k = 3)
+    Similarity.topkIvfPq(emb(spark, dir), pqQueryPred, k = 3)
 
   /** s09 — the r10 PQ index SPLIT demonstrated as a registered query: the
     * same ADC top-k as s07, but through [[Similarity.buildPqIndex]] +
@@ -634,14 +636,18 @@ object EntryOps {
     * paths are bit-identical (OpsSpec parity), so the oracle is s07's SQL
     * VERBATIM: the split must not change one bit of the result.
     */
-  /** The s09/s10 query predicate adds a FIXED id bound to s07/s08's
-    * modulus: every real testdata SF has vec_id < 2000, so results are
-    * identical to the unbounded form there (the oracle carries the same
-    * bound) — but under the ScaleProbe's ×R corpus replication the bound
-    * pins the query set to a CONSTANT 50 queries, so the probe rows
-    * measure per-query cost against corpus growth (the production
-    * question: what one query costs between index rebuilds), not the
-    * Q×N compounding a modulus-only predicate measures.
+  /** The query predicate of EVERY registered ANN route (s01–s16 since
+    * r14; s09+ since r11): a FIXED id bound on top of the modulus. Every
+    * real testdata SF has vec_id < 2000, so results are identical to the
+    * unbounded form there (the oracles carry the same bound) — but under
+    * the ScaleProbe's ×R corpus replication the bound pins the query set
+    * to a CONSTANT 50 queries, so the probe rows measure per-query cost
+    * against corpus growth (the production question: what one query
+    * batch costs between index rebuilds), not the Q×N compounding a
+    * modulus-only predicate measures — r14's first ×100 run of the
+    * modulus-only s04 read exponent 1.14 for exactly that reason
+    * (5 000 queries × N/2⁴-sized buckets), and the pin restored the
+    * per-batch measurement (docs/BENCH_NOTES.md r14).
     */
   private val pqQueryPred: Column =
     col("vec_id") % 40 === 0 && col("vec_id") < 2000
@@ -4530,7 +4536,7 @@ object EntryOps {
           WHERE cosine >= 0.3 ORDER BY id1, id2""",
     "s01_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-                     WHERE vec_id % 40 = 0),
+                     WHERE vec_id % 40 = 0 AND vec_id < 2000),
           s AS (SELECT q.query_id, c.vec_id AS cand_id, c.label AS cand_label,
                 ${duckCosine("q.qe", "c.embedding")} AS cosine
                 FROM q JOIN embeddings c ON c.vec_id != q.query_id),
@@ -4544,7 +4550,7 @@ object EntryOps {
         s"(CASE WHEN embedding[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
       s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
           q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
-                WHERE vec_id % 40 = 0),
+                WHERE vec_id % 40 = 0 AND vec_id < 2000),
           s AS (SELECT q.query_id, CAST(q.bucket AS BIGINT) AS bucket,
                 c.vec_id AS cand_id,
                 ${duckCosine("q.qe", "c.embedding")} AS cosine
@@ -4559,7 +4565,7 @@ object EntryOps {
       s"""WITH e AS (SELECT vec_id, embedding,
               ${duckHyperplaneBucket("embedding", 4)} AS bucket FROM embeddings),
           q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e
-                WHERE vec_id % 40 = 0),
+                WHERE vec_id % 40 = 0 AND vec_id < 2000),
           s AS (SELECT q.query_id, CAST(q.bucket AS BIGINT) AS bucket,
                 c.vec_id AS cand_id,
                 ${duckCosine("q.qe", "c.embedding")} AS cosine
@@ -4578,7 +4584,7 @@ object EntryOps {
           e2 AS (SELECT vec_id, embedding, b8 % 16 AS band0, b8 // 16 AS band1
                  FROM e),
           q AS (SELECT vec_id AS query_id, embedding AS qe, band0, band1
-                FROM e2 WHERE vec_id % 40 = 0),
+                FROM e2 WHERE vec_id % 40 = 0 AND vec_id < 2000),
           s AS (SELECT q.query_id, c.vec_id AS cand_id,
                 ${duckCosine("q.qe", "c.embedding")} AS cosine
                 FROM q JOIN e2 c
@@ -4596,7 +4602,7 @@ object EntryOps {
       // probes = own bucket + every Hamming-1 neighbor (xor one sign bit)
       s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
           q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
-                 FROM e WHERE vec_id % 40 = 0),
+                 FROM e WHERE vec_id % 40 = 0 AND vec_id < 2000),
           q AS (SELECT query_id, qe, xor(qbucket, m) AS bucket
                 FROM q0, (SELECT unnest([0, 1, 2, 4, 8]) AS m)),
           s AS (SELECT q.query_id, c.vec_id AS cand_id,
@@ -4760,7 +4766,7 @@ object EntryOps {
                 ${duckCosine("q.embedding", "c.embedding")} AS cosine
                 FROM asg2 q JOIN asg2 c
                   ON c.bucket = q.bucket AND c.vec_id != q.vec_id
-                WHERE q.vec_id % 40 = 0),
+                WHERE q.vec_id % 40 = 0 AND q.vec_id < 2000),
           r AS (SELECT *, CAST(row_number() OVER (
                 PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
                 FROM s)
@@ -4807,7 +4813,7 @@ object EntryOps {
                   ${sdot("sv.s", "ref.cent")} AS p,
                   ${sdot("ref.cent", "ref.cent")} AS n
                   FROM sv JOIN ref ON sv.m = ref.m
-                  WHERE sv.vec_id % 40 = 0),
+                  WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000),
           adc AS (SELECT l.query_id, c.vec_id AS cand_id,
                   list_reduce(list(l.p ORDER BY l.m), (x, y) -> x + y)
                     / sqrt(list_reduce(list(l.n ORDER BY l.m), (x, y) -> x + y))
@@ -4886,7 +4892,7 @@ object EntryOps {
                              ref2.cid ASC) AS rn
                     FROM rsv JOIN ref2 ON rsv.m = ref2.m) WHERE rn = 1),
           q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-                WHERE vec_id % 40 = 0),
+                WHERE vec_id % 40 = 0 AND vec_id < 2000),
           cellsc AS (SELECT q.query_id, r.cid AS bucket,
                      ${dot64("q.qe", "r.ce")} AS qc
                      FROM q CROSS JOIN ref r),
@@ -6252,45 +6258,33 @@ object EntryOps {
       "FROM rsv JOIN rseeds ON rsv.m = rseeds.m " +
         "WHERE rsv.vec_id % 4 != 0) WHERE rn = 1),")
     Map(
-      "s09_topk_pq_index" -> bound(oracles("s07_topk_pq"),
-        "WHERE sv.vec_id % 40 = 0",
-        "WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000"),
-      "s10_topk_ivfpq_index" -> bound(oracles("s08_topk_ivfpq"),
-        "WHERE vec_id % 40 = 0",
-        "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
+      "s09_topk_pq_index" -> oracles("s07_topk_pq"),
+      "s10_topk_ivfpq_index" -> oracles("s08_topk_ivfpq"),
       // s15/s16: the versioned-root lifecycle route must be bit-identical
       // to the flat-index route — same oracle text as s09/s10 (i.e. the
       // in-query s07/s08 forms, query-bounded). Any drift introduced by
       // the container, resolver, marker flip, or generation read
       // hash-mismatches here.
-      "s15_topk_pq_root" -> bound(oracles("s07_topk_pq"),
-        "WHERE sv.vec_id % 40 = 0",
-        "WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000"),
-      "s16_topk_ivfpq_root" -> bound(oracles("s08_topk_ivfpq"),
-        "WHERE vec_id % 40 = 0",
-        "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
+      "s15_topk_pq_root" -> oracles("s07_topk_pq"),
+      "s16_topk_ivfpq_root" -> oracles("s08_topk_ivfpq"),
       // s11: s07's SQL with the TRAINING CTEs (seeds sample + Lloyd-round
       // assignment) restricted to the `vec_id % 4 != 0` training subset —
       // the `codes` CTE still assigns ALL vectors under the subset-trained
       // codebooks, which is exactly what build-on-subset + append-the-rest
       // produces (appendToPqIndex is the build's final pass verbatim).
-      "s11_topk_pq_append" -> bound(bound(bound(oracles("s07_topk_pq"),
+      "s11_topk_pq_append" -> bound(bound(oracles("s07_topk_pq"),
         "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16) s16",
         "FROM (SELECT * FROM embeddings WHERE vec_id % 4 != 0 " +
           "ORDER BY vec_id LIMIT 16) s16"),
         "FROM sv JOIN seeds ON sv.m = seeds.m) WHERE rn = 1),",
         "FROM sv JOIN seeds ON sv.m = seeds.m " +
           "WHERE sv.vec_id % 4 != 0) WHERE rn = 1),"),
-        "WHERE sv.vec_id % 40 = 0",
-        "WHERE sv.vec_id % 40 = 0 AND sv.vec_id < 2000"),
       // s13: s08's SQL with the four TRAINING CTEs restricted to the
       // `vec_id % 4 != 0` subset (coarse seeds, coarse Lloyd stats,
       // residual seeds, residual Lloyd assignment) — assignment and codes
       // stay corpus-wide, reproducing coarse-train + residual-train on
       // 3/4 and frozen-quantizer append of the rest.
-      "s13_topk_ivfpq_append" -> bound(s08TrainedOnSubset,
-        "WHERE vec_id % 40 = 0",
-        "WHERE vec_id % 40 = 0 AND vec_id < 2000"),
+      "s13_topk_ivfpq_append" -> s08TrainedOnSubset,
       // s14: IVF-PQ drift — the s13 training prefix up through the codes
       // CTE, then per-(vector, sub-space) RESIDUAL reconstruction-error
       // terms (the ‖x − x̂‖² = ‖r − r̂‖² identity), 2²⁰-quantized before

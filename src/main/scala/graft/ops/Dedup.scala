@@ -655,9 +655,13 @@ object Dedup {
     * SINGLE grown-plane table opens: collision probability for a pair at
     * cosine c is (1 − θ/π)^p per table, so growing p with the corpus
     * (constant bucket size — the cost fix) drives single-table recall down
-    * (measured: 0.56 → 0.20 at cos 0.9 from p=4 to p=12); `tables`
-    * INDEPENDENT tables of p planes each recover 1 − (1 − r)^T of it for
-    * a T× index/join cost. Table t keys on plane indices [t·p, (t+1)·p)
+    * (measured: 0.52 → 0.16 at cos 0.9 from p=4 to p=12, RecallAudit);
+    * `tables` INDEPENDENT tables of p planes each recover 1 − (1 − r)^T
+    * of it for a T× index/join cost — MEASURED to match that iid
+    * prediction at every geometry since the r14 distinct-plane
+    * coefficient fix (RecallAudit: banded 0.48 vs iid 0.48 at cos 0.9
+    * p=12; 0.26 vs 0.26 at p=17, where the pre-r14 family's four tables
+    * were bit-identical). Table t keys on plane indices [t·p, (t+1)·p)
     * of the same deterministic coefficient family (the native's `offset`
     * argument — bit positions stay 0..p−1, so no wide bucket ever
     * overflows Int). One row per (vector, table): ex_id, ex_e, band, key,
