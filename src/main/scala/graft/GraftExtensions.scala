@@ -41,10 +41,19 @@ object GraftExtensions {
     "hyperplane_bucket" -> 3, "pq_table_sum" -> 2, "pq_adc_score" -> 3,
     "argmax_dot" -> 4)
 
+  /** Functions with OPTIONAL trailing arguments: any arity in the set is
+    * accepted on top of the base `arities` entry (which stays the
+    * minimum, for the error message).
+    */
+  private val optionalArities: Map[String, Set[Int]] = Map(
+    "hyperplane_bucket" -> Set(3, 4))
+
   private def checkArity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     (args: Seq[Expression]) => {
-      if (args.length != n)
+      val ok = args.length == n ||
+        optionalArities.get(name).exists(_.contains(args.length))
+      if (!ok)
         throw new org.apache.spark.sql.AnalysisException(
           "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           Map(
@@ -164,11 +173,15 @@ object GraftExtensions {
         (args: Seq[Expression]) => graft.functions.ZOrderKey(args(0), args(1))),
       (FunctionIdentifier("hyperplane_bucket"),
         info("hyperplane_bucket",
-          "hyperplane_bucket(vec, planes, dims) - random-hyperplane LSH bucket"),
+          "hyperplane_bucket(vec, planes, dims[, offset]) - random-hyperplane " +
+            "LSH bucket; offset shifts the plane indices (table t of a " +
+            "banded index keys on offset t*planes)"),
         (args: Seq[Expression]) => {
           val planes = args(1).eval().asInstanceOf[Int]
           val dims = args(2).eval().asInstanceOf[Int]
-          HyperplaneBucket(args.head, planes, dims, 0)
+          val offset =
+            if (args.length > 3) args(3).eval().asInstanceOf[Int] else 0
+          HyperplaneBucket(args.head, planes, dims, offset)
         }),
       (FunctionIdentifier("pq_table_sum"),
         info("pq_table_sum",

@@ -598,11 +598,13 @@ object Dedup {
     * its arrivals with a different value would silently match nothing —
     * [[embedDedupAgainstIndex]] validates it at read time instead.
     */
-  def buildEmbedIndex(corpus: DataFrame, planes: Int = 4): DataFrame =
+  def buildEmbedIndex(corpus: DataFrame, planes: Int = 4,
+      dims: Int = 64): DataFrame =
     corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("ex_id"), col("embedding").as("ex_e"),
-        Similarity.hyperplaneBucket("embedding", planes).as("bucket"),
-        lit(planes).as("planes"))
+        Similarity.hyperplaneBucket("embedding", planes, dims).as("bucket"),
+        lit(planes).as("planes"),
+        lit(dims).as("dims"))
 
   /** Semantic dedup of incoming vectors against a persisted
     * [[buildEmbedIndex]] table: candidates are same-bucket pairs (the d06
@@ -619,7 +621,9 @@ object Dedup {
     // Guard against a planes mismatch with the persisted index: buckets from
     // different hyperplane counts never collide, so every arrival would be
     // reported `new` with no error. One-row scalar read, same class as the
-    // ingest max-id lookups — not a data-plane collect.
+    // ingest max-id lookups — not a data-plane collect. The vector width
+    // follows the index's persisted dims where present (the banded route's
+    // discipline); the `dims` parameter is only the legacy-index fallback.
     if (index.columns.contains("planes"))
       index.select(col("planes")).head(1).foreach { r =>
         val ip = r.getInt(0)
@@ -627,10 +631,15 @@ object Dedup {
           s"embedding index was built with planes=$ip but caller passed planes=$planes; " +
             "bucket keys would silently never match")
       }
+    val idims =
+      if (index.columns.contains("dims"))
+        index.select(col("dims")).head(1).map(_.getInt(0)).headOption
+          .getOrElse(dims)
+      else dims
     val valid = incoming.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === dims)
+      size(col("embedding")) === idims)
     val inb = valid.select(col("vec_id"), col("embedding").as("e"),
-      Similarity.hyperplaneBucket("embedding", planes).as("bucket"))
+      Similarity.hyperplaneBucket("embedding", planes, idims).as("bucket"))
     val best = inb.join(index, Seq("bucket"))
       .withColumn("cosine", Similarity.dot("e", "ex_e")
         / (sqrt(Similarity.dot("e", "e")) * sqrt(Similarity.dot("ex_e", "ex_e"))))
@@ -642,7 +651,7 @@ object Dedup {
     incoming.select(col("vec_id"), col("embedding"))
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"),
-        when(col("embedding").isNull || size(col("embedding")) =!= dims,
+        when(col("embedding").isNull || size(col("embedding")) =!= idims,
           "invalid")
           .when(col("match_id").isNotNull, "near")
           .otherwise("new").as("verdict"),

@@ -650,12 +650,16 @@ object LogStream {
     val spark = batch.sparkSession
     val idx = graft.ops.Dedup.readEmbedIndex(spark, indexRoot,
       beforeBatch = batchId)
-    val planes = idx.select(col("planes")).head().getInt(0)
+    val hasDims = idx.columns.contains("dims")
+    val geo = idx.select(col("planes") +:
+      (if (hasDims) Seq(col("dims")) else Nil): _*).head()
+    val planes = geo.getInt(0)
+    val dims = if (hasDims) geo.getInt(1) else 64
     val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
-      .embedDedupAgainstIndex(batch, idx, minCosine, planes))
+      .embedDedupAgainstIndex(batch, idx, minCosine, planes, dims))
     val learned = graft.ops.Dedup.buildEmbedIndex(
       batch.join(verdicts.filter(col("verdict") === "new")
-        .select(col("vec_id")), Seq("vec_id")), planes)
+        .select(col("vec_id")), Seq("vec_id")), planes, dims)
       .withColumn("batch_id", lit(batchId))
     withDynamicOverwrite(spark) {
       learned.write.mode("overwrite").partitionBy("batch_id")

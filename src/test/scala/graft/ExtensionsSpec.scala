@@ -211,6 +211,22 @@ class ExtensionsSpec extends GraftSpec {
       .select(graft.functions.HyperplaneBucket(col("embedding"), planes, 64))
       .collect()(0)
     assert(short.getInt(0) === 0)
+    // optional 4th arg: the SQL surface exposes the banding offset (table
+    // t of a banded index keys on offset t*planes)
+    val offRows = vecs
+      .withColumn("via_fn4", expr(s"hyperplane_bucket(embedding, $planes, 64, 8)"))
+      .withColumn("native4",
+        graft.functions.HyperplaneBucket(col("embedding"), planes, 64, 8))
+      .select("via_fn4", "native4").collect()
+    offRows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    assert(offRows.map(_.getInt(0)).toSeq !=
+      rows.map(_.getInt(1)).toSeq, "offset 8 must draw different planes")
+    // arity guard still rejects a missing dims argument
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4)").collect()
+    }
+    assert(err.getCondition != null &&
+      err.getCondition.startsWith("WRONG_NUM_ARGS"))
   }
 
   test("native parse_str_array equals the from_json formulation") {
