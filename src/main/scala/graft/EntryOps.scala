@@ -1085,9 +1085,9 @@ object EntryOps {
     * duplicate is still an eval leak), duplicates outrank admission, and
     * an arrival a gate REFUSES — a null/wrong-dimension embedding, or a
     * null/empty text whose hash and shingle gates produce no rows — is
-    * `quarantine_unverifiable`, never admitted (this fixture's arrivals
-    * all carry valid text and embeddings — the tier is driven by the
-    * stream and ops specs)
+    * `quarantine_unverifiable`, never admitted (the planted −1/−2
+    * refusal arrivals put this tier under the hash gate; the stream spec
+    * drives the precedence against positive semantic evidence)
     * — with every gate's evidence columns carried for audit. Fixture: the
     * t08 planted corpus, `% 10 = 7` cohort as arrivals (planted
     * contamination lands on ≡ 47 mod 230), the rest as corpus; all three
@@ -1110,9 +1110,22 @@ object EntryOps {
     val embIdx = Dedup.buildEmbedIndexBanded(corpusE, planes)
     val evalIdx = Dedup.buildEvalGramIndex(
       d.filter(col("doc_id") % 100 === 0), n = 8)
+    // planted REFUSAL arrivals put the quarantine_unverifiable tier under
+    // the hash gate (not only the stream spec): −1 carries a valid but
+    // novel embedding with NULL text (text/contamination gates cannot
+    // run), −2 refuses both gates (empty text + NULL embedding). Both
+    // must come back quarantine_unverifiable with text_verdict 'invalid'.
+    val pvSql = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    val plantedRefusals = spark.sql(
+      s"""SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text,
+                 $pvSql AS embedding
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT), '', CAST(NULL AS ARRAY<FLOAT>)""")
     val arrivals = d.filter(col("doc_id") % 10 === 7)
       .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
         Seq("doc_id"))
+      .unionByName(plantedRefusals)
     Dedup.admitAgainstIndexes(arrivals, textIdx, embIdx, evalIdx)
   }
 
@@ -4014,6 +4027,9 @@ object EntryOps {
     * [[duckSimhash64Sig]] both define a CTE `w`, so the contamination
     * side inlines its own) — joined on the arrival set and folded through
     * the severity-precedence CASE (contamination > duplicate > admit).
+    * The `arr` CTE carries each arrival's text and embedding, including
+    * the two planted REFUSAL literals (−1 null text / valid novel
+    * embedding, −2 empty text / null embedding) mirroring the entry.
     */
   private def duckAdmissionOracle: String = {
     val ham = (1 to 64).map(i =>
@@ -4021,6 +4037,8 @@ object EntryOps {
       .mkString(" + ")
     val gram8 = (0 until 8).map(j => s"l[i + $j]").mkString(" || ' ' || ")
     val off = "tt.t * pl.p"
+    val pv = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
+      .mkString("[", ", ", "]")
     s"""WITH ev0 AS (SELECT doc_id AS ev_id,
                 array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS snippet
               FROM documents WHERE doc_id % 100 = 0),
@@ -4029,9 +4047,13 @@ object EntryOps {
                           AND ev0.snippet IS NOT NULL
                      THEN d.text || ' ' || ev0.snippet ELSE d.text END AS text
               FROM documents d LEFT JOIN ev0 ON (d.doc_id // 100) * 100 = ev0.ev_id),
-          arr AS (SELECT c.doc_id FROM corpus c
+          arr AS (SELECT c.doc_id, c.text, ae.embedding FROM corpus c
                   JOIN embeddings ae ON ae.vec_id = c.doc_id
-                  WHERE c.doc_id % 10 = 7),
+                  WHERE c.doc_id % 10 = 7
+                  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR),
+                    CAST($pv AS FLOAT[])
+                  UNION ALL SELECT CAST(-2 AS BIGINT), '',
+                    CAST(NULL AS FLOAT[])),
           ${duckSimhash64Sig(source = "corpus")},
           texi AS (SELECT doc_id FROM corpus WHERE doc_id % 10 != 7),
           texh AS (SELECT md5(c.text) AS h, c.doc_id AS ex_id
@@ -4051,13 +4073,13 @@ object EntryOps {
                     SELECT doc_id, ex_id, CAST($ham AS BIGINT) AS hamming
                     FROM tcand) WHERE hamming <= 3 GROUP BY 1),
           tver AS (SELECT a.doc_id,
-                   CASE WHEN c.text IS NULL OR length(c.text) = 0
+                   CASE WHEN a.text IS NULL OR length(a.text) = 0
                           THEN 'invalid'
                         WHEN tx.exact_id IS NOT NULL THEN 'exact'
                         WHEN tn.near_id IS NOT NULL THEN 'near'
                         ELSE 'new' END AS text_verdict,
                    COALESCE(tx.exact_id, tn.near_id) AS text_match
-                   FROM arr a JOIN corpus c USING (doc_id)
+                   FROM arr a
                    LEFT JOIN text_ tx ON tx.doc_id = a.doc_id
                    LEFT JOIN tnear tn ON tn.doc_id = a.doc_id),
           bcorp AS (SELECT vec_id, embedding FROM embeddings
@@ -4073,11 +4095,12 @@ object EntryOps {
           kcap AS (SELECT band, key FROM kb GROUP BY 1, 2
                    HAVING count(*) <= 64),
           kbk AS (SELECT kb.* FROM kb JOIN kcap USING (band, key)),
-          babnd AS (SELECT a.doc_id, ae.embedding AS e, tt.t AS band,
-                 ${duckHyperplaneBucketDynOff("ae.embedding", "pl.p", off)} AS key
-                 FROM arr a JOIN embeddings ae ON ae.vec_id = a.doc_id
+          babnd AS (SELECT a.doc_id, a.embedding AS e, tt.t AS band,
+                 ${duckHyperplaneBucketDynOff("a.embedding", "pl.p", off)} AS key
+                 FROM arr a
                  CROSS JOIN pl
-                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt),
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt
+                 WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64),
           bcnd AS (SELECT DISTINCT a.doc_id, k.ex_id,
                  ${duckCosine("a.e", "k.ex_e")} AS cosine
                  FROM babnd a JOIN kbk k USING (band, key)),
@@ -4086,7 +4109,9 @@ object EntryOps {
                    PARTITION BY doc_id ORDER BY cosine DESC, ex_id ASC) AS rn
                  FROM bcnd WHERE cosine >= 0.9) WHERE rn = 1),
           bver AS (SELECT a.doc_id,
-                   CASE WHEN b.embed_match IS NOT NULL THEN 'near'
+                   CASE WHEN a.embedding IS NULL OR len(a.embedding) != 64
+                          THEN 'invalid'
+                        WHEN b.embed_match IS NOT NULL THEN 'near'
                         ELSE 'new' END AS embed_verdict,
                    b.embed_match, b.cosine AS embed_cosine
                    FROM arr a LEFT JOIN bbst b ON b.doc_id = a.doc_id),
