@@ -63,6 +63,24 @@ object EntryOps {
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsLsh(emb(spark, dir), minCosine = 0.3)
 
+  /** d31 — corpus-wide embedding near-dup pairs at the DEPLOYMENT
+    * geometry ([[graft.ops.Dedup.embedNearDupBanded]]): p grown with the
+    * corpus (smallest ≥ 4 with 2^p · 48 ≥ N — constant expected bucket
+    * size, bounded self-join) × 4 independent tables recovering the
+    * recall the growth sheds. The scale-safe batch sibling of d06's
+    * fixed-4-plane route, completing the matrix the incremental side
+    * already has (d17 fixed ↔ d25/d29 grown): at ×100 the d06 shape
+    * trends quadratic (the d17 0.71 signature) while this one's
+    * per-bucket population is constant by construction. Same output
+    * contract as d05/d06 (id1 < id2, cosine ≥ 0.3).
+    */
+  def embedNearDupBandedGrown(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.filter(col("embedding").isNotNull).count()
+    val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
+    graft.ops.Dedup.embedNearDupBanded(e, minCosine = 0.3, planes)
+  }
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(emb(spark, dir), minCosine = 0.3)
 
@@ -4559,6 +4577,29 @@ object EntryOps {
                  ${duckCosine("a.embedding", "b.embedding")} AS cosine
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           WHERE cosine >= 0.3 ORDER BY id1, id2""",
+    // d31: d06 at the deployment geometry — grown planes (constant bucket
+    // size) × 4 tables under the per-key df cap, DISTINCT on the
+    // deterministic pair triple collapsing multi-table collisions
+    "d31_embed_neardup_banded" ->
+      s"""WITH pl AS (SELECT min(p) AS p
+                 FROM (SELECT unnest(range(4, 31)) AS p)
+                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM embeddings
+                                         WHERE embedding IS NOT NULL)),
+          kb AS (SELECT e.vec_id, e.embedding, tt.t AS band,
+                 ${duckHyperplaneBucketDynOff("e.embedding", "pl.p", "tt.t * pl.p")} AS key
+                 FROM embeddings e CROSS JOIN pl
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt
+                 WHERE e.embedding IS NOT NULL),
+          kcap AS (SELECT band, key FROM kb GROUP BY 1, 2
+                   HAVING count(*) <= 64),
+          kbk AS (SELECT kb.* FROM kb JOIN kcap USING (band, key)),
+          prs AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+                  ${duckCosine("a.embedding", "b.embedding")} AS cosine
+                  FROM kbk a JOIN kbk b
+                    ON a.band = b.band AND a.key = b.key
+                   AND a.vec_id < b.vec_id)
+          SELECT id1, id2, cosine FROM prs
+          WHERE cosine >= 0.3 ORDER BY id1, id2""",
     "s01_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                      WHERE vec_id % 40 = 0 AND vec_id < 2000),
@@ -6402,6 +6443,7 @@ object EntryOps {
     "d04_simhash" -> (simhash _),
     "d05_embed_neardup" -> (embedNearDup _),
     "d06_embed_neardup_lsh" -> (embedNearDupLsh _),
+    "d31_embed_neardup_banded" -> (embedNearDupBandedGrown _),
     "s01_topk_brute" -> (topkBrute _),
     "s02_topk_ivf" -> (topkIvf _),
     "s03_topk_lsh" -> (topkLsh _),

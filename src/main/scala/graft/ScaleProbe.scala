@@ -96,6 +96,10 @@ object ScaleProbe {
     // r13: the composed admission pipeline — all three per-arrival gates
     // (text dedup, banded embed dedup, contamination) in one pass
     "e08_admission_pipeline",
+    // r14: corpus-wide near-dup at the deployment geometry (grown planes
+    // × 4 tables, df-capped self-join) — the batch sibling of d29, priced
+    // against d06's fixed-plane quadratic trend
+    "d31_embed_neardup_banded",
     "e07_audio_corpus", "d23_audio_dedup_incremental")
 
   private def loadavg(): Double =

@@ -693,6 +693,44 @@ object Dedup {
       .withColumn("dims", lit(dims))
   }
 
+  /** CORPUS-WIDE near-duplicate pairs through the banded grown-geometry
+    * route — the scale-safe batch sibling of
+    * [[graft.ops.Similarity.nearDupPairsLsh]] (d06): that route's FIXED
+    * plane count keeps recall but its per-bucket population grows ∝
+    * N/2^p, so the self-join trends quadratic at scale (the d17/×100
+    * signature); here the caller grows `planes` with the corpus
+    * (constant expected bucket size — bounded join) and `tables`
+    * independent tables recover the recall the growth sheds (measured at
+    * the iid 1 − (1 − r)^T prediction since the r14 distinct-plane fix,
+    * RecallAudit). Candidates are same-(band, key) pairs under the
+    * per-key df cap (mega-buckets from degenerate regions drop, the
+    * [[embedDedupAgainstIndexBanded]] discipline), band multiplicity
+    * collapses through a distinct on the deterministic (id1, id2,
+    * cosine) triple, and every pair is exact-cosine verified. Output
+    * schema is the d05/d06 contract: (id1 < id2, cosine ≥ minCosine),
+    * pair-sorted.
+    */
+  def embedNearDupBanded(corpus: DataFrame, minCosine: Double,
+      planes: Int, tables: Int = 4, maxBandFreq: Int = 64): DataFrame = {
+    val idx = buildEmbedIndexBanded(corpus, planes, tables)
+    val keep = idx.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxBandFreq)
+      .select(col("band"), col("key"))
+    val kept = idx.join(keep, Seq("band", "key"))
+    val a = kept.select(col("band"), col("key"), col("ex_id").as("id1"),
+      col("ex_e").as("e1"))
+    val b = kept.select(col("band"), col("key"), col("ex_id").as("id2"),
+      col("ex_e").as("e2"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.dot("e1", "e2")
+        / (sqrt(Similarity.dot("e1", "e1")) * sqrt(Similarity.dot("e2", "e2"))))
+      .select(col("id1"), col("id2"), col("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Semantic dedup of incoming vectors against a persisted
     * [[buildEmbedIndexBanded]] table: candidates collide in ANY of the T
     * tables (equi-join on (band, key) — never all-pairs), mega-buckets

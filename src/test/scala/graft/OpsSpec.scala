@@ -146,6 +146,30 @@ class OpsSpec extends GraftSpec {
       s"geometry must follow the index's persisted dims, got $v")
   }
 
+  test("corpus-wide banded near-dup finds the planted pair a single " +
+      "16-plane table misses; pairs are distinct and ordered") {
+    import org.apache.spark.sql.functions._
+    val vecA = (0 until 64).map(j =>
+      if (j % 3 == 0) 1.0f else if (j % 3 == 1) -1.0f else 0.5f)
+    val vecB = vecA.zipWithIndex.map { case (v, j) =>
+      if (j % 5 == 1) v + 0.8f else v }
+    def lits(id: Long, v: Seq[Float]) = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS vec_id, " +
+        v.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")") +
+        " AS embedding")
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(lits(-50L, vecA)).unionByName(lits(-100L, vecB))
+    val pairs = graft.ops.Dedup.embedNearDupBanded(corpus,
+      minCosine = 0.9, planes = 4).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    assert(pairs.contains((-100L, -50L)),
+      "the planted cos-0.926 pair must surface through some band")
+    assert(pairs.distinct.length === pairs.length,
+      "multi-table collisions must collapse to one pair row")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("multi-band LSH recalls at least the single-band candidate set") {
     // band 0 of the 8-plane bucket IS the 4-plane bucket (the plane
     // coefficients depend only on (plane, dim)), so every single-band
