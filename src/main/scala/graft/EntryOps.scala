@@ -76,7 +76,14 @@ object EntryOps {
     */
   def embedNearDupBandedGrown(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val n = e.filter(col("embedding").isNotNull).count()
+    // geometry from table METADATA, not a corpus pass (r14 verdict item 3):
+    // sizing the planes needs one integer — the corpus row count — which
+    // parquet footers (a catalog statistic at deployment) record exactly;
+    // the pre-r15 form spent a full filter+count scan to derive it. The
+    // oracle mirrors the same rule (count(*) over the table). Footer
+    // failure falls back to the scan — sizing must never refuse a corpus.
+    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      .getOrElse(e.filter(col("embedding").isNotNull).count())
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     graft.ops.Dedup.embedNearDupBanded(e, minCosine = 0.3, planes)
   }
@@ -316,16 +323,18 @@ object EntryOps {
     * rebuild — so members-per-cell stays ~48 as the corpus grows instead
     * of growing with it (d22-as-registered's fixed 8 cells made the
     * benched plan's per-arrival candidate set grow ∝ N; ×100 exponent
-    * 0.56). The corpus count is a driver-side scalar (the same sanctioned
-    * class as the rebuild rule's geometry read). When `dir` carries a
-    * pre-built index (`sem_centroids/sem_members.parquet` — the
+    * 0.56). N comes from parquet FOOTER metadata × the cohort's share of
+    * the table ([[graft.ops.ParquetMeta.rowCount]] × 9/10 — r14 verdict
+    * item 3: the pre-r15 `corpus.count()` spent a full scan to derive one
+    * integer; a sizing knob needs only the catalog statistic). When `dir`
+    * carries a pre-built index (`sem_centroids/sem_members.parquet` — the
     * Bench/ScaleProbe overlays build one UNTIMED with the same formula
     * over the same corpus), the entry prices pure query-time cost —
     * broadcast-assign + within-cell equi-join, the per-batch cost a
     * deployment pays between retrains; otherwise (the Verify path) the
-    * index builds in-plan. The oracle derives K from the same
-    * `greatest(8, ⌈count/48⌉)` over the same corpus, so both paths
-    * hash-match.
+    * index builds in-plan. The oracle derives K from the identical
+    * integer arithmetic over `count(*) FROM embeddings`, so both paths
+    * hash-match by construction.
     */
   def semDedupIncrementalGrown(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
@@ -345,7 +354,15 @@ object EntryOps {
         (spark.read.parquet(ct),
           spark.read.parquet(s"$dir/sem_members.parquet"))
       else {
-        val n = corpus.count()
+        // K from table metadata × the cohort's ingest share (vec_id % 10
+        // ≠ 0 ⇒ 9/10 of the table): footer row count, no corpus pass (r14
+        // verdict item 3) — a sizing KNOB needs an estimate, and the
+        // oracle mirrors the identical integer arithmetic, so parity is
+        // by construction. Footer failure falls back to the exact count.
+        val n = graft.ops.ParquetMeta
+          .rowCount(spark, s"$dir/embeddings.parquet")
+          .map(t => t * 9L / 10L)
+          .getOrElse(corpus.count())
         Similarity.buildSemIndex(corpus,
           nCentroids = math.max(8L, (n + 47L) / 48L).toInt)
       }
@@ -468,7 +485,12 @@ object EntryOps {
     val corpus = e.filter(col("vec_id") % 10 <= 6)
     val root = java.nio.file.Files
       .createTempDirectory("graft_learn_sem").resolve("root").toString
-    val n = corpus.count()
+    // K from table metadata × the cohort share (% 10 ≤ 6 ⇒ 7/10) — the
+    // d26 footer-sizing rule; see semDedupIncrementalGrown
+    val n = graft.ops.ParquetMeta
+      .rowCount(spark, s"$dir/embeddings.parquet")
+      .map(t => t * 7L / 10L)
+      .getOrElse(corpus.count())
     val (centroids, members) = Similarity.buildSemIndex(corpus,
       nCentroids = math.max(8L, (n + 47L) / 48L).toInt)
     centroids.write.parquet(s"$root/centroids")
@@ -3027,6 +3049,142 @@ object EntryOps {
         col("f.video_tracks"), col("f.audio_tracks"))
       .orderBy(col("asset_id"))
 
+  /** m21 fixture — spec-valid ISO-BMFF files WITH full sample tables,
+    * synthesized in-plan from doc_id: `ftyp` (m14's brand cycle), `moov`
+    * holding `mvhd` plus 1–3 complete `trak`/`mdia`(`mdhd`+`hdlr`)/`minf`/
+    * `stbl` chains where, per track t (k = doc_id + t):
+    *  - `stsz`: ns = k%5+2 samples; constant-size branch (k even: one
+    *    sample_size k%7+10, no table) vs explicit-table branch (k odd:
+    *    sample j sized (k·7+j·3)%50+8);
+    *  - `stts`: two runs [(2, d1), (ns−2, d1+50)] when ns ≥ 4, else one
+    *    [(ns, d1)], d1 = k%4+100 — in `mdhd` timescale 500·(k%3+1);
+    *  - `stsc`: ns even → one run (1, ns/2) over both chunks; odd → runs
+    *    (1, ⌈ns/2⌉), (2, ⌊ns/2⌋) — distributing EXACTLY ns samples;
+    *  - `stco` offsets {48, 96} (always inside the file), or `co64` with
+    *    the same offsets 64-bit when k%11 = 4;
+    * then an `mdat` of filler. Refusal branches, each a distinct failure
+    * the decoder must catch rather than misread: doc_id%37 = 11 replaces
+    * ftyp (→ "unknown"); %17 = 3 omits moov; %43 = 9 appends a top-level
+    * `moof` (fragmented — moov-level tables are not the inventory);
+    * %29 = 10 inflates the first stts run count by 1 (stts ≠ stsz — the
+    * contradictory-tables case); %41 = 7 points the second chunk offset
+    * past EOF (the bounds check).
+    */
+  def mp4SampleAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("nt", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("fill", (col("doc_id") % 16 + 12).cast("int"))
+    def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
+    def u64hex(e: String) = s"lpad(hex($e), 16, '0')"
+    val brandHex = "CASE doc_id % 3 WHEN 0 THEN '69736F6D' " +
+      "WHEN 1 THEN '6D703432' ELSE '61766331' END"
+    val ftypHex = s"IF(doc_id % 37 = 11, " +
+      "concat('00000010', '66726565', repeat('00', 8)), " +
+      s"concat('00000010', '66747970', $brandHex, '00000000'))"
+    // one trak chain per unrolled t; every box size is the exact sum of its
+    // children so the decoder's overrun checks see a well-formed tree
+    def trakHex(t: Int): String = {
+      val k = s"(doc_id + $t)"
+      val ns = s"($k % 5 + 2)"
+      val isConst = s"($k % 2 = 0)"
+      val csz = s"($k % 7 + 10)"
+      val d1 = s"($k % 4 + 100)"
+      val d2 = s"($k % 4 + 150)"
+      val mts = s"(500 * ($k % 3 + 1))"
+      val ticks = s"IF($ns >= 4, 2 * $d1 + ($ns - 2) * $d2, $ns * $d1)"
+      val contra = s"IF(doc_id % 29 = 10, 1, 0)"
+      val co64 = s"($k % 11 = 4)"
+      val handlerHex = s"CASE $k % 3 WHEN 0 THEN '76696465' " +
+        "WHEN 1 THEN '736F756E' ELSE '74657874' END"
+      val ne = s"IF($ns >= 4, 2, 1)"
+      val nsc = s"IF($ns % 2 = 0, 1, 2)"
+      val sStts = s"(16 + 8 * $ne)"
+      val sStsc = s"(16 + 12 * $nsc)"
+      val sStsz = s"(20 + IF($isConst, 0, 4 * $ns))"
+      val sSco = s"IF($co64, 32, 24)"
+      val sStbl = s"(8 + $sStts + $sStsc + $sStsz + $sSco)"
+      val sMinf = s"(8 + $sStbl)"
+      val sMdia = s"(8 + 32 + 33 + $sMinf)"
+      val sTrak = s"(8 + $sMdia)"
+      val sttsEntries = s"""IF($ns >= 4,
+          concat(${u32hex(s"2 + $contra")}, ${u32hex(d1)},
+                 ${u32hex(s"$ns - 2")}, ${u32hex(d2)}),
+          concat(${u32hex(s"$ns + $contra")}, ${u32hex(d1)}))"""
+      val stscEntries = s"""IF($ns % 2 = 0,
+          concat('00000001', ${u32hex(s"$ns div 2")}, '00000001'),
+          concat('00000001', ${u32hex(s"($ns + 1) div 2")}, '00000001',
+                 '00000002', ${u32hex(s"$ns div 2")}, '00000001'))"""
+      val stszEntries = (0 until 6).map { j =>
+        s"IF(NOT $isConst AND $j < $ns, ${u32hex(s"($k * 7 + $j * 3) % 50 + 8")}, '')"
+      }.mkString("concat(", ", ", ")")
+      val off2 = s"IF(doc_id % 41 = 7, 1000000, 96)"
+      val scoHex = s"""IF($co64,
+          concat('00000020', '636F3634', '00000000', '00000002',
+                 ${u64hex("48")}, ${u64hex(off2)}),
+          concat('00000018', '7374636F', '00000000', '00000002',
+                 ${u32hex("48")}, ${u32hex(off2)}))"""
+      s"""IF($t < nt, concat(
+          ${u32hex(sTrak)}, '7472616B',
+          ${u32hex(sMdia)}, '6D646961',
+          '00000020', '6D646864', '00000000', repeat('00', 8),
+            ${u32hex(mts)}, ${u32hex(ticks)}, repeat('00', 4),
+          '00000021', '68646C72', '00000000', '00000000', $handlerHex,
+            repeat('00', 12), '00',
+          ${u32hex(sMinf)}, '6D696E66',
+          ${u32hex(sStbl)}, '7374626C',
+          ${u32hex(sStts)}, '73747473', '00000000', ${u32hex(ne)}, $sttsEntries,
+          ${u32hex(sStsc)}, '73747363', '00000000', ${u32hex(nsc)}, $stscEntries,
+          ${u32hex(sStsz)}, '7374737A', '00000000',
+            IF($isConst, ${u32hex(csz)}, '00000000'), ${u32hex(ns)}, $stszEntries,
+          $scoHex), '')"""
+    }
+    val trakSizes = (0 until 3).map { t =>
+      val k = s"(doc_id + $t)"
+      val ns = s"($k % 5 + 2)"
+      s"""IF($t < nt, 8 + 8 + 32 + 33 + 8 + 8 +
+          (16 + 8 * IF($ns >= 4, 2, 1)) + (16 + 12 * IF($ns % 2 = 0, 1, 2)) +
+          (20 + IF($k % 2 = 0, 0, 4 * $ns)) + IF($k % 11 = 4, 32, 24), 0)"""
+    }.mkString(" + ")
+    val mvhdHex = s"concat('0000006C', '6D766864', '00000000', repeat('00', 8), " +
+      s"${u32hex("600 * (doc_id % 4 + 1)")}, ${u32hex("doc_id % 9000 + 100")}, repeat('00', 80))"
+    val moovHex = s"""IF(doc_id % 17 = 3,
+        concat('00000010', '66726565', repeat('00', 8)),
+        concat(${u32hex(s"8 + 108 + ($trakSizes)")}, '6D6F6F76', $mvhdHex,
+               ${(0 until 3).map(trakHex).mkString("concat(", ", ", ")")}))"""
+    val mdatHex = s"concat(${u32hex("8 + fill")}, '6D646174', repeat('AB', fill))"
+    val moofHex = "IF(doc_id % 43 = 9, " +
+      "concat('00000010', '6D6F6F66', repeat('00', 8)), '')"
+    d.withColumn("payload_hex",
+        expr(s"concat($ftypHex, $moovHex, $mdatHex, $moofHex)"))
+      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m21 — the ISO-BMFF SAMPLE-TABLE walk ([[graft.functions.Mp4SampleTables]],
+    * stsz/stts/stsc/stco/co64 per trak) over [[mp4SampleAssets]], exploded
+    * to one row per (asset, track): handler, media timescale, sample count,
+    * duration, byte totals, chunk count — the per-track inventory a video
+    * pipeline filters on with zero codec work. Refused assets (fragmented
+    * moof, contradictory tables, out-of-bounds chunk offsets, no moov)
+    * surface as a single null-track row, never as plausible numbers. The
+    * oracle derives every field from the doc_id formulas analytically —
+    * the decoder walks real bytes, the oracle never sees one.
+    */
+  def mp4SampleWalk(spark: SparkSession, dir: String): DataFrame =
+    mp4SampleAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Mp4SampleTables(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format"), col("f.brand"),
+        posexplode_outer(col("f.tracks")).as(Seq("p", "trk")))
+      .select(col("asset_id"), col("format"), col("brand"),
+        col("trk.trak_idx").as("trak_idx"), col("trk.handler").as("handler"),
+        col("trk.timescale").as("timescale"),
+        col("trk.sample_count").as("sample_count"),
+        col("trk.duration_ms").as("duration_ms"),
+        col("trk.total_bytes").as("total_bytes"),
+        col("trk.avg_sample_bytes").as("avg_sample_bytes"),
+        col("trk.chunk_count").as("chunk_count"))
+      .orderBy(col("asset_id"), col("trak_idx"))
+
   /** m08 fixture — VALID GIF89a payloads synthesized in-plan from doc_id:
     * a 128-color global palette (entry i = (i, 5i%256, 11i%256) — a Scala
     * constant embedded as hex), w/h cycling like m05/m06, pixel j carrying
@@ -3589,15 +3747,20 @@ object EntryOps {
     * K = greatest(8, ⌈count/targetCell⌉), seeds = the K smallest vec_ids
     * (the same deterministic sample `refinedAssignment` takes). Integer
     * arithmetic only, so the Spark side's `max(8L, (n + tc−1) / tc)`
-    * matches bit-for-bit.
+    * matches bit-for-bit. `countExpr` overrides the corpus count with the
+    * Spark side's METADATA sizing rule (footer row count × cohort share,
+    * r14 verdict item 3) — integer arithmetic again, so the two sides
+    * derive the identical K without either scanning the corpus for it.
     */
-  private def duckRefinedAssignGrown(source: String, targetCell: Int): String =
-    s"""nk AS (SELECT greatest(8, (count(*) + ${targetCell - 1}) // $targetCell) AS k
-               FROM $source),
+  private def duckRefinedAssignGrown(source: String, targetCell: Int,
+      countExpr: Option[String] = None): String = {
+    val cnt = countExpr.getOrElse(s"(SELECT count(*) FROM $source)")
+    s"""nk AS (SELECT greatest(8, ($cnt + ${targetCell - 1}) // $targetCell) AS k),
           cent AS (SELECT vec_id AS cid, embedding AS ce FROM (
                    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id ASC) AS rn
                    FROM $source) WHERE rn <= (SELECT k FROM nk)),
           ${duckRefinedAssignTail(source)}"""
+  }
 
   /** Shared tail of [[duckRefinedAssign]]/[[duckRefinedAssignGrown]]: seed
     * assignment → one 2²⁰-quantized Lloyd round → final assignment, ending
@@ -3886,7 +4049,8 @@ object EntryOps {
                  FROM v$n WHERE verdict = 'keep')"""
     s"""WITH scorpus AS (SELECT vec_id, embedding FROM embeddings
                  WHERE vec_id % 10 <= 6),
-          ${duckRefinedAssignGrown("scorpus", 48)},
+          ${duckRefinedAssignGrown("scorpus", 48,
+             Some("7 * (SELECT count(*) FROM embeddings) // 10"))},
           m0 AS (SELECT vec_id AS ex_id, bucket AS cell,
                  embedding AS ex_e FROM asg2),
           a0 AS (SELECT vec_id, embedding AS e FROM embeddings
@@ -4579,12 +4743,14 @@ object EntryOps {
           WHERE cosine >= 0.3 ORDER BY id1, id2""",
     // d31: d06 at the deployment geometry — grown planes (constant bucket
     // size) × 4 tables under the per-key df cap, DISTINCT on the
-    // deterministic pair triple collapsing multi-table collisions
+    // deterministic pair triple collapsing multi-table collisions. The
+    // plane count derives from the TABLE row count (the Spark side's
+    // parquet-footer statistic — r14 verdict item 3), not a filtered
+    // corpus count: sizing is a knob, and both sides use the same rule.
     "d31_embed_neardup_banded" ->
       s"""WITH pl AS (SELECT min(p) AS p
                  FROM (SELECT unnest(range(4, 31)) AS p)
-                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM embeddings
-                                         WHERE embedding IS NOT NULL)),
+                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM embeddings)),
           kb AS (SELECT e.vec_id, e.embedding, tt.t AS band,
                  ${duckHyperplaneBucketDynOff("e.embedding", "pl.p", "tt.t * pl.p")} AS key
                  FROM embeddings e CROSS JOIN pl
@@ -5150,6 +5316,53 @@ object EntryOps {
                 ELSE CAST(len(list_filter(range(0, nt),
                   t -> (doc_id + t) % 3 = 1)) AS BIGINT) END AS audio_tracks
          FROM base ORDER BY asset_id""",
+    // m21: every per-track field derived analytically from the fixture's
+    // doc_id formulas (the decoder walks real bytes; the oracle never sees
+    // one). Integer floor arithmetic throughout (// in DuckDB, Long / in
+    // the decoder) so duration_ms and avg_sample_bytes hash-match exactly.
+    "m21_mp4_sample_tables" ->
+      """WITH base AS (SELECT doc_id,
+             doc_id % 3 + 1 AS nt,
+             doc_id % 37 = 11 AS noftyp,
+             (doc_id % 17 = 3 OR doc_id % 43 = 9 OR doc_id % 29 = 10
+              OR doc_id % 41 = 7) AS refused,
+             CASE doc_id % 3 WHEN 0 THEN 'isom'
+                  WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand
+             FROM documents),
+          trk AS (SELECT doc_id, brand, t, doc_id + t AS k
+             FROM base CROSS JOIN (SELECT unnest(range(0, 3)) AS t) tt
+             WHERE NOT noftyp AND NOT refused AND t < nt),
+          vals AS (SELECT doc_id, brand, t, k,
+             k % 5 + 2 AS ns,
+             k % 2 = 0 AS isconst,
+             k % 7 + 10 AS csz,
+             k % 4 + 100 AS d1,
+             500 * (k % 3 + 1) AS mts,
+             CASE k % 3 WHEN 0 THEN 'vide'
+                  WHEN 1 THEN 'soun' ELSE 'text' END AS handler
+             FROM trk),
+          vals2 AS (SELECT *,
+             CASE WHEN isconst THEN ns * csz
+                  ELSE list_sum(list_transform(range(0, ns),
+                         j -> (k * 7 + j * 3) % 50 + 8)) END AS total_bytes,
+             CASE WHEN ns >= 4 THEN 2 * d1 + (ns - 2) * (d1 + 50)
+                  ELSE ns * d1 END AS ticks
+             FROM vals)
+         SELECT doc_id AS asset_id, 'mp4' AS format, brand,
+           CAST(t AS BIGINT) AS trak_idx, handler,
+           CAST(mts AS BIGINT) AS timescale,
+           CAST(ns AS BIGINT) AS sample_count,
+           CAST(ticks * 1000 // mts AS BIGINT) AS duration_ms,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST(total_bytes // ns AS BIGINT) AS avg_sample_bytes,
+           CAST(2 AS BIGINT) AS chunk_count
+         FROM vals2
+         UNION ALL
+         SELECT doc_id, CASE WHEN noftyp THEN 'unknown' ELSE 'mp4' END,
+           CASE WHEN noftyp THEN NULL ELSE brand END,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         FROM base WHERE noftyp OR refused
+         ORDER BY asset_id, trak_idx""",
     "m12_ppm_dhash" -> {
       def fp(j: String) =
         s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
@@ -5262,7 +5475,8 @@ object EntryOps {
     "d26_semdedup_grown" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
                  WHERE vec_id % 10 != 0),
-          ${duckRefinedAssignGrown("corpus", 48)},
+          ${duckRefinedAssignGrown("corpus", 48,
+             Some("9 * (SELECT count(*) FROM embeddings) // 10"))},
           arr0 AS (SELECT vec_id, embedding AS e FROM embeddings
                  WHERE vec_id % 10 = 0
                  UNION ALL SELECT CAST(-1 AS BIGINT), NULL
@@ -6507,6 +6721,7 @@ object EntryOps {
     "m10_gif_frames" -> (gifFrameTable _),
     "m11_mpeg_frames" -> (mpegFrames _),
     "m14_mp4_boxes" -> (mp4Boxes _),
+    "m21_mp4_sample_tables" -> (mp4SampleWalk _),
     "m12_ppm_dhash" -> (ppmDhash _),
     "d13_image_neardup" -> (imageNearDup _),
     "m13_wav_dhash" -> (wavDhash _),

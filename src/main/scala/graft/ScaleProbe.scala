@@ -286,7 +286,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     val json =
-      s"""{"sf":"$sfName","mult":$mult,"gate_load":$gateLoad,"stat":"median_of_3","queries":$body}"""
+      s"""{"sf":"$sfName","mult":$mult,"gate_load":$gateLoad,"stat":"median_of_3","contrasts":${SparkEntry.contrastsJson},"queries":$body}"""
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

@@ -344,6 +344,30 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     coreOracles ++ EntryOps.oracles ++ EntryOps.indexSplitOracles
 
+  /** Fixed-geometry CONTRAST routes (r14 verdict item 2, one canonical
+    * place): each is CORRECT and oracle-green but deliberately keeps a
+    * geometry that does NOT grow with the corpus, so its per-bucket /
+    * per-cluster population grows ∝ N and its ×100 trend is super-linear
+    * BY CONSTRUCTION — it exists to price what the grown-geometry
+    * deployment sibling (the value here) buys. Benches and scale probes
+    * carry this map into their artifacts (`contrasts` in
+    * bench_detail.json) so no headline number with a known super-linear
+    * trend travels unlabeled; docs/BENCH_NOTES.md holds the full table
+    * with each pair's measured ×100 exponents. Deployment users take the
+    * sibling; the contrast stays registered because the PAIRING is the
+    * evidence (d22-vs-d26 is how the grown-K claim was established).
+    */
+  val contrasts: Map[String, String] = Map(
+    "d06_embed_neardup_lsh" -> "d31_embed_neardup_banded",
+    "d16_semantic_dedup" -> "d26_semdedup_grown",
+    "d17_embed_dedup_incremental" -> "d29_embed_dedup_banded",
+    "d22_semdedup_incremental" -> "d26_semdedup_grown")
+
+  /** [[contrasts]] rendered as a JSON object (artifact embedding). */
+  def contrastsJson: String = contrasts.toSeq.sorted
+    .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    .mkString("{", ",", "}")
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hits_by_type" -> (hitsByType _),
     "q02_grand_totals" -> (grandTotals _),

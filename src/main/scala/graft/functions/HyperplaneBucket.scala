@@ -34,6 +34,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 case class HyperplaneBucket(child: Expression, planes: Int, dims: Int,
     offset: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  // A negative offset pushes the truncated % residues into [-16, 16], so
+  // components leave the documented exact-dyadic [-1, 1] family and the
+  // distinct-plane argument no longer applies — the geometry would degrade
+  // silently (DuckDB's % happens to agree, so parity would HIDE it). The
+  // offset is a table index (t·planes), never meaningfully negative; fail
+  // at analysis time instead (reachable from SQL via the optional 4th arg).
+  require(offset >= 0,
+    s"hyperplane_bucket offset must be >= 0 (got $offset): negative plane " +
+      "indices leave the exact-dyadic coefficient family")
   override def dataType: DataType = IntegerType
 
   // array<double> input would silently read wrong buckets (getFloat over
@@ -54,6 +63,22 @@ case class HyperplaneBucket(child: Expression, planes: Int, dims: Int,
 }
 
 object HyperplaneBucket {
+  /** Coefficient-FAMILY version of the deterministic hyperplanes this class
+    * draws — persisted as `hp_family` on every embedding-index row
+    * ([[graft.ops.Dedup.buildEmbedIndex]] /
+    * [[graft.ops.Dedup.buildEmbedIndexBanded]]) so a reader can detect an
+    * index whose bucket keys were computed under DIFFERENT planes: buckets
+    * from different families never collide, so a family-mismatched join
+    * silently reports every arrival `new` (zero dedup recall, duplicates
+    * admitted) — the one failure the planes/dims guards cannot see, because
+    * the GEOMETRY matches while the planes themselves don't. Family 1 was
+    * the pre-r14 single-modulus form ((i·37 + j·101) mod 17 — periodic in
+    * i with period 17); family 2 is the current mod-1009 cross-term form.
+    * Increment this whenever the coefficient formula changes, in lockstep
+    * with the DuckDB oracle mirror (EntryOps.duckHyperplaneBucket).
+    */
+  val Family: Int = 2
+
   /** Static entry point shared by interpreted eval and generated code.
     * A vector shorter than `dims` or containing a null element yields bucket
     * 0 — the SQL formulation's behavior (element_at beyond the end / a null

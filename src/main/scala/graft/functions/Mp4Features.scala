@@ -72,33 +72,33 @@ object Mp4Features {
   private def row(fmt: String, vals: Array[Any]): InternalRow =
     new GenericInternalRow(UTF8String.fromString(fmt) +: vals)
 
-  private def u32(b: Array[Byte], i: Int): Long =
+  private[functions] def u32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
-  private def u64(b: Array[Byte], i: Int): Long =
+  private[functions] def u64(b: Array[Byte], i: Int): Long =
     (u32(b, i) << 32) | u32(b, i + 4)
 
-  private def fourcc(b: Array[Byte], i: Int): Int =
+  private[functions] def fourcc(b: Array[Byte], i: Int): Int =
     (((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
 
-  private val FTYP = 0x66747970
-  private val MOOV = 0x6d6f6f76
-  private val MVHD = 0x6d766864
-  private val TRAK = 0x7472616b
-  private val MDIA = 0x6d646961
-  private val HDLR = 0x68646c72
-  private val VIDE = 0x76696465
-  private val SOUN = 0x736f756e
+  private[functions] val FTYP = 0x66747970
+  private[functions] val MOOV = 0x6d6f6f76
+  private[functions] val MVHD = 0x6d766864
+  private[functions] val TRAK = 0x7472616b
+  private[functions] val MDIA = 0x6d646961
+  private[functions] val HDLR = 0x68646c72
+  private[functions] val VIDE = 0x76696465
+  private[functions] val SOUN = 0x736f756e
 
   /** One parsed box: [payload, end) is the content span, end is where the
     * next sibling starts. Null on any malformed header (overrun, size
     * smaller than its own header, nested to-EOF size, negative largesize).
     */
-  private final class Box(val typ: Int, val payload: Int, val end: Int)
+  private[functions] final class Box(val typ: Int, val payload: Int, val end: Int)
 
-  private def parseBox(b: Array[Byte], i: Int, limit: Int,
+  private[functions] def parseBox(b: Array[Byte], i: Int, limit: Int,
       topLevel: Boolean): Box = {
     if (i + 8 > limit) return null
     val size32 = u32(b, i)
@@ -123,7 +123,7 @@ object Mp4Features {
     * when absent OR when a malformed sibling header blocks the walk —
     * callers refuse either way.
     */
-  private def findChild(b: Array[Byte], from: Int, limit: Int,
+  private[functions] def findChild(b: Array[Byte], from: Int, limit: Int,
       typ: Int): Box = {
     var i = from
     while (i < limit) {

@@ -596,7 +596,11 @@ object Dedup {
     * The `planes` value is persisted as a column: a bucket key is only
     * meaningful under the planes that produced it, and a reader bucketing
     * its arrivals with a different value would silently match nothing —
-    * [[embedDedupAgainstIndex]] validates it at read time instead.
+    * [[embedDedupAgainstIndex]] validates it at read time instead. The
+    * coefficient-FAMILY version rides alongside (`hp_family`,
+    * [[graft.functions.HyperplaneBucket.Family]]): matching geometry under
+    * different planes is the one mismatch the planes/dims columns cannot
+    * catch, and it too would silently report every arrival `new`.
     */
   def buildEmbedIndex(corpus: DataFrame, planes: Int = 4,
       dims: Int = 64): DataFrame =
@@ -604,7 +608,8 @@ object Dedup {
       .select(col("vec_id").as("ex_id"), col("embedding").as("ex_e"),
         Similarity.hyperplaneBucket("embedding", planes, dims).as("bucket"),
         lit(planes).as("planes"),
-        lit(dims).as("dims"))
+        lit(dims).as("dims"),
+        lit(graft.functions.HyperplaneBucket.Family).as("hp_family"))
 
   /** Semantic dedup of incoming vectors against a persisted
     * [[buildEmbedIndex]] table: candidates are same-bucket pairs (the d06
@@ -623,7 +628,12 @@ object Dedup {
     // reported `new` with no error. One-row scalar read, same class as the
     // ingest max-id lookups — not a data-plane collect. The vector width
     // follows the index's persisted dims where present (the banded route's
-    // discipline); the `dims` parameter is only the legacy-index fallback.
+    // discipline); the `dims` parameter is only the legacy-index fallback —
+    // legacy here means a family-stamped index missing only the dims column
+    // (the coefficient-family gate below REFUSES anything older: a pre-stamp
+    // index was keyed under planes this code cannot reproduce, and reading
+    // it would silently zero the recall, r14 advice).
+    requireFamily(index)
     if (index.columns.contains("planes"))
       index.select(col("planes")).head(1).foreach { r =>
         val ip = r.getInt(0)
@@ -691,6 +701,34 @@ object Dedup {
       .withColumn("planes", lit(planes))
       .withColumn("tables", lit(tables))
       .withColumn("dims", lit(dims))
+      .withColumn("hp_family", lit(graft.functions.HyperplaneBucket.Family))
+  }
+
+  /** The coefficient-family gate shared by both embedding-index readers:
+    * a persisted index is only readable under the EXACT hyperplane family
+    * that keyed it ([[graft.functions.HyperplaneBucket.Family]]) — a
+    * mismatched (or pre-stamp) index passes every geometry guard yet its
+    * bucket keys never collide with freshly-bucketed arrivals, so every
+    * verdict silently reads `new` and duplicates are admitted with no
+    * error anywhere. Fail loudly and force the documented rebuild instead.
+    * One-row scalar read, the planes-guard class.
+    */
+  private def requireFamily(index: DataFrame): Unit = {
+    require(index.columns.contains("hp_family"),
+      "embedding index has no hp_family column: it was persisted before the " +
+        "coefficient-family stamp, under a hyperplane family this code no " +
+        "longer computes — reading it would silently report every arrival " +
+        "'new' (zero dedup recall). Rebuild it with buildEmbedIndex / " +
+        "buildEmbedIndexBanded.")
+    index.select(col("hp_family")).head(1).foreach { r =>
+      val fam = if (r.isNullAt(0)) -1 else r.getInt(0)
+      require(fam == graft.functions.HyperplaneBucket.Family,
+        s"embedding index was keyed under hyperplane coefficient family $fam " +
+          s"but this code computes family ${graft.functions.HyperplaneBucket.Family}: " +
+          "bucket keys from different families never collide, so every " +
+          "arrival would silently report 'new'. Rebuild the index with " +
+          "buildEmbedIndex / buildEmbedIndexBanded.")
+    }
   }
 
   /** CORPUS-WIDE near-duplicate pairs through the banded grown-geometry
@@ -746,10 +784,15 @@ object Dedup {
     * code change; the `dims` parameter is only the fallback for a legacy
     * index persisted before the dims column existed (an index built at a
     * different width would otherwise silently mis-band every query).
+    * Both readers first pass the coefficient-FAMILY gate ([[requireFamily]]):
+    * an index keyed under a different (or pre-stamp) hyperplane family
+    * fails loudly with a rebuild instruction instead of silently reporting
+    * every arrival `new` — geometry columns cannot catch that mismatch.
     */
   def embedDedupAgainstIndexBanded(incoming: DataFrame, index: DataFrame,
       minCosine: Double, dims: Int = 64,
       maxBandFreq: Int = 64): DataFrame = {
+    requireFamily(index)
     val hasDims = index.columns.contains("dims")
     val geo = index.select(col("planes") +: col("tables") +:
       (if (hasDims) Seq(col("dims")) else Nil): _*).head(1)

@@ -611,7 +611,11 @@ object LogStream {
     * the banded join, `new` valid vectors banded under the INDEX's
     * geometry (planes/tables columns — the one-row scalar read class)
     * into the learned delta. Returns the barriered verdict table; the
-    * learned write has already happened.
+    * learned write has already happened. The verdict join enforces the
+    * coefficient-family gate (Dedup.requireFamily) BEFORE any learned row
+    * is written: an index keyed under a different hyperplane family fails
+    * the whole micro-batch loudly instead of silently learning every
+    * arrival as `new`.
     */
   def dedupLearningBandedBatch(batch: DataFrame, indexRoot: String,
       batchId: Long, minCosine: Double = 0.9): DataFrame = {
@@ -644,6 +648,9 @@ object LogStream {
     * the index (one-row scalar read, planes-guard class), `new` VALID
     * vectors learned into `<root>/learned/batch_id=N`. Returns the
     * barriered verdict table; the learned write has already happened.
+    * The verdict join enforces the coefficient-family gate
+    * (Dedup.requireFamily) before the learned write — see
+    * [[dedupLearningBandedBatch]].
     */
   def dedupLearningEmbedBatch(batch: DataFrame, indexRoot: String,
       batchId: Long, minCosine: Double = 0.9): DataFrame = {

@@ -79,7 +79,7 @@ class ExtensionsSpec extends GraftSpec {
       Set("reencode", "simhash16", "dot_f32", "dot_fd", "minhash_band_sigs",
         "inet_sort_key", "parse_str_array", "simhash64", "media_dims",
         "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
-        "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "jpeg_features", "jpeg_dhash", "zorder_key",
+        "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "mp4_sample_tables", "jpeg_features", "jpeg_dhash", "zorder_key",
         "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
         "hyperplane_bucket", "pq_table_sum", "pq_adc_score", "argmax_dot"))
   }
@@ -227,6 +227,30 @@ class ExtensionsSpec extends GraftSpec {
     }
     assert(err.getCondition != null &&
       err.getCondition.startsWith("WRONG_NUM_ARGS"))
+    // ... and the message names the full accepted arity set (3 or 4) —
+    // answering a 5-arg call with "expected 3" misdirects a caller who
+    // legitimately passed the optional offset (r14 advice)
+    val err5 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4, 64, 0, 9)")
+        .collect()
+    }
+    assert(err5.getMessage.contains("3 or 4"),
+      s"expected the accepted arity set in: ${err5.getMessage}")
+    // a negative offset would push the truncated-% residues outside the
+    // exact-dyadic [-1, 1] family — silently degraded geometry; it must
+    // fail at analysis time, from SQL and from the Scala API alike
+    val errNeg = intercept[Exception] {
+      spark.sql(
+        "SELECT hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4, 64, -1)")
+        .collect()
+    }
+    assert(errNeg.getMessage.contains("offset must be >= 0"),
+      s"got: ${errNeg.getMessage}")
+    val errNegApi = intercept[IllegalArgumentException] {
+      graft.functions.HyperplaneBucket(col("embedding"), 4, 64, -17)
+    }
+    assert(errNegApi.getMessage.contains("offset must be >= 0"))
   }
 
   test("native parse_str_array equals the from_json formulation") {

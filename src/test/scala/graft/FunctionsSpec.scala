@@ -1240,6 +1240,76 @@ class FunctionsSpec extends GraftSpec {
     assert(fields(mdat(16) ++ ftyp("isom"))._1 === "unknown")
   }
 
+  test("mp4_sample_tables: hand-computed stbl decodes exactly; moof, " +
+      "contradictory tables, and out-of-bounds offsets refuse") {
+    import graft.functions.Mp4SampleTables
+    def u32(x: Long) = Array((x >> 24).toByte, (x >> 16).toByte,
+      (x >> 8).toByte, x.toByte)
+    def u64(x: Long) = u32(x >>> 32) ++ u32(x & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ payload)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0))
+    val mvhd = full("mvhd", u32(0) ++ u32(0) ++ u32(600) ++ u32(1000) ++
+      new Array[Byte](80))
+    def hdlr(h: String) = full("hdlr",
+      u32(0) ++ h.getBytes("US-ASCII") ++ new Array[Byte](13))
+    // mdhd v0: creation/modification 0, timescale 1000, duration 300, lang 0
+    val mdhd = full("mdhd", u32(0) ++ u32(0) ++ u32(1000) ++ u32(300) ++ u32(0))
+    // hand-computed sample tables: 3 samples of 10/20/30 bytes (total 60,
+    // avg 20), one stts run (3 x 100 ticks = 300 ticks @ timescale 1000 =
+    // 300 ms), chunks {1: 2 samples, 2: 1 sample} per stsc, offsets 48/96
+    def stts(firstCount: Long) = full("stts",
+      u32(1) ++ u32(firstCount) ++ u32(100))
+    def stsc(firstChunk1: Long) = full("stsc",
+      u32(2) ++ u32(firstChunk1) ++ u32(2) ++ u32(1) ++ u32(2) ++ u32(1) ++ u32(1))
+    val stsz = full("stsz", u32(0) ++ u32(3) ++ u32(10) ++ u32(20) ++ u32(30))
+    def stco(off2: Long) = full("stco", u32(2) ++ u32(48) ++ u32(off2))
+    val co64 = full("co64", u32(2) ++ u64(48) ++ u64(96))
+    def file(tables: Array[Byte]): Array[Byte] =
+      ftyp ++ box("moov", mvhd ++ box("trak", box("mdia", mdhd ++
+        hdlr("vide") ++ box("minf", box("stbl", tables))))) ++
+        box("mdat", Array.fill[Byte](200)(0xab.toByte))
+    def decode(b: Array[Byte]) = Mp4SampleTables.decode(b)
+    val good = decode(file(stts(3) ++ stsc(1) ++ stsz ++ stco(96)))
+    assert(good.getUTF8String(0).toString === "mp4")
+    assert(good.getUTF8String(1).toString === "isom")
+    val tracks = good.getArray(2)
+    assert(tracks.numElements() === 1)
+    val t0 = tracks.getStruct(0, 8)
+    assert(t0.getLong(0) === 0L)                       // trak_idx
+    assert(t0.getUTF8String(1).toString === "vide")    // handler
+    assert(t0.getLong(2) === 1000L)                    // timescale
+    assert(t0.getLong(3) === 3L)                       // sample_count
+    assert(t0.getLong(4) === 300L)                     // duration_ms
+    assert(t0.getLong(5) === 60L)                      // total_bytes
+    assert(t0.getLong(6) === 20L)                      // avg_sample_bytes
+    assert(t0.getLong(7) === 2L)                       // chunk_count
+    // co64 carries the same offsets 64-bit — identical inventory
+    val g64 = decode(file(stts(3) ++ stsc(1) ++ stsz ++ co64))
+    assert(!g64.isNullAt(2) && g64.getArray(2).getStruct(0, 8).getLong(7) === 2L)
+    def refused(b: Array[Byte]): Boolean = {
+      val r = decode(b)
+      r.getUTF8String(0).toString == "mp4" && r.isNullAt(2)
+    }
+    // fragmented: ANY top-level moof refuses (moov-level tables are not
+    // the sample inventory of a fragmented stream)
+    assert(refused(file(stts(3) ++ stsc(1) ++ stsz ++ stco(96)) ++
+      box("moof", new Array[Byte](8))))
+    // contradictory stts: run counts sum to 4, stsz says 3
+    assert(refused(file(stts(4) ++ stsc(1) ++ stsz ++ stco(96))))
+    // contradictory stsc: first run must start at chunk 1
+    assert(refused(file(stts(3) ++ stsc(2) ++ stsz ++ stco(96))))
+    // chunk offset beyond EOF
+    assert(refused(file(stts(3) ++ stsc(1) ++ stsz ++ stco(1000000))))
+    // missing stco/co64 entirely
+    assert(refused(file(stts(3) ++ stsc(1) ++ stsz)))
+    // not ISO-BMFF at all
+    assert(decode("junk".getBytes("US-ASCII")).getUTF8String(0).toString
+      === "unknown")
+  }
+
   test("all binary decoders refuse arbitrary bytes without throwing") {
     // fuzz hardening: a malicious or corrupt payload must land in the
     // honest-refusal path, never an exception (a throw in a codegen'd
@@ -1293,6 +1363,7 @@ class FunctionsSpec extends GraftSpec {
         graft.functions.PngFeatures.decode(bytes)
         graft.functions.MediaDims.parseHeader(bytes)
         graft.functions.Mp4Features.decode(bytes)
+        graft.functions.Mp4SampleTables.decode(bytes)
       } catch { case e: Throwable =>
         fail(s"decoder threw on fuzz case $i (len ${bytes.length}): $e")
       }

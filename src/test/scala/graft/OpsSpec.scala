@@ -146,6 +146,45 @@ class OpsSpec extends GraftSpec {
       s"geometry must follow the index's persisted dims, got $v")
   }
 
+  test("embed index readers enforce the coefficient-family gate: a " +
+      "mismatched or pre-stamp index fails loudly, never all-'new'") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.cos(i * 0.7) + 0.1).toFloat)
+    val corpus = Seq((10L, v)).toDF("vec_id", "embedding")
+    val arrivals = Seq((1L, v)).toDF("vec_id", "embedding")
+    // both builders stamp the CURRENT family on every row
+    val idx = graft.ops.Dedup.buildEmbedIndex(corpus)
+    val idxB = graft.ops.Dedup.buildEmbedIndexBanded(corpus)
+    val fam = graft.functions.HyperplaneBucket.Family
+    assert(idx.select("hp_family").distinct().as[Int].collect().toSeq === Seq(fam))
+    assert(idxB.select("hp_family").distinct().as[Int].collect().toSeq === Seq(fam))
+    // sanity: a family-matched read works (the gate must not break the
+    // happy path)
+    assert(graft.ops.Dedup.embedDedupAgainstIndex(arrivals, idx,
+      minCosine = 0.9).collect().head.getAs[String]("verdict") === "near")
+    // an index keyed under a DIFFERENT family passes every geometry guard
+    // (planes/tables/dims all match) but its bucket keys never collide —
+    // the reader must refuse, not silently report 'new'
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.embedDedupAgainstIndex(arrivals,
+        idx.withColumn("hp_family", lit(fam - 1)), minCosine = 0.9)
+    }
+    assert(e1.getMessage.contains("family"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.embedDedupAgainstIndexBanded(arrivals,
+        idxB.withColumn("hp_family", lit(fam - 1)), minCosine = 0.9)
+    }
+    assert(e2.getMessage.contains("family"), e2.getMessage)
+    // a pre-stamp index (no hp_family column at all) was keyed under planes
+    // this code no longer computes — same refusal, with a rebuild hint
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.embedDedupAgainstIndex(arrivals,
+        idx.drop("hp_family"), minCosine = 0.9)
+    }
+    assert(e3.getMessage.contains("hp_family"), e3.getMessage)
+  }
+
   test("corpus-wide banded near-dup finds the planted pair a single " +
       "16-plane table misses; pairs are distinct and ordered") {
     import org.apache.spark.sql.functions._
