@@ -3185,6 +3185,116 @@ object EntryOps {
         col("trk.chunk_count").as("chunk_count"))
       .orderBy(col("asset_id"), col("trak_idx"))
 
+  /** t20/d32/d33 fixture formulas — crawl-style URLs synthesized in-plan
+    * from doc_id, written once in dialect-neutral SQL (CASE/concat/%) so
+    * the Spark fixture and the DuckDB oracle build the IDENTICAL strings:
+    * the fixture messes a URL up deterministically, the native expression
+    * canonicalizes the actual bytes, and the oracle derives the canonical
+    * form analytically — the operator is checked against an independent
+    * derivation, never against itself.
+    *
+    * Base components derive from b (= doc_id − 1 for the alias classes
+    * doc_id % 10 ∈ {1, 3}, so those rows share the PREVIOUS row's
+    * resource): scheme http/https by b's parity, host example(b%50).com,
+    * an explicit :8080 kept when b % 7 = 2, path /cat(b%5)/item(b%13)
+    * (+ /view when b % 3 = 0), params a=(b%6) when b % 4 ∈ {1,3} and
+    * z=(b%9) when b % 4 ∈ {2,3}; the NEAR-alias class (doc_id % 10 = 3)
+    * adds its own extra=(doc_id%7) param — same resource family, one
+    * param apart. Mess applied per doc_id: upper-case scheme (%3 = 0),
+    * mixed-case host (%3 = 1), the scheme's default port inserted
+    * (%5 = 0, when no explicit port), a "/./" prefix (%6 = 0) or an
+    * "/x(k%4)/../" detour (%6 = 3) in the path, reversed param order
+    * (odd doc_id), a fragment (%3 = 2). doc_id % 37 = 13 is not a URL at
+    * all — the canonicalizer must refuse it to NULL.
+    */
+  private def urlSql: (String, String) = {
+    val b = "(CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 " +
+      "THEN doc_id - 1 ELSE doc_id END)"
+    val scheme = s"(CASE WHEN $b % 2 = 0 THEN 'http' ELSE 'https' END)"
+    val host = s"concat('example', $b % 50, '.com')"
+    val port = s"(CASE WHEN $b % 7 = 2 THEN ':8080' ELSE '' END)"
+    val segs = s"concat('/cat', $b % 5, '/item', $b % 13, " +
+      s"CASE WHEN $b % 3 = 0 THEN '/view' ELSE '' END)"
+    val pa = s"(CASE WHEN $b % 4 = 1 OR $b % 4 = 3 " +
+      s"THEN concat('a=', $b % 6) ELSE NULL END)"
+    val pz = s"(CASE WHEN $b % 4 = 2 OR $b % 4 = 3 " +
+      s"THEN concat('z=', $b % 9) ELSE NULL END)"
+    val pe = "(CASE WHEN doc_id % 10 = 3 " +
+      "THEN concat('extra=', doc_id % 7) ELSE NULL END)"
+    // parameter names a < extra < z, so fixed order IS the bytewise sort
+    val sortedQ = s"concat_ws('&', $pa, $pe, $pz)"
+    val canon = s"""concat($scheme, '://', $host, $port, $segs,
+        CASE WHEN $sortedQ = '' THEN '' ELSE concat('?', $sortedQ) END)"""
+    val schemeRaw = s"(CASE WHEN doc_id % 3 = 0 THEN upper($scheme) ELSE $scheme END)"
+    val hostRaw = s"(CASE WHEN doc_id % 3 = 1 " +
+      s"THEN concat('EXample', $b % 50, '.COM') ELSE $host END)"
+    val portRaw = s"""(CASE WHEN $b % 7 = 2 THEN ':8080'
+        WHEN doc_id % 5 = 0 THEN (CASE WHEN $b % 2 = 0 THEN ':80' ELSE ':443' END)
+        ELSE '' END)"""
+    val pathRaw = s"""(CASE WHEN doc_id % 6 = 0 THEN concat('/.', $segs)
+        WHEN doc_id % 6 = 3 THEN concat('/x', doc_id % 4, '/..', $segs)
+        ELSE $segs END)"""
+    val rawQ = s"""(CASE WHEN $sortedQ = '' THEN ''
+        ELSE concat('?', CASE WHEN doc_id % 2 = 1
+          THEN concat_ws('&', $pz, $pe, $pa) ELSE $sortedQ END) END)"""
+    val frag = "(CASE WHEN doc_id % 3 = 2 THEN concat('#frag', doc_id % 4) ELSE '' END)"
+    val raw = s"""(CASE WHEN doc_id % 37 = 13 THEN concat('not a url ', doc_id)
+        ELSE concat($schemeRaw, '://', $hostRaw, $portRaw, $pathRaw, $rawQ, $frag) END)"""
+    (raw, canon)
+  }
+
+  /** The raw crawl-URL table: (asset_id, raw_url) from [[urlSql]]. */
+  def urlAssets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id"), expr(urlSql._1).as("raw_url"))
+
+  /** t20 — RFC 3986 URL canonicalization over the messy crawl fixture
+    * ([[graft.functions.UrlCanonicalize]]): case-fold scheme/host, drop
+    * default ports and fragments, resolve dot-segments, sort query params;
+    * unparseable rows surface NULL (the quarantine signal), never a
+    * mangled key. The oracle reconstructs the canonical string
+    * analytically from the fixture formulas — the expression walks the
+    * actual messy bytes.
+    */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame =
+    urlAssets(spark, dir)
+      .select(col("asset_id"), col("raw_url"),
+        graft.functions.UrlCanonicalize(col("raw_url")).as("url"))
+      .orderBy(col("asset_id"))
+
+  /** d32 — EXACT URL-level dedup ([[graft.ops.Dedup.urlExact]] — the d01
+    * output contract keyed by canonical URL): the alias classes
+    * (doc_id % 10 = 1 copies its predecessor's resource under different
+    * mess) collapse into one group per resource; unparseable rows are
+    * excluded (they carry no valid key). The crawl pipeline's first dedup
+    * stage, ahead of any content hash.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.urlExact(
+      urlAssets(spark, dir).select(col("asset_id").as("doc_id"),
+        graft.functions.UrlCanonicalize(col("raw_url")).as("url")))
+
+  /** d33 — NEAR URL dedup via path-gram banding: canonical URLs tokenize
+    * on the separator class ([:/?&=]+ → host, path segments, param
+    * key/value tokens), and [[graft.ops.Dedup.ngramJaccard]] runs its
+    * df-capped inverted token-bigram index over them (candidate
+    * generation equi-join-only — the d02 machinery, whose quadratic-
+    * verify exclusion rationale does NOT apply here: a URL has ≤ ~12
+    * tokens, so per-pair verification is O(1) and the df-64 cap bounds
+    * every gram's fan-out). The near-alias class (doc_id % 10 = 3 — same
+    * resource, one extra param) surfaces at Jaccard ≥ 0.4; output is the
+    * d02/d03 pair contract.
+    */
+  def urlNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccard(
+      urlAssets(spark, dir)
+        .select(col("asset_id").as("doc_id"),
+          trim(regexp_replace(
+            graft.functions.UrlCanonicalize(col("raw_url")),
+            "[:/?&=]+", " ")).as("text"))
+        .filter(col("text").isNotNull),
+      n = 2, minJaccard = 0.4, maxDocFreq = 64)
+
   /** m08 fixture — VALID GIF89a payloads synthesized in-plan from doc_id:
     * a 128-color global palette (entry i = (i, 5i%256, 11i%256) — a Scala
     * constant embedded as hex), w/h cycling like m05/m06, pixel j carrying
@@ -5363,6 +5473,36 @@ object EntryOps {
            NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
          FROM base WHERE noftyp OR refused
          ORDER BY asset_id, trak_idx""",
+    // t20: the oracle never canonicalizes — it rebuilds the canonical
+    // string analytically from the same formulas the fixture messed it
+    // up from, so the expression's byte-walk is checked against an
+    // independent derivation
+    "t20_url_canonicalize" ->
+      s"""SELECT doc_id AS asset_id, ${urlSql._1} AS raw_url,
+            CASE WHEN doc_id % 37 = 13 THEN NULL ELSE ${urlSql._2} END AS url
+          FROM documents ORDER BY asset_id""",
+    "d32_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, ${urlSql._2} AS url FROM documents
+                     WHERE doc_id % 37 != 13)
+          SELECT url, count(*) AS n_docs, min(doc_id) AS canonical_id,
+            array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
+          FROM u GROUP BY 1 ORDER BY url""",
+    "d33_url_neardup" ->
+      s"""WITH usrc AS (SELECT doc_id,
+                 trim(regexp_replace(${urlSql._2}, '[:/?&=]+', ' ', 'g')) AS text
+                 FROM documents WHERE doc_id % 37 != 13),
+          ${duckShingles(2, "usrc")},
+          keep AS (SELECT gram FROM tri GROUP BY gram HAVING count(*) <= 64),
+          tc AS (SELECT t.doc_id, t.gram FROM tri t JOIN keep USING (gram)),
+          sz AS (SELECT doc_id, count(*) AS n FROM tc GROUP BY 1),
+          iv AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                 FROM tc a JOIN tc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT doc1, doc2, inter, n1, n2, jaccard FROM (
+            SELECT iv.doc1, iv.doc2, iv.inter, s1.n AS n1, s2.n AS n2,
+                   CAST(iv.inter AS DOUBLE) / CAST(s1.n + s2.n - iv.inter AS DOUBLE) AS jaccard
+            FROM iv JOIN sz s1 ON iv.doc1 = s1.doc_id JOIN sz s2 ON iv.doc2 = s2.doc_id)
+          WHERE jaccard >= 0.4 ORDER BY doc1, doc2""",
     "m12_ppm_dhash" -> {
       def fp(j: String) =
         s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
@@ -6722,6 +6862,9 @@ object EntryOps {
     "m11_mpeg_frames" -> (mpegFrames _),
     "m14_mp4_boxes" -> (mp4Boxes _),
     "m21_mp4_sample_tables" -> (mp4SampleWalk _),
+    "t20_url_canonicalize" -> (urlCanonical _),
+    "d32_url_dedup" -> (urlDedup _),
+    "d33_url_neardup" -> (urlNearDup _),
     "m12_ppm_dhash" -> (ppmDhash _),
     "d13_image_neardup" -> (imageNearDup _),
     "m13_wav_dhash" -> (wavDhash _),

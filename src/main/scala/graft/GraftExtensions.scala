@@ -39,7 +39,7 @@ object GraftExtensions {
     "mpeg_l1_samples" -> 1, "flac_features" -> 1, "flac_dhash" -> 1,
     "bmp_features" -> 1,
     "hyperplane_bucket" -> 3, "pq_table_sum" -> 2, "pq_adc_score" -> 3,
-    "argmax_dot" -> 4)
+    "argmax_dot" -> 4, "url_canonicalize" -> 1)
 
   /** Functions with OPTIONAL trailing arguments: any arity in the set is
     * accepted on top of the base `arities` entry (which stays the
@@ -193,6 +193,10 @@ object GraftExtensions {
             if (args.length > 3) args(3).eval().asInstanceOf[Int] else 0
           HyperplaneBucket(args.head, planes, dims, offset)
         }),
+      (FunctionIdentifier("url_canonicalize"),
+        info("url_canonicalize",
+          "url_canonicalize(url) - RFC 3986 canonical form: scheme/host case-fold, default-port drop, dot-segment resolution, sorted query params, fragment drop; NULL on unparseable input"),
+        (args: Seq[Expression]) => graft.functions.UrlCanonicalize(args.head)),
       (FunctionIdentifier("pq_table_sum"),
         info("pq_table_sum",
           "pq_table_sum(codes, table) - sum of table[m][codes[m]] over m (dense-code ADC building block; NaN on out-of-range codes)"),

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 3986 URL canonicalization — the FIRST dedup key of every crawl
+  * pipeline (fetch frontiers and CommonCrawl-style dedup collapse by
+  * canonical URL before any content hash is computed):
+  *
+  *  - scheme and host case-fold to lowercase (§6.2.2.1 — both are
+  *    case-insensitive; paths are NOT and stay untouched);
+  *  - the scheme's default port drops (§6.2.3: http :80, https :443 — an
+  *    explicit default is the same resource);
+  *  - dot-segments resolve by the spec's remove_dot_segments algorithm
+  *    (§5.2.4: "/a/./b/../c" → "/a/c", never popping above root);
+  *  - an empty path normalizes to "/" (§6.2.3);
+  *  - query parameters sort bytewise ("?z=1&a=2" → "?a=2&z=1" — parameter
+  *    order is semantically irrelevant to the overwhelming majority of
+  *    endpoints and is the largest single source of crawl URL aliasing);
+  *    duplicate keys are kept (both sorted into place), an empty query
+  *    drops its "?";
+  *  - the fragment drops (§3.5 — client-side only, never sent to the
+  *    server).
+  *
+  * Honest refusal: anything without a well-formed `scheme://host` prefix
+  * returns NULL — a crawl row with an unparseable URL must be quarantined,
+  * not grouped under a mangled key. Percent-encoding and IDN normalization
+  * are intentionally out of scope (documented; they require charset policy
+  * decisions this operator must not silently make).
+  *
+  * Codegen'd per-row string transform in the scan stage — the dedup keys
+  * leave the scan, the raw URLs need not.
+  *
+  * Reference behavior surface: jwodder/logsdb stores log URLs verbatim and
+  * never canonicalizes; this operator belongs to the training-data
+  * pipeline family (SURVEY.md §2 — crawl dedup ahead of content hashing).
+  */
+case class UrlCanonicalize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    UrlCanonicalize.canon(input.asInstanceOf[UTF8String])
+
+  // canon returns null for unparseable input even when the input is
+  // non-null — the generated code re-checks (the PpmDHash refusal pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlCanonicalize.canon($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "url_canonicalize"
+}
+
+object UrlCanonicalize {
+
+  /** Static entry point shared by interpreted eval and generated code;
+    * null on unparseable input (no scheme://host prefix).
+    */
+  def canon(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val si = s.indexOf("://")
+    if (si <= 0) return null
+    val scheme = s.substring(0, si)
+    var i = 0
+    while (i < scheme.length) {
+      val c = scheme.charAt(i)
+      val ok =
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (i > 0 && ((c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'))
+      if (!ok) return null
+      i += 1
+    }
+    val schemeLc = scheme.toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(si + 3)
+    // authority ends at the first /, ? or #
+    var ae = 0
+    while (ae < rest.length && rest.charAt(ae) != '/' &&
+        rest.charAt(ae) != '?' && rest.charAt(ae) != '#') ae += 1
+    val authority = rest.substring(0, ae)
+    val after = rest.substring(ae)
+    val ci = authority.indexOf(':')
+    val host = if (ci < 0) authority else authority.substring(0, ci)
+    if (host.isEmpty) return null
+    val hostLc = host.toLowerCase(java.util.Locale.ROOT)
+    val portStr = if (ci < 0) "" else authority.substring(ci + 1)
+    if (portStr.exists(c => c < '0' || c > '9')) return null
+    val defaultPort =
+      if (schemeLc == "http") "80" else if (schemeLc == "https") "443" else ""
+    val port =
+      if (portStr.isEmpty || portStr == defaultPort) "" else ":" + portStr
+    // split path / query / fragment
+    val qi = after.indexOf('?')
+    val fi = after.indexOf('#')
+    val pathEnd =
+      if (qi >= 0 && (fi < 0 || qi < fi)) qi else if (fi >= 0) fi else after.length
+    val rawPath = after.substring(0, pathEnd)
+    val rawQuery =
+      if (qi >= 0 && (fi < 0 || qi < fi))
+        after.substring(qi + 1, if (fi > qi) fi else after.length)
+      else ""
+    val path = if (rawPath.isEmpty) "/" else removeDotSegments(rawPath)
+    val params = rawQuery.split("&", -1).filter(_.nonEmpty)
+    val query =
+      if (params.isEmpty) "" else "?" + params.sorted.mkString("&")
+    UTF8String.fromString(schemeLc + "://" + hostLc + port + path + query)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, verbatim. */
+  private[functions] def removeDotSegments(in: String): String = {
+    val out = new StringBuilder
+    var s = in
+    while (s.nonEmpty) {
+      if (s.startsWith("../")) s = s.substring(3)
+      else if (s.startsWith("./")) s = s.substring(2)
+      else if (s.startsWith("/./")) s = "/" + s.substring(3)
+      else if (s == "/.") s = "/"
+      else if (s.startsWith("/../")) { s = "/" + s.substring(4); popSegment(out) }
+      else if (s == "/..") { s = "/"; popSegment(out) }
+      else if (s == "." || s == "..") s = ""
+      else {
+        // move the first segment (including its leading /, up to but not
+        // including the next /) to the output
+        val start = if (s.startsWith("/")) 1 else 0
+        val nx = s.indexOf('/', start)
+        if (nx < 0) { out.append(s); s = "" }
+        else { out.append(s.substring(0, nx)); s = s.substring(nx) }
+      }
+    }
+    out.toString
+  }
+
+  private def popSegment(out: StringBuilder): Unit = {
+    val idx = out.lastIndexOf("/")
+    if (idx >= 0) out.setLength(idx)
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.column(UrlCanonicalize(GraftBridge.expression(c)))
+}

@@ -54,6 +54,28 @@ object Dedup {
           x => x.cast("string")), ",").as("doc_ids"))
       .orderBy(col("content_hash"))
 
+  /** Exact URL-level dedup — [[exact]]'s output contract keyed by the
+    * CANONICAL url instead of a content hash: crawl pipelines collapse by
+    * canonical URL ([[graft.functions.UrlCanonicalize]]) before any
+    * content hash is computed, because URL aliasing (case, default ports,
+    * dot segments, parameter order, fragments) multiplies fetch and
+    * storage cost ahead of every downstream stage. One hash-partitioned
+    * aggregation on the url key — the d01 shape, no verify stage needed
+    * (the key IS the identity). Unparseable URLs (null canonical form)
+    * are excluded — they belong to a quarantine route, not under a
+    * mangled group key.
+    */
+  def urlExact(urls: DataFrame): DataFrame =
+    urls
+      .filter(col("url").isNotNull)
+      .groupBy(col("url"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_id"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .orderBy(col("url"))
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     * gram-equijoin → per-pair intersection counts → |A∩B| / |A∪B|.
     * `maxDocFreq` drops grams shared by more than that many docs (bounds join

@@ -81,7 +81,8 @@ class ExtensionsSpec extends GraftSpec {
         "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
         "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "mp4_sample_tables", "jpeg_features", "jpeg_dhash", "zorder_key",
         "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
-        "hyperplane_bucket", "pq_table_sum", "pq_adc_score", "argmax_dot"))
+        "hyperplane_bucket", "pq_table_sum", "pq_adc_score", "argmax_dot",
+        "url_canonicalize"))
   }
 
   test("dot_fd is bitwise-equal to the HOF fold in every float/double combination") {

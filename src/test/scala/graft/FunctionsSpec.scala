@@ -1310,6 +1310,52 @@ class FunctionsSpec extends GraftSpec {
       === "unknown")
   }
 
+  test("url_canonicalize: RFC 3986 normalization, honest refusal on " +
+      "unparseable input") {
+    import graft.functions.UrlCanonicalize
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String): String = {
+      val r = UrlCanonicalize.canon(UTF8String.fromString(s))
+      if (r == null) null else r.toString
+    }
+    // §6.2.2.1 case normalization: scheme + host only, never the path
+    assert(c("HTTP://WWW.Example.COM/Path/File") ===
+      "http://www.example.com/Path/File")
+    // §6.2.3 default ports drop; explicit non-defaults stay
+    assert(c("http://a.com:80/x") === "http://a.com/x")
+    assert(c("https://a.com:443/x") === "https://a.com/x")
+    assert(c("http://a.com:8080/x") === "http://a.com:8080/x")
+    assert(c("https://a.com:80/x") === "https://a.com:80/x") // not https' default
+    // §5.2.4 remove_dot_segments, including the spec's own shapes
+    assert(c("http://a.com/a/./b/../c") === "http://a.com/a/c")
+    assert(c("http://a.com/./x") === "http://a.com/x")
+    assert(c("http://a.com/a/b/..") === "http://a.com/a/")
+    assert(c("http://a.com/a/.") === "http://a.com/a/")
+    assert(c("http://a.com/../x") === "http://a.com/x") // never above root
+    // empty path → "/"; query params sort bytewise; fragments drop
+    assert(c("http://a.com") === "http://a.com/")
+    assert(c("http://a.com?z=1&a=2") === "http://a.com/?a=2&z=1")
+    assert(c("http://a.com/p?z=1&a=2&a=0#frag") === "http://a.com/p?a=0&a=2&z=1")
+    assert(c("http://a.com/p?") === "http://a.com/p")
+    assert(c("http://a.com/p#only-frag") === "http://a.com/p")
+    // a '?' inside the fragment is fragment text, not a query
+    assert(c("http://a.com/p#f?x=1") === "http://a.com/p")
+    // refusals: no scheme, empty scheme/host, non-numeric port
+    assert(c("not a url at all") === null)
+    assert(c("://host/x") === null)
+    assert(c("http://") === null)
+    assert(c("http://:80/x") === null)
+    assert(c("ht tp://a.com/x") === null)
+    assert(c("http://a.com:8a/x") === null)
+    // idempotence: canonicalizing a canonical form is the identity
+    val messy = Seq("HTTPS://EX.com:443/a/../b/./c?z=9&a=1#f",
+      "http://X.Y:80?b=2&a=1", "http://h/p/q/..")
+    messy.foreach { m =>
+      val once = c(m)
+      assert(once != null && c(once) === once, s"not idempotent on $m")
+    }
+  }
+
   test("all binary decoders refuse arbitrary bytes without throwing") {
     // fuzz hardening: a malicious or corrupt payload must land in the
     // honest-refusal path, never an exception (a throw in a codegen'd
