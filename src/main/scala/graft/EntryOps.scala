@@ -1056,6 +1056,63 @@ object EntryOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** t19 — from-spec BPE merge training ([[graft.ops.Bpe]]): 12 merges
+    * learned on the corpus's word-frequency dict with exact integer pair
+    * counts and the total (count DESC, left ASC, right ASC) tie-break.
+    * Output is the merge TABLE — the model itself — and the oracle
+    * re-trains it as 12 unrolled SQL stages over the same dict: every
+    * rank must reproduce count-for-count, the t12 integer-exactness
+    * discipline applied to a learned artifact rather than a score.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.mergesDf(spark,
+      graft.ops.Bpe.trainMerges(docs(spark, dir), numMerges = 12))
+
+  /** q38 — the BPE-token variant of the budget sampler (q36 meters
+    * whitespace words; a training budget meters SUBWORD tokens): per-doc
+    * token counts come from the word dict tokenized ONCE under the t19
+    * merges (broadcast join — the merge replay never runs per corpus
+    * row), then q36's deterministic salted-hash two-stage cumsum admits
+    * docs per lang until a 6000-token budget. The oracle re-trains the
+    * merges, re-tokenizes the dict, and re-derives the admitted set with
+    * the exact-semantics global cumsum (q36's oracle shape).
+    */
+  def bpeTokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 6000L
+    val saltBuckets = 64
+    val d = docs(spark, dir)
+    val merges = graft.ops.Bpe.trainMerges(d, numMerges = 12)
+    val dictCounts = graft.ops.Bpe.wordDict(d)
+      .select(col("w"), graft.ops.Bpe.tokenCount(col("w"), merges).as("wtok"))
+    val base = d
+      .select(col("doc_id"), col("lang"),
+        explode(graft.ops.Dedup.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(dictCounts), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("wtok")).as("tokens"))
+      .withColumn("skey",
+        md5(concat(lit("bb:"), col("doc_id").cast("string"))))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+    val local = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survivors = base
+      .withColumn("lcum", sum(col("tokens")).over(local))
+      .filter(col("lcum") - col("tokens") < budget)
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    survivors
+      .withColumn("cum_tokens",
+        sum(col("tokens")).over(global.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("cum_tokens") - col("tokens") < budget)
+      .select(col("lang"), col("rk"), col("doc_id"), col("tokens"),
+        col("cum_tokens"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** t07 — decontamination: docs with doc_id % 100 == 0 stand in for the
     * held-out benchmark set; every other doc is "training". 3-grams here so
     * the synthetic corpus yields verified overlap (187 pairs at sf0.01);
@@ -3760,6 +3817,41 @@ object EntryOps {
         tri AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
           range(1, len(l) + 1), i -> CASE WHEN i + ${n - 1} <= len(l) THEN $gram END),
           x -> x IS NOT NULL))) AS gram FROM w)"""
+  }
+
+  /** BPE training unrolled as SQL CTEs (mirror of
+    * [[graft.ops.Bpe.trainMerges]]): `wd` (word-frequency dict, the t12
+    * tokenization), `r0` (bracket char representation — chr(1) sym
+    * chr(2), see the Bpe scaladoc for why two distinct sentinels make
+    * SQL replace() exactly the greedy merge), then per rank k:
+    * `p{k}` exact integer pair counts over r{k−1}, `m{k}` the argmax
+    * under the total (cnt DESC, l ASC, r ASC) order, and `r{k}` the dict
+    * with that merge replayed. Integer arithmetic and literal replaces
+    * only — every rank must reproduce the Spark trainer count-for-count.
+    * Every r{k} is referenced twice (by p{k+1} and r{k+1}), so the
+    * stages are AS MATERIALIZED — default CTE inlining would re-expand
+    * the chain 2^numMerges times and the planner never returns.
+    */
+  private def duckBpeCtes(numMerges: Int): String = {
+    val sep = "chr(2) || chr(1)"
+    def step(k: Int): String = s"""
+          p$k AS MATERIALIZED (SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+                  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+                        FROM (SELECT freq, string_split(substr(rep, 2, len(rep) - 2), $sep) AS s
+                              FROM r${k - 1})
+                        WHERE len(s) >= 2)
+                  GROUP BY 1, 2),
+          m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+          r$k AS MATERIALIZED (SELECT w, freq,
+                  replace(rep, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+                          chr(1) || l || r || chr(2)) AS rep
+                  FROM r${k - 1}, m$k)"""
+    s"""wd AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents) WHERE len(w) > 0 GROUP BY 1),
+        r0 AS MATERIALIZED (SELECT w, freq,
+            chr(1) || array_to_string(string_split(w, ''), $sep) || chr(2) AS rep
+            FROM wd),${(1 to numMerges).map(step).mkString(",")}"""
   }
 
   /** Positional 5-gram CTEs `{x}w`/`{x}g`/`{x}p` (mirror of
@@ -6631,6 +6723,39 @@ object EntryOps {
            doc_id, CAST(tokens AS BIGINT) AS tokens,
            CAST(cum AS BIGINT) AS cum_tokens
          FROM c WHERE cum - tokens < 2000 ORDER BY lang, rk""",
+    "t19_bpe_merges" -> {
+      val ranks = (1 to 12).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, cnt AS pair_count FROM m$k")
+        .mkString(" UNION ALL ")
+      s"""WITH ${duckBpeCtes(12)}
+          SELECT merge_rank, left_sym, right_sym, pair_count
+          FROM ($ranks) ORDER BY merge_rank"""
+    },
+    // q38: q36's exact-semantics oracle (global per-lang cumsum, no salt
+    // machinery — the Spark plan's two-stage form provably admits the
+    // same rows) over BPE token counts from the re-trained merges
+    "q38_bpe_token_budget" ->
+      s"""WITH ${duckBpeCtes(12)},
+          wtok AS (SELECT w, CAST(len(string_split(rep, chr(2) || chr(1))) AS BIGINT) AS wtok
+                   FROM r12),
+          toks AS (SELECT doc_id, lang,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+                   FROM documents),
+          dt AS (SELECT doc_id, lang, CAST(sum(wtok) AS BIGINT) AS tokens
+                 FROM (SELECT * FROM toks WHERE len(w) > 0) t
+                 JOIN wtok USING (w) GROUP BY 1, 2),
+          t2 AS (SELECT doc_id, lang, tokens,
+                 md5('bb:' || CAST(doc_id AS VARCHAR)) AS skey FROM dt),
+          c AS (SELECT *, sum(tokens) OVER (PARTITION BY lang
+                  ORDER BY skey ASC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t2)
+         SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rk,
+           doc_id, tokens, CAST(cum AS BIGINT) AS cum_tokens
+         FROM c WHERE cum - tokens < 6000 ORDER BY lang, rk""",
     "t11_boilerplate" ->
       s"""WITH ${duckShingles(5)},
           dfq AS (SELECT gram, count(*) AS df FROM tri GROUP BY 1),
@@ -6862,6 +6987,8 @@ object EntryOps {
     "m11_mpeg_frames" -> (mpegFrames _),
     "m14_mp4_boxes" -> (mp4Boxes _),
     "m21_mp4_sample_tables" -> (mp4SampleWalk _),
+    "t19_bpe_merges" -> (bpeMerges _),
+    "q38_bpe_token_budget" -> (bpeTokenBudgetSample _),
     "t20_url_canonicalize" -> (urlCanonical _),
     "d32_url_dedup" -> (urlDedup _),
     "d33_url_neardup" -> (urlNearDup _),

@@ -146,6 +146,34 @@ class OpsSpec extends GraftSpec {
       s"geometry must follow the index's persisted dims, got $v")
   }
 
+  test("BPE merge training is deterministic across partitionings and " +
+      "matches hand-computed merges, greedy on symbol runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Bpe
+    // hand-computed: words ab(x2), ac(x1) -> pairs (a,b):2 > (a,c):1;
+    // after both merges no pair remains, so a 5-merge budget stops at 2
+    val tiny = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(tiny, 5) ===
+      Seq(Bpe.Merge(1, "a", "b", 2L), Bpe.Merge(2, "a", "c", 1L)))
+    // greedy left-to-right on runs: "aaaa" has THREE overlapping (a,a)
+    // pairs counted, but the merge pass pairs them non-overlapping into
+    // [aa][aa] (never [aa] a a), so rank 2 is (aa, aa) with count 1 —
+    // the property the two-sentinel bracket encoding exists to preserve
+    val runs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(runs, 3) ===
+      Seq(Bpe.Merge(1, "a", "a", 3L), Bpe.Merge(2, "aa", "aa", 1L)))
+    // determinism: exact integer counts + total tie-break order => the
+    // same corpus yields the identical merge table on ANY partitioning
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m1 = Bpe.trainMerges(docs.repartition(1), 8)
+    val m7 = Bpe.trainMerges(docs.repartition(7, col("doc_id")), 8)
+    val m32 = Bpe.trainMerges(docs.repartition(32), 8)
+    assert(m1.length === 8)
+    assert(m1 === m7)
+    assert(m1 === m32)
+  }
+
   test("embed index readers enforce the coefficient-family gate: a " +
       "mismatched or pre-stamp index fails loudly, never all-'new'") {
     import org.apache.spark.sql.functions._
