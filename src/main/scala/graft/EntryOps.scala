@@ -278,13 +278,17 @@ object EntryOps {
     // hyperplane space): smallest p ≥ 4 with 2^p · 48 ≥ N, so expected
     // bucket size stays ~48 as the corpus grows — a fixed plane count
     // (d17's registered geometry) makes every bucket join grow ∝ N²/2^p.
-    // Driver-side integer scalar, mirrored exactly by the oracle's `pl`
-    // CTE; the batch body follows `planes` FROM the index, so the stream
-    // needs no parameter at all. (Known LSH tradeoff, documented in
-    // BENCH_NOTES: single-table collision probability at a given cosine
-    // falls as planes grow — the recall-preserving scale paths are the
-    // banded text forms and the sem/ANN index routes.)
-    val n = corpus.count()
+    // N from parquet footer metadata × the cohort share (% 10 ≤ 6 ⇒
+    // 7/10) — the d26/d31 footer-sizing rule (r14 verdict item 3), the
+    // oracle's `pl` CTE mirrors the identical integer arithmetic; the
+    // batch body follows `planes` FROM the index, so the stream needs no
+    // parameter at all. (Known LSH tradeoff, documented in BENCH_NOTES:
+    // single-table collision probability at a given cosine falls as
+    // planes grow — the recall-preserving scale paths are the banded
+    // text forms and the sem/ANN index routes.)
+    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      .map(t => t * 7L / 10L)
+      .getOrElse(corpus.count())
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     Dedup.buildEmbedIndex(corpus, planes)
       .write.parquet(s"$root/base")
@@ -567,7 +571,10 @@ object EntryOps {
     val corpus = e.filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id"), col("embedding"))
       .unionByName(lits(-50L, plantedLearnVec))
-    val n = corpus.count()
+    // footer-metadata sizing: 9/10 cohort share + the one planted witness
+    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      .map(t => t * 9L / 10L + 1L)
+      .getOrElse(corpus.count())
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     val index = graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes)
     val refusals = spark.sql(
@@ -609,7 +616,10 @@ object EntryOps {
     val root = java.nio.file.Files
       .createTempDirectory("graft_learn_banded").resolve("root").toString
     val corpus = e.filter(col("vec_id") % 10 <= 6)
-    val n = corpus.count()
+    // footer-metadata sizing (7/10 cohort share) — the d25 rule
+    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      .map(t => t * 7L / 10L)
+      .getOrElse(corpus.count())
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes)
       .write.parquet(s"$root/base")
@@ -1201,7 +1211,10 @@ object EntryOps {
     val corpusD = d.filter(col("doc_id") % 10 =!= 7)
     val corpusE = e.filter(col("vec_id") % 10 =!= 7)
       .select(col("vec_id"), col("embedding"))
-    val nE = corpusE.count()
+    // footer-metadata sizing (9/10 cohort share — % 10 ≠ 7); r14 item 3
+    val nE = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      .map(t => t * 9L / 10L)
+      .getOrElse(corpusE.count())
     val planes = (4 to 30).find(p => (1L << p) * 48L >= nE).get
     val textIdx = Dedup.buildCorpusIndex(corpusD)
     val embIdx = Dedup.buildEmbedIndexBanded(corpusE, planes)
@@ -1224,6 +1237,46 @@ object EntryOps {
         Seq("doc_id"))
       .unionByName(plantedRefusals)
     Dedup.admitAgainstIndexes(arrivals, textIdx, embIdx, evalIdx)
+  }
+
+  /** e08's fixture split PERSISTED for the STREAMING scale probe: the
+    * three gate indexes land under `root` (text/, emb/, eval/) and the
+    * arrival cohort under `root/arrivals` — the deployment layout
+    * [[graft.streaming.LogStream.admissionArrivals]] reads per
+    * micro-batch. Built from the same cohort formulas as
+    * [[admissionPipeline]] (which keeps its in-plan build — its oracle
+    * hash-checks that composition as one plan); the probe times ONLY the
+    * per-batch stream body against these persisted tables, exactly what
+    * a production ingest pays per trigger.
+    */
+  def admissionStreamFixture(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    val d = plantedCorpus(docs(spark, dir)).select(col("doc_id"), col("text"))
+    val e = emb(spark, dir)
+    val corpusE = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("embedding"))
+    val nE = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      .map(t => t * 9L / 10L)
+      .getOrElse(corpusE.count())
+    val planes = (4 to 30).find(p => (1L << p) * 48L >= nE).get
+    Dedup.buildCorpusIndex(d.filter(col("doc_id") % 10 =!= 7))
+      .write.mode("overwrite").parquet(s"$root/text")
+    Dedup.buildEmbedIndexBanded(corpusE, planes)
+      .write.mode("overwrite").parquet(s"$root/emb")
+    Dedup.buildEvalGramIndex(d.filter(col("doc_id") % 100 === 0), n = 8)
+      .write.mode("overwrite").parquet(s"$root/eval")
+    val pvSql = plantedLearnVec.map(v => s"CAST(${floatLit(v)} AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    val plantedRefusals = spark.sql(
+      s"""SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text,
+                 $pvSql AS embedding
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT), '', CAST(NULL AS ARRAY<FLOAT>)""")
+    d.filter(col("doc_id") % 10 === 7)
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .unionByName(plantedRefusals)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
   }
 
   /** The t08/e02 fixture corpus: every train doc with doc_id % 23 == 1 gets
@@ -4084,8 +4137,7 @@ object EntryOps {
                       UNION ALL SELECT CAST(-101 AS BIGINT), $pv),
           pl AS (SELECT min(p) AS p
                  FROM (SELECT unnest(range(4, 31)) AS p)
-                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM esrc
-                   WHERE vec_id >= 0 AND vec_id % 10 <= 6)),
+                 WHERE (1 << p) * 48 >= 7 * (SELECT count(*) FROM embeddings) // 10),
           kidx AS (SELECT vec_id AS ex_id, embedding AS ex_e,
                    ${duckHyperplaneBucketDyn("embedding")} AS bucket
                    FROM esrc WHERE embedding IS NOT NULL),
@@ -4292,7 +4344,7 @@ object EntryOps {
                  UNION ALL SELECT CAST(-50 AS BIGINT), $pvA),
           pl AS (SELECT min(p) AS p
                  FROM (SELECT unnest(range(4, 31)) AS p)
-                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM bcorp)),
+                 WHERE (1 << p) * 48 >= 9 * (SELECT count(*) FROM embeddings) // 10 + 1),
           kb AS (SELECT c.vec_id AS ex_id, c.embedding AS ex_e, tt.t AS band,
                  ${duckHyperplaneBucketDynOff("c.embedding", "pl.p", off)} AS key
                  FROM bcorp c CROSS JOIN pl
@@ -4377,8 +4429,7 @@ object EntryOps {
                       UNION ALL SELECT CAST(-101 AS BIGINT), $pv),
           pl AS (SELECT min(p) AS p
                  FROM (SELECT unnest(range(4, 31)) AS p)
-                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM esrc
-                   WHERE vec_id >= 0 AND vec_id % 10 <= 6)),
+                 WHERE (1 << p) * 48 >= 7 * (SELECT count(*) FROM embeddings) // 10),
           kidx AS (SELECT c.vec_id AS ex_id, c.embedding AS ex_e,
                    tt.t AS band,
                    ${duckHyperplaneBucketDynOff("c.embedding", "pl.p", off)} AS key
@@ -4470,7 +4521,7 @@ object EntryOps {
                     WHERE vec_id % 10 != 7),
           pl AS (SELECT min(p) AS p
                  FROM (SELECT unnest(range(4, 31)) AS p)
-                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM bcorp)),
+                 WHERE (1 << p) * 48 >= 9 * (SELECT count(*) FROM embeddings) // 10),
           kb AS (SELECT c.vec_id AS ex_id, c.embedding AS ex_e, tt.t AS band,
                  ${duckHyperplaneBucketDynOff("c.embedding", "pl.p", off)} AS key
                  FROM bcorp c CROSS JOIN pl

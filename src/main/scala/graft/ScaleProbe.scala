@@ -100,7 +100,16 @@ object ScaleProbe {
     // × 4 tables, df-capped self-join) — the batch sibling of d29, priced
     // against d06's fixed-plane quadratic trend
     "d31_embed_neardup_banded",
-    "e07_audio_corpus", "d23_audio_dedup_incremental")
+    "e07_audio_corpus", "d23_audio_dedup_incremental",
+    // r15 (r14 verdict item 7): the e08 admission pipeline driven through
+    // the STREAM's own micro-batch body against PERSISTED indexes — not a
+    // registered query; `run` special-cases it to one AvailableNow
+    // trigger over the pre-written arrival cohort (indexes + arrivals
+    // built untimed per scale), so the row prices exactly the per-batch
+    // cost a production ingest pays per trigger. The batch entry's 0.22
+    // exponent measures the in-plan composition; this row proves the
+    // stream body matches it.
+    "e08_admission_stream")
 
   private def loadavg(): Double =
     try java.nio.file.Files.readString(Paths.get("/proc/loadavg"))
@@ -225,8 +234,47 @@ object ScaleProbe {
       System.err.println(s"[scale-probe] sem index prebuilt (untimed) at $d with K=$k")
     }
 
+    // e08 streaming fixture: persisted gate indexes + arrival cohort per
+    // scale, built UNTIMED (index builds are ingest-cadence maintenance;
+    // the probe row prices the per-trigger stream body alone)
+    val needsAdmission = selectedSet.forall(_.contains("e08_admission_stream"))
+    val admissionRoots = scala.collection.mutable.Map.empty[String, String]
+    for (d <- Seq(dir1, dirR) if needsAdmission) {
+      val root = d.resolve("admission_idx").toString
+      EntryOps.admissionStreamFixture(spark, d.toString, root)
+      admissionRoots(d.toString) = root
+      System.err.println(s"[scale-probe] admission fixture prebuilt (untimed) at $root")
+    }
+
     // ---- measurement (Bench methodology: warmup, load gate, median of 3) ----
+    // One full AvailableNow trigger of the admission STREAM against the
+    // persisted fixture: the timed region is exactly one micro-batch of
+    // LogStream.admissionArrivals (fresh checkpoint/out per run, so every
+    // run replays the batch rather than resuming past it).
+    def runAdmissionStream(dir: String): Double = {
+      val root = admissionRoots(dir)
+      val scratch = Files.createTempDirectory("graft_adm_probe")
+      val arrivals = spark.readStream
+        .schema(spark.read.parquet(s"$root/arrivals").schema)
+        .parquet(s"$root/arrivals")
+      val t0 = System.nanoTime()
+      try {
+        val q = graft.streaming.LogStream.admissionArrivals(arrivals,
+          s"$root/text", s"$root/emb", s"$root/eval",
+          scratch.resolve("out").toString,
+          scratch.resolve("chk").toString)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale-probe] e08_admission_stream failed: ${e.getMessage}")
+        -1.0
+      } finally {
+        spark.catalog.clearCache()
+        rmTree(scratch)
+      }
+    }
     def run(name: String, dir: String): Double = {
+      if (name == "e08_admission_stream") return runAdmissionStream(dir)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
