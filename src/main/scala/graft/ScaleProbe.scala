@@ -101,6 +101,14 @@ object ScaleProbe {
     // against d06's fixed-plane quadratic trend
     "d31_embed_neardup_banded",
     "e07_audio_corpus", "d23_audio_dedup_incremental",
+    // r15: the new families — URL exact/near dedup (canonical-key group
+    // by + df-capped token-bigram index; under replica salting doc_ids
+    // are distinct per replica so the URL space grows ∝ R while alias
+    // classes stay within-replica), BPE training (corpus scanned once
+    // into the dict; vocabulary grows ∝ R under salting — the dict-loop
+    // cost is the thing probed), and the per-row stbl walk
+    "d32_url_dedup", "d33_url_neardup", "t19_bpe_merges",
+    "m21_mp4_sample_tables",
     // r15 (r14 verdict item 7): the e08 admission pipeline driven through
     // the STREAM's own micro-batch body against PERSISTED indexes — not a
     // registered query; `run` special-cases it to one AvailableNow
