@@ -232,6 +232,63 @@ object EntryOps {
       .orderBy(col("batch_id"), col("doc_id"))
   }
 
+  /** The d34 planted URLs: two raw forms whose canonical form is the
+    * SAME literal — neither exists in the fixture's formula family (host
+    * `plant.example` is outside the example(b%50).com space), so the
+    * batch-0 arrival must come back `new` and be learned, and the batch-1
+    * alias must come back `dup` with match_id −100: frontier knowledge
+    * only a learned row can supply.
+    */
+  private val plantedUrlRaw0 = "HTTP://Plant.example:80/a/./b?z=1&a=2#f"
+  private val plantedUrlRaw1 = "http://PLANT.example/x/../a/b?a=2&z=1"
+  private val plantedUrlCanon = "http://plant.example/a/b?a=2&z=1"
+
+  /** d34 — the SELF-LEARNING URL-dedup stream (the crawl FRONTIER) under
+    * the hard correctness signal, the SIXTH learning modality (text d24,
+    * embedding d25, media d27, semantic d28, banded d30, URLs here):
+    * three arrival batches replay through the stream's own micro-batch
+    * body ([[graft.streaming.LogStream.dedupLearningUrlBatch]]) against a
+    * scratch frontier root — doc_id % 10 ≤ 6 of [[urlAssets]] plays the
+    * ingest-built base ([[graft.ops.Dedup.buildUrlIndex]] over canonical
+    * forms), cohorts 7/8/9 play batches 0/1/2. Batch b reads the frontier
+    * strictly below b; `new` URLs learn their first-seen rows; the
+    * fixture's natural unparseable class (doc_id % 37 = 13) surfaces
+    * `invalid` and is never learned. The planted alias pair
+    * ([[plantedUrlRaw0]]/[[plantedUrlRaw1]]) proves the learning loop:
+    * batch 1's differently-messed alias of batch 0's novel URL is `dup`
+    * at match_id −100 through a learned row alone. Oracle: the t20
+    * analytic canonical derivation with unrolled batch-chained frontier
+    * CTEs (k0 → v0 → k1 → …, the d24 shape — exact key joins, the
+    * simplest knowledge chain in the family).
+    */
+  def dedupLearningUrlReplay(spark: SparkSession, dir: String): DataFrame = {
+    val u = urlAssets(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_url").resolve("root").toString
+    Dedup.buildUrlIndex(
+      u.filter(col("asset_id") % 10 <= 6)
+        .select(col("asset_id").as("doc_id"),
+          graft.functions.UrlCanonicalize(col("raw_url")).as("url")))
+      .write.parquet(s"$root/base")
+    def planted(id: Long, raw: String): DataFrame = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$raw' AS raw_url")
+    val verdicts = (0 to 2).map { b =>
+      val cohort = u.filter(col("asset_id") % 10 === 7 + b)
+        .select(col("asset_id").as("doc_id"), col("raw_url"))
+      val arr = b match {
+        case 0 => cohort.unionByName(planted(-100L, plantedUrlRaw0))
+        case 1 => cohort.unionByName(planted(-101L, plantedUrlRaw1))
+        case _ => cohort
+      }
+      graft.streaming.LogStream.dedupLearningUrlBatch(arr, root, b.toLong)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("doc_id"), col("verdict"),
+        col("match_id"), col("url"))
+      .orderBy(col("batch_id"), col("doc_id"))
+  }
+
   /** EXACT float literal: the float's precise decimal expansion (finite,
     * ≤ ~28 digits), so ANY standards-compliant parse path — decimal →
     * float directly, or decimal → double → float — recovers the
@@ -5630,6 +5687,35 @@ object EntryOps {
           SELECT url, count(*) AS n_docs, min(doc_id) AS canonical_id,
             array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
           FROM u GROUP BY 1 ORDER BY url""",
+    // d34: the frontier replay — t20's analytic canonical derivation with
+    // d24's unrolled batch-chained knowledge CTEs; exact key joins, the
+    // simplest chain in the learning family. The planted alias pair enters
+    // as its CANONICAL literal (the oracle never canonicalizes).
+    "d34_learning_url_dedup" -> {
+      def batch(n: Int): String = s"""
+          a$n AS (SELECT doc_id, url FROM u WHERE doc_id % 10 = ${7 + n}
+                  ${if (n == 0) s"UNION ALL SELECT CAST(-100 AS BIGINT), '$plantedUrlCanon'"
+                    else if (n == 1) s"UNION ALL SELECT CAST(-101 AS BIGINT), '$plantedUrlCanon'"
+                    else ""}),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id, a.doc_id,
+                  CASE WHEN a.url IS NULL THEN 'invalid'
+                       WHEN k.ex_id IS NOT NULL THEN 'dup'
+                       ELSE 'new' END AS verdict,
+                  k.ex_id AS match_id, a.url
+                  FROM a$n a LEFT JOIN k$n k ON k.url = a.url),
+          k${n + 1} AS (SELECT * FROM k$n UNION ALL
+                  SELECT url, min(doc_id) AS ex_id FROM v$n
+                  WHERE verdict = 'new' GROUP BY 1)"""
+      s"""WITH u AS (SELECT doc_id,
+                 CASE WHEN doc_id % 37 = 13 THEN NULL ELSE ${urlSql._2} END AS url
+                 FROM documents),
+          k0 AS (SELECT url, min(doc_id) AS ex_id FROM u
+                 WHERE doc_id % 10 <= 6 AND url IS NOT NULL GROUP BY 1),
+          ${(0 to 2).map(batch).mkString(",")}
+         SELECT batch_id, doc_id, verdict, match_id, url FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, doc_id"""
+    },
     "d33_url_neardup" ->
       s"""WITH usrc AS (SELECT doc_id,
                  trim(regexp_replace(${urlSql._2}, '[:/?&=]+', ' ', 'g')) AS text
@@ -7043,6 +7129,7 @@ object EntryOps {
     "t20_url_canonicalize" -> (urlCanonical _),
     "d32_url_dedup" -> (urlDedup _),
     "d33_url_neardup" -> (urlNearDup _),
+    "d34_learning_url_dedup" -> (dedupLearningUrlReplay _),
     "m12_ppm_dhash" -> (ppmDhash _),
     "d13_image_neardup" -> (imageNearDup _),
     "m13_wav_dhash" -> (wavDhash _),

@@ -109,6 +109,10 @@ object ScaleProbe {
     // cost is the thing probed), and the per-row stbl walk
     "d32_url_dedup", "d33_url_neardup", "t19_bpe_merges",
     "m21_mp4_sample_tables",
+    // r15: the URL frontier replay — one full learning lifecycle (base
+    // frontier build + three batch bodies), the d24 row's shape for the
+    // cheapest modality (exact key joins, no banding)
+    "d34_learning_url_dedup",
     // r15 (r14 verdict item 7): the e08 admission pipeline driven through
     // the STREAM's own micro-batch body against PERSISTED indexes — not a
     // registered query; `run` special-cases it to one AvailableNow

@@ -76,6 +76,46 @@ object Dedup {
           x => x.cast("string")), ",").as("doc_ids"))
       .orderBy(col("url"))
 
+  /** Corpus-side URL dedup index — the crawl FRONTIER: one row per
+    * canonical URL with its first-seen id ([[buildCorpusIndex]]'s shape
+    * for the URL modality; persisted at ingest cadence, arrivals join the
+    * key instead of re-scanning the corpus). Unparseable URLs carry no
+    * key and never enter the index.
+    */
+  def buildUrlIndex(urls: DataFrame): DataFrame =
+    urls.filter(col("url").isNotNull)
+      .groupBy(col("url")).agg(min(col("doc_id")).as("ex_id"))
+
+  /** [[readCorpusIndex]]'s base ∪ learned-below-b layout for the URL
+    * frontier ([[buildUrlIndex]] base + the learning stream's delta).
+    */
+  def readUrlIndex(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, rootPath, beforeBatch)
+
+  /** URL dedup of incoming (doc_id, raw_url) rows against a persisted
+    * [[buildUrlIndex]] table: arrivals canonicalize in their own scan
+    * stage ([[graft.functions.UrlCanonicalize]]) and LEFT-join the
+    * frontier on the exact canonical key — the cheapest gate in the
+    * incremental family (no banding, no verify stage: the key IS the
+    * identity). Verdicts: `dup` (match_id = first-seen id), `new`, or
+    * `invalid` for an unparseable URL (which must be quarantined, never
+    * admitted as a novel fetch — the media path's `unhashable`
+    * discipline). The canonical url rides along for audit and for the
+    * learning stream's frontier delta.
+    */
+  def urlDedupAgainstIndex(incoming: DataFrame, index: DataFrame): DataFrame =
+    incoming
+      .select(col("doc_id"),
+        graft.functions.UrlCanonicalize(col("raw_url")).as("url"))
+      .join(index, Seq("url"), "left")
+      .select(col("doc_id"),
+        when(col("url").isNull, "invalid")
+          .when(col("ex_id").isNotNull, "dup")
+          .otherwise("new").as("verdict"),
+        col("ex_id").as("match_id"), col("url"))
+      .orderBy(col("doc_id"))
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     * gram-equijoin → per-pair intersection counts → |A∩B| / |A∪B|.
     * `maxDocFreq` drops grams shared by more than that many docs (bounds join

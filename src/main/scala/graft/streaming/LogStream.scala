@@ -316,6 +316,60 @@ object LogStream {
       }
       .start()
 
+  /** The SELF-LEARNING URL-dedup micro-batch BODY — the crawl FRONTIER
+    * loop, [[dedupLearningTextBatch]]'s contract for the URL modality
+    * (shared with the d34 registered replay,
+    * `EntryOps.dedupLearningUrlReplay`): arriving (doc_id, raw_url) rows
+    * canonicalize in their own scan stage, verdicts come from the
+    * frontier STRICTLY BELOW `batchId`
+    * ([[graft.ops.Dedup.readUrlIndex]] — replay-exact), and `new` URLs
+    * write their first-seen frontier rows to `<root>/learned/batch_id=N`
+    * — so a later batch's re-discovery of an earlier batch's novel URL is
+    * `dup`, the property a crawl frontier exists for. `invalid`
+    * (unparseable) arrivals are never learned. Intra-batch: two arrivals
+    * sharing a canonical URL in ONE batch both read `new` and learn one
+    * frontier row (min doc_id) — prior-knowledge-only, the whole learning
+    * family's contract. Zero state-store state.
+    */
+  def dedupLearningUrlBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+      .urlDedupAgainstIndex(batch,
+        graft.ops.Dedup.readUrlIndex(spark, indexRoot,
+          beforeBatch = batchId)))
+    val learned = graft.ops.Dedup.buildUrlIndex(
+      verdicts.filter(col("verdict") === "new")
+        .select(col("doc_id"), col("url")))
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/learned")
+    }
+    verdicts
+  }
+
+  /** SELF-LEARNING URL dedup stream — [[dedupLearningArrivals]]' contract
+    * for the crawl frontier: per-trigger micro-batches through
+    * [[dedupLearningUrlBatch]], verdicts batch-partitioned for idempotent
+    * replay. Zero state-store state.
+    */
+  def dedupLearningUrlArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = dedupLearningUrlBatch(batch, indexRoot, batchId)
+        withDynamicOverwrite(spark) {
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
   /** STREAMING media dedup against the warehouse — [[dedupArrivals]]' shape
     * for IMAGES: arriving payloads hash in the micro-batch scan stage
     * (native `ppm_dhash`; payloads never leave it), then join the PERSISTED

@@ -1042,6 +1042,58 @@ class StreamingSpec extends GraftSpec {
     assert(spark.read.parquet(out).count() === 4)
   }
 
+  test("self-learning URL dedup: a differently-messed alias of a learned " +
+      "novel URL is dup; unparseable arrivals are invalid, never learned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("url-learn-in")
+    val root = tmp("url-learn-idx").resolve("root").toString
+    val out = tmp("url-learn-out").toString
+    // base frontier: one known canonical URL
+    graft.ops.Dedup.buildUrlIndex(
+      Seq((100L, "http://known.example/p?a=1")).toDF("doc_id", "url"))
+      .write.parquet(s"$root/base")
+    // batch 1: a messed alias of the BASE url (dup vs 100), a novel url,
+    // and garbage (invalid — must not be learned)
+    Files.writeString(in.resolve("b1.csv"),
+      "1,HTTP://Known.example:80/p?a=1#frag\n" +
+        "3,https://new.example:8443/x/./y?z=2&a=9\n" +
+        "5,not a url\n")
+    // batch 2: a DIFFERENTLY-messed alias of batch 1's novel url — only a
+    // learned frontier row can catch it — and garbage again
+    Files.writeString(in.resolve("b2.csv"),
+      "7,HTTPS://NEW.example:8443/x/q/../y?a=9&z=2\n" +
+        "9,not a url\n")
+    Files.setLastModifiedTime(in.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream.schema("doc_id LONG, raw_url STRING")
+      .option("maxFilesPerTrigger", "1").csv(in.toString)
+    val q = LogStream.dedupLearningUrlArrivals(arrivals, root, out,
+      tmp("url-learn-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out)
+      .select("doc_id", "verdict", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    val v = read()
+    assert(v((1L, "dup", Some(100L))), s"base alias must be dup, got $v")
+    assert(v((3L, "new", None)))
+    assert(v((5L, "invalid", None)))
+    assert(v((7L, "dup", Some(3L))),
+      s"alias of the learned novel URL must be dup vs 3, got $v")
+    assert(v((9L, "invalid", None)))
+    // invalid arrivals must never enter the frontier
+    val learned = spark.read.parquet(s"$root/learned")
+    assert(learned.filter(col("url").isNull).count() === 0)
+    assert(learned.count() === 1) // exactly the one novel canonical URL
+    // replay-exact: a fresh checkpoint reproduces the verdicts bitwise
+    LogStream.dedupLearningUrlArrivals(arrivals, root, out,
+      tmp("url-learn-ck2").toString).awaitTermination()
+    assert(read() === v)
+  }
+
   test("self-learning SemDeDup: a paraphrase of a KEPT arrival is pruned " +
       "against it, replay-exact") {
     import org.apache.spark.sql.functions._
