@@ -85,6 +85,25 @@ class ExtensionsSpec extends GraftSpec {
         "url_canonicalize"))
   }
 
+  test("mp4_sample_tables and url_canonicalize answer from SQL like their " +
+      "native entry points") {
+    import org.apache.spark.sql.Row
+    GraftExtensions.registerAll(spark)
+    // url_canonicalize: the SQL surface hits the same static canon()
+    val u = spark.sql(
+      "SELECT url_canonicalize('HTTP://A.com:80/x/./y?z=1&a=2#f') AS u, " +
+        "url_canonicalize('not a url') AS bad").head()
+    assert(u.getString(0) === "http://a.com/x/y?a=2&z=1")
+    assert(u.isNullAt(1), "unparseable input must be SQL NULL")
+    // mp4_sample_tables: a non-BMFF payload refuses to 'unknown' with null
+    // tracks through the SQL surface (the struct schema is the contract)
+    val m = spark.sql(
+      "SELECT mp4_sample_tables(CAST('junk' AS BINARY)) AS f").head()
+      .getAs[Row]("f")
+    assert(m.getAs[String]("format") === "unknown")
+    assert(m.isNullAt(m.fieldIndex("tracks")))
+  }
+
   test("dot_fd is bitwise-equal to the HOF fold in every float/double combination") {
     // r10: the quantizer machinery's scoring folds moved from interpreted
     // aggregate(zip_with(...)) lambdas to the native dot_fd loop; the
