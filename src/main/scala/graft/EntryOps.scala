@@ -720,6 +720,15 @@ object EntryOps {
   def topkLshBands(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkLshBands(emb(spark, dir), pqQueryPred, k = 3)
 
+  /** s17 — SCALAR-QUANTIZED (SQ8) top-k ([[graft.ops.Similarity.topkSq8]]):
+    * 4× compression to one uint8/dim under the per-dim affine quantizer,
+    * INTEGER-dot MIPS scoring (exact across engines, no float fold), s03's
+    * bucket blocking. The oracle re-derives the per-dim min/max, the
+    * quantization floor, and the integer dot independently.
+    */
+  def topkSq8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topkSq8(emb(spark, dir), pqQueryPred, k = 10)
+
   def topkIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkIvfMultiProbe(emb(spark, dir), pqQueryPred, k = 3)
 
@@ -5118,6 +5127,37 @@ object EntryOps {
           SELECT query_id, bucket, rank, cand_id, cosine FROM r
           WHERE rank <= 3 ORDER BY query_id, rank"""
     },
+    // s17: the SQ8 recipe end to end in SQL — per-dim min/max over the
+    // corpus, the same double-arithmetic quantization floor, and the
+    // all-integer code dot (BIGINT, no float discipline needed)
+    "s17_topk_sq8" -> {
+      s"""WITH mm AS (SELECT k,
+                 CAST(min(embedding[k]) AS DOUBLE) AS mn,
+                 CAST(max(embedding[k]) AS DOUBLE) AS mx
+                 FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+                 WHERE embedding IS NOT NULL GROUP BY k),
+          qz AS (SELECT e.vec_id,
+                 ${duckHyperplaneBucket("e.embedding", 4)} AS bucket,
+                 list(CASE WHEN m.mx > m.mn
+                      THEN CAST(floor((CAST(e.embedding[m.k] AS DOUBLE) - m.mn)
+                                      * 255.0 / (m.mx - m.mn)) AS BIGINT)
+                      ELSE 0 END ORDER BY m.k) AS codes
+                 FROM embeddings e CROSS JOIN mm m
+                 WHERE e.embedding IS NOT NULL
+                 GROUP BY e.vec_id, e.embedding),
+          q AS (SELECT vec_id AS query_id, bucket, codes AS qc FROM qz
+                WHERE vec_id % 40 = 0 AND vec_id < 2000),
+          s AS (SELECT q.query_id, c.vec_id AS cand_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> q.qc[i] * c.codes[i])) AS BIGINT) AS score
+                FROM q JOIN qz c ON c.bucket = q.bucket
+                 AND c.vec_id != q.query_id),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, rank, cand_id, score FROM r
+          WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
     "s04_topk_lsh_bands" -> {
       // bands = bit-slices of ONE 8-plane bucket; candidate iff ANY band
       // collides (the OR mirrors the Spark union-of-band-joins + dedup)
@@ -7064,6 +7104,7 @@ object EntryOps {
     "s02_topk_ivf" -> (topkIvf _),
     "s03_topk_lsh" -> (topkLsh _),
     "s04_topk_lsh_bands" -> (topkLshBands _),
+    "s17_topk_sq8" -> (topkSq8 _),
     "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
     "s07_topk_pq" -> (topkPq _),

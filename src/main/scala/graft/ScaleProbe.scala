@@ -63,6 +63,9 @@ object ScaleProbe {
     // r12: the versioned-root production route (resolver + generation
     // read), probed against the pre-committed containers
     "s15_topk_pq_root", "s16_topk_ivfpq_root",
+    // r15: the SQ8 compression point (integer-dot MIPS over bucket-blocked
+    // candidates; quantizer = one aggregated row broadcast)
+    "s17_topk_sq8",
     // r12: d18's one-gram-shuffle substring spans, probed at ×R alongside
     // the other dedup representatives (the r11 ×100 run covered s09-s14
     // only; the verdict asked for the dedup families' exponents too)

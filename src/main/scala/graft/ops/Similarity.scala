@@ -1450,6 +1450,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SCALAR-QUANTIZED (SQ8) top-k — the third compression point on the
+    * family's memory/accuracy frontier (float32 brute → SQ8 → PQ): every
+    * vector compresses 4× to one uint8 per dimension under a per-dim
+    * affine quantizer (code = ⌊(v − mn_d) · 255 / (mx_d − mn_d)⌋, the
+    * faiss ScalarQuantizer recipe), and scoring is the INTEGER dot of the
+    * code arrays — the MIPS objective (maximum inner product), the other
+    * standard retrieval target next to cosine, and being all-integer it
+    * is exact across engines with no float-fold discipline needed at all.
+    * Candidates come from the s03 hyperplane-bucket blocking (equi-join,
+    * never all-pairs); the per-dim mn/mx table is ONE aggregated row
+    * broadcast to both sides (the bounded-build class). A constant
+    * dimension (mx = mn) quantizes to 0 — it carries no signal and must
+    * not divide by zero. Ties break (score DESC, cand_id ASC).
+    *
+    * At 100 TB the quantizer (128 doubles) is trained once at ingest
+    * cadence and the codes are the stored column — the scan reads 64
+    * bytes/vector instead of 256, and the integer dot is SIMD-friendly;
+    * here both sides quantize in-plan so the oracle checks the whole
+    * recipe end to end.
+    */
+  def topkSq8(emb: DataFrame, queryPred: Column, k: Int,
+      planes: Int = 4): DataFrame = {
+    val nn = emb.filter(col("embedding").isNotNull)
+    val dims = 64
+    // per-dim corpus min/max: one row, two float arrays
+    val aggs =
+      (1 to dims).map(i => min(element_at(col("embedding"), i)).as(s"mn$i")) ++
+        (1 to dims).map(i => max(element_at(col("embedding"), i)).as(s"mx$i"))
+    val mmx = nn.agg(aggs.head, aggs.tail: _*)
+      .select(
+        array((1 to dims).map(i => col(s"mn$i")): _*).as("mn"),
+        array((1 to dims).map(i => col(s"mx$i")): _*).as("mx"))
+    val q8 = expr(
+      s"""transform(sequence(1, $dims), i ->
+            IF(element_at(mx, i) > element_at(mn, i),
+               CAST(floor((CAST(element_at(embedding, i) AS DOUBLE)
+                           - CAST(element_at(mn, i) AS DOUBLE)) * 255.0D
+                          / (CAST(element_at(mx, i) AS DOUBLE)
+                             - CAST(element_at(mn, i) AS DOUBLE))) AS BIGINT),
+               0L))""")
+    val coded = nn.crossJoin(broadcast(mmx))
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucket("embedding", planes).as("bucket"), q8.as("codes"))
+    val q = coded.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("codes").as("qc"))
+    val c = coded.select(col("vec_id").as("cand_id"), col("bucket"),
+      col("codes").as("cc"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qc, cc, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine ≥
     * `minCosine`. The all-pairs form is the exactness baseline; at scale the same
     * output is produced by LSH/IVF blocking + this verification on candidates.
