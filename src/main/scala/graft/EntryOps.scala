@@ -81,9 +81,12 @@ object EntryOps {
     // parquet footers (a catalog statistic at deployment) record exactly;
     // the pre-r15 form spent a full filter+count scan to derive it. The
     // oracle mirrors the same rule (count(*) over the table). Footer
-    // failure falls back to the scan — sizing must never refuse a corpus.
-    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-      .getOrElse(e.filter(col("embedding").isNotNull).count())
+    // failure falls back LOUDLY to a full count(*) scan — the same
+    // integer the oracle uses, so the geometry cannot silently diverge
+    // near a planes threshold (r15 advice item 2); sizing must never
+    // refuse a corpus.
+    val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count())
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     graft.ops.Dedup.embedNearDupBanded(e, minCosine = 0.3, planes)
   }
@@ -343,9 +346,8 @@ object EntryOps {
     // single-table collision probability at a given cosine falls as
     // planes grow — the recall-preserving scale paths are the banded
     // text forms and the sem/ANN index routes.)
-    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-      .map(t => t * 7L / 10L)
-      .getOrElse(corpus.count())
+    val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count()) * 7L / 10L
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     Dedup.buildEmbedIndex(corpus, planes)
       .write.parquet(s"$root/base")
@@ -420,10 +422,8 @@ object EntryOps {
         // verdict item 3) — a sizing KNOB needs an estimate, and the
         // oracle mirrors the identical integer arithmetic, so parity is
         // by construction. Footer failure falls back to the exact count.
-        val n = graft.ops.ParquetMeta
-          .rowCount(spark, s"$dir/embeddings.parquet")
-          .map(t => t * 9L / 10L)
-          .getOrElse(corpus.count())
+        val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+          s"$dir/embeddings.parquet", e.count()) * 9L / 10L
         Similarity.buildSemIndex(corpus,
           nCentroids = math.max(8L, (n + 47L) / 48L).toInt)
       }
@@ -548,10 +548,8 @@ object EntryOps {
       .createTempDirectory("graft_learn_sem").resolve("root").toString
     // K from table metadata × the cohort share (% 10 ≤ 6 ⇒ 7/10) — the
     // d26 footer-sizing rule; see semDedupIncrementalGrown
-    val n = graft.ops.ParquetMeta
-      .rowCount(spark, s"$dir/embeddings.parquet")
-      .map(t => t * 7L / 10L)
-      .getOrElse(corpus.count())
+    val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count()) * 7L / 10L
     val (centroids, members) = Similarity.buildSemIndex(corpus,
       nCentroids = math.max(8L, (n + 47L) / 48L).toInt)
     centroids.write.parquet(s"$root/centroids")
@@ -629,9 +627,8 @@ object EntryOps {
       .select(col("vec_id"), col("embedding"))
       .unionByName(lits(-50L, plantedLearnVec))
     // footer-metadata sizing: 9/10 cohort share + the one planted witness
-    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-      .map(t => t * 9L / 10L + 1L)
-      .getOrElse(corpus.count())
+    val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count()) * 9L / 10L + 1L
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     val index = graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes)
     val refusals = spark.sql(
@@ -674,9 +671,8 @@ object EntryOps {
       .createTempDirectory("graft_learn_banded").resolve("root").toString
     val corpus = e.filter(col("vec_id") % 10 <= 6)
     // footer-metadata sizing (7/10 cohort share) — the d25 rule
-    val n = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-      .map(t => t * 7L / 10L)
-      .getOrElse(corpus.count())
+    val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count()) * 7L / 10L
     val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
     graft.ops.Dedup.buildEmbedIndexBanded(corpus, planes)
       .write.parquet(s"$root/base")
@@ -1278,9 +1274,8 @@ object EntryOps {
     val corpusE = e.filter(col("vec_id") % 10 =!= 7)
       .select(col("vec_id"), col("embedding"))
     // footer-metadata sizing (9/10 cohort share — % 10 ≠ 7); r14 item 3
-    val nE = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-      .map(t => t * 9L / 10L)
-      .getOrElse(corpusE.count())
+    val nE = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count()) * 9L / 10L
     val planes = (4 to 30).find(p => (1L << p) * 48L >= nE).get
     val textIdx = Dedup.buildCorpusIndex(corpusD)
     val embIdx = Dedup.buildEmbedIndexBanded(corpusE, planes)
@@ -1321,9 +1316,8 @@ object EntryOps {
     val e = emb(spark, dir)
     val corpusE = e.filter(col("vec_id") % 10 =!= 7)
       .select(col("vec_id"), col("embedding"))
-    val nE = graft.ops.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-      .map(t => t * 9L / 10L)
-      .getOrElse(corpusE.count())
+    val nE = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count()) * 9L / 10L
     val planes = (4 to 30).find(p => (1L << p) * 48L >= nE).get
     Dedup.buildCorpusIndex(d.filter(col("doc_id") % 10 =!= 7))
       .write.mode("overwrite").parquet(s"$root/text")

@@ -240,9 +240,15 @@ object ScaleProbe {
     // every query between rebuilds)
     val needsSem = selectedSet.forall(_.contains("d26_semdedup_grown"))
     for (d <- Seq(dir1, dirR) if needsSem) {
-      val corpus = Tables.embeddings(spark, d.toString)
-        .filter(col("vec_id") % 10 =!= 0)
-      val k = math.max(8L, (corpus.count() + 47L) / 48L).toInt
+      val full = Tables.embeddings(spark, d.toString)
+      val corpus = full.filter(col("vec_id") % 10 =!= 0)
+      // K from the SAME footer rule as the d26 entry fallback and the
+      // oracle — floor(9·N/10) (r15 advice item 4: sizing the prebuild
+      // from corpus.count() could differ from that rule by one at a K
+      // boundary and silently diverge the prebuilt geometry)
+      val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+        d.resolve("embeddings.parquet").toString, full.count()) * 9L / 10L
+      val k = math.max(8L, (n + 47L) / 48L).toInt
       val (ct, mm) = graft.ops.Similarity.buildSemIndex(corpus, k)
       ct.write.mode("overwrite").parquet(d.resolve("sem_centroids.parquet").toString)
       mm.write.mode("overwrite").parquet(d.resolve("sem_members.parquet").toString)

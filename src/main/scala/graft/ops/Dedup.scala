@@ -778,9 +778,13 @@ object Dedup {
   private def requireFamily(index: DataFrame): Unit = {
     require(index.columns.contains("hp_family"),
       "embedding index has no hp_family column: it was persisted before the " +
-        "coefficient-family stamp, under a hyperplane family this code no " +
-        "longer computes — reading it would silently report every arrival " +
-        "'new' (zero dedup recall). Rebuild it with buildEmbedIndex / " +
+        "coefficient-family stamp, so the column alone cannot say which " +
+        "family keyed it — a distinct-plane (current, family " +
+        s"${graft.functions.HyperplaneBucket.Family}) build is readable but " +
+        "an earlier-family build would silently report every arrival 'new' " +
+        "(zero dedup recall). If the index is KNOWN to be a current-family " +
+        "build, stamp it with Dedup.backfillFamily and re-persist; for " +
+        "unknown provenance, rebuild with buildEmbedIndex / " +
         "buildEmbedIndexBanded.")
     index.select(col("hp_family")).head(1).foreach { r =>
       val fam = if (r.isNullAt(0)) -1 else r.getInt(0)
@@ -791,6 +795,26 @@ object Dedup {
           "arrival would silently report 'new'. Rebuild the index with " +
           "buildEmbedIndex / buildEmbedIndexBanded.")
     }
+  }
+
+  /** The DOCUMENTED BACKFILL for stamp-less embedding indexes (r15 advice):
+    * stamps the CURRENT coefficient family onto an index persisted before
+    * the `hp_family` column existed. The caller ASSERTS provenance — the
+    * stamp is only truthful for an index known to have been built with the
+    * current distinct-plane coefficients (any build since the family's
+    * introduction; the column, not the coefficients, is what arrived
+    * later). An index of unknown provenance must be rebuilt instead:
+    * stamping an earlier-family build makes the gate pass while bucket
+    * keys never collide — exactly the silent zero-recall failure the gate
+    * exists to prevent. Refuses an already-stamped index (a backfill over
+    * a real stamp would overwrite evidence).
+    */
+  def backfillFamily(index: DataFrame): DataFrame = {
+    require(!index.columns.contains("hp_family"),
+      "backfillFamily is only for stamp-less (pre-hp_family) indexes: this " +
+        "index already carries a family stamp, which must not be overwritten")
+    index.withColumn("hp_family",
+      lit(graft.functions.HyperplaneBucket.Family))
   }
 
   /** CORPUS-WIDE near-duplicate pairs through the banded grown-geometry

@@ -22,6 +22,26 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetMeta {
 
+  /** [[rowCount]] with a LOUD scan fallback — the one entry point geometry
+    * sizing should use (r15 advice item 2): every sizing call site derives
+    * N from the FULL table (footer count ≡ `count(*)`) and then applies
+    * its cohort-share integer rule (`* share / 10`, `+ 1` for planted
+    * witnesses) OUTSIDE this call, so the fallback path computes the
+    * identical arithmetic the DuckDB oracle mirrors — the pre-r16 form let
+    * each fallback count a filtered cohort directly, which near a
+    * planes/K threshold could disagree with the oracle's
+    * `floor(share · count(*))` by one and silently diverge the geometry.
+    * `scan` must therefore be the UNFILTERED table count. The fallback is
+    * logged so a parity mismatch is traceable to it.
+    */
+  def rowCountOrScan(spark: SparkSession, path: String, scan: => Long): Long =
+    rowCount(spark, path).getOrElse {
+      System.err.println(s"[graft] ParquetMeta: footer row count unavailable " +
+        s"for $path — falling back to a full count(*) scan (same integer " +
+        "rule as the oracle; geometry parity preserved)")
+      scan
+    }
+
   /** Exact total row count of the parquet file/directory at `path`. */
   def rowCount(spark: SparkSession, path: String): Option[Long] = try {
     val conf = spark.sessionState.newHadoopConf()

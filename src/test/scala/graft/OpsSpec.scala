@@ -211,6 +211,19 @@ class OpsSpec extends GraftSpec {
         idx.drop("hp_family"), minCosine = 0.9)
     }
     assert(e3.getMessage.contains("hp_family"), e3.getMessage)
+    // the refusal message must name the backfill path — a stamp-less index
+    // is not necessarily incompatible, only unverifiable (r15 advice)
+    assert(e3.getMessage.contains("backfillFamily"), e3.getMessage)
+    // documented backfill: stamping a KNOWN current-family stamp-less
+    // index restores readability with full recall...
+    val backfilled = graft.ops.Dedup.backfillFamily(idx.drop("hp_family"))
+    assert(graft.ops.Dedup.embedDedupAgainstIndex(arrivals, backfilled,
+      minCosine = 0.9).collect().head.getAs[String]("verdict") === "near")
+    // ...and refuses to overwrite a real stamp (evidence, not a default)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.backfillFamily(idx)
+    }
+    assert(e4.getMessage.contains("already"), e4.getMessage)
   }
 
   test("corpus-wide banded near-dup finds the planted pair a single " +

@@ -44,6 +44,10 @@ def plans_path(floors_path: str) -> str:
     return os.path.join(os.path.dirname(floors_path) or ".", "floor_plans.json")
 
 
+def cpu_path(floors_path: str) -> str:
+    return os.path.join(os.path.dirname(floors_path) or ".", "floor_cpu.json")
+
+
 def check(floors_path: str) -> None:
     with open(floors_path) as f:
         floors = json.load(f)
@@ -78,6 +82,14 @@ def main() -> None:
         return
     out, details = sys.argv[1], sys.argv[2:]
     floors: dict[str, float] = {}
+    # Per-floor CPU stamp (r15 verdict item 1): each detail file records the
+    # kept triple's process-CPU seconds per query; CPU time is nearly
+    # load-invariant (a co-tenant burst inflates wall, not our JVM's CPU),
+    # so the MIN cpu_sec across same-bytecode captures is the clean triple's
+    # CPU cost. Bench compares a >2x-floor row's own cpu_sec against this
+    # stamp to classify it load_noise vs plan_change mechanically — no quiet
+    # window needed.
+    cpus: dict[str, float] = {}
     for path in details:
         with open(path) as f:
             d = json.load(f)
@@ -87,6 +99,9 @@ def main() -> None:
                 continue
             m = min(valid)
             floors[name] = min(floors.get(name, m), m)
+        for name, c in d.get("cpu_sec", {}).items():
+            if c is not None and c >= 0:
+                cpus[name] = min(cpus.get(name, c), c)
     with open(out, "w") as f:
         f.write("{\n")
         f.write(",\n".join(f' "{k}": {round(v, 3)}'
@@ -97,7 +112,11 @@ def main() -> None:
     with open(plans_path(out), "w") as f:
         json.dump({q: h for q, h in hashes.items() if h is not None},
                   f, indent=1, sort_keys=True)
+    with open(cpu_path(out), "w") as f:
+        json.dump({q: round(c, 3) for q, c in sorted(cpus.items())},
+                  f, indent=1, sort_keys=True)
     print(f"wrote {len(floors)} floors to {out} from {len(details)} captures")
+    print(f"recorded {len(cpus)} floor cpu_sec stamps to {cpu_path(out)}")
     print(f"recorded {len(hashes) - len(missing)} plan fingerprints to "
           f"{plans_path(out)}" +
           (f" ({len(missing)} queries have no golden plan: {missing})"
