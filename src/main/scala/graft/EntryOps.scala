@@ -1140,6 +1140,41 @@ object EntryOps {
     graft.ops.Bpe.mergesDf(spark,
       graft.ops.Bpe.trainMerges(docs(spark, dir), numMerges = 12))
 
+  /** t21 — BPE training at PRODUCTION merge counts (r15 verdict item 2):
+    * 256 merges through [[graft.ops.Bpe.trainMergesScaled]] — the corpus
+    * pass (word-frequency aggregation) runs distributed once, the dict is
+    * capped to the 65,536 most frequent words under (freq DESC, w ASC)
+    * (the cap is contract, mirrored by the oracle, logged when it binds),
+    * and the merge loop maintains pair counts INCREMENTALLY on the
+    * collected dict (per-merge delta touches only affected words), so
+    * per-merge cost is flat in k and plan depth does not grow with k at
+    * all — t19's per-merge-job form (kept: it prices the one-job-per-merge
+    * shape) re-aggregates the dict every iteration and cannot reach
+    * production k.
+    *
+    * The natural-text corpus carries only 31 distinct words (its word
+    * dict exhausts after 89 merges — a fixture property, not an operator
+    * bound), so t21 trains on the SYNTHETIC pseudo-word stream the m/URL
+    * families' in-plan-fixture discipline provides: 4 words of 8 hex
+    * chars per doc, `substr(md5('bpe:' || doc_id || ':' || j), 1, 8)` —
+    * 2,000 distinct words at sf0.01 over the 16-symbol hex alphabet,
+    * sustaining 256+ merges, derivable identically in both engines. The
+    * oracle RE-TRAINS all 256 merges as unrolled materialized SQL stages
+    * (two per rank + a cumulative merge-table chain — the chain keeps the
+    * final select's expression depth constant; a 256-arm UNION trips
+    * DuckDB's depth limit): every rank must reproduce count-for-count.
+    */
+  def bpeMergesScaled(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.documents(spark, dir)
+      .select(explode(expr(
+        """transform(sequence(0, 3), j ->
+             substring(md5(concat('bpe:', CAST(doc_id AS STRING), ':',
+                                  CAST(j AS STRING))), 1, 8))""")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    graft.ops.Bpe.mergesDf(spark,
+      graft.ops.Bpe.trainMergesScaled(dict, numMerges = 256))
+  }
+
   /** q38 — the BPE-token variant of the budget sampler (q36 meters
     * whitespace words; a training budget meters SUBWORD tokens): per-doc
     * token counts come from the word dict tokenized ONCE under the t19
@@ -3965,6 +4000,45 @@ object EntryOps {
         r0 AS MATERIALIZED (SELECT w, freq,
             chr(1) || array_to_string(string_split(w, ''), $sep) || chr(2) AS rep
             FROM wd),${(1 to numMerges).map(step).mkString(",")}"""
+  }
+
+  /** t21's oracle: BPE training over the hex pseudo-word dict unrolled to
+    * `numMerges` materialized stages (mirror of
+    * [[graft.ops.Bpe.trainMergesScaled]] — same dict cap, same argmax
+    * total order, same greedy replace). Two structural differences from
+    * [[duckBpeCtes]], both forced by DuckDB's max_expression_depth at 256
+    * ranks: the pair-count + argmax collapse into ONE stage CTE (m$k), and
+    * the merge table accumulates through a materialized chain (mm$k) so
+    * the final select is a single reference instead of a 256-arm UNION.
+    */
+  private def duckBpeScaledSql(numMerges: Int, maxVocab: Int): String = {
+    val sep = "chr(2) || chr(1)"
+    def step(k: Int): String = s"""
+          m$k AS MATERIALIZED (SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+                  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+                        FROM (SELECT freq, string_split(substr(rep, 2, len(rep) - 2), $sep) AS s
+                              FROM r${k - 1})
+                        WHERE len(s) >= 2)
+                  GROUP BY 1, 2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+          r$k AS MATERIALIZED (SELECT w, freq,
+                  replace(rep, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+                          chr(1) || l || r || chr(2)) AS rep
+                  FROM r${k - 1}, m$k),
+          mm$k AS MATERIALIZED (SELECT * FROM mm${k - 1} UNION ALL
+                  SELECT CAST($k AS BIGINT), l, r, cnt FROM m$k)"""
+    s"""WITH wd AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+            SELECT unnest(list_transform(range(0, 4), j ->
+              substr(md5('bpe:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))) AS w
+            FROM documents) GROUP BY 1
+            ORDER BY freq DESC, w ASC LIMIT $maxVocab),
+        r0 AS MATERIALIZED (SELECT w, freq,
+            chr(1) || array_to_string(string_split(w, ''), $sep) || chr(2) AS rep
+            FROM wd),
+        mm0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS merge_rank,
+            '' AS left_sym, '' AS right_sym, CAST(0 AS BIGINT) AS pair_count
+            WHERE 1 = 0)${(1 to numMerges).map(step).mkString(",", ",", "")}
+        SELECT merge_rank, left_sym, right_sym, pair_count
+        FROM mm$numMerges ORDER BY merge_rank"""
   }
 
   /** Positional 5-gram CTEs `{x}w`/`{x}g`/`{x}p` (mirror of
@@ -6903,6 +6977,9 @@ object EntryOps {
           SELECT merge_rank, left_sym, right_sym, pair_count
           FROM ($ranks) ORDER BY merge_rank"""
     },
+    // t21: all 256 merges re-trained over the hex pseudo-word dict —
+    // every rank must reproduce the incremental trainer count-for-count
+    "t21_bpe_merges_scaled" -> duckBpeScaledSql(256, 65536),
     // q38: q36's exact-semantics oracle (global per-lang cumsum, no salt
     // machinery — the Spark plan's two-stage form provably admits the
     // same rows) over BPE token counts from the re-trained merges
@@ -7160,6 +7237,7 @@ object EntryOps {
     "m14_mp4_boxes" -> (mp4Boxes _),
     "m21_mp4_sample_tables" -> (mp4SampleWalk _),
     "t19_bpe_merges" -> (bpeMerges _),
+    "t21_bpe_merges_scaled" -> (bpeMergesScaled _),
     "q38_bpe_token_budget" -> (bpeTokenBudgetSample _),
     "t20_url_canonicalize" -> (urlCanonical _),
     "d32_url_dedup" -> (urlDedup _),

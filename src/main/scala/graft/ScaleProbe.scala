@@ -111,6 +111,11 @@ object ScaleProbe {
     // into the dict; vocabulary grows ∝ R under salting — the dict-loop
     // cost is the thing probed), and the per-row stbl walk
     "d32_url_dedup", "d33_url_neardup", "t19_bpe_merges",
+    // r16: production-merge-count BPE — the corpus pass grows with R, the
+    // capped-dict trainer is bounded by contract (cap binds at ×100 and
+    // logs; BpeProbe carries the flat-in-k evidence, this row the
+    // flat-in-corpus evidence)
+    "t21_bpe_merges_scaled",
     "m21_mp4_sample_tables",
     // r15: the URL frontier replay — one full learning lifecycle (base
     // frontier build + three batch bodies), the d24 row's shape for the

@@ -174,6 +174,33 @@ class OpsSpec extends GraftSpec {
     assert(m1 === m32)
   }
 
+  test("incremental BPE trainer reproduces the per-merge-job trainer " +
+      "rank for rank; cap and overlap semantics pinned") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Bpe
+    import spark.implicits._
+    // overlap semantics: greedy non-overlapping left-to-right, same as the
+    // replace()-based form ("aaaa" -> [aa][aa], never [aa] a a)
+    assert(Bpe.trainMergesIncremental(IndexedSeq(("aaaa", 1L)), 3) ===
+      Seq(Bpe.Merge(1, "a", "a", 3L), Bpe.Merge(2, "aa", "aa", 1L)))
+    // equivalence on the real corpus dict: every rank must match the
+    // per-merge-job trainer exactly (same argmax order, same counts),
+    // exhaustion included (the 31-word dict dries up past rank 89)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val jobForm = Bpe.trainMerges(docs, 12)
+    val incForm = Bpe.trainMergesScaled(Bpe.wordDict(docs), 12)
+    assert(incForm === jobForm)
+    // partitioning determinism of the scaled form
+    val dict7 = Bpe.wordDict(docs.repartition(7, col("doc_id")))
+    assert(Bpe.trainMergesScaled(dict7, 12) === jobForm)
+    // a BINDING vocabulary cap keeps the (freq DESC, w ASC) top slice —
+    // identical to training the job form on the pre-capped dict
+    val tiny = Seq(("zz", 9L), ("ab", 9L), ("cd", 2L))
+      .toDF("w", "freq")
+    val capped = Bpe.trainMergesScaled(tiny, 4, maxVocab = 2)
+    assert(capped === Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "z", "z", 9L)))
+  }
+
   test("embed index readers enforce the coefficient-family gate: a " +
       "mismatched or pre-stamp index fails loudly, never all-'new'") {
     import org.apache.spark.sql.functions._
