@@ -135,6 +135,11 @@ object Bench {
         ct.write.parquet(base.resolve("sem_centroids.parquet").toString)
         mm.write.parquet(base.resolve("sem_members.parquet").toString)
       }
+      // s18's SQ8 root (r16): committed untimed through the same fixture
+      // as the entry's scratch path and the oracle (build 9/10 + frozen
+      // append 1/10), so the benched row prices resolve + query alone
+      EntryOps.sq8RootFixture(spark, base.toString,
+        base.resolve("sq_roots").toString)
       System.err.println(s"[bench] ANN index overlay built (untimed) at $base")
       base.toString
     } catch { case e: Throwable =>

@@ -725,6 +725,62 @@ object EntryOps {
   def topkSq8(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkSq8(emb(spark, dir), pqQueryPred, k = 10)
 
+  /** The s18 root fixture, shared verbatim by the entry's scratch path and
+    * the Bench/ScaleProbe untimed overlays so the benched row prices the
+    * same bytes the oracle checks: quantizer trained on the 9/10 ingest
+    * cohort (`vec_id % 10 ≠ 0`) at GROWN planes (footer rule over the FULL
+    * table — the index serves all N once the append lands), committed as
+    * `v-00000001`, then the 1/10 cohort appended FROZEN (coded and banded
+    * under the persisted quantizer — min/max never refit). The oracle
+    * mirrors exactly this split: min/max from the 9/10 cohort, codes for
+    * everyone, clamp for the appended vectors that fall outside the
+    * training range.
+    */
+  def sq8RootFixture(spark: SparkSession, dir: String,
+      rootsPath: String): Unit = {
+    val e = emb(spark, dir)
+    val n = graft.ops.ParquetMeta.rowCountOrScan(spark,
+      s"$dir/embeddings.parquet", e.count())
+    val planes = (4 to 30).find(p => (1L << p) * 48L >= n).get
+    Similarity.commitSq8Root(spark, e.filter(col("vec_id") % 10 =!= 0),
+      rootsPath, planes)
+    val v = Similarity.resolvePqIndexPath(spark, rootsPath)
+    Similarity.sq8IndexAppend(spark,
+      e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding")), v)
+  }
+
+  /** s18 — the SQ8 representation as a DEPLOYMENT route (r15 verdict
+    * item 3, the s09-s16 treatment): a committed `v-NNNNNNNN/` container
+    * ([[graft.ops.Similarity.commitSq8Root]]) holding the frozen per-dim
+    * quantizer + banded codes at GROWN geometry, resolved per query, with
+    * the 1/10 cohort served through the FROZEN-append delta
+    * ([[graft.ops.Similarity.sq8IndexAppend]] →
+    * [[graft.ops.Similarity.readPqCodes]]'s generation view) — so the
+    * oracle hash-checks build, append, quantizer-identity gate, and query
+    * as one plan. Queries quantize and band UNDER the root's quantizer
+    * (never a default); candidates are banded equi-joins, id-deduped
+    * before the codes re-attach; scoring is the all-integer dot
+    * (s17's MIPS contract, k = 10). Pre-committed container at
+    * `sq_roots/` when the overlay built one; scratch-committed otherwise
+    * — both through [[sq8RootFixture]], byte-identically.
+    */
+  def topkSq8Rooted(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val roots = s"$dir/sq_roots"
+    val resolved = Similarity.currentPqRoot(spark, roots) match {
+      case Some(r) => r
+      case None =>
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_sq_root").resolve("container").toString
+        sq8RootFixture(spark, dir, scratch)
+        Similarity.resolvePqIndexPath(spark, scratch)
+    }
+    val quantizer = spark.read.parquet(s"$resolved/quantizer")
+    Similarity.topkSq8AgainstIndex(e.filter(pqQueryPred), quantizer,
+      Similarity.readPqCodes(spark, resolved), k = 10)
+  }
+
   def topkIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkIvfMultiProbe(emb(spark, dir), pqQueryPred, k = 3)
 
@@ -5226,6 +5282,50 @@ object EntryOps {
           SELECT query_id, rank, cand_id, score FROM r
           WHERE rank <= 10 ORDER BY query_id, rank"""
     },
+    // s18: the persisted SQ8 lifecycle mirrored end to end — quantizer
+    // min/max from the 9/10 build cohort ONLY (the frozen-append split),
+    // codes for everyone under that frozen map WITH the 0/255 clamp
+    // (appended vectors may fall outside the training range), banded keys
+    // at grown planes × 4 tables, id-level candidate dedup before the
+    // integer dot
+    "s18_topk_sq8_rooted" -> {
+      s"""WITH pl AS (SELECT min(p) AS p
+                 FROM (SELECT unnest(range(4, 31)) AS p)
+                 WHERE (1 << p) * 48 >= (SELECT count(*) FROM embeddings)),
+          mm AS (SELECT k,
+                 CAST(min(embedding[k]) AS DOUBLE) AS mn,
+                 CAST(max(embedding[k]) AS DOUBLE) AS mx
+                 FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+                 WHERE embedding IS NOT NULL AND vec_id % 10 != 0 GROUP BY k),
+          qz AS (SELECT e.vec_id, e.embedding,
+                 list(CASE WHEN m.mx > m.mn
+                      THEN greatest(0, least(255,
+                        CAST(floor((CAST(e.embedding[m.k] AS DOUBLE) - m.mn)
+                                   * 255.0 / (m.mx - m.mn)) AS BIGINT)))
+                      ELSE 0 END ORDER BY m.k) AS codes
+                 FROM embeddings e CROSS JOIN mm m
+                 WHERE e.embedding IS NOT NULL
+                 GROUP BY e.vec_id, e.embedding),
+          kb AS (SELECT z.vec_id, tt.t AS band,
+                 ${duckHyperplaneBucketDynOff("z.embedding", "pl.p", "tt.t * pl.p")} AS key
+                 FROM qz z CROSS JOIN pl
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt),
+          q AS (SELECT vec_id AS query_id, band, key FROM kb
+                WHERE vec_id % 40 = 0 AND vec_id < 2000),
+          cand AS (SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+                   FROM q JOIN kb c ON c.band = q.band AND c.key = q.key
+                    AND c.vec_id != q.query_id),
+          s AS (SELECT cand.query_id, cand.cand_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.codes[i] * b.codes[i])) AS BIGINT) AS score
+                FROM cand JOIN qz a ON a.vec_id = cand.query_id
+                JOIN qz b ON b.vec_id = cand.cand_id),
+          r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT query_id, rank, cand_id, score FROM r
+          WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
     "s04_topk_lsh_bands" -> {
       // bands = bit-slices of ONE 8-plane bucket; candidate iff ANY band
       // collides (the OR mirrors the Spark union-of-band-joins + dedup)
@@ -7176,6 +7276,7 @@ object EntryOps {
     "s03_topk_lsh" -> (topkLsh _),
     "s04_topk_lsh_bands" -> (topkLshBands _),
     "s17_topk_sq8" -> (topkSq8 _),
+    "s18_topk_sq8_rooted" -> (topkSq8Rooted _),
     "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
     "s07_topk_pq" -> (topkPq _),

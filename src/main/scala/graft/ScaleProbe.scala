@@ -66,6 +66,10 @@ object ScaleProbe {
     // r15: the SQ8 compression point (integer-dot MIPS over bucket-blocked
     // candidates; quantizer = one aggregated row broadcast)
     "s17_topk_sq8",
+    // r16: the SQ8 DEPLOYMENT route — persisted versioned root at grown
+    // banded geometry, frozen-append delta, quantizer-identity gate; the
+    // root is prebuilt untimed per scale so the row prices resolve + query
+    "s18_topk_sq8_rooted",
     // r12: d18's one-gram-shuffle substring spans, probed at ×R alongside
     // the other dedup representatives (the r11 ×100 run covered s09-s14
     // only; the verdict asked for the dedup families' exponents too)
@@ -236,6 +240,10 @@ object ScaleProbe {
         d.resolve("pq_roots").toString)
       graft.ops.Similarity.commitIvfPqRoot(spark, e,
         d.resolve("ivfpq_roots").toString, nCells = 8 * m)
+      // s18's SQ8 root — same fixture as the entry/oracle, planes grown
+      // per scale through the footer rule inside the fixture itself
+      EntryOps.sq8RootFixture(spark, d.toString,
+        d.resolve("sq_roots").toString)
     }
     // d26's grown-geometry sem index (r13): same corpus + K formula as the
     // entry's fallback and the oracle — max(8, ceil(N/48)), the

@@ -1512,6 +1512,201 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The SQ8 per-dim affine code transform under a (broadcast) quantizer
+    * row carrying `mn`/`mx` double arrays — the faiss ScalarQuantizer
+    * recipe with the out-of-range CLAMP the frozen-append lifecycle
+    * needs: a vector appended AFTER the quantizer froze may fall outside
+    * the training min/max, and its code must saturate at 0/255 (exactly
+    * what faiss does), not leave uint8 range. For vectors inside the
+    * range the clamp is the identity, so [[topkSq8]]'s in-plan form
+    * (quantizer trained on the full set) is unaffected by it.
+    */
+  private def sq8Codes(dims: Int): Column = expr(
+    s"""transform(sequence(1, $dims), i ->
+          IF(element_at(mx, i) > element_at(mn, i),
+             greatest(0L, least(255L,
+               CAST(floor((CAST(element_at(embedding, i) AS DOUBLE)
+                           - element_at(mn, i)) * 255.0D
+                          / (element_at(mx, i) - element_at(mn, i))) AS BIGINT))),
+             0L))""")
+
+  /** Train an SQ8 quantizer + code the corpus over GROWN banded blocking
+    * (r15 verdict item 3 — the s09-s16 treatment for the SQ8
+    * representation): returns (quantizer, codes).
+    *
+    * The QUANTIZER is one row — per-dim corpus min/max as double arrays —
+    * plus the index's full self-describing geometry (planes, tables,
+    * dims, hp_family) and `sq_quant_id`, a deterministic content hash of
+    * the min/max tables (xxhash64 over both arrays). Every code row
+    * carries the same `sq_quant_id`: integer codes are only comparable
+    * under the affine map that produced them, so a reader that scored
+    * codes from one quantizer against queries quantized under another
+    * would return confidently WRONG neighbors with no error anywhere —
+    * the hp_family silent-failure class with worse symptoms (not zero
+    * recall: wrong ranking). [[requireSqQuant]] closes it the same way.
+    *
+    * CODES are one row per (vector, table): ex_id, band, key (hyperplane
+    * bucket over plane indices [t·planes, (t+1)·planes) — the
+    * buildEmbedIndexBanded discipline, so candidate generation is
+    * equi-join-only at constant expected bucket size when `planes` grows
+    * with the corpus), codes (64 × uint8-in-BIGINT), sq_quant_id. At
+    * 100 TB the codes column is the stored scan — 64 bytes/vector against
+    * float32's 256 — and the quantizer broadcast is one row.
+    */
+  def buildSq8Index(corpus: DataFrame, planes: Int, tables: Int = 4,
+      dims: Int = 64): (DataFrame, DataFrame) = {
+    val nn = corpus.filter(col("embedding").isNotNull)
+    val aggs =
+      (1 to dims).map(i =>
+        min(element_at(col("embedding"), i)).cast("double").as(s"mn$i")) ++
+        (1 to dims).map(i =>
+          max(element_at(col("embedding"), i)).cast("double").as(s"mx$i"))
+    val quantizer = nn.agg(aggs.head, aggs.tail: _*)
+      .select(
+        array((1 to dims).map(i => col(s"mn$i")): _*).as("mn"),
+        array((1 to dims).map(i => col(s"mx$i")): _*).as("mx"))
+      .withColumn("sq_quant_id", xxhash64(col("mn"), col("mx")))
+      .withColumn("planes", lit(planes))
+      .withColumn("tables", lit(tables))
+      .withColumn("dims", lit(dims))
+      .withColumn("hp_family", lit(graft.functions.HyperplaneBucket.Family))
+    val codes = codeUnderQuantizer(nn, quantizer)
+    (quantizer, codes)
+  }
+
+  /** Code + band `vectors` UNDER an existing quantizer row (its min/max,
+    * its geometry, its `sq_quant_id`) — the build's own coding step and
+    * the FROZEN-append path are the same function, so appended codes are
+    * bit-compatible with the base by construction.
+    */
+  def codeUnderQuantizer(vectors: DataFrame, quantizer: DataFrame): DataFrame = {
+    val g = quantizer
+      .select(col("planes"), col("tables"), col("dims"), col("hp_family"))
+      .head()
+    require(g.getInt(3) == graft.functions.HyperplaneBucket.Family,
+      s"SQ8 quantizer was built under hyperplane coefficient family ${g.getInt(3)} " +
+        s"but this code computes family ${graft.functions.HyperplaneBucket.Family}: " +
+        "banded keys would never collide. Rebuild the root.")
+    val (planes, tables, dims) = (g.getInt(0), g.getInt(1), g.getInt(2))
+    val nn = vectors.filter(col("embedding").isNotNull)
+    nn.crossJoin(broadcast(
+        quantizer.select(col("mn"), col("mx"), col("sq_quant_id"))))
+      .select(col("vec_id").as("ex_id"), col("sq_quant_id"),
+        sq8Codes(dims).as("codes"),
+        posexplode(array((0 until tables).map(t =>
+          graft.functions.HyperplaneBucket(col("embedding"), planes, dims,
+            t * planes)): _*)).as(Seq("band", "key")))
+  }
+
+  /** The quantizer-identity gate (the [[graft.ops.Dedup]] `requireFamily`
+    * pattern for the SQ8 space): persisted codes are only scorable under
+    * the EXACT quantizer that produced them — a mismatched (or pre-stamp)
+    * codes table passes every schema check yet its integer dots rank
+    * candidates under a different affine map, silently returning wrong
+    * neighbors. Fail loudly and force the documented rebuild. One-row
+    * scalar reads on both sides.
+    */
+  def requireSqQuant(codes: DataFrame, quantizer: DataFrame): Unit = {
+    require(codes.columns.contains("sq_quant_id"),
+      "SQ8 codes have no sq_quant_id column: they were persisted before " +
+        "the quantizer stamp, so nothing proves which min/max table coded " +
+        "them — scoring them under this root's quantizer could silently " +
+        "rank wrong neighbors. Rebuild the root (commitSq8Root).")
+    val want = quantizer.select(col("sq_quant_id")).head().getLong(0)
+    codes.select(col("sq_quant_id")).head(1).foreach { r =>
+      val got = if (r.isNullAt(0)) -1L else r.getLong(0)
+      require(got == want,
+        s"SQ8 codes were quantized under quantizer $got but this root's " +
+          s"quantizer is $want: integer scores across different affine " +
+          "maps are not comparable — the reader would silently return " +
+          "wrong neighbors. Rebuild the root (commitSq8Root), or resolve " +
+          "the version these codes belong to.")
+    }
+  }
+
+  /** Top-k MIPS over a PERSISTED SQ8 index: queries are quantized and
+    * banded UNDER THE INDEX's quantizer and geometry (never a default —
+    * [[codeUnderQuantizer]] reads both from the quantizer row), candidates
+    * come from same-(band, key) equi-joins across the T tables with
+    * multi-table collisions collapsed by a distinct on the deterministic
+    * (query, candidate) pair BEFORE scoring (ids only on the wide shuffle),
+    * and scoring is the all-integer code dot. Output is the s17 contract:
+    * (query_id, rank, cand_id, score), ties (score DESC, cand_id ASC).
+    */
+  def topkSq8AgainstIndex(queries: DataFrame, quantizer: DataFrame,
+      codes: DataFrame, k: Int): DataFrame = {
+    requireSqQuant(codes, quantizer)
+    val q = codeUnderQuantizer(queries, quantizer)
+      .select(col("ex_id").as("query_id"), col("band"), col("key"),
+        col("codes").as("qc"))
+    // candidate ids via the banded equi-join, deduped across tables while
+    // the rows are still narrow; codes re-attach once per side
+    val cand = q.select(col("query_id"), col("band"), col("key"))
+      .join(codes.select(col("ex_id").as("cand_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct()
+    val qCodes = q.select(col("query_id"), col("qc")).distinct()
+    val cCodes = codes
+      .select(col("ex_id").as("cand_id"), col("codes").as("cc"))
+      .distinct()
+    val scored = cand
+      .join(qCodes, Seq("query_id"))
+      .join(cCodes, Seq("cand_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qc, cc, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[commitPqRoot]] for the SQ8 representation: quantizer + banded codes
+    * land under `v-<N>/` (`quantizer/`, `codes/`) and flip by marker; the
+    * same claim-lock/heartbeat/stage-rename protocol, so SQ8 roots get
+    * rebuild flips, loser-no-op, and torn-dir reclamation for free.
+    * `planes` is the caller's GROWN geometry (footer rule — sizing is the
+    * ingest-cadence maintainer's decision, recorded in the quantizer row
+    * and followed by every reader).
+    */
+  def commitSq8Root(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, rootsPath: String, planes: Int, tables: Int = 4,
+      dims: Int = 64, lockTimeoutMs: Long = 10 * 60 * 1000L): Option[Long] =
+    commitNextRoot(IndexFs.fs(spark, rootsPath), rootsPath, lockTimeoutMs) {
+      vdir =>
+        val (quantizer, codes) = buildSq8Index(emb, planes, tables, dims)
+        quantizer.write.mode("overwrite").parquet(s"$vdir/quantizer")
+        codes.write.mode("overwrite").parquet(s"$vdir/codes")
+    }
+
+  /** FROZEN append to a committed SQ8 root: arrivals are coded and banded
+    * under the root's persisted quantizer (min/max NEVER refit — refitting
+    * would silently re-map every stored code; that is a rebuild,
+    * [[commitSq8Root]] into the next version) and land as the next
+    * `codes_appended/batch_id=N/` partition — the pq delta layout — so
+    * [[readPqCodes]]'s generation view serves base + appends unchanged
+    * (and [[compactPqIndex]], being schema-agnostic, folds SQ8 deltas
+    * too). Returns the committed batch id.
+    */
+  def sq8IndexAppend(spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame, indexPath: String): Long = {
+    val fs = IndexFs.fs(spark, indexPath)
+    val delta = s"$indexPath/codes_appended"
+    val next = IndexFs.childNames(fs, delta)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+      .foldLeft(-1L)(math.max) + 1
+    val quantizer = spark.read.parquet(s"$indexPath/quantizer")
+    codeUnderQuantizer(arrivals, quantizer)
+      .write.mode("overwrite").parquet(s"$delta/batch_id=$next")
+    next
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine ≥
     * `minCosine`. The all-pairs form is the exactness baseline; at scale the same
     * output is produced by LSH/IVF blocking + this verification on candidates.

@@ -253,6 +253,59 @@ class OpsSpec extends GraftSpec {
     assert(e4.getMessage.contains("already"), e4.getMessage)
   }
 
+  test("SQ8 persisted lifecycle: frozen append served through the " +
+      "generation view; quantizer-identity gate refuses mismatched and " +
+      "pre-stamp codes") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, Array.tabulate(64)(j => (math.sin(i * 0.3 + j * 0.17)).toFloat)))
+    // vec 39 (appended cohort) is a byte-identical clone of vec 5 (build
+    // cohort): identical vectors share every banded key at any geometry,
+    // so the clone pair is the scale-independent witness (the d30 pattern)
+    val vecs = base.updated(39, (39L, base(5)._2.clone()))
+    val df = vecs.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sq8_spec").resolve("container").toString
+    // build on <30 only; the quantizer freezes at commit
+    assert(Similarity.commitSq8Root(spark,
+      df.filter(col("vec_id") < 30), root, planes = 4) === Some(1L))
+    val v = Similarity.resolvePqIndexPath(spark, root)
+    assert(Similarity.sq8IndexAppend(spark,
+      df.filter(col("vec_id") >= 30), v) === 0L)
+    val quant = spark.read.parquet(s"$v/quantizer")
+    val codes = Similarity.readPqCodes(spark, v)
+    // appended rows serve immediately through the generation view
+    assert(codes.filter(col("ex_id") >= 30).count() > 0)
+    // the appended clone finds its build-cohort original as a candidate
+    // (every band collides — identical vectors), scored by integer dot
+    val res = Similarity.topkSq8AgainstIndex(
+      df.filter(col("vec_id") === 39), quant, codes, k = 5).collect()
+    assert(res.nonEmpty)
+    assert(res.exists(r => r.getAs[Long]("cand_id") === 5L),
+      res.mkString("; "))
+    // ...and an appended NON-clone is itself a servable candidate of the
+    // clone iff banded keys collide — at minimum the codes view carries it
+    // (the serving guarantee is the generation view's, proven above)
+    // quantizer-identity gate: doctored codes refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.topkSq8AgainstIndex(df.filter(col("vec_id") === 39),
+        quant, codes.withColumn("sq_quant_id", lit(12345L)), k = 5)
+    }
+    assert(e1.getMessage.contains("quantizer"), e1.getMessage)
+    // pre-stamp codes (no sq_quant_id at all) refuse with the rebuild hint
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.topkSq8AgainstIndex(df.filter(col("vec_id") === 39),
+        quant, codes.drop("sq_quant_id"), k = 5)
+    }
+    assert(e2.getMessage.contains("sq_quant_id"), e2.getMessage)
+    // out-of-range appended values saturate at 0/255, never leave uint8
+    val mx = codes.select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(mx.getLong(0) >= 0L && mx.getLong(1) <= 255L)
+  }
+
   test("corpus-wide banded near-dup finds the planted pair a single " +
       "16-plane table misses; pairs are distinct and ordered") {
     import org.apache.spark.sql.functions._
