@@ -245,6 +245,7 @@ object EntryOps {
   private val plantedUrlRaw0 = "HTTP://Plant.example:80/a/./b?z=1&a=2#f"
   private val plantedUrlRaw1 = "http://PLANT.example/x/../a/b?a=2&z=1"
   private val plantedUrlCanon = "http://plant.example/a/b?a=2&z=1"
+  private val plantedUrlNearCanon = "http://plant.example/a/b?a=2&q=9&z=1"
 
   /** d34 — the SELF-LEARNING URL-dedup stream (the crawl FRONTIER) under
     * the hard correctness signal, the SIXTH learning modality (text d24,
@@ -289,6 +290,63 @@ object EntryOps {
     verdicts.reduce(_ unionByName _)
       .select(col("batch_id"), col("doc_id"), col("verdict"),
         col("match_id"), col("url"))
+      .orderBy(col("batch_id"), col("doc_id"))
+  }
+
+  /** The d35 planted NEAR alias: batch 1's raw form canonicalizes to the
+    * batch-0 plant's resource PLUS ONE query param (`q=9`) — the exact
+    * mutation that defeats d34's exact frontier key. Token bigrams:
+    * plant 7, alias 9, shared 6 → Jaccard 6/10 = 0.6 ≥ 0.4, knowledge
+    * only batch 0's learned gram rows can supply (host `plant.example`
+    * is outside the fixture's formula family).
+    */
+  private val plantedUrlNearRaw = "http://Plant.example/a/./b?q=9&a=2&z=1"
+
+  /** d35 — the SELF-LEARNING NEAR-URL-dedup stream (d34's frontier gate
+    * composed with d33's token-bigram banding — r15 verdict item 7): a
+    * crawl that mutates one param per fetch reads `new` to the exact
+    * frontier forever, so this gate verdicts arrivals against the
+    * persisted GRAM index strictly below each batch
+    * ([[graft.ops.Dedup.urlNearDedupAgainstIndex]]: df-64-capped
+    * candidate grams, exact-Jaccard ≥ 0.4 verify — O(1) per pair at
+    * ≤ ~12 tokens/URL — deterministic best match by (jaccard DESC,
+    * ex_id ASC)), and `new` URLs learn their own gram rows
+    * ([[graft.streaming.LogStream.dedupLearningUrlNearBatch]], the
+    * stream's own micro-batch body). Base: doc_id % 10 ≤ 6 of
+    * [[urlAssets]] as [[graft.ops.Dedup.buildUrlGramIndex]]; cohorts
+    * 7/8/9 play batches 0/1/2; unparseable arrivals `invalid`, never
+    * learned. The planted pair proves the loop: batch 1's
+    * [[plantedUrlNearRaw]] (one param apart from batch 0's novel plant)
+    * is `dup` at match_id −100 through learned gram rows alone. Oracle:
+    * the t20 analytic canonical derivation + d33's gram machinery under
+    * d24's unrolled batch-chained knowledge CTEs, recomputing the df cap
+    * against each batch's knowledge state exactly as the gate does.
+    */
+  def dedupLearningUrlNearReplay(spark: SparkSession, dir: String): DataFrame = {
+    val u = urlAssets(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_urlnear").resolve("root").toString
+    Dedup.buildUrlGramIndex(
+      u.filter(col("asset_id") % 10 <= 6)
+        .select(col("asset_id").as("doc_id"),
+          graft.functions.UrlCanonicalize(col("raw_url")).as("url")))
+      .write.parquet(s"$root/base")
+    def planted(id: Long, raw: String): DataFrame = spark.sql(
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$raw' AS raw_url")
+    val verdicts = (0 to 2).map { b =>
+      val cohort = u.filter(col("asset_id") % 10 === 7 + b)
+        .select(col("asset_id").as("doc_id"), col("raw_url"))
+      val arr = b match {
+        case 0 => cohort.unionByName(planted(-100L, plantedUrlRaw0))
+        case 1 => cohort.unionByName(planted(-101L, plantedUrlNearRaw))
+        case _ => cohort
+      }
+      graft.streaming.LogStream.dedupLearningUrlNearBatch(arr, root, b.toLong)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("doc_id"), col("verdict"),
+        col("match_id"), col("jaccard"), col("url"))
       .orderBy(col("batch_id"), col("doc_id"))
   }
 
@@ -3446,6 +3504,166 @@ object EntryOps {
         col("trk.chunk_count").as("chunk_count"))
       .orderBy(col("asset_id"), col("trak_idx"))
 
+  /** m22 fixture — spec-valid FRAGMENTED ISO-BMFF files synthesized
+    * in-plan from doc_id (the DASH/CMAF stream class [[mp4SampleAssets]]'
+    * files refuse): `ftyp` (m14's brand cycle), an init-segment `moov`
+    * holding `mvhd` + nt = doc_id%2+1 declaration-only `trak` chains
+    * (`tkhd` track_ID t+1, `mdhd` timescale 500·(k%3+1), `hdlr` — NO
+    * stbl; k = doc_id + t) + `mvex` with one `trex` per track (default
+    * duration k%4+100, default size k%7+10), then nf = doc_id%3+1
+    * `moof`+`mdat` fragment pairs. Fragment f carries `mfhd` sequence
+    * f+1 and one `traf` per track whose trun class c = (k+f)%3 exercises
+    * each tier of the §8.8.8 default chain: c=0 no per-sample fields
+    * (both from trex), c=1 per-sample sizes (k·5+f·3+j·2)%40+8 with
+    * duration from a tfhd default k%4+120, c=2 per-sample durations
+    * k%4+100+j AND sizes (k·3+j)%30+10. Every tfhd sets
+    * default-base-is-moof; every trun's data_offset points at its
+    * track's 300-byte slot in the fragment's 600-byte mdat, so the
+    * decoder's data-span bounds check sees real in-file geometry.
+    * Refusal branches, each a distinct failure the walk must catch:
+    * doc_id%37 = 11 replaces ftyp (→ "unknown"); %17 = 3 omits moov;
+    * %43 = 9 emits NO moof (unfragmented — [[Mp4SampleTables]]'s domain);
+    * %29 = 10 sets the §8.8.8-forbidden trun flag pair (first-sample-
+    * flags + per-sample sample-flags); %41 = 7 claims track_ID 999 no
+    * tkhd declares; %31 = 5 omits mvex while forcing class-0 truns (the
+    * default chain exhausts); %23 = 6 sets an explicit base_data_offset
+    * past EOF (the bounds check).
+    */
+  def mp4FragmentAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("nt", (col("doc_id") % 2 + 1).cast("int"))
+      .withColumn("nf", (col("doc_id") % 3 + 1).cast("int"))
+    def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
+    def u64hex(e: String) = s"lpad(hex($e), 16, '0')"
+    val brandHex = "CASE doc_id % 3 WHEN 0 THEN '69736F6D' " +
+      "WHEN 1 THEN '6D703432' ELSE '61766331' END"
+    val ftypHex = s"IF(doc_id % 37 = 11, " +
+      "concat('00000010', '66726565', repeat('00', 8)), " +
+      s"concat('00000010', '66747970', $brandHex, '00000000'))"
+    def k(t: Int) = s"(doc_id + $t)"
+    // declaration-only trak: tkhd(92) + mdia(8 + mdhd 32 + hdlr 33) = 173
+    def trakHex(t: Int): String = {
+      val mts = s"(500 * (${k(t)} % 3 + 1))"
+      val handlerHex = s"CASE ${k(t)} % 3 WHEN 0 THEN '76696465' " +
+        "WHEN 1 THEN '736F756E' ELSE '74657874' END"
+      s"""IF($t < nt, concat(
+          '000000AD', '7472616B',
+          '0000005C', '746B6864', '00000000', repeat('00', 8),
+            ${u32hex(s"$t + 1")}, repeat('00', 68),
+          '00000049', '6D646961',
+          '00000020', '6D646864', '00000000', repeat('00', 8),
+            ${u32hex(mts)}, repeat('00', 8),
+          '00000021', '68646C72', '00000000', '00000000', $handlerHex,
+            repeat('00', 12), '00'), '')"""
+    }
+    def trexHex(t: Int): String =
+      s"""IF($t < nt, concat('00000020', '74726578', '00000000',
+          ${u32hex(s"$t + 1")}, '00000001', ${u32hex(s"${k(t)} % 4 + 100")},
+          ${u32hex(s"${k(t)} % 7 + 10")}, '00000000'), '')"""
+    val mvexHex = s"""IF(doc_id % 31 = 5, '',
+        concat(${u32hex("8 + 32 * nt")}, '6D766578',
+               ${trexHex(0)}, ${trexHex(1)}))"""
+    val moovSize = "(8 + 108 + 173 * nt + IF(doc_id % 31 = 5, 0, 8 + 32 * nt))"
+    val mvhdHex = s"concat('0000006C', '6D766864', '00000000', repeat('00', 8), " +
+      s"${u32hex("600 * (doc_id % 4 + 1)")}, ${u32hex("doc_id % 9000 + 100")}, repeat('00', 80))"
+    val moovHex = s"""IF(doc_id % 17 = 3,
+        concat('00000010', '66726565', repeat('00', 8)),
+        concat(${u32hex(moovSize)}, '6D6F6F76', $mvhdHex,
+               ${(0 until 2).map(trakHex).mkString("concat(", ", ", ")")}, $mvexHex))"""
+    // effective trun class: the missing-default branch forces class 0
+    def ce(t: Int, f: Int) = s"IF(doc_id % 31 = 5, 0, (${k(t)} + $f) % 3)"
+    def ns(t: Int, f: Int) = s"((${k(t)} + $f) % 4 + 1)"
+    def tfhdSize(t: Int, f: Int) =
+      s"""IF(doc_id % 23 = 6, 24, IF(doc_id % 31 = 5, 16,
+          IF(${ce(t, f)} = 1, 20, 16)))"""
+    def trunSize(t: Int, f: Int) =
+      s"""IF(doc_id % 29 = 10, 24 + 4 * ${ns(t, f)},
+          CASE ${ce(t, f)} WHEN 0 THEN 20
+               WHEN 1 THEN 20 + 4 * ${ns(t, f)}
+               ELSE 20 + 8 * ${ns(t, f)} END)"""
+    def moofSize(f: Int) = "(24 + " + (0 until 2).map { t =>
+      s"IF($t < nt, 8 + ${tfhdSize(t, f)} + ${trunSize(t, f)}, 0)"
+    }.mkString(" + ") + ")"
+    def tidHex(t: Int) = s"IF(doc_id % 41 = 7, ${u32hex("999")}, ${u32hex(s"$t + 1")})"
+    def tfhdHex(t: Int, f: Int) =
+      s"""IF(doc_id % 23 = 6,
+          concat('00000018', '74666864', '00000001', ${tidHex(t)},
+                 ${u64hex("10000000")}),
+          IF(doc_id % 31 = 5,
+            concat('00000010', '74666864', '00020000', ${tidHex(t)}),
+            CASE ${ce(t, f)}
+              WHEN 1 THEN concat('00000014', '74666864', '00020008',
+                ${tidHex(t)}, ${u32hex(s"${k(t)} % 4 + 120")})
+              ELSE concat('00000010', '74666864', '00020000', ${tidHex(t)})
+            END))"""
+    def doff(t: Int, f: Int) = s"(${moofSize(f)} + 8 + $t * 300)"
+    def trunHex(t: Int, f: Int): String = {
+      val sizes = (0 until 4).map { j =>
+        s"IF($j < ${ns(t, f)}, ${u32hex(s"(${k(t)} * 5 + $f * 3 + $j * 2) % 40 + 8")}, '')"
+      }.mkString("concat(", ", ", ")")
+      val durSizes = (0 until 4).map { j =>
+        s"""IF($j < ${ns(t, f)}, concat(${u32hex(s"${k(t)} % 4 + 100 + $j")},
+            ${u32hex(s"(${k(t)} * 3 + $j) % 30 + 10")}), '')"""
+      }.mkString("concat(", ", ", ")")
+      s"""IF(doc_id % 29 = 10,
+          concat(${u32hex(s"24 + 4 * ${ns(t, f)}")}, '7472756E', '00000405',
+                 ${u32hex(ns(t, f))}, ${u32hex(doff(t, f))}, '00000000',
+                 repeat('00000000', ${ns(t, f)})),
+          CASE ${ce(t, f)}
+            WHEN 0 THEN concat('00000014', '7472756E', '00000001',
+              ${u32hex(ns(t, f))}, ${u32hex(doff(t, f))})
+            WHEN 1 THEN concat(${u32hex(s"20 + 4 * ${ns(t, f)}")}, '7472756E',
+              '00000201', ${u32hex(ns(t, f))}, ${u32hex(doff(t, f))}, $sizes)
+            ELSE concat(${u32hex(s"20 + 8 * ${ns(t, f)}")}, '7472756E',
+              '00000301', ${u32hex(ns(t, f))}, ${u32hex(doff(t, f))}, $durSizes)
+          END)"""
+    }
+    def trafHex(t: Int, f: Int) =
+      s"""IF($t < nt, concat(
+          ${u32hex(s"8 + ${tfhdSize(t, f)} + ${trunSize(t, f)}")}, '74726166',
+          ${tfhdHex(t, f)}, ${trunHex(t, f)}), '')"""
+    val mdatHex = "concat('00000260', '6D646174', repeat('AB', 600))"
+    def fragHex(f: Int) =
+      s"""IF($f < nf, concat(
+          ${u32hex(moofSize(f))}, '6D6F6F66',
+          '00000010', '6D666864', '00000000', ${u32hex(s"$f + 1")},
+          ${trafHex(0, f)}, ${trafHex(1, f)}, $mdatHex), '')"""
+    val bodyHex = s"""IF(doc_id % 43 = 9, $mdatHex,
+        ${(0 until 3).map(fragHex).mkString("concat(", ", ", ")")})"""
+    d.withColumn("payload_hex", expr(s"concat($ftypHex, $moovHex, $bodyHex)"))
+      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m22 — the FRAGMENTED ISO-BMFF sample inventory
+    * ([[graft.functions.Mp4FragmentTables]]: moof/traf/trun walk with the
+    * full trex → tfhd → trun default-resolution chain) over
+    * [[mp4FragmentAssets]], exploded to one row per (asset, track):
+    * track id, handler, media timescale, fragment/sample counts,
+    * duration, byte totals — the inventory a DASH/CMAF video pipeline
+    * filters on with zero codec work, over the stream class m21's stbl
+    * walk honestly refuses. Refused assets (no moof, contradictory trun
+    * flags, undeclared track ids, exhausted default chains, out-of-file
+    * data spans, no moov) surface as a single null-track row, never as
+    * plausible numbers. The oracle derives every field from the doc_id
+    * formulas analytically — the decoder walks real bytes, the oracle
+    * never sees one.
+    */
+  def mp4FragmentWalk(spark: SparkSession, dir: String): DataFrame =
+    mp4FragmentAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Mp4FragmentTables(col("payload")).as("f"))
+      .select(col("asset_id"), col("f.format"), col("f.brand"),
+        posexplode_outer(col("f.tracks")).as(Seq("p", "trk")))
+      .select(col("asset_id"), col("format"), col("brand"),
+        col("trk.track_id").as("track_id"), col("trk.handler").as("handler"),
+        col("trk.timescale").as("timescale"),
+        col("trk.fragment_count").as("fragment_count"),
+        col("trk.sample_count").as("sample_count"),
+        col("trk.duration_ms").as("duration_ms"),
+        col("trk.total_bytes").as("total_bytes"),
+        col("trk.avg_sample_bytes").as("avg_sample_bytes"))
+      .orderBy(col("asset_id"), col("track_id"))
+
   /** t20/d32/d33 fixture formulas — crawl-style URLs synthesized in-plan
     * from doc_id, written once in dialect-neutral SQL (CASE/concat/%) so
     * the Spark fixture and the DuckDB oracle build the IDENTICAL strings:
@@ -5881,6 +6099,60 @@ object EntryOps {
            NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
          FROM base WHERE noftyp OR refused
          ORDER BY asset_id, trak_idx""",
+    // m22: per-(track, fragment) contributions from the fixture's doc_id
+    // formulas (class c = (k+f)%3 picks the §8.8.8 default tier), summed
+    // over fragments per track — the decoder walks real moof/traf/trun
+    // bytes, the oracle never sees one. The frg CTE unrolls fragments as
+    // rows (no nested lambdas); integer floor arithmetic throughout.
+    "m22_mp4_fragment_tables" ->
+      """WITH base AS (SELECT doc_id,
+             doc_id % 2 + 1 AS nt,
+             doc_id % 3 + 1 AS nf,
+             doc_id % 37 = 11 AS noftyp,
+             (doc_id % 17 = 3 OR doc_id % 43 = 9 OR doc_id % 29 = 10
+              OR doc_id % 41 = 7 OR doc_id % 31 = 5 OR doc_id % 23 = 6) AS refused,
+             CASE doc_id % 3 WHEN 0 THEN 'isom'
+                  WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand
+             FROM documents),
+          trk AS (SELECT doc_id, brand, nf, t, doc_id + t AS k
+             FROM base CROSS JOIN (SELECT unnest(range(0, 2)) AS t) tt
+             WHERE NOT noftyp AND NOT refused AND t < nt),
+          frg AS (SELECT doc_id, brand, nf, t, k, f,
+             (k + f) % 3 AS c,
+             (k + f) % 4 + 1 AS ns
+             FROM trk CROSS JOIN (SELECT unnest(range(0, 3)) AS f) ff
+             WHERE f < nf),
+          contrib AS (SELECT doc_id, brand, nf, t, k, ns,
+             CASE c WHEN 0 THEN ns * (k % 4 + 100)
+                    WHEN 1 THEN ns * (k % 4 + 120)
+                    ELSE ns * (k % 4 + 100) + ns * (ns - 1) // 2 END AS ticks,
+             CASE c WHEN 0 THEN ns * (k % 7 + 10)
+                    WHEN 1 THEN list_sum(list_transform(range(0, ns),
+                           j -> (k * 5 + f * 3 + j * 2) % 40 + 8))
+                    ELSE list_sum(list_transform(range(0, ns),
+                           j -> (k * 3 + j) % 30 + 10)) END AS bytes
+             FROM frg),
+          agg AS (SELECT doc_id, brand, t, k,
+             any_value(nf) AS nf,
+             sum(ns) AS samples, sum(ticks) AS ticks, sum(bytes) AS bytes
+             FROM contrib GROUP BY 1, 2, 3, 4)
+         SELECT doc_id AS asset_id, 'mp4' AS format, brand,
+           CAST(t + 1 AS BIGINT) AS track_id,
+           CASE k % 3 WHEN 0 THEN 'vide'
+                WHEN 1 THEN 'soun' ELSE 'text' END AS handler,
+           CAST(500 * (k % 3 + 1) AS BIGINT) AS timescale,
+           CAST(nf AS BIGINT) AS fragment_count,
+           CAST(samples AS BIGINT) AS sample_count,
+           CAST(ticks * 1000 // (500 * (k % 3 + 1)) AS BIGINT) AS duration_ms,
+           CAST(bytes AS BIGINT) AS total_bytes,
+           CAST(bytes // samples AS BIGINT) AS avg_sample_bytes
+         FROM agg
+         UNION ALL
+         SELECT doc_id, CASE WHEN noftyp THEN 'unknown' ELSE 'mp4' END,
+           CASE WHEN noftyp THEN NULL ELSE brand END,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         FROM base WHERE noftyp OR refused
+         ORDER BY asset_id, track_id""",
     // t20: the oracle never canonicalizes — it rebuilds the canonical
     // string analytically from the same formulas the fixture messed it
     // up from, so the expression's byte-walk is checked against an
@@ -5921,6 +6193,66 @@ object EntryOps {
                  WHERE doc_id % 10 <= 6 AND url IS NOT NULL GROUP BY 1),
           ${(0 to 2).map(batch).mkString(",")}
          SELECT batch_id, doc_id, verdict, match_id, url FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, doc_id"""
+    },
+    // d35: d33's gram machinery under d24's batch-chained knowledge CTEs —
+    // per batch: df cap recomputed against that batch's knowledge (k{n}),
+    // post-cap sizes on both sides, exact integer intersections, IEEE
+    // double Jaccard, best match by (jaccard DESC, ex_id ASC), `new` URLs'
+    // gram rows chained into k{n+1}. The planted near-alias enters as its
+    // CANONICAL literal (the oracle never canonicalizes).
+    "d35_learning_url_neardup" -> {
+      def grams(src: String, idCol: String): String =
+        s"""SELECT $idCol, unnest(list_distinct(list_filter(list_transform(
+              range(1, len(l) + 1),
+              i -> CASE WHEN i + 1 <= len(l) THEN l[i] || ' ' || l[i + 1] END),
+              x -> x IS NOT NULL))) AS gram
+            FROM (SELECT $idCol, string_split_regex(
+                    trim(regexp_replace(url, '[:/?&=]+', ' ', 'g')), '\\s+') AS l
+                  FROM $src WHERE url IS NOT NULL)"""
+      def batch(n: Int): String = s"""
+          a$n AS (SELECT doc_id, url FROM u WHERE doc_id % 10 = ${7 + n}
+                  ${if (n == 0) s"UNION ALL SELECT CAST(-100 AS BIGINT), '$plantedUrlCanon'"
+                    else if (n == 1) s"UNION ALL SELECT CAST(-101 AS BIGINT), '$plantedUrlNearCanon'"
+                    else ""}),
+          ag$n AS (${grams(s"a$n", "doc_id")}),
+          hot$n AS (SELECT gram FROM k$n GROUP BY gram HAVING count(*) > 64),
+          ik$n AS (SELECT k.gram, k.ex_id FROM k$n k
+                   WHERE NOT EXISTS (SELECT 1 FROM hot$n h WHERE h.gram = k.gram)),
+          isz$n AS (SELECT ex_id, count(*) AS n2 FROM ik$n GROUP BY 1),
+          ak$n AS (SELECT g.doc_id, g.gram FROM ag$n g
+                   WHERE NOT EXISTS (SELECT 1 FROM hot$n h WHERE h.gram = g.gram)),
+          asz$n AS (SELECT doc_id, count(*) AS n1 FROM ak$n GROUP BY 1),
+          best$n AS (SELECT doc_id, ex_id, jaccard FROM (
+              SELECT doc_id, ex_id, jaccard, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY jaccard DESC, ex_id ASC) AS rn
+              FROM (SELECT i.doc_id, i.ex_id,
+                      CAST(i.inter AS DOUBLE)
+                        / CAST(a.n1 + s.n2 - i.inter AS DOUBLE) AS jaccard
+                    FROM (SELECT ak.doc_id, ik.ex_id, count(*) AS inter
+                          FROM ak$n ak JOIN ik$n ik USING (gram)
+                          GROUP BY 1, 2) i
+                    JOIN asz$n a USING (doc_id) JOIN isz$n s USING (ex_id))
+              WHERE jaccard >= 0.4) WHERE rn = 1),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id, a.doc_id,
+                  CASE WHEN a.url IS NULL THEN 'invalid'
+                       WHEN b.ex_id IS NOT NULL THEN 'dup'
+                       ELSE 'new' END AS verdict,
+                  b.ex_id AS match_id, b.jaccard, a.url
+                  FROM a$n a LEFT JOIN best$n b USING (doc_id)),
+          nf$n AS (SELECT url, min(doc_id) AS ex_id FROM v$n
+                   WHERE verdict = 'new' GROUP BY 1),
+          k${n + 1} AS (SELECT * FROM k$n UNION ALL
+                  SELECT gram, ex_id FROM (${grams(s"nf$n", "ex_id")}))"""
+      s"""WITH u AS (SELECT doc_id,
+                 CASE WHEN doc_id % 37 = 13 THEN NULL ELSE ${urlSql._2} END AS url
+                 FROM documents),
+          f0 AS (SELECT url, min(doc_id) AS ex_id FROM u
+                 WHERE doc_id % 10 <= 6 AND url IS NOT NULL GROUP BY 1),
+          k0 AS (SELECT gram, ex_id FROM (${grams("f0", "ex_id")})),
+          ${(0 to 2).map(batch).mkString(",")}
+         SELECT batch_id, doc_id, verdict, match_id, jaccard, url FROM
            (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
          ORDER BY batch_id, doc_id"""
     },
@@ -7337,6 +7669,7 @@ object EntryOps {
     "m11_mpeg_frames" -> (mpegFrames _),
     "m14_mp4_boxes" -> (mp4Boxes _),
     "m21_mp4_sample_tables" -> (mp4SampleWalk _),
+    "m22_mp4_fragment_tables" -> (mp4FragmentWalk _),
     "t19_bpe_merges" -> (bpeMerges _),
     "t21_bpe_merges_scaled" -> (bpeMergesScaled _),
     "q38_bpe_token_budget" -> (bpeTokenBudgetSample _),
@@ -7344,6 +7677,7 @@ object EntryOps {
     "d32_url_dedup" -> (urlDedup _),
     "d33_url_neardup" -> (urlNearDup _),
     "d34_learning_url_dedup" -> (dedupLearningUrlReplay _),
+    "d35_learning_url_neardup" -> (dedupLearningUrlNearReplay _),
     "m12_ppm_dhash" -> (ppmDhash _),
     "d13_image_neardup" -> (imageNearDup _),
     "m13_wav_dhash" -> (wavDhash _),

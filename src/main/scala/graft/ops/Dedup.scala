@@ -116,6 +116,92 @@ object Dedup {
         col("ex_id").as("match_id"), col("url"))
       .orderBy(col("doc_id"))
 
+  /** Canonical-URL token bigrams — the d33 gram space as a reusable
+    * projection: tokens are the separator-class split of the CANONICAL
+    * form (`[:/?&=]+` → scheme, host, path segments, param keys/values),
+    * grams their distinct bigrams ([[shingles]] n = 2; a URL has ≤ ~12
+    * tokens, so ≤ ~11 gram rows per URL). Input must carry (id, url);
+    * null urls (the quarantine class) produce no rows.
+    */
+  def urlGrams(urls: DataFrame, idCol: String): DataFrame =
+    shingles(
+      urls.filter(col("url").isNotNull)
+        .select(col(idCol).as("doc_id"),
+          trim(regexp_replace(col("url"), "[:/?&=]+", " ")).as("text")),
+      n = 2).withColumnRenamed("doc_id", idCol)
+
+  /** Corpus-side NEAR-URL index — [[buildUrlIndex]]'s shape for the d33
+    * gram space: one (gram, ex_id) row per distinct token bigram of each
+    * frontier URL. Persisted at ingest cadence; arrivals band-join the
+    * gram key, so a crawl that mutates one query param per fetch (which
+    * defeats [[urlDedupAgainstIndex]]'s exact key) still collides on the
+    * shared resource grams.
+    */
+  def buildUrlGramIndex(urls: DataFrame): DataFrame =
+    urlGrams(urls.groupBy(col("url")).agg(min(col("doc_id")).as("ex_id")),
+      "ex_id").select(col("gram"), col("ex_id"))
+
+  /** [[readCorpusIndex]]'s base ∪ learned-below-b layout for the near-URL
+    * gram index ([[buildUrlGramIndex]] base + the learning stream's
+    * delta).
+    */
+  def readUrlGramIndex(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, rootPath, beforeBatch)
+
+  /** NEAR-URL dedup of incoming (doc_id, raw_url) rows against a persisted
+    * [[buildUrlGramIndex]] table — the d33 banded machinery as an
+    * incremental gate: arrivals canonicalize and gram in their own scan
+    * stage, the index side is df-capped (a gram held by more than
+    * `maxDocFreq` frontier URLs is dropped from BOTH sides before the
+    * candidate join — boilerplate grams like `https host` carry no
+    * signal and would expand the join quadratically), candidates come
+    * from the gram equi-join, and exact Jaccard over the surviving gram
+    * sets verifies (O(1) per pair at ≤ ~12 tokens/URL — the d02
+    * quadratic-verify objection does not apply, d33's argument). The
+    * best match per arrival is deterministic: highest Jaccard, then
+    * lowest ex_id (both engines IEEE-divide the same exact integers, so
+    * the double order is reproducible). Verdicts: `dup` (match_id +
+    * jaccard), `new`, `invalid` (unparseable — quarantined, never a
+    * candidate). Sizes are post-cap on both sides, mirroring
+    * [[ngramJaccard]]'s contract.
+    *
+    * Scale: the df table is one aggregation over the index's gram column
+    * — the same shuffle class as the candidate join itself, priced once
+    * per micro-batch; everything else is equi-joins keyed on gram or id.
+    */
+  def urlNearDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
+      minJaccard: Double = 0.4, maxDocFreq: Long = 64): DataFrame = {
+    val arr = incoming.select(col("doc_id"),
+      graft.functions.UrlCanonicalize(col("raw_url")).as("url"))
+    val hot = index.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("gram"))
+    val idxK = index.join(hot, Seq("gram"), "left_anti")
+    val idxSz = idxK.groupBy(col("ex_id")).agg(count(lit(1)).as("n2"))
+    val aK = urlGrams(arr, "doc_id").join(hot, Seq("gram"), "left_anti")
+    val aSz = aK.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
+    val best = aK.join(idxK, Seq("gram"))
+      .groupBy(col("doc_id"), col("ex_id")).agg(count(lit(1)).as("inter"))
+      .join(aSz, Seq("doc_id"))
+      .join(idxSz, Seq("ex_id"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("jaccard").desc, col("ex_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("ex_id"), col("jaccard"))
+    arr.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("url").isNull, "invalid")
+          .when(col("ex_id").isNotNull, "dup")
+          .otherwise("new").as("verdict"),
+        col("ex_id").as("match_id"), col("jaccard"), col("url"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     * gram-equijoin → per-pair intersection counts → |A∩B| / |A∪B|.
     * `maxDocFreq` drops grams shared by more than that many docs (bounds join

@@ -1577,21 +1577,31 @@ object Similarity {
   /** Code + band `vectors` UNDER an existing quantizer row (its min/max,
     * its geometry, its `sq_quant_id`) — the build's own coding step and
     * the FROZEN-append path are the same function, so appended codes are
-    * bit-compatible with the base by construction.
+    * bit-compatible with the base by construction. The quantizer is ONE
+    * row: it is read driver-side in a single scalar read (the geometry /
+    * family-gate class — the same `.head()` that already validates
+    * hp_family) and its min/max tables enter the plan as FOLDED LITERAL
+    * arrays, so the coding stage is pure codegen over the vector scan —
+    * no broadcast exchange, no nested-loop join, nothing to re-read per
+    * partition. Doubles round-trip bit-exactly through the literal.
     */
   def codeUnderQuantizer(vectors: DataFrame, quantizer: DataFrame): DataFrame = {
     val g = quantizer
-      .select(col("planes"), col("tables"), col("dims"), col("hp_family"))
+      .select(col("planes"), col("tables"), col("dims"), col("hp_family"),
+        col("mn"), col("mx"), col("sq_quant_id"))
       .head()
     require(g.getInt(3) == graft.functions.HyperplaneBucket.Family,
       s"SQ8 quantizer was built under hyperplane coefficient family ${g.getInt(3)} " +
         s"but this code computes family ${graft.functions.HyperplaneBucket.Family}: " +
         "banded keys would never collide. Rebuild the root.")
     val (planes, tables, dims) = (g.getInt(0), g.getInt(1), g.getInt(2))
+    val mn = g.getSeq[Double](4)
+    val mx = g.getSeq[Double](5)
+    val quantId = g.getLong(6)
     val nn = vectors.filter(col("embedding").isNotNull)
-    nn.crossJoin(broadcast(
-        quantizer.select(col("mn"), col("mx"), col("sq_quant_id"))))
-      .select(col("vec_id").as("ex_id"), col("sq_quant_id"),
+    nn.withColumn("mn", typedLit(mn))
+      .withColumn("mx", typedLit(mx))
+      .select(col("vec_id").as("ex_id"), lit(quantId).as("sq_quant_id"),
         sq8Codes(dims).as("codes"),
         posexplode(array((0 until tables).map(t =>
           graft.functions.HyperplaneBucket(col("embedding"), planes, dims,

@@ -370,6 +370,64 @@ object LogStream {
       }
       .start()
 
+  /** The SELF-LEARNING NEAR-URL-dedup micro-batch BODY —
+    * [[dedupLearningUrlBatch]]'s contract for the d33 gram space (shared
+    * with the d35 registered replay, `EntryOps.dedupLearningUrlNearReplay`):
+    * a crawl that mutates one query param per fetch defeats the exact
+    * frontier, so this gate verdicts arrivals against the persisted
+    * token-bigram index STRICTLY BELOW `batchId`
+    * ([[graft.ops.Dedup.readUrlGramIndex]] — replay-exact) via
+    * [[graft.ops.Dedup.urlNearDedupAgainstIndex]] (df-capped candidate
+    * grams, exact-Jaccard verify, deterministic best match), and `new`
+    * URLs learn their OWN gram rows into `<root>/learned/batch_id=N` —
+    * so a later batch's near-alias of an earlier batch's novel URL is
+    * `dup` through learned rows alone. `invalid` arrivals are never
+    * learned; intra-batch near-aliases both read `new`
+    * (prior-knowledge-only, the family contract). Zero state-store state.
+    */
+  def dedupLearningUrlNearBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, minJaccard: Double = 0.4,
+      maxDocFreq: Long = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+      .urlNearDedupAgainstIndex(batch,
+        graft.ops.Dedup.readUrlGramIndex(spark, indexRoot,
+          beforeBatch = batchId),
+        minJaccard, maxDocFreq))
+    val learned = graft.ops.Dedup.buildUrlGramIndex(
+      verdicts.filter(col("verdict") === "new")
+        .select(col("doc_id"), col("url")))
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/learned")
+    }
+    verdicts
+  }
+
+  /** SELF-LEARNING NEAR-URL dedup stream — [[dedupLearningUrlArrivals]]'
+    * contract for the gram space: per-trigger micro-batches through
+    * [[dedupLearningUrlNearBatch]], verdicts batch-partitioned for
+    * idempotent replay. Zero state-store state.
+    */
+  def dedupLearningUrlNearArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String, minJaccard: Double = 0.4,
+      maxDocFreq: Long = 64): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = dedupLearningUrlNearBatch(batch, indexRoot, batchId,
+          minJaccard, maxDocFreq)
+        withDynamicOverwrite(spark) {
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
   /** STREAMING media dedup against the warehouse — [[dedupArrivals]]' shape
     * for IMAGES: arriving payloads hash in the micro-batch scan stage
     * (native `ppm_dhash`; payloads never leave it), then join the PERSISTED

@@ -79,7 +79,7 @@ class ExtensionsSpec extends GraftSpec {
       Set("reencode", "simhash16", "dot_f32", "dot_fd", "minhash_band_sigs",
         "inet_sort_key", "parse_str_array", "simhash64", "media_dims",
         "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
-        "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "mp4_sample_tables", "jpeg_features", "jpeg_dhash", "zorder_key",
+        "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "mp4_sample_tables", "mp4_fragment_tables", "jpeg_features", "jpeg_dhash", "zorder_key",
         "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
         "hyperplane_bucket", "pq_table_sum", "pq_adc_score", "argmax_dot",
         "url_canonicalize"))
@@ -102,6 +102,12 @@ class ExtensionsSpec extends GraftSpec {
       .getAs[Row]("f")
     assert(m.getAs[String]("format") === "unknown")
     assert(m.isNullAt(m.fieldIndex("tracks")))
+    // mp4_fragment_tables: same refusal contract through the SQL surface
+    val fr = spark.sql(
+      "SELECT mp4_fragment_tables(CAST('junk' AS BINARY)) AS f").head()
+      .getAs[Row]("f")
+    assert(fr.getAs[String]("format") === "unknown")
+    assert(fr.isNullAt(fr.fieldIndex("tracks")))
   }
 
   test("dot_fd is bitwise-equal to the HOF fold in every float/double combination") {

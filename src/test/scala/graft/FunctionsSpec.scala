@@ -1310,6 +1310,139 @@ class FunctionsSpec extends GraftSpec {
       === "unknown")
   }
 
+  test("mp4_fragment_tables: hand-computed moof/traf/trun walk with the " +
+      "full default chain; contradictions and impossible inventories refuse") {
+    import graft.functions.Mp4FragmentTables
+    def u32(x: Long) = Array((x >> 24).toByte, (x >> 16).toByte,
+      (x >> 8).toByte, x.toByte)
+    def u64(x: Long) = u32(x >>> 32) ++ u32(x & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(typ: String, payload: Array[Byte], flags: Long = 0): Array[Byte] =
+      box(typ, u32(flags) ++ payload)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0))
+    val mvhd = full("mvhd", u32(0) ++ u32(0) ++ u32(600) ++ u32(1000) ++
+      new Array[Byte](80))
+    def hdlr(h: String) = full("hdlr",
+      u32(0) ++ h.getBytes("US-ASCII") ++ new Array[Byte](13))
+    def mdhd(ts: Long) = full("mdhd", u32(0) ++ u32(0) ++ u32(ts) ++ u32(0) ++ u32(0))
+    def tkhd(id: Long) = full("tkhd", u32(0) ++ u32(0) ++ u32(id) ++
+      new Array[Byte](68))
+    def trak(id: Long, ts: Long, h: String) =
+      box("trak", tkhd(id) ++ box("mdia", mdhd(ts) ++ hdlr(h)))
+    def trex(id: Long, dur: Long, size: Long) =
+      full("trex", u32(id) ++ u32(1) ++ u32(dur) ++ u32(size) ++ u32(0))
+    val mvex = box("mvex", trex(1, 100, 10) ++ trex(2, 50, 20))
+    val moov = box("moov",
+      mvhd ++ trak(1, 1000, "vide") ++ trak(2, 500, "soun") ++ mvex)
+    def mfhd(seq: Long) = full("mfhd", u32(seq))
+    // tfhd with default-base-is-moof (0x020000), optionally a default
+    // sample duration (0x8)
+    def tfhd(id: Long, defDur: Long = -1): Array[Byte] =
+      if (defDur < 0) full("tfhd", u32(id), flags = 0x020000)
+      else full("tfhd", u32(id) ++ u32(defDur), flags = 0x020008)
+    // trun builders: data_offset 8 anchors every run inside the file
+    // (bounds arithmetic is what the decoder checks; the OOB cases below
+    // exercise the refusal)
+    def trunDurSize(samples: Seq[(Long, Long)]): Array[Byte] =
+      full("trun", u32(samples.length.toLong) ++ u32(8) ++
+        samples.flatMap { case (d, s) => u32(d) ++ u32(s) }.toArray,
+        flags = 0x301)
+    def trunSize(sizes: Seq[Long]): Array[Byte] =
+      full("trun", u32(sizes.length.toLong) ++ u32(8) ++
+        sizes.flatMap(u32).toArray, flags = 0x201)
+    def trunDefaults(n: Long, withOffset: Boolean = true): Array[Byte] =
+      if (withOffset) full("trun", u32(n) ++ u32(8), flags = 0x1)
+      else full("trun", u32(n), flags = 0x0)
+    // fragment 1: track 1 per-sample (100,10)+(110,12); track 2 per-size
+    // 5/7 with duration from the tfhd default 60
+    val moof1 = box("moof", mfhd(1) ++
+      box("traf", tfhd(1) ++ trunDurSize(Seq((100L, 10L), (110L, 12L)))) ++
+      box("traf", tfhd(2, defDur = 60) ++ trunSize(Seq(5L, 7L))))
+    // fragment 2: track 1 only — 3 samples entirely from trex defaults,
+    // then a SECOND run with NO data_offset (the §8.8.7 cursor follows the
+    // previous run's data end)
+    val moof2 = box("moof", mfhd(2) ++
+      box("traf", tfhd(1) ++ trunDefaults(3) ++
+        trunDefaults(1, withOffset = false)))
+    def mdat(k: Int) = box("mdat", Array.fill[Byte](k)(0xab.toByte))
+    val good = ftyp ++ moov ++ moof1 ++ mdat(120) ++ moof2 ++ mdat(120)
+    val r = Mp4FragmentTables.decode(good)
+    assert(r.getUTF8String(0).toString === "mp4")
+    assert(r.getUTF8String(1).toString === "isom")
+    val tracks = r.getArray(2)
+    assert(tracks.numElements() === 2)
+    val t1 = tracks.getStruct(0, 8)
+    assert(t1.getLong(0) === 1L)                     // track_id
+    assert(t1.getUTF8String(1).toString === "vide")
+    assert(t1.getLong(2) === 1000L)                  // timescale
+    assert(t1.getLong(3) === 2L)                     // fragment_count
+    assert(t1.getLong(4) === 6L)                     // samples 2 + 3 + 1
+    // ticks 100+110 + 4 x trex 100 = 610 @ ts 1000 -> 610 ms
+    assert(t1.getLong(5) === 610L)
+    assert(t1.getLong(6) === 62L)                    // 10+12 + 4 x trex 10
+    assert(t1.getLong(7) === 10L)                    // 62 / 6 floor
+    val t2 = tracks.getStruct(1, 8)
+    assert(t2.getLong(0) === 2L)
+    assert(t2.getUTF8String(1).toString === "soun")
+    assert(t2.getLong(2) === 500L)
+    assert(t2.getLong(3) === 1L)                     // one fragment only
+    assert(t2.getLong(4) === 2L)
+    assert(t2.getLong(5) === 240L)                   // 2 x 60 @ ts 500
+    assert(t2.getLong(6) === 12L)                    // 5 + 7
+    assert(t2.getLong(7) === 6L)
+    // a declared track absent from EVERY fragment: zero counts, no refusal
+    val moovExtra = box("moov", mvhd ++ trak(1, 1000, "vide") ++
+      trak(2, 500, "soun") ++ trak(3, 600, "text") ++ mvex)
+    val r3 = Mp4FragmentTables.decode(
+      ftyp ++ moovExtra ++ moof1 ++ mdat(120) ++ moof2 ++ mdat(120))
+    assert(!r3.isNullAt(2) && r3.getArray(2).numElements() === 3)
+    val t3 = r3.getArray(2).getStruct(2, 8)
+    assert(t3.getLong(3) === 0L && t3.getLong(4) === 0L && t3.getLong(7) === 0L)
+    def refused(b: Array[Byte]): Boolean = {
+      val x = Mp4FragmentTables.decode(b)
+      x.getUTF8String(0).toString == "mp4" && x.isNullAt(2)
+    }
+    // unfragmented (no moof): Mp4SampleTables' domain, not this walk's
+    assert(refused(ftyp ++ moov ++ mdat(60)))
+    // §8.8.8: first-sample-flags together with per-sample sample-flags
+    val contraTrun = full("trun", u32(1L) ++ u32(8) ++ u32(0) ++ u32(0) ++
+      u32(10), flags = 0x705)
+    assert(refused(ftyp ++ moov ++ box("moof", mfhd(1) ++
+      box("traf", tfhd(1) ++ contraTrun)) ++ mdat(120)))
+    // §8.8.5: fragment sequence numbers must strictly increase
+    val moof2seq1 = box("moof", mfhd(1) ++
+      box("traf", tfhd(1) ++ trunDefaults(3)))
+    assert(refused(ftyp ++ moov ++ moof1 ++ mdat(120) ++ moof2seq1 ++ mdat(120)))
+    // a tfhd track_ID no tkhd declares
+    assert(refused(ftyp ++ moov ++ box("moof", mfhd(1) ++
+      box("traf", tfhd(99) ++ trunDefaults(1))) ++ mdat(120)))
+    // default chain exhausted: no trex, no tfhd default, no per-sample field
+    val moovNoMvex = box("moov", mvhd ++ trak(1, 1000, "vide"))
+    assert(refused(ftyp ++ moovNoMvex ++ box("moof", mfhd(1) ++
+      box("traf", tfhd(1) ++ trunDefaults(2))) ++ mdat(120)))
+    // explicit base_data_offset beyond EOF
+    val tfhdOob = full("tfhd", u32(1L) ++ u64(10000000L), flags = 0x1)
+    assert(refused(ftyp ++ moov ++ box("moof", mfhd(1) ++
+      box("traf", tfhdOob ++ trunDefaults(1))) ++ mdat(120)))
+    // data span past EOF under default-base-is-moof
+    val trunFar = full("trun", u32(1L) ++ u32(100000), flags = 0x1)
+    assert(refused(ftyp ++ moov ++ box("moof", mfhd(1) ++
+      box("traf", tfhd(1) ++ trunFar)) ++ mdat(120)))
+    // trun declares more samples than its box holds
+    val trunOverrun = full("trun", u32(100L) ++ u32(8) ++ u32(100) ++ u32(10),
+      flags = 0x301)
+    assert(refused(ftyp ++ moov ++ box("moof", mfhd(1) ++
+      box("traf", tfhd(1) ++ trunOverrun)) ++ mdat(120)))
+    // moof without mfhd; moov missing entirely
+    assert(refused(ftyp ++ moov ++ box("moof",
+      box("traf", tfhd(1) ++ trunDefaults(1))) ++ mdat(120)))
+    assert(refused(ftyp ++ moof1 ++ mdat(120)))
+    // not ISO-BMFF at all
+    assert(Mp4FragmentTables.decode("junk".getBytes("US-ASCII"))
+      .getUTF8String(0).toString === "unknown")
+  }
+
   test("url_canonicalize: RFC 3986 normalization, honest refusal on " +
       "unparseable input") {
     import graft.functions.UrlCanonicalize

@@ -1094,6 +1094,65 @@ class StreamingSpec extends GraftSpec {
     assert(read() === v)
   }
 
+  test("self-learning NEAR-URL dedup: a one-param-apart alias of a learned " +
+      "novel URL is dup through its gram rows; invalid never learned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("urlnear-learn-in")
+    val root = tmp("urlnear-learn-idx").resolve("root").toString
+    val out = tmp("urlnear-learn-out").toString
+    // base gram index: one known canonical URL (7 token bigrams)
+    graft.ops.Dedup.buildUrlGramIndex(
+      Seq((100L, "http://known.example/p/q?a=1&b=2")).toDF("doc_id", "url"))
+      .write.parquet(s"$root/base")
+    // batch 1: a ONE-PARAM-APART alias of the base (J = 7/9 vs 100 — the
+    // mutation that reads `new` to the exact frontier forever), a novel
+    // url, and garbage (invalid — must not be learned)
+    Files.writeString(in.resolve("b1.csv"),
+      "1,HTTP://Known.example:80/p/./q?b=2&a=1&c=3#f\n" +
+        "3,https://new.example:8443/x/y?z=5\n" +
+        "5,not a url\n")
+    // batch 2: a one-param-apart alias of batch 1's novel url (J = 5/9) —
+    // only learned GRAM rows can catch it — and garbage again
+    Files.writeString(in.resolve("b2.csv"),
+      "7,HTTPS://NEW.example:8443/x/./y?w=9&z=5\n" +
+        "9,not a url\n")
+    Files.setLastModifiedTime(in.resolve("b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(in.resolve("b2.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    def arrivals = spark.readStream.schema("doc_id LONG, raw_url STRING")
+      .option("maxFilesPerTrigger", "1").csv(in.toString)
+    val q = LogStream.dedupLearningUrlNearArrivals(arrivals, root, out,
+      tmp("urlnear-learn-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out)
+      .select("doc_id", "verdict", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    val v = read()
+    assert(v((1L, "dup", Some(100L))), s"near alias of base must be dup, got $v")
+    assert(v((3L, "new", None)))
+    assert(v((5L, "invalid", None)))
+    assert(v((7L, "dup", Some(3L))),
+      s"near alias of the learned novel URL must be dup vs 3, got $v")
+    assert(v((9L, "invalid", None)))
+    // invalid arrivals must never enter the gram index; the one novel URL
+    // learned exactly its 6 distinct token bigrams
+    val learned = spark.read.parquet(s"$root/learned")
+    assert(learned.select("ex_id").distinct().as[Long].collect().toSet
+      === Set(3L))
+    assert(learned.count() === 6)
+    // the measured Jaccard rides along for audit
+    val j7 = spark.read.parquet(out).filter(col("doc_id") === 7)
+      .select("jaccard").head().getDouble(0)
+    assert(math.abs(j7 - 5.0 / 9.0) < 1e-15)
+    // replay-exact: a fresh checkpoint reproduces the verdicts bitwise
+    LogStream.dedupLearningUrlNearArrivals(arrivals, root, out,
+      tmp("urlnear-learn-ck2").toString).awaitTermination()
+    assert(read() === v)
+  }
+
   test("self-learning SemDeDup: a paraphrase of a KEPT arrival is pruned " +
       "against it, replay-exact") {
     import org.apache.spark.sql.functions._
