@@ -21,9 +21,13 @@ import org.apache.spark.sql.SparkSession
   * and `wait_sec`, so the official artifact proves — or indicts — its own
   * capture conditions without any probe-file cross-referencing. Every final
   * row above 2× its recorded same-bytecode wall floor additionally carries
-  * a mechanical `load_noise`/`plan_change` verdict derived from process-CPU
-  * seconds vs the floor capture's CPU stamp (`over_floor_2x` in line and
-  * detail) — CPU time is the load-invariant adjudicator wall time is not.
+  * a mechanical `load_noise`/`host_slow`/`plan_change` verdict derived from
+  * process-CPU seconds vs the floor capture's CPU stamp, normalized by the
+  * SUITE-WIDE median CPU ratio (`cpu_vs_floor_median` in the line): a plan
+  * change moves one query's CPU, a slower host state moves every query's —
+  * so a row whose CPU moved with the suite median is the host's fault, and
+  * only CPU movement beyond that baseline indicts the plan
+  * (`over_floor_2x` in line and detail).
   */
 object Bench {
 
@@ -305,6 +309,29 @@ object Bench {
       val med = if (rs.exists(_ < 0)) -1.0 else rs.sorted.apply(1)
       (rs, med, c)
     }
+    // TASK-OVERHEAD CALIBRATION (r16): 256 empty tasks, median of 3 — a
+    // fixed workload whose cost is pure scheduler/dispatch overhead. The
+    // r16 captures exposed a HOST migration the per-query CPU adjudicator
+    // cannot name: the same r14 bytecode on today's host burns ~7× the
+    // CPU on tiny-task queries (t01 2.5 → 17.3 cpu-s, bisected by
+    // rebuilding the r14 commit in a worktree) while compute-dense
+    // decodes moved ~1.2× — i.e., per-task overhead changed, so floors
+    // captured on the old host are unreachable in a query-class-dependent
+    // way no single ratio can normalize. This stamp makes the condition
+    // measurable: gen_floors records the floor captures' calibration, and
+    // a capture whose own calibration diverges names itself cross-host
+    // (`host_changed` in the summary) instead of labeling dozens of
+    // unchanged queries `plan_change`.
+    val taskCal: (Double, Double) = {
+      def once(): (Double, Double) = {
+        val c0 = cpuSec(); val t0 = System.nanoTime()
+        spark.sparkContext.parallelize(1 to 256, 256).map(_ => 0).count()
+        ((System.nanoTime() - t0) / 1e9, cpuSec() - c0)
+      }
+      once() // warmup
+      val cals = Seq(once(), once(), once())
+      (cals.map(_._1).sorted.apply(1), cals.map(_._2).sorted.apply(1))
+    }
     var results = headline.map { n =>
       gateQuery()
       val before = loadavg()
@@ -492,6 +519,47 @@ object Bench {
     // is stamped next to the kept wall value — never a replacement for it.
     val cpuNoiseRatio =
       sys.env.getOrElse("SPARK_GRAFT_CPU_NOISE_RATIO", "1.2").toDouble
+    // SUITE-WIDE host-state normalizer (r16): a plan change moves ONE
+    // query's CPU; a slower host state (frequency/steal/SMT or memory
+    // contention — observed in r16: identical bytecode, per-query CPU
+    // swinging 21.6 → 36 s between probes 20 min apart) moves EVERY
+    // query's. The median of cpu/floor_cpu across the whole suite is
+    // therefore the capture's host-speed estimate relative to the floor
+    // captures, and a >2×-floor row is only evidence of a plan change
+    // when its OWN CPU moved beyond that baseline: `load_noise` (CPU
+    // within noise of the floor stamp), `host_slow` (CPU moved WITH the
+    // suite median — the host is slower, not the plan), `plan_change`
+    // (CPU moved beyond the host baseline — query-specific). The
+    // suite median rides in the summary as cpu_vs_floor_median.
+    val cpuRatios = results.flatMap { case (n, value, _, _, _, cpu, _) =>
+      floorCpu.get(n).filter(cf => cf > 0 && cpu > 0 && value > 0)
+        .map(cf => cpu / cf)
+    }.sorted
+    val cpuVsFloorMedian =
+      if (cpuRatios.isEmpty) -1.0 else cpuRatios(cpuRatios.size / 2)
+    // cross-host detection: compare this capture's task-overhead
+    // calibration against the floor captures' recorded one (gen_floors
+    // stamps the min as _task_cal_cpu). Divergence in EITHER direction
+    // means the floors were captured on a different host state and do not
+    // transfer — per-row CPU verdicts would mislabel unchanged queries.
+    val floorTaskCal: Double = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_CPU", "bench/floor_cpu.json"))
+      if (java.nio.file.Files.exists(p))
+        "\"_task_cal_cpu\"\\s*:\\s*([0-9.]+)".r
+          .findFirstMatchIn(java.nio.file.Files.readString(p))
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      else -1.0
+    } catch { case _: Throwable => -1.0 }
+    // the calibration itself carries window noise (observed 0.74-1.2
+    // cpu-s across same-host windows), so the host-change detector is a
+    // coarse order-of-magnitude gate (default 3×; the r16 migration
+    // measured ~7× on task overhead), not the per-query noise ratio
+    val hostCalRatio =
+      sys.env.getOrElse("SPARK_GRAFT_HOST_CAL_RATIO", "3.0").toDouble
+    val hostChanged = floorTaskCal > 0 && taskCal._2 > 0 &&
+      (taskCal._2 > hostCalRatio * floorTaskCal ||
+        taskCal._2 * hostCalRatio < floorTaskCal)
     // (name, kept wall, wall floor, triple cpu, floor cpu, verdict)
     val overFloor2x: Seq[(String, Double, Double, Double, Double, String)] =
       results.flatMap { case (n, value, _, _, _, cpu, _) =>
@@ -499,6 +567,12 @@ object Bench {
           val cf = floorCpu.getOrElse(n, -1.0)
           val verdict =
             if (cf > 0 && cpu > 0 && cpu <= cpuNoiseRatio * cf) "load_noise"
+            else if (cf > 0 && cpu > 0 && cpuVsFloorMedian > cpuNoiseRatio &&
+              cpu / cf <= cpuNoiseRatio * cpuVsFloorMedian) "host_slow"
+            // floors from a different host state don't transfer per-row:
+            // the remedy is the staleness rule's (re-probe, regenerate),
+            // not a per-query plan indictment
+            else if (cf > 0 && hostChanged) "host_changed"
             else if (cf > 0) "plan_change"
             else "no_cpu_floor"
           (n, value, f, cpu, cf, verdict)
@@ -576,7 +650,7 @@ object Bench {
     val streakField =
       if (streakFlagged.nonEmpty) s""","override_streak":${streakFlagged.size}""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"cpu_vs_floor_median":${r3(cpuVsFloorMedian)},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)}${if (hostChanged) s""","host_changed":true,"floor_task_cal_cpu":${r3(floorTaskCal)}""" else ""},"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)
@@ -618,7 +692,7 @@ object Bench {
         ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
+      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

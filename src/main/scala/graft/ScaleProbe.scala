@@ -107,6 +107,13 @@ object ScaleProbe {
     // × 4 tables, df-capped self-join) — the batch sibling of d29, priced
     // against d06's fixed-plane quadratic trend
     "d31_embed_neardup_banded",
+    // r16 (r15 verdict item 8): the two labeled CONTRASTS not already in
+    // this list — probing them every round keeps the BENCH_NOTES contrast
+    // table's exponents citable to the CURRENT round's artifact instead
+    // of silently going stale (d17/d22 were probed already; with these
+    // two, all four contrast pairs re-measure each run and the artifact's
+    // `contrast_pairs` section pairs each one against its sibling)
+    "d06_embed_neardup_lsh", "d16_semantic_dedup",
     "e07_audio_corpus", "d23_audio_dedup_incremental",
     // r15: the new families — URL exact/near dedup (canonical-key group
     // by + df-capped token-bigram index; under replica salting doc_ids
@@ -121,10 +128,18 @@ object ScaleProbe {
     // flat-in-corpus evidence)
     "t21_bpe_merges_scaled",
     "m21_mp4_sample_tables",
+    // r16: the fragmented-MP4 inventory — m21's class (per-row walk in
+    // the scan stage, linear by design)
+    "m22_mp4_fragment_tables",
     // r15: the URL frontier replay — one full learning lifecycle (base
     // frontier build + three batch bodies), the d24 row's shape for the
     // cheapest modality (exact key joins, no banding)
     "d34_learning_url_dedup",
+    // r16: the near-URL learning gate — d34's lifecycle over the gram
+    // index (df cap recomputed per batch; under replica salting the gram
+    // space grows ∝ R while within-replica alias classes repeat, so hot
+    // grams cross the cap exactly as a growing crawl's boilerplate does)
+    "d35_learning_url_neardup",
     // r15 (r14 verdict item 7): the e08 admission pipeline driven through
     // the STREAM's own micro-batch body against PERSISTED indexes — not a
     // registered query; `run` special-cases it to one AvailableNow
@@ -367,8 +382,21 @@ object ScaleProbe {
         s""""runs_1x":[${r1.map(r3).mkString(",")}],"runs_${mult}x":[${rR.map(r3).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
+    // r15 verdict item 8: when a run measured BOTH ends of a labeled
+    // contrast pair, pair their exponents side by side — the BENCH_NOTES
+    // contrast table cites this section, so its numbers are re-derived
+    // from the current round's measurements by construction
+    val byName = rows.map(r => r._1 -> r).toMap
+    val pairBody = SparkEntry.contrasts.toSeq.sorted.flatMap {
+      case (c, s) =>
+        for (rc <- byName.get(c); rs <- byName.get(s)) yield
+          s""""$c":{"sibling":"$s","contrast_exponent":${r3(rc._4)},""" +
+            s""""contrast_exponent_min":${r3(rc._9)},""" +
+            s""""sibling_exponent":${r3(rs._4)},""" +
+            s""""sibling_exponent_min":${r3(rs._9)}}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"sf":"$sfName","mult":$mult,"gate_load":$gateLoad,"stat":"median_of_3","contrasts":${SparkEntry.contrastsJson},"queries":$body}"""
+      s"""{"sf":"$sfName","mult":$mult,"gate_load":$gateLoad,"stat":"median_of_3","contrasts":${SparkEntry.contrastsJson},"contrast_pairs":$pairBody,"queries":$body}"""
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

@@ -16,6 +16,12 @@ bench/floor_plans.json at generation time, and `--check` compares the
 recorded hashes against the current fingerprints — any mismatch names a
 STALE floor that the current bytecode may be unable to reach (or may beat),
 and the fix is always the same: re-probe on current bytecode and regenerate.
+Since r16 the fingerprint's last line is `prequery_jobs: N` — the number of
+Spark jobs the query's CONSTRUCTION runs (geometry scalar reads, family
+gates, fixture builds) — closing the r15 blind spot where an aux-job-only
+bytecode change left floors unreachable while the plan shape read green.
+Captures that predate a KNOWN aux-job change are excluded per-query via
+bench/floor_exclusions.json (basename globs; see load_exclusions).
 Floors are advisory (they trigger re-measurement, never replace a number),
 so a stale floor costs extra re-runs, not artifact correctness — but the 2x
 re-measure gate reads cleanest when every floor is current.
@@ -46,6 +52,34 @@ def plans_path(floors_path: str) -> str:
 
 def cpu_path(floors_path: str) -> str:
     return os.path.join(os.path.dirname(floors_path) or ".", "floor_cpu.json")
+
+
+def exclusions_path(floors_path: str) -> str:
+    return os.path.join(os.path.dirname(floors_path) or ".",
+                        "floor_exclusions.json")
+
+
+def load_exclusions(floors_path: str) -> dict:
+    """Per-query capture exclusions (r15 verdict item 5): a bytecode change
+    can add construction-time jobs to a query WITHOUT moving its plan shape
+    (the r15 family gate did this to five queries), making older captures'
+    floors unreachable. The golden fingerprint now embeds `prequery_jobs`,
+    so FUTURE instances flip the hash and --check names them; captures
+    taken before a known aux-job change are excluded here explicitly.
+    Format: {"_reason_<tag>": "...", "<query>": ["<detail-basename-glob>", ...]}
+    """
+    p = exclusions_path(floors_path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: v for k, v in json.load(f).items()
+                if not k.startswith("_")}
+
+
+def excluded(excl: dict, query: str, detail_path: str) -> bool:
+    import fnmatch
+    base = os.path.basename(detail_path)
+    return any(fnmatch.fnmatch(base, pat) for pat in excl.get(query, []))
 
 
 def check(floors_path: str) -> None:
@@ -90,18 +124,36 @@ def main() -> None:
     # stamp to classify it load_noise vs plan_change mechanically — no quiet
     # window needed.
     cpus: dict[str, float] = {}
+    excl = load_exclusions(out)
+    n_excluded = 0
+    # task-overhead calibration stamp (r16): min of the captures' fixed
+    # 256-empty-task calibration CPU — Bench compares its own calibration
+    # against this to detect a HOST change (floors don't transfer across
+    # hosts; per-query CPU verdicts would mislabel unchanged queries)
+    task_cal: float | None = None
     for path in details:
         with open(path) as f:
             d = json.load(f)
+        tc = d.get("task_cal_cpu")
+        if tc is not None and tc > 0:
+            task_cal = tc if task_cal is None else min(task_cal, tc)
         for name, runs in d["runs"].items():
+            if excluded(excl, name, path):
+                n_excluded += 1
+                continue
             valid = [r for r in runs if r >= 0]
             if not valid:
                 continue
             m = min(valid)
             floors[name] = min(floors.get(name, m), m)
         for name, c in d.get("cpu_sec", {}).items():
+            if excluded(excl, name, path):
+                continue
             if c is not None and c >= 0:
                 cpus[name] = min(cpus.get(name, c), c)
+    if n_excluded:
+        print(f"excluded {n_excluded} (query, capture) pairs per "
+              f"{exclusions_path(out)}")
     with open(out, "w") as f:
         f.write("{\n")
         f.write(",\n".join(f' "{k}": {round(v, 3)}'
@@ -112,9 +164,11 @@ def main() -> None:
     with open(plans_path(out), "w") as f:
         json.dump({q: h for q, h in hashes.items() if h is not None},
                   f, indent=1, sort_keys=True)
+    cpu_out = {q: round(c, 3) for q, c in sorted(cpus.items())}
+    if task_cal is not None:
+        cpu_out["_task_cal_cpu"] = round(task_cal, 3)
     with open(cpu_path(out), "w") as f:
-        json.dump({q: round(c, 3) for q, c in sorted(cpus.items())},
-                  f, indent=1, sort_keys=True)
+        json.dump(cpu_out, f, indent=1, sort_keys=True)
     print(f"wrote {len(floors)} floors to {out} from {len(details)} captures")
     print(f"recorded {len(cpus)} floor cpu_sec stamps to {cpu_path(out)}")
     print(f"recorded {len(hashes) - len(missing)} plan fingerprints to "
