@@ -3664,6 +3664,53 @@ object EntryOps {
         col("trk.avg_sample_bytes").as("avg_sample_bytes"))
       .orderBy(col("asset_id"), col("track_id"))
 
+  /** m23 — the UNIVERSAL MP4 inventory: a real crawl mixes flat and
+    * fragmented streams, so the pipeline's dispatch runs BOTH walkers per
+    * payload ([[graft.functions.Mp4SampleTables]] refuses fragmented
+    * files, [[graft.functions.Mp4FragmentTables]] refuses flat ones — the
+    * two partition the format between them, so exactly one can yield
+    * tracks) and unifies the per-track inventory under a `stream_class`
+    * column. Both expressions run per-row in the SAME scan stage (the
+    * wrong-class walker refuses in its first top-level pass — moof seen /
+    * no moof seen — so the dispatch costs one cheap extra scan of the box
+    * headers, never a second pass over media bytes). Fixture: the m21
+    * corpus on even asset ids, the m22 corpus on odd — each class keeps
+    * its own refusal branches, which must surface as null-class rows
+    * through the dispatch, never as the other walker's numbers. Oracle:
+    * the m21/m22 analytic derivations restricted to their parities and
+    * projected onto the unified schema.
+    */
+  def mp4Inventory(spark: SparkSession, dir: String): DataFrame = {
+    val assets = mp4SampleAssets(spark, dir)
+      .filter(col("asset_id") % 2 === 0)
+      .unionByName(mp4FragmentAssets(spark, dir)
+        .filter(col("asset_id") % 2 === 1))
+    val common = "t -> struct(t.handler AS handler, t.timescale AS timescale, " +
+      "t.sample_count AS sample_count, t.duration_ms AS duration_ms, " +
+      "t.total_bytes AS total_bytes, t.avg_sample_bytes AS avg_sample_bytes)"
+    assets
+      .select(col("asset_id"),
+        graft.functions.Mp4SampleTables(col("payload")).as("s"),
+        graft.functions.Mp4FragmentTables(col("payload")).as("f"))
+      .select(col("asset_id"), col("s.format").as("format"),
+        col("s.brand").as("brand"),
+        when(col("s.tracks").isNotNull, "flat")
+          .when(col("f.tracks").isNotNull, "fragmented").as("stream_class"),
+        when(col("s.tracks").isNotNull, expr(s"transform(s.tracks, $common)"))
+          .otherwise(expr(s"transform(f.tracks, $common)")).as("tracks"))
+      .select(col("asset_id"), col("format"), col("brand"),
+        col("stream_class"), posexplode_outer(col("tracks")).as(Seq("p", "trk")))
+      .select(col("asset_id"), col("format"), col("brand"),
+        col("stream_class"), col("p").cast("long").as("track_ord"),
+        col("trk.handler").as("handler"),
+        col("trk.timescale").as("timescale"),
+        col("trk.sample_count").as("sample_count"),
+        col("trk.duration_ms").as("duration_ms"),
+        col("trk.total_bytes").as("total_bytes"),
+        col("trk.avg_sample_bytes").as("avg_sample_bytes"))
+      .orderBy(col("asset_id"), col("track_ord"))
+  }
+
   /** t20/d32/d33 fixture formulas — crawl-style URLs synthesized in-plan
     * from doc_id, written once in dialect-neutral SQL (CASE/concat/%) so
     * the Spark fixture and the DuckDB oracle build the IDENTICAL strings:
@@ -6153,6 +6200,88 @@ object EntryOps {
            NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
          FROM base WHERE noftyp OR refused
          ORDER BY asset_id, track_id""",
+    // m23: the m21/m22 derivations restricted to their parities and
+    // projected onto the unified (stream_class, track_ord, …) schema —
+    // each class's refusal branches surface as null-class rows
+    "m23_mp4_inventory" ->
+      """WITH fbase AS (SELECT doc_id,
+             doc_id % 3 + 1 AS nt,
+             doc_id % 37 = 11 AS noftyp,
+             (doc_id % 17 = 3 OR doc_id % 43 = 9 OR doc_id % 29 = 10
+              OR doc_id % 41 = 7) AS refused,
+             CASE doc_id % 3 WHEN 0 THEN 'isom'
+                  WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand
+             FROM documents WHERE doc_id % 2 = 0),
+          ftrk AS (SELECT doc_id, brand, t, doc_id + t AS k
+             FROM fbase CROSS JOIN (SELECT unnest(range(0, 3)) AS t) tt
+             WHERE NOT noftyp AND NOT refused AND t < nt),
+          fvals AS (SELECT doc_id, brand, t, k,
+             k % 5 + 2 AS ns, k % 2 = 0 AS isconst, k % 7 + 10 AS csz,
+             k % 4 + 100 AS d1, 500 * (k % 3 + 1) AS mts,
+             CASE k % 3 WHEN 0 THEN 'vide'
+                  WHEN 1 THEN 'soun' ELSE 'text' END AS handler
+             FROM ftrk),
+          fvals2 AS (SELECT *,
+             CASE WHEN isconst THEN ns * csz
+                  ELSE list_sum(list_transform(range(0, ns),
+                         j -> (k * 7 + j * 3) % 50 + 8)) END AS total_bytes,
+             CASE WHEN ns >= 4 THEN 2 * d1 + (ns - 2) * (d1 + 50)
+                  ELSE ns * d1 END AS ticks
+             FROM fvals),
+          gbase AS (SELECT doc_id,
+             doc_id % 2 + 1 AS nt, doc_id % 3 + 1 AS nf,
+             doc_id % 37 = 11 AS noftyp,
+             (doc_id % 17 = 3 OR doc_id % 43 = 9 OR doc_id % 29 = 10
+              OR doc_id % 41 = 7 OR doc_id % 31 = 5 OR doc_id % 23 = 6) AS refused,
+             CASE doc_id % 3 WHEN 0 THEN 'isom'
+                  WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand
+             FROM documents WHERE doc_id % 2 = 1),
+          gtrk AS (SELECT doc_id, brand, nf, t, doc_id + t AS k
+             FROM gbase CROSS JOIN (SELECT unnest(range(0, 2)) AS t) tt
+             WHERE NOT noftyp AND NOT refused AND t < nt),
+          gfrg AS (SELECT doc_id, brand, t, k, f,
+             (k + f) % 3 AS c, (k + f) % 4 + 1 AS ns
+             FROM gtrk CROSS JOIN (SELECT unnest(range(0, 3)) AS f) ff
+             WHERE f < nf),
+          gcontrib AS (SELECT doc_id, brand, t, k, ns,
+             CASE c WHEN 0 THEN ns * (k % 4 + 100)
+                    WHEN 1 THEN ns * (k % 4 + 120)
+                    ELSE ns * (k % 4 + 100) + ns * (ns - 1) // 2 END AS ticks,
+             CASE c WHEN 0 THEN ns * (k % 7 + 10)
+                    WHEN 1 THEN list_sum(list_transform(range(0, ns),
+                           j -> (k * 5 + f * 3 + j * 2) % 40 + 8))
+                    ELSE list_sum(list_transform(range(0, ns),
+                           j -> (k * 3 + j) % 30 + 10)) END AS bytes
+             FROM gfrg),
+          gagg AS (SELECT doc_id, brand, t, k,
+             sum(ns) AS samples, sum(ticks) AS ticks, sum(bytes) AS bytes
+             FROM gcontrib GROUP BY 1, 2, 3, 4)
+         SELECT doc_id AS asset_id, 'mp4' AS format, brand,
+           'flat' AS stream_class, CAST(t AS BIGINT) AS track_ord,
+           handler, CAST(mts AS BIGINT) AS timescale,
+           CAST(ns AS BIGINT) AS sample_count,
+           CAST(ticks * 1000 // mts AS BIGINT) AS duration_ms,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST(total_bytes // ns AS BIGINT) AS avg_sample_bytes
+         FROM fvals2
+         UNION ALL
+         SELECT doc_id, 'mp4', brand, 'fragmented', CAST(t AS BIGINT),
+           CASE k % 3 WHEN 0 THEN 'vide' WHEN 1 THEN 'soun' ELSE 'text' END,
+           CAST(500 * (k % 3 + 1) AS BIGINT), CAST(samples AS BIGINT),
+           CAST(ticks * 1000 // (500 * (k % 3 + 1)) AS BIGINT),
+           CAST(bytes AS BIGINT), CAST(bytes // samples AS BIGINT)
+         FROM gagg
+         UNION ALL
+         SELECT doc_id, CASE WHEN noftyp THEN 'unknown' ELSE 'mp4' END,
+           CASE WHEN noftyp THEN NULL ELSE brand END,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         FROM fbase WHERE noftyp OR refused
+         UNION ALL
+         SELECT doc_id, CASE WHEN noftyp THEN 'unknown' ELSE 'mp4' END,
+           CASE WHEN noftyp THEN NULL ELSE brand END,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         FROM gbase WHERE noftyp OR refused
+         ORDER BY asset_id, track_ord""",
     // t20: the oracle never canonicalizes — it rebuilds the canonical
     // string analytically from the same formulas the fixture messed it
     // up from, so the expression's byte-walk is checked against an
@@ -7670,6 +7799,7 @@ object EntryOps {
     "m14_mp4_boxes" -> (mp4Boxes _),
     "m21_mp4_sample_tables" -> (mp4SampleWalk _),
     "m22_mp4_fragment_tables" -> (mp4FragmentWalk _),
+    "m23_mp4_inventory" -> (mp4Inventory _),
     "t19_bpe_merges" -> (bpeMerges _),
     "t21_bpe_merges_scaled" -> (bpeMergesScaled _),
     "q38_bpe_token_budget" -> (bpeTokenBudgetSample _),

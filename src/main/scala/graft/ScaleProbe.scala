@@ -129,8 +129,10 @@ object ScaleProbe {
     "t21_bpe_merges_scaled",
     "m21_mp4_sample_tables",
     // r16: the fragmented-MP4 inventory — m21's class (per-row walk in
-    // the scan stage, linear by design)
-    "m22_mp4_fragment_tables",
+    // the scan stage, linear by design) — and the universal dispatch
+    // over a mixed flat/fragmented corpus (both walkers per row; the
+    // wrong-class one refuses in its first box-header pass)
+    "m22_mp4_fragment_tables", "m23_mp4_inventory",
     // r15: the URL frontier replay — one full learning lifecycle (base
     // frontier build + three batch bodies), the d24 row's shape for the
     // cheapest modality (exact key joins, no banding)
