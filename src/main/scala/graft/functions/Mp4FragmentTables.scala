@@ -54,8 +54,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * fragment_count, sample_count, duration_ms, total_bytes,
   * avg_sample_bytes) — floor integer arithmetic, cross-engine exact; a
   * declared track absent from every fragment reports zero counts (an init
-  * segment awaiting its fragments, not an error). One codegen'd per-row
-  * call in the scan stage.
+  * segment awaiting its fragments, not an error), and fragment_count
+  * counts FRAGMENTS a track appears in, at most once per moof even when
+  * a fragment carries several trafs for the track. All accumulation is
+  * overflow-exact: a file whose totals (or the duration_ms `ticks × 1000`
+  * render) would exceed Long range refuses rather than wrap — the tenth
+  * refusal class. One codegen'd per-row call in the scan stage.
   *
   * Reference behavior surface: jwodder/logsdb stores opaque bodies and
   * never decodes media; this operator belongs to the training-data
@@ -118,15 +122,29 @@ object Mp4FragmentTables {
   private def row(fmt: String, brand: Any, tracks: Any): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), brand, tracks))
 
-  /** Per-track mutable accumulator during the fragment walk. */
+  /** Per-track mutable accumulator during the fragment walk. `lastMoof`
+    * is the index of the last moof that counted toward fragment_count —
+    * a spec-legal fragment may carry several trafs for the same track
+    * (§8.8.4 puts no uniqueness constraint on traf/tfhd track_IDs), and
+    * fragment_count counts FRAGMENTS, not trafs (r16 ADVICE item 4).
+    */
   private final class Acc(val handler: Any, val timescale: Long) {
     var fragments = 0L
     var samples = 0L
     var ticks = 0L
     var bytes = 0L
+    var lastMoof = -1
   }
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    * All sample/tick/byte accumulation is overflow-EXACT
+    * (`Math.addExact`/`multiplyExact` — r16 ADVICE item 1): per-trun
+    * counts reach 2²⁴ samples of u32 durations/sizes, so an adversarial
+    * crawled file can push the per-track totals (and `ticks × 1000` in
+    * the duration_ms render) past Long range; silent wraparound would be
+    * exactly the "plausible number" the honest-refusal contract forbids,
+    * so arithmetic overflow anywhere in the walk refuses the file.
+    */
   def decode(b: Array[Byte]): InternalRow = {
     val n = b.length
     val ftyp = parseBox(b, 0, n, topLevel = true)
@@ -134,6 +152,12 @@ object Mp4FragmentTables {
       return row("unknown", null, null)
     val brand = UTF8String.fromBytes(java.util.Arrays.copyOfRange(
       b, ftyp.payload, ftyp.payload + 4))
+    try walk(b, n, brand, ftyp.end)
+    catch { case _: ArithmeticException => row("mp4", brand, null) }
+  }
+
+  private def walk(b: Array[Byte], n: Int, brand: UTF8String,
+      afterFtyp: Int): InternalRow = {
     def refused: InternalRow = row("mp4", brand, null)
 
     // one pass over the top-level sequence: collect moov and every moof in
@@ -141,7 +165,7 @@ object Mp4FragmentTables {
     // anchor, §8.8.7); a malformed header anywhere refuses
     var moov: Mp4Features.Box = null
     val moofs = scala.collection.mutable.ArrayBuffer.empty[(Mp4Features.Box, Long)]
-    var i = ftyp.end
+    var i = afterFtyp
     while (i < n) {
       val box = parseBox(b, i, n, topLevel = true)
       if (box == null) return refused
@@ -261,7 +285,7 @@ object Mp4FragmentTables {
           val defDur = if (tfDur >= 0) tfDur else trexDur.getOrElse(trackId, -1L)
           val defSize = if (tfSize >= 0) tfSize else trexSize.getOrElse(trackId, -1L)
 
-          acc.fragments += 1
+          if (acc.lastMoof != mi) { acc.fragments += 1; acc.lastMoof = mi }
           // data cursor within this traf: a run with an explicit
           // data_offset re-anchors it; a run without one follows the
           // previous run's data (§8.8.7). `anchored` = the anchor is
@@ -302,26 +326,35 @@ object Mp4FragmentTables {
               if (!perSize && defSize < 0) return refused
               var runBytes = 0L
               var runTicks = 0L
-              var j = 0L
-              var e = s
-              while (j < sc) {
-                if (perDur) { runTicks += u32(b, e); e += 4 }
-                else runTicks += defDur
-                if (perSize) { runBytes += u32(b, e); e += 4 }
-                else runBytes += defSize
-                e += width - (if (perDur) 4 else 0) - (if (perSize) 4 else 0)
-                j += 1
+              if (!perDur && !perSize) {
+                // closed form — no per-sample field to read; the loop
+                // below would burn sc iterations to add constants (r16
+                // ADVICE item 2: a crafted file carries 2²⁴-sample runs
+                // whose width covers only skipped fields)
+                runTicks = Math.multiplyExact(sc, defDur)
+                runBytes = Math.multiplyExact(sc, defSize)
+              } else {
+                var j = 0L
+                var e = s
+                while (j < sc) {
+                  if (perDur) { runTicks = Math.addExact(runTicks, u32(b, e)); e += 4 }
+                  else runTicks = Math.addExact(runTicks, defDur)
+                  if (perSize) { runBytes = Math.addExact(runBytes, u32(b, e)); e += 4 }
+                  else runBytes = Math.addExact(runBytes, defSize)
+                  e += width - (if (perDur) 4 else 0) - (if (perSize) 4 else 0)
+                  j += 1
+                }
               }
               // bounds: a run whose anchor is derivable must keep its
               // data span inside the file
               if (anchored) {
                 if (hasOffset) cursor = base + dataOff
-                if (cursor < 0 || cursor + runBytes > n) return refused
+                if (cursor < 0 || Math.addExact(cursor, runBytes) > n) return refused
                 cursor += runBytes
               }
-              acc.samples += sc
-              acc.ticks += runTicks
-              acc.bytes += runBytes
+              acc.samples = Math.addExact(acc.samples, sc)
+              acc.ticks = Math.addExact(acc.ticks, runTicks)
+              acc.bytes = Math.addExact(acc.bytes, runBytes)
             }
             r = trun.end
           }
@@ -335,7 +368,7 @@ object Mp4FragmentTables {
       val a = accs(id)
       new GenericInternalRow(Array[Any](
         id, a.handler, a.timescale, a.fragments, a.samples,
-        a.ticks * 1000L / a.timescale, a.bytes,
+        Math.multiplyExact(a.ticks, 1000L) / a.timescale, a.bytes,
         if (a.samples == 0) 0L else a.bytes / a.samples)): InternalRow
     }
     row("mp4", brand, new GenericArrayData(tracks.toArray[Any]))

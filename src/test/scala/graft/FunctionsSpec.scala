@@ -1399,10 +1399,29 @@ class FunctionsSpec extends GraftSpec {
     assert(!r3.isNullAt(2) && r3.getArray(2).numElements() === 3)
     val t3 = r3.getArray(2).getStruct(2, 8)
     assert(t3.getLong(3) === 0L && t3.getLong(4) === 0L && t3.getLong(7) === 0L)
+    // a spec-legal fragment carrying TWO trafs for the same track:
+    // fragment_count counts the moof once, samples sum across both trafs
+    val moofTwoTraf = box("moof", mfhd(1) ++
+      box("traf", tfhd(1) ++ trunDurSize(Seq((100L, 10L)))) ++
+      box("traf", tfhd(1) ++ trunDurSize(Seq((110L, 12L)))))
+    val rTwo = Mp4FragmentTables.decode(ftyp ++ moov ++ moofTwoTraf ++ mdat(120))
+    val tTwo = rTwo.getArray(2).getStruct(0, 8)
+    assert(tTwo.getLong(3) === 1L)                   // ONE fragment, not two
+    assert(tTwo.getLong(4) === 2L && tTwo.getLong(6) === 22L)
     def refused(b: Array[Byte]): Boolean = {
       val x = Mp4FragmentTables.decode(b)
       x.getUTF8String(0).toString == "mp4" && x.isNullAt(2)
     }
+    // overflow refusal: an unanchored 2^24-sample default-only run under a
+    // u32-max trex duration pushes ticks x 1000 past Long range — the walk
+    // must refuse, never wrap (and the closed-form run costs O(1), not 2^24
+    // iterations)
+    val mvexMax = box("mvex", trex(1, 0xffffffffL, 10))
+    val moovMax = box("moov", mvhd ++ trak(1, 1000, "vide") ++ mvexMax)
+    val tfhdBare = full("tfhd", u32(1L), flags = 0x0)
+    assert(refused(ftyp ++ moovMax ++ box("moof", mfhd(1) ++
+      box("traf", tfhdBare ++ trunDefaults(0x1000000L, withOffset = false))) ++
+      mdat(120)))
     // unfragmented (no moof): Mp4SampleTables' domain, not this walk's
     assert(refused(ftyp ++ moov ++ mdat(60)))
     // §8.8.8: first-sample-flags together with per-sample sample-flags
