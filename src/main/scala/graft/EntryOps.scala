@@ -1278,15 +1278,44 @@ object EntryOps {
     * final select's expression depth constant; a 256-arm UNION trips
     * DuckDB's depth limit): every rank must reproduce count-for-count.
     */
-  def bpeMergesScaled(spark: SparkSession, dir: String): DataFrame = {
-    val dict = Tables.documents(spark, dir)
+  /** The t21/t22 synthetic pseudo-word dict: 4 words of 8 hex chars per
+    * doc — 2,000 distinct words at sf0.01 over the 16-symbol hex
+    * alphabet, sustaining 256+ merges, derivable identically in both
+    * engines (see [[bpeMergesScaled]]'s scaladoc for why the natural
+    * corpus can't).
+    */
+  private def bpeHexDict(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(expr(
         """transform(sequence(0, 3), j ->
              substring(md5(concat('bpe:', CAST(doc_id AS STRING), ':',
                                   CAST(j AS STRING))), 1, 8))""")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  def bpeMergesScaled(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.mergesDf(spark,
-      graft.ops.Bpe.trainMergesScaled(dict, numMerges = 256))
+      graft.ops.Bpe.trainMergesScaled(bpeHexDict(spark, dir), numMerges = 256))
+
+  /** t22 — BPE APPLICATION at production merge counts (r16 verdict item
+    * 1, the other half of t21): the full 256-merge t21 model applied to
+    * every dict word through [[graft.ops.Bpe.tokens]] — ONE native
+    * expression holding the merge table as a plan object, per-word cost
+    * and plan depth independent of k (the fold form is a k-deep replace
+    * chain that collapses at production k; OpsSpec pins the two equal).
+    * Output per word: the token count and the tokens themselves (joined
+    * by spaces — full application evidence, not just a count). The
+    * oracle re-trains the 256 merges as t21's materialized stage chain —
+    * whose final r256 relation IS the replay-applied dict — and splits.
+    */
+  def bpeTokenizeScaled(spark: SparkSession, dir: String): DataFrame = {
+    val dict = bpeHexDict(spark, dir)
+    val merges = graft.ops.Bpe.trainMergesScaled(dict, numMerges = 256)
+    dict
+      .select(col("w"), graft.ops.Bpe.tokens(col("w"), merges).as("toks"))
+      .select(col("w"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("tokens"))
+      .orderBy(col("w"))
   }
 
   /** q38 — the BPE-token variant of the budget sampler (q36 meters
@@ -1294,9 +1323,13 @@ object EntryOps {
     * token counts come from the word dict tokenized ONCE under the t19
     * merges (broadcast join — the merge replay never runs per corpus
     * row), then q36's deterministic salted-hash two-stage cumsum admits
-    * docs per lang until a 6000-token budget. The oracle re-trains the
-    * merges, re-tokenizes the dict, and re-derives the admitted set with
-    * the exact-semantics global cumsum (q36's oracle shape).
+    * docs per lang until a 6000-token budget. Tokenization goes through
+    * [[graft.ops.Bpe.tokenCountScaled]] — O(1) plan depth in the model
+    * size, so this query accepts the 12-merge t19 model and a 32k-merge
+    * production model IDENTICALLY (r16 verdict item 1's "wire q38 to
+    * accept either model size"). The oracle re-trains the merges,
+    * re-tokenizes the dict, and re-derives the admitted set with the
+    * exact-semantics global cumsum (q36's oracle shape).
     */
   def bpeTokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
     val budget = 6000L
@@ -1304,7 +1337,7 @@ object EntryOps {
     val d = docs(spark, dir)
     val merges = graft.ops.Bpe.trainMerges(d, numMerges = 12)
     val dictCounts = graft.ops.Bpe.wordDict(d)
-      .select(col("w"), graft.ops.Bpe.tokenCount(col("w"), merges).as("wtok"))
+      .select(col("w"), graft.ops.Bpe.tokenCountScaled(col("w"), merges).as("wtok"))
     val base = d
       .select(col("doc_id"), col("lang"),
         explode(graft.ops.Dedup.words(col("text"))).as("w"))
@@ -4332,7 +4365,28 @@ object EntryOps {
     * the merge table accumulates through a materialized chain (mm$k) so
     * the final select is a single reference instead of a 256-arm UNION.
     */
-  private def duckBpeScaledSql(numMerges: Int, maxVocab: Int): String = {
+  private def duckBpeScaledSql(numMerges: Int, maxVocab: Int): String =
+    s"""WITH ${duckBpeScaledCtes(numMerges, maxVocab)}
+        SELECT merge_rank, left_sym, right_sym, pair_count
+        FROM mm$numMerges ORDER BY merge_rank"""
+
+  /** t22's oracle: the SAME re-training chain — whose final r{k} relation
+    * is the dict with every merge replayed, i.e. the APPLIED model — then
+    * one split per word into token count and the space-joined tokens.
+    * Replay-as-data, never a k-deep replace expression: the chain is one
+    * materialized stage per rank, exactly the contract the Spark side's
+    * O(1)-plan-depth native application must reproduce token-for-token.
+    */
+  private def duckBpeTokenizeSql(numMerges: Int, maxVocab: Int): String = {
+    val sep = "chr(2) || chr(1)"
+    s"""WITH ${duckBpeScaledCtes(numMerges, maxVocab)}
+        SELECT w,
+          CAST(len(string_split(substr(rep, 2, len(rep) - 2), $sep)) AS BIGINT) AS n_tokens,
+          array_to_string(string_split(substr(rep, 2, len(rep) - 2), $sep), ' ') AS tokens
+        FROM r$numMerges ORDER BY w"""
+  }
+
+  private def duckBpeScaledCtes(numMerges: Int, maxVocab: Int): String = {
     val sep = "chr(2) || chr(1)"
     def step(k: Int): String = s"""
           m$k AS MATERIALIZED (SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -4347,7 +4401,7 @@ object EntryOps {
                   FROM r${k - 1}, m$k),
           mm$k AS MATERIALIZED (SELECT * FROM mm${k - 1} UNION ALL
                   SELECT CAST($k AS BIGINT), l, r, cnt FROM m$k)"""
-    s"""WITH wd AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+    s"""wd AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
             SELECT unnest(list_transform(range(0, 4), j ->
               substr(md5('bpe:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))) AS w
             FROM documents) GROUP BY 1
@@ -4357,9 +4411,7 @@ object EntryOps {
             FROM wd),
         mm0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS merge_rank,
             '' AS left_sym, '' AS right_sym, CAST(0 AS BIGINT) AS pair_count
-            WHERE 1 = 0)${(1 to numMerges).map(step).mkString(",", ",", "")}
-        SELECT merge_rank, left_sym, right_sym, pair_count
-        FROM mm$numMerges ORDER BY merge_rank"""
+            WHERE 1 = 0)${(1 to numMerges).map(step).mkString(",", ",", "")}"""
   }
 
   /** Positional 5-gram CTEs `{x}w`/`{x}g`/`{x}p` (mirror of
@@ -7541,6 +7593,10 @@ object EntryOps {
     // t21: all 256 merges re-trained over the hex pseudo-word dict —
     // every rank must reproduce the incremental trainer count-for-count
     "t21_bpe_merges_scaled" -> duckBpeScaledSql(256, 65536),
+    // t22: the 256-merge model APPLIED to every dict word — the oracle's
+    // replay chain ends in the applied dict (r256); token counts and the
+    // tokens themselves must match the native O(1)-depth application
+    "t22_bpe_tokenize_scaled" -> duckBpeTokenizeSql(256, 65536),
     // q38: q36's exact-semantics oracle (global per-lang cumsum, no salt
     // machinery — the Spark plan's two-stage form provably admits the
     // same rows) over BPE token counts from the re-trained merges
@@ -7802,6 +7858,7 @@ object EntryOps {
     "m23_mp4_inventory" -> (mp4Inventory _),
     "t19_bpe_merges" -> (bpeMerges _),
     "t21_bpe_merges_scaled" -> (bpeMergesScaled _),
+    "t22_bpe_tokenize_scaled" -> (bpeTokenizeScaled _),
     "q38_bpe_token_budget" -> (bpeTokenBudgetSample _),
     "t20_url_canonicalize" -> (urlCanonical _),
     "d32_url_dedup" -> (urlDedup _),

@@ -249,12 +249,30 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
-  /** BPE token count of a word under the learned merges: the char rep
-    * with every merge replayed in rank order (a chain of codegen'd
-    * literal replaces), then one split. Apply to the word DICT and join —
-    * never per corpus row.
+  /** BPE token count of a word under the learned merges — the literal
+    * REFERENCE form: the char rep with every merge replayed in rank order
+    * (a chain of codegen'd literal replaces), then one split. The chain
+    * is k-deep in the plan, so it cannot reach production merge counts
+    * (codegen and plan size grow with k) — [[tokens]]/[[tokenCountScaled]]
+    * compute the identical function at O(1) plan depth; this form remains
+    * as the semantics pin (OpsSpec proves the equality property) and for
+    * tiny fixture models.
     */
   def tokenCount(w: Column, merges: Seq[Merge]): Column =
     repTokens(merges.foldLeft(charRep(w))((c, m) =>
       applyMerge(c, m.left, m.right)))
+
+  /** BPE tokenization under the learned merges at PRODUCTION merge
+    * counts: the rank-order replay as ONE native expression
+    * ([[graft.functions.BpeApply]] — the merge table is a single plan
+    * object, per-word cost independent of k), semantics exactly
+    * [[tokenCount]]'s fold. Apply to the word DICT and broadcast-join —
+    * never per corpus row.
+    */
+  def tokens(w: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeApply(w, merges.map(m => (m.left, m.right)))
+
+  /** [[tokens]]' size — the drop-in scaled form of [[tokenCount]]. */
+  def tokenCountScaled(w: Column, merges: Seq[Merge]): Column =
+    size(tokens(w, merges)).cast("long")
 }

@@ -201,6 +201,66 @@ class OpsSpec extends GraftSpec {
     assert(capped === Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "z", "z", 9L)))
   }
 
+  test("native BPE application reproduces rank-order replay token-for-" +
+      "token: corpus model vs the fold, random trainer-shaped tables vs " +
+      "a reference replay, and the re-creation divergence case") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Bpe
+    import graft.functions.BpeApply
+    import org.apache.spark.unsafe.types.UTF8String
+    // driver-side reference: the definitional single-pass-per-rank replay
+    def replayRef(w: String, ms: Seq[(String, String)]): Seq[String] = {
+      var syms = w.toCharArray.map(_.toString).toSeq
+      for ((l, r) <- ms) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    def native(w: String, ms: Seq[(String, String)]): Seq[String] = {
+      val arr = BpeApply.encode(UTF8String.fromString(w),
+        new BpeApply.Model(ms.toArray))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    // the divergence case the scaladoc names: a later merge re-creates an
+    // earlier merge's pair; replay must NOT re-merge it (the
+    // repeat-lowest-rank tokenizer loop would yield [aab] here)
+    assert(native("aab", Seq(("aa", "b"), ("a", "a"))) === Seq("aa", "b"))
+    assert(replayRef("aab", Seq(("aa", "b"), ("a", "a"))) === Seq("aa", "b"))
+    // random trainer-shaped tables: each merge concatenates two symbols
+    // from the evolving pool, which naturally produces duplicate-string
+    // symbols (("a","ab") vs ("aa","b")) — the adversarial class
+    val rnd = new scala.util.Random(421L)
+    for (_ <- 1 to 300) {
+      val pool = scala.collection.mutable.ArrayBuffer("a", "b", "c")
+      val ms = (1 to (1 + rnd.nextInt(10))).map { _ =>
+        val l = pool(rnd.nextInt(pool.length))
+        val r = pool(rnd.nextInt(pool.length))
+        pool += (l + r)
+        (l, r)
+      }
+      val w = (1 to rnd.nextInt(13)).map(_ => "abc" (rnd.nextInt(3))).mkString
+      assert(native(w, ms) === replayRef(w, ms),
+        s"word '$w' table $ms")
+    }
+    // the trained corpus model through the CODEGEN path: native count ==
+    // the k-deep literal-replace fold on every dict word
+    val docs3 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(docs3, 12)
+    val dict = Bpe.wordDict(docs3)
+    val mism = dict.select(
+        Bpe.tokenCount(col("w"), merges).as("fold"),
+        Bpe.tokenCountScaled(col("w"), merges).as("nat"))
+      .filter(col("fold") =!= col("nat")).count()
+    assert(mism === 0L)
+  }
+
   test("embed index readers enforce the coefficient-family gate: a " +
       "mismatched or pre-stamp index fails loudly, never all-'new'") {
     import org.apache.spark.sql.functions._
