@@ -3744,6 +3744,33 @@ object EntryOps {
       .orderBy(col("asset_id"), col("track_ord"))
   }
 
+  /** m24 — the MP4 inventory ON THE ADMISSION STREAM (r16 verdict item
+    * 2): [[graft.streaming.LogStream.mediaDecorations]] — the exact
+    * projection [[graft.streaming.LogStream.mediaAssets]] runs per
+    * micro-batch — replayed over the m23 mixed corpus (flat on even
+    * asset ids, fragmented on odd), keeping the video columns: the
+    * per-asset transcode-sizing aggregates (`mp4_tracks`,
+    * `mp4_samples`, `mp4_duration_ms` = max across tracks, `mp4_bytes`)
+    * a crawl admission stream decorates arrivals with. One dataflow,
+    * two drivers — StreamingSpec cross-checks the stream against this
+    * batch form on a mixed file fixture, so the oracle row here IS the
+    * streaming semantics. Oracle: the m23 per-track derivation
+    * aggregated per asset (refusals stay NULL-inventoried, never a
+    * plausible zero).
+    */
+  def mediaAssetsMp4(spark: SparkSession, dir: String): DataFrame = {
+    val assets = mp4SampleAssets(spark, dir)
+      .filter(col("asset_id") % 2 === 0)
+      .unionByName(mp4FragmentAssets(spark, dir)
+        .filter(col("asset_id") % 2 === 1))
+      .select(col("asset_id"), col("payload").as("content"))
+    graft.streaming.LogStream.mediaDecorations(assets, Seq("asset_id"))
+      .select(col("asset_id"), col("format"), col("stream_class"),
+        col("mp4_tracks"), col("mp4_samples"), col("mp4_duration_ms"),
+        col("mp4_bytes"))
+      .orderBy(col("asset_id"))
+  }
+
   /** t20/d32/d33 fixture formulas — crawl-style URLs synthesized in-plan
     * from doc_id, written once in dialect-neutral SQL (CASE/concat/%) so
     * the Spark fixture and the DuckDB oracle build the IDENTICAL strings:
@@ -7645,6 +7672,28 @@ object EntryOps {
     * oracle would hash-mismatch the bounded Spark side on replicated data
     * while PASSING on testdata, the worst kind of latent drift.
     */
+  /** Oracles DERIVED from other registered oracles (defined after the
+    * main map so they can reference it). m24: the m23 per-track
+    * derivation wrapped in a per-asset aggregate — the admission stream's
+    * decoration row. CASE-gating on stream_class keeps refusals
+    * NULL-inventoried; coalesce-to-0 matches the Spark side's
+    * empty-array aggregate identity.
+    */
+  val aggregatedOracles: Map[String, String] = Map(
+    "m24_media_assets_mp4" ->
+      s"""SELECT asset_id, format, stream_class,
+           CASE WHEN stream_class IS NULL THEN NULL
+                ELSE CAST(count(track_ord) AS BIGINT) END AS mp4_tracks,
+           CASE WHEN stream_class IS NULL THEN NULL
+                ELSE CAST(coalesce(sum(sample_count), 0) AS BIGINT) END AS mp4_samples,
+           CASE WHEN stream_class IS NULL THEN NULL
+                ELSE CAST(coalesce(max(duration_ms), 0) AS BIGINT) END AS mp4_duration_ms,
+           CASE WHEN stream_class IS NULL THEN NULL
+                ELSE CAST(coalesce(sum(total_bytes), 0) AS BIGINT) END AS mp4_bytes
+         FROM (${oracles("m23_mp4_inventory")}) inv
+         GROUP BY asset_id, format, stream_class
+         ORDER BY asset_id""")
+
   val indexSplitOracles: Map[String, String] = {
     def bound(sql: String, from: String, to: String): String = {
       require(sql.contains(from), s"oracle predicate '$from' not found")
@@ -7856,6 +7905,7 @@ object EntryOps {
     "m21_mp4_sample_tables" -> (mp4SampleWalk _),
     "m22_mp4_fragment_tables" -> (mp4FragmentWalk _),
     "m23_mp4_inventory" -> (mp4Inventory _),
+    "m24_media_assets_mp4" -> (mediaAssetsMp4 _),
     "t19_bpe_merges" -> (bpeMerges _),
     "t21_bpe_merges_scaled" -> (bpeMergesScaled _),
     "t22_bpe_tokenize_scaled" -> (bpeTokenizeScaled _),

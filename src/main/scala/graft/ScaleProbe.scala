@@ -127,12 +127,20 @@ object ScaleProbe {
     // logs; BpeProbe carries the flat-in-k evidence, this row the
     // flat-in-corpus evidence)
     "t21_bpe_merges_scaled",
+    // r17: BPE APPLICATION under the 256-merge model — the native
+    // O(1)-plan-depth route; the corpus pass (dict build) grows with R,
+    // per-word application cost is k- and corpus-independent
+    "t22_bpe_tokenize_scaled",
     "m21_mp4_sample_tables",
     // r16: the fragmented-MP4 inventory — m21's class (per-row walk in
     // the scan stage, linear by design) — and the universal dispatch
     // over a mixed flat/fragmented corpus (both walkers per row; the
     // wrong-class one refuses in its first box-header pass)
     "m22_mp4_fragment_tables", "m23_mp4_inventory",
+    // r17: the admission stream's media decoration row (m23's dispatch
+    // + per-asset aggregates in ONE scan-stage projection) — the
+    // per-arrival video inventory cost a crawl ingest pays at admission
+    "m24_media_assets_mp4",
     // r15: the URL frontier replay — one full learning lifecycle (base
     // frontier build + three batch bodies), the d24 row's shape for the
     // cheapest modality (exact key joins, no banding)
@@ -357,8 +365,13 @@ object ScaleProbe {
       .fold(probes)(s => probes.filter(s.contains))
     val rows = selected.map { name =>
       gate()
+      // ambient load stamped per scale block (r16 verdict item 5: a scale
+      // artifact must be self-describing about its window the way Bench
+      // is — a reader judges each row's noise exposure from the artifact)
+      val load1 = loadavg()
       val r1 = Seq(run(name, dir1.toString), run(name, dir1.toString), run(name, dir1.toString))
       gate()
+      val loadR = loadavg()
       val rR = Seq(run(name, dirR.toString), run(name, dirR.toString), run(name, dirR.toString))
       val t1 = if (r1.exists(_ < 0)) -1.0 else r1.sorted.apply(1)
       val tR = if (rR.exists(_ < 0)) -1.0 else rR.sorted.apply(1)
@@ -372,17 +385,24 @@ object ScaleProbe {
       val expMin = if (m1 > 0 && mR > 0) math.log(mR / m1) / math.log(mult.toDouble) else Double.NaN
       System.err.println(
         f"[scale-probe] $name%-24s t1=$t1%.2f t$mult=$tR%.2f exp=$exp%.2f " +
-          f"min1=$m1%.2f min$mult=$mR%.2f exp_min=$expMin%.2f")
-      (name, t1, tR, exp, r1, rR, m1, mR, expMin)
+          f"min1=$m1%.2f min$mult=$mR%.2f exp_min=$expMin%.2f " +
+          f"load=($load1%.2f, $loadR%.2f)")
+      (name, t1, tR, exp, r1, rR, m1, mR, expMin, load1, loadR)
     }
     def r3(v: Double): String =
       if (v.isNaN) "null"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val body = rows.map { case (n, t1, tR, e, r1, rR, m1, mR, eMin) =>
+    val body = rows.map { case (n, t1, tR, e, r1, rR, m1, mR, eMin, l1, lR) =>
       s""""$n":{"t1":${r3(t1)},"t$mult":${r3(tR)},"exponent":${r3(e)},""" +
         s""""min_1x":${r3(m1)},"min_${mult}x":${r3(mR)},"exponent_min":${r3(eMin)},""" +
+        s""""load_1x":${r3(l1)},"load_${mult}x":${r3(lR)},""" +
         s""""runs_1x":[${r1.map(r3).mkString(",")}],"runs_${mult}x":[${rR.map(r3).mkString(",")}]}"""
     }.mkString("{", ",", "}")
+    // the self-indictment: true when any row launched above the quiet
+    // gate (budget exhausted) — the reader then prefers exponent_min,
+    // which a co-tenant burst cannot inflate
+    val loadCaveat = rows.exists(r => r._10 > quiet + ownLoad || r._11 > quiet + ownLoad)
+    val maxLoad = (rows.map(_._10) ++ rows.map(_._11) ++ Seq(0.0)).max
     val sfName = new java.io.File(sfDir).getName
     // r15 verdict item 8: when a run measured BOTH ends of a labeled
     // contrast pair, pair their exponents side by side — the BENCH_NOTES
@@ -398,7 +418,10 @@ object ScaleProbe {
             s""""sibling_exponent_min":${r3(rs._9)}}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"sf":"$sfName","mult":$mult,"gate_load":$gateLoad,"stat":"median_of_3","contrasts":${SparkEntry.contrastsJson},"contrast_pairs":$pairBody,"queries":$body}"""
+      s"""{"sf":"$sfName","mult":$mult,"gate_load":$gateLoad,""" +
+        s""""load_caveat":$loadCaveat,"max_row_load":${r3(maxLoad)},""" +
+        s""""stat":"median_of_3","contrasts":${SparkEntry.contrastsJson},""" +
+        s""""contrast_pairs":$pairBody,"queries":$body}"""
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

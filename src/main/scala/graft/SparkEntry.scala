@@ -342,7 +342,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ EntryOps.entries
 
   def oracleSql: Map[String, String] =
-    coreOracles ++ EntryOps.oracles ++ EntryOps.indexSplitOracles
+    coreOracles ++ EntryOps.oracles ++ EntryOps.indexSplitOracles ++
+      EntryOps.aggregatedOracles
 
   /** Fixed-geometry CONTRAST routes (r14 verdict item 2, one canonical
     * place): each is CORRECT and oracle-green but deliberately keeps a

@@ -88,25 +88,74 @@ object LogStream {
   def mediaAssets(spark: SparkSession, dir: String, outDir: String,
       checkpoint: String): StreamingQuery = {
     import org.apache.spark.sql.types._
-    val decoded = spark.readStream.format("binaryFile")
+    val arrivals = spark.readStream.format("binaryFile")
       .schema(StructType(Seq(
         StructField("path", StringType),
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType))))
       .load(dir)
-      .select(col("path"), col("length").as("n_bytes"),
+      .select(col("path"), col("length").as("n_bytes"), col("content"))
+    mediaDecorations(arrivals, Seq("path", "n_bytes"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The media decoration PROJECTION shared by [[mediaAssets]]' micro-batch
+    * scan stage and the m24 batch replay — one dataflow, two drivers, so
+    * the streaming and batch inventories agree by construction
+    * (StreamingSpec cross-checks them on a mixed fixture). Every decoder
+    * runs per-row on `content` inside the scan stage; `keep` names the
+    * caller's passthrough columns (stream: path + n_bytes; batch replay:
+    * asset_id).
+    *
+    * r17 adds VIDEO to the admission stream (r16 verdict item 2): both
+    * MP4 walkers — [[graft.functions.Mp4SampleTables]] for flat files,
+    * [[graft.functions.Mp4FragmentTables]] for DASH/CMAF fragmented
+    * streams — run in the same projection (the m23 dispatch: the
+    * wrong-class walker refuses at its first top-level box pass, so the
+    * second walker costs one header scan, never a media-byte pass), and
+    * the per-asset transcode-sizing aggregates land as nullable columns:
+    * `stream_class` (flat/fragmented/null), `mp4_tracks`, `mp4_samples`,
+    * `mp4_duration_ms` (max across tracks), `mp4_bytes`. A crawl
+    * admission stream can now size a transcode fleet at admission time,
+    * not in a later batch sweep.
+    */
+  def mediaDecorations(assets: DataFrame, keep: Seq[String]): DataFrame = {
+    val decoded = assets
+      .select(keep.map(col) ++ Seq(
         graft.functions.MediaDims(col("content")).as("dims"),
         graft.functions.GifAnimFeatures(col("content")).as("gif"),
         graft.functions.JpegFeatures(col("content")).as("jpg"),
         graft.functions.WavFeatures(col("content")).as("wav"),
-        graft.functions.FlacFeatures(col("content")).as("flac"))
+        graft.functions.FlacFeatures(col("content")).as("flac"),
+        graft.functions.Mp4SampleTables(col("content")).as("mp4s"),
+        graft.functions.Mp4FragmentTables(col("content")).as("mp4f")): _*)
+      // the class that decoded picks the track rows; the common subset of
+      // the two walkers' track schemas is what the per-asset aggregates
+      // need (size(NULL)/aggregate(NULL, …) are NULL, so refused and
+      // non-MP4 assets carry NULL inventory — never a plausible zero)
+      .withColumn("mp4trk", expr(
+        """CASE WHEN mp4s.tracks IS NOT NULL THEN
+             transform(mp4s.tracks, t -> struct(
+               t.sample_count AS sample_count, t.duration_ms AS duration_ms,
+               t.total_bytes AS total_bytes))
+           ELSE
+             transform(mp4f.tracks, t -> struct(
+               t.sample_count AS sample_count, t.duration_ms AS duration_ms,
+               t.total_bytes AS total_bytes))
+           END"""))
     decoded.select(
-        col("path"), col("n_bytes"),
+      keep.map(col) ++ Seq(
         when(col("wav.format") === "wav", lit("wav"))
           .when(col("flac.format") === "flac", lit("flac"))
           .when(col("gif.format") === "gif", lit("gif"))
           .when(col("jpg.format") === "jpeg", lit("jpeg"))
+          .when(col("mp4s.format") === "mp4", lit("mp4"))
           .otherwise(col("dims.format")).as("format"),
         coalesce(col("gif.width"), col("jpg.width"), col("dims.width")).as("width"),
         coalesce(col("gif.height"), col("jpg.height"), col("dims.height")).as("height"),
@@ -117,13 +166,19 @@ object LogStream {
         coalesce(col("wav.channels"), col("flac.channels")).as("channels"),
         coalesce(col("wav.n_frames"), col("flac.n_samples")).as("audio_frames"),
         coalesce(col("wav.sum_ch0"), col("flac.sum_ch0")).as("sum_ch0"),
-        coalesce(col("wav.peak_abs"), col("flac.peak_abs")).as("peak_abs"))
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+        coalesce(col("wav.peak_abs"), col("flac.peak_abs")).as("peak_abs"),
+        when(col("mp4s.tracks").isNotNull, lit("flat"))
+          .when(col("mp4f.tracks").isNotNull, lit("fragmented"))
+          .as("stream_class"),
+        // size(NULL) is -1 under the default legacy flag — gate it
+        when(col("mp4trk").isNotNull, size(col("mp4trk")).cast("long"))
+          .as("mp4_tracks"),
+        expr("aggregate(mp4trk, CAST(0 AS BIGINT), (a, t) -> a + t.sample_count)")
+          .as("mp4_samples"),
+        expr("aggregate(mp4trk, CAST(0 AS BIGINT), (a, t) -> greatest(a, t.duration_ms))")
+          .as("mp4_duration_ms"),
+        expr("aggregate(mp4trk, CAST(0 AS BIGINT), (a, t) -> a + t.total_bytes)")
+          .as("mp4_bytes")): _*)
   }
 
   /** STREAMING incremental dedup against the WAREHOUSE — the production

@@ -490,6 +490,54 @@ class StreamingSpec extends GraftSpec {
       ((fl.getLong(2), fl.getLong(5), fl.getLong(6), fl.getLong(8))))
   }
 
+  test("media asset stream carries the MP4 inventory: stream rows equal " +
+      "the m24 batch decoration on a mixed flat/fragmented fixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("media-mp4-in")
+    val outDir = tmp("media-mp4-out").toString
+    val sf = "/root/testdata/sf0.001"
+    def payload(df: org.apache.spark.sql.DataFrame, id: Long): Array[Byte] =
+      df.filter(col("asset_id") === id).head().getAs[Array[Byte]]("payload")
+    // one decodable per class, one mp4-refused (20 % 17 = 3 hits the flat
+    // walker's refusal branch), one non-MP4 junk (48 % 37 = 11, no ftyp)
+    val flat = payload(EntryOps.mp4SampleAssets(spark, sf), 2L)
+    val frag = payload(EntryOps.mp4FragmentAssets(spark, sf), 1L)
+    val refused = payload(EntryOps.mp4SampleAssets(spark, sf), 20L)
+    val junk = payload(EntryOps.mp4SampleAssets(spark, sf), 48L)
+    Files.write(in.resolve("flat.mp4"), flat)
+    Files.write(in.resolve("frag.mp4"), frag)
+    Files.write(in.resolve("refused.mp4"), refused)
+    Files.write(in.resolve("junk.bin"), junk)
+    val q = LogStream.mediaAssets(spark, in.toString, outDir,
+      tmp("media-mp4-ck").toString)
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[String]("path").split('/').last -> r).toMap
+    // batch side: the SAME projection (mediaDecorations) over the same
+    // payloads — the m24 oracle row is therefore the stream's semantics
+    val batch = LogStream.mediaDecorations(
+      Seq(("flat.mp4", flat), ("frag.mp4", frag), ("refused.mp4", refused),
+        ("junk.bin", junk)).toDF("name", "content"), Seq("name"))
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    for (n <- Seq("flat.mp4", "frag.mp4", "refused.mp4", "junk.bin");
+         c <- Seq("format", "stream_class", "mp4_tracks", "mp4_samples",
+           "mp4_duration_ms", "mp4_bytes")) {
+      assert(out(n).getAs[Any](c) === batch(n).getAs[Any](c), s"$n.$c")
+    }
+    assert(batch("flat.mp4").getAs[String]("stream_class") === "flat")
+    assert(batch("flat.mp4").getAs[String]("format") === "mp4")
+    assert(batch("frag.mp4").getAs[String]("stream_class") === "fragmented")
+    assert(batch("frag.mp4").getAs[Long]("mp4_samples") > 0L)
+    assert(batch("frag.mp4").getAs[Long]("mp4_bytes") > 0L)
+    // honest refusal through the stream: mp4 format, NULL inventory
+    val rf = batch("refused.mp4")
+    assert(rf.getAs[String]("format") === "mp4")
+    assert(rf.isNullAt(rf.fieldIndex("stream_class")))
+    assert(rf.isNullAt(rf.fieldIndex("mp4_tracks")))
+    assert(batch("junk.bin").getAs[String]("format") === "unknown")
+  }
+
   test("streaming span check: corpus-known substring spans per arrival") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
