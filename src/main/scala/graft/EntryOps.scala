@@ -839,6 +839,33 @@ object EntryOps {
       Similarity.readPqCodes(spark, resolved), k = 10)
   }
 
+  /** s19 — the SQ8 SATURATION monitor over the s18 ROOT (r16 verdict
+    * item 4): [[graft.ops.Similarity.sq8SaturationMonitor]] against the
+    * resolved root's PERSISTED quantizer — the monitor must price the
+    * quantizer as deployed, not a re-derivation — with the s18 cohorts
+    * (9/10 trained the quantizer, 1/10 arrived frozen-appended). A
+    * clipped dim is one the append clamp saturated to 0/255: silent
+    * information loss the PQ family's reconstruction-error metric has an
+    * analogue for but SQ8 did not, until this row. Oracle: per-dim
+    * min/max over the trained cohort re-derived analytically, clip
+    * counts per cohort, identical integer per-mille and threshold.
+    */
+  def sq8Drift(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val roots = s"$dir/sq_roots"
+    val resolved = Similarity.currentPqRoot(spark, roots) match {
+      case Some(r) => r
+      case None =>
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_sq_root").resolve("container").toString
+        sq8RootFixture(spark, dir, scratch)
+        Similarity.resolvePqIndexPath(spark, scratch)
+    }
+    val quantizer = spark.read.parquet(s"$resolved/quantizer")
+    Similarity.sq8SaturationMonitor(e, quantizer,
+      when(col("vec_id") % 10 === 0, lit("appended")).otherwise(lit("trained")))
+  }
+
   def topkIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
     Similarity.topkIvfMultiProbe(emb(spark, dir), pqQueryPred, k = 3)
 
@@ -5632,6 +5659,29 @@ object EntryOps {
     // (appended vectors may fall outside the training range), banded keys
     // at grown planes × 4 tables, id-level candidate dedup before the
     // integer dot
+    // s19: the saturation monitor's analytic mirror — the trained-cohort
+    // per-dim min/max (s18's mm CTE verbatim), each vector's
+    // strictly-outside-[mn,mx] dim count, integer per-mille + threshold
+    "s19_sq8_saturation" ->
+      """WITH mm AS (SELECT k,
+                 CAST(min(embedding[k]) AS DOUBLE) AS mn,
+                 CAST(max(embedding[k]) AS DOUBLE) AS mx
+                 FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+                 WHERE embedding IS NOT NULL AND vec_id % 10 != 0 GROUP BY k),
+          cl AS (SELECT e.vec_id,
+                 CASE WHEN e.vec_id % 10 = 0 THEN 'appended'
+                      ELSE 'trained' END AS cohort,
+                 CASE WHEN CAST(e.embedding[m.k] AS DOUBLE) < m.mn
+                       OR CAST(e.embedding[m.k] AS DOUBLE) > m.mx
+                      THEN 1 ELSE 0 END AS c
+                 FROM embeddings e CROSS JOIN mm m
+                 WHERE e.embedding IS NOT NULL)
+         SELECT cohort, CAST(count(*) // 64 AS BIGINT) AS n_vecs,
+           CAST(sum(c) AS BIGINT) AS clipped_dims,
+           CAST(sum(c) * 1000 // count(*) AS BIGINT) AS sat_mille,
+           CASE WHEN sum(c) * 1000 // count(*) >= 5 THEN 'rebuild'
+                ELSE 'ok' END AS verdict
+         FROM cl GROUP BY cohort ORDER BY cohort""",
     "s18_topk_sq8_rooted" -> {
       s"""WITH pl AS (SELECT min(p) AS p
                  FROM (SELECT unnest(range(4, 31)) AS p)
@@ -7843,6 +7893,7 @@ object EntryOps {
     "s04_topk_lsh_bands" -> (topkLshBands _),
     "s17_topk_sq8" -> (topkSq8 _),
     "s18_topk_sq8_rooted" -> (topkSq8Rooted _),
+    "s19_sq8_saturation" -> (sq8Drift _),
     "s05_topk_ivf_multiprobe" -> (topkIvfMultiProbe _),
     "s06_topk_ivf_centroids" -> (topkIvfCentroids _),
     "s07_topk_pq" -> (topkPq _),

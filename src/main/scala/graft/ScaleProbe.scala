@@ -70,6 +70,10 @@ object ScaleProbe {
     // banded geometry, frozen-append delta, quantizer-identity gate; the
     // root is prebuilt untimed per scale so the row prices resolve + query
     "s18_topk_sq8_rooted",
+    // r17: the SQ8 rebuild trigger — a one-scan monitoring aggregate over
+    // the rooted quantizer (the s12/s14 class: ~linear by design, probed
+    // so the artifact states it)
+    "s19_sq8_saturation",
     // r12: d18's one-gram-shuffle substring spans, probed at ×R alongside
     // the other dedup representatives (the r11 ×100 run covered s09-s14
     // only; the verdict asked for the dedup families' exponents too)

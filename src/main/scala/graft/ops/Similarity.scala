@@ -1717,6 +1717,56 @@ object Similarity {
     next
   }
 
+  /** SQ8 SATURATION monitor — the rebuild trigger for the
+    * [[sq8IndexAppend]] cadence (r16 verdict item 4: the PQ family
+    * prices drift via reconstruction error, but an affine per-dim
+    * quantizer degrades differently): a vector appended after the
+    * quantizer froze may fall OUTSIDE the trained min/max, and
+    * [[codeUnderQuantizer]]'s clamp saturates those dims to 0/255
+    * silently — scores stay plausible while the code loses the dim's
+    * information entirely. This measures the clamp's engagement rate per
+    * cohort: a dim counts as clipped iff its value lies strictly outside
+    * [mn, mx] (the exact condition under which the clamp is not the
+    * identity). Output (the s12 two-row contract): per cohort
+    * (n_vecs, clipped_dims, sat_mille = clipped·1000 div (n_vecs·dims),
+    * verdict = rebuild iff sat_mille ≥ `rebuildMille`) — integer
+    * per-mille, cross-engine exact.
+    *
+    * Plan shape: the quantizer is ONE row, read driver-side (the
+    * geometry-gate scalar-read class) with min/max folded as plan
+    * literals — the whole monitor is one scan + one 2-group hash
+    * aggregate; no joins, no broadcast. At 100 TB the monitor costs one
+    * pass over the append cohort (pass `emb` pre-filtered to arrivals
+    * since the last rebuild; the registered s19 runs both cohorts so the
+    * trained baseline is in the same artifact).
+    */
+  def sq8SaturationMonitor(emb: DataFrame, quantizer: DataFrame,
+      cohort: Column, rebuildMille: Long = 5L): DataFrame = {
+    val g = quantizer.select(col("dims"), col("mn"), col("mx")).head()
+    val dims = g.getInt(0)
+    val mn = g.getSeq[Double](1)
+    val mx = g.getSeq[Double](2)
+    val nn = emb.filter(col("embedding").isNotNull)
+    nn.withColumn("mn", typedLit(mn))
+      .withColumn("mx", typedLit(mx))
+      .select(cohort.as("cohort"), expr(
+        s"""aggregate(sequence(1, $dims), 0L, (acc, i) ->
+              acc + IF(CAST(element_at(embedding, i) AS DOUBLE)
+                         < element_at(mn, i)
+                       OR CAST(element_at(embedding, i) AS DOUBLE)
+                         > element_at(mx, i), 1L, 0L))""").as("clipped"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("clipped")).as("clipped_dims"))
+      .withColumn("sat_mille",
+        expr(s"clipped_dims * 1000 div (n_vecs * $dims)"))
+      .withColumn("verdict",
+        when(col("sat_mille") >= rebuildMille, lit("rebuild"))
+          .otherwise(lit("ok")))
+      .select(col("cohort"), col("n_vecs"), col("clipped_dims"),
+        col("sat_mille"), col("verdict"))
+      .orderBy(col("cohort"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine ≥
     * `minCosine`. The all-pairs form is the exactness baseline; at scale the same
     * output is produced by LSH/IVF blocking + this verification on candidates.

@@ -201,6 +201,29 @@ class OpsSpec extends GraftSpec {
     assert(capped === Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "z", "z", 9L)))
   }
 
+  test("sq8 saturation monitor: a planted out-of-range append crosses " +
+      "the rebuild threshold; boundary values are not clipped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // quantizer trained on [0,1] per dim; appended: one vector entirely
+    // outside (every dim clips) and one exactly AT the max (the clamp is
+    // the identity there — zero clips, the monitor must not count it)
+    val train = Seq((1L, Seq.fill(64)(0.0f)), (2L, Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val app = Seq((10L, Seq.fill(64)(2.0f)), (11L, Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val (quant, _) = graft.ops.Similarity.buildSq8Index(train, planes = 4)
+    val out = graft.ops.Similarity.sq8SaturationMonitor(
+      train.unionByName(app), quant,
+      when(col("vec_id") >= 10L, lit("appended")).otherwise(lit("trained")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // appended: 2 vecs, 64 of 128 dims clipped -> 500 per-mille, rebuild
+    assert(out("appended") === ((2L, 64L, 500L, "rebuild")))
+    assert(out("trained") === ((2L, 0L, 0L, "ok")))
+  }
+
   test("native BPE application reproduces rank-order replay token-for-" +
       "token: corpus model vs the fold, random trainer-shaped tables vs " +
       "a reference replay, and the re-creation divergence case") {
