@@ -3844,12 +3844,23 @@ object EntryOps {
     val portRaw = s"""(CASE WHEN $b % 7 = 2 THEN ':8080'
         WHEN doc_id % 5 = 0 THEN (CASE WHEN $b % 2 = 0 THEN ':80' ELSE ':443' END)
         ELSE '' END)"""
-    val pathRaw = s"""(CASE WHEN doc_id % 6 = 0 THEN concat('/.', $segs)
+    // r17 mess classes: percent-encode an unreserved octet (§6.2.2.2 —
+    // the canonicalizer must DECODE it back, so the analytic canonical
+    // form is untouched and every downstream URL oracle stays valid):
+    // doc_id % 7 = 1 encodes the path's 'c' of '/cat' as '%63'; doc_id
+    // % 13 = 2 encodes every param 'a=' as '%61=' (incl. inside 'extra=')
+    val pathRaw = s"""(CASE WHEN doc_id % 7 = 1 THEN
+          replace(CASE WHEN doc_id % 6 = 0 THEN concat('/.', $segs)
+            WHEN doc_id % 6 = 3 THEN concat('/x', doc_id % 4, '/..', $segs)
+            ELSE $segs END, '/cat', '/%63at')
+        WHEN doc_id % 6 = 0 THEN concat('/.', $segs)
         WHEN doc_id % 6 = 3 THEN concat('/x', doc_id % 4, '/..', $segs)
         ELSE $segs END)"""
-    val rawQ = s"""(CASE WHEN $sortedQ = '' THEN ''
+    val rawQ0 = s"""(CASE WHEN $sortedQ = '' THEN ''
         ELSE concat('?', CASE WHEN doc_id % 2 = 1
           THEN concat_ws('&', $pz, $pe, $pa) ELSE $sortedQ END) END)"""
+    val rawQ = s"""(CASE WHEN doc_id % 13 = 2
+        THEN replace($rawQ0, 'a=', '%61=') ELSE $rawQ0 END)"""
     val frag = "(CASE WHEN doc_id % 3 = 2 THEN concat('#frag', doc_id % 4) ELSE '' END)"
     val raw = s"""(CASE WHEN doc_id % 37 = 13 THEN concat('not a url ', doc_id)
         ELSE concat($schemeRaw, '://', $hostRaw, $portRaw, $pathRaw, $rawQ, $frag) END)"""

@@ -23,7 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    duplicate keys are kept (both sorted into place), an empty query
   *    drops its "?";
   *  - the fragment drops (§3.5 — client-side only, never sent to the
-  *    server).
+  *    server);
+  *  - percent-encodings in the PATH and QUERY normalize by the
+  *    charset-free subset of §6.2.2 (r16 verdict item 6): `%XX` whose
+  *    octet is ASCII unreserved (A–Z a–z 0–9 - . _ ~) decodes to the
+  *    character (§6.2.2.2 — `%7Euser` and `~user` are the same resource
+  *    by definition), every other `%XX` keeps its encoding with the hex
+  *    digits uppercased (§6.2.2.1 — `%2f` ≡ `%2F`). The decodable set
+  *    contains NO delimiter, so decoding can never create a new '/', '?',
+  *    '#', '&' or '=' — structure is split first, decode is per-component
+  *    — with one deliberate exception: `%2E` decodes to '.', and decoding
+  *    runs BEFORE dot-segment resolution, so `/a/%2E%2E/b` → `/b`
+  *    (§2.3 equivalence composed with §5.2.4, the order RFC 3986 §6.2.2
+  *    prescribes).
   *
   * Bracketed IPv6 literals (`http://[::1]:8080/`, §3.2.2 IP-literal) are
   * handled mechanically: the hex inside the brackets case-folds with the
@@ -44,10 +56,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - non-hex content inside an IPv6 bracket (including zone ids, `%25eth0`
   *    — charset policy), or a bracket followed by anything but `:port`;
   *  - IPvFuture literals (`[v1.x]`, §3.2.2) — no ':' inside the bracket;
-  *  - non-numeric ports.
-  * Percent-encoding and IDN normalization are intentionally out of scope
-  * (documented; they require charset policy decisions this operator must
-  * not silently make).
+  *  - non-numeric ports;
+  *  - a MALFORMED percent-encoding in the path or query ('%' not followed
+  *    by two hex digits, §2.1) — not a URI at all; normalizing around it
+  *    would mint a key for garbage.
+  * Percent-encoding in the HOST and IDN normalization remain out of scope
+  * (documented; a pct-encoded reg-name's octets are raw bytes whose
+  * interpretation needs a charset/IDN policy this operator must not
+  * silently pick — the path/query rule above is charset-free because it
+  * only ever decodes ASCII unreserved octets).
   *
   * Codegen'd per-row string transform in the scan stage — the dedup keys
   * leave the scan, the raw URLs need not.
@@ -168,11 +185,57 @@ object UrlCanonicalize {
       if (qi >= 0 && (fi < 0 || qi < fi))
         after.substring(qi + 1, if (fi > qi) fi else after.length)
       else ""
-    val path = if (rawPath.isEmpty) "/" else removeDotSegments(rawPath)
-    val params = rawQuery.split("&", -1).filter(_.nonEmpty)
+    // pct-normalize per component AFTER the structural split (decoding
+    // only ever yields unreserved chars, so it cannot invent structure;
+    // %2E → '.' deliberately precedes dot-segment resolution — see doc)
+    val path =
+      if (rawPath.isEmpty) "/"
+      else {
+        val p = normPct(rawPath)
+        if (p == null) return null // malformed pct — documented refusal
+        removeDotSegments(p)
+      }
+    val nq = normPct(rawQuery)
+    if (nq == null) return null
+    val params = nq.split("&", -1).filter(_.nonEmpty)
     val query =
       if (params.isEmpty) "" else "?" + params.sorted.mkString("&")
     UTF8String.fromString(schemeLc + "://" + hostLc + port + path + query)
+  }
+
+  /** §6.2.2.1 + §6.2.2.2, charset-free subset: decode `%XX` iff the octet
+    * is ASCII unreserved; uppercase the hex of every other `%XX`; null on
+    * a malformed '%'.
+    */
+  private def normPct(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length) return null
+        val h1 = hex(s.charAt(i + 1))
+        val h2 = hex(s.charAt(i + 2))
+        if (h1 < 0 || h2 < 0) return null
+        val b = h1 * 16 + h2
+        val unreserved =
+          (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+            (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' ||
+            b == '~'
+        if (unreserved) out.append(b.toChar)
+        else out.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** RFC 3986 §5.2.4 remove_dot_segments, verbatim. */

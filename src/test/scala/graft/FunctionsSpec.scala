@@ -1520,9 +1520,28 @@ class FunctionsSpec extends GraftSpec {
     assert(c("http://[::1]x/") === null)
     assert(c("http://[::1") === null)
     assert(c("http://[]/x") === null)
+    // r17 (r16 verdict item 6): §6.2.2.2 charset-free pct normalization —
+    // unreserved octets decode (the RFC's own %7E example), everything
+    // else keeps its encoding with uppercased hex (§6.2.2.1)
+    assert(c("http://a.com/%7Euser/%41%62c") === "http://a.com/~user/Abc")
+    assert(c("http://a.com/a%2fb") === "http://a.com/a%2Fb")
+    assert(c("http://a.com/a%2Fb") === "http://a.com/a%2Fb")
+    // decoding precedes dot-segment resolution (§2.3 ∘ §5.2.4)
+    assert(c("http://a.com/a/%2E%2E/b") === "http://a.com/b")
+    // query: decode, THEN sort on the normalized bytes
+    assert(c("http://a.com/?%61=1&Z=2") === "http://a.com/?Z=2&a=1")
+    assert(c("http://a.com/?k=%7e&k=%20x") === "http://a.com/?k=%20x&k=~")
+    // decoding cannot invent structure: %26 is NOT unreserved, stays one
+    // param (uppercased), never splits into two
+    assert(c("http://a.com/?a=1%26b=2") === "http://a.com/?a=1%26b=2")
+    // malformed pct refuses — not a URI (§2.1), never a minted key
+    assert(c("http://a.com/a%G1") === null)
+    assert(c("http://a.com/a%1") === null)
+    assert(c("http://a.com/ok?x=%zz") === null)
     // idempotence: canonicalizing a canonical form is the identity
     val messy = Seq("HTTPS://EX.com:443/a/../b/./c?z=9&a=1#f",
-      "http://X.Y:80?b=2&a=1", "http://h/p/q/..")
+      "http://X.Y:80?b=2&a=1", "http://h/p/q/..",
+      "http://a.com/%7Euser/a%2fb?%61=1&k=%7e")
     messy.foreach { m =>
       val once = c(m)
       assert(once != null && c(once) === once, s"not idempotent on $m")
