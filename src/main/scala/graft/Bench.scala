@@ -21,13 +21,17 @@ import org.apache.spark.sql.SparkSession
   * and `wait_sec`, so the official artifact proves — or indicts — its own
   * capture conditions without any probe-file cross-referencing. Every final
   * row above 2× its recorded same-bytecode wall floor additionally carries
-  * a mechanical `load_noise`/`host_slow`/`plan_change` verdict derived from
-  * process-CPU seconds vs the floor capture's CPU stamp, normalized by the
-  * SUITE-WIDE median CPU ratio (`cpu_vs_floor_median` in the line): a plan
-  * change moves one query's CPU, a slower host state moves every query's —
-  * so a row whose CPU moved with the suite median is the host's fault, and
-  * only CPU movement beyond that baseline indicts the plan
-  * (`over_floor_2x` in line and detail).
+  * a mechanical `load_noise`/`host_slow`/`suite_shift`/`plan_change`
+  * verdict derived from process-CPU seconds vs the floor capture's CPU
+  * stamp, normalized by the SUITE-WIDE median CPU ratio
+  * (`cpu_vs_floor_median` in the line): a plan change moves one query's
+  * CPU, a slower host state moves every query's — so a row whose CPU moved
+  * with the suite median is the host's fault ONLY when the task-overhead
+  * calibration corroborates it (`cal_vs_floor` ≥ 2× — otherwise the row
+  * reads `suite_shift`: a median that moved on flat calibration is just as
+  * consistent with a suite-wide bytecode regression, which must not be
+  * whitewashed as host state); CPU movement beyond the baseline indicts
+  * the plan (`over_floor_2x` in line and detail).
   */
 object Bench {
 
@@ -560,6 +564,26 @@ object Bench {
     val hostChanged = floorTaskCal > 0 && taskCal._2 > 0 &&
       (taskCal._2 > hostCalRatio * floorTaskCal ||
         taskCal._2 * hostCalRatio < floorTaskCal)
+    // host_slow CROSS-CHECK (r16 ADVICE item 3): the suite-median
+    // normalizer assumes a plan change moves ONE query's CPU — but a
+    // suite-wide bytecode regression (e.g. a construction-time job added
+    // to every query, the r15 family-gate class) shifts the median
+    // itself, and every genuinely regressed row would read host_slow.
+    // host_slow is therefore only GRANTED when the task-overhead
+    // calibration also moved (the host's fingerprint, independent of this
+    // round's bytecode); a row whose CPU moved with the median while the
+    // calibration stayed flat reads `suite_shift` — either a suite-wide
+    // plan regression (check the golden construction-job fingerprints) or
+    // compute-dense host contention, and either way not a verdict to
+    // whitewash. Gate at 2× — the calibration carries 0.74-1.2 cpu-s
+    // same-host window noise, so sub-2× movement proves nothing.
+    val calVsFloor =
+      if (floorTaskCal > 0 && taskCal._2 > 0) taskCal._2 / floorTaskCal
+      else -1.0
+    val hostSlowCalRatio =
+      sys.env.getOrElse("SPARK_GRAFT_HOST_SLOW_CAL_RATIO", "2.0").toDouble
+    val calMoved = calVsFloor > 0 &&
+      (calVsFloor >= hostSlowCalRatio || calVsFloor <= 1.0 / hostSlowCalRatio)
     // (name, kept wall, wall floor, triple cpu, floor cpu, verdict)
     val overFloor2x: Seq[(String, Double, Double, Double, Double, String)] =
       results.flatMap { case (n, value, _, _, _, cpu, _) =>
@@ -568,7 +592,8 @@ object Bench {
           val verdict =
             if (cf > 0 && cpu > 0 && cpu <= cpuNoiseRatio * cf) "load_noise"
             else if (cf > 0 && cpu > 0 && cpuVsFloorMedian > cpuNoiseRatio &&
-              cpu / cf <= cpuNoiseRatio * cpuVsFloorMedian) "host_slow"
+              cpu / cf <= cpuNoiseRatio * cpuVsFloorMedian)
+              (if (calMoved) "host_slow" else "suite_shift")
             // floors from a different host state don't transfer per-row:
             // the remedy is the staleness rule's (re-probe, regenerate),
             // not a per-query plan indictment
@@ -650,7 +675,7 @@ object Bench {
     val streakField =
       if (streakFlagged.nonEmpty) s""","override_streak":${streakFlagged.size}""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"cpu_vs_floor_median":${r3(cpuVsFloorMedian)},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)}${if (hostChanged) s""","host_changed":true,"floor_task_cal_cpu":${r3(floorTaskCal)}""" else ""},"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"cpu_vs_floor_median":${r3(cpuVsFloorMedian)},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"cal_vs_floor":${r3(calVsFloor)}${if (hostChanged) s""","host_changed":true,"floor_task_cal_cpu":${r3(floorTaskCal)}""" else ""},"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)

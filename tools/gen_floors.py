@@ -82,6 +82,58 @@ def excluded(excl: dict, query: str, detail_path: str) -> bool:
     return any(fnmatch.fnmatch(base, pat) for pat in excl.get(query, []))
 
 
+def cal_history_path(floors_path: str) -> str:
+    return os.path.join(os.path.dirname(floors_path) or ".",
+                        "floor_cal_history.json")
+
+
+def check_cal_trend(floors_path: str) -> None:
+    """Calibration TREND verdict (r16 verdict item 7): the host-change
+    detector is a 3x step gate — a slow 1.5-2x drift across successive
+    regens would erode floor validity silently. Every regen appends its
+    task_cal_cpu to floor_cal_history.json; this prints a warning when the
+    trailing strictly-monotonic run of regens drifts >= 1.5x in one
+    direction (same-host window noise is ~0.74-1.2 cpu-s and not
+    monotonic across several regens)."""
+    p = cal_history_path(floors_path)
+    if not os.path.exists(p):
+        print("calibration trend: no history recorded yet")
+        return
+    with open(p) as f:
+        hist = json.load(f)
+    vals = [h["task_cal_cpu"] for h in hist
+            if isinstance(h, dict) and h.get("task_cal_cpu")]
+    if len(vals) < 2:
+        print(f"calibration trend: {len(vals)} regen(s) recorded — no trend yet")
+        return
+    i = len(vals) - 1
+    direction = 0
+    while i > 0:
+        d = vals[i] - vals[i - 1]
+        if d == 0:
+            break
+        nd = 1 if d > 0 else -1
+        if direction == 0:
+            direction = nd
+        elif nd != direction:
+            break
+        i -= 1
+    run = vals[i:]
+    lo, hi = min(run[0], run[-1]), max(run[0], run[-1])
+    ratio = (hi / lo) if lo > 0 else 0.0
+    if len(run) >= 2 and ratio >= 1.5:
+        print(f"calibration trend: WARNING — task_cal_cpu drifted "
+              f"monotonically {'up' if direction > 0 else 'down'} "
+              f"{ratio:.2f}x over the last {len(run)} regens "
+              f"({run[0]} -> {run[-1]}); a slow host drift below the 3x "
+              f"step gate erodes floor validity — re-base floors from "
+              f"fresh same-host captures")
+    else:
+        print(f"calibration trend: ok ({len(vals)} regens recorded, "
+              f"last {vals[-1]}, trailing monotonic ratio "
+              f"{ratio:.2f}x < 1.5x)")
+
+
 def check(floors_path: str) -> None:
     with open(floors_path) as f:
         floors = json.load(f)
@@ -106,8 +158,10 @@ def check(floors_path: str) -> None:
               "re-probe on current bytecode and regenerate):")
         for q, why in stale:
             print(f"  {q}: {why}")
+        check_cal_trend(floors_path)
         sys.exit(1)
     print(f"all {len(floors)} floors current (plan fingerprints match)")
+    check_cal_trend(floors_path)
 
 
 def main() -> None:
@@ -169,6 +223,19 @@ def main() -> None:
         cpu_out["_task_cal_cpu"] = round(task_cal, 3)
     with open(cpu_path(out), "w") as f:
         json.dump(cpu_out, f, indent=1, sort_keys=True)
+    if task_cal is not None:
+        hp = cal_history_path(out)
+        hist = []
+        if os.path.exists(hp):
+            with open(hp) as f:
+                hist = json.load(f)
+        hist.append({"task_cal_cpu": round(task_cal, 3),
+                     "captures": [os.path.basename(p) for p in details]})
+        with open(hp, "w") as f:
+            json.dump(hist, f, indent=1)
+        print(f"appended calibration {round(task_cal, 3)} to {hp} "
+              f"({len(hist)} regens recorded)")
+        check_cal_trend(out)
     print(f"wrote {len(floors)} floors to {out} from {len(details)} captures")
     print(f"recorded {len(cpus)} floor cpu_sec stamps to {cpu_path(out)}")
     print(f"recorded {len(hashes) - len(missing)} plan fingerprints to "
