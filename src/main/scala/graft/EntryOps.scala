@@ -2764,6 +2764,113 @@ object EntryOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The e09 media FEATURE index build — the decode-once half of the
+    * lifecycle: perceptual hashes AND feature columns for the BASE cohort
+    * (asset_id % 10 ≠ 0, the d17 split convention) land as persisted
+    * tables (`img/`, `aud/`), each payload decoded exactly once, at
+    * ingest cadence (untimed in probes — a rebuild is maintenance, priced
+    * by its own lifecycle, not per query). The ScaleProbe overlay
+    * prebuilds this at `$dir/media_features`; the entry scratch-builds
+    * otherwise, byte-identically.
+    */
+  def mediaFeatureRootFixture(spark: SparkSession, dir: String,
+      path: String): Unit = {
+    dhashAssets(spark, dir).filter(col("asset_id") % 10 =!= 0)
+      .select(col("asset_id"),
+        graft.functions.PpmDHash(col("payload")).as("dhash"),
+        graft.functions.PpmFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("dhash"),
+        col("f.format").as("img_format"),
+        col("f.width").as("img_width"), col("f.height").as("img_height"))
+      .write.mode("overwrite").parquet(s"$path/img")
+    wavDhashAssets(spark, dir).filter(col("asset_id") % 10 =!= 0)
+      .select(col("asset_id"),
+        graft.functions.WavDHash(col("payload")).as("dhash"),
+        graft.functions.WavFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("dhash"),
+        col("f.sample_rate").as("aud_sample_rate"),
+        col("f.n_frames").as("aud_n_frames"))
+      .write.mode("overwrite").parquet(s"$path/aud")
+  }
+
+  /** e09 — e05's corpus from a PERSISTED feature table + ARRIVALS-ONLY
+    * decode (r16 verdict item 8 — the index-root pattern applied to
+    * decoders): e05 re-runs every decoder per execution, but a real
+    * pipeline lands decoded features once and composes incrementally.
+    * Here the base cohort's hashes and features come from
+    * [[mediaFeatureRootFixture]]'s persisted tables (a parquet read — no
+    * decoder anywhere over 9/10 of the corpus), only the arrival cohort
+    * (asset_id % 10 = 0) decodes in-plan, and the e05 composition —
+    * banded perceptual near-dup per modality, ONE unified components run,
+    * both-canonical survivors, feature + provenance joins — runs over the
+    * union. The output is VALUE-IDENTICAL to e05 (hashes and features
+    * don't care when they were decoded), so the oracle is e05's verbatim;
+    * OpsSpec proves the persisted path is genuinely read (a tampered
+    * persisted feature row flows through to the output — a re-decode
+    * would overwrite it).
+    */
+  def multimodalCorpusIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pre = s"$dir/media_features"
+    val fs = graft.ops.IndexFs.fs(spark, dir)
+    val root =
+      if (graft.ops.IndexFs.exists(fs, s"$pre/img")) pre
+      else {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_media_feat").resolve("root").toString
+        mediaFeatureRootFixture(spark, dir, scratch)
+        scratch
+      }
+    val arr = col("asset_id") % 10 === 0
+    val arrImg = dhashAssets(spark, dir).filter(arr)
+      .select(col("asset_id"),
+        graft.functions.PpmDHash(col("payload")).as("dhash"),
+        graft.functions.PpmFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("dhash"),
+        col("f.format").as("img_format"),
+        col("f.width").as("img_width"), col("f.height").as("img_height"))
+    val arrAud = wavDhashAssets(spark, dir).filter(arr)
+      .select(col("asset_id"),
+        graft.functions.WavDHash(col("payload")).as("dhash"),
+        graft.functions.WavFeatures(col("payload")).as("f"))
+      .select(col("asset_id"), col("dhash"),
+        col("f.sample_rate").as("aud_sample_rate"),
+        col("f.n_frames").as("aud_n_frames"))
+    val img = spark.read.parquet(s"$root/img").unionByName(arrImg)
+    val aud = spark.read.parquet(s"$root/aud").unionByName(arrAud)
+    val OFF = 1L << 40
+    val imgPairs = perceptualNearDup(img.select(col("asset_id"), col("dhash")))
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val audPairs = perceptualNearDup(aud.select(col("asset_id"), col("dhash")))
+      .select((col("id1") + OFF).as("doc1"), (col("id2") + OFF).as("doc2"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val both = graft.ops.Dedup.clusterComponents(
+      ids.union(ids.select((col("doc_id") + OFF).as("doc_id"))),
+      imgPairs.union(audPairs))
+    val imgCl = both.filter(col("doc_id") < OFF)
+      .select(col("doc_id"),
+        col("cluster_id").as("img_cluster_id"),
+        col("cluster_size").as("img_cluster_size"))
+    val audCl = both.filter(col("doc_id") >= OFF)
+      .select((col("doc_id") - OFF).as("doc_id"),
+        (col("cluster_id") - OFF).as("aud_cluster_id"),
+        col("cluster_size").as("aud_cluster_size"))
+    val imgF = img.select(col("asset_id").as("doc_id"), col("img_format"),
+      col("img_width"), col("img_height"))
+    val audF = aud.select(col("asset_id").as("doc_id"),
+      col("aud_sample_rate"), col("aud_n_frames"),
+      expr("aud_n_frames * 1000L div aud_sample_rate").as("aud_duration_ms"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(imgCl, Seq("doc_id"))
+      .join(audCl, Seq("doc_id"))
+      .filter(col("img_cluster_id") === col("doc_id") &&
+        col("aud_cluster_id") === col("doc_id"))
+      .join(imgF, Seq("doc_id"))
+      .join(audF, Seq("doc_id"))
+      .barriered
+      .orderBy(col("doc_id"))
+  }
+
   /** m11 fixture — spec-valid MPEG audio streams synthesized in-plan from
     * doc_id: version cycles MPEG-1/2/2.5 (doc_id % 3), sample-rate index
     * `(doc_id div 3) % 3`, Layer III bitrate index `doc_id % 14 + 1`,
@@ -7753,7 +7860,12 @@ object EntryOps {
                 ELSE CAST(coalesce(sum(total_bytes), 0) AS BIGINT) END AS mp4_bytes
          FROM (${oracles("m23_mp4_inventory")}) inv
          GROUP BY asset_id, format, stream_class
-         ORDER BY asset_id""")
+         ORDER BY asset_id""",
+    // e09: e05's oracle VERBATIM — the decode-once route must be
+    // value-identical to the decode-per-query route (hashes and features
+    // don't care when they were decoded); any drift introduced by the
+    // persisted table, the union, or the arrival split hash-mismatches
+    "e09_multimodal_incremental" -> oracles("e05_multimodal_corpus"))
 
   val indexSplitOracles: Map[String, String] = {
     def bound(sql: String, from: String, to: String): String = {
@@ -7983,6 +8095,7 @@ object EntryOps {
     "d14_audio_neardup" -> (audioNearDup _),
     "d15_image_dedup_clusters" -> (imageDedupClusters _),
     "e05_multimodal_corpus" -> (multimodalCorpus _),
+    "e09_multimodal_incremental" -> (multimodalCorpusIncremental _),
     "d16_semantic_dedup" -> (semanticDedup _),
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
     "d22_semdedup_incremental" -> (semDedupIncremental _),

@@ -80,6 +80,11 @@ object ScaleProbe {
     "d18_duplicated_spans",
     "t01_langid", "t04_fingerprint", "t12_unigram_lm", "t14_chunking",
     "e05_multimodal_corpus", "d22_semdedup_incremental",
+    // r17: e05 from a PERSISTED feature root + arrivals-only decode (the
+    // decode-once lifecycle) — the root is prebuilt untimed per scale, so
+    // the row prices the incremental composition a real pipeline pays per
+    // run, against e05's decode-everything contrast
+    "e09_multimodal_incremental",
     // r13: d26 is d22 at the DEPLOYMENT geometry (nCentroids ∝ corpus,
     // constant cell size) — probed against a pre-built sem index at both
     // scales, so its row prices the per-batch incremental cost between
@@ -295,6 +300,16 @@ object ScaleProbe {
       ct.write.mode("overwrite").parquet(d.resolve("sem_centroids.parquet").toString)
       mm.write.mode("overwrite").parquet(d.resolve("sem_members.parquet").toString)
       System.err.println(s"[scale-probe] sem index prebuilt (untimed) at $d with K=$k")
+    }
+
+    // e09's media feature root: base-cohort hashes + features decoded
+    // ONCE per scale, untimed (ingest-cadence maintenance) — the probe
+    // row prices the arrivals-only decode + composition
+    val needsMediaFeat = selectedSet.forall(_.contains("e09_multimodal_incremental"))
+    for (d <- Seq(dir1, dirR) if needsMediaFeat) {
+      EntryOps.mediaFeatureRootFixture(spark, d.toString,
+        d.resolve("media_features").toString)
+      System.err.println(s"[scale-probe] media feature root prebuilt (untimed) at $d")
     }
 
     // e08 streaming fixture: persisted gate indexes + arrival cohort per

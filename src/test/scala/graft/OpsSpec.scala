@@ -201,6 +201,38 @@ class OpsSpec extends GraftSpec {
     assert(capped === Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "z", "z", 9L)))
   }
 
+  test("e09 decode-once lifecycle: output identical to e05, and a " +
+      "tampered persisted feature row flows through — the base cohort " +
+      "is READ, never re-decoded") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val sf = "/root/testdata/sf0.001"
+    val e05 = EntryOps.multimodalCorpus(spark, sf).collect()
+    val e09 = EntryOps.multimodalCorpusIncremental(spark, sf).collect()
+    assert(e09.toSeq === e05.toSeq)
+    // tamper proof: a corpus dir with its own feature root, one base
+    // survivor's persisted img_width bumped — a plan that re-decoded the
+    // base would overwrite the tamper with the true decode
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e09")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve("documents.parquet"),
+      java.nio.file.Paths.get(sf, "documents.parquet"))
+    val root = tmp.resolve("media_features").toString
+    EntryOps.mediaFeatureRootFixture(spark, tmp.toString, root)
+    val victim = e05.map(_.getLong(0)).find(_ % 10 != 0).get
+    val img = spark.read.parquet(s"$root/img")
+    val widthIdx = img.schema.fieldIndex("img_width")
+    val rows = img.collect().map { r =>
+      if (r.getLong(0) == victim) Row.fromSeq(r.toSeq.updated(widthIdx, 424242L))
+      else r
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), img.schema)
+      .write.mode("overwrite").parquet(s"$root/img")
+    val out = EntryOps.multimodalCorpusIncremental(spark, tmp.toString).collect()
+    assert(out.find(_.getLong(0) == victim).get
+      .getAs[Long]("img_width") === 424242L)
+  }
+
   test("sq8 saturation monitor: a planted out-of-range append crosses " +
       "the rebuild threshold; boundary values are not clipped") {
     import org.apache.spark.sql.functions._
