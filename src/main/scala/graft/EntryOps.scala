@@ -3955,19 +3955,19 @@ object EntryOps {
     // the canonicalizer must DECODE it back, so the analytic canonical
     // form is untouched and every downstream URL oracle stays valid):
     // doc_id % 7 = 1 encodes the path's 'c' of '/cat' as '%63'; doc_id
-    // % 13 = 2 encodes every param 'a=' as '%61=' (incl. inside 'extra=')
-    val pathRaw = s"""(CASE WHEN doc_id % 7 = 1 THEN
-          replace(CASE WHEN doc_id % 6 = 0 THEN concat('/.', $segs)
-            WHEN doc_id % 6 = 3 THEN concat('/x', doc_id % 4, '/..', $segs)
-            ELSE $segs END, '/cat', '/%63at')
-        WHEN doc_id % 6 = 0 THEN concat('/.', $segs)
+    // % 13 = 2 encodes every param 'a=' as '%61=' (incl. inside
+    // 'extra='). The conditional rides in the NEEDLE (chr(1) never
+    // occurs, so the replace is the identity off-class) — a CASE around
+    // the whole expression would duplicate the raw-URL subtree and
+    // measurably slow every URL-family fixture synthesis.
+    val pathRaw = s"""replace(CASE WHEN doc_id % 6 = 0 THEN concat('/.', $segs)
         WHEN doc_id % 6 = 3 THEN concat('/x', doc_id % 4, '/..', $segs)
-        ELSE $segs END)"""
-    val rawQ0 = s"""(CASE WHEN $sortedQ = '' THEN ''
+        ELSE $segs END,
+        CASE WHEN doc_id % 7 = 1 THEN '/cat' ELSE chr(1) END, '/%63at')"""
+    val rawQ = s"""replace(CASE WHEN $sortedQ = '' THEN ''
         ELSE concat('?', CASE WHEN doc_id % 2 = 1
-          THEN concat_ws('&', $pz, $pe, $pa) ELSE $sortedQ END) END)"""
-    val rawQ = s"""(CASE WHEN doc_id % 13 = 2
-        THEN replace($rawQ0, 'a=', '%61=') ELSE $rawQ0 END)"""
+          THEN concat_ws('&', $pz, $pe, $pa) ELSE $sortedQ END) END,
+        CASE WHEN doc_id % 13 = 2 THEN 'a=' ELSE chr(1) END, '%61=')"""
     val frag = "(CASE WHEN doc_id % 3 = 2 THEN concat('#frag', doc_id % 4) ELSE '' END)"
     val raw = s"""(CASE WHEN doc_id % 37 = 13 THEN concat('not a url ', doc_id)
         ELSE concat($schemeRaw, '://', $hostRaw, $portRaw, $pathRaw, $rawQ, $frag) END)"""
