@@ -1362,7 +1362,12 @@ object EntryOps {
     val budget = 6000L
     val saltBuckets = 64
     val d = docs(spark, dir)
-    val merges = graft.ops.Bpe.trainMerges(d, numMerges = 12)
+    // the scaled trainer: IDENTICAL merges to the per-merge-job form
+    // (OpsSpec pins rank-for-rank equality) at O(1) Spark jobs instead of
+    // one per merge — q38's construction no longer pays t19's
+    // deliberately-kept one-job-per-merge contrast shape
+    val merges = graft.ops.Bpe.trainMergesScaled(
+      graft.ops.Bpe.wordDict(d), numMerges = 12)
     val dictCounts = graft.ops.Bpe.wordDict(d)
       .select(col("w"), graft.ops.Bpe.tokenCountScaled(col("w"), merges).as("wtok"))
     val base = d
