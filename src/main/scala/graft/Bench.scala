@@ -535,12 +535,6 @@ object Bench {
     // suite median — the host is slower, not the plan), `plan_change`
     // (CPU moved beyond the host baseline — query-specific). The
     // suite median rides in the summary as cpu_vs_floor_median.
-    val cpuRatios = results.flatMap { case (n, value, _, _, _, cpu, _) =>
-      floorCpu.get(n).filter(cf => cf > 0 && cpu > 0 && value > 0)
-        .map(cf => cpu / cf)
-    }.sorted
-    val cpuVsFloorMedian =
-      if (cpuRatios.isEmpty) -1.0 else cpuRatios(cpuRatios.size / 2)
     // cross-host detection: compare this capture's task-overhead
     // calibration against the floor captures' recorded one (gen_floors
     // stamps the min as _task_cal_cpu). Divergence in EITHER direction
@@ -577,23 +571,39 @@ object Bench {
     // compute-dense host contention, and either way not a verdict to
     // whitewash. Gate at 2× — the calibration carries 0.74-1.2 cpu-s
     // same-host window noise, so sub-2× movement proves nothing.
+    // Direction matters (r17 ADVICE): only a calibration that moved in the
+    // SLOW direction corroborates host_slow — a FASTER host cannot explain
+    // a slower row, so that combination falls through to suite_shift like
+    // the flat-calibration case.
     val calVsFloor =
       if (floorTaskCal > 0 && taskCal._2 > 0) taskCal._2 / floorTaskCal
       else -1.0
     val hostSlowCalRatio =
       sys.env.getOrElse("SPARK_GRAFT_HOST_SLOW_CAL_RATIO", "2.0").toDouble
-    val calMoved = calVsFloor > 0 &&
-      (calVsFloor >= hostSlowCalRatio || calVsFloor <= 1.0 / hostSlowCalRatio)
-    // (name, kept wall, wall floor, triple cpu, floor cpu, verdict)
-    val overFloor2x: Seq[(String, Double, Double, Double, Double, String)] =
-      results.flatMap { case (n, value, _, _, _, cpu, _) =>
+    val calMovedSlow = calVsFloor > 0 && calVsFloor >= hostSlowCalRatio
+    // Adjudication of every final row above 2× its wall floor, as a
+    // function: the verdict re-triple pass below needs a PRELIMINARY pass
+    // (to learn which rows would be indicted) and a FINAL one (stamped
+    // from the re-measured evidence). Returns (cpu_vs_floor_median, rows)
+    // where each row is (name, kept wall, wall floor, triple cpu, floor
+    // cpu, verdict).
+    def adjudicate(
+        rs: Seq[(String, Double, Seq[Double], Double, Double, Double, Boolean)])
+        : (Double, Seq[(String, Double, Double, Double, Double, String)]) = {
+      val cpuRatios = rs.flatMap { case (n, value, _, _, _, cpu, _) =>
+        floorCpu.get(n).filter(cf => cf > 0 && cpu > 0 && value > 0)
+          .map(cf => cpu / cf)
+      }.sorted
+      val cpuVsFloorMedian =
+        if (cpuRatios.isEmpty) -1.0 else cpuRatios(cpuRatios.size / 2)
+      val rows = rs.flatMap { case (n, value, _, _, _, cpu, _) =>
         floors.get(n).filter(f => value > 0 && value > 2 * f).map { f =>
           val cf = floorCpu.getOrElse(n, -1.0)
           val verdict =
             if (cf > 0 && cpu > 0 && cpu <= cpuNoiseRatio * cf) "load_noise"
             else if (cf > 0 && cpu > 0 && cpuVsFloorMedian > cpuNoiseRatio &&
               cpu / cf <= cpuNoiseRatio * cpuVsFloorMedian)
-              (if (calMoved) "host_slow" else "suite_shift")
+              (if (calMovedSlow) "host_slow" else "suite_shift")
             // floors from a different host state don't transfer per-row:
             // the remedy is the staleness rule's (re-probe, regenerate),
             // not a per-query plan indictment
@@ -603,6 +613,60 @@ object Bench {
           (n, value, f, cpu, cf, verdict)
         }
       }
+      (cpuVsFloorMedian, rows)
+    }
+    // VERDICT RE-TRIPLE (r17 verdict item 2/next-round item 5): the r17
+    // official capture stamped ten `plan_change` labels that every quiet
+    // capture of the same bytecode refuted — window noise wearing the
+    // lattice's most serious verdict. An indictment (`plan_change` /
+    // `suite_shift`) must now REPRODUCE before it is stamped: each such
+    // row gets one more load-gated triple (same policy as the floor
+    // re-measure pass — better MEDIAN kept with its own triple's cpu),
+    // unless the floor pass already re-tripled it in a QUIET window (that
+    // excess has reproduced; a third sample adds nothing). Rows that
+    // recover drop below the 2× gate and vanish from over_floor_2x; rows
+    // that stay slow keep their label with the re-run's ambient load
+    // recorded per query ("verdict_rerun_queries" in the detail file).
+    // `load_noise`/`host_slow`/`host_changed` rows are NOT re-run — those
+    // verdicts already attribute the excess to the environment.
+    val verdictRerunLoads =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val verdictKept = scala.collection.mutable.ListBuffer.empty[String]
+    locally {
+      val (_, prelim) = adjudicate(results)
+      val flagged = prelim
+        .filter(r => r._6 == "plan_change" || r._6 == "suite_shift")
+        .map(_._1)
+      val reproduced = flagged.filter(n => floorRerunLoads.get(n)
+        .exists(_._2 <= quietThreshold + ownLoadAllowance)).toSet
+      val maxReruns =
+        sys.env.getOrElse("SPARK_GRAFT_VERDICT_RERUN_MAX", "12").toInt
+      val cands = flagged.filterNot(reproduced.contains).take(maxReruns).toSet
+      if (cands.nonEmpty) {
+        System.err.println(s"[bench] verdict re-triple pass: ${cands.size} " +
+          "indicted rows (plan_change/suite_shift) to reproduce: " +
+          cands.toSeq.sorted.mkString(", "))
+        remainingBudgetMs = remainingBudgetMs.max(
+          sys.env.getOrElse("SPARK_GRAFT_VERDICT_RERUN_BUDGET_SEC", "300").toLong * 1000L)
+        results = results.map { case r @ (n, value, runs, before, _, cpu, rerun) =>
+          if (!cands.contains(n)) r
+          else {
+            gateQuery()
+            val l0 = loadavg()
+            val (rs3, v3, c3) = triple(n)
+            val l1 = loadavg()
+            verdictRerunLoads(n) = (v3, l0.max(l1))
+            if (v3 > 0 && v3 < value) {
+              verdictKept += n
+              (n, v3, runs ++ rs3, before, l1, c3, rerun)
+            } else (n, value, runs ++ rs3, before, l1, cpu, rerun)
+          }
+        }
+      }
+    }
+    // (name, kept wall, wall floor, triple cpu, floor cpu, verdict) —
+    // stamped AFTER the re-triple, from the re-measured evidence
+    val (cpuVsFloorMedian, overFloor2x) = adjudicate(results)
     val failures = results.count(_._2 < 0)
     val reruns = results.count(_._7)
     // The harness that captures this line keeps only a bounded tail of the
@@ -670,12 +734,14 @@ object Bench {
     val suiteField = if (suiteReruns > 0) s""","suite_rerun":$suiteReruns""" else ""
     val floorRerunField =
       if (floorRerunLoads.nonEmpty) s""","floor_rerun":${floorRerunLoads.size}""" else ""
+    val verdictRerunField =
+      if (verdictRerunLoads.nonEmpty) s""","verdict_rerun":${verdictRerunLoads.size}""" else ""
     val overrideField =
       if (overridden.nonEmpty) s""","overrides":${overridden.size}""" else ""
     val streakField =
       if (streakFlagged.nonEmpty) s""","override_streak":${streakFlagged.size}""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"cpu_vs_floor_median":${r3(cpuVsFloorMedian)},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"cal_vs_floor":${r3(calVsFloor)}${if (hostChanged) s""","host_changed":true,"floor_task_cal_cpu":${r3(floorTaskCal)}""" else ""},"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$verdictRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"cpu_vs_floor_median":${r3(cpuVsFloorMedian)},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"cal_vs_floor":${r3(calVsFloor)}${if (hostChanged) s""","host_changed":true,"floor_task_cal_cpu":${r3(floorTaskCal)}""" else ""},"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)
@@ -696,7 +762,7 @@ object Bench {
     // per query instead of labeling either as a median.
     val statByQuery =
       overridden.map(_ -> "capture_min").toMap ++
-        floorKept.filterNot(overridden.contains)
+        (floorKept ++ verdictKept).distinct.filterNot(overridden.contains)
           .map(_ -> "gated_rerun_median_of_3")
     val statField =
       if (statByQuery.isEmpty) "\"stat\":\"median_of_3\""
@@ -709,6 +775,11 @@ object Bench {
     val floorRerunJson = floorRerunLoads.map { case (k, (v, l)) =>
       "\"" + k + "\":{\"median\":" + r3(v) + ",\"load\":" + l + "}"
     }.mkString("{", ",", "}")
+    // every verdict-pass re-run triple with its median and worst ambient
+    // load — a surviving indictment carries its reproduction conditions
+    val verdictRerunJson = verdictRerunLoads.map { case (k, (v, l)) =>
+      "\"" + k + "\":{\"median\":" + r3(v) + ",\"load\":" + l + "}"
+    }.mkString("{", ",", "}")
     // full numeric evidence for each >2×-floor verdict — wall vs floor,
     // cpu vs floor cpu — so the line's verdict is re-derivable by hand
     val overFloorJson = overFloor2x.map { case (n, w, f, c, cf, v) =>
@@ -717,7 +788,7 @@ object Bench {
         ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
+      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"verdict_rerun_queries":$verdictRerunJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

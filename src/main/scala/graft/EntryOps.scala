@@ -272,7 +272,8 @@ object EntryOps {
     Dedup.buildUrlIndex(
       u.filter(col("asset_id") % 10 <= 6)
         .select(col("asset_id").as("doc_id"),
-          graft.functions.UrlCanonicalize(col("raw_url")).as("url")))
+          graft.functions.Staged(
+            graft.functions.UrlCanonicalize(col("raw_url"))).as("url")))
       .write.parquet(s"$root/base")
     def planted(id: Long, raw: String): DataFrame = spark.sql(
       s"SELECT CAST($id AS BIGINT) AS doc_id, '$raw' AS raw_url")
@@ -329,7 +330,8 @@ object EntryOps {
     Dedup.buildUrlGramIndex(
       u.filter(col("asset_id") % 10 <= 6)
         .select(col("asset_id").as("doc_id"),
-          graft.functions.UrlCanonicalize(col("raw_url")).as("url")))
+          graft.functions.Staged(
+            graft.functions.UrlCanonicalize(col("raw_url"))).as("url")))
       .write.parquet(s"$root/base")
     def planted(id: Long, raw: String): DataFrame = spark.sql(
       s"SELECT CAST($id AS BIGINT) AS doc_id, '$raw' AS raw_url")
@@ -3561,8 +3563,9 @@ object EntryOps {
     * contradictory-tables case); %41 = 7 points the second chunk offset
     * past EOF (the bounds check).
     */
-  def mp4SampleAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+  def mp4SampleAssets(spark: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
       .withColumn("nt", (col("doc_id") % 3 + 1).cast("int"))
       .withColumn("fill", (col("doc_id") % 16 + 12).cast("int"))
     def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
@@ -3645,9 +3648,17 @@ object EntryOps {
     val mdatHex = s"concat(${u32hex("8 + fill")}, '6D646174', repeat('AB', fill))"
     val moofHex = "IF(doc_id % 43 = 9, " +
       "concat('00000010', '6D6F6F66', repeat('00', 8)), '')"
+    // RowFence: the synthesis projection must leave whole-stage codegen —
+    // fused, it compiles to ONE method past janino's 64 KB limit (the r17
+    // m23/m24 interpreted-fallback failure) and past HotSpot's 8 KB JIT
+    // limit even when it squeaks under; row-based, concat/IF/CASE split
+    // into small JIT-able methods. The `where` parameter exists because a
+    // caller's later filter cannot reach the scan through the fence:
+    // subsetting callers (m23/m24 parity split) filter HERE, at the scan.
     d.withColumn("payload_hex",
         expr(s"concat($ftypHex, $moovHex, $mdatHex, $moofHex)"))
-      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+      .select(graft.functions.RowFence(col("doc_id")).as("asset_id"),
+        unhex(col("payload_hex")).as("payload"))
   }
 
   /** m21 — the ISO-BMFF SAMPLE-TABLE walk ([[graft.functions.Mp4SampleTables]],
@@ -3701,8 +3712,9 @@ object EntryOps {
     * default chain exhausts); %23 = 6 sets an explicit base_data_offset
     * past EOF (the bounds check).
     */
-  def mp4FragmentAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+  def mp4FragmentAssets(spark: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
       .withColumn("nt", (col("doc_id") % 2 + 1).cast("int"))
       .withColumn("nf", (col("doc_id") % 3 + 1).cast("int"))
     def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
@@ -3802,8 +3814,12 @@ object EntryOps {
           ${trafHex(0, f)}, ${trafHex(1, f)}, $mdatHex), '')"""
     val bodyHex = s"""IF(doc_id % 43 = 9, $mdatHex,
         ${(0 until 3).map(fragHex).mkString("concat(", ", ", ")")})"""
+    // RowFence + `where`: same 64 KB / 8 KB method rationale and the same
+    // pushdown contract as [[mp4SampleAssets]] — this synthesis is the
+    // largest unrolled tree in the repo and was the stage janino refused.
     d.withColumn("payload_hex", expr(s"concat($ftypHex, $moovHex, $bodyHex)"))
-      .select(col("doc_id").as("asset_id"), unhex(col("payload_hex")).as("payload"))
+      .select(graft.functions.RowFence(col("doc_id")).as("asset_id"),
+        unhex(col("payload_hex")).as("payload"))
   }
 
   /** m22 — the FRAGMENTED ISO-BMFF sample inventory
@@ -3853,10 +3869,8 @@ object EntryOps {
     * projected onto the unified schema.
     */
   def mp4Inventory(spark: SparkSession, dir: String): DataFrame = {
-    val assets = mp4SampleAssets(spark, dir)
-      .filter(col("asset_id") % 2 === 0)
-      .unionByName(mp4FragmentAssets(spark, dir)
-        .filter(col("asset_id") % 2 === 1))
+    val assets = mp4SampleAssets(spark, dir, col("doc_id") % 2 === 0)
+      .unionByName(mp4FragmentAssets(spark, dir, col("doc_id") % 2 === 1))
     val common = "t -> struct(t.handler AS handler, t.timescale AS timescale, " +
       "t.sample_count AS sample_count, t.duration_ms AS duration_ms, " +
       "t.total_bytes AS total_bytes, t.avg_sample_bytes AS avg_sample_bytes)"
@@ -3898,10 +3912,8 @@ object EntryOps {
     * plausible zero).
     */
   def mediaAssetsMp4(spark: SparkSession, dir: String): DataFrame = {
-    val assets = mp4SampleAssets(spark, dir)
-      .filter(col("asset_id") % 2 === 0)
-      .unionByName(mp4FragmentAssets(spark, dir)
-        .filter(col("asset_id") % 2 === 1))
+    val assets = mp4SampleAssets(spark, dir, col("doc_id") % 2 === 0)
+      .unionByName(mp4FragmentAssets(spark, dir, col("doc_id") % 2 === 1))
       .select(col("asset_id"), col("payload").as("content"))
     graft.streaming.LogStream.mediaDecorations(assets, Seq("asset_id"))
       .select(col("asset_id"), col("format"), col("stream_class"),
@@ -3979,10 +3991,22 @@ object EntryOps {
     (raw, canon)
   }
 
-  /** The raw crawl-URL table: (asset_id, raw_url) from [[urlSql]]. */
+  /** The raw crawl-URL table: (asset_id, raw_url) from [[urlSql]].
+    *
+    * [[graft.functions.RowFence]] on the id column: the synthesis CASE
+    * tree compiled to a ~14 KB whole-stage method in the t20/d32 plans —
+    * under janino's 64 KB refusal but past HotSpot's 8 KB JIT limit, so
+    * the stage ran JVM-interpreted (PlanSnapshotSpec's codegen guard
+    * caught it). Row-based, the tree splits into small JIT-able methods.
+    * Downstream parity/cohort filters on `asset_id` still evaluate below
+    * the synthesis (RowFence is deterministic, so predicates push through
+    * the projection), just not inside the parquet reader — a modulo
+    * predicate prunes nothing there anyway.
+    */
   def urlAssets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id").as("asset_id"), expr(urlSql._1).as("raw_url"))
+      .select(graft.functions.RowFence(col("doc_id")).as("asset_id"),
+        expr(urlSql._1).as("raw_url"))
 
   /** t20 — RFC 3986 URL canonicalization over the messy crawl fixture
     * ([[graft.functions.UrlCanonicalize]]): case-fold scheme/host, drop
@@ -3995,7 +4019,8 @@ object EntryOps {
   def urlCanonical(spark: SparkSession, dir: String): DataFrame =
     urlAssets(spark, dir)
       .select(col("asset_id"), col("raw_url"),
-        graft.functions.UrlCanonicalize(col("raw_url")).as("url"))
+        graft.functions.Staged(
+          graft.functions.UrlCanonicalize(col("raw_url"))).as("url"))
       .orderBy(col("asset_id"))
 
   /** d32 — EXACT URL-level dedup ([[graft.ops.Dedup.urlExact]] — the d01
@@ -4008,7 +4033,8 @@ object EntryOps {
   def urlDedup(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.urlExact(
       urlAssets(spark, dir).select(col("asset_id").as("doc_id"),
-        graft.functions.UrlCanonicalize(col("raw_url")).as("url")))
+        graft.functions.Staged(
+          graft.functions.UrlCanonicalize(col("raw_url"))).as("url")))
 
   /** d33 — NEAR URL dedup via path-gram banding: canonical URLs tokenize
     * on the separator class ([:/?&=]+ → host, path segments, param
@@ -4025,9 +4051,9 @@ object EntryOps {
     graft.ops.Dedup.ngramJaccard(
       urlAssets(spark, dir)
         .select(col("asset_id").as("doc_id"),
-          trim(regexp_replace(
+          graft.functions.Staged(trim(regexp_replace(
             graft.functions.UrlCanonicalize(col("raw_url")),
-            "[:/?&=]+", " ")).as("text"))
+            "[:/?&=]+", " "))).as("text"))
         .filter(col("text").isNotNull),
       n = 2, minJaccard = 0.4, maxDocFreq = 64)
 

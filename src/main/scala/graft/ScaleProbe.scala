@@ -370,13 +370,19 @@ object ScaleProbe {
       while (loadavg() > quiet + ownLoad && budgetMs > 0) {
         Thread.sleep(5000L); budgetMs -= 5000L
       }
+    // TRUE AMBIENT stamp (r17 verdict item 6): taken BEFORE the probe's
+    // own warmup jobs spin up, so no own-load allowance applies to it —
+    // the r17 x100 artifact launched at loadavg 17.58 yet self-described
+    // load_caveat:false because every caveat input was measured behind
+    // the `quiet + cpus/5` allowance, which masks exactly the ambient
+    // load it should flag. gate_load is now this pre-own-jobs reading
+    // and the caveat is wired to it below.
+    val gateLoad = loadavg()
     // warmup both corpora's parquet footers + codegen
     Tables.documents(spark, dir1.toString).limit(10)
       .write.mode("overwrite").format("noop").save()
     Tables.documents(spark, dirR.toString).limit(10)
       .write.mode("overwrite").format("noop").save()
-
-    val gateLoad = loadavg()
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset during development;
     // the shipped artifact is always a full run
     val selected = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -417,10 +423,13 @@ object ScaleProbe {
         s""""load_1x":${r3(l1)},"load_${mult}x":${r3(lR)},""" +
         s""""runs_1x":[${r1.map(r3).mkString(",")}],"runs_${mult}x":[${rR.map(r3).mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    // the self-indictment: true when any row launched above the quiet
-    // gate (budget exhausted) — the reader then prefers exponent_min,
-    // which a co-tenant burst cannot inflate
-    val loadCaveat = rows.exists(r => r._10 > quiet + ownLoad || r._11 > quiet + ownLoad)
+    // the self-indictment: true when the probe LAUNCHED hot (gate_load is
+    // the pre-own-jobs ambient — no own-load allowance, r17 verdict item
+    // 6) or any row measured above the per-row gate (budget exhausted) —
+    // the reader then prefers exponent_min, which a co-tenant burst
+    // cannot inflate
+    val loadCaveat = gateLoad > quiet ||
+      rows.exists(r => r._10 > quiet + ownLoad || r._11 > quiet + ownLoad)
     val maxLoad = (rows.map(_._10) ++ rows.map(_._11) ++ Seq(0.0)).max
     val sfName = new java.io.File(sfDir).getName
     // r15 verdict item 8: when a run measured BOTH ends of a labeled

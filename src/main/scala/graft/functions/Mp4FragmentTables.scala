@@ -104,6 +104,19 @@ object Mp4FragmentTables {
     StructField("tracks", ArrayType(trackSchema, containsNull = false),
       nullable = true)))
 
+  /** Per-track cap on sample_count / duration ticks / total_bytes, shared
+    * by BOTH walkers (flat and fragmented): 2⁵³. Chosen so (a) the
+    * duration render `ticks × 1000` stays under 2⁶³, and (b) per-asset
+    * CROSS-track sums (`LogStream.mediaDecorations`'s `aggregate()`
+    * lambdas, plain long addition) cannot wrap for any inventory of up to
+    * 1024 capped tracks — with the SQL-side saturation guard covering the
+    * beyond-1024 corner. A crawled file claiming more than 2⁵³ of
+    * anything per track (9 · 10¹⁵ samples/bytes, ~285 millennia at
+    * 1 kHz) is an implausible inventory and refuses like the other
+    * overflow classes, never a plausible number.
+    */
+  private[functions] val TrackCap = 1L << 53
+
   private val MOOF = 0x6d6f6f66
   private val MVEX = 0x6d766578
   private val TREX = 0x74726578
@@ -355,6 +368,14 @@ object Mp4FragmentTables {
               acc.samples = Math.addExact(acc.samples, sc)
               acc.ticks = Math.addExact(acc.ticks, runTicks)
               acc.bytes = Math.addExact(acc.bytes, runBytes)
+              // Per-track magnitude cap (r17 ADVICE): addExact bounds each
+              // total below 2⁶³, but an UNANCHORED default-only run (no
+              // bounds check applies) legitimately accumulates ~2⁶² per
+              // track, and two such tracks wrap the per-asset sums in
+              // LogStream.mediaDecorations. 2⁵³ keeps ticks×1000 < 2⁶³
+              // and makes any sum of ≤ 1024 capped tracks wrap-free.
+              if (acc.samples > TrackCap || acc.ticks > TrackCap ||
+                  acc.bytes > TrackCap) return refused
             }
             r = trun.end
           }

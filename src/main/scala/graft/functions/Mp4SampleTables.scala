@@ -181,6 +181,15 @@ object Mp4SampleTables {
           e += 1
         }
         if (sttsSamples != sampleCount) return refused // contradictory
+        // Per-track magnitude cap (r17 ADVICE): sampleCount ≤ 2²⁴ and u32
+        // sizes/deltas bound each total below 2⁵⁶ — no wrap HERE, but
+        // `ticks × 1000` in the render wraps past 2⁵³, and cross-track
+        // per-asset sums (LogStream.mediaDecorations) wrap once a few
+        // tracks carry 2⁵⁶-scale totals. 2⁵³ keeps ticks×1000 < 2⁶³ and
+        // makes any sum of ≤ 1024 capped tracks wrap-free; a file
+        // claiming more is refused like any other implausible inventory.
+        if (totalBytes > Mp4FragmentTables.TrackCap ||
+            ticks > Mp4FragmentTables.TrackCap) return refused
 
         // ---- stco/co64: chunk count + offsets, bounds-checked ----
         val stco = findChild(b, stbl.payload, stbl.end, STCO)

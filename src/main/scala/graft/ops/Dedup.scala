@@ -107,7 +107,12 @@ object Dedup {
   def urlDedupAgainstIndex(incoming: DataFrame, index: DataFrame): DataFrame =
     incoming
       .select(col("doc_id"),
-        graft.functions.UrlCanonicalize(col("raw_url")).as("url"))
+        // Staged: the left-join's null/verdict predicates must test the
+        // PROJECTED url, not push through and re-derive the canonicalize
+        // (in fixture plans the inlined raw_url synthesis makes that a
+        // ~14 KB re-derivation per conjunct)
+        graft.functions.Staged(
+          graft.functions.UrlCanonicalize(col("raw_url"))).as("url"))
       .join(index, Seq("url"), "left")
       .select(col("doc_id"),
         when(col("url").isNull, "invalid")
@@ -173,7 +178,11 @@ object Dedup {
   def urlNearDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
       minJaccard: Double = 0.4, maxDocFreq: Long = 64): DataFrame = {
     val arr = incoming.select(col("doc_id"),
-      graft.functions.UrlCanonicalize(col("raw_url")).as("url"))
+      // Staged: same single-evaluation contract as [[urlDedupAgainstIndex]]
+      // — arr feeds both the gram branch (whose null filter would push
+      // through) and the final verdict join
+      graft.functions.Staged(
+        graft.functions.UrlCanonicalize(col("raw_url"))).as("url"))
     val hot = index.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)

@@ -1305,6 +1305,21 @@ class FunctionsSpec extends GraftSpec {
     assert(refused(file(stts(3) ++ stsc(1) ++ stsz ++ stco(1000000))))
     // missing stco/co64 entirely
     assert(refused(file(stts(3) ++ stsc(1) ++ stsz)))
+    // per-track 2^53 cap (r17 ADVICE): a spec-WELL-FORMED table claiming
+    // u32-max constant sizes over 2^24 samples totals ~7.2e16 bytes —
+    // under Long range (no addExact to trip) but past the cap that keeps
+    // cross-track per-asset sums wrap-free; must refuse, never report
+    def bigStsc = full("stsc",
+      u32(1) ++ u32(1) ++ u32(1L << 23) ++ u32(1))
+    def bigStts(delta: Long) = full("stts",
+      u32(1) ++ u32(1L << 24) ++ u32(delta))
+    val bigStszConst = full("stsz", u32(0xffffffffL) ++ u32(1L << 24))
+    assert(refused(file(bigStts(1) ++ bigStsc ++ bigStszConst ++ stco(96))))
+    // same cap on duration ticks: u32-max deltas over 2^24 samples would
+    // wrap the ticks x 1000 render into a NEGATIVE duration pre-cap
+    val smallStszConst = full("stsz", u32(10) ++ u32(1L << 24))
+    assert(refused(file(bigStts(0xffffffffL) ++ bigStsc ++ smallStszConst ++
+      stco(96))))
     // not ISO-BMFF at all
     assert(decode("junk".getBytes("US-ASCII")).getUTF8String(0).toString
       === "unknown")
@@ -1420,6 +1435,16 @@ class FunctionsSpec extends GraftSpec {
     val moovMax = box("moov", mvhd ++ trak(1, 1000, "vide") ++ mvexMax)
     val tfhdBare = full("tfhd", u32(1L), flags = 0x0)
     assert(refused(ftyp ++ moovMax ++ box("moof", mfhd(1) ++
+      box("traf", tfhdBare ++ trunDefaults(0x1000000L, withOffset = false))) ++
+      mdat(120)))
+    // per-track 2^53 cap (r17 ADVICE): an UNANCHORED default-only run (no
+    // bounds check applies) with u32-max trex SIZE over 2^24 samples
+    // accumulates ~7.2e16 bytes — far under Long range (addExact silent)
+    // yet past the cap that keeps the admission stream's cross-track
+    // per-asset sums wrap-free; must refuse, never report
+    val mvexFat = box("mvex", trex(1, 1, 0xffffffffL))
+    val moovFat = box("moov", mvhd ++ trak(1, 1000, "vide") ++ mvexFat)
+    assert(refused(ftyp ++ moovFat ++ box("moof", mfhd(1) ++
       box("traf", tfhdBare ++ trunDefaults(0x1000000L, withOffset = false))) ++
       mdat(120)))
     // unfragmented (no moof): Mp4SampleTables' domain, not this walk's

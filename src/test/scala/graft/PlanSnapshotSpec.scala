@@ -95,6 +95,9 @@ class PlanSnapshotSpec extends GraftSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       if (regen) Files.createDirectories(goldenDir)
+      // (query, stage, maxMethodCodeSize) for generated methods past
+      // HotSpot's 8000-byte JIT limit — compiled but never JIT'd
+      val oversized = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
       val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, build) =>
           // cached relations registered by OTHER queries (or other suites
@@ -108,9 +111,32 @@ class PlanSnapshotSpec extends GraftSpec {
           jobCount.set(0)
           val plan = build(spark, sfDir).queryExecution.executedPlan
           drainListenerBus()
+          // the job count must be read BEFORE the codegen guard: compiling
+          // a stage whose expressions embed scalar subqueries (the
+          // geometry gates) EXECUTES those subqueries — guard-induced
+          // jobs are not construction cost
           val fp = fingerprint(plan) + s"prequery_jobs: ${jobCount.get()}\n"
+          // CODEGEN GUARD (r17 verdict item 1): eagerly compile every
+          // whole-stage subtree — a janino refusal (method > 64 KB) is a
+          // silent interpreted fall-back in production, with NO plan-shape
+          // signal for the fingerprint to catch. Oversized-but-compiling
+          // methods (> HotSpot's 8000-byte JIT limit) are collected and
+          // asserted below: they run JVM-interpreted, one cliff earlier.
+          val codegenProblem = try {
+            org.apache.spark.sql.GraftCodegenProbe.compileStages(plan)
+              .foreach { case (stage, maxMethod) =>
+                if (maxMethod > 8000) oversized += ((name, stage, maxMethod))
+              }
+            None
+          } catch {
+            case e: Throwable =>
+              Some(s"$name: a whole-stage subtree REFUSES to compile — " +
+                "production execution would silently run it interpreted: " +
+                String.valueOf(e.getMessage).linesIterator.take(2)
+                  .mkString(" ").take(300))
+          }
           val file = goldenDir.resolve(s"$name.txt")
-          if (regen) {
+          val fpProblem = if (regen) {
             Files.writeString(file, fp)
             None
           } else if (!Files.exists(file)) {
@@ -123,10 +149,25 @@ class PlanSnapshotSpec extends GraftSpec {
               s"fingerprint (regen only if INTENTIONAL):\n" +
               renderDiff(golden, fp))
           }
+          codegenProblem.toSeq ++ fpProblem
       }
       assert(problems.isEmpty,
         s"\n${problems.size} plan snapshot failure(s):\n\n" +
           problems.mkString("\n\n"))
+      if (oversized.nonEmpty) {
+        val report = oversized.sortBy(-_._3).map { case (q, s, n) =>
+          f"  $q%-28s $s%-24s $n%6d B"
+        }.mkString("\n")
+        info(s"${oversized.size} generated method(s) past the 8000-byte " +
+          s"JIT limit (compiled, but JVM-interpreted):\n$report")
+      }
+      assert(oversized.isEmpty,
+        "\ngenerated methods past HotSpot's 8000-byte JIT limit — the " +
+          "stage compiles but runs JVM-interpreted (split the projection; " +
+          "see graft.functions.RowFence):\n" +
+          oversized.sortBy(-_._3).map { case (q, s, n) =>
+            f"  $q%-28s $s%-24s $n%6d B"
+          }.mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
