@@ -39,7 +39,7 @@ object GraftExtensions {
     "mpeg_l1_samples" -> 1, "flac_features" -> 1, "flac_dhash" -> 1,
     "bmp_features" -> 1,
     "hyperplane_bucket" -> 3, "pq_table_sum" -> 2, "pq_adc_score" -> 3,
-    "argmax_dot" -> 4, "url_canonicalize" -> 1)
+    "argmax_dot" -> 4, "url_canonicalize" -> 1, "bpe_apply" -> 2)
 
   /** Functions with OPTIONAL trailing arguments: any arity in the set is
     * accepted on top of the base `arities` entry (which stays the
@@ -196,6 +196,28 @@ object GraftExtensions {
           val offset =
             if (args.length > 3) args(3).eval().asInstanceOf[Int] else 0
           HyperplaneBucket(args.head, planes, dims, offset)
+        }),
+      (FunctionIdentifier("bpe_apply"),
+        info("bpe_apply",
+          "bpe_apply(word, model_root) - BPE tokens of word under the " +
+            "PERSISTED model at model_root (a literal path; resolved at " +
+            "plan time through graft.ops.Bpe.loadBpeModel's content-hash/" +
+            "family/rank gates, then folded into the plan as the single " +
+            "BpeApply reference object — per-word cost independent of " +
+            "model size)"),
+        (args: Seq[Expression]) => {
+          require(args(1).foldable,
+            "bpe_apply: model_root must be a literal path — the model is " +
+              "resolved once at plan time, never per row")
+          val root = args(1).eval() match {
+            case null => throw new IllegalArgumentException(
+              "bpe_apply: model_root must not be NULL")
+            case s => s.toString
+          }
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.functions.BpeApply(args.head,
+            graft.ops.Bpe.loadBpeModel(spark, root)._2
+              .map(m => (m.left, m.right)))
         }),
       (FunctionIdentifier("url_canonicalize"),
         info("url_canonicalize",

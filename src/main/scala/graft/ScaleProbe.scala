@@ -140,6 +140,16 @@ object ScaleProbe {
     // O(1)-plan-depth route; the corpus pass (dict build) grows with R,
     // per-word application cost is k- and corpus-independent
     "t22_bpe_tokenize_scaled",
+    // r18: application under the LOADED model root — prices the full
+    // lifecycle a 100 TB tokenize actually runs (train once per corpus
+    // into the session root, then load + apply); the root build happens
+    // on the first of the three runs only, so the MEDIAN is the load+
+    // apply path
+    "t23_bpe_tokenize_rooted",
+    // r18: video near-dup from the sample-table fingerprint — the d33
+    // token machinery (df-capped inverted index, equi-join candidates)
+    // over per-track descriptors; decode is per-row in the scan stage
+    "d36_video_neardup",
     "m21_mp4_sample_tables",
     // r16: the fragmented-MP4 inventory — m21's class (per-row walk in
     // the scan stage, linear by design) — and the universal dispatch

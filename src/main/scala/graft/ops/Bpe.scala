@@ -275,4 +275,116 @@ object Bpe {
   /** [[tokens]]' size — the drop-in scaled form of [[tokenCount]]. */
   def tokenCountScaled(w: Column, merges: Seq[Merge]): Column =
     size(tokens(w, merges)).cast("long")
+
+  /** Replay-semantics family stamp for persisted models (the
+    * [[Similarity]] `hp_family` / `requireFamily` discipline): a model
+    * root is only applicable under the EXACT tokenizer semantics that
+    * trained it — single-pass rank-order replay over the U+0001/U+0002
+    * sentinel representation. Bump when the replay contract changes, so
+    * stale roots refuse loudly instead of tokenizing subtly differently.
+    */
+  val Family = 1
+
+  /** Content identity of a merge table: FNV-1a 64 over every field of
+    * every merge in rank order (rank, left, right, AND the training
+    * pair_count — counts are evidence, and a root whose evidence was
+    * edited is as untrustworthy as one whose symbols were). Stable across
+    * JVMs/engines by construction (explicit byte folding, no
+    * `hashCode`).
+    */
+  def modelIdOf(merges: Seq[Merge]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(b: Int): Unit = { h ^= (b & 0xffL); h *= 0x100000001b3L }
+    def mixStr(s: String): Unit = {
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach(b => mix(b))
+      mix(0)
+    }
+    merges.foreach { m =>
+      (0 until 8).foreach(i => mix((m.rank.toLong >> (8 * i)).toInt))
+      mixStr(m.left); mixStr(m.right)
+      (0 until 8).foreach(i => mix((m.count >> (8 * i)).toInt))
+    }
+    h
+  }
+
+  /** PERSISTED TOKENIZER MODEL ROOT (r17 verdict item 2 — the index-root
+    * pattern applied to the BPE model): a 100 TB pipeline trains once and
+    * tokenizes everything under a LOADED model version; until this
+    * existed, "tokenize the corpus under model v3" was not an expressible
+    * operation — every consumer retrained per run.
+    *
+    * Layout mirrors the ANN roots ([[Similarity.buildSq8Index]]'s
+    * versioned-container discipline): `root/merges` holds the full merge
+    * table with the content-hash `model_id` stamped on every row;
+    * `root/model` is the one-row manifest (model_id, num_merges,
+    * max_vocab, bpe_family) written LAST, so a readable manifest implies
+    * a complete merges table (torn build ⇒ no manifest ⇒ loader refuses).
+    * Returns the model_id.
+    */
+  def buildBpeModelRoot(spark: SparkSession, dict: DataFrame,
+      numMerges: Int, rootPath: String, maxVocab: Int = 65536): Long = {
+    val merges = trainMergesScaled(dict, numMerges, maxVocab)
+    val modelId = modelIdOf(merges)
+    mergesDf(spark, merges)
+      .withColumn("model_id", lit(modelId))
+      .write.mode("overwrite").parquet(s"$rootPath/merges")
+    spark.range(1)
+      .select(lit(modelId).as("model_id"),
+        lit(numMerges).as("num_merges"),
+        lit(maxVocab).as("max_vocab"),
+        lit(Family).as("bpe_family"))
+      .write.mode("overwrite").parquet(s"$rootPath/model")
+    modelId
+  }
+
+  /** Load a persisted model root for application: one-row manifest read
+    * (the sanctioned scalar-read class) + a vocabulary-bounded collect of
+    * the k merge rows. Refuses loudly — never tokenizes subtly wrong —
+    * when: the family stamp isn't this code's replay semantics; any row
+    * carries a foreign model_id; ranks aren't exactly 0..k−1; or the
+    * re-derived content hash disagrees with the stamped model_id (a
+    * tampered or torn merges table). Returns (model_id, merges in rank
+    * order).
+    */
+  def loadBpeModel(spark: SparkSession, rootPath: String): (Long, Seq[Merge]) = {
+    val m = spark.read.parquet(s"$rootPath/model").head()
+    val modelId = m.getLong(m.fieldIndex("model_id"))
+    val k = m.getInt(m.fieldIndex("num_merges"))
+    val fam = m.getInt(m.fieldIndex("bpe_family"))
+    require(fam == Family,
+      s"BPE model root $rootPath was trained under replay family $fam but " +
+        s"this code applies family $Family: tokens would differ silently. " +
+        "Rebuild the root.")
+    val rows = spark.read.parquet(s"$rootPath/merges")
+      .orderBy(col("merge_rank")).collect()
+    require(rows.length == k,
+      s"BPE model root $rootPath: manifest declares $k merges, table holds " +
+        s"${rows.length} — torn or truncated; rebuild the root.")
+    val merges = rows.toIndexedSeq.map { r =>
+      require(r.getLong(r.fieldIndex("model_id")) == modelId,
+        s"BPE model root $rootPath: merges table carries a foreign " +
+          "model_id — mixed or overwritten root; rebuild.")
+      Merge(r.getLong(r.fieldIndex("merge_rank")).toInt,
+        r.getString(r.fieldIndex("left_sym")),
+        r.getString(r.fieldIndex("right_sym")),
+        r.getLong(r.fieldIndex("pair_count")))
+    }
+    require(merges.zipWithIndex.forall { case (mg, i) => mg.rank == i + 1 },
+      s"BPE model root $rootPath: merge ranks are not exactly 1..$k " +
+        "(the trainer's 1-based rank contract) — reordered or gapped " +
+        "table; rebuild.")
+    require(modelIdOf(merges) == modelId,
+      s"BPE model root $rootPath: content hash does not match the stamped " +
+        "model_id — the table was edited after training; rebuild.")
+    (modelId, merges)
+  }
+
+  /** [[tokens]] under a LOADED model root — the application half of the
+    * persisted lifecycle. The load is driver-side and happens once at
+    * plan construction; the merge table enters the plan as
+    * [[graft.functions.BpeApply]]'s single reference object, exactly as
+    * with a freshly trained model.
+    */
+  def tokensUnderModel(spark: SparkSession, w: Column, rootPath: String): Column =
+    tokens(w, loadBpeModel(spark, rootPath)._2)
 }

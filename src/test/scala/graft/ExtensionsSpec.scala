@@ -82,7 +82,7 @@ class ExtensionsSpec extends GraftSpec {
         "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "mp4_sample_tables", "mp4_fragment_tables", "jpeg_features", "jpeg_dhash", "zorder_key",
         "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
         "hyperplane_bucket", "pq_table_sum", "pq_adc_score", "argmax_dot",
-        "url_canonicalize"))
+        "url_canonicalize", "bpe_apply"))
   }
 
   test("mp4_sample_tables and url_canonicalize answer from SQL like their " +
@@ -108,6 +108,37 @@ class ExtensionsSpec extends GraftSpec {
       .getAs[Row]("f")
     assert(fr.getAs[String]("format") === "unknown")
     assert(fr.isNullAt(fr.fieldIndex("tracks")))
+  }
+
+  test("bpe_apply answers from SQL under a persisted model root, " +
+      "identically to the native entry point; non-literal root refuses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bpe_sql").resolve("root").toString
+    val dict = Seq(("abab", 10L), ("abc", 5L), ("bc", 3L))
+      .toDF("w", "freq")
+    graft.ops.Bpe.buildBpeModelRoot(spark, dict, numMerges = 3, root)
+    val (_, merges) = graft.ops.Bpe.loadBpeModel(spark, root)
+    val words = Seq("abab", "abc", "bc", "xyz").toDF("w")
+    words.createOrReplaceTempView("bpe_sql_words")
+    val viaSql = spark.sql(
+      s"SELECT w, bpe_apply(w, '$root') AS toks FROM bpe_sql_words")
+      .orderBy(col("w")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaNative = words
+      .select(col("w"), graft.ops.Bpe.tokens(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql === viaNative)
+    assert(viaSql("abab").mkString("") === "abab", "tokens must respell the word")
+    // the model resolves at plan time — a per-row (non-foldable) root
+    // column cannot name a model and must refuse at analysis
+    val bad = intercept[Throwable] {
+      spark.sql("SELECT bpe_apply(w, w) FROM bpe_sql_words").collect()
+    }
+    assert(bad.getMessage.contains("literal"),
+      s"expected the literal-path refusal, got: ${bad.getMessage.take(200)}")
   }
 
   test("dot_fd is bitwise-equal to the HOF fold in every float/double combination") {

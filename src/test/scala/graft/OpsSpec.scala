@@ -256,6 +256,64 @@ class OpsSpec extends GraftSpec {
     assert(out("trained") === ((2L, 0L, 0L, "ok")))
   }
 
+  test("BPE model root: loaded == retrained merge-for-merge; tampered " +
+      "content, foreign family, and torn tables refuse loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Bpe
+    val dict = Seq(("abab", 10L), ("abcabc", 5L), ("bca", 3L), ("cab", 2L))
+      .toDF("w", "freq")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bpe_root").resolve("root").toString
+    val builtId = Bpe.buildBpeModelRoot(spark, dict, numMerges = 4, root)
+    // a loaded model and a retrained model must be the same model
+    val (loadedId, loaded) = Bpe.loadBpeModel(spark, root)
+    assert(loadedId === builtId)
+    assert(loaded === Bpe.trainMergesScaled(dict, numMerges = 4),
+      "loaded merges must equal a retrain on the identical dict")
+    // and produce identical tokens (the t23-vs-t22 contract, in miniature)
+    val words = Seq("abab", "abcabc", "zz").toDF("w")
+    assert(
+      words.select(Bpe.tokens(col("w"), loaded)).collect().toSeq ===
+        words.select(Bpe.tokens(col("w"),
+          Bpe.trainMergesScaled(dict, numMerges = 4))).collect().toSeq)
+    // TAMPER: rewrite one merge's left symbol in place — schema-valid,
+    // rank-valid, but the content hash no longer matches the stamped
+    // model_id; applying it would tokenize subtly differently forever
+    val tampered = java.nio.file.Files
+      .createTempDirectory("graft_bpe_tamper").resolve("root").toString
+    val rows = spark.read.parquet(s"$root/merges")
+    rows.withColumn("left_sym",
+        when(col("merge_rank") === 2L, lit("zz")).otherwise(col("left_sym")))
+      .write.parquet(s"$tampered/merges")
+    spark.read.parquet(s"$root/model").write.parquet(s"$tampered/model")
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.loadBpeModel(spark, tampered)
+    }
+    assert(e1.getMessage.contains("content hash"))
+    // FOREIGN FAMILY: a root trained under different replay semantics
+    // must refuse before any token is produced
+    val foreign = java.nio.file.Files
+      .createTempDirectory("graft_bpe_family").resolve("root").toString
+    rows.write.parquet(s"$foreign/merges")
+    spark.read.parquet(s"$root/model")
+      .withColumn("bpe_family", lit(99))
+      .write.parquet(s"$foreign/model")
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.loadBpeModel(spark, foreign)
+    }
+    assert(e2.getMessage.contains("family"))
+    // TORN: manifest declares more merges than the table holds
+    val torn = java.nio.file.Files
+      .createTempDirectory("graft_bpe_torn").resolve("root").toString
+    rows.filter(col("merge_rank") < 2L).write.parquet(s"$torn/merges")
+    spark.read.parquet(s"$root/model").write.parquet(s"$torn/model")
+    val e3 = intercept[IllegalArgumentException] {
+      Bpe.loadBpeModel(spark, torn)
+    }
+    assert(e3.getMessage.contains("torn or truncated"))
+  }
+
   test("native BPE application reproduces rank-order replay token-for-" +
       "token: corpus model vs the fold, random trainer-shaped tables vs " +
       "a reference replay, and the re-creation divergence case") {

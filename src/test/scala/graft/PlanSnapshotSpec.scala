@@ -106,6 +106,7 @@ class PlanSnapshotSpec extends GraftSpec {
           // execution history; an empty cache per query is reproducible —
           // a query's OWN .cache() marks still register during its build
           spark.catalog.clearCache()
+          EntryOps.clearSessionModelRoots()
           jobListener
           drainListenerBus()
           jobCount.set(0)

@@ -169,6 +169,32 @@ def main() -> None:
         check(sys.argv[2] if len(sys.argv) > 2 else "bench/floors.json")
         return
     out, details = sys.argv[1], sys.argv[2:]
+    allow_mixed = "--allow-mixed-epochs" in details
+    details = [d for d in details if d != "--allow-mixed-epochs"]
+    # HOST-EPOCH guard (r17 verdict item 7): floors are only meaningful
+    # within one host state, and the r16->r17 drift showed captures from
+    # different states mixing silently (the old set blended 0.63- and
+    # 1.0-cpu-s-calibration windows, quietly inflating every ratio read
+    # against it). Refuse to mix detail files whose task-overhead
+    # calibrations spread >= 2x -- that is two epochs, and a floor set
+    # built across them is neither's truth. Override (rare, deliberate):
+    # --allow-mixed-epochs.
+    cals = []
+    for path in details:
+        with open(path) as f:
+            tc = json.load(f).get("task_cal_cpu")
+        if tc is not None and tc > 0:
+            cals.append((os.path.basename(path), tc))
+    if cals:
+        lo = min(c for _, c in cals)
+        hi = max(c for _, c in cals)
+        if hi / lo >= 2.0 and not allow_mixed:
+            print("REFUSING to mix host epochs: task_cal_cpu spreads "
+                  f"{lo} .. {hi} (>= 2x) across the given captures:")
+            for b, c in sorted(cals, key=lambda x: x[1]):
+                print(f"  {c:6.2f}  {b}")
+            print("pass only one epoch's captures (or --allow-mixed-epochs)")
+            sys.exit(1)
     floors: dict[str, float] = {}
     # Per-floor CPU stamp (r15 verdict item 1): each detail file records the
     # kept triple's process-CPU seconds per query; CPU time is nearly
@@ -221,6 +247,12 @@ def main() -> None:
     cpu_out = {q: round(c, 3) for q, c in sorted(cpus.items())}
     if task_cal is not None:
         cpu_out["_task_cal_cpu"] = round(task_cal, 3)
+    # the epoch stamp: the calibration band this floor set was built in --
+    # a future regen mixing a different band refuses above, and a reader
+    # of the artifact sees which host state the floors describe
+    if cals:
+        cpu_out["_epoch_cal_min"] = round(min(c for _, c in cals), 3)
+        cpu_out["_epoch_cal_max"] = round(max(c for _, c in cals), 3)
     with open(cpu_path(out), "w") as f:
         json.dump(cpu_out, f, indent=1, sort_keys=True)
     if task_cal is not None:
