@@ -2786,22 +2786,32 @@ object EntryOps {
     // what a standalone audio run would emit; the output is value-identical
     // to two separate clusterComponents calls (the oracle is unchanged).
     val OFF = 1L << 40
+    val VOFF = 1L << 41
     val imgPairs = imageNearDup(spark, dir)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
     val audPairs = audioNearDup(spark, dir)
       .select((col("id1") + OFF).as("doc1"), (col("id2") + OFF).as("doc2"))
+    // r18: VIDEO is the third modality graph — d36's re-mux pairs join
+    // the SAME unified components run in their own id namespace
+    val vidPairs = videoNearDup(spark, dir)
+      .select((col("doc1") + VOFF).as("doc1"), (col("doc2") + VOFF).as("doc2"))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val both = graft.ops.Dedup.clusterComponents(
-      ids.union(ids.select((col("doc_id") + OFF).as("doc_id"))),
-      imgPairs.union(audPairs))
+      ids.union(ids.select((col("doc_id") + OFF).as("doc_id")))
+        .union(ids.select((col("doc_id") + VOFF).as("doc_id"))),
+      imgPairs.union(audPairs).union(vidPairs))
     val imgCl = both.filter(col("doc_id") < OFF)
       .select(col("doc_id"),
         col("cluster_id").as("img_cluster_id"),
         col("cluster_size").as("img_cluster_size"))
-    val audCl = both.filter(col("doc_id") >= OFF)
+    val audCl = both.filter(col("doc_id") >= OFF && col("doc_id") < VOFF)
       .select((col("doc_id") - OFF).as("doc_id"),
         (col("cluster_id") - OFF).as("aud_cluster_id"),
         col("cluster_size").as("aud_cluster_size"))
+    val vidCl = both.filter(col("doc_id") >= VOFF)
+      .select((col("doc_id") - VOFF).as("doc_id"),
+        (col("cluster_id") - VOFF).as("vid_cluster_id"),
+        col("cluster_size").as("vid_cluster_size"))
     val imgF = Multimodal.ppmFeatures(dhashAssets(spark, dir))
       .select(col("asset_id").as("doc_id"), col("format").as("img_format"),
         col("width").as("img_width"), col("height").as("img_height"))
@@ -2810,16 +2820,25 @@ object EntryOps {
         col("sample_rate").as("aud_sample_rate"),
         col("n_frames").as("aud_n_frames"),
         expr("n_frames * 1000L div sample_rate").as("aud_duration_ms"))
+    // inner join: a video that REFUSES to decode has no descriptor row
+    // and drops out of the product corpus — unadmittable media is not
+    // silently shipped with NULL sizing columns
+    val vidF = videoDescriptorTable(spark, dir)
+      .select(col("doc_id"), col("vid_tracks"), col("vid_samples"),
+        col("vid_duration_ms"), col("vid_bytes"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
       .join(imgCl, Seq("doc_id"))
       .join(audCl, Seq("doc_id"))
+      .join(vidCl, Seq("doc_id"))
       .filter(col("img_cluster_id") === col("doc_id") &&
-        col("aud_cluster_id") === col("doc_id"))
+        col("aud_cluster_id") === col("doc_id") &&
+        col("vid_cluster_id") === col("doc_id"))
       .join(imgF, Seq("doc_id"))
       .join(audF, Seq("doc_id"))
+      .join(vidF, Seq("doc_id"))
       // survivors materialized pre-sort (range partitioning samples =
-      // executes the child twice; here that re-runs BOTH modality
+      // executes the child twice; here that re-runs ALL THREE modality
       // feature decoders over the synthesized corpus)
       .barriered
       .orderBy(col("doc_id"))
@@ -2852,6 +2871,11 @@ object EntryOps {
         col("f.sample_rate").as("aud_sample_rate"),
         col("f.n_frames").as("aud_n_frames"))
       .write.mode("overwrite").parquet(s"$path/aud")
+    // r18: the VIDEO descriptor table joins the root — per-asset sorted
+    // token text (the d36 near-dup key space) + transcode-sizing columns,
+    // decoded once at ingest cadence like the other two modalities
+    videoDescriptorTable(spark, dir, col("doc_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$path/vid")
   }
 
   /** e09 — e05's corpus from a PERSISTED feature table + ARRIVALS-ONLY
@@ -2874,7 +2898,8 @@ object EntryOps {
     val pre = s"$dir/media_features"
     val fs = graft.ops.IndexFs.fs(spark, dir)
     val root =
-      if (graft.ops.IndexFs.exists(fs, s"$pre/img")) pre
+      if (graft.ops.IndexFs.exists(fs, s"$pre/img") &&
+          graft.ops.IndexFs.exists(fs, s"$pre/vid")) pre
       else {
         val scratch = java.nio.file.Files
           .createTempDirectory("graft_media_feat").resolve("root").toString
@@ -2896,38 +2921,60 @@ object EntryOps {
       .select(col("asset_id"), col("dhash"),
         col("f.sample_rate").as("aud_sample_rate"),
         col("f.n_frames").as("aud_n_frames"))
+    // r18: the arrival tenth's VIDEOS decode in-plan; the base cohort's
+    // descriptors are a parquet read of the root, like the other two
+    val arrVid = videoDescriptorTable(spark, dir, col("doc_id") % 10 === 0)
     val img = spark.read.parquet(s"$root/img").unionByName(arrImg)
     val aud = spark.read.parquet(s"$root/aud").unionByName(arrAud)
+    val vid = spark.read.parquet(s"$root/vid").unionByName(arrVid)
     val OFF = 1L << 40
+    val VOFF = 1L << 41
     val imgPairs = perceptualNearDup(img.select(col("asset_id"), col("dhash")))
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
     val audPairs = perceptualNearDup(aud.select(col("asset_id"), col("dhash")))
       .select((col("id1") + OFF).as("doc1"), (col("id2") + OFF).as("doc2"))
+    // the video re-mux pairs span the cohorts by construction (the alias
+    // classes' partners sit at doc_id % 10 = 0 — the arrival tenth), so
+    // this IS the incremental banding: persisted tokens vs in-plan decode
+    val vidPairs = graft.ops.Dedup.ngramJaccard(
+      vid.select(col("doc_id"), col("text")), n = 1, minJaccard = 0.4,
+      maxDocFreq = 64)
+      .select((col("doc1") + VOFF).as("doc1"), (col("doc2") + VOFF).as("doc2"))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val both = graft.ops.Dedup.clusterComponents(
-      ids.union(ids.select((col("doc_id") + OFF).as("doc_id"))),
-      imgPairs.union(audPairs))
+      ids.union(ids.select((col("doc_id") + OFF).as("doc_id")))
+        .union(ids.select((col("doc_id") + VOFF).as("doc_id"))),
+      imgPairs.union(audPairs).union(vidPairs))
     val imgCl = both.filter(col("doc_id") < OFF)
       .select(col("doc_id"),
         col("cluster_id").as("img_cluster_id"),
         col("cluster_size").as("img_cluster_size"))
-    val audCl = both.filter(col("doc_id") >= OFF)
+    val audCl = both.filter(col("doc_id") >= OFF && col("doc_id") < VOFF)
       .select((col("doc_id") - OFF).as("doc_id"),
         (col("cluster_id") - OFF).as("aud_cluster_id"),
         col("cluster_size").as("aud_cluster_size"))
+    val vidCl = both.filter(col("doc_id") >= VOFF)
+      .select((col("doc_id") - VOFF).as("doc_id"),
+        (col("cluster_id") - VOFF).as("vid_cluster_id"),
+        col("cluster_size").as("vid_cluster_size"))
     val imgF = img.select(col("asset_id").as("doc_id"), col("img_format"),
       col("img_width"), col("img_height"))
     val audF = aud.select(col("asset_id").as("doc_id"),
       col("aud_sample_rate"), col("aud_n_frames"),
       expr("aud_n_frames * 1000L div aud_sample_rate").as("aud_duration_ms"))
+    val vidF = vid.select(col("doc_id"), col("vid_tracks"),
+      col("vid_samples"), col("vid_duration_ms"), col("vid_bytes"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
       .join(imgCl, Seq("doc_id"))
       .join(audCl, Seq("doc_id"))
+      .join(vidCl, Seq("doc_id"))
       .filter(col("img_cluster_id") === col("doc_id") &&
-        col("aud_cluster_id") === col("doc_id"))
+        col("aud_cluster_id") === col("doc_id") &&
+        col("vid_cluster_id") === col("doc_id"))
       .join(imgF, Seq("doc_id"))
       .join(audF, Seq("doc_id"))
+      .join(vidF, Seq("doc_id"))
       .barriered
       .orderBy(col("doc_id"))
   }
@@ -4001,8 +4048,9 @@ object EntryOps {
     * % 17 = 3 (no moov) — a refused file has no inventory and must join
     * nothing.
     */
-  def mp4RemuxAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+  def mp4RemuxAssets(spark: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
       .withColumn("b", expr(
         "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
       .withColumn("nt", expr(
@@ -4124,24 +4172,42 @@ object EntryOps {
     * token, then the identical cap/pair/Jaccard machinery in SQL — the
     * decoder walks real bytes, the oracle never sees one.
     */
-  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val toks = mp4RemuxAssets(spark, dir)
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccard(
+      videoDescriptorTable(spark, dir).select(col("doc_id"), col("text")),
+      n = 1, minJaccard = 0.4, maxDocFreq = 64)
+
+  /** The per-asset VIDEO descriptor table shared by d36, e05, and the e09
+    * feature root: one row per DECODED video — the sorted layout-free
+    * track-descriptor tokens as a whitespace-joined `text` (d36's token
+    * space, ready for the unigram gram machinery) plus the per-asset
+    * transcode-sizing aggregates (m24's columns, computed as higher-order
+    * folds over the track array — no explode + groupBy shuffle). Refused
+    * files have NULL tracks and produce no row. The Staged fence keeps
+    * the tracks filter testing the PROJECTED struct instead of pushing
+    * below and re-deriving the decode (plus the inlined fixture
+    * synthesis) inside a Filter.
+    */
+  private def videoDescriptorTable(spark: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame =
+    mp4RemuxAssets(spark, dir, where)
       .select(col("asset_id"),
-        // Staged: explode's inferred size(tracks) > 0 filter must test
-        // the PROJECTED struct, not push below and re-derive the decode
-        // (plus the inlined fixture synthesis) inside a Filter
         graft.functions.Staged(
           graft.functions.Mp4SampleTables(col("payload"))).as("f"))
-      .select(col("asset_id").as("doc_id"), explode(col("f.tracks")).as("trk"))
-      .select(col("doc_id"), concat_ws(":",
-        col("trk.handler"), col("trk.timescale"), col("trk.sample_count"),
-        col("trk.duration_ms"), col("trk.total_bytes"),
-        col("trk.avg_sample_bytes")).as("tok"))
-    val docs = toks.groupBy(col("doc_id"))
-      .agg(array_join(sort_array(collect_set(col("tok"))), " ").as("text"))
-    graft.ops.Dedup.ngramJaccard(docs, n = 1, minJaccard = 0.4,
-      maxDocFreq = 64)
-  }
+      .filter(col("f.tracks").isNotNull)
+      .select(col("asset_id").as("doc_id"), col("f.tracks").as("tracks"))
+      .select(col("doc_id"),
+        expr("""array_join(array_sort(transform(tracks, t ->
+            concat_ws(':', t.handler, t.timescale, t.sample_count,
+                      t.duration_ms, t.total_bytes, t.avg_sample_bytes))),
+          ' ')""").as("text"),
+        size(col("tracks")).cast("long").as("vid_tracks"),
+        expr("aggregate(tracks, CAST(0 AS BIGINT), (a, t) -> a + t.sample_count)")
+          .as("vid_samples"),
+        expr("aggregate(tracks, CAST(0 AS BIGINT), (a, t) -> greatest(a, t.duration_ms))")
+          .as("vid_duration_ms"),
+        expr("aggregate(tracks, CAST(0 AS BIGINT), (a, t) -> a + t.total_bytes)")
+          .as("vid_bytes"))
 
   /** t20/d32/d33 fixture formulas — crawl-style URLs synthesized in-plan
     * from doc_id, written once in dialect-neutral SQL (CASE/concat/%) so
@@ -5759,6 +5825,62 @@ object EntryOps {
            array_to_string(l[s + 1 : least(s + 40, nw)], ' ') AS chunk_text
          FROM st"""
 
+  /** Shared CTE chain for the VIDEO re-mux oracles (d36 pairs, e05/e09's
+    * video modality): the m21 analytic track formulas under the re-mux
+    * fixture's (b, k = 4b + t) content keys → layout-free descriptor
+    * tokens → the d33 df-cap / candidate / Jaccard machinery, ending in
+    * `vjac(doc1, doc2, inter, n1, n2, jaccard)`; `vvals2` (per-track ns,
+    * dur_ms, tb per doc) is also addressable for the feature aggregates.
+    */
+  private def duckVideoCtes: String =
+    """vbase AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3
+                THEN doc_id - 1 ELSE doc_id END AS b
+           FROM documents
+           WHERE doc_id % 37 != 11 AND doc_id % 17 != 3),
+        vnts AS (SELECT doc_id, b,
+           CASE WHEN doc_id % 10 = 3
+                THEN (CASE WHEN b % 3 = 0 THEN 1 ELSE b % 3 END)
+                ELSE b % 3 + 1 END AS nt
+           FROM vbase),
+        vtrk AS (SELECT doc_id, b * 4 + t AS k
+           FROM vnts CROSS JOIN (SELECT unnest(range(0, 3)) AS t) tt
+           WHERE t < nt),
+        vvals AS (SELECT doc_id, k,
+           k % 5 + 2 AS ns, k % 2 = 0 AS isconst,
+           k % 7 + 10 AS csz, (k * k * 92821) % 700000007 + 100 AS d1,
+           500 * (k % 3 + 1) AS mts,
+           CASE k % 3 WHEN 0 THEN 'vide'
+                WHEN 1 THEN 'soun' ELSE 'text' END AS handler
+           FROM vtrk),
+        vvals2 AS (SELECT doc_id, handler, mts, ns,
+           CASE WHEN isconst THEN ns * csz
+                ELSE list_sum(list_transform(range(0, ns),
+                       j -> (k * 7 + j * 3) % 50 + 8)) END AS tb,
+           (CASE WHEN ns >= 4 THEN 2 * d1 + (ns - 2) * (d1 + 50)
+                 ELSE ns * d1 END) * 1000
+             // (500 * (k % 3 + 1)) AS dur_ms
+           FROM vvals),
+        vtoks AS (SELECT DISTINCT doc_id,
+           handler || ':' || CAST(mts AS BIGINT) || ':'
+             || CAST(ns AS BIGINT) || ':'
+             || CAST(dur_ms AS BIGINT) || ':'
+             || CAST(tb AS BIGINT) || ':'
+             || CAST(tb // ns AS BIGINT) AS gram
+           FROM vvals2),
+        vkeep AS (SELECT gram FROM vtoks GROUP BY gram HAVING count(*) <= 64),
+        vtc AS (SELECT t.doc_id, t.gram FROM vtoks t JOIN vkeep USING (gram)),
+        vsz AS (SELECT doc_id, count(*) AS n FROM vtc GROUP BY 1),
+        viv AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM vtc a JOIN vtc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        vjac AS (SELECT doc1, doc2, inter, n1, n2, jaccard FROM (
+           SELECT viv.doc1, viv.doc2, viv.inter, s1.n AS n1, s2.n AS n2,
+                  CAST(viv.inter AS DOUBLE) / CAST(s1.n + s2.n - viv.inter AS DOUBLE) AS jaccard
+           FROM viv JOIN vsz s1 ON viv.doc1 = s1.doc_id
+                    JOIN vsz s2 ON viv.doc2 = s2.doc_id)
+           WHERE jaccard >= 0.4)"""
+
   /** Shared CTE chain for the image-perceptual-hash oracles (d13 pairs,
     * d15 clusters): formula-derived dHashes → banded candidates under the
     * df ≤ 64 cap → Hamming-verified pairs, ending in `prs(id1, id2)`.
@@ -6908,51 +7030,9 @@ object EntryOps {
     // operator's contract, proven by the re-mux class pairing at 1.0
     // through real differently-packaged bytes.
     "d36_video_neardup" ->
-      """WITH base AS (SELECT doc_id,
-             CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3
-                  THEN doc_id - 1 ELSE doc_id END AS b
-             FROM documents
-             WHERE doc_id % 37 != 11 AND doc_id % 17 != 3),
-          nts AS (SELECT doc_id, b,
-             CASE WHEN doc_id % 10 = 3
-                  THEN (CASE WHEN b % 3 = 0 THEN 1 ELSE b % 3 END)
-                  ELSE b % 3 + 1 END AS nt
-             FROM base),
-          trk AS (SELECT doc_id, b * 4 + t AS k
-             FROM nts CROSS JOIN (SELECT unnest(range(0, 3)) AS t) tt
-             WHERE t < nt),
-          vals AS (SELECT doc_id, k,
-             k % 5 + 2 AS ns, k % 2 = 0 AS isconst,
-             k % 7 + 10 AS csz, (k * k * 92821) % 700000007 + 100 AS d1,
-             500 * (k % 3 + 1) AS mts,
-             CASE k % 3 WHEN 0 THEN 'vide'
-                  WHEN 1 THEN 'soun' ELSE 'text' END AS handler
-             FROM trk),
-          vals2 AS (SELECT doc_id, handler, mts, ns,
-             CASE WHEN isconst THEN ns * csz
-                  ELSE list_sum(list_transform(range(0, ns),
-                         j -> (k * 7 + j * 3) % 50 + 8)) END AS tb,
-             CASE WHEN ns >= 4 THEN 2 * d1 + (ns - 2) * (d1 + 50)
-                  ELSE ns * d1 END AS ticks
-             FROM vals),
-          toks AS (SELECT DISTINCT doc_id,
-             handler || ':' || CAST(mts AS BIGINT) || ':'
-               || CAST(ns AS BIGINT) || ':'
-               || CAST(ticks * 1000 // mts AS BIGINT) || ':'
-               || CAST(tb AS BIGINT) || ':'
-               || CAST(tb // ns AS BIGINT) AS gram
-             FROM vals2),
-          keep AS (SELECT gram FROM toks GROUP BY gram HAVING count(*) <= 64),
-          tc AS (SELECT t.doc_id, t.gram FROM toks t JOIN keep USING (gram)),
-          sz AS (SELECT doc_id, count(*) AS n FROM tc GROUP BY 1),
-          iv AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-                 FROM tc a JOIN tc b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
-          SELECT doc1, doc2, inter, n1, n2, jaccard FROM (
-            SELECT iv.doc1, iv.doc2, iv.inter, s1.n AS n1, s2.n AS n2,
-                   CAST(iv.inter AS DOUBLE) / CAST(s1.n + s2.n - iv.inter AS DOUBLE) AS jaccard
-            FROM iv JOIN sz s1 ON iv.doc1 = s1.doc_id JOIN sz s2 ON iv.doc2 = s2.doc_id)
-          WHERE jaccard >= 0.4 ORDER BY doc1, doc2""",
+      s"""WITH $duckVideoCtes
+          SELECT doc1, doc2, inter, n1, n2, jaccard FROM vjac
+          ORDER BY doc1, doc2""",
     "m12_ppm_dhash" -> {
       def fp(j: String) =
         s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
@@ -7209,20 +7289,41 @@ object EntryOps {
                      SELECT aed.b AS doc, areach.r FROM areach JOIN aed ON areach.doc = aed.a),
           acl AS (SELECT doc AS doc_id, min(r) AS aud_cluster_id FROM areach GROUP BY doc),
           asz AS (SELECT aud_cluster_id, CAST(count(*) AS BIGINT) AS aud_cluster_size
-                  FROM acl GROUP BY 1)
+                  FROM acl GROUP BY 1),
+          $duckVideoCtes,
+          ved AS (SELECT doc1 AS a, doc2 AS b FROM vjac
+                  UNION SELECT doc2, doc1 FROM vjac),
+          vreach AS (SELECT doc_id AS doc, doc_id AS r FROM documents
+                     UNION
+                     SELECT ved.b AS doc, vreach.r FROM vreach JOIN ved ON vreach.doc = ved.a),
+          vcl AS (SELECT doc AS doc_id, min(r) AS vid_cluster_id FROM vreach GROUP BY doc),
+          vclsz AS (SELECT vid_cluster_id, CAST(count(*) AS BIGINT) AS vid_cluster_size
+                    FROM vcl GROUP BY 1),
+          vfeat AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS vid_tracks,
+                    CAST(sum(ns) AS BIGINT) AS vid_samples,
+                    CAST(max(dur_ms) AS BIGINT) AS vid_duration_ms,
+                    CAST(sum(tb) AS BIGINT) AS vid_bytes
+                    FROM vvals2 GROUP BY doc_id)
          SELECT d.doc_id, d.lang, d.source,
            cl.img_cluster_id, sz.img_cluster_size,
            acl.aud_cluster_id, asz.aud_cluster_size,
+           vcl.vid_cluster_id, vclsz.vid_cluster_size,
            CASE WHEN (d.doc_id // 10) % 3 != 0 THEN 'ppm' ELSE 'pgm' END AS img_format,
            CAST((d.doc_id // 10) % 8 + 2 AS BIGINT) AS img_width,
            CAST(((d.doc_id // 10) * 3) % 8 + 2 AS BIGINT) AS img_height,
            CAST(8000 AS BIGINT) AS aud_sample_rate,
            CAST(130 + d.doc_id % 7 AS BIGINT) AS aud_n_frames,
-           CAST((130 + d.doc_id % 7) * 1000 // 8000 AS BIGINT) AS aud_duration_ms
+           CAST((130 + d.doc_id % 7) * 1000 // 8000 AS BIGINT) AS aud_duration_ms,
+           vfeat.vid_tracks, vfeat.vid_samples,
+           vfeat.vid_duration_ms, vfeat.vid_bytes
          FROM documents d
          JOIN cl USING (doc_id) JOIN sz USING (img_cluster_id)
          JOIN acl USING (doc_id) JOIN asz USING (aud_cluster_id)
+         JOIN vcl USING (doc_id) JOIN vclsz USING (vid_cluster_id)
+         JOIN vfeat USING (doc_id)
          WHERE cl.img_cluster_id = d.doc_id AND acl.aud_cluster_id = d.doc_id
+           AND vcl.vid_cluster_id = d.doc_id
          ORDER BY d.doc_id""",
     "m05_ppm_pixels" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h,

@@ -231,6 +231,21 @@ class OpsSpec extends GraftSpec {
     val out = EntryOps.multimodalCorpusIncremental(spark, tmp.toString).collect()
     assert(out.find(_.getLong(0) == victim).get
       .getAs[Long]("img_width") === 424242L)
+    // r18: the same read-not-redecoded proof for the VIDEO root — the
+    // descriptor TEXT stays intact (clusters unchanged, the victim keeps
+    // surviving), only the sizing column is bumped
+    val vid = spark.read.parquet(s"$root/vid")
+    val bytesIdx = vid.schema.fieldIndex("vid_bytes")
+    val vrows = vid.collect().map { r =>
+      if (r.getLong(0) == victim) Row.fromSeq(r.toSeq.updated(bytesIdx, 31337L))
+      else r
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(vrows.toIndexedSeq), vid.schema)
+      .write.mode("overwrite").parquet(s"$root/vid")
+    val out2 = EntryOps.multimodalCorpusIncremental(spark, tmp.toString).collect()
+    assert(out2.find(_.getLong(0) == victim).get
+      .getAs[Long]("vid_bytes") === 31337L)
   }
 
   test("sq8 saturation monitor: a planted out-of-range append crosses " +
