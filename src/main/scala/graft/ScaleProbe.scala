@@ -434,11 +434,14 @@ object ScaleProbe {
         s""""runs_1x":[${r1.map(r3).mkString(",")}],"runs_${mult}x":[${rR.map(r3).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     // the self-indictment: true when the probe LAUNCHED hot (gate_load is
-    // the pre-own-jobs ambient — no own-load allowance, r17 verdict item
-    // 6) or any row measured above the per-row gate (budget exhausted) —
-    // the reader then prefers exponent_min, which a co-tenant burst
-    // cannot inflate
-    val loadCaveat = gateLoad > quiet ||
+    // the pre-own-SPARK-jobs ambient — r17 verdict item 6; the +1.0 is
+    // one core of the probe's OWN sbt-compile/JVM-startup residue in the
+    // 1-minute average, measured 1.5-1.9 on an otherwise idle host —
+    // far below the co-tenant signatures this flag exists for) or any
+    // row measured above the per-row gate (budget exhausted) — the
+    // reader then prefers exponent_min, which a co-tenant burst cannot
+    // inflate
+    val loadCaveat = gateLoad > quiet + 1.0 ||
       rows.exists(r => r._10 > quiet + ownLoad || r._11 > quiet + ownLoad)
     val maxLoad = (rows.map(_._10) ++ rows.map(_._11) ++ Seq(0.0)).max
     val sfName = new java.io.File(sfDir).getName
