@@ -632,16 +632,25 @@ object Bench {
     val verdictRerunLoads =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val verdictKept = scala.collection.mutable.ListBuffer.empty[String]
+    val verdictRerunCapped = scala.collection.mutable.ListBuffer.empty[String]
     locally {
       val (_, prelim) = adjudicate(results)
+      // worst offenders first (r18 ADVICE): the cap must spend its budget
+      // on the most-indicted rows, same policy as the floor pass — and a
+      // row the cap leaves un-rerun is RECORDED (verdict_rerun_capped in
+      // the detail file) so a reader can tell a reproduced indictment
+      // from one that never received its mandated reproduction run
       val flagged = prelim
         .filter(r => r._6 == "plan_change" || r._6 == "suite_shift")
+        .sortBy(r => -(r._2 / r._3))
         .map(_._1)
       val reproduced = flagged.filter(n => floorRerunLoads.get(n)
         .exists(_._2 <= quietThreshold + ownLoadAllowance)).toSet
       val maxReruns =
         sys.env.getOrElse("SPARK_GRAFT_VERDICT_RERUN_MAX", "12").toInt
-      val cands = flagged.filterNot(reproduced.contains).take(maxReruns).toSet
+      val unreproduced = flagged.filterNot(reproduced.contains)
+      verdictRerunCapped ++= unreproduced.drop(maxReruns)
+      val cands = unreproduced.take(maxReruns).toSet
       if (cands.nonEmpty) {
         System.err.println(s"[bench] verdict re-triple pass: ${cands.size} " +
           "indicted rows (plan_change/suite_shift) to reproduce: " +
@@ -780,6 +789,10 @@ object Bench {
     val verdictRerunJson = verdictRerunLoads.map { case (k, (v, l)) =>
       "\"" + k + "\":{\"median\":" + r3(v) + ",\"load\":" + l + "}"
     }.mkString("{", ",", "}")
+    // indicted rows the rerun cap left unreproduced (worst-first ordering
+    // means these are the LEAST severe) — their labels are un-reproduced
+    val verdictCappedJson =
+      verdictRerunCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
     // full numeric evidence for each >2×-floor verdict — wall vs floor,
     // cpu vs floor cpu — so the line's verdict is re-derivable by hand
     val overFloorJson = overFloor2x.map { case (n, w, f, c, cf, v) =>
@@ -788,7 +801,7 @@ object Bench {
         ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"verdict_rerun_queries":$verdictRerunJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
+      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"verdict_rerun_queries":$verdictRerunJson,"verdict_rerun_capped":$verdictCappedJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

@@ -2942,9 +2942,11 @@ object EntryOps {
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
     val audPairs = perceptualNearDup(aud.select(col("asset_id"), col("dhash")))
       .select((col("id1") + OFF).as("doc1"), (col("id2") + OFF).as("doc2"))
-    // the video re-mux pairs span the cohorts by construction (the alias
-    // classes' partners sit at doc_id % 10 = 0 — the arrival tenth), so
-    // this IS the incremental banding: persisted tokens vs in-plan decode
+    // the re-mux class's pairs span the cohorts by construction (class
+    // doc_id % 10 = 1 lives in the persisted base, its partner % 10 = 0
+    // is the arrival tenth), so THAT class exercises the incremental
+    // banding: persisted tokens vs in-plan decode. The trim class
+    // (% 10 = 3, partner % 10 = 2) pairs entirely within the base cohort.
     val vidPairs = graft.ops.Dedup.ngramJaccard(
       vid.select(col("doc_id"), col("text")), n = 1, minJaccard = 0.4,
       maxDocFreq = 64)
@@ -4211,11 +4213,14 @@ object EntryOps {
                       t.duration_ms, t.total_bytes, t.avg_sample_bytes))),
           ' ')""").as("text"),
         size(col("tracks")).cast("long").as("vid_tracks"),
-        expr("aggregate(tracks, CAST(0 AS BIGINT), (a, t) -> a + t.sample_count)")
+        // saturate-to-NULL on overflow, the SAME guarded fold as m24's
+        // decoration (r18 verdict item 1 of "What's wrong": this site had
+        // re-forked the unguarded semantics)
+        graft.functions.F.saturatingTrackSum("tracks", "sample_count")
           .as("vid_samples"),
         expr("aggregate(tracks, CAST(0 AS BIGINT), (a, t) -> greatest(a, t.duration_ms))")
           .as("vid_duration_ms"),
-        expr("aggregate(tracks, CAST(0 AS BIGINT), (a, t) -> a + t.total_bytes)")
+        graft.functions.F.saturatingTrackSum("tracks", "total_bytes")
           .as("vid_bytes"))
 
   /** t20/d32/d33 fixture formulas — crawl-style URLs synthesized in-plan

@@ -362,7 +362,12 @@ object SparkEntry {
     "d06_embed_neardup_lsh" -> "d31_embed_neardup_banded",
     "d16_semantic_dedup" -> "d26_semdedup_grown",
     "d17_embed_dedup_incremental" -> "d29_embed_dedup_banded",
-    "d22_semdedup_incremental" -> "d26_semdedup_grown")
+    "d22_semdedup_incremental" -> "d26_semdedup_grown",
+    // decode-everything vs decode-once (r18 verdict item 3): e05 re-runs
+    // every media decoder per execution; e09 is the value-identical
+    // deployment route reading the persisted feature root — the decoder
+    // analogue of the d06→d31 geometry pairing
+    "e05_multimodal_corpus" -> "e09_multimodal_incremental")
 
   /** [[contrasts]] rendered as a JSON object (artifact embedding). */
   def contrastsJson: String = contrasts.toSeq.sorted

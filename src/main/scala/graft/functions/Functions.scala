@@ -111,4 +111,19 @@ object F {
   // deterministic tests and oracle parity.
   // --------------------------------------------------------------------------
   def oneDayAgo(now: Column): Column = now - expr("INTERVAL 1 DAY")
+
+  // --------------------------------------------------------------------------
+  // Overflow-saturating cross-track sum — the ONE shared guarded fold for
+  // per-asset aggregates over MP4 track arrays (r18 verdict item: the video
+  // descriptor sums forked the semantics the m24 hardening had just fixed).
+  // The walkers cap each track's counters at 2⁵³, so an accumulator past 2⁶²
+  // means ≥ 512 max-cap tracks — an inventory the sum must refuse (NULL, the
+  // same never-a-plausible-number contract as the walkers' refusals), not
+  // wrap negative. The guard fires before any addition can exceed
+  // 2⁶² + 2⁵³ < 2⁶³, so no intermediate overflows either.
+  // --------------------------------------------------------------------------
+  def saturatingTrackSum(tracksCol: String, field: String): Column =
+    expr(s"""aggregate($tracksCol, CAST(0 AS BIGINT), (a, t) ->
+        IF(a IS NULL OR a > 4611686018427387904L, CAST(NULL AS BIGINT),
+           a + t.$field))""")
 }

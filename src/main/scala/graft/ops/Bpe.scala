@@ -341,7 +341,8 @@ object Bpe {
     * (the sanctioned scalar-read class) + a vocabulary-bounded collect of
     * the k merge rows. Refuses loudly — never tokenizes subtly wrong —
     * when: the family stamp isn't this code's replay semantics; any row
-    * carries a foreign model_id; ranks aren't exactly 0..k−1; or the
+    * carries a foreign model_id; ranks aren't exactly 1..k (both
+    * trainers start ranks at 1); or the
     * re-derived content hash disagrees with the stamped model_id (a
     * tampered or torn merges table). Returns (model_id, merges in rank
     * order).

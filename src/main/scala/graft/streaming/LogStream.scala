@@ -174,20 +174,13 @@ object LogStream {
         when(col("mp4trk").isNotNull, size(col("mp4trk")).cast("long"))
           .as("mp4_tracks"),
         // Cross-track sums saturate to NULL instead of wrapping (r17
-        // ADVICE): the walkers cap each track at 2⁵³, so an accumulator
-        // past 2⁶² means ≥ 512 max-cap tracks — an inventory the sum must
-        // refuse (NULL, the same never-a-plausible-number contract as the
-        // walkers' refusals), not wrap negative. The guard fires before
-        // any addition can exceed 2⁶² + 2⁵³ < 2⁶³.
-        expr("""aggregate(mp4trk, CAST(0 AS BIGINT), (a, t) ->
-            IF(a IS NULL OR a > 4611686018427387904L, CAST(NULL AS BIGINT),
-               a + t.sample_count))""")
+        // ADVICE) — the shared guarded fold, semantics documented at
+        // [[graft.functions.F.saturatingTrackSum]]
+        graft.functions.F.saturatingTrackSum("mp4trk", "sample_count")
           .as("mp4_samples"),
         expr("aggregate(mp4trk, CAST(0 AS BIGINT), (a, t) -> greatest(a, t.duration_ms))")
           .as("mp4_duration_ms"),
-        expr("""aggregate(mp4trk, CAST(0 AS BIGINT), (a, t) ->
-            IF(a IS NULL OR a > 4611686018427387904L, CAST(NULL AS BIGINT),
-               a + t.total_bytes))""")
+        graft.functions.F.saturatingTrackSum("mp4trk", "total_bytes")
           .as("mp4_bytes")): _*)
   }
 

@@ -2408,4 +2408,30 @@ class FunctionsSpec extends GraftSpec {
     assert(f.getUTF8String(0).toString === "flac")
     assert(f.getLong(5) === 134L) // 130 + 11 % 7 samples decoded
   }
+
+  test("saturatingTrackSum: cross-track sums saturate to NULL past 2^62, " +
+      "exact below (the ONE guarded fold both m24 and the video table use)") {
+    val cap = 1L << 53 // the walkers' per-track cap
+    // 600 max-cap tracks push the accumulator past 2^62 (512 · 2^53 = 2^62)
+    // — the sum must refuse (NULL), never wrap to a plausible negative
+    val r = spark.sql(
+      s"""SELECT transform(sequence(1, 600), i ->
+            named_struct('sample_count', CAST($cap AS BIGINT),
+                         'duration_ms', CAST(1 AS BIGINT),
+                         'total_bytes', CAST($cap AS BIGINT))) AS tracks""")
+      .select(F.saturatingTrackSum("tracks", "sample_count").as("s"),
+        F.saturatingTrackSum("tracks", "total_bytes").as("b")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "a >=2^62 accumulation must refuse to NULL, never wrap")
+    // normal range: the fold is an exact sum
+    val ok = spark.sql(
+      """SELECT transform(sequence(1, 5), i ->
+           named_struct('sample_count', CAST(i AS BIGINT),
+                        'duration_ms', CAST(i AS BIGINT),
+                        'total_bytes', CAST(10 * i AS BIGINT))) AS tracks""")
+      .select(F.saturatingTrackSum("tracks", "sample_count").as("s"),
+        F.saturatingTrackSum("tracks", "total_bytes").as("b")).head()
+    assert(ok.getLong(0) === 15L)
+    assert(ok.getLong(1) === 150L)
+  }
 }
