@@ -4208,10 +4208,7 @@ object EntryOps {
       .filter(col("f.tracks").isNotNull)
       .select(col("asset_id").as("doc_id"), col("f.tracks").as("tracks"))
       .select(col("doc_id"),
-        expr("""array_join(array_sort(transform(tracks, t ->
-            concat_ws(':', t.handler, t.timescale, t.sample_count,
-                      t.duration_ms, t.total_bytes, t.avg_sample_bytes))),
-          ' ')""").as("text"),
+        graft.functions.F.videoDescriptorText("tracks").as("text"),
         size(col("tracks")).cast("long").as("vid_tracks"),
         // saturate-to-NULL on overflow, the SAME guarded fold as m24's
         // decoration (r18 verdict item 1 of "What's wrong": this site had
@@ -4222,6 +4219,96 @@ object EntryOps {
           .as("vid_duration_ms"),
         graft.functions.F.saturatingTrackSum("tracks", "total_bytes")
           .as("vid_bytes"))
+
+  /** Arrival-side decoded descriptor text INCLUDING refusals — the
+    * incremental/learning gates' arrival shape ([[videoDescriptorTable]]
+    * drops refused files; a gate must surface them as `invalid` instead):
+    * (doc_id, text), text NULL when the walker refused the container. The
+    * Staged fence keeps the NULL test on the PROJECTED struct — same
+    * rationale as the descriptor table's.
+    */
+  private def videoArrivalText(spark: SparkSession, dir: String,
+      where: Column): DataFrame =
+    mp4RemuxAssets(spark, dir, where)
+      .select(col("asset_id").as("doc_id"),
+        graft.functions.Staged(
+          graft.functions.Mp4SampleTables(col("payload"))).as("f"))
+      .select(col("doc_id"),
+        when(col("f.tracks").isNotNull,
+          graft.functions.F.videoDescriptorText("f.tracks")).as("text"))
+
+  /** d37 — INCREMENTAL video near-dup against the PERSISTED descriptor
+    * index (the d23/d17 arrivals-vs-warehouse shape on d36's token space,
+    * r18 verdict item 1 — the one modality that had batch near-dup but no
+    * incremental gate): the corpus cohort (doc_id % 10 ∉ {1, 3, 9})
+    * persists its [[graft.ops.Dedup.buildVideoGramIndex]] table at
+    * construction (ingest cadence — e09's feature root already carries
+    * the descriptor table this index derives from); arrivals (the re-mux
+    * class % 10 = 1, the trimmed-re-mux class % 10 = 3, and the novel
+    * class % 10 = 9) decode IN-PLAN and verdict through
+    * [[graft.ops.Dedup.videoNearDedupAgainstIndex]] — the corpus side is
+    * a parquet read, never a re-decode. Re-muxes read `dup` at
+    * jaccard 1.0 against their % 10 = 0 partners, trims `dup` at
+    * (nt−1)/nt against % 10 = 2 (1.0 when both collapse to one track),
+    * novels `new`, refused decodes `invalid`. Oracle: the m21 analytic
+    * track formulas re-derive every token, then the identical
+    * cap/candidate/Jaccard/best-match machinery in SQL over the same
+    * cohort split.
+    */
+  def videoDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_vididx").resolve("index").toString
+    graft.ops.Dedup.buildVideoGramIndex(
+      videoDescriptorTable(spark, dir,
+        where = !(col("doc_id") % 10).isin(1, 3, 9))
+        .select(col("doc_id"), col("text")))
+      .write.parquet(idxPath)
+    graft.ops.Dedup.videoNearDedupAgainstIndex(
+      videoArrivalText(spark, dir, (col("doc_id") % 10).isin(1, 3, 9)),
+      spark.read.parquet(idxPath))
+      .select(col("doc_id"), col("verdict"), col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d38 — the SELF-LEARNING VIDEO near-dup stream (the SEVENTH learning
+    * modality: text d24, embedding d25, media d27, semantic d28, banded
+    * d30, URLs d34/d35, video here — closing the lifecycle every other
+    * modality already has, r18 verdict item 1): three arrival batches
+    * replay through the stream's own micro-batch body
+    * ([[graft.streaming.LogStream.dedupLearningVideoBatch]]) against a
+    * scratch descriptor-gram root. Cohorts: doc_id % 10 ∈ {4..8} play the
+    * ingest-built base; batch 0 is the PARTNER classes {0, 2} (novel vs
+    * the base — every decodable one learns its gram rows); batch 1 is the
+    * ALIAS classes {1, 3} — each one's partner arrived in batch 0, so
+    * every `dup` in batch 1 flows through LEARNED ROWS ALONE (the
+    * learning loop proven class-wide, no planted pair needed); batch 2 is
+    * the novel class {9}. Refused decodes (`% 37 = 11` ftyp-free,
+    * `% 17 = 3` moov-free) are `invalid`, never learned — an alias whose
+    * partner refused reads `new` and learns its own rows. Batch b reads
+    * the index strictly below b (replay-exact). Oracle: the d35
+    * batch-chained knowledge CTEs on the m21 analytic token space,
+    * recomputing the df cap against each batch's knowledge state exactly
+    * as the gate does.
+    */
+  def dedupLearningVideoReplay(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_learn_video").resolve("root").toString
+    graft.ops.Dedup.buildVideoGramIndex(
+      videoDescriptorTable(spark, dir,
+        where = (col("doc_id") % 10).isin(4, 5, 6, 7, 8))
+        .select(col("doc_id"), col("text")))
+      .write.parquet(s"$root/base")
+    val batches = Seq(Seq(0, 2), Seq(1, 3), Seq(9))
+    val verdicts = batches.zipWithIndex.map { case (cls, b) =>
+      val arr = mp4RemuxAssets(spark, dir, (col("doc_id") % 10).isin(cls: _*))
+      graft.streaming.LogStream.dedupLearningVideoBatch(arr, root, b.toLong)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    verdicts.reduce(_ unionByName _)
+      .select(col("batch_id"), col("doc_id"), col("verdict"),
+        col("match_id"), col("jaccard"))
+      .orderBy(col("batch_id"), col("doc_id"))
+  }
 
   /** t20/d32/d33 fixture formulas — crawl-style URLs synthesized in-plan
     * from doc_id, written once in dialect-neutral SQL (CASE/concat/%) so
@@ -5846,7 +5933,13 @@ object EntryOps {
     * `vjac(doc1, doc2, inter, n1, n2, jaccard)`; `vvals2` (per-track ns,
     * dur_ms, tb per doc) is also addressable for the feature aggregates.
     */
-  private def duckVideoCtes: String =
+  /** The m21 analytic token derivation alone — `vbase → vtoks(doc_id,
+    * gram)`, one row per layout-free track descriptor of every DECODABLE
+    * doc (refusals `% 37 = 11` / `% 17 = 3` excluded at `vbase`). Shared
+    * by the d36/e05/e09 pair chain ([[duckVideoCtes]]) and the d37/d38
+    * arrivals-vs-index oracles.
+    */
+  private def duckVideoTokenCtes: String =
     """vbase AS (SELECT doc_id,
            CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3
                 THEN doc_id - 1 ELSE doc_id END AS b
@@ -5881,7 +5974,10 @@ object EntryOps {
              || CAST(dur_ms AS BIGINT) || ':'
              || CAST(tb AS BIGINT) || ':'
              || CAST(tb // ns AS BIGINT) AS gram
-           FROM vvals2),
+           FROM vvals2)"""
+
+  private def duckVideoCtes: String =
+    s"""$duckVideoTokenCtes,
         vkeep AS (SELECT gram FROM vtoks GROUP BY gram HAVING count(*) <= 64),
         vtc AS (SELECT t.doc_id, t.gram FROM vtoks t JOIN vkeep USING (gram)),
         vsz AS (SELECT doc_id, count(*) AS n FROM vtc GROUP BY 1),
@@ -7047,6 +7143,103 @@ object EntryOps {
       s"""WITH $duckVideoCtes
           SELECT doc1, doc2, inter, n1, n2, jaccard FROM vjac
           ORDER BY doc1, doc2""",
+    // d37: the analytic token space under the arrivals-vs-index split —
+    // the corpus cohort collapses identical descriptor SETS to first-seen
+    // and persists (gram, ex_id); arrivals re-derive their tokens, the df
+    // cap is computed from the INDEX side only (exactly as the gate
+    // does), candidates by gram join, exact Jaccard, best match by
+    // (jaccard DESC, ex_id ASC). `invalid` = the refusal classes (absent
+    // from vtoks).
+    "d37_video_dedup_incremental" ->
+      s"""WITH $duckVideoTokenCtes,
+          varr AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (1, 3, 9)),
+          vcorp AS (SELECT doc_id, gram FROM vtoks
+                    WHERE doc_id % 10 NOT IN (1, 3, 9)),
+          vctxt AS (SELECT doc_id, string_agg(gram, ' ' ORDER BY gram) AS txt
+                    FROM vcorp GROUP BY 1),
+          vcidx AS (SELECT min(doc_id) AS ex_id FROM vctxt GROUP BY txt),
+          vk0 AS (SELECT t.gram, i.ex_id FROM vcidx i
+                  JOIN vcorp t ON t.doc_id = i.ex_id),
+          vhot AS (SELECT gram FROM vk0 GROUP BY gram HAVING count(*) > 64),
+          vik AS (SELECT k.gram, k.ex_id FROM vk0 k
+                  WHERE NOT EXISTS (SELECT 1 FROM vhot h WHERE h.gram = k.gram)),
+          visz AS (SELECT ex_id, count(*) AS n2 FROM vik GROUP BY 1),
+          vak AS (SELECT t.doc_id, t.gram FROM vtoks t JOIN varr a USING (doc_id)
+                  WHERE NOT EXISTS (SELECT 1 FROM vhot h WHERE h.gram = t.gram)),
+          vasz AS (SELECT doc_id, count(*) AS n1 FROM vak GROUP BY 1),
+          vbest AS (SELECT doc_id, ex_id, jaccard FROM (
+              SELECT doc_id, ex_id, jaccard, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY jaccard DESC, ex_id ASC) AS rn
+              FROM (SELECT i.doc_id, i.ex_id,
+                      CAST(i.inter AS DOUBLE)
+                        / CAST(a.n1 + s.n2 - i.inter AS DOUBLE) AS jaccard
+                    FROM (SELECT ak.doc_id, ik.ex_id, count(*) AS inter
+                          FROM vak ak JOIN vik ik USING (gram)
+                          GROUP BY 1, 2) i
+                    JOIN vasz a USING (doc_id) JOIN visz s USING (ex_id))
+              WHERE jaccard >= 0.4) WHERE rn = 1)
+          SELECT a.doc_id,
+            CASE WHEN d.doc_id IS NULL THEN 'invalid'
+                 WHEN b.ex_id IS NOT NULL THEN 'dup'
+                 ELSE 'new' END AS verdict,
+            b.ex_id AS match_id, b.jaccard
+          FROM varr a
+          LEFT JOIN (SELECT DISTINCT doc_id FROM vtoks) d USING (doc_id)
+          LEFT JOIN vbest b USING (doc_id)
+          ORDER BY a.doc_id""",
+    // d38: d35's batch-chained knowledge CTEs on the video token space —
+    // k0 is the base cohort's set-collapsed index, each batch verdicts
+    // against k_n (df cap recomputed per knowledge state) and its `new`
+    // docs' grams (set-collapsed within the batch) become k_{n+1}
+    "d38_learning_video_dedup" -> {
+      def batch(n: Int, cls: String): String = s"""
+          a$n AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN ($cls)),
+          hot$n AS (SELECT gram FROM k$n GROUP BY gram HAVING count(*) > 64),
+          ik$n AS (SELECT k.gram, k.ex_id FROM k$n k
+                   WHERE NOT EXISTS (SELECT 1 FROM hot$n h WHERE h.gram = k.gram)),
+          isz$n AS (SELECT ex_id, count(*) AS n2 FROM ik$n GROUP BY 1),
+          ak$n AS (SELECT t.doc_id, t.gram FROM vtoks t JOIN a$n a USING (doc_id)
+                   WHERE NOT EXISTS (SELECT 1 FROM hot$n h WHERE h.gram = t.gram)),
+          asz$n AS (SELECT doc_id, count(*) AS n1 FROM ak$n GROUP BY 1),
+          best$n AS (SELECT doc_id, ex_id, jaccard FROM (
+              SELECT doc_id, ex_id, jaccard, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY jaccard DESC, ex_id ASC) AS rn
+              FROM (SELECT i.doc_id, i.ex_id,
+                      CAST(i.inter AS DOUBLE)
+                        / CAST(a.n1 + s.n2 - i.inter AS DOUBLE) AS jaccard
+                    FROM (SELECT ak.doc_id, ik.ex_id, count(*) AS inter
+                          FROM ak$n ak JOIN ik$n ik USING (gram)
+                          GROUP BY 1, 2) i
+                    JOIN asz$n a USING (doc_id) JOIN isz$n s USING (ex_id))
+              WHERE jaccard >= 0.4) WHERE rn = 1),
+          v$n AS (SELECT CAST($n AS BIGINT) AS batch_id, a.doc_id,
+                  CASE WHEN d.doc_id IS NULL THEN 'invalid'
+                       WHEN b.ex_id IS NOT NULL THEN 'dup'
+                       ELSE 'new' END AS verdict,
+                  b.ex_id AS match_id, b.jaccard
+                  FROM a$n a
+                  LEFT JOIN vdec d USING (doc_id)
+                  LEFT JOIN best$n b USING (doc_id)),
+          nf$n AS (SELECT txt, min(v.doc_id) AS ex_id FROM v$n v
+                   JOIN vtxt t ON v.doc_id = t.doc_id
+                   WHERE v.verdict = 'new' GROUP BY 1),
+          k${n + 1} AS (SELECT * FROM k$n UNION ALL
+                  SELECT g.gram, f.ex_id FROM nf$n f
+                  JOIN vtoks g ON g.doc_id = f.ex_id)"""
+      s"""WITH $duckVideoTokenCtes,
+          vdec AS (SELECT DISTINCT doc_id FROM vtoks),
+          vtxt AS (SELECT doc_id, string_agg(gram, ' ' ORDER BY gram) AS txt
+                   FROM vtoks GROUP BY 1),
+          bidx AS (SELECT min(doc_id) AS ex_id FROM vtxt
+                   WHERE doc_id % 10 IN (4, 5, 6, 7, 8) GROUP BY txt),
+          k0 AS (SELECT t.gram, i.ex_id FROM bidx i
+                 JOIN vtoks t ON t.doc_id = i.ex_id),
+          ${Seq("0, 2", "1, 3", "9").zipWithIndex
+            .map { case (cls, n) => batch(n, cls) }.mkString(",")}
+         SELECT batch_id, doc_id, verdict, match_id, jaccard FROM
+           (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY batch_id, doc_id"""
+    },
     "m12_ppm_dhash" -> {
       def fp(j: String) =
         s"((seed + $j) * (seed + $j) * 13 + (seed + $j) * 7 + seed) % 256"
@@ -8513,6 +8706,8 @@ object EntryOps {
     "d32_url_dedup" -> (urlDedup _),
     "d33_url_neardup" -> (urlNearDup _),
     "d36_video_neardup" -> (videoNearDup _),
+    "d37_video_dedup_incremental" -> (videoDedupIncremental _),
+    "d38_learning_video_dedup" -> (dedupLearningVideoReplay _),
     "d34_learning_url_dedup" -> (dedupLearningUrlReplay _),
     "d35_learning_url_neardup" -> (dedupLearningUrlNearReplay _),
     "m12_ppm_dhash" -> (ppmDhash _),

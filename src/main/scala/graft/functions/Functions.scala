@@ -126,4 +126,19 @@ object F {
     expr(s"""aggregate($tracksCol, CAST(0 AS BIGINT), (a, t) ->
         IF(a IS NULL OR a > 4611686018427387904L, CAST(NULL AS BIGINT),
            a + t.$field))""")
+
+  // --------------------------------------------------------------------------
+  // d36's LAYOUT-FREE video descriptor text — the ONE derivation shared by
+  // the batch near-dup (d36), the composed corpora (e05/e09), and the
+  // incremental/learning gates (d37/d38): each decoded MP4 track becomes one
+  // token of its content identity under re-muxing (handler, timescale,
+  // sample_count, duration_ms, total_bytes, avg_sample_bytes — trak_idx and
+  // chunk_count, the two packaging columns, excluded), sorted and
+  // space-joined so set-equal inventories are text-equal.
+  // --------------------------------------------------------------------------
+  def videoDescriptorText(tracksCol: String): Column =
+    expr(s"""array_join(array_sort(transform($tracksCol, t ->
+        concat_ws(':', t.handler, t.timescale, t.sample_count,
+                  t.duration_ms, t.total_bytes, t.avg_sample_bytes))),
+      ' ')""")
 }

@@ -211,6 +211,88 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct layout-free track-descriptor tokens per decoded video —
+    * d36's token space ([[graft.functions.F.videoDescriptorText]]) as
+    * n = 1 [[shingles]] over the sorted space-joined descriptor text.
+    */
+  private def videoGrams(videos: DataFrame, idCol: String): DataFrame =
+    shingles(videos.filter(col("text").isNotNull)
+      .select(col(idCol).as("doc_id"), col("text")), n = 1)
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Corpus-side VIDEO descriptor index — [[buildUrlGramIndex]]'s shape on
+    * d36's token space: identical descriptor SETS collapse to the
+    * first-seen asset (the text is the sorted token join, so set-equal ⇔
+    * text-equal), then one (gram, ex_id) row per distinct per-track
+    * descriptor of each first-seen inventory. Persisted at ingest cadence
+    * (e09's feature root already carries the descriptor table); arrivals
+    * equi-join the gram key, so a re-muxed or trimmed re-upload collides
+    * on the shared track inventory no matter how its bytes were
+    * repackaged.
+    */
+  def buildVideoGramIndex(videos: DataFrame): DataFrame =
+    videoGrams(videos.filter(col("text").isNotNull)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("ex_id")), "ex_id")
+      .select(col("gram"), col("ex_id"))
+
+  /** [[readCorpusIndex]]'s base ∪ learned-below-b layout for the video
+    * descriptor gram index ([[buildVideoGramIndex]] base + the learning
+    * stream's delta).
+    */
+  def readVideoGramIndex(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, beforeBatch: Long = Long.MaxValue): DataFrame =
+    readWithLearned(spark, rootPath, beforeBatch)
+
+  /** NEAR-VIDEO dedup of DECODED arrivals (doc_id, text — NULL text = the
+    * walker refused the container) against a persisted
+    * [[buildVideoGramIndex]] table: [[urlNearDedupAgainstIndex]]'s
+    * machinery on d36's token space — the index side df-capped (a
+    * descriptor held by more than `maxDocFreq` corpus videos is dropped
+    * from BOTH sides before the candidate join), candidates from the
+    * gram equi-join, exact Jaccard over the surviving token sets,
+    * deterministic best match (jaccard DESC, ex_id ASC). Verdicts: `dup`
+    * (match_id + jaccard), `new`, `invalid` (refused decode —
+    * quarantined, never a candidate). A re-mux arrives at jaccard 1.0, a
+    * trimmed re-mux at (nt−1)/nt — both above the 0.4 gate at ≤ 3
+    * tracks/asset. Callers fence the decode ([[graft.functions.Staged]])
+    * so the NULL-text verdict branch cannot push below it and re-derive
+    * the walk.
+    *
+    * Scale: token sets are tiny (one token per track), every join an
+    * equi-join keyed on gram or id, and the df table is one aggregation
+    * at the candidate join's own shuffle class — the URL gate's argument
+    * verbatim.
+    */
+  def videoNearDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
+      minJaccard: Double = 0.4, maxDocFreq: Long = 64): DataFrame = {
+    val hot = index.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("gram"))
+    val idxK = index.join(hot, Seq("gram"), "left_anti")
+    val idxSz = idxK.groupBy(col("ex_id")).agg(count(lit(1)).as("n2"))
+    val aK = videoGrams(incoming, "doc_id").join(hot, Seq("gram"), "left_anti")
+    val aSz = aK.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
+    val best = aK.join(idxK, Seq("gram"))
+      .groupBy(col("doc_id"), col("ex_id")).agg(count(lit(1)).as("inter"))
+      .join(aSz, Seq("doc_id"))
+      .join(idxSz, Seq("ex_id"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("jaccard").desc, col("ex_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("ex_id"), col("jaccard"))
+    incoming.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("text").isNull, "invalid")
+          .when(col("ex_id").isNotNull, "dup")
+          .otherwise("new").as("verdict"),
+        col("ex_id").as("match_id"), col("jaccard"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     * gram-equijoin → per-pair intersection counts → |A∩B| / |A∪B|.
     * `maxDocFreq` drops grams shared by more than that many docs (bounds join

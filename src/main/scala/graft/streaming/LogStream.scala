@@ -486,6 +486,72 @@ object LogStream {
       }
       .start()
 
+  /** Per-micro-batch body of the self-learning VIDEO near-dup gate (shared
+    * with the d38 registered replay, `EntryOps.dedupLearningVideoReplay` —
+    * the SEVENTH learning modality): arriving MP4 payloads decode IN THE
+    * BATCH SCAN STAGE (native `mp4_sample_tables` — payloads never leave
+    * it) into d36's layout-free descriptor text, verdict against the
+    * persisted descriptor gram index STRICTLY BELOW `batchId`
+    * ([[graft.ops.Dedup.readVideoGramIndex]] — replay-exact) via
+    * [[graft.ops.Dedup.videoNearDedupAgainstIndex]] (df-capped candidate
+    * grams, exact-Jaccard verify, deterministic best match), and `new`
+    * assets learn their OWN gram rows into `<root>/learned/batch_id=N` —
+    * so a later batch's re-mux of an earlier batch's novel upload is
+    * `dup` through learned rows alone. Refused decodes are `invalid`,
+    * never learned; intra-batch re-muxes both read `new`
+    * (prior-knowledge-only, the family contract). Zero state-store state.
+    */
+  def dedupLearningVideoBatch(batch: DataFrame, indexRoot: String,
+      batchId: Long, minJaccard: Double = 0.4,
+      maxDocFreq: Long = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val decoded = batch
+      .select(col("asset_id").as("doc_id"),
+        graft.functions.Staged(
+          graft.functions.Mp4SampleTables(col("payload"))).as("f"))
+      .select(col("doc_id"),
+        when(col("f.tracks").isNotNull,
+          graft.functions.F.videoDescriptorText("f.tracks")).as("text"))
+    val verdicts = graft.ops.Barrier.barrier(graft.ops.Dedup
+      .videoNearDedupAgainstIndex(decoded,
+        graft.ops.Dedup.readVideoGramIndex(spark, indexRoot,
+          beforeBatch = batchId),
+        minJaccard, maxDocFreq))
+    val learned = graft.ops.Dedup.buildVideoGramIndex(
+      verdicts.filter(col("verdict") === "new")
+        .select(col("doc_id"), col("text")))
+      .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      learned.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexRoot/learned")
+    }
+    verdicts
+  }
+
+  /** SELF-LEARNING VIDEO near-dup stream —
+    * [[dedupLearningUrlNearArrivals]]' contract for the video modality:
+    * per-trigger micro-batches of (asset_id, payload) through
+    * [[dedupLearningVideoBatch]], verdicts batch-partitioned for
+    * idempotent replay. Zero state-store state.
+    */
+  def dedupLearningVideoArrivals(arrivals: DataFrame, indexRoot: String,
+      outPath: String, checkpoint: String, minJaccard: Double = 0.4,
+      maxDocFreq: Long = 64): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = dedupLearningVideoBatch(batch, indexRoot, batchId,
+          minJaccard, maxDocFreq)
+        withDynamicOverwrite(spark) {
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
   /** STREAMING media dedup against the warehouse — [[dedupArrivals]]' shape
     * for IMAGES: arriving payloads hash in the micro-batch scan stage
     * (native `ppm_dhash`; payloads never leave it), then join the PERSISTED

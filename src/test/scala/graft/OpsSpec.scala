@@ -271,6 +271,44 @@ class OpsSpec extends GraftSpec {
     assert(out("trained") === ((2L, 0L, 0L, "ok")))
   }
 
+  test("video descriptor gram index: set-collapse to first-seen, and the " +
+      "persisted index is READ, not recomputed — tampering flips verdicts") {
+    val vids = Seq(
+      (10L, "soun:500:3:9000:42:14 vide:1000:5:8000:120:24"),
+      (30L, "soun:500:3:9000:42:14 vide:1000:5:8000:120:24"), // same SET as 10
+      (20L, "text:1500:2:4000:30:15")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildVideoGramIndex(vids)
+    // identical descriptor sets collapse to the first-seen asset: 30's
+    // tokens carry ex_id 10; the index holds 2 + 1 distinct grams
+    assert(idx.collect().map(_.getLong(1)).toSet === Set(10L, 20L))
+    assert(idx.count() === 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vididx_tamper").resolve("index").toString
+    idx.write.parquet(root)
+    // arrival 100 re-muxes 10's inventory, 101 trims one track (J = 1/2),
+    // 102 refused decode (NULL text)
+    val arrivals = Seq(
+      (100L, Some("soun:500:3:9000:42:14 vide:1000:5:8000:120:24")),
+      (101L, Some("vide:1000:5:8000:120:24")),
+      (102L, None: Option[String])
+    ).toDF("doc_id", "text")
+    def verdicts(path: String) =
+      Dedup.videoNearDedupAgainstIndex(arrivals, spark.read.parquet(path))
+        .select("doc_id", "verdict", "match_id")
+        .as[(Long, String, Option[Long])].collect().toSet
+    assert(verdicts(root) === Set((100L, "dup", Some(10L)),
+      (101L, "dup", Some(10L)), (102L, "invalid", None)))
+    // tamper: drop ex 10's rows from the persisted table — the SAME
+    // arrivals must now read new (a plan that re-derived the corpus side
+    // would still find 10)
+    val tampered = java.nio.file.Files
+      .createTempDirectory("graft_vididx_tamper2").resolve("index").toString
+    spark.read.parquet(root).filter(col("ex_id") =!= 10L).write.parquet(tampered)
+    assert(verdicts(tampered) === Set((100L, "new", None),
+      (101L, "new", None), (102L, "invalid", None)))
+  }
+
   test("BPE model root: loaded == retrained merge-for-merge; tampered " +
       "content, foreign family, and torn tables refuse loudly") {
     import org.apache.spark.sql.functions._

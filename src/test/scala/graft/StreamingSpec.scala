@@ -1201,6 +1201,81 @@ class StreamingSpec extends GraftSpec {
     assert(read() === v)
   }
 
+  test("self-learning VIDEO dedup: a re-mux of a learned novel upload is " +
+      "dup through its descriptor gram rows; refusals never learned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = tmp("video-learn-in")
+    val root = tmp("video-learn-idx").resolve("root").toString
+    val out = tmp("video-learn-out").toString
+    val sf = "/root/testdata/sf0.001"
+    val assets = EntryOps.mp4RemuxAssets(spark, sf)
+    def payload(id: Long): Array[Byte] =
+      assets.filter(col("asset_id") === id).head().getAs[Array[Byte]]("payload")
+    def textOf(id: Long): String = assets.filter(col("asset_id") === id)
+      .select(graft.functions.Staged(
+        graft.functions.Mp4SampleTables(col("payload"))).as("f"))
+      .select(graft.functions.F.videoDescriptorText("f.tracks"))
+      .head().getString(0)
+    // base gram index: asset 50's descriptor tokens (class 0, decodable)
+    graft.ops.Dedup.buildVideoGramIndex(
+      Seq((50L, textOf(50L))).toDF("doc_id", "text"))
+      .write.parquet(s"$root/base")
+    // one file per batch (distinct mod times): 51 = 50's planted re-mux
+    // (differently-packaged bytes, same inventory — dup vs base); 40 =
+    // novel (new, learned); 48 = ftyp-free refusal (invalid, NOT learned);
+    // 41 = 40's re-mux — dup ONLY through batch 1's learned rows; 20 =
+    // moov-free refusal (invalid)
+    val batches = Seq(51L -> payload(51L), 40L -> payload(40L),
+      48L -> payload(48L), 41L -> payload(41L), 20L -> payload(20L))
+    batches.zipWithIndex.foreach { case ((id, bytes), i) =>
+      val f = in.resolve(s"$id.mp4")
+      Files.write(f, bytes)
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
+    }
+    def arrivals = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("maxFilesPerTrigger", "1").load(in.toString)
+      .select(regexp_extract(col("path"), "(\\d+)\\.mp4$", 1).cast("long")
+        .as("asset_id"), col("content").as("payload"))
+    val q = LogStream.dedupLearningVideoArrivals(arrivals, root, out,
+      tmp("video-learn-ck").toString)
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty, "must hold zero state")
+    def read() = spark.read.parquet(out)
+      .select("doc_id", "verdict", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    val v = read()
+    assert(v((51L, "dup", Some(50L))), s"re-mux of base must be dup, got $v")
+    assert(v((40L, "new", None)))
+    assert(v((48L, "invalid", None)))
+    assert(v((41L, "dup", Some(40L))),
+      s"re-mux of the learned novel upload must be dup vs 40, got $v")
+    assert(v((20L, "invalid", None)))
+    // refusals never enter the index; the one novel upload learned exactly
+    // its distinct per-track descriptor tokens
+    val learned = spark.read.parquet(s"$root/learned")
+    assert(learned.select("ex_id").distinct().as[Long].collect().toSet
+      === Set(40L))
+    assert(learned.count() === textOf(40L).split(' ').distinct.length.toLong)
+    // re-mux = full-inventory match: jaccard exactly 1.0
+    val j41 = spark.read.parquet(out).filter(col("doc_id") === 41)
+      .select("jaccard").head().getDouble(0)
+    assert(j41 === 1.0)
+    // batch parity: the registered gate body over the same arrivals and
+    // knowledge state gives the stream's verdicts bitwise
+    val b3 = LogStream.dedupLearningVideoBatch(
+      Seq((41L, payload(41L))).toDF("asset_id", "payload"), root, 3L)
+      .select("doc_id", "verdict", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(b3 === Set((41L, "dup", Some(40L))))
+    // replay-exact: a fresh checkpoint reproduces the verdicts bitwise
+    LogStream.dedupLearningVideoArrivals(arrivals, root, out,
+      tmp("video-learn-ck2").toString).awaitTermination()
+    assert(read() === v)
+  }
+
   test("self-learning SemDeDup: a paraphrase of a KEPT arrival is pruned " +
       "against it, replay-exact") {
     import org.apache.spark.sql.functions._
