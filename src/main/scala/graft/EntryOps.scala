@@ -1366,6 +1366,7 @@ object EntryOps {
     */
   private[graft] def clearSessionModelRoots(): Unit = {
     bpeRootCache.clear()
+    bpeNatRootCache.clear()
     mediaRootCache.clear()
   }
   private def bpeModelRoot(spark: SparkSession, dir: String): String = {
@@ -1377,6 +1378,31 @@ object EntryOps {
         .createTempDirectory("graft_bpe_model").resolve("root").toString
       graft.ops.Bpe.buildBpeModelRoot(spark, bpeHexDict(spark, dir),
         numMerges = 256, rootPath = scratch)
+      scratch
+    })
+  }
+
+  /** q38's NAMED model root — the 12-merge model over the NATURAL word
+    * dict (t19's training corpus; distinct from [[bpeModelRoot]]'s
+    * 256-merge hex-dict model), under the same exists-else-scratch
+    * discipline: a pre-provisioned `$dir/bpe_model_nat12` is loaded
+    * as-is, otherwise the root is trained once per JVM and session-cached
+    * — so the budget sampler runs under a model VERSION, never an in-plan
+    * trainer (r18 verdict item 5: the production shape is "sample under
+    * model v3", and loaded ≡ retrained is the t23-proven invariant).
+    */
+  private val bpeNatRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeNatModelRoot(spark: SparkSession, dir: String): String = {
+    val pre = s"$dir/bpe_model_nat12"
+    val fs = graft.ops.IndexFs.fs(spark, dir)
+    if (graft.ops.IndexFs.exists(fs, s"$pre/model")) pre
+    else bpeNatRootCache.computeIfAbsent(dir, _ => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_bpe_nat12").resolve("root").toString
+      graft.ops.Bpe.buildBpeModelRoot(spark,
+        graft.ops.Bpe.wordDict(docs(spark, dir)),
+        numMerges = 12, rootPath = scratch)
       scratch
     })
   }
@@ -1415,20 +1441,21 @@ object EntryOps {
     * [[graft.ops.Bpe.tokenCountScaled]] — O(1) plan depth in the model
     * size, so this query accepts the 12-merge t19 model and a 32k-merge
     * production model IDENTICALLY (r16 verdict item 1's "wire q38 to
-    * accept either model size"). The oracle re-trains the merges,
-    * re-tokenizes the dict, and re-derives the admitted set with the
-    * exact-semantics global cumsum (q36's oracle shape).
+    * accept either model size"). The merges come from the NAMED
+    * [[bpeNatModelRoot]] (r18 verdict item 5 — the t23 load discipline:
+    * content-hash-verified, family-gated; the registered plan contains NO
+    * trainer, so the only remaining in-plan trainers are the training
+    * entries t19/t21 themselves). The oracle re-trains the merges
+    * (loaded ≡ retrained, the t23-proven invariant), re-tokenizes the
+    * dict, and re-derives the admitted set with the exact-semantics
+    * global cumsum (q36's oracle shape).
     */
   def bpeTokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
     val budget = 6000L
     val saltBuckets = 64
     val d = docs(spark, dir)
-    // the scaled trainer: IDENTICAL merges to the per-merge-job form
-    // (OpsSpec pins rank-for-rank equality) at O(1) Spark jobs instead of
-    // one per merge — q38's construction no longer pays t19's
-    // deliberately-kept one-job-per-merge contrast shape
-    val merges = graft.ops.Bpe.trainMergesScaled(
-      graft.ops.Bpe.wordDict(d), numMerges = 12)
+    val (_, merges) =
+      graft.ops.Bpe.loadBpeModel(spark, bpeNatModelRoot(spark, dir))
     val dictCounts = graft.ops.Bpe.wordDict(d)
       .select(col("w"), graft.ops.Bpe.tokenCountScaled(col("w"), merges).as("wtok"))
     val base = d
