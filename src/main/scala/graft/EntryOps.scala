@@ -4247,6 +4247,132 @@ object EntryOps {
         graft.functions.F.saturatingTrackSum("tracks", "total_bytes")
           .as("vid_bytes"))
 
+  /** d39 fixture — spec-valid FRAGMENTED (DASH/CMAF-delivery) ISO-BMFF
+    * files with PLANTED RE-SEGMENTATION duplicates, synthesized in-plan
+    * from doc_id: the streaming-delivery analogue of [[mp4RemuxAssets]]
+    * (a CDN re-segmenter cuts different moof boundaries; per-track sample
+    * inventory is invariant). Content derives from b (= doc_id − 1 for
+    * the alias classes doc_id % 10 ∈ {1, 3}): nt = (b div 2) % 2 + 1
+    * tracks (NOT b % 2 — the alias classes force b even; trim class
+    * % 10 = 3 drops to 1 track, identical when the partner already has
+    * 1), content key k = 4b + t (stride 4 — neighbours
+    * disjoint), per track ns_tot = k % 5 + 3 samples, ALL per-sample
+    * fields from `trex` defaults (duration d1 = (k²·92821 mod 700000007)
+    * + 100 — the d36 high-entropy lesson, u32-safe; size k % 7 + 10), so
+    * per-track totals are segmentation-invariant BY CONSTRUCTION and the
+    * re-segmented alias (% 10 = 1: the same ns_tot samples re-cut into
+    * nf' = (b % 3 + 1) % 3 + 1 fragments instead of nf = b % 3 + 1, with
+    * mfhd sequence numbers and data offsets all re-derived) is
+    * byte-different but inventory-identical. Fragment f carries
+    * cnt(f) = ns_tot div nf (+1 for f < ns_tot mod nf) samples in a
+    * class-0 trun (data-offset-only flags; tfhd default-base-is-moof),
+    * each track's run inside its 300-byte slot of the fragment's
+    * 600-byte mdat (cnt·size ≤ 7·16 < 300 — real in-file geometry for
+    * the walker's bounds check). Refusals: % 37 = 11 ftyp→free,
+    * % 17 = 3 moov→free.
+    */
+  def mp4DashAssets(spark: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
+      .withColumn("b", expr(
+        "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
+      // nt varies on (b div 2) % 2 — the alias classes force b EVEN, so a
+      // b % 2 track count would freeze their partners at one track and the
+      // trim class would never exercise the partial-jaccard tier
+      .withColumn("nt", expr(
+        "CAST(IF(doc_id % 10 = 3, 1, (b % 4) div 2 + 1) AS INT)"))
+      .withColumn("nf", expr(
+        "CAST(IF(doc_id % 10 = 1, (b % 3 + 1) % 3 + 1, b % 3 + 1) AS INT)"))
+    def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
+    val brandHex = "CASE doc_id % 3 WHEN 0 THEN '69736F6D' " +
+      "WHEN 1 THEN '6D703432' ELSE '61766331' END"
+    val ftypHex = s"IF(doc_id % 37 = 11, " +
+      "concat('00000010', '66726565', repeat('00', 8)), " +
+      s"concat('00000010', '66747970', $brandHex, '00000000'))"
+    def k(t: Int) = s"(b * 4 + $t)"
+    def mts(t: Int) = s"(500 * (${k(t)} % 3 + 1))"
+    def d1(t: Int) = s"((${k(t)} * ${k(t)} * 92821) % 700000007 + 100)"
+    def sz(t: Int) = s"(${k(t)} % 7 + 10)"
+    def nsTot(t: Int) = s"(${k(t)} % 5 + 3)"
+    def trakHex(t: Int): String = {
+      val handlerHex = s"CASE ${k(t)} % 3 WHEN 0 THEN '76696465' " +
+        "WHEN 1 THEN '736F756E' ELSE '74657874' END"
+      s"""IF($t < nt, concat(
+          '000000AD', '7472616B',
+          '0000005C', '746B6864', '00000000', repeat('00', 8),
+            ${u32hex(s"$t + 1")}, repeat('00', 68),
+          '00000049', '6D646961',
+          '00000020', '6D646864', '00000000', repeat('00', 8),
+            ${u32hex(mts(t))}, repeat('00', 8),
+          '00000021', '68646C72', '00000000', '00000000', $handlerHex,
+            repeat('00', 12), '00'), '')"""
+    }
+    def trexHex(t: Int): String =
+      s"""IF($t < nt, concat('00000020', '74726578', '00000000',
+          ${u32hex(s"$t + 1")}, '00000001', ${u32hex(d1(t))},
+          ${u32hex(sz(t))}, '00000000'), '')"""
+    val mvexHex = s"concat(${u32hex("8 + 32 * nt")}, '6D766578', " +
+      s"${trexHex(0)}, ${trexHex(1)})"
+    val moovSize = "(8 + 108 + 173 * nt + 8 + 32 * nt)"
+    val mvhdHex = s"concat('0000006C', '6D766864', '00000000', repeat('00', 8), " +
+      s"${u32hex("600 * (doc_id % 4 + 1)")}, ${u32hex("doc_id % 9000 + 100")}, repeat('00', 80))"
+    val moovHex = s"""IF(doc_id % 17 = 3,
+        concat('00000010', '66726565', repeat('00', 8)),
+        concat(${u32hex(moovSize)}, '6D6F6F76', $mvhdHex,
+               ${(0 until 2).map(trakHex).mkString("concat(", ", ", ")")}, $mvexHex))"""
+    // samples per fragment: ns_tot cut into nf near-equal contiguous runs
+    def cnt(t: Int, f: Int) =
+      s"(${nsTot(t)} div nf + IF($f < ${nsTot(t)} % nf, 1, 0))"
+    val moofSize = "(24 + 44 * nt)" // mfhd 16 + per track traf(8+tfhd 16+trun 20)
+    def doff(t: Int) = s"($moofSize + 8 + $t * 300)"
+    def trafHex(t: Int, f: Int) =
+      s"""IF($t < nt, concat(
+          '0000002C', '74726166',
+          '00000010', '74666864', '00020000', ${u32hex(s"$t + 1")},
+          '00000014', '7472756E', '00000001', ${u32hex(cnt(t, f))},
+          ${u32hex(doff(t))}), '')"""
+    val mdatHex = "concat('00000260', '6D646174', repeat('AB', 600))"
+    def fragHex(f: Int) =
+      s"""IF($f < nf, concat(
+          ${u32hex(moofSize)}, '6D6F6F66',
+          '00000010', '6D666864', '00000000', ${u32hex(s"$f + 1")},
+          ${trafHex(0, f)}, ${trafHex(1, f)}, $mdatHex), '')"""
+    val bodyHex = (0 until 3).map(fragHex).mkString("concat(", ", ", ")")
+    // RowFence + `where` at the scan: same 64 KB / 8 KB method rationale
+    // and pushdown contract as the sibling MP4 fixtures
+    d.withColumn("payload_hex", expr(s"concat($ftypHex, $moovHex, $bodyHex)"))
+      .select(graft.functions.RowFence(col("doc_id")).as("asset_id"),
+        unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** d39 — RE-SEGMENTATION near-dup for FRAGMENTED (DASH/CMAF) media
+    * (r18 verdict stretch item 8): d36 covers flat MP4 re-muxing, but the
+    * packaging a crawl actually sees from streaming delivery is
+    * fragmented — a CDN re-segmenter moves moof boundaries, re-numbers
+    * sequences and re-derives data offsets while the per-track sample
+    * inventory is untouched. The SAME six content fields (and the same
+    * [[graft.functions.F.videoDescriptorText]] derivation — the fragment
+    * walker's struct shares them; `track_id`/`fragment_count`, the
+    * packaging columns, are excluded by construction) make each track one
+    * layout-free token over [[mp4DashAssets]]' real fragmented bytes, and
+    * near-dup runs as the d36 machinery verbatim. Planted re-segmented
+    * duplicates surface at jaccard 1.0 through differently-cut byte
+    * streams; track-trimmed re-segments at (nt−1)/nt; refusals join
+    * nothing. Oracle: the trex-default arithmetic re-derived analytically
+    * (totals are segmentation-invariant by construction, so the oracle
+    * never models a fragment), then the d33/d36 cap/pair/Jaccard chain.
+    */
+  def dashNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccard(
+      mp4DashAssets(spark, dir)
+        .select(col("asset_id"),
+          graft.functions.Staged(
+            graft.functions.Mp4FragmentTables(col("payload"))).as("f"))
+        .filter(col("f.tracks").isNotNull)
+        .select(col("asset_id").as("doc_id"),
+          graft.functions.F.videoDescriptorText("f.tracks").as("text")),
+      n = 1, minJaccard = 0.4, maxDocFreq = 64)
+
   /** Arrival-side decoded descriptor text INCLUDING refusals — the
     * incremental/learning gates' arrival shape ([[videoDescriptorTable]]
     * drops refused files; a gate must surface them as `invalid` instead):
@@ -4263,6 +4389,70 @@ object EntryOps {
       .select(col("doc_id"),
         when(col("f.tracks").isNotNull,
           graft.functions.F.videoDescriptorText("f.tracks")).as("text"))
+
+  /** [[videoArrivalText]] plus the m24 sizing decoration — the admission
+    * pipeline's arrival shape: refusals keep their row (NULL text and
+    * NULL sizing) so the quarantine tier can be derived downstream; the
+    * sums are the shared saturating fold.
+    */
+  private def videoArrivalDecorated(spark: SparkSession, dir: String,
+      where: Column): DataFrame =
+    mp4RemuxAssets(spark, dir, where)
+      .select(col("asset_id").as("doc_id"),
+        graft.functions.Staged(
+          graft.functions.Mp4SampleTables(col("payload"))).as("f"))
+      .select(col("doc_id"), col("f.tracks").as("tracks"))
+      .select(col("doc_id"),
+        when(col("tracks").isNotNull,
+          graft.functions.F.videoDescriptorText("tracks")).as("text"),
+        when(col("tracks").isNotNull,
+          size(col("tracks")).cast("long")).as("vid_tracks"),
+        graft.functions.F.saturatingTrackSum("tracks", "sample_count")
+          .as("vid_samples"),
+        expr("aggregate(tracks, CAST(0 AS BIGINT), (a, t) -> greatest(a, t.duration_ms))")
+          .as("vid_duration_ms"),
+        graft.functions.F.saturatingTrackSum("tracks", "total_bytes")
+          .as("vid_bytes"))
+
+  /** e10 — the MEDIA admission pipeline (r18 verdict item 6, converging
+    * d37 with e08's quarantine-tier contract — the admission gate is now
+    * truly multimodal): MP4 arrivals (the d37 cohorts) decode ONCE
+    * in-plan, verdict against the persisted corpus descriptor index, and
+    * land in admission tiers — `quarantine_unverifiable` (the walker
+    * refused; nothing can be verified, same tier name as e08's refused
+    * text/embedding arrivals), `dup_exact` (full-inventory match,
+    * jaccard = 1.0 — a re-mux of a corpus asset), `dup_near` (partial
+    * inventory ≥ 0.4 — a trim/re-master), `admit_new` (novel). Admitted
+    * and dup rows carry the m24 transcode-sizing decoration from the SAME
+    * single decode (decode-once: the gate and the decoration share one
+    * Staged walk); quarantined rows carry NULLs. Oracle: the d37 verdict
+    * machinery plus the vfeat analytic sizing formulas, tiered in SQL —
+    * every verdict and every sizing column re-derived analytically.
+    */
+  def videoAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_vidadm").resolve("index").toString
+    graft.ops.Dedup.buildVideoGramIndex(
+      videoDescriptorTable(spark, dir,
+        where = !(col("doc_id") % 10).isin(1, 3, 9))
+        .select(col("doc_id"), col("text")))
+      .write.parquet(idxPath)
+    val arr = videoArrivalDecorated(spark, dir,
+      (col("doc_id") % 10).isin(1, 3, 9))
+    val v = graft.ops.Dedup.videoNearDedupAgainstIndex(
+      arr.select(col("doc_id"), col("text")),
+      spark.read.parquet(idxPath))
+      .select(col("doc_id"), col("verdict"), col("match_id"), col("jaccard"))
+    arr.join(v, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("verdict") === "invalid", "quarantine_unverifiable")
+          .when(col("verdict") === "dup" && col("jaccard") === 1.0, "dup_exact")
+          .when(col("verdict") === "dup", "dup_near")
+          .otherwise("admit_new").as("admission"),
+        col("match_id"), col("jaccard"), col("vid_tracks"),
+        col("vid_samples"), col("vid_duration_ms"), col("vid_bytes"))
+      .orderBy(col("doc_id"))
+  }
 
   /** d37 — INCREMENTAL video near-dup against the PERSISTED descriptor
     * index (the d23/d17 arrivals-vs-warehouse shape on d36's token space,
@@ -6003,6 +6193,42 @@ object EntryOps {
              || CAST(tb // ns AS BIGINT) AS gram
            FROM vvals2)"""
 
+  /** The d37/e10 arrivals-vs-index CTE chain over [[duckVideoTokenCtes]]'
+    * `vtoks`: corpus cohort (doc_id % 10 ∉ {1, 3, 9}) set-collapsed to
+    * first-seen and rendered as the (gram, ex_id) index, arrivals
+    * (% 10 ∈ {1, 3, 9}) re-derive their tokens, df cap computed from the
+    * index side only, candidates by gram join, exact Jaccard, best match
+    * by (jaccard DESC, ex_id ASC) — ending in `varr(doc_id)` and
+    * `vbest(doc_id, ex_id, jaccard)`.
+    */
+  private def duckVideoIndexCtes: String =
+    """varr AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (1, 3, 9)),
+          vcorp AS (SELECT doc_id, gram FROM vtoks
+                    WHERE doc_id % 10 NOT IN (1, 3, 9)),
+          vctxt AS (SELECT doc_id, string_agg(gram, ' ' ORDER BY gram) AS txt
+                    FROM vcorp GROUP BY 1),
+          vcidx AS (SELECT min(doc_id) AS ex_id FROM vctxt GROUP BY txt),
+          vk0 AS (SELECT t.gram, i.ex_id FROM vcidx i
+                  JOIN vcorp t ON t.doc_id = i.ex_id),
+          vhot AS (SELECT gram FROM vk0 GROUP BY gram HAVING count(*) > 64),
+          vik AS (SELECT k.gram, k.ex_id FROM vk0 k
+                  WHERE NOT EXISTS (SELECT 1 FROM vhot h WHERE h.gram = k.gram)),
+          visz AS (SELECT ex_id, count(*) AS n2 FROM vik GROUP BY 1),
+          vak AS (SELECT t.doc_id, t.gram FROM vtoks t JOIN varr a USING (doc_id)
+                  WHERE NOT EXISTS (SELECT 1 FROM vhot h WHERE h.gram = t.gram)),
+          vasz AS (SELECT doc_id, count(*) AS n1 FROM vak GROUP BY 1),
+          vbest AS (SELECT doc_id, ex_id, jaccard FROM (
+              SELECT doc_id, ex_id, jaccard, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY jaccard DESC, ex_id ASC) AS rn
+              FROM (SELECT i.doc_id, i.ex_id,
+                      CAST(i.inter AS DOUBLE)
+                        / CAST(a.n1 + s.n2 - i.inter AS DOUBLE) AS jaccard
+                    FROM (SELECT ak.doc_id, ik.ex_id, count(*) AS inter
+                          FROM vak ak JOIN vik ik USING (gram)
+                          GROUP BY 1, 2) i
+                    JOIN vasz a USING (doc_id) JOIN visz s USING (ex_id))
+              WHERE jaccard >= 0.4) WHERE rn = 1)"""
+
   private def duckVideoCtes: String =
     s"""$duckVideoTokenCtes,
         vkeep AS (SELECT gram FROM vtoks GROUP BY gram HAVING count(*) <= 64),
@@ -7179,32 +7405,7 @@ object EntryOps {
     // from vtoks).
     "d37_video_dedup_incremental" ->
       s"""WITH $duckVideoTokenCtes,
-          varr AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (1, 3, 9)),
-          vcorp AS (SELECT doc_id, gram FROM vtoks
-                    WHERE doc_id % 10 NOT IN (1, 3, 9)),
-          vctxt AS (SELECT doc_id, string_agg(gram, ' ' ORDER BY gram) AS txt
-                    FROM vcorp GROUP BY 1),
-          vcidx AS (SELECT min(doc_id) AS ex_id FROM vctxt GROUP BY txt),
-          vk0 AS (SELECT t.gram, i.ex_id FROM vcidx i
-                  JOIN vcorp t ON t.doc_id = i.ex_id),
-          vhot AS (SELECT gram FROM vk0 GROUP BY gram HAVING count(*) > 64),
-          vik AS (SELECT k.gram, k.ex_id FROM vk0 k
-                  WHERE NOT EXISTS (SELECT 1 FROM vhot h WHERE h.gram = k.gram)),
-          visz AS (SELECT ex_id, count(*) AS n2 FROM vik GROUP BY 1),
-          vak AS (SELECT t.doc_id, t.gram FROM vtoks t JOIN varr a USING (doc_id)
-                  WHERE NOT EXISTS (SELECT 1 FROM vhot h WHERE h.gram = t.gram)),
-          vasz AS (SELECT doc_id, count(*) AS n1 FROM vak GROUP BY 1),
-          vbest AS (SELECT doc_id, ex_id, jaccard FROM (
-              SELECT doc_id, ex_id, jaccard, row_number() OVER (
-                  PARTITION BY doc_id ORDER BY jaccard DESC, ex_id ASC) AS rn
-              FROM (SELECT i.doc_id, i.ex_id,
-                      CAST(i.inter AS DOUBLE)
-                        / CAST(a.n1 + s.n2 - i.inter AS DOUBLE) AS jaccard
-                    FROM (SELECT ak.doc_id, ik.ex_id, count(*) AS inter
-                          FROM vak ak JOIN vik ik USING (gram)
-                          GROUP BY 1, 2) i
-                    JOIN vasz a USING (doc_id) JOIN visz s USING (ex_id))
-              WHERE jaccard >= 0.4) WHERE rn = 1)
+          $duckVideoIndexCtes
           SELECT a.doc_id,
             CASE WHEN d.doc_id IS NULL THEN 'invalid'
                  WHEN b.ex_id IS NOT NULL THEN 'dup'
@@ -7213,6 +7414,75 @@ object EntryOps {
           FROM varr a
           LEFT JOIN (SELECT DISTINCT doc_id FROM vtoks) d USING (doc_id)
           LEFT JOIN vbest b USING (doc_id)
+          ORDER BY a.doc_id""",
+    // d39: the trex-default arithmetic re-derived analytically — totals
+    // are segmentation-invariant by construction (all per-sample fields
+    // flow from trex defaults), so the oracle never models a fragment
+    // boundary: per-track ns/d1/sz/mts give the six content fields
+    // directly, then the d33/d36 cap/pair/Jaccard chain
+    "d39_dash_neardup" ->
+      """WITH dbase AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3
+                  THEN doc_id - 1 ELSE doc_id END AS b
+             FROM documents
+             WHERE doc_id % 37 != 11 AND doc_id % 17 != 3),
+          dnts AS (SELECT doc_id, b,
+             CASE WHEN doc_id % 10 = 3 THEN 1 ELSE (b % 4) // 2 + 1 END AS nt
+             FROM dbase),
+          dtrk AS (SELECT doc_id, b * 4 + t AS k
+             FROM dnts CROSS JOIN (SELECT unnest(range(0, 2)) AS t) tt
+             WHERE t < nt),
+          dvals AS (SELECT doc_id, k,
+             k % 5 + 3 AS ns, (k * k * 92821) % 700000007 + 100 AS d1,
+             k % 7 + 10 AS sz, 500 * (k % 3 + 1) AS mts,
+             CASE k % 3 WHEN 0 THEN 'vide'
+                  WHEN 1 THEN 'soun' ELSE 'text' END AS handler
+             FROM dtrk),
+          dtoks AS (SELECT DISTINCT doc_id,
+             handler || ':' || CAST(mts AS BIGINT) || ':'
+               || CAST(ns AS BIGINT) || ':'
+               || CAST(ns * d1 * 1000 // mts AS BIGINT) || ':'
+               || CAST(ns * sz AS BIGINT) || ':'
+               || CAST(sz AS BIGINT) AS gram
+             FROM dvals),
+          dkeep AS (SELECT gram FROM dtoks GROUP BY gram HAVING count(*) <= 64),
+          dtc AS (SELECT t.doc_id, t.gram FROM dtoks t JOIN dkeep USING (gram)),
+          dsz AS (SELECT doc_id, count(*) AS n FROM dtc GROUP BY 1),
+          div AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                  FROM dtc a JOIN dtc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+          djac AS (SELECT doc1, doc2, inter, n1, n2, jaccard FROM (
+             SELECT div.doc1, div.doc2, div.inter, s1.n AS n1, s2.n AS n2,
+                    CAST(div.inter AS DOUBLE) / CAST(s1.n + s2.n - div.inter AS DOUBLE) AS jaccard
+             FROM div JOIN dsz s1 ON div.doc1 = s1.doc_id
+                      JOIN dsz s2 ON div.doc2 = s2.doc_id)
+             WHERE jaccard >= 0.4)
+          SELECT doc1, doc2, inter, n1, n2, jaccard FROM djac
+          ORDER BY doc1, doc2""",
+    // e10: d37's verdict machinery + the vfeat analytic sizing formulas,
+    // tiered — dup_exact iff the best match's jaccard is exactly 1.0
+    // (both engines IEEE-divide the same integers, so the compare is
+    // reproducible), quarantine for the refusal classes
+    "e10_video_admission" ->
+      s"""WITH $duckVideoTokenCtes,
+          $duckVideoIndexCtes,
+          vfeat AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS vid_tracks,
+                    CAST(sum(ns) AS BIGINT) AS vid_samples,
+                    CAST(max(dur_ms) AS BIGINT) AS vid_duration_ms,
+                    CAST(sum(tb) AS BIGINT) AS vid_bytes
+                    FROM vvals2 GROUP BY doc_id)
+          SELECT a.doc_id,
+            CASE WHEN d.doc_id IS NULL THEN 'quarantine_unverifiable'
+                 WHEN b.ex_id IS NOT NULL AND b.jaccard = 1.0 THEN 'dup_exact'
+                 WHEN b.ex_id IS NOT NULL THEN 'dup_near'
+                 ELSE 'admit_new' END AS admission,
+            b.ex_id AS match_id, b.jaccard,
+            f.vid_tracks, f.vid_samples, f.vid_duration_ms, f.vid_bytes
+          FROM varr a
+          LEFT JOIN (SELECT DISTINCT doc_id FROM vtoks) d USING (doc_id)
+          LEFT JOIN vbest b USING (doc_id)
+          LEFT JOIN vfeat f USING (doc_id)
           ORDER BY a.doc_id""",
     // d38: d35's batch-chained knowledge CTEs on the video token space —
     // k0 is the base cohort's set-collapsed index, each batch verdicts
@@ -8735,6 +9005,7 @@ object EntryOps {
     "d36_video_neardup" -> (videoNearDup _),
     "d37_video_dedup_incremental" -> (videoDedupIncremental _),
     "d38_learning_video_dedup" -> (dedupLearningVideoReplay _),
+    "d39_dash_neardup" -> (dashNearDup _),
     "d34_learning_url_dedup" -> (dedupLearningUrlReplay _),
     "d35_learning_url_neardup" -> (dedupLearningUrlNearReplay _),
     "m12_ppm_dhash" -> (ppmDhash _),
@@ -8744,6 +9015,7 @@ object EntryOps {
     "d15_image_dedup_clusters" -> (imageDedupClusters _),
     "e05_multimodal_corpus" -> (multimodalCorpus _),
     "e09_multimodal_incremental" -> (multimodalCorpusIncremental _),
+    "e10_video_admission" -> (videoAdmission _),
     "d16_semantic_dedup" -> (semanticDedup _),
     "d17_embed_dedup_incremental" -> (embedDedupIncremental _),
     "d22_semdedup_incremental" -> (semDedupIncremental _),

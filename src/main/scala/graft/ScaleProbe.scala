@@ -150,6 +150,9 @@ object ScaleProbe {
     // token machinery (df-capped inverted index, equi-join candidates)
     // over per-track descriptors; decode is per-row in the scan stage
     "d36_video_neardup",
+    // r19: the same token machinery over FRAGMENTED (DASH/CMAF) bytes —
+    // the m22 walker in the scan stage, re-segmentation-invariant tokens
+    "d39_dash_neardup",
     "m21_mp4_sample_tables",
     // r16: the fragmented-MP4 inventory — m21's class (per-row walk in
     // the scan stage, linear by design) — and the universal dispatch
@@ -169,6 +172,14 @@ object ScaleProbe {
     // space grows ∝ R while within-replica alias classes repeat, so hot
     // grams cross the cap exactly as a growing crawl's boilerplate does)
     "d35_learning_url_neardup",
+    // r19: the video lifecycle rows, each priced as one full lifecycle
+    // (the d24/d35 convention — construction is timed): d37 = corpus
+    // index build + arrivals decode + gram equi-join gate; d38 = base
+    // build + three learning batch bodies on the descriptor space; e10 =
+    // the tiered admission composition (gate + sizing decoration from
+    // one decode)
+    "d37_video_dedup_incremental", "d38_learning_video_dedup",
+    "e10_video_admission",
     // r15 (r14 verdict item 7): the e08 admission pipeline driven through
     // the STREAM's own micro-batch body against PERSISTED indexes — not a
     // registered query; `run` special-cases it to one AvailableNow

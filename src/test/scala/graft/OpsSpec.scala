@@ -309,6 +309,35 @@ class OpsSpec extends GraftSpec {
       (101L, "new", None), (102L, "invalid", None)))
   }
 
+  test("d39 fixture re-segments genuinely: alias bytes and fragment " +
+      "counts differ while the per-track inventory tokens are identical") {
+    val sf = "/root/testdata/sf0.001"
+    val assets = EntryOps.mp4DashAssets(spark, sf)
+      .filter(col("asset_id").isin(30L, 31L, 42L, 43L))
+      .select(col("asset_id"),
+        col("payload"),
+        graft.functions.Mp4FragmentTables(col("payload")).as("f"))
+      .select(col("asset_id"), col("payload"),
+        expr("transform(f.tracks, t -> t.fragment_count)").as("nfs"),
+        graft.functions.F.videoDescriptorText("f.tracks").as("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def bytes(id: Long) = assets(id).getAs[Array[Byte]]("payload")
+    def nfs(id: Long) = assets(id).getSeq[Long](2)
+    def text(id: Long) = assets(id).getString(3)
+    // 31 re-segments 30 (nf 1 -> 2): different bytes, different per-track
+    // fragment counts, SAME descriptor text — the d39 dup at jaccard 1.0
+    // is real re-packaging detection, not byte equality
+    assert(!java.util.Arrays.equals(bytes(30L), bytes(31L)))
+    assert(nfs(30L) === Seq(1L, 1L))
+    assert(nfs(31L) === Seq(2L, 2L))
+    assert(text(30L) === text(31L))
+    // 43 trims 42's two-track stream to one: its single token is one of
+    // the partner's two (the 1/2-jaccard tier)
+    val t42 = text(42L).split(' ').toSet
+    val t43 = text(43L).split(' ').toSet
+    assert(t42.size === 2 && t43.size === 1 && t43.subsetOf(t42))
+  }
+
   test("BPE model root: loaded == retrained merge-for-merge; tampered " +
       "content, foreign family, and torn tables refuse loudly") {
     import org.apache.spark.sql.functions._
