@@ -70,13 +70,32 @@ object Bench {
     *    shares both chains) — benching it re-runs e02 AND the scrub to
     *    measure a composition whose stages d19 and e02 each price.
     */
-  private def headline: Seq[String] =
-    SparkEntry.queries.keys.toSeq
+  private def headline: Seq[String] = {
+    val all = SparkEntry.queries.keys.toSeq
       .filterNot(Set("d05_embed_neardup", "d07_simhash_neardup",
         "d02_ngram_jaccard",
         "m10_gif_frames", "d12_dedup_clusters_star", "e03_packed_corpus",
         "e04_training_sequences_scrubbed"))
       .sorted
+    // dev-loop bisect knob: SPARK_GRAFT_BENCH_ONLY=q31,t17 restricts the
+    // run to the named rows (comma-separated, full names). Subset runs are
+    // for standalone-vs-in-suite bisection; they are NOT official captures
+    // (the floor/verdict lattice still runs, but a subset's suite median is
+    // meaningless), so the detail stamps "subset": true and gen_floors
+    // refuses subset-stamped files.
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) if s.trim.nonEmpty =>
+        val want = s.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        all.filter(want.contains)
+      case _ => all
+    }
+  }
+
+  /** True when `SPARK_GRAFT_BENCH_ONLY` restricts this run to a subset —
+    * stamped into the detail artifact so floor tooling can refuse it.
+    */
+  private def isSubset: Boolean =
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -336,6 +355,33 @@ object Bench {
       val cals = Seq(once(), once(), once())
       (cals.map(_._1).sorted.apply(1), cals.map(_._2).sorted.apply(1))
     }
+    // ALU-THROUGHPUT CALIBRATION (r19): a fixed hash-dense workload — md5
+    // + xxhash64 over 2^22 generated rows, 32 partitions, median of 3 CPU
+    // readings. The empty-task calibration above fingerprints SCHEDULER
+    // overhead; host frequency/turbo loss moves COMPUTE-dense rows (md5
+    // sketches, tokenizers, salted aggs — q31/q27/t03/t17) far more than
+    // a suite median dominated by scan/decode rows, and the r19 probe-1
+    // capture stamped q31 `plan_change` on exactly that heterogeneity
+    // (standalone fresh-JVM bisect: q31 0.44 s, flat fingerprint, task
+    // calibration 0.98 vs the 0.68 floor stamp — the host, not the plan).
+    // This workload is engine-bytecode-INDEPENDENT (built-in Spark
+    // functions only), so slow movement here can never be a suite-wide
+    // engine regression — rows whose CPU moved with it are host_slow on
+    // stronger evidence than the suite-median route, which stays gated
+    // behind the scheduler calibration's direction.
+    val aluCal: Double = {
+      import org.apache.spark.sql.functions.{col, max, md5, xxhash64}
+      def once(): Double = {
+        val c0 = cpuSec()
+        // max, not sum: 2^22 full-range longs overflow an ANSI sum
+        spark.range(0, 1L << 22, 1, 32)
+          .select(max(xxhash64(md5(col("id").cast("string")))))
+          .head()
+        cpuSec() - c0
+      }
+      once() // warmup (JIT of the generated hash loop)
+      Seq(once(), once(), once()).sorted.apply(1)
+    }
     var results = headline.map { n =>
       gateQuery()
       val before = loadavg()
@@ -578,6 +624,28 @@ object Bench {
     val calVsFloor =
       if (floorTaskCal > 0 && taskCal._2 > 0) taskCal._2 / floorTaskCal
       else -1.0
+    // ALU-calibration floor stamp (gen_floors records the captures' min as
+    // _alu_cal_cpu) and this capture's ratio against it. A row whose CPU
+    // moved no further than the ALU calibration did reads host_slow — the
+    // calibration is fixed foreign bytecode, so its movement measures the
+    // HOST's compute throughput and nothing in this repo. Gated at
+    // SPARK_GRAFT_ALU_SLOW_MIN (default 1.25×) slow movement: md5
+    // throughput on a quiet host is far more stable than empty-task
+    // scheduling (sub-10% window noise observed), so 1.25× is already
+    // well beyond calibration noise; below it the branch abstains.
+    val floorAluCal: Double = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_CPU", "bench/floor_cpu.json"))
+      if (java.nio.file.Files.exists(p))
+        "\"_alu_cal_cpu\"\\s*:\\s*([0-9.]+)".r
+          .findFirstMatchIn(java.nio.file.Files.readString(p))
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      else -1.0
+    } catch { case _: Throwable => -1.0 }
+    val aluVsFloor =
+      if (floorAluCal > 0 && aluCal > 0) aluCal / floorAluCal else -1.0
+    val aluSlowMin =
+      sys.env.getOrElse("SPARK_GRAFT_ALU_SLOW_MIN", "1.25").toDouble
     val hostSlowCalRatio =
       sys.env.getOrElse("SPARK_GRAFT_HOST_SLOW_CAL_RATIO", "2.0").toDouble
     val calMovedSlow = calVsFloor > 0 && calVsFloor >= hostSlowCalRatio
@@ -601,6 +669,12 @@ object Bench {
           val cf = floorCpu.getOrElse(n, -1.0)
           val verdict =
             if (cf > 0 && cpu > 0 && cpu <= cpuNoiseRatio * cf) "load_noise"
+            // ALU-calibration route (r19): the fixed hash workload moved
+            // slow and this row's CPU moved no further than it — host
+            // compute throughput, by bytecode that cannot regress with
+            // the engine
+            else if (cf > 0 && cpu > 0 && aluVsFloor >= aluSlowMin &&
+              cpu / cf <= cpuNoiseRatio * aluVsFloor) "host_slow"
             else if (cf > 0 && cpu > 0 && cpuVsFloorMedian > cpuNoiseRatio &&
               cpu / cf <= cpuNoiseRatio * cpuVsFloorMedian)
               (if (calMovedSlow) "host_slow" else "suite_shift")
@@ -750,7 +824,7 @@ object Bench {
     val streakField =
       if (streakFlagged.nonEmpty) s""","override_streak":${streakFlagged.size}""" else ""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$verdictRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"cpu_vs_floor_median":${r3(cpuVsFloorMedian)},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"cal_vs_floor":${r3(calVsFloor)}${if (hostChanged) s""","host_changed":true,"floor_task_cal_cpu":${r3(floorTaskCal)}""" else ""},"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"$failuresField$rerunsField$suiteField$floorRerunField$verdictRerunField$overrideField$streakField$overFloorField,"queries":$qs,"sf":"$sfName","sum_of_min":${r3(sumOfMin)},"gate_load":$gateLoad,"cpu_vs_floor_median":${r3(cpuVsFloorMedian)},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"cal_vs_floor":${r3(calVsFloor)},"alu_cal_cpu":${r3(aluCal)},"alu_vs_floor":${r3(aluVsFloor)}${if (hostChanged) s""","host_changed":true,"floor_task_cal_cpu":${r3(floorTaskCal)}""" else ""},"wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the 2000-char capture window")
     println(line)
@@ -801,7 +875,7 @@ object Bench {
         ",\"verdict\":\"" + v + "\"}"
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"summary":$line,"sf_dir":"$sfDir",$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"verdict_rerun_queries":$verdictRerunJson,"verdict_rerun_capped":$verdictCappedJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
+      s"""{"summary":$line,"sf_dir":"$sfDir","subset":$isSubset,$statField,"gate_load":$gateLoad,"mid_run_wait_sec":${(quietBudgetMs - remainingBudgetMs) / 1000L},"task_cal_cpu":${r3(taskCal._2)},"task_cal_wall":${r3(taskCal._1)},"alu_cal_cpu":${r3(aluCal)},"rerun_queries":$rerunJson,"floor_rerun_queries":$floorRerunJson,"verdict_rerun_queries":$verdictRerunJson,"verdict_rerun_capped":$verdictCappedJson,"override_queries":$overrideJson,"override_streak":$streakJson,"over_floor_2x":$overFloorJson,"contrasts":${SparkEntry.contrastsJson},"runs":$runsJson,"load":$loadJson,"cpu_sec":$cpuJson}"""
     // belt-and-braces for log-wrapped stdout: also persist the line to a file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {

@@ -194,6 +194,7 @@ def selftest() -> None:
         for i in range(10):
             rnd = 17 if i < 5 else 18
             d = {"task_cal_cpu": 1.0,
+                 "alu_cal_cpu": 2.0 + 0.1 * i,
                  "runs": {"q_stale": [stale[i]], "q_lucky": [lucky[i]],
                           "q_tight": [tight[i]]},
                  "cpu_sec": {"q_stale": stale[i], "q_lucky": lucky[i],
@@ -223,6 +224,22 @@ def selftest() -> None:
         tl = cpu["_floor_tail"]["q_lucky"]
         assert tl["rule"] == "lucky_outlier" and tl["kept"] == 0.45 \
             and tl["n_captures"] == 10, tl
+        # ALU-calibration stamp: min across the captures' readings (r19)
+        assert cpu["_alu_cal_cpu"] == 2.0, cpu
+        # subset-stamped captures (BENCH_ONLY bisect runs) are refused:
+        # a lone subset capture with a tempting lower min must not move
+        # the floor
+        sub = os.path.join(td, "bench_r18_bisect_detail.json")
+        with open(sub, "w") as f:
+            json.dump({"subset": True, "task_cal_cpu": 1.0,
+                       "runs": {"q_tight": [0.10]},
+                       "cpu_sec": {"q_tight": 0.10}}, f)
+        out2 = os.path.join(td, "floors2.json")
+        sys.argv = ["gen_floors.py", out2] + caps + [sub]
+        main()
+        with open(out2) as f:
+            floors2 = json.load(f)
+        assert floors2["q_tight"] == 0.50, floors2
     print("selftest ok: stale-epoch tail retired to current-round min, "
           "lucky outlier to 2nd-lowest; tight spread and thin evidence kept")
 
@@ -287,12 +304,29 @@ def main() -> None:
     # against this to detect a HOST change (floors don't transfer across
     # hosts; per-query CPU verdicts would mislabel unchanged queries)
     task_cal: float | None = None
+    # ALU-throughput calibration stamp (r19): min of the captures' fixed
+    # hash-workload CPU — the host's COMPUTE fingerprint. Bench grants a
+    # >2x-floor row host_slow when its own CPU moved no further than this
+    # calibration did (compute-dense rows move more than the scan-heavy
+    # suite median under frequency loss; the empty-task stamp is blind to
+    # that axis).
+    alu_cal: float | None = None
     for path in details:
         with open(path) as f:
             d = json.load(f)
+        # subset captures (SPARK_GRAFT_BENCH_ONLY bisect runs) are not
+        # floor evidence: their suite context differs (no code-cache /
+        # GC pressure from the other 140+ rows), so their minima would
+        # manufacture unreachable floors for in-suite captures
+        if d.get("subset"):
+            print(f"refusing subset capture {path} (BENCH_ONLY bisect run)")
+            continue
         tc = d.get("task_cal_cpu")
         if tc is not None and tc > 0:
             task_cal = tc if task_cal is None else min(task_cal, tc)
+        ac = d.get("alu_cal_cpu")
+        if ac is not None and ac > 0:
+            alu_cal = ac if alu_cal is None else min(alu_cal, ac)
         for name, runs in d["runs"].items():
             if excluded(excl, name, path):
                 n_excluded += 1
@@ -376,6 +410,8 @@ def main() -> None:
     cpu_out = {q: round(c, 3) for q, c in sorted(cpus.items())}
     if task_cal is not None:
         cpu_out["_task_cal_cpu"] = round(task_cal, 3)
+    if alu_cal is not None:
+        cpu_out["_alu_cal_cpu"] = round(alu_cal, 3)
     # the epoch stamp: the calibration band this floor set was built in --
     # a future regen mixing a different band refuses above, and a reader
     # of the artifact sees which host state the floors describe
