@@ -4373,6 +4373,141 @@ object EntryOps {
           graft.functions.F.videoDescriptorText("f.tracks").as("text")),
       n = 1, minJaccard = 0.4, maxDocFreq = 64)
 
+  /** m25/d40 fixture — spec-valid MPEG transport streams (ISO/IEC
+    * 13818-1) with PLANTED RE-MUX duplicates, synthesized in-plan from
+    * doc_id: the broadcast/HLS analogue of [[mp4RemuxAssets]] /
+    * [[mp4DashAssets]]. Content shares the d39 derivation exactly
+    * (b/nt/k = 4b + t; per stream np = k % 5 + 3 PES packets of
+    * sz = k % 7 + 10 ES bytes at PTS step d1 = (k²·92821 mod 700000007)
+    * + 100 — np − 1 ≤ 6 steps keeps every PTS under the 33-bit ceiling);
+    * LAYOUT is everything a re-muxer rewrites and keys on doc_id alone:
+    * elementary PIDs (256·(doc_id % 5 + 1) + t — consecutive ids never
+    * share a base), the PMT PID (32 + doc_id % 8), and the interleave
+    * (stream-major blocks vs round-robin on the re-mux class % 10 = 1
+    * AND on an unrelated decoy class % 6 = 2 — layout alone never
+    * pairs). Each PES rides ONE cell: 4-byte header, adaptation
+    * stuffing (L = 169 − sz), 14-byte PES header carrying the
+    * marker-framed PTS, sz content bytes; PAT and PMT are single-cell
+    * sections padded with 0xFF, CRC bytes zeroed (the walker documents
+    * CRC as unvalidated). Refusals: % 37 = 11 loses the first cell's
+    * sync byte, % 17 = 3 ships no PAT.
+    */
+  def mpegTsAssets(spark: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
+      .withColumn("b", expr(
+        "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
+      .withColumn("nt", expr(
+        "CAST(IF(doc_id % 10 = 3, 1, (b % 4) div 2 + 1) AS INT)"))
+      .withColumn("pmt_pid", expr("CAST(32 + doc_id % 8 AS INT)"))
+      .withColumn("rr", expr("doc_id % 10 = 1 OR doc_id % 6 = 2"))
+    def u8hex(e: String) = s"lpad(hex($e), 2, '0')"
+    def u16hex(e: String) = s"lpad(hex($e), 4, '0')"
+    def k(t: Int) = s"(b * 4 + $t)"
+    def np(t: Int) = s"(${k(t)} % 5 + 3)"
+    def sz(t: Int) = s"(${k(t)} % 7 + 10)"
+    def d1(t: Int) = s"((${k(t)} * ${k(t)} * 92821) % 700000007 + 100)"
+    def esPid(t: Int) = s"(256 * (doc_id % 5 + 1) + $t)"
+    def streamId(t: Int) = s"CASE ${k(t)} % 3 WHEN 0 THEN 'E0' " +
+      "WHEN 1 THEN 'C0' ELSE 'BD' END"
+    def streamType(t: Int) = s"CASE ${k(t)} % 3 WHEN 0 THEN '1B' " +
+      "WHEN 1 THEN '0F' ELSE '06' END"
+    // one PES in one cell: PUSI header, stuffed adaptation field, PES
+    // header with the §2.4.3.7 marker-framed PTS, sz content bytes
+    def pesHex(t: Int, j: Int): String = {
+      val pts = s"(CAST($j AS BIGINT) * ${d1(t)})"
+      s"""IF($t < nt AND $j < ${np(t)}, concat(
+          '47', ${u16hex(s"16384 + ${esPid(t)}")}, ${u8hex(s"48 + $j")},
+          ${u8hex(s"169 - ${sz(t)}")}, '00', repeat('FF', 168 - ${sz(t)}),
+          '000001', ${streamId(t)}, ${u16hex(s"8 + ${sz(t)}")},
+          '80', '80', '05',
+          ${u8hex(s"32 + ($pts div 1073741824) % 8 * 2 + 1")},
+          ${u16hex(s"($pts div 32768) % 32768 * 2 + 1")},
+          ${u16hex(s"$pts % 32768 * 2 + 1")},
+          repeat('AB', ${sz(t)})), '')"""
+    }
+    val patHex = s"""IF(doc_id % 17 = 3, '', concat(
+        '47', '4000', '10', '00',
+        '00', 'B00D', '0001', 'C1', '00', '00',
+        '0001', ${u16hex("57344 + pmt_pid")}, '00000000',
+        repeat('FF', 167)))"""
+    def pmtEntry(t: Int) =
+      s"IF($t < nt, concat(${streamType(t)}, ${u16hex(s"57344 + ${esPid(t)}")}, 'F000'), '')"
+    val pmtHex = s"""concat(
+        '47', ${u16hex("16384 + pmt_pid")}, '10', '00',
+        '02', ${u16hex("45056 + 13 + 5 * nt")}, '0001', 'C1', '00', '00',
+        ${u16hex("57344 + " + esPid(0))}, 'F000',
+        ${pmtEntry(0)}, ${pmtEntry(1)}, '00000000',
+        repeat('FF', 167 - 5 * nt))"""
+    // the two interleaves emit the SAME cell multiset in different order
+    val streamMajor = (0 until 2).map(t =>
+      (0 until 7).map(j => pesHex(t, j)).mkString("concat(", ", ", ")"))
+      .mkString("concat(", ", ", ")")
+    val roundRobin = (0 until 7).map(j =>
+      (0 until 2).map(t => pesHex(t, j)).mkString("concat(", ", ", ")"))
+      .mkString("concat(", ", ", ")")
+    // the synthesis projection carries its own fence: the sync-refusal
+    // rewrite below references payload_hex twice, so CollapseProject
+    // refuses to merge this projection into the fenced final one — an
+    // unfenced synthesis projection would re-enter whole-stage codegen as
+    // its own 64 KB method (the guard caught exactly that on m25's
+    // explode shape)
+    d.withColumn("payload_hex", graft.functions.RowFence(expr(
+        s"""concat($patHex, $pmtHex, IF(rr, $roundRobin, $streamMajor))""")))
+      // % 37 = 11: the first cell's sync byte reads 0x48 — sync lost
+      .withColumn("payload_hex", expr(
+        "IF(doc_id % 37 = 11, concat('48', substr(payload_hex, 3)), payload_hex)"))
+      .select(graft.functions.RowFence(col("doc_id")).as("asset_id"),
+        unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** m25 — MPEG-TS per-stream inventory over [[mpegTsAssets]]' real
+    * packetized bytes: the broadcast/HLS packaging family joins the flat
+    * (m21) and fragmented (m22) ISO-BMFF walks. One codegen'd
+    * [[graft.functions.MpegTsTables]] call per row in the scan stage;
+    * refusals drop (the inventory query's contract — the GATES surface
+    * them). Oracle: every column re-derived from the content formulas
+    * (PID included deliberately — it re-derives the LAYOUT formula, so
+    * the oracle pins both sides of the content/packaging split).
+    */
+  def mpegTsInventory(spark: SparkSession, dir: String): DataFrame =
+    mpegTsAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Staged(
+          graft.functions.MpegTsTables(col("payload"))).as("f"))
+      .filter(col("f.streams").isNotNull)
+      .select(col("asset_id").as("doc_id"),
+        explode(col("f.streams")).as("s"))
+      .select(col("doc_id"), col("s.pid").as("pid"),
+        col("s.stream_type").as("stream_type"),
+        col("s.pes_count").as("pes_count"),
+        col("s.payload_bytes").as("payload_bytes"),
+        col("s.duration_ms").as("duration_ms"),
+        col("s.avg_pes_bytes").as("avg_pes_bytes"))
+      .orderBy(col("doc_id"), col("stream_type"))
+
+  /** d40 — TS re-mux near-dup: the d36/d39 token machinery over the
+    * transport-stream inventory. A TS re-mux renumbers PIDs, re-orders
+    * the interleave and re-derives continuity counters; the per-stream
+    * content descriptor (stream_type:pes_count:payload_bytes:
+    * duration_ms:avg_pes_bytes — `pid`, the packaging column, excluded)
+    * is invariant, so each declared stream is one layout-free unigram
+    * token and near-dup is `Dedup.ngramJaccard` verbatim. Planted
+    * re-muxes surface at jaccard 1.0 through byte-different streams;
+    * stream-trimmed re-muxes at the partial tier; refusals decode to no
+    * tokens and join nothing.
+    */
+  def tsRemuxNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccard(
+      mpegTsAssets(spark, dir)
+        .select(col("asset_id"),
+          graft.functions.Staged(
+            graft.functions.MpegTsTables(col("payload"))).as("f"))
+        .filter(col("f.streams").isNotNull)
+        .select(col("asset_id").as("doc_id"),
+          graft.functions.F.tsDescriptorText("f.streams").as("text")),
+      n = 1, minJaccard = 0.4, maxDocFreq = 64)
+
   /** Arrival-side decoded descriptor text INCLUDING refusals — the
     * incremental/learning gates' arrival shape ([[videoDescriptorTable]]
     * drops refused files; a gate must surface them as `invalid` instead):
@@ -6201,6 +6336,31 @@ object EntryOps {
     * by (jaccard DESC, ex_id ASC) — ending in `varr(doc_id)` and
     * `vbest(doc_id, ex_id, jaccard)`.
     */
+  /** The m25/d40 shared analytic CTE chain — [[mpegTsAssets]]' content
+    * formulas re-derived per (doc_id, stream): b/nt/k as the fixture, then
+    * np (PES count), sz (per-PES ES bytes), d1 (PTS step) and st (the PMT
+    * stream_type) — ending in `tsvals(doc_id, t, k, np, sz, d1, st)`.
+    * Packetization never appears: the inventory is cell-layout-invariant
+    * by construction, so the oracle models no cell.
+    */
+  private def duckTsValCtes: String =
+    """tsbase AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3
+                  THEN doc_id - 1 ELSE doc_id END AS b
+             FROM documents
+             WHERE doc_id % 37 != 11 AND doc_id % 17 != 3),
+          tsnts AS (SELECT doc_id, b,
+             CASE WHEN doc_id % 10 = 3 THEN 1 ELSE (b % 4) // 2 + 1 END AS nt
+             FROM tsbase),
+          tstrk AS (SELECT doc_id, t, b * 4 + t AS k
+             FROM tsnts CROSS JOIN (SELECT unnest(range(0, 2)) AS t) tt
+             WHERE t < nt),
+          tsvals AS (SELECT doc_id, t, k,
+             k % 5 + 3 AS np, k % 7 + 10 AS sz,
+             (k * k * 92821) % 700000007 + 100 AS d1,
+             CASE k % 3 WHEN 0 THEN 27 WHEN 1 THEN 15 ELSE 6 END AS st
+             FROM tstrk)"""
+
   private def duckVideoIndexCtes: String =
     """varr AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (1, 3, 9)),
           vcorp AS (SELECT doc_id, gram FROM vtoks
@@ -7458,6 +7618,44 @@ object EntryOps {
                       JOIN dsz s2 ON div.doc2 = s2.doc_id)
              WHERE jaccard >= 0.4)
           SELECT doc1, doc2, inter, n1, n2, jaccard FROM djac
+          ORDER BY doc1, doc2""",
+    // m25: every column re-derived from the fixture's content formulas —
+    // including `pid`, which re-derives the LAYOUT formula, pinning both
+    // sides of the content/packaging split
+    "m25_mpegts_inventory" ->
+      s"""WITH $duckTsValCtes
+          SELECT doc_id,
+            CAST(256 * (doc_id % 5 + 1) + t AS BIGINT) AS pid,
+            CAST(st AS BIGINT) AS stream_type,
+            CAST(np AS BIGINT) AS pes_count,
+            CAST(np * sz AS BIGINT) AS payload_bytes,
+            CAST((np - 1) * d1 * 1000 // 90000 AS BIGINT) AS duration_ms,
+            CAST(sz AS BIGINT) AS avg_pes_bytes
+          FROM tsvals ORDER BY doc_id, stream_type""",
+    // d40: the per-stream content descriptor derived analytically (the
+    // inventory is packetization-invariant by construction), then the
+    // d33/d36/d39 cap/pair/Jaccard chain
+    "d40_ts_remux_neardup" ->
+      s"""WITH $duckTsValCtes,
+          tstoks AS (SELECT DISTINCT doc_id,
+             CAST(st AS BIGINT) || ':' || CAST(np AS BIGINT) || ':'
+               || CAST(np * sz AS BIGINT) || ':'
+               || CAST((np - 1) * d1 * 1000 // 90000 AS BIGINT) || ':'
+               || CAST(sz AS BIGINT) AS gram
+             FROM tsvals),
+          tskeep AS (SELECT gram FROM tstoks GROUP BY gram HAVING count(*) <= 64),
+          tstc AS (SELECT t.doc_id, t.gram FROM tstoks t JOIN tskeep USING (gram)),
+          tssz AS (SELECT doc_id, count(*) AS n FROM tstc GROUP BY 1),
+          tsiv AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                   FROM tstc a JOIN tstc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          tsjac AS (SELECT doc1, doc2, inter, n1, n2, jaccard FROM (
+             SELECT tsiv.doc1, tsiv.doc2, tsiv.inter, s1.n AS n1, s2.n AS n2,
+                    CAST(tsiv.inter AS DOUBLE) / CAST(s1.n + s2.n - tsiv.inter AS DOUBLE) AS jaccard
+             FROM tsiv JOIN tssz s1 ON tsiv.doc1 = s1.doc_id
+                       JOIN tssz s2 ON tsiv.doc2 = s2.doc_id)
+             WHERE jaccard >= 0.4)
+          SELECT doc1, doc2, inter, n1, n2, jaccard FROM tsjac
           ORDER BY doc1, doc2""",
     // e10: d37's verdict machinery + the vfeat analytic sizing formulas,
     // tiered — dup_exact iff the best match's jaccard is exactly 1.0
@@ -9006,6 +9204,8 @@ object EntryOps {
     "d37_video_dedup_incremental" -> (videoDedupIncremental _),
     "d38_learning_video_dedup" -> (dedupLearningVideoReplay _),
     "d39_dash_neardup" -> (dashNearDup _),
+    "m25_mpegts_inventory" -> (mpegTsInventory _),
+    "d40_ts_remux_neardup" -> (tsRemuxNearDup _),
     "d34_learning_url_dedup" -> (dedupLearningUrlReplay _),
     "d35_learning_url_neardup" -> (dedupLearningUrlNearReplay _),
     "m12_ppm_dhash" -> (ppmDhash _),

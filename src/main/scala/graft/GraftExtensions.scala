@@ -35,7 +35,7 @@ object GraftExtensions {
     "minhash_band_sigs" -> 3, "inet_sort_key" -> 1, "parse_str_array" -> 1,
     "simhash64" -> 1, "media_dims" -> 1, "ppm_features" -> 1, "ppm_dhash" -> 1,
     "png_features" -> 1, "gif_features" -> 1, "gif_anim_features" -> 1,
-    "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "mp4_features" -> 1, "mp4_sample_tables" -> 1, "mp4_fragment_tables" -> 1, "jpeg_features" -> 1, "jpeg_dhash" -> 1, "zorder_key" -> 2,
+    "gif_frame_stats" -> 1, "wav_features" -> 1, "wav_dhash" -> 1, "mpeg_features" -> 1, "mp4_features" -> 1, "mp4_sample_tables" -> 1, "mp4_fragment_tables" -> 1, "mpegts_tables" -> 1, "jpeg_features" -> 1, "jpeg_dhash" -> 1, "zorder_key" -> 2,
     "mpeg_l1_samples" -> 1, "flac_features" -> 1, "flac_dhash" -> 1,
     "bmp_features" -> 1,
     "hyperplane_bucket" -> 3, "pq_table_sum" -> 2, "pq_adc_score" -> 3,
@@ -157,6 +157,10 @@ object GraftExtensions {
         info("mp4_fragment_tables",
           "mp4_fragment_tables(payload) - struct(format, brand, tracks: array<struct<track_id, handler, timescale, fragment_count, sample_count, duration_ms, total_bytes, avg_sample_bytes>>) from a fragmented ISO-BMFF moof/traf/trun walk with trex/tfhd default resolution (refuses unfragmented files, contradictory trun flags, non-increasing fragment sequence numbers, undeclared track ids, exhausted default chains, out-of-file data spans)"),
         (args: Seq[Expression]) => graft.functions.Mp4FragmentTables(args.head)),
+      (FunctionIdentifier("mpegts_tables"),
+        info("mpegts_tables",
+          "mpegts_tables(payload) - struct(streams: array<struct<pid, stream_type, pes_count, payload_bytes, duration_ms, avg_pes_bytes>>) from an ISO/IEC 13818-1 transport-stream walk (188-byte cells, PAT->PMT->PES; PTS-derived durations at the 90 kHz clock; refuses lost sync, reserved AFC, missing/overrun PSI, bad PES start codes, duplicate elementary PIDs; CRC not validated — inventory, not integrity)"),
+        (args: Seq[Expression]) => graft.functions.MpegTsTables(args.head)),
       (FunctionIdentifier("jpeg_features"),
         info("jpeg_features",
           "jpeg_features(payload) - struct(format, width, height, components, n_pixels, sum_r, sum_g, sum_b) decoded from baseline JPEG bytes (from-spec T.81 Huffman + IDCT, honest refusal on progressive/arithmetic/12-bit)"),

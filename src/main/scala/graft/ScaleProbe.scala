@@ -153,6 +153,10 @@ object ScaleProbe {
     // r19: the same token machinery over FRAGMENTED (DASH/CMAF) bytes —
     // the m22 walker in the scan stage, re-segmentation-invariant tokens
     "d39_dash_neardup",
+    // r19: the broadcast/HLS packaging family — the 13818-1 cell walk in
+    // the scan stage (m25), and re-mux near-dup over its per-stream
+    // content descriptors (d40)
+    "m25_mpegts_inventory", "d40_ts_remux_neardup",
     "m21_mp4_sample_tables",
     // r16: the fragmented-MP4 inventory — m21's class (per-row walk in
     // the scan stage, linear by design) — and the universal dispatch

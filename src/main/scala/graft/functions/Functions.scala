@@ -141,4 +141,17 @@ object F {
         concat_ws(':', t.handler, t.timescale, t.sample_count,
                   t.duration_ms, t.total_bytes, t.avg_sample_bytes))),
       ' ')""")
+
+  // --------------------------------------------------------------------------
+  // d40's transport-stream analogue (r19): each declared elementary stream
+  // becomes one token of its content identity under TS re-muxing
+  // (stream_type, pes_count, payload_bytes, duration_ms, avg_pes_bytes —
+  // `pid`, the packaging column a re-muxer renumbers, excluded), sorted and
+  // space-joined so set-equal program inventories are text-equal.
+  // --------------------------------------------------------------------------
+  def tsDescriptorText(streamsCol: String): Column =
+    expr(s"""array_join(array_sort(transform($streamsCol, s ->
+        concat_ws(':', s.stream_type, s.pes_count, s.payload_bytes,
+                  s.duration_ms, s.avg_pes_bytes))),
+      ' ')""")
 }

@@ -79,7 +79,7 @@ class ExtensionsSpec extends GraftSpec {
       Set("reencode", "simhash16", "dot_f32", "dot_fd", "minhash_band_sigs",
         "inet_sort_key", "parse_str_array", "simhash64", "media_dims",
         "ppm_features", "ppm_dhash", "png_features", "gif_features", "gif_anim_features",
-        "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "mp4_sample_tables", "mp4_fragment_tables", "jpeg_features", "jpeg_dhash", "zorder_key",
+        "gif_frame_stats", "wav_features", "wav_dhash", "mpeg_features", "mp4_features", "mp4_sample_tables", "mp4_fragment_tables", "mpegts_tables", "jpeg_features", "jpeg_dhash", "zorder_key",
         "mpeg_l1_samples", "flac_features", "flac_dhash", "bmp_features",
         "hyperplane_bucket", "pq_table_sum", "pq_adc_score", "argmax_dot",
         "url_canonicalize", "bpe_apply"))

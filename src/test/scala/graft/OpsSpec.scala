@@ -338,6 +338,41 @@ class OpsSpec extends GraftSpec {
     assert(t42.size === 2 && t43.size === 1 && t43.subsetOf(t42))
   }
 
+  test("m25/d40 fixture re-muxes genuinely: alias bytes, PIDs and " +
+      "interleave differ while the per-stream content tokens are identical") {
+    val sf = "/root/testdata/sf0.001"
+    val assets = EntryOps.mpegTsAssets(spark, sf)
+      .filter(col("asset_id").isin(30L, 31L, 42L, 43L))
+      .select(col("asset_id"),
+        col("payload"),
+        graft.functions.MpegTsTables(col("payload")).as("f"))
+      .select(col("asset_id"), col("payload"),
+        expr("transform(f.streams, s -> s.pid)").as("pids"),
+        graft.functions.F.tsDescriptorText("f.streams").as("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def bytes(id: Long) = assets(id).getAs[Array[Byte]]("payload")
+    def pids(id: Long) = assets(id).getSeq[Long](2)
+    def text(id: Long) = assets(id).getString(3)
+    // 31 re-muxes 30: different bytes (PID renumbering + round-robin
+    // interleave vs stream-major), SAME descriptor text — the d40 dup at
+    // jaccard 1.0 is real re-packaging detection, not byte equality
+    assert(!java.util.Arrays.equals(bytes(30L), bytes(31L)))
+    assert(pids(30L).toSet.intersect(pids(31L).toSet).isEmpty)
+    assert(pids(30L).size === 2 && pids(31L).size === 2)
+    assert(text(30L) === text(31L))
+    // 43 trims 42's two-stream program to one: its single token is one of
+    // the partner's two (the partial-jaccard tier)
+    val t42 = text(42L).split(' ').toSet
+    val t43 = text(43L).split(' ').toSet
+    assert(t42.size === 2 && t43.size === 1 && t43.subsetOf(t42))
+    // refusal classes decode to no streams
+    val refused = EntryOps.mpegTsAssets(spark, sf)
+      .filter(col("asset_id") % 37 === 11 || col("asset_id") % 17 === 3)
+      .select(graft.functions.MpegTsTables(col("payload")).as("f"))
+      .filter(col("f.streams").isNotNull).count()
+    assert(refused === 0L)
+  }
+
   test("BPE model root: loaded == retrained merge-for-merge; tampered " +
       "content, foreign family, and torn tables refuse loudly") {
     import org.apache.spark.sql.functions._
