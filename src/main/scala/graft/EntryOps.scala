@@ -2680,18 +2680,29 @@ object EntryOps {
     // and the driver spends ~15 s per action re-deriving it (measured;
     // data-size independent). Same fence perceptualNearDup applies
     // internally.
-    val hashes = jpegCorpusAssets(spark, dir)
+    // ONE synthesis+decode pass (r19): the hash for the near-dup machinery
+    // and the feature columns project from the SAME payload evaluation,
+    // barriered — previously the pairs branch, the valid-id branch, and
+    // the feature branch each re-synthesized and re-decoded the corpus
+    // (three full passes for one query).
+    val media = jpegCorpusAssets(spark, dir)
       .select(col("asset_id"),
         graft.functions.Staged(
-          graft.functions.JpegDHash(col("payload"))).as("dhash"))
-    val pairs = perceptualNearDup(hashes)
+          graft.functions.JpegDHash(col("payload"))).as("dhash"),
+        graft.functions.Staged(
+          graft.functions.JpegFeatures(col("payload"))).as("f"))
+      .select(col("asset_id"), col("dhash"),
+        col("f.width").as("img_width"), col("f.height").as("img_height"),
+        col("f.n_pixels").as("n_pixels"), col("f.sum_r").as("sum_r"))
+      .barriered
+    val pairs = perceptualNearDup(media.select(col("asset_id"), col("dhash")))
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
-    val valid = hashes.filter(col("dhash").isNotNull)
+    val valid = media.filter(col("dhash").isNotNull)
       .select(col("asset_id").as("doc_id"))
     val cl = graft.ops.Dedup.clusterComponents(valid, pairs)
-    val feats = Multimodal.jpegFeatures(jpegCorpusAssets(spark, dir))
+    val feats = media
       .select(col("asset_id").as("doc_id"),
-        col("width").as("img_width"), col("height").as("img_height"),
+        col("img_width"), col("img_height"),
         col("n_pixels"), col("sum_r"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
@@ -2819,13 +2830,47 @@ object EntryOps {
     // to two separate clusterComponents calls (the oracle is unchanged).
     val OFF = 1L << 40
     val VOFF = 1L << 41
-    val imgPairs = imageNearDup(spark, dir)
+    // ONE synthesis+decode pass PER MODALITY (r19): each modality's
+    // perceptual hash and its feature columns project from the SAME
+    // payload evaluation, barriered — previously the near-dup branch and
+    // the feature branch each re-synthesized and re-decoded every payload
+    // (six full passes for three modalities; now three). The decode still
+    // happens per EXECUTION — e05 remains the decode-everything contrast
+    // to e09's persisted feature root; it just no longer decodes each
+    // payload twice per execution.
+    val img = dhashAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Staged(
+          graft.functions.PpmDHash(col("payload"))).as("dhash"),
+        graft.functions.Staged(
+          graft.functions.PpmFeatures(col("payload"))).as("f"))
+      .select(col("asset_id"), col("dhash"),
+        col("f.format").as("img_format"),
+        col("f.width").as("img_width"), col("f.height").as("img_height"))
+      .barriered
+    val aud = wavDhashAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Staged(
+          graft.functions.WavDHash(col("payload"))).as("dhash"),
+        graft.functions.Staged(
+          graft.functions.WavFeatures(col("payload"))).as("f"))
+      .select(col("asset_id"), col("dhash"),
+        col("f.sample_rate").as("aud_sample_rate"),
+        col("f.n_frames").as("aud_n_frames"))
+      .barriered
+    // the video descriptor table already decodes once into (text, sizing
+    // columns); barriered so the near-dup branch and the feature join read
+    // one evaluation instead of re-walking every container
+    val vid = videoDescriptorTable(spark, dir).barriered
+    val imgPairs = perceptualNearDup(img.select(col("asset_id"), col("dhash")))
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
-    val audPairs = audioNearDup(spark, dir)
+    val audPairs = perceptualNearDup(aud.select(col("asset_id"), col("dhash")))
       .select((col("id1") + OFF).as("doc1"), (col("id2") + OFF).as("doc2"))
     // r18: VIDEO is the third modality graph — d36's re-mux pairs join
     // the SAME unified components run in their own id namespace
-    val vidPairs = videoNearDup(spark, dir)
+    val vidPairs = graft.ops.Dedup.ngramJaccard(
+      vid.select(col("doc_id"), col("text")), n = 1, minJaccard = 0.4,
+      maxDocFreq = 64)
       .select((col("doc1") + VOFF).as("doc1"), (col("doc2") + VOFF).as("doc2"))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val both = graft.ops.Dedup.clusterComponents(
@@ -2844,18 +2889,15 @@ object EntryOps {
       .select((col("doc_id") - VOFF).as("doc_id"),
         (col("cluster_id") - VOFF).as("vid_cluster_id"),
         col("cluster_size").as("vid_cluster_size"))
-    val imgF = Multimodal.ppmFeatures(dhashAssets(spark, dir))
-      .select(col("asset_id").as("doc_id"), col("format").as("img_format"),
-        col("width").as("img_width"), col("height").as("img_height"))
-    val audF = Multimodal.wavFeatures(wavDhashAssets(spark, dir))
-      .select(col("asset_id").as("doc_id"),
-        col("sample_rate").as("aud_sample_rate"),
-        col("n_frames").as("aud_n_frames"),
-        expr("n_frames * 1000L div sample_rate").as("aud_duration_ms"))
+    val imgF = img.select(col("asset_id").as("doc_id"), col("img_format"),
+      col("img_width"), col("img_height"))
+    val audF = aud.select(col("asset_id").as("doc_id"),
+      col("aud_sample_rate"), col("aud_n_frames"),
+      expr("aud_n_frames * 1000L div aud_sample_rate").as("aud_duration_ms"))
     // inner join: a video that REFUSES to decode has no descriptor row
     // and drops out of the product corpus — unadmittable media is not
     // silently shipped with NULL sizing columns
-    val vidF = videoDescriptorTable(spark, dir)
+    val vidF = vid
       .select(col("doc_id"), col("vid_tracks"), col("vid_samples"),
         col("vid_duration_ms"), col("vid_bytes"))
     Tables.documents(spark, dir)
@@ -2960,9 +3002,13 @@ object EntryOps {
     // r18: the arrival tenth's VIDEOS decode in-plan; the base cohort's
     // descriptors are a parquet read of the root, like the other two
     val arrVid = videoDescriptorTable(spark, dir, col("doc_id") % 10 === 0)
-    val img = spark.read.parquet(s"$root/img").unionByName(arrImg)
-    val aud = spark.read.parquet(s"$root/aud").unionByName(arrAud)
-    val vid = spark.read.parquet(s"$root/vid").unionByName(arrVid)
+    // barriered (r19): each union feeds TWO consumers — the near-dup pair
+    // branch and the feature join — and each consumer re-ran the arrival
+    // tenth's in-plan decode (and the root's parquet read). One
+    // materialized (id, hash, features) table per modality instead.
+    val img = spark.read.parquet(s"$root/img").unionByName(arrImg).barriered
+    val aud = spark.read.parquet(s"$root/aud").unionByName(arrAud).barriered
+    val vid = spark.read.parquet(s"$root/vid").unionByName(arrVid).barriered
     val OFF = 1L << 40
     val VOFF = 1L << 41
     val imgPairs = perceptualNearDup(img.select(col("asset_id"), col("dhash")))
@@ -3440,28 +3486,35 @@ object EntryOps {
     * active-vertex components, 1:1 equi-join assembly.
     */
   def audioCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val assets = audioCorpusAssets(spark, dir)
-    val hashes = assets.select(col("asset_id"),
-      graft.functions.Staged(coalesce(
-        graft.functions.WavDHash(col("payload")),
-        graft.functions.FlacDHash(col("payload")))).as("dhash"))
-    val pairs = perceptualNearDup(hashes)
-      .select(col("id1").as("doc1"), col("id2").as("doc2"))
-    val valid = hashes.filter(col("dhash").isNotNull)
-      .select(col("asset_id").as("doc_id"))
-    val cl = graft.ops.Dedup.clusterComponents(valid, pairs)
-    val feats = assets
-      .select(col("asset_id").as("doc_id"),
+    // ONE synthesis+decode pass (r19): the cross-codec hash AND the
+    // unified feature columns project from the SAME payload evaluation,
+    // barriered — previously the pairs branch, the valid-id branch, and
+    // the feature branch each re-synthesized the corpus (three full
+    // passes, two of them re-running both decoders).
+    val media = audioCorpusAssets(spark, dir)
+      .select(col("asset_id"),
+        graft.functions.Staged(coalesce(
+          graft.functions.WavDHash(col("payload")),
+          graft.functions.FlacDHash(col("payload")))).as("dhash"),
         graft.functions.Staged(
           graft.functions.WavFeatures(col("payload"))).as("wf"),
         graft.functions.Staged(
           graft.functions.FlacFeatures(col("payload"))).as("ff"))
-      .select(col("doc_id"),
+      .select(col("asset_id"), col("dhash"),
         when(col("wf.n_frames").isNotNull, lit("wav"))
           .otherwise(lit("flac")).as("codec"),
         coalesce(col("wf.n_frames"), col("ff.n_samples")).as("n_samples"),
         coalesce(col("wf.sum_ch0"), col("ff.sum_ch0")).as("sum_amp"),
         coalesce(col("wf.peak_abs"), col("ff.peak_abs")).as("peak_abs"))
+      .barriered
+    val pairs = perceptualNearDup(media.select(col("asset_id"), col("dhash")))
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val valid = media.filter(col("dhash").isNotNull)
+      .select(col("asset_id").as("doc_id"))
+    val cl = graft.ops.Dedup.clusterComponents(valid, pairs)
+    val feats = media
+      .select(col("asset_id").as("doc_id"),
+        col("codec"), col("n_samples"), col("sum_amp"), col("peak_abs"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
       .join(cl, Seq("doc_id"))
@@ -3575,8 +3628,13 @@ object EntryOps {
       graft.functions.FlacDHash(col("payload"))))
     val arrivals = assets.filter(col("asset_id") % 10 === 1)
       .select(col("asset_id"), hash.as("dhash"))
+    // barriered (r19): the dedup join consumes the index side twice (the
+    // band-frequency cap aggregation + the capped join itself), and here —
+    // unlike the persisted-index streams — the index is built IN-PLAN, so
+    // each consumer re-synthesized and re-hashed 9/10 of the corpus. One
+    // materialized (ex_id, dhash) table instead.
     val index = graft.ops.Dedup.buildMediaIndex(
-      assets.filter(col("asset_id") % 10 =!= 1), hash)
+      assets.filter(col("asset_id") % 10 =!= 1), hash).barriered
     graft.ops.Dedup.mediaDedupAgainstIndex(arrivals, index)
   }
 
@@ -4572,8 +4630,12 @@ object EntryOps {
         where = !(col("doc_id") % 10).isin(1, 3, 9))
         .select(col("doc_id"), col("text")))
       .write.parquet(idxPath)
+    // barriered (r19): arr feeds the near-dup verdict (via its text) AND
+    // the final admission decoration join — without the barrier each
+    // consumer re-decoded (and at bench scale re-synthesized) every
+    // arrival container. Batch-sized (id + text + four sizing columns).
     val arr = videoArrivalDecorated(spark, dir,
-      (col("doc_id") % 10).isin(1, 3, 9))
+      (col("doc_id") % 10).isin(1, 3, 9)).barriered
     val v = graft.ops.Dedup.videoNearDedupAgainstIndex(
       arr.select(col("doc_id"), col("text")),
       spark.read.parquet(idxPath))

@@ -177,12 +177,20 @@ object Dedup {
     */
   def urlNearDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
       minJaccard: Double = 0.4, maxDocFreq: Long = 64): DataFrame = {
+    // barriered (r19): arr is consumed by THREE independent subtrees — the
+    // gram branch (aK), the per-arrival size aggregate (aSz via aK), and
+    // the final verdict join — and Spark re-executes each subtree, so the
+    // canonicalize (and in fixture plans the raw-URL synthesis beneath it)
+    // ran once per consumer. The Staged fence pins one evaluation per ROW
+    // within a subtree; the barrier pins one evaluation per QUERY. The
+    // materialized table is batch-sized (doc_id + url).
     val arr = incoming.select(col("doc_id"),
       // Staged: same single-evaluation contract as [[urlDedupAgainstIndex]]
       // — arr feeds both the gram branch (whose null filter would push
       // through) and the final verdict join
       graft.functions.Staged(
         graft.functions.UrlCanonicalize(col("raw_url"))).as("url"))
+      .barriered
     val hot = index.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
@@ -265,13 +273,18 @@ object Dedup {
     */
   def videoNearDedupAgainstIndex(incoming: DataFrame, index: DataFrame,
       minJaccard: Double = 0.4, maxDocFreq: Long = 64): DataFrame = {
+    // barriered (r19): incoming is consumed by the gram branch (aK → aSz →
+    // best) and the final verdict join — without the barrier each consumer
+    // re-ran the arrival MP4 decode (and at bench scale the container
+    // synthesis) that produced `text`. Batch-sized (doc_id + text).
+    val inc = incoming.barriered
     val hot = index.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("gram"))
     val idxK = index.join(hot, Seq("gram"), "left_anti")
     val idxSz = idxK.groupBy(col("ex_id")).agg(count(lit(1)).as("n2"))
-    val aK = videoGrams(incoming, "doc_id").join(hot, Seq("gram"), "left_anti")
+    val aK = videoGrams(inc, "doc_id").join(hot, Seq("gram"), "left_anti")
     val aSz = aK.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
     val best = aK.join(idxK, Seq("gram"))
       .groupBy(col("doc_id"), col("ex_id")).agg(count(lit(1)).as("inter"))
@@ -284,7 +297,7 @@ object Dedup {
         .orderBy(col("jaccard").desc, col("ex_id").asc)))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("ex_id"), col("jaccard"))
-    incoming.join(best, Seq("doc_id"), "left")
+    inc.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("text").isNull, "invalid")
           .when(col("ex_id").isNotNull, "dup")
@@ -1114,8 +1127,13 @@ object Dedup {
       posexplode(array((0 until 4).map(bd =>
         substring(col("dhash"), bd * 16 + 1, 16)): _*))
         .as(Seq("band", "bits")): _*)
+    // barriered (r19): incoming is consumed by the band branch AND the
+    // final verdict join — without the barrier each consumer re-ran the
+    // payload hashing (and at bench scale the payload synthesis) that
+    // produced `dhash`. Batch-sized (asset_id + one 64-char string).
+    val inc = incoming.select(col("asset_id"), col("dhash")).barriered
     val inb = bands(halves(
-      incoming.filter(col("dhash").isNotNull)
+      inc.filter(col("dhash").isNotNull)
         .select(col("asset_id"), col("dhash"))))
       .select(col("asset_id"), col("hi"), col("lo"), col("band"), col("bits"))
     val exbAll = bands(halves(index.select(col("ex_id"), col("dhash"))))
@@ -1138,8 +1156,7 @@ object Dedup {
         col("m.hamming").as("hamming"))
     // a payload the hash REFUSED is not "new content" — it is unhashable,
     // and a pipeline must not admit it as a dedup survivor by default
-    incoming.select(col("asset_id"), col("dhash"))
-      .join(best, Seq("asset_id"), "left")
+    inc.join(best, Seq("asset_id"), "left")
       .select(col("asset_id"),
         when(col("dhash").isNull, "unhashable")
           .when(col("hamming") === 0, "exact")
