@@ -1089,8 +1089,12 @@ object EntryOps {
       Similarity.buildIvfPqIndex(e.filter(pqTrainPred))
     val appended =
       Similarity.appendToIvfPqIndex(e.filter(!pqTrainPred), ct, cb)
+    // barriered (r19): the drift metric consumes the merged codes table
+    // TWICE (the residual's bucket join + the term computation's codes
+    // join), and each consumption re-ran the full train+append coding
+    // pipeline. One narrow (vec_id, bucket, 16 small ints) row per vector.
     Similarity.ivfPqIndexDrift(e, ct, cb,
-      trainedCodes.unionByName(appended),
+      trainedCodes.unionByName(appended).barriered,
       when(pqTrainPred, lit("trained")).otherwise(lit("appended")))
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Barrier.BarrierOps
+
 /** Similarity search over an embedding column (`array<float>`), the
   * training-data-pipeline ANN surface (SURVEY §7.1-9).
   *
@@ -190,6 +192,14 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
         .as("centroid"))
       .select(col("bucket").as("cid"), col("centroid"))
+      // barriered (r19): the K-row centroid table is consumed by MANY
+      // independent subtrees downstream (the final assignment broadcast
+      // here, geometry head() reads, probe scoring, LUT builds, residual
+      // joins) and each consumer re-ran the seed-sample + Lloyd-round
+      // shuffle over the corpus. K rows — materializing is free; the
+      // corpus-sized `assigned` frame stays lazy (a checkpoint of it
+      // would materialize the vector payload).
+      .barriered
     // final assignment against the refined centroids — same map-side
     // argmax_dot projection (float vector · double centroid fold, the
     // arithmetic the oracle mirrors)
@@ -324,7 +334,11 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
         .as("cent"))
       .select(col("m"), col("code").as("cid"), col("cent"))
-    // codes in the FLAT-PQ dense layout (r10): one array per vector,
+      // barriered (r19): M·K rows consumed by the codes assignment here
+      // AND by every downstream reader of the returned codebook table
+      // (geometry head(), append's byM broadcast, the query-time LUTs,
+      // drift's byM) — each re-ran the seed/Lloyd pipeline without it
+      .barriered
     // codes[m] = the assigned centroid's POSITION in sub-space m's
     // cid-sorted codebook — N×M small ints, the paper's actual memory
     // shape, scored by `pq_adc_score` with zero explode/shuffle at query
@@ -1204,6 +1218,10 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
         .as("cent"))
       .select(col("m"), col("code").as("cid"), col("cent"))
+      // barriered (r19): same rationale as buildPqIndex's codebook — M·K
+      // rows read by the codes assignment, the append path, the query
+      // LUTs, and drift; each re-ran the residual seed/Lloyd pipeline
+      .barriered
     // dense residual codes (r10): one position array per vector, bucket
     // carried alongside — the same flat layout as buildPqIndex, scored by
     // pq_table_sum lookups within the probed cells

@@ -32,17 +32,21 @@ class PlansSpec extends GraftSpec {
     *    (scalar cutoffs) or a literal LIMIT (e.g. the K-row centroid sample
     *    in s06) — "nested loop" over a constant-size build is a constant
     *    probe, not an all-pairs blowup;
-    *  - s15/s16: the ADC scoring `crossJoin(broadcast(lutQ))` against a
-    *    PERSISTED index — the build side is the per-query lookup table,
-    *    whose cardinality is the pinned query set (`vec_id % 40 = 0 AND
-    *    vec_id < 2000` → ≤ 50 rows at any SF, the same pinning the scale
-    *    probes key on). The identical join in s07-s11/s13 passes the
-    *    bounded-build heuristic only because their IN-PLAN training
-    *    subtree happens to contain a seed LIMIT; the persisted-root plans
-    *    read parquet instead, so the bound is structural (the query
-    *    filter), not visible to collectFirst.
+    *  - s07-s11/s13/s15/s16: the ADC scoring `crossJoin(broadcast(lutQ))` —
+    *    the build side is the per-query lookup table, whose cardinality is
+    *    the pinned query set (`vec_id % 40 = 0 AND vec_id < 2000` → ≤ 50
+    *    rows at any SF, the same pinning the scale probes key on). That
+    *    bound is structural (the query filter), not visible to
+    *    collectFirst. Until r19 the in-plan-training variants (s07-s11/
+    *    s13) passed the bounded-build heuristic only ACCIDENTALLY — their
+    *    codebook lineage contained a seed LIMIT; the r19 training-output
+    *    barriers truncate that lineage, so they now need the same explicit
+    *    exemption the persisted-root pair (s15/s16, parquet-backed
+    *    codebooks) always did.
     */
   private val allowedBnlj = Set("s01_topk_brute", "d05_embed_neardup",
+    "s07_topk_pq", "s08_topk_ivfpq", "s09_topk_pq_index",
+    "s10_topk_ivfpq_index", "s11_topk_pq_append", "s13_topk_ivfpq_append",
     "s15_topk_pq_root", "s16_topk_ivfpq_root")
   private def isBoundedBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = j.buildSide match {
@@ -52,6 +56,13 @@ class PlansSpec extends GraftSpec {
     build.collectFirst {
       case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
       case a: SortAggregateExec if a.groupingExpressions.isEmpty => a
+      // groupless collect_list (the broadcast candidate-array builds) plans
+      // as ObjectHashAggregate — one row, bounded by the same argument as
+      // the two cases above (and already treated as bounded by the
+      // SinglePartition-exchange rule below). Before r19's training-output
+      // barriers this case was reached accidentally through a GlobalLimit
+      // deeper in the (now checkpoint-truncated) lineage.
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => a
       case l: GlobalLimitExec => l
       case l: TakeOrderedAndProjectExec => l
       case l: CollectLimitExec => l
