@@ -1772,13 +1772,22 @@ object EntryOps {
       .clusterComponents(d, graft.ops.Dedup.simhashNearDup64(d, maxHamming = 3))
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_size"))
-    val quality = TextAnalysis.quality(d)
-      .select(col("doc_id"), col("score"), col("bucket"))
-    val masked = TextAnalysis.piiScrub(d).select(col("doc_id"), col("masked"))
-    d.select(col("doc_id"), col("lang"), col("source"))
+    // r19: the quality score and the PII mask are pure PER-ROW functions of
+    // the text — they belong in ONE projection of the corpus scan, not in
+    // separate quality(d)/piiScrub(d) frames joined back by doc_id (two
+    // doc_id shuffles of the full text for values the scan already had;
+    // guide §2.4). The Staged fence pins the score to one evaluation: the
+    // bucket filter otherwise pushes below the projection and re-derives
+    // the four regexp counts per CASE branch (observed in the r19 before
+    // plan: the pushed filter inlined the full score expression three
+    // times). Values are unchanged — scoreCol/maskedCol are quality()/
+    // piiScrub()'s own arithmetic, shared (QualitySpec pins the equality).
+    val enriched = d.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.Staged(TextAnalysis.scoreCol(col("text"))).as("score"),
+      graft.functions.Staged(TextAnalysis.maskedCol(col("text"))).as("masked"))
+    enriched
       .join(survivors, "doc_id")
-      .join(quality, "doc_id").filter(col("bucket") =!= "low")
-      .join(masked, "doc_id")
+      .filter(TextAnalysis.bucketCol(col("score")) =!= "low")
       .select(col("doc_id"), col("lang"), col("source"), col("cluster_size"),
         floor(col("score") * 1000).cast("long").as("quality_mille"),
         size(graft.ops.Dedup.words(col("masked"))).cast("long").as("n_tokens"),
@@ -1849,11 +1858,27 @@ object EntryOps {
       scrubTrain: DataFrame => DataFrame = identity): DataFrame = {
     val budget = 4000L
     val saltBuckets = 64
-    // stage 1: production-gram-length decontamination
+    // stage 1: production-gram-length decontamination. This entry needs
+    // only WHICH train docs share an 8-gram with the eval set — a LEFT
+    // SEMI join on the gram key — not t07's full evidence table (per-pair
+    // shared-gram counts, eval gram totals, containment): computing the
+    // full contamination() here paid a (train_id, eval_id) hash
+    // aggregation, an eval-sizes aggregation + join, and a presentation
+    // sort, all discarded by the `.select(train_id).distinct()` that
+    // followed (r19 — guide §1.2 step 1: don't compute things you throw
+    // away). The semi join is value-identical: a pair row exists iff
+    // shared_grams ≥ 1. Each side shingles once (no cache needed — the
+    // old tri.cache() existed to share one shingle pass between the two
+    // sides of the full join).
+    val evalGrams = Dedup
+      .shingles(planted.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text")), n = 8)
+      .select(col("gram"))
     val contaminatedIds = Dedup
-      .contamination(planted.select(col("doc_id"), col("text")),
-        col("doc_id") % 100 === 0, n = 8)
-      .select(col("train_id").as("doc_id")).distinct()
+      .shingles(planted.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), col("text")), n = 8)
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
     // A real run materializes the decontaminated corpus at this stage
     // boundary; without it the 8-gram shingle join above is re-executed by
     // every downstream consumer (edges, components, quality, mask, final
@@ -1867,15 +1892,16 @@ object EntryOps {
         Dedup.simhashNearDup64(train, maxHamming = 3))
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_size"))
-    // stage 3: quality gate + PII mask (per-row; fused into the scan)
-    val quality = TextAnalysis.quality(train)
-      .select(col("doc_id"), col("score"))
-    val masked = TextAnalysis.piiScrub(train)
-      .select(col("doc_id"), col("masked"))
-    val gated = train.select(col("doc_id"), col("lang"), col("source"))
+    // stage 3: quality gate + PII mask — ONE per-row projection of the
+    // cached train boundary instead of separate quality()/piiScrub()
+    // frames joined back by doc_id (the e01 rationale; values pinned
+    // identical by QualitySpec). Staged keeps the score filter from
+    // re-deriving the regexp counts below the projection.
+    val gated = train.select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.Staged(TextAnalysis.scoreCol(col("text"))).as("score"),
+        graft.functions.Staged(TextAnalysis.maskedCol(col("text"))).as("masked"))
       .join(survivors, "doc_id")
-      .join(quality, "doc_id").filter(col("score") >= 0.5)
-      .join(masked, "doc_id")
+      .filter(col("score") >= 0.5)
       .select(col("doc_id"), col("lang"), col("source"), col("cluster_size"),
         floor(col("score") * 1000).cast("long").as("quality_mille"),
         col("masked"),

@@ -40,6 +40,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The [[quality]] score as ONE column expression over the text — the
+    * identical arithmetic (same operand order, same double casts) factored
+    * out so composed pipelines (e01/e02) can PROJECT the score inline in
+    * the same scan as their other per-row stages instead of computing
+    * [[quality]] separately and joining it back by doc_id: the join
+    * shuffles the corpus text twice for a value that is a pure per-row
+    * function of it (guide §2.4 — remove shuffles outright). Callers
+    * should wrap the result in a `Staged` fence when a filter will
+    * reference it, or the pushed-down predicate re-derives the four
+    * regexp counts per branch of the bucket CASE.
+    */
+  def scoreCol(t: Column): Column = {
+    val nChars = length(t).cast("long")
+    val nWords = size(Dedup.words(t)).cast("long")
+    val nStopwords = reCount(t, "\\b(the|a|of|and|to)\\b")
+    val nDigits = reCount(t, "[0-9]")
+    val stopwordRatio = nStopwords.cast("double") / nWords.cast("double")
+    val digitRatio = nDigits.cast("double") / nChars.cast("double")
+    lit(0.5) * least(nWords.cast("double") / lit(80).cast("double"), lit(1).cast("double")) +
+      lit(0.3) * stopwordRatio * lit(4).cast("double") +
+      lit(0.2) * (lit(1).cast("double") - digitRatio)
+  }
+
+  /** [[quality]]'s low/medium/high bucket over an already-computed score
+    * column (shared so the composed pipelines' inline projection cannot
+    * drift from the registered t02 thresholds).
+    */
+  def bucketCol(score: Column): Column =
+    when(score >= 0.75, "high")
+      .when(score >= 0.5, "medium")
+      .otherwise("low")
+
+  /** The [[piiScrub]] masked text as ONE column expression (same rationale
+    * as [[scoreCol]]: a pure per-row value belongs in the scan projection
+    * of a composed pipeline, not behind a doc_id join).
+    */
+  def maskedCol(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(emailRe), lit("<EMAIL>")),
+        lit(phoneRe), lit("<PHONE>")),
+      lit(ipv4Re), lit("<IP>"))
+
   /** Quality scoring: length/punctuation/stopword/digit signals combined into a
     * deterministic [0,1] score and a low/medium/high bucket.
     */

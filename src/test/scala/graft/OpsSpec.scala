@@ -1599,6 +1599,43 @@ class OpsSpec extends GraftSpec {
     assert(Set("low", "medium", "high").contains(out(1L)._3))
   }
 
+  test("scoreCol/bucketCol/maskedCol equal quality()/piiScrub() bit for bit") {
+    // the e01/e02 inline projections must not drift from the registered
+    // t02/t09 frames — same docs through both paths, exact equality
+    // (double score compared bitwise: the factored column is required to
+    // be the IDENTICAL arithmetic, not an approximation)
+    val d = Seq(
+      (1L, "the a of and to the a of and to"),
+      (2L, "zzz 123 456 789 000 111"),
+      (3L, "mail me at a.b+c@example.com or 555-1234 from 10.1.2.3 now"),
+      (4L, "plain words only, eighty characters of ordinary prose and the " +
+        "usual stopwords of a document")
+    ).toDF("doc_id", "text")
+    val viaFrames = TextAnalysis.quality(d).select(col("doc_id"), col("score"),
+        col("bucket"))
+      .join(TextAnalysis.piiScrub(d).select(col("doc_id"), col("masked")),
+        "doc_id")
+    val viaCols = d.select(col("doc_id"),
+      TextAnalysis.scoreCol(col("text")).as("score"),
+      TextAnalysis.maskedCol(col("text")).as("masked"))
+      .select(col("doc_id"), col("score"),
+        TextAnalysis.bucketCol(col("score")).as("bucket"), col("masked"))
+    val a = viaFrames.orderBy("doc_id")
+      .as[(Long, Double, String, String)].collect()
+    val b = viaCols.orderBy("doc_id")
+      .select(col("doc_id"), col("score"), col("bucket"), col("masked"))
+      .as[(Long, Double, String, String)].collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case ((id1, s1, bk1, m1), (id2, s2, bk2, m2)) =>
+      assert(id1 === id2)
+      assert(java.lang.Double.doubleToRawLongBits(s1) ===
+        java.lang.Double.doubleToRawLongBits(s2),
+        s"score drift at doc $id1: $s1 vs $s2")
+      assert(bk1 === bk2)
+      assert(m1 === m2)
+    }
+  }
+
   test("tokenStats counts whitespace and BPE-ish tokens") {
     val d = Seq((1L, "hello world42!", "en")).toDF("doc_id", "text", "lang")
     val out = TextAnalysis.tokenStats(d).collect()(0)
