@@ -32,6 +32,17 @@ object EntryOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     par(Tables.embeddings(spark, dir))
 
+  /** The media fixtures' id source, through the same [[par]] fan-out as
+    * [[docs]]/[[emb]] (r20): every `*Assets` synthesis + its decoder run as
+    * scan-stage projections over this frame, and the single-file test
+    * tables made that ONE task — the whole m/e media family was serial on a
+    * 32-core session (measured: m19's entire 5.9 s in one task). Only the
+    * 8-byte ids shuffle; payload synthesis and decode happen above, spread
+    * across the session's shuffle parallelism.
+    */
+  private def docIds(spark: SparkSession, dir: String): DataFrame =
+    par(Tables.documents(spark, dir).select(col("doc_id")))
+
   // -------------------------------------------------------------------------
   // Spark-side query entries
   // -------------------------------------------------------------------------
@@ -547,7 +558,7 @@ object EntryOps {
     * [[graft.ops.Dedup.mediaDedupAgainstIndex]] sees it.
     */
   def dedupLearningMediaReplay(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val ids = docIds(spark, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_learn_media").resolve("root").toString
     def hashOf(c: Column): Column = graft.functions.Staged(coalesce(
@@ -1318,7 +1329,7 @@ object EntryOps {
     * corpus can't).
     */
   private def bpeHexDict(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docIds(spark, dir)
       .select(explode(expr(
         """transform(sequence(0, 3), j ->
              substring(md5(concat('bpe:', CAST(doc_id AS STRING), ':',
@@ -2068,7 +2079,7 @@ object EntryOps {
     val pixHex = array_join(
       transform(sequence(lit(0L), w * h * chans - 1),
         j => lpad(hex((start + j) % 256), 2, "0")), "")
-    val assets = Tables.documents(spark, dir).select(
+    val assets = docIds(spark, dir).select(
       col("doc_id").as("asset_id"),
       concat(header.cast("binary"), unhex(pixHex)).as("payload"))
     Multimodal.ppmFeatures(assets)
@@ -2099,7 +2110,7 @@ object EntryOps {
         jj => lpad(hex(
           ((seed + jj) * (seed + jj) * 13 + (seed + jj) * 7 + seed) % 256),
           2, "0")), "")
-    Tables.documents(spark, dir).select(
+    docIds(spark, dir).select(
       col("doc_id").as("asset_id"),
       concat(header.cast("binary"), unhex(pixHex)).as("payload"))
   }
@@ -2202,7 +2213,7 @@ object EntryOps {
     * bug cannot cancel out.
     */
   def pngAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .select(col("doc_id"),
         (col("doc_id") % 8 + 2).as("w"),
         ((col("doc_id") * 3) % 8 + 2).as("h"),
@@ -2291,7 +2302,7 @@ object EntryOps {
     * cancel out.
     */
   def wavAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .select(col("doc_id"),
         (col("doc_id") % 2 + 1).as("c"),
         when(col("doc_id") % 3 =!= 0, lit(16L)).otherwise(lit(8L)).as("bits"),
@@ -2361,7 +2372,7 @@ object EntryOps {
     * stream is padded with 1-bits and 0xFF bytes are stuffed with 0x00.
     */
   def jpegAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .select(col("doc_id"),
         (col("doc_id") % 4).as("mode"),
         (col("doc_id") % 21 + 4).as("w"),
@@ -2491,7 +2502,7 @@ object EntryOps {
     * sums, never a partial decode.
     */
   def jpegProgressiveAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .select(col("doc_id"),
         (col("doc_id") % 2).as("mode"),
         (col("doc_id") % 21 + 4).as("w"),
@@ -2594,7 +2605,7 @@ object EntryOps {
     * clustered and never decorated.
     */
   def jpegCorpusAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .select(col("doc_id"),
         expr("IF(doc_id % 10 = 1, doc_id - 1, doc_id)").as("sd"),
         (col("doc_id") % 3 === 2).as("prog"),
@@ -2756,7 +2767,7 @@ object EntryOps {
     * is itself a property under test.
     */
   def wavDhashAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .withColumn("seed", expr(
         "IF(doc_id % 10 = 1, doc_id - 1, doc_id) * 173"))
       .withColumn("f", expr("130 + doc_id % 7"))
@@ -3108,7 +3119,7 @@ object EntryOps {
     * by the SPEC's computed frame length, never by scanning.
     */
   def mpegAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val d = docIds(spark, dir)
       .withColumn("ver", col("doc_id") % 3) // 0 = V1, 1 = V2, 2 = V2.5
       .withColumn("srx", expr("(doc_id div 3) % 3"))
       .withColumn("brx", col("doc_id") % 14 + 1)
@@ -3163,7 +3174,7 @@ object EntryOps {
     * with null counts and sums, never a partial decode.
     */
   def mpegL1Assets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val d = docIds(spark, dir)
       .withColumn("nch", expr("IF(doc_id % 2 = 1, 2, 1)"))
       .withColumn("nf", expr("doc_id % 3 + 1"))
     // per-(sb,ch) formulas shared by fixture and oracle: allocation code
@@ -3322,7 +3333,7 @@ object EntryOps {
     })
 
   def flacAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val d = docIds(spark, dir)
       .withColumn("nch", expr("IF(doc_id % 2 = 1, 2, 1)"))
       .withColumn("bs", expr("68 + doc_id % 40"))
       .withColumn("rice4", riceLit(4))
@@ -3426,8 +3437,7 @@ object EntryOps {
     * must be QUARANTINED by the composed pipeline.
     */
   def audioCorpusAssets(spark: SparkSession, dir: String): DataFrame =
-    audioCorpusAssetsOf(
-      Tables.documents(spark, dir).select(col("doc_id")))
+    audioCorpusAssetsOf(docIds(spark, dir))
 
   /** [[audioCorpusAssets]] over an arbitrary doc_id frame — the synthesis
     * body, parameterized so a replay fixture (d27) can inject PLANTED
@@ -3566,7 +3576,7 @@ object EntryOps {
     * pixel array — header dims kept, stats null, never a partial sum.
     */
   def bmpAssets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val d = docIds(spark, dir)
       .withColumn("w", expr("doc_id % 9 + 2"))
       .withColumn("h", expr("(doc_id * 3) % 7 + 2"))
       .withColumn("pal", expr("doc_id % 2 = 1"))
@@ -3701,7 +3711,7 @@ object EntryOps {
     * % 31 = 8 sets timescale 0 (fields intact, duration_ms uncomputable).
     */
   def mp4Assets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val d = docIds(spark, dir)
       .withColumn("nt", (col("doc_id") % 3 + 1).cast("int"))
       .withColumn("ts", expr(
         "IF(doc_id % 31 = 8, 0L, 600L * (doc_id % 4 + 1))"))
@@ -3792,7 +3802,7 @@ object EntryOps {
     */
   def mp4SampleAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
+    val d = docIds(spark, dir).filter(where)
       .withColumn("nt", (col("doc_id") % 3 + 1).cast("int"))
       .withColumn("fill", (col("doc_id") % 16 + 12).cast("int"))
     def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
@@ -3912,6 +3922,9 @@ object EntryOps {
         col("trk.total_bytes").as("total_bytes"),
         col("trk.avg_sample_bytes").as("avg_sample_bytes"),
         col("trk.chunk_count").as("chunk_count"))
+      // track table materialized pre-sort (range partitioning samples =
+      // executes the synthesized-fixture walk twice; the mpegL1Pcm note)
+      .barriered
       .orderBy(col("asset_id"), col("trak_idx"))
 
   /** m22 fixture — spec-valid FRAGMENTED ISO-BMFF files synthesized
@@ -3941,7 +3954,7 @@ object EntryOps {
     */
   def mp4FragmentAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
+    val d = docIds(spark, dir).filter(where)
       .withColumn("nt", (col("doc_id") % 2 + 1).cast("int"))
       .withColumn("nf", (col("doc_id") % 3 + 1).cast("int"))
     def u32hex(e: String) = s"lpad(hex($e), 8, '0')"
@@ -4077,6 +4090,8 @@ object EntryOps {
         col("trk.duration_ms").as("duration_ms"),
         col("trk.total_bytes").as("total_bytes"),
         col("trk.avg_sample_bytes").as("avg_sample_bytes"))
+      // pre-sort barrier: the mpegL1Pcm note
+      .barriered
       .orderBy(col("asset_id"), col("track_id"))
 
   /** m23 — the UNIVERSAL MP4 inventory: a real crawl mixes flat and
@@ -4121,6 +4136,9 @@ object EntryOps {
         col("trk.duration_ms").as("duration_ms"),
         col("trk.total_bytes").as("total_bytes"),
         col("trk.avg_sample_bytes").as("avg_sample_bytes"))
+      // pre-sort barrier: the mpegL1Pcm note (twice the dispatch here —
+      // BOTH walkers run per payload)
+      .barriered
       .orderBy(col("asset_id"), col("track_ord"))
   }
 
@@ -4146,6 +4164,9 @@ object EntryOps {
       .select(col("asset_id"), col("format"), col("stream_class"),
         col("mp4_tracks"), col("mp4_samples"), col("mp4_duration_ms"),
         col("mp4_bytes"))
+      // pre-sort barrier: the mpegL1Pcm note (seven decoders per payload
+      // in the decoration projection — the heaviest double-exec in the family)
+      .barriered
       .orderBy(col("asset_id"))
   }
 
@@ -4176,7 +4197,7 @@ object EntryOps {
     */
   def mp4RemuxAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
+    val d = docIds(spark, dir).filter(where)
       .withColumn("b", expr(
         "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
       .withColumn("nt", expr(
@@ -4361,7 +4382,7 @@ object EntryOps {
     */
   def mp4DashAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
+    val d = docIds(spark, dir).filter(where)
       .withColumn("b", expr(
         "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
       // nt varies on (b div 2) % 2 — the alias classes force b EVEN, so a
@@ -4482,7 +4503,7 @@ object EntryOps {
     */
   def mpegTsAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id")).filter(where)
+    val d = docIds(spark, dir).filter(where)
       .withColumn("b", expr(
         "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
       .withColumn("nt", expr(
@@ -4572,6 +4593,8 @@ object EntryOps {
         col("s.payload_bytes").as("payload_bytes"),
         col("s.duration_ms").as("duration_ms"),
         col("s.avg_pes_bytes").as("avg_pes_bytes"))
+      // pre-sort barrier: the mpegL1Pcm note
+      .barriered
       .orderBy(col("doc_id"), col("stream_type"))
 
   /** d40 — TS re-mux near-dup: the d36/d39 token machinery over the
@@ -4836,7 +4859,7 @@ object EntryOps {
     * predicate prunes nothing there anyway.
     */
   def urlAssets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docIds(spark, dir)
       .select(graft.functions.RowFence(col("doc_id")).as("asset_id"),
         expr(urlSql._1).as("raw_url"))
 
@@ -4907,7 +4930,7 @@ object EntryOps {
   def gifAssets(spark: SparkSession, dir: String): DataFrame = {
     val paletteHex = (0 until 128)
       .map(i => f"$i%02X${i * 5 % 256}%02X${i * 11 % 256}%02X").mkString
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .select(col("doc_id"),
         (col("doc_id") % 8 + 2).as("w"),
         ((col("doc_id") * 3) % 8 + 2).as("h"))
@@ -4949,7 +4972,7 @@ object EntryOps {
   def gifAnimAssets(spark: SparkSession, dir: String): DataFrame = {
     val paletteHex = (0 until 128)
       .map(i => f"$i%02X${i * 5 % 256}%02X${i * 11 % 256}%02X").mkString
-    val d = Tables.documents(spark, dir)
+    val d = docIds(spark, dir)
       .select(col("doc_id"),
         (col("doc_id") % 8 + 2).as("w"),
         ((col("doc_id") * 3) % 8 + 2).as("h"),
@@ -5024,7 +5047,7 @@ object EntryOps {
           + "FFC0" + "0011" + "08"), be16(h), be16(w)))
       // headerless branch: a leading NUL byte matches no container signature
       .otherwise(lit("00"))
-    val assets = Tables.documents(spark, dir).select(
+    val assets = docs(spark, dir).select(
       col("doc_id").as("asset_id"),
       unhex(concat(headerHex, hex(col("text").cast("binary")))).as("payload"))
     Multimodal.mediaDims(assets)
