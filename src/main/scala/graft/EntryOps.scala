@@ -43,6 +43,22 @@ object EntryOps {
   private def docIds(spark: SparkSession, dir: String): DataFrame =
     par(Tables.documents(spark, dir).select(col("doc_id")))
 
+  /** The SERIAL id source — [[docIds]] without the fan-out, for fixtures
+    * whose per-row work is CHEAP relative to the per-task fixed cost of
+    * their huge unrolled synthesis trees (urls, the video containers, the
+    * BPE dictionary). Measured r20 (quiet-window A/B, old vs fanned-out):
+    * fanning these multiplied SUMMED TASK TIME 10–30× (e09 17 → 209
+    * task-s; d39 1.6 → 33) — every one of the 32 tasks pays the fixed
+    * expression-tree/codegen setup of a ~1 MB task binary that one task
+    * paid before, while the per-row work is microseconds — and WALL
+    * regressed too (e09 9.2 → 13.3 s, d40 2.8 → 4.0, t21 0.85 → 1.3,
+    * d32/d33/d36/d39 each +0.3–0.6 s). The heavy decoders (FLAC, MPEG,
+    * PNG, JPEG, WAV, PPM, MP4 sample/fragment walks) keep [[docIds]]:
+    * there per-row decode CPU dominates and the fan-out won 2–8×.
+    */
+  private def docIdsSerial(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+
   // -------------------------------------------------------------------------
   // Spark-side query entries
   // -------------------------------------------------------------------------
@@ -1329,7 +1345,7 @@ object EntryOps {
     * corpus can't).
     */
   private def bpeHexDict(spark: SparkSession, dir: String): DataFrame =
-    docIds(spark, dir)
+    docIdsSerial(spark, dir)
       .select(explode(expr(
         """transform(sequence(0, 3), j ->
              substring(md5(concat('bpe:', CAST(doc_id AS STRING), ':',
@@ -2879,7 +2895,7 @@ object EntryOps {
     // happens per EXECUTION — e05 remains the decode-everything contrast
     // to e09's persisted feature root; it just no longer decodes each
     // payload twice per execution.
-    val img = dhashAssets(spark, dir)
+    val imgRaw = dhashAssets(spark, dir)
       .select(col("asset_id"),
         graft.functions.Staged(
           graft.functions.PpmDHash(col("payload"))).as("dhash"),
@@ -2888,8 +2904,7 @@ object EntryOps {
       .select(col("asset_id"), col("dhash"),
         col("f.format").as("img_format"),
         col("f.width").as("img_width"), col("f.height").as("img_height"))
-      .barriered
-    val aud = wavDhashAssets(spark, dir)
+    val audRaw = wavDhashAssets(spark, dir)
       .select(col("asset_id"),
         graft.functions.Staged(
           graft.functions.WavDHash(col("payload"))).as("dhash"),
@@ -2898,11 +2913,14 @@ object EntryOps {
       .select(col("asset_id"), col("dhash"),
         col("f.sample_rate").as("aud_sample_rate"),
         col("f.n_frames").as("aud_n_frames"))
-      .barriered
     // the video descriptor table already decodes once into (text, sizing
     // columns); barriered so the near-dup branch and the feature join read
-    // one evaluation instead of re-walking every container
-    val vid = videoDescriptorTable(spark, dir).barriered
+    // one evaluation instead of re-walking every container. The three
+    // modality materializations are independent — overlapped (guide §2.6),
+    // r20: sequential barriers left the executor idle through each job's
+    // tail while the other two modalities waited.
+    val Seq(img, aud, vid) = graft.ops.Barrier.barrierAll(
+      imgRaw, audRaw, videoDescriptorTable(spark, dir))
     val imgPairs = perceptualNearDup(img.select(col("asset_id"), col("dhash")))
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
     val audPairs = perceptualNearDup(aud.select(col("asset_id"), col("dhash")))
@@ -3046,10 +3064,13 @@ object EntryOps {
     // barriered (r19): each union feeds TWO consumers — the near-dup pair
     // branch and the feature join — and each consumer re-ran the arrival
     // tenth's in-plan decode (and the root's parquet read). One
-    // materialized (id, hash, features) table per modality instead.
-    val img = spark.read.parquet(s"$root/img").unionByName(arrImg).barriered
-    val aud = spark.read.parquet(s"$root/aud").unionByName(arrAud).barriered
-    val vid = spark.read.parquet(s"$root/vid").unionByName(arrVid).barriered
+    // materialized (id, hash, features) table per modality instead;
+    // overlapped (r20, guide §2.6) — the three modality materializations
+    // are independent and ran back to back.
+    val Seq(img, aud, vid) = graft.ops.Barrier.barrierAll(
+      spark.read.parquet(s"$root/img").unionByName(arrImg),
+      spark.read.parquet(s"$root/aud").unionByName(arrAud),
+      spark.read.parquet(s"$root/vid").unionByName(arrVid))
     val OFF = 1L << 40
     val VOFF = 1L << 41
     val imgPairs = perceptualNearDup(img.select(col("asset_id"), col("dhash")))
@@ -4197,7 +4218,7 @@ object EntryOps {
     */
   def mp4RemuxAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = docIds(spark, dir).filter(where)
+    val d = docIdsSerial(spark, dir).filter(where)
       .withColumn("b", expr(
         "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
       .withColumn("nt", expr(
@@ -4382,7 +4403,7 @@ object EntryOps {
     */
   def mp4DashAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = docIds(spark, dir).filter(where)
+    val d = docIdsSerial(spark, dir).filter(where)
       .withColumn("b", expr(
         "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
       // nt varies on (b div 2) % 2 — the alias classes force b EVEN, so a
@@ -4503,7 +4524,7 @@ object EntryOps {
     */
   def mpegTsAssets(spark: SparkSession, dir: String,
       where: Column = lit(true)): DataFrame = {
-    val d = docIds(spark, dir).filter(where)
+    val d = docIdsSerial(spark, dir).filter(where)
       .withColumn("b", expr(
         "CASE WHEN doc_id % 10 = 1 OR doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
       .withColumn("nt", expr(
@@ -4859,7 +4880,7 @@ object EntryOps {
     * predicate prunes nothing there anyway.
     */
   def urlAssets(spark: SparkSession, dir: String): DataFrame =
-    docIds(spark, dir)
+    docIdsSerial(spark, dir)
       .select(graft.functions.RowFence(col("doc_id")).as("asset_id"),
         expr(urlSql._1).as("raw_url"))
 

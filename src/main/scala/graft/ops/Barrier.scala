@@ -45,6 +45,23 @@ object Barrier {
     barrier(df,
       df.sparkSession.conf.getOption(ConfKey).exists(_.toBoolean))
 
+  /** Materialize several INDEPENDENT barriers concurrently (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially). Each `barriered` call is a blocking action; a composed
+    * query with k independent modality frames paid their materializations
+    * back to back, leaving the executor idle through each job's tail. The
+    * frames must not depend on one another; results are positionally the
+    * same as mapping [[barrier]] over the inputs (bit-identical frames,
+    * only the wall-clock overlaps).
+    */
+  def barrierAll(dfs: DataFrame*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = dfs.map(df => Future(barrier(df)))
+    futures.map(Await.result(_, Duration.Inf))
+  }
+
   /** `df.barriered` — the conf-routed barrier as a drop-in replacement for
     * the former bare `.localCheckpoint()` call sites.
     */

@@ -1557,21 +1557,35 @@ object Dedup {
     // per-round state is proportional to the near-dup GRAPH, not the corpus;
     // the (huge) singleton remainder joins back once at the end. At 100 TB
     // this is the difference between iterating over gigabytes and petabytes.
-    var labels = und.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
+    //
+    // Initialization FOLDS ROUND 1 IN (r20): propagating identity labels one
+    // round yields label(u) = min(u, min N(u)), which is exactly one
+    // min-aggregate over the undirected edge list — no join needed. Starting
+    // from there saves a full join+aggregate+barrier round on every call
+    // (these loops are driver-latency-bound: each round is 2 actions plus
+    // AQE stage jobs over tiny checkpointed frames).
+    var labels = und.groupBy(col("src").as("doc_id"))
+      .agg(min(least(col("dst"), col("src"))).as("label"))
       .barriered
-    var prevSum = BigDecimal(Option(
-      labels.agg(sum(col("label"))).head().get(0)).fold(0L)(_.asInstanceOf[Long]))
-    var it = 0
-    var converged = labels.isEmpty
+    // One action for (sum, emptiness); the per-round convergence metric
+    // below reads the checkpointed labels in a single stage (no shuffle,
+    // exact BigInt arithmetic — label sums may exceed double precision).
+    def labelSum(df: DataFrame): BigInt =
+      df.select(col("label")).rdd
+        .mapPartitions(it => Iterator.single(
+          it.foldLeft(BigInt(0))((a, r) => a + r.getLong(0))))
+        .fold(BigInt(0))(_ + _)
+    val firstRow = labels.agg(sum(col("label")), count(lit(1))).head()
+    var prevSum = BigInt(Option(firstRow.get(0)).fold(0L)(_.asInstanceOf[Long]))
+    var it = 1 // round 1 was folded into the initialization
+    var converged = firstRow.getLong(1) == 0L
     while (!converged && it < maxIters) {
       val nbr = und.join(labels, und("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
       val next = labels.select(col("doc_id"), col("label")).union(nbr)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .barriered
-      val nextSum = BigDecimal(next.agg(sum(col("label"))).head().getLong(0))
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum // labels only decrease; equal sum ⇒ fixpoint
       prevSum = nextSum
