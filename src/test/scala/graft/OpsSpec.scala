@@ -1506,6 +1506,39 @@ class OpsSpec extends GraftSpec {
       (10L, 10L, 2L), (11L, 10L, 2L), (20L, 20L, 1L)))
   }
 
+  test("clusterComponents: empty edge list yields all singletons (r20 init path)") {
+    // the r20 initialization folds round 1 into a min-aggregate over the
+    // edge list and detects emptiness from the same action — an empty
+    // graph must take the early exit and label every doc its own singleton
+    val ds = Seq(5L, 7L).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    val out = Dedup.clusterComponents(ds, edges)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((5L, 5L, 1L), (7L, 7L, 1L)))
+  }
+
+  test("clusterComponents: single pair is fixpoint at the folded round 1") {
+    // diameter-1 graph: the r20 init (label = min(u, min N(u))) is already
+    // the fixpoint; the loop's first join round must CONFIRM (equal label
+    // sum), not drift
+    val ds = Seq(3L, 9L).toDF("doc_id")
+    val edges = Seq((9L, 3L)).toDF("doc1", "doc2")
+    val out = Dedup.clusterComponents(ds, edges)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((3L, 3L, 2L), (9L, 3L, 2L)))
+  }
+
+  test("barrierAll returns positionally bit-identical frames to barrier") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val b = Seq((3L, 0.5), (4L, 1.5)).toDF("id", "v")
+    val Seq(ba, bb) = graft.ops.Barrier.barrierAll(a, b)
+    assert(ba.schema === a.schema && bb.schema === b.schema)
+    assert(ba.collect().toSeq === a.collect().toSeq)
+    assert(bb.collect().toSeq === b.collect().toSeq)
+  }
+
   test("clusterComponents converges on a long path (diameter > 2)") {
     // path 1-2-3-4-5-6: min label must walk the whole diameter
     val ds = (1L to 6L).toDF("doc_id")
