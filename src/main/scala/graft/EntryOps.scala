@@ -1808,7 +1808,8 @@ object EntryOps {
     // the four regexp counts per CASE branch (observed in the r19 before
     // plan: the pushed filter inlined the full score expression three
     // times). Values are unchanged — scoreCol/maskedCol are quality()/
-    // piiScrub()'s own arithmetic, shared (QualitySpec pins the equality).
+    // piiScrub()'s own arithmetic, shared (OpsSpec's "scoreCol/maskedCol
+    // equal quality()/piiScrub() bit for bit" pins the equality).
     val enriched = d.select(col("doc_id"), col("lang"), col("source"),
       graft.functions.Staged(TextAnalysis.scoreCol(col("text"))).as("score"),
       graft.functions.Staged(TextAnalysis.maskedCol(col("text"))).as("masked"))
@@ -1894,7 +1895,11 @@ object EntryOps {
     // sort, all discarded by the `.select(train_id).distinct()` that
     // followed (r19 — guide §1.2 step 1: don't compute things you throw
     // away). The semi join is value-identical: a pair row exists iff
-    // shared_grams ≥ 1. Each side shingles once (no cache needed — the
+    // shared_grams ≥ 1. (The train side is the % 100 ≠ 0 filter rather
+    // than a left-anti against eval ids; the two agree because doc_id is
+    // NON-NULL by the table contract — a null doc_id row would fail both
+    // filters here where the anti-join form kept it as train.)
+    // Each side shingles once (no cache needed — the
     // old tri.cache() existed to share one shingle pass between the two
     // sides of the full join).
     val evalGrams = Dedup
@@ -1922,7 +1927,8 @@ object EntryOps {
     // stage 3: quality gate + PII mask — ONE per-row projection of the
     // cached train boundary instead of separate quality()/piiScrub()
     // frames joined back by doc_id (the e01 rationale; values pinned
-    // identical by QualitySpec). Staged keeps the score filter from
+    // identical by OpsSpec's scoreCol/maskedCol parity test). Staged
+    // keeps the score filter from
     // re-deriving the regexp counts below the projection.
     val gated = train.select(col("doc_id"), col("lang"), col("source"),
         graft.functions.Staged(TextAnalysis.scoreCol(col("text"))).as("score"),
